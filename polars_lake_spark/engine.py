@@ -1,0 +1,345 @@
+"""Engine: the multi-table database over partitioned+bucketed Parquet.
+
+Spark rebuild of the reference's ``Database``/``Dataset`` pair
+(``/root/reference/src/database.rs:27-35``,
+``/root/reference/src/dataset.rs:182-189``):
+
+* one long-lived SparkSession = the server process;
+* a table = a hive-partitioned Parquet directory tree with a derived
+  ``bucket_id`` partition column (layout.py) plus a ``manifest.json``
+  carrying the partition/bucket/key spec — the analog of the reference's
+  manifest (``/root/reference/src/dataset.rs:337-358``), except parts are
+  never enumerated: Spark's Parquet source discovers and prunes them;
+* all reads/queries are plain DataFrames / ``spark.sql`` over registered
+  views, so Catalyst does pushdown, pruning, join selection and AQE
+  (SURVEY.md §4 — zero custom optimizer rules needed);
+* mutation operators (insert/upsert/delete/…) are the pure transforms of
+  ``operators/merge.py`` wired to the storage layout: upserts rewrite only
+  the partitions the incoming batch touches (dynamic partition overwrite)
+  instead of the reference's full-root wipe
+  (``/root/reference/src/dataset.rs:330-353``).
+
+Materialization: the reference force-collects each part's lazy plan and
+resets a change counter (``/root/reference/src/dataset.rs:47-52,260-269``).
+Our ``materialize`` = cache + count; chained lazy merges are bounded by
+``max_lazy_merges`` after which the table auto-flushes to storage — the
+checkpoint policy SURVEY.md §7 calls out (plan-lineage blowup is the Spark
+failure mode mirroring ``/root/reference/src/dataset.rs:141-145``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_lake_spark.layout import (
+    BUCKET_COL,
+    DEFAULT_BUCKETS,
+    layout_columns,
+    with_bucket_column,
+)
+from polars_lake_spark.operators import merge as M
+from polars_lake_spark.session import configure_session
+
+# Leading underscore: Spark's file index treats "_"-prefixed files as
+# metadata (like _SUCCESS) and skips them when scanning the table dir.
+MANIFEST = "_manifest.json"
+
+
+@dataclass
+class TableSpec:
+    """Table metadata — the reference Dataset's (partition cols, bucket
+    cols, storage opts) plus the upsert keys its clients pass per call
+    (``/root/reference/src/dataset.rs:182-189``, ``proto/db.proto:57-64``)."""
+
+    name: str
+    partition_by: list[str] = field(default_factory=list)
+    bucket_by: list[str] = field(default_factory=list)
+    n_buckets: int = DEFAULT_BUCKETS
+    keys: list[str] = field(default_factory=list)
+    format: str = "parquet"  # reference declares parquet|ipc|csv; writes parquet
+    compression: str = "snappy"
+
+    @property
+    def physical_partitioning(self) -> list[str]:
+        return layout_columns(self.partition_by, self.bucket_by)
+
+
+class Engine:
+    """A named collection of tables + a SQL surface over them."""
+
+    def __init__(self, spark: SparkSession, root: str | None = None):
+        self.spark = configure_session(spark)
+        self.root = root
+        self.specs: dict[str, TableSpec] = {}
+        self._mem: dict[str, DataFrame] = {}  # in-memory tier (unsaved tables)
+        self._pending_merges: dict[str, int] = {}
+        self.max_lazy_merges = 8
+        # The reference serializes writes with a per-part Mutex
+        # (/root/reference/src/dataset.rs:84-86); we serialize per table.
+        self._locks: dict[str, threading.Lock] = {}
+
+    # ------------------------------------------------------------------ paths
+    def _path(self, name: str) -> str:
+        if self.root is None:
+            raise ValueError("Engine has no storage root (in-memory only)")
+        return os.path.join(self.root, name)
+
+    def _lock(self, name: str) -> threading.Lock:
+        return self._locks.setdefault(name, threading.Lock())
+
+    # ----------------------------------------------------------------- create
+    def create_table(
+        self,
+        name: str,
+        df: DataFrame,
+        *,
+        partition_by: list[str] | None = None,
+        bucket_by: list[str] | None = None,
+        n_buckets: int = DEFAULT_BUCKETS,
+        keys: list[str] | None = None,
+        save: bool = True,
+    ) -> TableSpec:
+        """CreateTable (``/root/reference/src/server.rs:92-135`` analog).
+
+        save=False keeps the table in the in-memory tier — the gRPC server
+        never persists either (``/root/reference/src/server.rs:68,73,87``).
+        """
+        spec = TableSpec(
+            name=name,
+            partition_by=list(partition_by or []),
+            bucket_by=list(bucket_by or []),
+            n_buckets=n_buckets,
+            keys=list(keys or []),
+        )
+        self.specs[name] = spec
+        df = self._with_layout(df, spec)
+        if save:
+            self._write(df, spec, mode="overwrite")
+            self._mem.pop(name, None)
+        else:
+            self._mem[name] = df
+        self._register(name)
+        return spec
+
+    def _with_layout(self, df: DataFrame, spec: TableSpec) -> DataFrame:
+        if spec.bucket_by:
+            df = with_bucket_column(df, spec.bucket_by, spec.n_buckets)
+        return df
+
+    def _write(self, df: DataFrame, spec: TableSpec, mode: str) -> None:
+        path = self._path(spec.name)
+        writer = df.write.mode(mode).option("compression", spec.compression)
+        parts = spec.physical_partitioning
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.parquet(path)
+        self._write_manifest(spec)
+
+    def _write_manifest(self, spec: TableSpec) -> None:
+        os.makedirs(self._path(spec.name), exist_ok=True)
+        with open(os.path.join(self._path(spec.name), MANIFEST), "w") as f:
+            json.dump(asdict(spec), f, indent=2)
+
+    # ------------------------------------------------------------------- read
+    def table(self, name: str) -> DataFrame:
+        """The table as a DataFrame (lazy scan or in-memory tier)."""
+        if name in self._mem:
+            return self._mem[name]
+        if name not in self.specs:
+            self.load_table(name)
+        return self.spark.read.parquet(self._path(name))
+
+    def _register(self, name: str) -> None:
+        self.table(name).createOrReplaceTempView(name)
+
+    def load_table(self, name: str) -> TableSpec:
+        """from_storage analog (``/root/reference/src/dataset.rs:355-409``):
+        read the manifest; partition values and bucket ids come back as
+        ordinary hive partition columns — no path re-parsing."""
+        with open(os.path.join(self._path(name), MANIFEST)) as f:
+            spec = TableSpec(**json.load(f))
+        self.specs[name] = spec
+        self._register(name)
+        return spec
+
+    def load_all(self) -> list[str]:
+        names = [
+            d
+            for d in sorted(os.listdir(self.root))
+            if os.path.isfile(os.path.join(self.root, d, MANIFEST))
+        ]
+        for n in names:
+            self.load_table(n)
+        return names
+
+    # -------------------------------------------------------------------- sql
+    def sql(self, query: str) -> DataFrame:
+        """Execute SQL over the registered tables
+        (``/root/reference/src/database.rs:50-56`` analog; the persistent
+        catalog replaces its per-query SQLContext rebuild)."""
+        return self.spark.sql(query)
+
+    def sqls(self, queries: list[str]) -> list[DataFrame]:
+        """Batched execution (``/root/reference/src/database.rs:58-63``):
+        one session shares Catalyst caches/exchange reuse across plans."""
+        return [self.spark.sql(q) for q in queries]
+
+    # --------------------------------------------------------------- mutation
+    def insert(self, name: str, df: DataFrame, *, save: bool = True) -> None:
+        """Append (``/root/reference/src/dataset.rs:271-295``): the shuffle
+        on partition columns replaces the reference's HashMap routing of
+        rows to parts."""
+        spec = self.specs[name]
+        with self._lock(name):
+            df = self._with_layout(df.select(*[c for c in df.columns]), spec)
+            if save and name not in self._mem:
+                self._write(df, spec, mode="append")
+            else:
+                base = self._mem.get(name)
+                if base is None:
+                    base = self.spark.read.parquet(self._path(name))
+                self._mem[name] = base.unionByName(df, allowMissingColumns=True)
+                self._bump_pending(name)
+            self._register(name)
+
+    def upsert(
+        self,
+        name: str,
+        df: DataFrame,
+        keys: list[str] | None = None,
+        *,
+        save: bool = True,
+        evolve: bool = False,
+        audit: bool = False,
+    ) -> None:
+        """Keyed merge with reference coalesce semantics (operators/merge.py).
+
+        Persisted path: merge against only the partitions the incoming
+        batch touches, then dynamic-partition-overwrite exactly those — at
+        100 TB this reads/writes the touched slice, never the table.
+        """
+        spec = self.specs[name]
+        keys = list(keys or spec.keys)
+        if not keys:
+            raise ValueError(f"no upsert keys for table {name}")
+        with self._lock(name):
+            new = self._with_layout(df, spec)
+            old = self.table(name)
+            if save and name not in self._mem:
+                parts = spec.physical_partitioning
+                if parts:
+                    # Partition-pruned merge: old side restricted to touched
+                    # partitions (broadcast semi join on distinct partition
+                    # tuples → partition pruning at the scan).
+                    touched = new.select(*parts).distinct()
+                    old_slice = old.join(F.broadcast(touched), on=parts, how="left_semi")
+                    merged = M.upsert(old_slice, new, keys, evolve=evolve)
+                    if audit:
+                        merged = M.with_audit_columns(merged, created=False)
+                    # Cut the read→overwrite cycle on the same path. (On a
+                    # real cluster this would be a staging-dir write + swap;
+                    # localCheckpoint keeps the touched slice only.)
+                    merged = merged.localCheckpoint(eager=True)
+                    # Dynamic partition overwrite rewrites only touched dirs.
+                    self._write(merged, spec, mode="overwrite")
+                else:
+                    merged = M.upsert(old, new, keys, evolve=evolve)
+                    if audit:
+                        merged = M.with_audit_columns(merged, created=False)
+                    # Unpartitioned: stage then swap (can't overwrite input in place).
+                    merged.localCheckpoint(eager=True).write.mode("overwrite").option(
+                        "compression", spec.compression
+                    ).parquet(self._path(name))
+                    self._write_manifest(spec)
+            else:
+                merged = M.upsert(old, new, keys, evolve=evolve)
+                if audit:
+                    merged = M.with_audit_columns(merged, created=False)
+                self._mem[name] = merged
+                self._bump_pending(name)
+            self._register(name)
+
+    def delete(self, name: str, deletes: DataFrame, keys: list[str] | None = None) -> None:
+        """Delete by key — anti join (reference TODO /root/reference/src/main.rs:31)."""
+        spec = self.specs[name]
+        keys = list(keys or spec.keys)
+        with self._lock(name):
+            remaining = M.delete_keys(self.table(name), deletes, keys)
+            if name in self._mem or self.root is None:
+                self._mem[name] = remaining
+            else:
+                remaining.localCheckpoint(eager=True).write.mode("overwrite").option(
+                    "compression", spec.compression
+                ).parquet(self._path(name))
+            self._register(name)
+
+    def drop_duplicates(self, name: str, keys: list[str] | None = None) -> None:
+        """Dedup in place (reference TODO /root/reference/src/main.rs:32)."""
+        spec = self.specs[name]
+        keys = list(keys or spec.keys) or None
+        with self._lock(name):
+            deduped = self.table(name).dropDuplicates(keys)
+            if name in self._mem or self.root is None:
+                self._mem[name] = deduped
+            else:
+                deduped.localCheckpoint(eager=True).write.mode("overwrite").option(
+                    "compression", spec.compression
+                ).parquet(self._path(name))
+            self._register(name)
+
+    # ------------------------------------------------------------ maintenance
+    def _bump_pending(self, name: str) -> None:
+        """Deferred-compaction counter (``/root/reference/src/dataset.rs:23``):
+        after max_lazy_merges chained in-memory merges, cut the plan."""
+        self._pending_merges[name] = self._pending_merges.get(name, 0) + 1
+        if self._pending_merges[name] >= self.max_lazy_merges:
+            self.materialize(name)
+
+    def materialize(self, name: str) -> None:
+        """MaterializeTable (``/root/reference/src/server.rs:192-208``):
+        truncate plan lineage. localCheckpoint bounds the chained-merge
+        plan depth the reference also suffers from
+        (``/root/reference/src/dataset.rs:141-145``)."""
+        if name in self._mem:
+            self._mem[name] = self._mem[name].localCheckpoint(eager=True)
+            self._pending_merges[name] = 0
+            self._register(name)
+
+    def flush(self, name: str) -> None:
+        """Persist the in-memory tier to storage."""
+        spec = self.specs[name]
+        if name in self._mem:
+            df = self._mem.pop(name).localCheckpoint(eager=True)
+            self._write(df, spec, mode="overwrite")
+            self._pending_merges[name] = 0
+            self._register(name)
+
+    def table_info(self, name: str) -> dict:
+        """GetTableInfo (``/root/reference/src/server.rs:210-232``): rows,
+        parts, column names + dtype strings. Row count is exact — the
+        reference under-reports after lazy upserts
+        (``/root/reference/src/dataset.rs:144``)."""
+        df = self.table(name)
+        spec = self.specs[name]
+        n_parts = None
+        if name not in self._mem and self.root is not None:
+            n_parts = sum(
+                len([f for f in files if f.endswith(".parquet")])
+                for _, _, files in os.walk(self._path(name))
+            )
+        return {
+            "name": name,
+            "rows": df.count(),
+            "parts": n_parts,
+            "columns": df.columns,
+            "dtypes": [t for _, t in df.dtypes],
+            "partition_by": spec.partition_by,
+            "bucket_by": spec.bucket_by,
+            "keys": spec.keys,
+        }

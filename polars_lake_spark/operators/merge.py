@@ -1,0 +1,139 @@
+"""Mutation operators: upsert / delete / dedup / schema evolution / audit.
+
+These reproduce the reference's maintenance semantics (SURVEY.md §2.b) as
+pure DataFrame → DataFrame transforms, so they compose with any storage
+tier and stay fully inside Catalyst (broadcast/SMJ selection, AQE) — no
+driver-side loops, no per-part objects.
+
+Upsert semantics preserved exactly (``/root/reference/src/dataset.rs:108-147``):
+
+* ``old FULL OUTER JOIN new ON keys`` then per non-key column
+  ``coalesce(new.c, old.c)`` — incoming non-null values win; an incoming
+  NULL does NOT clobber an existing value
+  (``/root/reference/src/dataset.rs:115``).
+* Output schema = old table's column set; extra incoming columns are
+  dropped (schema evolution was an open TODO there,
+  ``/root/reference/src/main.rs:33`` — we implement it as an explicit
+  opt-in instead).
+
+Deliberate divergence (documented per SURVEY.md §2.b fine print): the
+reference routes upserts within one (partition, bucket) part only, so a key
+living in a different partition duplicates instead of updating
+(``/root/reference/src/dataset.rs:306-317``).  Our merge is global over the
+joined frames — strictly more correct, and identical whenever partition and
+bucket columns are functions of the key (the only configuration in which
+the reference is correct).
+
+The delete / drop-duplicates / schema-evolution / audit-column operators
+implement the reference's TODO roadmap (``/root/reference/src/main.rs:31-34``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    *,
+    evolve: bool = False,
+    null_clobbers: bool = False,
+) -> DataFrame:
+    """Keyed merge: new rows inserted, matched rows take new non-null
+    values, unmatched old rows kept.
+
+    evolve=True unions the column sets (reference TODO
+    /root/reference/src/main.rs:33); default drops incoming extras like
+    the reference. null_clobbers=True switches to last-write-wins
+    (Delta ``UPDATE SET *`` semantics) instead of coalesce.
+    """
+    keys = list(keys)
+    if evolve:
+        old = evolve_schema(old, new)
+    old_cols = old.columns
+    new_cols = set(new.columns)
+
+    missing_keys = [k for k in keys if k not in new_cols]
+    if missing_keys:
+        raise ValueError(f"upsert keys missing from incoming frame: {missing_keys}")
+
+    o = old.alias("o")
+    n = new.alias("n")
+    # Full outer on keys: Catalyst picks the physical join; at scale both
+    # sides shuffle on the key — co-partitioned layouts (same bucket spec)
+    # avoid one side's exchange.
+    joined = o.join(n, on=[F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys], how="full_outer")
+
+    select = []
+    for c in old_cols:
+        if c in keys:
+            select.append(F.coalesce(F.col(f"o.{c}"), F.col(f"n.{c}")).alias(c))
+        elif c in new_cols:
+            if null_clobbers:
+                # Row matched in new → take new value even if NULL.
+                matched = F.col(f"n.{keys[0]}").isNotNull()
+                select.append(
+                    F.when(matched, F.col(f"n.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
+                )
+            else:
+                # Reference expression (/root/reference/src/dataset.rs:115).
+                select.append(F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c))
+        else:
+            select.append(F.col(f"o.{c}").alias(c))
+    return joined.select(*select)
+
+
+def delete_keys(old: DataFrame, deletes: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Delete-by-key = left anti join — the reference's planned
+    "delete operation (anti right)" (/root/reference/src/main.rs:31)."""
+    return old.join(deletes.select(*keys).distinct(), on=list(keys), how="left_anti")
+
+
+def drop_duplicates_keyed(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[str] | None = None
+) -> DataFrame:
+    """Keyed dedup (reference TODO /root/reference/src/main.rs:32).
+
+    With ``order_by`` the survivor is deterministic (first row per key in
+    that ordering — implemented as a window row_number, one shuffle on the
+    key); without it, Spark's ``dropDuplicates`` (arbitrary survivor,
+    map-side partial aggregation, cheapest at scale).
+    """
+    if not order_by:
+        return df.dropDuplicates(list(keys))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def evolve_schema(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Widen ``old`` with columns that only exist in ``new`` (as NULLs) —
+    mergeSchema-style evolution (reference TODO /root/reference/src/main.rs:33)."""
+    extra = [f for f in new.schema.fields if f.name not in old.columns]
+    for f in extra:
+        old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return old
+
+
+def with_audit_columns(
+    df: DataFrame, *, created: bool = True, changed: bool = True, ts=None
+) -> DataFrame:
+    """CREATED_AT / CHANGED_AT audit columns (reference TODO
+    /root/reference/src/main.rs:34). ``ts`` pins a deterministic literal
+    timestamp (tests/oracles); default is current_timestamp()."""
+    t = F.lit(ts).cast("timestamp") if ts is not None else F.current_timestamp()
+    if created and "created_at" not in df.columns:
+        df = df.withColumn("created_at", t)
+    if changed:
+        df = df.withColumn("changed_at", t)
+    return df

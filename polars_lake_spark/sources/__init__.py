@@ -1,0 +1,3 @@
+from polars_lake_spark.sources.tables import TABLES, load_table, register_tables
+
+__all__ = ["TABLES", "load_table", "register_tables"]
