@@ -1,0 +1,253 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's planned `drop_duplicates`
+(``/root/reference/src/main.rs:32``), these are the training-data-pipeline
+dedup family, each built shuffle-consciously:
+
+* exact          — fingerprint group-by (one shuffle on the hash)
+* n-gram Jaccard — exact pairwise via shingle self-join (the quadratic
+                   baseline; use on bounded slices)
+* MinHash + LSH  — shingle → signature → band buckets → candidate pairs →
+                   exact verification.  The scale path: cost is
+                   O(docs × perms) map-side + a shuffle on band keys whose
+                   fan-out is bounded by bucket sizes, never all-pairs.
+* SimHash        — 48-bit signature; banded buckets → hamming verification.
+
+All are pure column expressions (whole-stage codegen) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NORM_PATTERN = r"\s+"
+
+
+def normalized_text(col):
+    """lower + whitespace collapse + trim — shared by every dedup flavor."""
+    return F.trim(F.regexp_replace(F.lower(col), NORM_PATTERN, " "))
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, words, shingles) with distinct word n-gram shingles; documents
+    with fewer than n words are excluded (no shingle is defined)."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    df = df.select(F.col(id_col).alias("id"), words.alias("words")).filter(
+        F.size("words") >= n
+    )
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("words") - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("words"), i + j) for j in range(n)]
+            ),
+        )
+    )
+    return df.select("id", shingles.alias("shingles"))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct normalized content,
+    with group size and the deterministic survivor (min id)."""
+    fp = F.md5(normalized_text(F.col(text_col)).cast("binary"))
+    return (
+        df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keeper_id"))
+    )
+
+
+def _exploded_shingles(shingled: DataFrame) -> DataFrame:
+    return shingled.select("id", F.explode("shingles").alias("shingle"))
+
+
+def _jaccard_from_common(common: DataFrame, sizes: DataFrame) -> DataFrame:
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    return (
+        common.join(s1, common.d1 == F.col("s1.id"))
+        .join(s2, common.d2 == F.col("s2.id"))
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("common")
+                / (F.col("s1.n") + F.col("s2.n") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard ≥ threshold via shingle self-join.
+
+    Quadratic in per-shingle document frequency — correct everywhere,
+    affordable on bounded corpora; MinHash below is the 100 TB variant.
+    """
+    sh = _exploded_shingles(word_shingles(df, id_col, text_col, n))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    j = _jaccard_from_common(common, sizes)
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_perm: int = 128
+) -> DataFrame:
+    """(id, sig) where sig[i] = min over shingles of xxhash64(shingle, i).
+
+    Seeded xxhash64 replaces the classical (a*x+b) mod p permutations; all
+    JVM-side, no shuffle.
+    """
+    def hasher(i):
+        # NB: must return a SINGLE-arg lambda — a two-arg lambda would be
+        # interpreted by F.transform as (element, index) and the array
+        # index would silently replace the permutation seed.
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    sig = F.array(*[F.array_min(F.transform(F.col("shingles"), hasher(i))) for i in range(num_perm)])
+    return shingled.select("id", F.col("shingles"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash banding → candidate pairs → exact Jaccard verification.
+
+    With r = num_perm/bands = 4 rows per band, a pair at the 0.8 threshold
+    is missed with probability (1-0.8^4)^32 ≈ 5e-8 — effectively exact
+    recall, so the verified output equals the exact-Jaccard result while
+    scaling as O(docs) + candidate volume instead of all-pairs.
+    """
+    r = num_perm // bands
+    shingled = word_shingles(df, id_col, text_col, n)
+    sigs = minhash_signatures(shingled, num_perm)
+
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(F.slice("sig", b * r + 1, r)).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = (
+        sigs.select("id", F.explode(band_entries).alias("e"))
+        .select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+        .groupBy("band", "bh")
+        .agg(F.collect_set("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cands = (
+        buckets.select(F.explode("ids").alias("d1"), F.col("ids"))
+        .select("d1", F.explode("ids").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+        .distinct()
+    )
+
+    # Exact verification restricted to candidates only.
+    sh = _exploded_shingles(shingled)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        cands.join(a, cands.d1 == F.col("a.id"))
+        .join(b, (cands.d2 == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    j = _jaccard_from_common(common, sizes)
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 48
+) -> DataFrame:
+    """(id, simhash) — per-word xxhash64, per-bit ±1 majority vote.
+
+    48 bits keeps every shift inside a positive signed 64-bit literal; the
+    per-bit sums are one grouped aggregation (explode on words, map-side
+    partial agg)."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(words).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    votes = exploded.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return votes.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 48,
+    band_bits: int = 12,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the signature (docs sharing any
+    band become candidates — by pigeonhole a pair within max_hamming always
+    shares a clean band when bands > max_hamming), verify with bit_count."""
+    n_bands = bits // band_bits
+    assert n_bands > max_hamming, "need more bands than allowed hamming distance"
+    sigs = simhash_signatures(df, id_col, text_col, bits)
+    mask = (1 << band_bits) - 1
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = (
+        sigs.select("id", F.explode(band_entries).alias("e"))
+        .select("id", "e.band", "e.bv")
+        .groupBy("band", "bv")
+        .agg(F.collect_set("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cands = (
+        buckets.select(F.explode("ids").alias("d1"), F.col("ids"))
+        .select("d1", F.explode("ids").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+        .distinct()
+    )
+    s1 = sigs.select(F.col("id").alias("d1"), F.col("simhash").alias("h1"))
+    s2 = sigs.select(F.col("id").alias("d2"), F.col("simhash").alias("h2"))
+    return (
+        cands.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

@@ -131,7 +131,8 @@ def with_audit_columns(
     """CREATED_AT / CHANGED_AT audit columns (reference TODO
     /root/reference/src/main.rs:34). ``ts`` pins a deterministic literal
     timestamp (tests/oracles); default is current_timestamp()."""
-    t = F.lit(ts).cast("timestamp") if ts is not None else F.current_timestamp()
+    # Pinned stamps are UTC wall-clock (ntz) so they compare engine-agnostically.
+    t = F.lit(ts).cast("timestamp_ntz") if ts is not None else F.current_timestamp()
     if created and "created_at" not in df.columns:
         df = df.withColumn("created_at", t)
     if changed:

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline (cross join, JVM-side fold —
+fine when the query set is small and the corpus is the big side: cost is
+|Q| × |C|, embarrassingly parallel, no shuffle beyond the broadcast of Q).
+
+The scale path is random-hyperplane LSH: an n-bit signature per vector
+(map-side only), candidates = same-bucket vectors (shuffle keyed on a
+16-bit bucket → bounded fan-out), exact re-ranking within candidates.
+Hyperplane components are derived from md5 so signatures are deterministic
+across runs and engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(vec_col):
+    return F.transform(vec_col, lambda x: x.cast("double"))
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus.
+
+    Queries are broadcast (small side); the corpus scan is the only big
+    input, so this distributes as a map-side cross product + per-query
+    top-k (one shuffle on qid).
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-duplicate
+    detection). Exact and quadratic — bound the input or use LSH at scale."""
+    a = df.select(F.col(id_col).alias("d1"), as_double(F.col(vec_col)).alias("v1"))
+    b = df.select(F.col(id_col).alias("d2"), as_double(F.col(vec_col)).alias("v2"))
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", cosine(F.col("v1"), F.col("v2")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("d1", "d2", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def _hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane from md5(plane,i) — reproducible across
+    runs, no RNG state."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"plsh:{plane}:{i}".encode()).digest()
+        out.append(1.0 if h[0] & 1 else -1.0)
+    return out
+
+
+def lsh_signature(vec_col, n_planes: int, dim: int):
+    """n-bit signature: bit j = sign(dot(v, plane_j))."""
+    sig = None
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(j, dim)])
+        bit = F.when(dot(vec_col, plane) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then
+    exact cosine re-ranking within candidates. May return < k when a
+    bucket is sparse (the recall/cost dial is n_planes)."""
+    c = corpus.select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", lsh_signature(F.col("cv"), n_planes, dim))
+    q = queries.select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", lsh_signature(F.col("qv"), n_planes, dim))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", F.round("cos_sim", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,202 @@
+"""Mutation/maintenance operators (SURVEY.md §2.b) expressed as pure
+queries over derived inputs, so the driver's DuckDB oracle can check the
+exact merge semantics:
+
+* upsert  — full outer join + per-column coalesce(new, old); incoming NULL
+  does not clobber (``/root/reference/src/dataset.rs:108-147,115``)
+* insert  — append = union all (``/root/reference/src/dataset.rs:271-295``)
+* delete  — left anti join (reference TODO ``/root/reference/src/main.rs:31``)
+* dedup   — keyed drop-duplicates, deterministic survivor (TODO ``main.rs:32``)
+* schema evolution — union-by-name with missing columns (TODO ``main.rs:33``)
+* audit columns — CREATED_AT/CHANGED_AT stamps (TODO ``main.rs:34``)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_lake_spark.operators import merge as M
+from polars_lake_spark.queries import register
+from polars_lake_spark.sources import load_table
+
+ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _updates(orders):
+    """Deterministic update batch: repriced rows (status nulled — must NOT
+    clobber) + brand-new keys."""
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 1.1, 3).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("RE-PRICED").alias("o_orderpriority"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(100.0).alias("o_totalprice"),
+        "o_orderdate",
+        F.lit("NEW").alias("o_orderpriority"),
+    )
+    return upd.unionByName(new)
+
+
+_UPDATES_SQL = """
+    SELECT o_orderkey, o_custkey, CAST(NULL AS VARCHAR) AS o_orderstatus,
+           ROUND(o_totalprice * 1.1, 3) AS o_totalprice, o_orderdate,
+           'RE-PRICED' AS o_orderpriority
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_custkey, 'N', 100.0, o_orderdate, 'NEW'
+    FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+@register(
+    "upsert_merge",
+    oracle=f"""
+    WITH updates AS ({_UPDATES_SQL})
+    SELECT COALESCE(o.o_orderkey, u.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_custkey, o.o_custkey) AS o_custkey,
+           COALESCE(u.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+           ROUND(COALESCE(u.o_totalprice, o.o_totalprice), 3) AS o_totalprice,
+           COALESCE(u.o_orderdate, o.o_orderdate) AS o_orderdate,
+           COALESCE(u.o_orderpriority, o.o_orderpriority) AS o_orderpriority
+    FROM orders o FULL OUTER JOIN updates u ON o.o_orderkey = u.o_orderkey
+    """,
+)
+def upsert_merge(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    merged = M.upsert(orders, _updates(orders), keys=["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 3).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+@register(
+    "insert_append",
+    oracle="""
+    WITH appended AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderkey + 20000000, 'P', ROUND(o_totalprice / 2, 3)
+        FROM orders WHERE o_orderkey % 53 = 0
+    )
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 3) AS total
+    FROM appended GROUP BY o_orderstatus
+    """,
+)
+def insert_append(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    batch = orders.filter(F.col("o_orderkey") % 53 == 0).select(
+        (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+        F.lit("P").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") / 2, 3).alias("o_totalprice"),
+    )
+    appended = base.unionByName(batch)
+    return appended.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 3).alias("total"),
+    )
+
+
+@register(
+    "delete_anti",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem l
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+    GROUP BY l_returnflag
+    """,
+)
+def delete_anti(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    deletes = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    remaining = M.delete_keys(li, deletes, ["l_orderkey"])
+    return remaining.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+@register(
+    "dedup_keyed",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, ROUND(l_quantity, 2) AS l_quantity
+    FROM lineitem
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber, l_partkey, l_quantity) = 1
+    """,
+)
+def dedup_keyed(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    kept = M.drop_duplicates_keyed(li, ["l_orderkey"], order_by=["l_linenumber", "l_partkey", "l_quantity"])
+    return kept.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.round("l_quantity", 2).alias("l_quantity"),
+    )
+
+
+@register(
+    "schema_evolution_union",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+           CAST(NULL AS DOUBLE) AS o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def schema_evolution_union(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "audit_columns",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           TIMESTAMP '2026-01-01 00:00:00' AS created_at,
+           TIMESTAMP '2026-01-01 00:00:00' AS changed_at
+    FROM orders WHERE o_custkey % 25 = 0
+    """,
+)
+def audit_columns(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 25 == 0)
+    stamped = M.with_audit_columns(
+        orders.select("o_orderkey", "o_orderstatus"), ts="2026-01-01 00:00:00"
+    )
+    return stamped

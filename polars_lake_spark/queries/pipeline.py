@@ -1,0 +1,286 @@
+"""Training-data-pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing (BASELINE.json north-star extensions).
+
+Oracle notes: exact dedup / n-gram Jaccard / brute-force cosine / text
+functions are fully SQL-expressible, so they get DuckDB oracles.
+MinHash-LSH shares the exact-Jaccard oracle because its banding is
+configured for ~1 recall at the threshold (see operators/dedup.py).
+SimHash and hyperplane-LSH ANN depend on engine hash functions → rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_lake_spark.functions import text as TX
+from polars_lake_spark.operators import dedup as D
+from polars_lake_spark.operators import multimodal as MM
+from polars_lake_spark.operators import similarity as S
+from polars_lake_spark.queries import register
+from polars_lake_spark.sources import load_table
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_JACCARD_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id,
+               string_split({norm}, ' ') AS w
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+        FROM docs WHERE len(w) >= 3
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), common AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, ROUND(c * 1.0 / (s1.n + s2.n - c), 8) AS jaccard
+    FROM common
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.8
+""".format(norm=_NORM_SQL)
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs, "doc_id", "text").select(
+        "fingerprint", "n_docs", "keeper_id"
+    )
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return pairs.select("d1", "d2", F.round("jaccard", 8).alias("jaccard"))
+
+
+# Same oracle as the exact query: banding (r=4, b=32) has ~1-5e-8 recall at
+# the 0.8 threshold, and every candidate is exact-verified, so the outputs
+# coincide — that's the point of the design.
+@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=128, bands=32, threshold=0.8
+    )
+    return pairs.select("d1", "d2", F.round("jaccard", 8).alias("jaccard"))
+
+
+@register(
+    "dedup_simhash",
+    doc="SimHash near-dup pairs — engine-hash-dependent, rows-only check",
+)
+def dedup_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(docs, "doc_id", "text", bits=48, band_bits=12, max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings WHERE vec_id < 500
+    )
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           ROUND(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return S.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+@register(
+    "similarity_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings)
+    SELECT qid, cid, ROUND(list_cosine_similarity(qv, cv), 4) AS cos_sim
+    FROM q CROSS JOIN c
+    WHERE qid <> cid
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY qid
+        ORDER BY list_cosine_similarity(qv, cv) DESC, cid) <= 5
+    """,
+)
+def similarity_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+@register(
+    "similarity_ann_lsh",
+    doc="hyperplane-LSH bucketed ANN — approximate by design, rows-only check",
+)
+def similarity_ann_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=12, dim=64)
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_NORM_SQL} AS norm FROM documents)
+    SELECT doc_id,
+           len(string_split(norm, ' ')) AS n_words,
+           ROUND(length(replace(norm, ' ', '')) * 1.0
+                 / len(string_split(norm, ' ')), 8) AS avg_word_len,
+           ROUND(len(list_filter(string_split(norm, ' '),
+                     w -> w IN ('the','a','of','and','to','in','is'))) * 1.0
+                 / len(string_split(norm, ' ')), 8) AS stopword_ratio,
+           ROUND(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0
+                 / GREATEST(length(text), 1), 8) AS punct_ratio
+    FROM t
+    """,
+)
+def text_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.word_count(t).alias("n_words"),
+        F.round(TX.avg_word_len(t), 8).alias("avg_word_len"),
+        F.round(TX.stopword_ratio(t), 8).alias("stopword_ratio"),
+        F.round(TX.punct_ratio(t), 8).alias("punct_ratio"),
+    )
+
+
+@register(
+    "text_quality_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_NORM_SQL} AS norm FROM documents),
+    scored AS (
+        SELECT doc_id,
+               LEAST(1.0, len(string_split(norm, ' ')) / 100.0)
+               * (1 - length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0
+                      / GREATEST(length(text), 1))
+               * (0.5 + 0.5 * LEAST(1.0,
+                     len(list_filter(string_split(norm, ' '),
+                         w -> w IN ('the','a','of','and','to','in','is'))) * 1.0
+                     / len(string_split(norm, ' ')) * 5)) AS q
+        FROM t
+    )
+    SELECT doc_id, ROUND(q, 4) AS quality
+    FROM scored WHERE q >= 0.3
+    """,
+)
+def text_quality_filter(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("q")
+    ).filter(F.col("q") >= 0.3)
+    return scored.select("doc_id", F.round("q", 4).alias("quality"))
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, ' ' || {_NORM_SQL} || ' ' AS p FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN p LIKE '% der %' OR p LIKE '% und %' OR p LIKE '% die %' THEN 'de'
+                WHEN p LIKE '% le %' OR p LIKE '% la %' OR p LIKE '% et %' THEN 'fr'
+                WHEN p LIKE '% el %' OR p LIKE '% los %' OR p LIKE '% y %' THEN 'es'
+                WHEN p LIKE '% the %' OR p LIKE '% and %' OR p LIKE '% is %' THEN 'en'
+                ELSE 'und' END AS lang_pred
+    FROM t
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_NORM_SQL} AS norm FROM documents)
+    SELECT doc_id,
+           len(string_split(norm, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS bpe_tokens,
+           CAST(CEIL(length(text) / 4.0) AS BIGINT) AS subword_estimate
+    FROM t
+    """,
+)
+def token_count(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.ws_token_count(t).alias("ws_tokens"),
+        TX.bpe_token_count(t).alias("bpe_tokens"),
+        TX.subword_estimate(t).alias("subword_estimate"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({_NORM_SQL}) AS fp_md5,
+           sha256({_NORM_SQL}) AS fp_sha256,
+           substr(md5({_NORM_SQL}), 1, 12) AS fp_prefix
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.fingerprint_md5(t).alias("fp_md5"),
+        TX.fingerprint_sha256(t).alias("fp_sha256"),
+        TX.fingerprint_prefix(t, 12).alias("fp_prefix"),
+    )
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with_media = MM.attach_media_column(docs, "text")
+    return with_media.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.sha2(F.col("media"), 256).alias("content_sha"),
+    )
+
+
+@register(
+    "multimodal_image_features",
+    doc="mapInPandas fake-decode plumbing (codec stubbed) — rows-only check",
+)
+def multimodal_image_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with_media = MM.attach_media_column(docs, "text")
+    return MM.decode_images(with_media, "doc_id", "media")

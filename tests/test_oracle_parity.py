@@ -1,0 +1,32 @@
+"""Local mirror of the driver's t2 gate: every registered query with an
+oracle must match DuckDB on row count + columns + order-insensitive values.
+"""
+
+import pytest
+
+from polars_lake_spark.queries import all_queries
+from polars_lake_spark.testing import compare, duckdb_con
+
+QUERIES = all_queries()
+ORACLED = [name for name, q in QUERIES.items() if q.oracle]
+ROWS_ONLY = [name for name, q in QUERIES.items() if not q.oracle]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return duckdb_con(sf_dir)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_match(spark, sf_dir, con, name):
+    q = QUERIES[name]
+    report = compare(q.fn(spark, sf_dir), con, q.oracle)
+    assert report["ok"], f"{name}: {report}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    q = QUERIES[name]
+    df = q.fn(spark, sf_dir)
+    assert df.count() >= 0  # runs, stable schema
+    assert len(df.columns) > 0
