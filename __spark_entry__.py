@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship star-join + aggregate on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2,
+backed by polars_lake_spark.queries.REGISTRY.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL for every SQL-expressible
+query (non-expressible ops — engine-hash-dependent LSH variants, approx
+sketches, mapInPandas plumbing — are intentionally omitted → rows-only).
 """
 
 from __future__ import annotations
@@ -16,23 +17,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from polars_lake_spark.queries import all_queries
+    from polars_lake_spark.session import configure_session
+
+    configure_session(spark)
+    return all_queries()["star_join_revenue"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from polars_lake_spark.queries import all_queries
+    from polars_lake_spark.session import configure_session
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {}
+    for name, q in all_queries().items():
+        def wrapped(spark, sf_dir, _fn=q.fn):
+            configure_session(spark)
+            return _fn(spark, sf_dir)
+
+        out[name] = wrapped
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle SQL per query (omitted → driver rows-only check)."""
+    from polars_lake_spark.queries import all_queries
+
+    return {name: q.oracle for name, q in all_queries().items() if q.oracle}

@@ -87,7 +87,14 @@ def ngram_jaccard_pairs(
     Quadratic in per-shingle document frequency — correct everywhere,
     affordable on bounded corpora; MinHash below is the 100 TB variant.
     """
-    sh = _exploded_shingles(word_shingles(df, id_col, text_col, n))
+    # The exploded shingle set feeds three branches (sizes + both join
+    # sides); persist so the normalize/split/explode subtree runs once.
+    # MEMORY_AND_DISK: spills instead of OOM at large SF.
+    from pyspark.storagelevel import StorageLevel
+
+    sh = _exploded_shingles(word_shingles(df, id_col, text_col, n)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -103,19 +110,26 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     shingled: DataFrame, num_perm: int = 128
 ) -> DataFrame:
-    """(id, sig) where sig[i] = min over shingles of xxhash64(shingle, i).
+    """(id, sig) where sig[i] = min over shingles of xxhash64(base, i).
 
-    Seeded xxhash64 replaces the classical (a*x+b) mod p permutations; all
-    JVM-side, no shuffle.
+    Each shingle string is hashed ONCE (xxhash64 → long); the i-th "perm"
+    re-hashes that fixed-width long under seed i — one mix round per perm
+    instead of re-hashing variable-length strings, ANSI-safe (no wrapping
+    multiply), all map-side JVM codegen, no shuffle.
     """
-    def hasher(i):
-        # NB: must return a SINGLE-arg lambda — a two-arg lambda would be
-        # interpreted by F.transform as (element, index) and the array
-        # index would silently replace the permutation seed.
-        return lambda s: F.xxhash64(s, F.lit(i))
 
-    sig = F.array(*[F.array_min(F.transform(F.col("shingles"), hasher(i))) for i in range(num_perm)])
-    return shingled.select("id", F.col("shingles"), sig.alias("sig"))
+    def perm(i):
+        # NB: single-arg lambda — a two-arg lambda would be read by
+        # F.transform as (element, index), silently replacing the seed.
+        return lambda h: F.xxhash64(h, F.lit(i))
+
+    with_base = shingled.withColumn(
+        "base_h", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    )
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("base_h"), perm(i))) for i in range(num_perm)]
+    )
+    return with_base.select("id", F.col("shingles"), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -134,8 +148,14 @@ def minhash_lsh_pairs(
     recall, so the verified output equals the exact-Jaccard result while
     scaling as O(docs) + candidate volume instead of all-pairs.
     """
+    from pyspark.storagelevel import StorageLevel
+
     r = num_perm // bands
-    shingled = word_shingles(df, id_col, text_col, n)
+    # Shingling feeds both the signature path and the verification path,
+    # and verification reads it twice (self-join) — persist it once.
+    shingled = word_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = minhash_signatures(shingled, num_perm)
 
     band_entries = F.array(
@@ -161,8 +181,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Exact verification restricted to candidates only.
-    sh = _exploded_shingles(shingled)
+    # Exact verification restricted to candidates only. The exploded form
+    # feeds sizes + both join sides — persist it too.
+    sh = _exploded_shingles(shingled).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
