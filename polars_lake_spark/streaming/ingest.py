@@ -1,0 +1,94 @@
+"""Streaming ingestion.
+
+The reference's "streaming" is transport streaming + micro-batched ingest
+(SURVEY.md §2.e): chunks buffered until >10M rows, then merged into the
+table (``/root/reference/src/server.rs:48-88``, threshold at
+``src/server.rs:55``). No watermarks/windows/stateful operators exist
+there.  Capability parity = continuous batch ingestion with
+at-batch-granularity merge; we reproduce it two ways:
+
+* ``MicroBatchIngestor`` — the explicit buffer+threshold API for callers
+  pushing DataFrames (the ``consume_sources`` analog);
+* ``stream_upsert`` — Structured Streaming ``foreachBatch`` → engine
+  upsert: the idiomatic Spark form, which additionally inherits exactly-
+  once sink semantics per micro-batch and extends to watermarked windows
+  (see queries/relational.py events_hourly_rollup for the batch shape).
+
+Unlike the reference — which acks ingest RPCs before consumption finishes
+(``/root/reference/src/server.rs:160,189``) — a flush here returns after
+the merge is durable.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+
+# The reference's buffer threshold (/root/reference/src/server.rs:55).
+DEFAULT_FLUSH_ROWS = 10_000_000
+
+
+class MicroBatchIngestor:
+    """Buffer incoming record batches; merge into the target table when
+    the buffered row count crosses the threshold (or on explicit flush)."""
+
+    def __init__(
+        self,
+        engine,
+        table: str,
+        keys: list[str] | None = None,
+        flush_rows: int = DEFAULT_FLUSH_ROWS,
+        mode: str = "upsert",  # upsert | insert
+    ):
+        assert mode in ("upsert", "insert")
+        self.engine = engine
+        self.table = table
+        self.keys = keys
+        self.flush_rows = flush_rows
+        self.mode = mode
+        self._buffer: list[DataFrame] = []
+        self._buffered_rows = 0
+
+    def add(self, df: DataFrame) -> None:
+        """Add one chunk (the SourceIpc analog). Row counting is eager —
+        the price of a threshold trigger; at scale prefer stream_upsert
+        where Spark sizes batches for us."""
+        self._buffer.append(df)
+        self._buffered_rows += df.count()
+        if self._buffered_rows >= self.flush_rows:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._buffer:
+            return
+        batch = reduce(lambda a, b: a.unionByName(b), self._buffer)
+        if self.mode == "upsert":
+            self.engine.upsert(self.table, batch, self.keys)
+        else:
+            self.engine.insert(self.table, batch)
+        self._buffer = []
+        self._buffered_rows = 0
+
+
+def stream_upsert(
+    engine,
+    table: str,
+    stream_df: DataFrame,
+    keys: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """foreachBatch → keyed merge. Each micro-batch is merged with the
+    reference's coalesce semantics; the checkpoint gives exactly-once
+    batch tracking across restarts."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        engine.upsert(table, batch_df, keys)
+
+    writer = stream_df.writeStream.foreachBatch(merge_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
