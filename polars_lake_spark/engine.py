@@ -62,8 +62,13 @@ class TableSpec:
     bucket_by: list[str] = field(default_factory=list)
     n_buckets: int = DEFAULT_BUCKETS
     keys: list[str] = field(default_factory=list)
-    format: str = "parquet"  # reference declares parquet|ipc|csv; writes parquet
+    # The reference declares parquet|ipc|csv but only ever writes parquet
+    # (/root/reference/src/storage.rs:6-10, src/dataset.rs:177); we
+    # implement parquet/csv/json for real. Schema is pinned in the
+    # manifest so text formats round-trip types exactly.
+    format: str = "parquet"
     compression: str = "snappy"
+    schema_json: str | None = None
 
     @property
     def physical_partitioning(self) -> list[str]:
@@ -104,6 +109,7 @@ class Engine:
         n_buckets: int = DEFAULT_BUCKETS,
         keys: list[str] | None = None,
         save: bool = True,
+        format: str = "parquet",
     ) -> TableSpec:
         """CreateTable (``/root/reference/src/server.rs:92-135`` analog).
 
@@ -116,6 +122,7 @@ class Engine:
             bucket_by=list(bucket_by or []),
             n_buckets=n_buckets,
             keys=list(keys or []),
+            format=format,
         )
         self.specs[name] = spec
         df = self._with_layout(df, spec)
@@ -132,13 +139,27 @@ class Engine:
             df = with_bucket_column(df, spec.bucket_by, spec.n_buckets)
         return df
 
-    def _write(self, df: DataFrame, spec: TableSpec, mode: str) -> None:
+    def _write(
+        self, df: DataFrame, spec: TableSpec, mode: str, *, static_overwrite: bool = False
+    ) -> None:
         path = self._path(spec.name)
-        writer = df.write.mode(mode).option("compression", spec.compression)
+        spec.schema_json = df.schema.json()
+        writer = df.write.mode(mode)
+        if static_overwrite:
+            # Full-table rewrite (delete/dedup must remove emptied
+            # partitions, which dynamic overwrite would leave behind).
+            writer = writer.option("partitionOverwriteMode", "static")
         parts = spec.physical_partitioning
         if parts:
             writer = writer.partitionBy(*parts)
-        writer.parquet(path)
+        if spec.format == "parquet":
+            writer.option("compression", spec.compression).parquet(path)
+        elif spec.format == "csv":
+            writer.option("header", "true").csv(path)
+        elif spec.format == "json":
+            writer.json(path)
+        else:
+            raise ValueError(f"unsupported format: {spec.format}")
         self._write_manifest(spec)
 
     def _write_manifest(self, spec: TableSpec) -> None:
@@ -153,7 +174,22 @@ class Engine:
             return self._mem[name]
         if name not in self.specs:
             self.load_table(name)
-        return self.spark.read.parquet(self._path(name))
+        spec = self.specs[name]
+        path = self._path(name)
+        if spec.format == "parquet":
+            return self.spark.read.parquet(path)
+        # Text formats: pin the manifest schema (covers partition columns
+        # too) so dtypes round-trip exactly.
+        reader = self.spark.read
+        if spec.schema_json:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(spec.schema_json)))
+        if spec.format == "csv":
+            return reader.option("header", "true").csv(path)
+        if spec.format == "json":
+            return reader.json(path)
+        raise ValueError(f"unsupported format: {spec.format}")
 
     def _register(self, name: str) -> None:
         self.table(name).createOrReplaceTempView(name)
@@ -223,6 +259,11 @@ class Engine:
         Persisted path: merge against only the partitions the incoming
         batch touches, then dynamic-partition-overwrite exactly those — at
         100 TB this reads/writes the touched slice, never the table.
+
+        Requirement (shared with the reference's partition-local routing,
+        /root/reference/src/dataset.rs:306-317): partition/bucket columns
+        must be stable under updates (i.e. functions of the key), else a
+        row could migrate partitions and leave its old copy behind.
         """
         spec = self.specs[name]
         keys = list(keys or spec.keys)
@@ -253,10 +294,7 @@ class Engine:
                     if audit:
                         merged = M.with_audit_columns(merged, created=False)
                     # Unpartitioned: stage then swap (can't overwrite input in place).
-                    merged.localCheckpoint(eager=True).write.mode("overwrite").option(
-                        "compression", spec.compression
-                    ).parquet(self._path(name))
-                    self._write_manifest(spec)
+                    self._write(merged.localCheckpoint(eager=True), spec, "overwrite")
             else:
                 merged = M.upsert(old, new, keys, evolve=evolve)
                 if audit:
@@ -274,9 +312,12 @@ class Engine:
             if name in self._mem or self.root is None:
                 self._mem[name] = remaining
             else:
-                remaining.localCheckpoint(eager=True).write.mode("overwrite").option(
-                    "compression", spec.compression
-                ).parquet(self._path(name))
+                self._write(
+                    remaining.localCheckpoint(eager=True),
+                    spec,
+                    "overwrite",
+                    static_overwrite=True,
+                )
             self._register(name)
 
     def drop_duplicates(self, name: str, keys: list[str] | None = None) -> None:
@@ -288,9 +329,12 @@ class Engine:
             if name in self._mem or self.root is None:
                 self._mem[name] = deduped
             else:
-                deduped.localCheckpoint(eager=True).write.mode("overwrite").option(
-                    "compression", spec.compression
-                ).parquet(self._path(name))
+                self._write(
+                    deduped.localCheckpoint(eager=True),
+                    spec,
+                    "overwrite",
+                    static_overwrite=True,
+                )
             self._register(name)
 
     # ------------------------------------------------------------ maintenance

@@ -1,0 +1,60 @@
+"""Storage formats (parquet/csv/json — SURVEY §2.a 'declared, never
+implemented' row done for real) + Arrow IPC wire helpers + partition
+hygiene on delete."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from polars_lake_spark import Engine
+from polars_lake_spark.sources import load_table
+from polars_lake_spark.sources.ipc import (
+    dataframe_from_ipc,
+    dataframe_to_ipc,
+    ipc_chunks,
+)
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+def test_format_roundtrip(spark, sf_dir, tmp_path, fmt):
+    nation = load_table(spark, sf_dir, "nation")
+    engine = Engine(spark, str(tmp_path))
+    engine.create_table("nation", nation, partition_by=["n_regionkey"], format=fmt)
+    e2 = Engine(spark, str(tmp_path))
+    e2.load_all()
+    got = e2.table("nation")
+    assert got.count() == nation.count()
+    want = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in nation.collect()}
+    have = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in got.collect()}
+    assert want == have
+    assert dict(got.dtypes)["n_nationkey"] == "int"  # schema pinned, not inferred
+
+
+def test_ipc_roundtrip(spark, sf_dir):
+    sup = load_table(spark, sf_dir, "supplier")
+    data = dataframe_to_ipc(sup)  # zstd-compressed, like the reference
+    back = dataframe_from_ipc(spark, data)
+    assert back.count() == sup.count()
+    assert {r.s_suppkey for r in back.collect()} == {
+        r.s_suppkey for r in sup.collect()
+    }
+
+
+def test_ipc_chunking(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    chunks = list(ipc_chunks(li, rows_per_chunk=1000))
+    assert len(chunks) >= 2
+    total = sum(dataframe_from_ipc(spark, c).count() for c in chunks)
+    assert total == li.count()
+
+
+def test_delete_removes_emptied_partitions(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "k int, p string, v int"
+    )
+    engine = Engine(spark, str(tmp_path))
+    engine.create_table("t", df, partition_by=["p"], keys=["k"])
+    # delete every row of partition p=b
+    engine.delete("t", spark.createDataFrame([(3,)], "k int"))
+    got = engine.table("t")
+    assert got.count() == 2
+    assert got.filter(F.col("p") == "b").count() == 0

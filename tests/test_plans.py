@@ -1,0 +1,98 @@
+"""Physical-plan quality gates (SURVEY.md §4): the scale properties are
+asserted, not assumed — predicate pushdown to the Parquet scan, partition
+and bucket pruning via the derived layout columns, broadcast joins for
+small dims, column pruning in ReadSchema.
+"""
+
+import pyspark.sql.functions as F
+
+from polars_lake_spark import Engine
+from polars_lake_spark.queries import all_queries
+from polars_lake_spark.sources import load_table
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_point_filter_pushdown(spark, sf_dir):
+    df = all_queries()["point_filter"].fn(spark, sf_dir)
+    plan = formatted(df)
+    assert "PushedFilters: [IsNotNull(l_suppkey), EqualTo(l_suppkey,5)" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    df = all_queries()["point_filter"].fn(spark, sf_dir)
+    plan = formatted(df)
+    # ReadSchema must not include unprojected columns
+    assert "l_comment" not in plan
+    assert "l_returnflag" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    df = all_queries()["star_join_revenue"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    df = all_queries()["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    plan = plan_of(df)
+    assert "WholeStageCodegen" in plan
+    assert "HashAggregate" in plan  # partial+final agg, not sort-based
+
+
+def test_partition_pruning_on_engine_table(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    engine = Engine(spark, str(tmp_path))
+    engine.create_table(
+        "li", li, partition_by=["l_returnflag"], bucket_by=["l_orderkey"], n_buckets=4
+    )
+    q = engine.table("li").filter(F.col("l_returnflag") == "A")
+    plan = plan_of(q)
+    # hive partition pruning: the partition filter appears as a
+    # PartitionFilters entry, not a post-scan Filter
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_bucket_pruning_via_derived_column(spark, sf_dir, tmp_path):
+    """An equality predicate on the bucket source key + the derived
+    bucket_id predicate prunes to one bucket directory."""
+    from polars_lake_spark.layout import bucket_expr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    engine = Engine(spark, str(tmp_path))
+    engine.create_table("li", li, bucket_by=["l_orderkey"], n_buckets=4)
+    key = 42
+    q = engine.table("li").filter(
+        (F.col("l_orderkey") == key) & (F.col("bucket_id") == bucket_expr(["l_orderkey"], 4))
+    )
+    plan = plan_of(q)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "bucket_id" in seg
+    # and it returns exactly the rows for that key
+    want = li.filter(F.col("l_orderkey") == key).count()
+    assert q.count() == want
+
+
+def test_upsert_partitioned_scans_only_touched(spark, tmp_path):
+    """The merge's old-side scan is restricted by a partition semi join —
+    it must not read untouched partitions."""
+    rows = [(i, i % 5, i * 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "k int, p int, v int")
+    engine = Engine(spark, str(tmp_path))
+    engine.create_table("t", df, partition_by=["p"], keys=["k"])
+    # batch touches only partition p=2
+    batch = spark.createDataFrame([(2, 2, 999), (7, 2, 999)], "k int, p int, v int")
+    engine.upsert("t", batch)
+    got = engine.table("t")
+    assert got.count() == 100
+    assert {r.v for r in got.filter(F.col("k").isin(2, 7)).collect()} == {999}
