@@ -45,8 +45,10 @@ def test_q1_whole_stage_codegen(spark, sf_dir):
     df = all_queries()["q1_pricing_summary"].fn(spark, sf_dir)
     df.collect()  # finalize the adaptive plan
     plan = plan_of(df)
-    assert "WholeStageCodegen" in plan
-    assert "HashAggregate" in plan  # partial+final agg, not sort-based
+    # whole-stage codegen spans render as "*(n) Operator" in plan strings
+    assert "*(1)" in plan
+    assert "partial_sum" in plan  # map-side partial aggregation
+    assert "HashAggregate" in plan  # hash, not sort-based agg
 
 
 def test_partition_pruning_on_engine_table(spark, sf_dir, tmp_path):
