@@ -35,6 +35,85 @@ HEADLINE = [
 ]
 
 
+def lifecycle_bench(spark, sf_dir: str) -> dict[str, float]:
+    """Engine lifecycle measurements mirroring the reference's inline
+    instrumentation (BASELINE.md): create (partitioned+bucketed write),
+    manifest load, bulk + single-row upsert, materialize, sequential and
+    concurrent point queries."""
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyspark.sql.functions as F
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.sources import load_table
+
+    root = tempfile.mkdtemp(prefix="plsbench_")
+    out: dict[str, float] = {}
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+
+        t0 = time.perf_counter()
+        engine = Engine(spark, root)
+        engine.create_table(
+            "li",
+            li,
+            partition_by=["l_returnflag"],
+            bucket_by=["l_orderkey"],
+            n_buckets=8,
+            keys=["l_orderkey", "l_linenumber"],
+        )
+        out["lifecycle_create_table"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        e2 = Engine(spark, root)
+        e2.load_all()
+        e2.table_info("li")
+        out["lifecycle_load_and_info"] = round(time.perf_counter() - t0, 3)
+
+        # bulk upsert: reprice ~10% of rows (analog of the reference's
+        # 300k-row upsert, /root/reference/src/dataset.rs:442-446)
+        batch = li.filter(F.col("l_orderkey") % 10 == 0).withColumn(
+            "l_extendedprice", F.col("l_extendedprice") * 1.01
+        )
+        t0 = time.perf_counter()
+        e2.upsert("li", batch)
+        out["lifecycle_bulk_upsert"] = round(time.perf_counter() - t0, 3)
+
+        one = li.limit(1).withColumn("l_extendedprice", F.lit(1.0))
+        t0 = time.perf_counter()
+        e2.upsert("li", one)
+        out["lifecycle_single_row_upsert"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        df = e2.table("li").cache()
+        df.count()
+        out["lifecycle_materialize"] = round(time.perf_counter() - t0, 3)
+
+        # point queries (analog of /root/reference/call.py:53-79)
+        def point(k: int) -> int:
+            return e2.sql(
+                f"SELECT * FROM li WHERE l_orderkey = {k} AND "
+                f"bucket_id = pmod(hash({k}), 8)"
+            ).count()
+
+        keys = [r.l_orderkey for r in li.select("l_orderkey").distinct().limit(20).collect()]
+        t0 = time.perf_counter()
+        for k in keys[:10]:
+            point(k)
+        out["lifecycle_point_queries_x10"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=20) as pool:
+            list(pool.map(point, keys))
+        out["lifecycle_point_queries_20threads"] = round(time.perf_counter() - t0, 3)
+        df.unpersist()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -54,6 +133,8 @@ def main() -> None:
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings.update(lifecycle_bench(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(

@@ -7,18 +7,19 @@ small dims, column pruning in ReadSchema.
 import pyspark.sql.functions as F
 
 from polars_lake_spark import Engine
+from polars_lake_spark.plans import executed_plan as plan_of
+from polars_lake_spark.plans import explain_formatted as formatted
+from polars_lake_spark.plans import plan_report
 from polars_lake_spark.queries import all_queries
 from polars_lake_spark.sources import load_table
 
 
-def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def formatted(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+def test_plan_report_summary(spark, sf_dir):
+    rep = plan_report(all_queries()["star_join_revenue"].fn(spark, sf_dir))
+    assert rep["n_scans"] == 5
+    assert rep["n_broadcasts"] >= 3
+    assert rep["uses_aqe"]
+    assert rep["pushed_filters"] or rep["read_schemas"]
 
 
 def test_point_filter_pushdown(spark, sf_dir):
