@@ -364,6 +364,25 @@ class Engine:
             self._pending_merges[name] = 0
             self._register(name)
 
+    def tables(self) -> list[str]:
+        """SHOW TABLES analog (SURVEY §2.c DDL-ish row)."""
+        return sorted(self.specs)
+
+    def drop_table(self, name: str, *, delete_files: bool = False) -> None:
+        """DROP TABLE analog; optionally removes the storage directory."""
+        self.specs.pop(name, None)
+        self._mem.pop(name, None)
+        self._pending_merges.pop(name, None)
+        self.spark.catalog.dropTempView(name)
+        if delete_files and self.root is not None:
+            import shutil
+
+            shutil.rmtree(self._path(name), ignore_errors=True)
+
+    def create_table_as(self, name: str, query: str, **kwargs) -> TableSpec:
+        """CREATE TABLE AS SELECT (SURVEY §2.c DDL-ish row)."""
+        return self.create_table(name, self.sql(query), **kwargs)
+
     def table_info(self, name: str) -> dict:
         """GetTableInfo (``/root/reference/src/server.rs:210-232``): rows,
         parts, column names + dtype strings. Row count is exact — the
