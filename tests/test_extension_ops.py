@@ -1,0 +1,92 @@
+"""Cross-validation of the extension operators against each other:
+the approximate/scale-path variants must agree with their exact
+counterparts on the planted near-duplicates.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from polars_lake_spark.operators import dedup as D
+from polars_lake_spark.operators import multimodal as MM
+from polars_lake_spark.operators import similarity as S
+from polars_lake_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_minhash_equals_exact_jaccard(docs):
+    exact = {
+        (r.d1, r.d2) for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    lsh = {
+        (r.d1, r.d2)
+        for r in D.minhash_lsh_pairs(docs, "doc_id", "text", 3, 128, 32, 0.8).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
+def test_simhash_finds_planted_near_dups(docs):
+    """SimHash (hamming ≤ 3 of 48 bits) should recover most ≥0.9-jaccard
+    pairs — different signal, same planted duplicates."""
+    exact = {
+        (r.d1, r.d2) for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.9).collect()
+    }
+    sim = {
+        (r.d1, r.d2)
+        for r in D.simhash_pairs(docs, "doc_id", "text", 48, 12, 3).collect()
+    }
+    assert len(exact) > 0
+    recall = len(exact & sim) / len(exact)
+    assert recall >= 0.7, f"simhash recall too low: {recall} ({len(sim)} pairs)"
+
+
+def test_lsh_topk_subset_of_brute_force(emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.qid, r.cid): r.cos_sim
+        for r in S.brute_force_topk(emb, queries, k=50).collect()
+    }
+    approx = S.lsh_topk(emb, queries, k=5, n_planes=8, dim=64).collect()
+    assert len(approx) > 0
+    # every ANN hit must carry the exact cosine score (re-ranked exactly)
+    for r in approx:
+        if (r.qid, r.cid) in brute:
+            assert abs(brute[(r.qid, r.cid)] - r.cos_sim) < 1e-6
+
+
+def test_exact_dedup_groups_cover_all_docs(docs):
+    total = docs.count()
+    groups = D.exact_dedup_groups(docs, "doc_id", "text")
+    assert groups.agg(F.sum("n_docs")).collect()[0][0] == total
+
+
+def test_multimodal_decode_batch_shape(docs):
+    with_media = MM.attach_media_column(docs.limit(50), "text")
+    feats = MM.decode_images(with_media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.n_bytes > 0 and 16 <= r.width < 80 and r.channels == 3
+        assert 0.0 <= r.mean_intensity <= 1.0
+
+
+def test_multimodal_real_decoder_is_gated(docs):
+    with_media = MM.attach_media_column(docs.limit(1), "text")
+    with pytest.raises(NotImplementedError):
+        MM.decode_images_real(with_media)
+
+
+def test_frame_sample_stub_fanout(docs):
+    with_media = MM.attach_media_column(docs.limit(5), "text")
+    frames = MM.frame_sample_stub(with_media, every_n=50)
+    per_doc = {r[0]: 0 for r in frames.collect()}
+    assert len(per_doc) == 5
+    assert frames.count() >= 5
