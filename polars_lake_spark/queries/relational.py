@@ -114,9 +114,12 @@ def star_join_revenue(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     n = F.broadcast(_t(spark, sf_dir, "nation"))
     r = F.broadcast(_t(spark, sf_dir, "region"))
+    # nation/region are broadcast (bounded at 25/5 rows at ANY scale);
+    # customer is NOT hinted — it grows with SF, so AQE picks broadcast vs
+    # shuffle join from runtime sizes.
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(n, c.c_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -144,8 +147,9 @@ def star_join_revenue(spark, sf_dir):
 def top_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    # no broadcast hint on customer — it scales with SF; AQE decides.
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("total_spend"),

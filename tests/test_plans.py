@@ -17,7 +17,7 @@ from polars_lake_spark.sources import load_table
 def test_plan_report_summary(spark, sf_dir):
     rep = plan_report(all_queries()["star_join_revenue"].fn(spark, sf_dir))
     assert rep["n_scans"] == 5
-    assert rep["n_broadcasts"] >= 3
+    assert rep["n_broadcasts"] >= 2
     assert rep["uses_aqe"]
     assert rep["pushed_filters"] or rep["read_schemas"]
 
@@ -39,7 +39,8 @@ def test_column_pruning(spark, sf_dir):
 def test_star_join_broadcasts_dims(spark, sf_dir):
     df = all_queries()["star_join_revenue"].fn(spark, sf_dir)
     plan = plan_of(df)
-    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert plan.count("BroadcastHashJoin") >= 2  # nation, region (always tiny);
+    # customer is unhinted and AQE-decided — at local SF it also broadcasts
 
 
 def test_q1_whole_stage_codegen(spark, sf_dir):
