@@ -38,6 +38,7 @@ def all_queries() -> dict[str, Query]:
         mutation,
         pipeline,
         relational,
+        windows_ext,
     )
 
     return REGISTRY

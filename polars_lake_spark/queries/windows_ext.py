@@ -1,0 +1,102 @@
+"""Event-time window queries over the events fixture — the batch shapes of
+the Structured Streaming extensions SURVEY §2.e anticipates (tumbling,
+sliding, session windows).  The same expressions run under readStream with
+a watermark (see tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_lake_spark.queries import register
+from polars_lake_spark.sources import load_table
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT to_timestamp(floor(epoch(ts) / 900) * 900)::TIMESTAMP AS win_start,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "15 minutes")
+    return e.groupBy(w.alias("w")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    ).select(
+        F.col("w.start").cast("timestamp_ntz").alias("win_start"), "n", "total"
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    WITH slid AS (
+        SELECT unnest([
+                   to_timestamp(floor(epoch(ts) / 1800) * 1800),
+                   to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800)
+               ])::TIMESTAMP AS win_start,
+               value
+        FROM events
+    )
+    SELECT win_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM slid GROUP BY win_start
+    """,
+)
+def events_sliding_window(spark, sf_dir):
+    """1-hour windows sliding every 30 minutes — each event lands in two
+    windows; the oracle materializes the two aligned starts explicitly."""
+    e = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        e.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("win_start"), "n", "total")
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, value,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM seq
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, new_session DESC
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark, sf_dir):
+    """F.session_window (30-minute gap): a new session starts when the gap
+    reaches the timeout — i.e. an event at exactly last+gap falls outside
+    [start, last+gap). The oracle replays that rule with lag/cumsum."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

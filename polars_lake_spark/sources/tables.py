@@ -45,11 +45,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Integer division — ns epoch values (~1.7e18) exceed double's
+        # exact range, so `/ 1000` would be off by ±1µs.
         df = df.withColumn(
             "ts",
-            F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return df
 
