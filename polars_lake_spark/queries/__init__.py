@@ -34,6 +34,7 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 def all_queries() -> dict[str, Query]:
     # Import side-effect modules once, on first use.
     from polars_lake_spark.queries import (  # noqa: F401
+        advanced,
         functions_ext,
         mutation,
         pipeline,
