@@ -275,11 +275,7 @@ class Engine:
             if save and name not in self._mem:
                 parts = spec.physical_partitioning
                 if parts:
-                    # Partition-pruned merge: old side restricted to touched
-                    # partitions (broadcast semi join on distinct partition
-                    # tuples → partition pruning at the scan).
-                    touched = new.select(*parts).distinct()
-                    old_slice = old.join(F.broadcast(touched), on=parts, how="left_semi")
+                    old_slice = self._prune_to_touched(old, new, parts)
                     merged = M.upsert(old_slice, new, keys, evolve=evolve)
                     if audit:
                         merged = M.with_audit_columns(merged, created=False)
@@ -336,6 +332,38 @@ class Engine:
                     static_overwrite=True,
                 )
             self._register(name)
+
+    # Above this many touched partitions the literal predicate would bloat
+    # the plan; fall back to a broadcast semi join (scans more, still merges
+    # correctly).
+    MAX_LITERAL_PARTITION_TUPLES = 1000
+
+    def _prune_to_touched(self, old: DataFrame, new: DataFrame, parts: list[str]) -> DataFrame:
+        """Restrict the old side of a merge to the partitions the incoming
+        batch touches, as a LITERAL predicate so it becomes static
+        PartitionFilters at the scan (a semi join does not trigger partition
+        pruning — verified against the physical plan). The distinct tuple
+        set is bounded by the batch's partition fan-out, so the driver
+        collect is small by construction."""
+        from functools import reduce as _reduce
+
+        tuples = new.select(*parts).distinct().limit(
+            self.MAX_LITERAL_PARTITION_TUPLES + 1
+        ).collect()
+        if len(tuples) > self.MAX_LITERAL_PARTITION_TUPLES:
+            touched = new.select(*parts).distinct()
+            return old.join(F.broadcast(touched), on=parts, how="left_semi")
+        pred = _reduce(
+            lambda a, b: a | b,
+            [
+                _reduce(
+                    lambda a, b: a & b,
+                    [F.col(c).eqNullSafe(F.lit(row[c])) for c in parts],
+                )
+                for row in tuples
+            ],
+        )
+        return old.filter(pred)
 
     # ------------------------------------------------------------ maintenance
     def _bump_pending(self, name: str) -> None:
