@@ -29,9 +29,14 @@ HEADLINE = [
     "delete_anti",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "similarity_topk",
     "text_stats",
     "token_count",
+    "corpus_pipeline",
+    "events_session_window",
+    "grouping_sets",
+    "minmax_by",
 ]
 
 
