@@ -160,6 +160,10 @@ class Engine:
             writer.json(path)
         else:
             raise ValueError(f"unsupported format: {spec.format}")
+        # Invalidate any cached file listings for readers of this path.
+        # (Plain Parquet has no snapshot isolation for read-during-rewrite;
+        # that is Delta/Iceberg territory — documented divergence.)
+        self.spark.catalog.refreshByPath(path)
         self._write_manifest(spec)
 
     def _write_manifest(self, spec: TableSpec) -> None:
