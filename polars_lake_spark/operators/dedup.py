@@ -181,20 +181,23 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Exact verification restricted to candidates only. The exploded form
-    # feeds sizes + both join sides — persist it too.
-    sh = _exploded_shingles(shingled).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        cands.join(a, cands.d1 == F.col("a.id"))
-        .join(b, (cands.d2 == F.col("b.id")) & (F.col("a.shingle") == F.col("b.shingle")))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("common"))
+    # Exact verification restricted to candidates only: the candidate set
+    # is small (band-bucket collisions), so broadcast it against the
+    # shingle ARRAYS and intersect in-place — no re-explode, no extra
+    # shuffle of the full shingle relation.
+    s1 = shingled.select(F.col("id").alias("d1"), F.col("shingles").alias("sh1"))
+    s2 = shingled.select(F.col("id").alias("d2"), F.col("shingles").alias("sh2"))
+    verified = (
+        s1.join(F.broadcast(cands), "d1")
+        .join(s2, "d2")
+        .withColumn("common", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.size("sh1") + F.size("sh2") - F.col("common")),
+        )
     )
-    j = _jaccard_from_common(common, sizes)
-    return j.filter(F.col("jaccard") >= threshold)
+    return verified.filter(F.col("jaccard") >= threshold).select("d1", "d2", "jaccard")
 
 
 def simhash_signatures(

@@ -39,6 +39,7 @@ def all_queries() -> dict[str, Query]:
         mutation,
         pipeline,
         relational,
+        reshape,
         windows_ext,
     )
 
