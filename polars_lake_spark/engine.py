@@ -69,6 +69,12 @@ class TableSpec:
     format: str = "parquet"
     compression: str = "snappy"
     schema_json: str | None = None
+    # Native Spark bucketing (bucketBy + saveAsTable): both sides of an
+    # equi-join on the bucket columns scan co-located buckets — no
+    # exchange. The derived-bucket_id layout (default) instead gives
+    # partition-PRUNING; pick per table: pruning for point-lookup/merge
+    # tables, native bucketing for join-heavy fact tables.
+    native_bucketing: bool = False
 
     @property
     def physical_partitioning(self) -> list[str]:
@@ -110,6 +116,7 @@ class Engine:
         keys: list[str] | None = None,
         save: bool = True,
         format: str = "parquet",
+        native_bucketing: bool = False,
     ) -> TableSpec:
         """CreateTable (``/root/reference/src/server.rs:92-135`` analog).
 
@@ -123,7 +130,17 @@ class Engine:
             n_buckets=n_buckets,
             keys=list(keys or []),
             format=format,
+            native_bucketing=native_bucketing,
         )
+        if native_bucketing:
+            if not spec.bucket_by or spec.partition_by or not save:
+                raise ValueError(
+                    "native_bucketing requires bucket_by, save=True, and no "
+                    "partition_by (use the derived bucket_id layout instead)"
+                )
+            self.specs[name] = spec
+            self._write_native_bucketed(df, spec)
+            return spec
         self.specs[name] = spec
         df = self._with_layout(df, spec)
         if save:
@@ -133,6 +150,40 @@ class Engine:
             self._mem[name] = df
         self._register(name)
         return spec
+
+    def _write_native_bucketed(self, df: DataFrame, spec: TableSpec) -> None:
+        """bucketBy + sortBy + saveAsTable: files are hash-bucketed and
+        sorted per bucket, so equi-joins between tables bucketed the same
+        way run exchange-free (co-located)."""
+        path = self._path(spec.name)
+        spec.schema_json = df.schema.json()
+        self.spark.sql(f"DROP TABLE IF EXISTS {spec.name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", path)
+            .option("compression", spec.compression)
+            .bucketBy(spec.n_buckets, *spec.bucket_by)
+            .sortBy(*spec.bucket_by)
+            .format(spec.format)
+            .saveAsTable(spec.name)
+        )
+        self._write_manifest(spec)
+
+    def _recreate_native_entry(self, spec: TableSpec) -> None:
+        """Re-register a native-bucketed table in a fresh session's catalog
+        from the manifest (the in-memory catalog does not persist)."""
+        from pyspark.sql.types import StructType
+
+        if self.spark.catalog.tableExists(spec.name):
+            return
+        schema = StructType.fromJson(json.loads(spec.schema_json))
+        cols = ", ".join(spec.bucket_by)
+        self.spark.sql(
+            f"CREATE TABLE {spec.name} ({schema.toDDL()}) USING {spec.format} "
+            f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+            f"INTO {spec.n_buckets} BUCKETS "
+            f"LOCATION '{self._path(spec.name)}'"
+        )
 
     def _with_layout(self, df: DataFrame, spec: TableSpec) -> DataFrame:
         if spec.bucket_by:
@@ -179,6 +230,9 @@ class Engine:
         if name not in self.specs:
             self.load_table(name)
         spec = self.specs[name]
+        if spec.native_bucketing:
+            self._recreate_native_entry(spec)
+            return self.spark.table(name)
         path = self._path(name)
         if spec.format == "parquet":
             return self.spark.read.parquet(path)
@@ -196,6 +250,10 @@ class Engine:
         raise ValueError(f"unsupported format: {spec.format}")
 
     def _register(self, name: str) -> None:
+        spec = self.specs.get(name)
+        if spec and spec.native_bucketing and name not in self._mem:
+            self._recreate_native_entry(spec)  # catalog table, not a view
+            return
         self.table(name).createOrReplaceTempView(name)
 
     def load_table(self, name: str) -> TableSpec:

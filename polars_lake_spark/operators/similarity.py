@@ -50,16 +50,24 @@ def brute_force_topk(
     input, so this distributes as a map-side cross product + per-query
     top-k (one shuffle on qid).
     """
+    # Norms are precomputed per vector (map-side, once) so the pair loop
+    # only folds the dot product — 3× less work than cosine() per pair.
     q = queries.select(
         F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+        .select(
+            "qid",
+            "cid",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_sim"
+            ),
+        )
     )
     from pyspark.sql.window import Window
 
@@ -79,11 +87,21 @@ def cosine_pairs(
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-duplicate
     detection). Exact and quadratic — bound the input or use LSH at scale."""
-    a = df.select(F.col(id_col).alias("d1"), as_double(F.col(vec_col)).alias("v1"))
-    b = df.select(F.col(id_col).alias("d2"), as_double(F.col(vec_col)).alias("v2"))
+    a = df.select(
+        F.col(id_col).alias("d1"), as_double(F.col(vec_col)).alias("v1")
+    ).withColumn("n1", norm(F.col("v1")))
+    b = df.select(
+        F.col(id_col).alias("d2"), as_double(F.col(vec_col)).alias("v2")
+    ).withColumn("n2", norm(F.col("v2")))
     return (
         a.join(b, F.col("d1") < F.col("d2"))
-        .select("d1", "d2", cosine(F.col("v1"), F.col("v2")).alias("cos_sim"))
+        .select(
+            "d1",
+            "d2",
+            (dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias(
+                "cos_sim"
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("d1", "d2", F.round("cos_sim", 4).alias("cos_sim"))
     )
