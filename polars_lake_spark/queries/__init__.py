@@ -40,6 +40,7 @@ def all_queries() -> dict[str, Query]:
         pipeline,
         relational,
         reshape,
+        tpch_like,
         windows_ext,
     )
 

@@ -33,8 +33,8 @@ def _t(spark, sf_dir, name):
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)        AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
            ROUND(ROUND(SUM(l_quantity), 2) / COUNT(*), 8)      AS avg_qty,
            ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(*), 8) AS avg_price,
            ROUND(ROUND(SUM(l_discount), 2) / COUNT(*), 8)      AS avg_disc,
@@ -53,7 +53,7 @@ def q1_pricing_summary(spark, sf_dir):
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("sum_disc_price"),
             F.round(
                 F.sum(
@@ -61,7 +61,7 @@ def q1_pricing_summary(spark, sf_dir):
                     * (1 - F.col("l_discount"))
                     * (1 + F.col("l_tax"))
                 ),
-                2,
+                6,
             ).alias("sum_charge"),
             F.round(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 8).alias(
                 "avg_qty"
@@ -98,7 +98,7 @@ def point_filter(spark, sf_dir):
     "star_join_revenue",
     oracle="""
     SELECT r_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -125,7 +125,7 @@ def star_join_revenue(spark, sf_dir):
         .groupBy("r_name", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
