@@ -454,6 +454,26 @@ class Engine:
             self._pending_merges[name] = 0
             self._register(name)
 
+    def compact(self, name: str, n_files: int | None = None) -> None:
+        """Small-file compaction: rewrite the table so each partition
+        directory holds one file (or ``n_files`` for unpartitioned
+        tables). The long-lived-table hygiene operator the reference's
+        deferred-materialization counter gestures at
+        (/root/reference/src/dataset.rs:95,136)."""
+        spec = self.specs[name]
+        with self._lock(name):
+            df = self.table(name)
+            parts = spec.physical_partitioning
+            if parts:
+                # all rows of one partition dir land in one task → 1 file/dir
+                df = df.repartition(*[F.col(c) for c in parts])
+            else:
+                df = df.coalesce(n_files or 1)
+            self._write(
+                df.localCheckpoint(eager=True), spec, "overwrite", static_overwrite=True
+            )
+            self._register(name)
+
     def tables(self) -> list[str]:
         """SHOW TABLES analog (SURVEY §2.c DDL-ish row)."""
         return sorted(self.specs)

@@ -116,9 +116,38 @@ def drop_duplicates_keyed(
     )
 
 
+# Spark simpleString names, narrowest → widest.
+_WIDEN_ORDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
+
+
+def _widened(t1: str, t2: str) -> str | None:
+    """Numeric widening lattice (int→bigint→double style); None if the
+    two types don't widen to each other."""
+    if t1 == t2:
+        return t1
+    if t1 in _WIDEN_ORDER and t2 in _WIDEN_ORDER:
+        # bigint+float would lose precision as float; promote to double
+        if {t1, t2} == {"bigint", "float"}:
+            return "double"
+        return _WIDEN_ORDER[max(_WIDEN_ORDER.index(t1), _WIDEN_ORDER.index(t2))]
+    return None
+
+
 def evolve_schema(old: DataFrame, new: DataFrame) -> DataFrame:
-    """Widen ``old`` with columns that only exist in ``new`` (as NULLs) —
-    mergeSchema-style evolution (reference TODO /root/reference/src/main.rs:33)."""
+    """mergeSchema-style evolution (reference TODO
+    /root/reference/src/main.rs:33): widen ``old`` with columns that only
+    exist in ``new`` (as NULLs), and up-cast numeric columns whose type
+    widened in ``new`` (int→long, float→double, …)."""
+    new_types = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    for f in old.schema.fields:
+        nt = new_types.get(f.name)
+        if nt is None:
+            continue
+        ot = f.dataType.simpleString()
+        if nt != ot:
+            w = _widened(ot, nt)
+            if w is not None and w != ot:
+                old = old.withColumn(f.name, F.col(f.name).cast(w))
     extra = [f for f in new.schema.fields if f.name not in old.columns]
     for f in extra:
         old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
