@@ -1,0 +1,131 @@
+"""IVF (inverted-file) approximate nearest neighbor search.
+
+The scale path beyond hyperplane LSH (operators/similarity.py): a coarse
+quantizer (k-means, a few Lloyd iterations in pure DataFrame ops —
+deterministic seeding, no RNG) partitions the corpus into K cells; a query
+probes only its ``nprobe`` nearest cells and re-ranks exactly within them.
+At 100 TB the corpus is written partitioned by ``cell_id`` so a probe is a
+partition-pruned scan of nprobe/K of the data.
+
+All distance math is the JVM-side fold from similarity.py — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from polars_lake_spark.operators.similarity import as_double, dot, norm
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame, vec: str = "v") -> DataFrame:
+    """Nearest-centroid assignment by cosine (broadcast centroids)."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim", dot(F.col(vec), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cv", "cnrm", "sim")
+    )
+
+
+def train_ivf(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """Coarse quantizer: deterministic seeds (first k by hash of id), then
+    ``iters`` Lloyd steps. Returns centroids (cell_id, cv, cnrm)."""
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+
+    # deterministic seed pick: k smallest xxhash64(id)
+    seeds = (
+        vecs.withColumn("h", F.xxhash64(F.col("id")))
+        .orderBy("h")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("h")) - 1).alias("cell_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    centroids = seeds
+    dim = len(corpus.select(vec_col).first()[0])
+    for _ in range(iters):
+        assigned = _assign(vecs, centroids)
+        # mean vector per cell: aggregate element-wise sums then divide
+        sums = assigned.select(
+            "cell_id", F.posexplode("v").alias("pos", "x")
+        ).groupBy("cell_id", "pos").agg(F.sum("x").alias("sx"), F.count("*").alias("cnt"))
+        centroids = (
+            sums.withColumn("m", F.col("sx") / F.col("cnt"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cell_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("cv"),
+            )
+            .withColumn("cnrm", norm(F.col("cv")))
+        )
+        _ = dim  # dim retained for clarity; element-wise agg is dim-agnostic
+    return centroids
+
+
+def ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its cell → (id, v, nrm, cell_id).
+    At scale, write this partitioned by cell_id for probe-time pruning."""
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    return _assign(vecs, centroids)
+
+
+def ivf_search(
+    index: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe each query's nprobe nearest cells, exact cosine re-rank
+    within them. Returns (qid, cid, cos_sim) top-k per query."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnrm"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cell_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qv", "qn", "cell_id")
+    )
+
+    cand = probes.join(index, "cell_id").filter(F.col("qid") != F.col("id"))
+    scored = cand.select(
+        "qid",
+        F.col("id").alias("cid"),
+        (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("cos_sim", 4).alias("cos_sim"))
+    )

@@ -139,6 +139,21 @@ def similarity_ann_lsh(spark, sf_dir):
 
 
 @register(
+    "similarity_ivf",
+    doc="IVF coarse-quantized ANN (k-means cells + nprobe search) — "
+    "approximate by design, rows-only check",
+)
+def similarity_ivf(spark, sf_dir):
+    from polars_lake_spark.operators.ivf import ivf_index, ivf_search, train_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf(emb, k=8, iters=2).cache()
+    index = ivf_index(emb, centroids).cache()
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_search(index, centroids, queries, k=5, nprobe=4)
+
+
+@register(
     "text_stats",
     oracle=f"""
     WITH t AS (SELECT doc_id, text, {_NORM_SQL} AS norm FROM documents)

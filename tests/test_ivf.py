@@ -1,0 +1,54 @@
+"""IVF ANN: deterministic training, full coverage index, and recall vs
+brute force."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from polars_lake_spark.operators import similarity as S
+from polars_lake_spark.operators.ivf import ivf_index, ivf_search, train_ivf
+from polars_lake_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def trained(spark, emb):
+    centroids = train_ivf(emb, k=8, iters=2).cache()
+    index = ivf_index(emb, centroids).cache()
+    return centroids, index
+
+
+def test_index_covers_corpus(emb, trained):
+    centroids, index = trained
+    assert centroids.count() == 8
+    assert index.count() == emb.count()
+    assert index.select("id").distinct().count() == emb.count()
+
+
+def test_training_is_deterministic(emb, trained):
+    centroids, _ = trained
+    again = train_ivf(emb, k=8, iters=2)
+    a = {r.cell_id: [round(x, 8) for x in r.cv] for r in centroids.collect()}
+    b = {r.cell_id: [round(x, 8) for x in r.cv] for r in again.collect()}
+    assert a == b
+
+
+def test_ivf_recall_vs_brute_force(emb, trained):
+    centroids, index = trained
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = ivf_search(index, centroids, queries, k=5, nprobe=4)
+    exact = S.brute_force_topk(emb, queries, k=5)
+    a = {(r.qid, r.cid) for r in approx.collect()}
+    e = {(r.qid, r.cid) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    # random 64-dim embeddings are a worst case for IVF; with nprobe=half
+    # the cells we still expect strong recall
+    assert recall >= 0.5, f"recall {recall}"
+    # scores carried by ANN hits are the exact cosine values
+    exact_scores = {(r.qid, r.cid): r.cos_sim for r in exact.collect()}
+    for r in approx.collect():
+        if (r.qid, r.cid) in exact_scores:
+            assert abs(exact_scores[(r.qid, r.cid)] - r.cos_sim) < 1e-6
