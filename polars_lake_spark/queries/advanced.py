@@ -57,6 +57,53 @@ def grouping_sets(spark, sf_dir):
 
 
 @register(
+    "asof_join_events",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, MAX(event_id) AS click_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purchases AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, ROUND(p.value, 2) AS value,
+           c.click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent prior
+    click (operators/asof.py union+window formulation — one shuffle, no
+    range explosion)."""
+    from polars_lake_spark.operators.asof import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by=["user_id"], right_cols=["click_id", "click_ts"]
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.col("click_id_right").alias("click_id"),
+        (us("ts") - us("click_ts_right")).alias("gap_us"),
+    )
+
+
+@register(
     "corpus_pipeline",
     oracle=f"""
     WITH t AS (
