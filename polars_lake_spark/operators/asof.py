@@ -17,6 +17,56 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    tolerance_us: int,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Interval join: all (left, right) pairs in the same ``by`` group
+    with |left.on - right.on| ≤ tolerance (timestamps, µs granularity).
+
+    Scalable formulation: both sides are bucketed by tolerance-sized time
+    bins; each left row probes its own and the two adjacent bins (any
+    in-tolerance pair shares or neighbors a bin), so the join is keyed on
+    (by, bin) — bounded fan-out instead of a per-group cross product.
+    """
+    by = list(by)
+    l_us = F.unix_micros(F.col(on).cast("timestamp"))
+    r_us = F.unix_micros(F.col(on).cast("timestamp"))
+
+    bin_of = lambda c: F.floor(c / F.lit(tolerance_us)).cast("long")
+    l = left.withColumn("__us", l_us).withColumn(
+        "__bin",
+        F.explode(
+            F.array(bin_of(F.col("__us")) - 1, bin_of(F.col("__us")), bin_of(F.col("__us")) + 1)
+        ),
+    )
+    r = (
+        right.withColumn("__rus", r_us)
+        .withColumn("__bin", bin_of(F.col("__rus")))
+        .select(
+            *by,
+            "__rus",
+            "__bin",
+            F.col(on).alias(f"{on}{suffix}"),
+            *[
+                F.col(c).alias(f"{c}{suffix}")
+                for c in right.columns
+                if c not in by and c != on
+            ],
+        )
+    )
+    # Each right row has ONE bin and the left's three probe bins are
+    # distinct, so every qualifying pair joins exactly once — no dedup.
+    joined = l.join(r, on=by + ["__bin"]).filter(
+        F.abs(F.col("__us") - F.col("__rus")) <= tolerance_us
+    )
+    return joined.drop("__bin", "__us", "__rus")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -104,6 +104,45 @@ def asof_join_events(spark, sf_dir):
 
 
 @register(
+    "range_join_events",
+    oracle="""
+    WITH p AS (SELECT event_id AS pid, user_id, ts AS pts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS cid, user_id, ts AS cts
+               FROM events WHERE event_type = 'click')
+    SELECT pid, cid, p.user_id,
+           epoch_us(pts) - epoch_us(cts) AS delta_us
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND cts BETWEEN pts - INTERVAL 5 MINUTE AND pts + INTERVAL 5 MINUTE
+    """,
+)
+def range_join_events(spark, sf_dir):
+    """Interval join: purchase↔click pairs within ±5 minutes per user,
+    via tolerance-bucketed candidate generation (operators/asof.py) —
+    keyed shuffle instead of a per-user cross product."""
+    from polars_lake_spark.operators.asof import range_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    # right side shares the `on` column name; its time comes back suffixed
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("pts")
+    )
+    tol = 5 * 60 * 1_000_000  # 5 minutes in µs
+    joined = range_join(p, c, on="pts", by=["user_id"], tolerance_us=tol)
+    us = lambda col: F.unix_micros(F.col(col).cast("timestamp"))
+    return joined.select(
+        "pid",
+        F.col("cid_right").alias("cid"),
+        "user_id",
+        (us("pts") - us("pts_right")).alias("delta_us"),
+    )
+
+
+@register(
     "corpus_pipeline",
     oracle=f"""
     WITH t AS (
