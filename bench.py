@@ -37,6 +37,11 @@ HEADLINE = [
     "events_session_window",
     "grouping_sets",
     "minmax_by",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "asof_join_events",
+    "range_join_events",
+    "similarity_ivf",
 ]
 
 
