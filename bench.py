@@ -103,9 +103,11 @@ def lifecycle_bench(spark, sf_dir: str) -> dict[str, float]:
 
         # point queries (analog of /root/reference/call.py:53-79)
         def point(k: int) -> int:
+            # CAST the literal: Murmur3 hash(INT) != hash(BIGINT), so an
+            # untyped literal would compute a wrong bucket and count 0.
             return e2.sql(
                 f"SELECT * FROM li WHERE l_orderkey = {k} AND "
-                f"bucket_id = pmod(hash({k}), 8)"
+                f"bucket_id = pmod(hash(CAST({k} AS BIGINT)), 8)"
             ).count()
 
         keys = [r.l_orderkey for r in li.select("l_orderkey").distinct().limit(20).collect()]

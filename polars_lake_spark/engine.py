@@ -289,11 +289,24 @@ class Engine:
         return [self.spark.sql(q) for q in queries]
 
     # --------------------------------------------------------------- mutation
+    def _guard_mutable(self, name: str):
+        """Mutations on native-bucketed (bucketBy/saveAsTable) tables would
+        append hive-partitioned files into the bucketed layout — silently
+        breaking the bucket invariant (and losing rows on read). Refuse;
+        recreate the table instead."""
+        spec = self.specs[name]
+        if spec.native_bucketing:
+            raise ValueError(
+                f"table {name} uses native_bucketing; in-place mutation would "
+                "break the bucketBy file invariant. Recreate via create_table()."
+            )
+        return spec
+
     def insert(self, name: str, df: DataFrame, *, save: bool = True) -> None:
         """Append (``/root/reference/src/dataset.rs:271-295``): the shuffle
         on partition columns replaces the reference's HashMap routing of
         rows to parts."""
-        spec = self.specs[name]
+        spec = self._guard_mutable(name)
         with self._lock(name):
             df = self._with_layout(df.select(*[c for c in df.columns]), spec)
             if save and name not in self._mem:
@@ -327,7 +340,7 @@ class Engine:
         must be stable under updates (i.e. functions of the key), else a
         row could migrate partitions and leave its old copy behind.
         """
-        spec = self.specs[name]
+        spec = self._guard_mutable(name)
         keys = list(keys or spec.keys)
         if not keys:
             raise ValueError(f"no upsert keys for table {name}")
@@ -363,8 +376,10 @@ class Engine:
 
     def delete(self, name: str, deletes: DataFrame, keys: list[str] | None = None) -> None:
         """Delete by key — anti join (reference TODO /root/reference/src/main.rs:31)."""
-        spec = self.specs[name]
+        spec = self._guard_mutable(name)
         keys = list(keys or spec.keys)
+        if not keys:
+            raise ValueError(f"no delete keys for table {name}")
         with self._lock(name):
             remaining = M.delete_keys(self.table(name), deletes, keys)
             if name in self._mem or self.root is None:
@@ -380,7 +395,7 @@ class Engine:
 
     def drop_duplicates(self, name: str, keys: list[str] | None = None) -> None:
         """Dedup in place (reference TODO /root/reference/src/main.rs:32)."""
-        spec = self.specs[name]
+        spec = self._guard_mutable(name)
         keys = list(keys or spec.keys) or None
         with self._lock(name):
             deduped = self.table(name).dropDuplicates(keys)
@@ -460,7 +475,7 @@ class Engine:
         tables). The long-lived-table hygiene operator the reference's
         deferred-materialization counter gestures at
         (/root/reference/src/dataset.rs:95,136)."""
-        spec = self.specs[name]
+        spec = self._guard_mutable(name)
         with self._lock(name):
             df = self.table(name)
             parts = spec.physical_partitioning

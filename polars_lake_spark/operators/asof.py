@@ -87,8 +87,14 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in by and c != on]
 
     l_tag = left.withColumn("__is_left", F.lit(1))
+    # All right columns ride in ONE struct carried by a single
+    # last(ignorenulls): every carried value then comes from the SAME
+    # matched right row — per-column carries would mix rows whenever a
+    # right column holds NULL (ASOF semantics violation).
     r_tag = right.select(
-        *by, F.col(on).alias(on), *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]
+        *by,
+        F.col(on).alias(on),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__rv"),
     ).withColumn("__is_left", F.lit(0))
 
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
@@ -100,17 +106,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__carry_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("__rv", ignorenulls=True).over(w).alias("__carry")
     )
     return (
         carried.filter(F.col("__is_left") == 1)
-        .drop("__is_left", *[f"{c}{suffix}" for c in right_cols])
         .select(
             *left.columns,
-            *[F.col(f"__carry_{c}").alias(f"{c}{suffix}") for c in right_cols],
+            *[F.col(f"__carry.{c}").alias(f"{c}{suffix}") for c in right_cols],
         )
     )

@@ -80,13 +80,26 @@ def _jaccard_from_common(common: DataFrame, sizes: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard ≥ threshold via shingle self-join.
 
     Quadratic in per-shingle document frequency — correct everywhere,
     affordable on bounded corpora; MinHash below is the 100 TB variant.
+    ``max_rows`` guards against silent invocation at scale.
     """
+    n_docs = df.count()
+    if n_docs > max_rows:
+        raise ValueError(
+            f"ngram_jaccard_pairs is the quadratic shingle self-join baseline; "
+            f"input has {n_docs} rows > max_rows={max_rows}. Use "
+            f"minhash_lsh_pairs() (banded LSH, ~1 recall at the threshold) at scale."
+        )
     # The exploded shingle set feeds three branches (sizes + both join
     # sides); persist so the normalize/split/explode subtree runs once.
     # MEMORY_AND_DISK: spills instead of OOM at large SF.

@@ -84,9 +84,20 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    max_rows: int = 2000,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (embedding near-duplicate
-    detection). Exact and quadratic — bound the input or use LSH at scale."""
+    """All pairs with cosine ≥ threshold via a theta-join. Exact and
+    quadratic on ONE node (BroadcastNestedLoopJoin) — kept only as the
+    bounded baseline. ``max_rows`` guards against silent invocation at
+    scale; use :func:`cosine_pairs_blocked` (distributed exact) or
+    :func:`lsh_topk` (approximate) beyond it."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_pairs is an all-pairs nested-loop baseline; input has "
+            f"{n} rows > max_rows={max_rows}. Use cosine_pairs_blocked() "
+            f"(distributed exact) or lsh_topk() (approximate ANN) at scale."
+        )
     a = df.select(
         F.col(id_col).alias("d1"), as_double(F.col(vec_col)).alias("v1")
     ).withColumn("n1", norm(F.col("v1")))
@@ -99,6 +110,68 @@ def cosine_pairs(
             "d1",
             "d2",
             (dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("d1", "d2", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold as a distributed block-pair grid.
+
+    Why not LSH here: recall-1 hyperplane banding at a threshold as low
+    as 0.4 (angle 66°, per-bit agreement p≈0.63) admits ≥70% of ALL pairs
+    as candidates (measured on the test embeddings: r=6/b=80 → 70%,
+    r=4/b=64 → 97%) — no pruning, plus recall risk. Low-threshold
+    all-pairs output is inherently Ω(pairs); the scale problem is
+    DISTRIBUTING the compute, not skipping it.
+
+    Formulation: each vector lands in block ``g = pmod(xxhash64(id),
+    n_blocks)``; a broadcast grid of the ``n_blocks·(n_blocks+1)/2``
+    block pairs (i ≤ j) replicates each vector once per grid row it
+    participates in; an EQUI-join on (i, j) then yields every pair exactly
+    once (cross-block) or both orders (within-block, filtered to d1 < d2).
+    The physical plan is a shuffled equi-join keyed on the grid cell — no
+    BroadcastNestedLoopJoin, no cartesian, even task sizes, and the big
+    side is never broadcast. Replication factor is n_blocks+1; pick
+    n_blocks ≈ cluster parallelism.
+    """
+    spark = df.sparkSession
+    v = (
+        df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+        .withColumn("g", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
+    )
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "i int, j int",
+    )
+    left = v.join(F.broadcast(grid), v.g == F.col("i")).select(
+        "i", "j", F.col("id").alias("ida"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    right = v.join(F.broadcast(grid), v.g == F.col("j")).select(
+        F.col("i").alias("i2"), F.col("j").alias("j2"),
+        F.col("id").alias("idb"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    cand = left.join(
+        right, (F.col("i") == F.col("i2")) & (F.col("j") == F.col("j2"))
+    ).filter(
+        # within-block cells see both orders; cross-block cells exactly one
+        (F.col("i") != F.col("j")) | (F.col("ida") < F.col("idb"))
+    )
+    return (
+        cand.select(
+            F.least("ida", "idb").alias("d1"),
+            F.greatest("ida", "idb").alias("d2"),
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
                 "cos_sim"
             ),
         )

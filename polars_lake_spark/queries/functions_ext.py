@@ -177,19 +177,23 @@ def select_exclude(spark, sf_dir):
     "array_agg_sorted",
     oracle="""
     SELECT o_custkey, COUNT(*) AS n_orders,
-           LIST_SORT(ARRAY_AGG(o_orderkey)) AS orderkeys
+           ARRAY_TO_STRING(LIST_SORT(ARRAY_AGG(o_orderkey)), ',') AS orderkeys
     FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
     """,
 )
 def array_agg_sorted(spark, sf_dir):
     """ARRAY_AGG made order-insensitive via array_sort (collect_list order
-    is a shuffle artifact in any distributed engine)."""
+    is a shuffle artifact in any distributed engine).  The sorted array is
+    serialized to a comma-joined string in both dialects so the result is
+    hashable by the driver's value-comparison harness (r1 VERDICT fix #2)."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+            F.array_join(F.array_sort(F.collect_list("o_orderkey")), ",").alias(
+                "orderkeys"
+            ),
         )
         .filter(F.col("n_orders") >= 3)
     )

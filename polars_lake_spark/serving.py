@@ -23,7 +23,7 @@ import socketserver
 import struct
 import threading
 
-from polars_lake_spark.sources.ipc import dataframe_to_ipc
+from polars_lake_spark.sources.ipc import arrow_table_to_ipc
 
 
 class _Handler(socketserver.StreamRequestHandler):
@@ -33,13 +33,17 @@ class _Handler(socketserver.StreamRequestHandler):
             line = raw.strip()
             if not line:
                 continue
+            req = None
             try:
                 req = json.loads(line)
                 df = engine.sql(req["sql"])
-                payload = dataframe_to_ipc(df, compression="zstd")
+                # Execute ONCE: toArrow is the only action; rows come from
+                # the materialized table, not a second df.count() job.
+                table = df.toArrow()
+                payload = arrow_table_to_ipc(table, compression="zstd")
                 header = {
                     "qid": req.get("qid"),
-                    "rows": df.count(),
+                    "rows": table.num_rows,
                     "columns": df.columns,
                     "dtypes": [t for _, t in df.dtypes],
                     "nbytes": len(payload),

