@@ -214,17 +214,29 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 48
+    df: DataFrame, id_col: str, text_col: str, bits: int = 48, word_hash: str = "md5"
 ) -> DataFrame:
-    """(id, simhash) — per-word xxhash64, per-bit ±1 majority vote.
+    """(id, simhash) — per-word hash, per-bit ±1 majority vote.
 
     48 bits keeps every shift inside a positive signed 64-bit literal; the
     per-bit sums are one grouped aggregation (explode on words, map-side
-    partial agg)."""
+    partial agg).
+
+    word_hash='md5' (default) takes a 60-bit value from md5's first 15 hex
+    chars — bit-identical in ANY engine with md5, which makes the whole
+    operator oracle-checkable (the r2 upgrade from rows-only).
+    'xxhash64' is the faster JVM-only variant for production."""
+    assert bits <= 60, "md5-derived word hash provides 60 bits"
     words = F.split(normalized_text(F.col(text_col)), " ")
+    if word_hash == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.col("w").cast("binary")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        h = F.xxhash64("w")
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(words).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", h)
     votes = exploded.groupBy("id").agg(
         *[
             F.sum(
@@ -247,13 +259,15 @@ def simhash_pairs(
     bits: int = 48,
     band_bits: int = 12,
     max_hamming: int = 3,
+    word_hash: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the signature (docs sharing any
     band become candidates — by pigeonhole a pair within max_hamming always
-    shares a clean band when bands > max_hamming), verify with bit_count."""
+    shares a clean band when bands > max_hamming, so the banded result
+    EQUALS the all-pairs result), verify with bit_count."""
     n_bands = bits // band_bits
     assert n_bands > max_hamming, "need more bands than allowed hamming distance"
-    sigs = simhash_signatures(df, id_col, text_col, bits)
+    sigs = simhash_signatures(df, id_col, text_col, bits, word_hash)
     mask = (1 << band_bits) - 1
     band_entries = F.array(
         *[

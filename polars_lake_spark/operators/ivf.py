@@ -45,18 +45,22 @@ def train_ivf(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
 
-    # deterministic seed pick: k smallest xxhash64(id)
-    seeds = (
+    # deterministic seed pick: k smallest xxhash64(id). The top-k is a
+    # distributed TakeOrdered; enumeration happens on the ≤k collected
+    # rows driver-side (a global row_number window would single-partition
+    # the stage).
+    seed_rows = (
         vecs.withColumn("h", F.xxhash64(F.col("id")))
         .orderBy("h")
         .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy("h")) - 1).alias("cell_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"),
-        )
+        .select("v", "nrm")
+        .collect()
     )
-    centroids = seeds
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, list(r.v), float(r.nrm)) for i, r in enumerate(seed_rows)],
+        "cell_id int, cv array<double>, cnrm double",
+    )
     dim = len(corpus.select(vec_col).first()[0])
     for _ in range(iters):
         assigned = _assign(vecs, centroids)
@@ -90,6 +94,80 @@ def ivf_index(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
     return _assign(vecs, centroids)
+
+
+def ivf_write_index(
+    engine,
+    name: str,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Persist the IVF index through the Engine layout, hive-partitioned
+    by cell_id — the physical arrangement that makes a probe a
+    partition-pruned scan of nprobe/K of the corpus (the docstring claim,
+    proven by test_ivf_pruned_probe's PartitionFilters assertion)."""
+    index = ivf_index(corpus, centroids, id_col, vec_col)
+    return engine.create_table(name, index, partition_by=["cell_id"])
+
+
+def probe_cells(
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """(qid, qv, qn, cell_id): each query's nprobe nearest centroids."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
+    qc = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnrm"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cell_id"))
+    return (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qv", "qn", "cell_id")
+    )
+
+
+def ivf_search_pruned(
+    engine,
+    name: str,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a PERSISTED index with literal cell predicates so the scan
+    partition-prunes to the probed cells (union over queries).
+
+    The probed-cell set is collected driver-side — bounded by
+    |Q|·nprobe ≤ K, the same bounded-literal pattern as
+    Engine._prune_to_touched. At 100 TB the scan then reads only
+    ~nprobe/K of the corpus files."""
+    probes = probe_cells(centroids, queries, id_col, vec_col, nprobe).cache()
+    cells = sorted(
+        r.cell_id for r in probes.select("cell_id").distinct().collect()
+    )
+    index = engine.table(name).filter(F.col("cell_id").isin(cells))
+    cand = probes.join(index, "cell_id").filter(F.col("qid") != F.col("id"))
+    scored = cand.select(
+        "qid",
+        F.col("id").alias("cid"),
+        (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("cos_sim", 4).alias("cos_sim"))
+    )
 
 
 def ivf_search(

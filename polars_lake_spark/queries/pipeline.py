@@ -80,13 +80,34 @@ def dedup_minhash_lsh(spark, sf_dir):
     return pairs.select("d1", "d2", F.round("jaccard", 8).alias("jaccard"))
 
 
-@register(
-    "dedup_simhash",
-    doc="SimHash near-dup pairs — engine-hash-dependent, rows-only check",
-)
+# SimHash with an md5-derived word hash is engine-independent, so the
+# oracle recomputes it all-pairs in DuckDB; the Spark side is banded
+# (bands=4 > max_hamming=3 ⇒ pigeonhole-complete), so both coincide.
+_SIMHASH_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM t),
+    h AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM w),
+    v AS (SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h CROSS JOIN (SELECT unnest(range(48)) AS j) js
+          GROUP BY doc_id, j),
+    s AS (SELECT doc_id,
+                 CAST(SUM(CASE WHEN vote > 0 THEN 1::BIGINT << j ELSE 0 END)
+                      AS BIGINT) AS sim
+          FROM v GROUP BY doc_id)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_pairs(docs, "doc_id", "text", bits=48, band_bits=12, max_hamming=3)
+    pairs = D.simhash_pairs(
+        docs, "doc_id", "text", bits=48, band_bits=12, max_hamming=3
+    )
+    return pairs.select("d1", "d2", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 @register(
@@ -131,10 +152,30 @@ def similarity_topk(spark, sf_dir):
     return S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
 
 
-@register(
-    "similarity_ann_lsh",
-    doc="hyperplane-LSH bucketed ANN — approximate by design, rows-only check",
-)
+def _ann_lsh_oracle(n_planes: int = 12, dim: int = 64, k: int = 5) -> str:
+    """The hyperplanes are md5-derived (engine-independent), so the oracle
+    inlines them as literals and replays the exact bucketing + re-rank."""
+    terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ",".join(str(x) for x in S._hyperplane(j, dim))
+        + f"]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sig AS (SELECT vec_id, v, CAST({terms} AS BIGINT) AS bucket FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM sig WHERE vec_id < 20),
+    c AS (SELECT vec_id AS cid, v AS cv, bucket FROM sig)
+    SELECT qid, cid, ROUND(list_cosine_similarity(qv, cv), 4) AS cos_sim
+    FROM q JOIN c USING (bucket)
+    WHERE qid <> cid
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY qid
+        ORDER BY list_cosine_similarity(qv, cv) DESC, cid) <= {k}
+    """
+
+
+@register("similarity_ann_lsh", oracle=_ann_lsh_oracle())
 def similarity_ann_lsh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
@@ -154,6 +195,36 @@ def similarity_ivf(spark, sf_dir):
     index = ivf_index(emb, centroids).cache()
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_search(index, centroids, queries, k=5, nprobe=4)
+
+
+@register(
+    "similarity_ivf_recall",
+    doc="IVF consistency companion: queries whose IVF top-k recall vs the "
+    "exact brute-force top-k falls below 0.4 — expected EMPTY (0 rows). "
+    "A rows-only check whose row count IS the assertion.",
+)
+def similarity_ivf_recall(spark, sf_dir):
+    from polars_lake_spark.operators.ivf import ivf_index, ivf_search, train_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = train_ivf(emb, k=8, iters=2).cache()
+    index = ivf_index(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = ivf_search(index, centroids, queries, k=5, nprobe=4).select(
+        "qid", F.col("cid").alias("acid")
+    )
+    exact = S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5).select(
+        "qid", "cid"
+    )
+    hits = exact.join(
+        approx, (exact.qid == approx.qid) & (exact.cid == approx.acid), "left"
+    ).select(exact.qid, F.when(approx.acid.isNotNull(), 1).otherwise(0).alias("hit"))
+    recall = hits.groupBy("qid").agg(
+        (F.sum("hit") / F.count(F.lit(1))).alias("recall")
+    )
+    return recall.filter(F.col("recall") < 0.4).select(
+        "qid", F.round("recall", 4).alias("recall")
+    )
 
 
 @register(
@@ -296,9 +367,24 @@ def multimodal_binary_meta(spark, sf_dir):
 
 @register(
     "multimodal_image_features",
-    doc="mapInPandas fake-decode plumbing (codec stubbed) — rows-only check",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+           CAST(16 + octet_length(encode(text)) % 624 AS INT) AS width,
+           CAST(16 + doc_id % 464 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST(octet_length(encode(text)) +
+                CASE WHEN doc_id % 2 = 0 THEN 33
+                     WHEN doc_id % 3 = 0 THEN 33 ELSE 39 END AS BIGINT) AS n_bytes
+    FROM documents
+    """,
 )
 def multimodal_image_features(spark, sf_dir):
+    """Roundtrip: synthesize VALID PNG/JPEG blobs with formula-determined
+    dimensions, then parse width/height/channels back out of the real
+    headers (PNG IHDR / JPEG SOFn, pure-Python public-format parsing).
+    The oracle predicts the parsed values from the same formulas — a
+    mismatch means the synthesizer or parser is wrong."""
     docs = load_table(spark, sf_dir, "documents")
-    with_media = MM.attach_media_column(docs, "text")
-    return MM.decode_images(with_media, "doc_id", "media")
+    blobs = MM.synthesize_images(docs, "doc_id", "text")
+    return MM.parse_image_headers(blobs, "doc_id", "media")

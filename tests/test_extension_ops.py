@@ -90,3 +90,28 @@ def test_frame_sample_stub_fanout(docs):
     per_doc = {r[0]: 0 for r in frames.collect()}
     assert len(per_doc) == 5
     assert frames.count() >= 5
+
+
+def test_image_header_parsers_pure():
+    """Header parsing against hand-built and malformed byte strings."""
+    from polars_lake_spark.operators.multimodal import (
+        parse_image_header,
+        synthesize_jpeg,
+        synthesize_png,
+    )
+
+    assert parse_image_header(synthesize_png(640, 480, 3, b"x" * 10)) == (
+        "png", 640, 480, 3,
+    )
+    assert parse_image_header(synthesize_png(17, 21, 1, b"")) == ("png", 17, 21, 1)
+    assert parse_image_header(synthesize_jpeg(320, 200, 3, b"pay")) == (
+        "jpeg", 320, 200, 3,
+    )
+    assert parse_image_header(synthesize_jpeg(65535, 1, 1, b"")) == (
+        "jpeg", 65535, 1, 1,
+    )
+    # malformed inputs degrade to None, never raise
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\nXXXXIDAT") is None
+    assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x04\x00\x00") is None
+    assert parse_image_header(b"GIF89a") is None

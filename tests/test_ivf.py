@@ -52,3 +52,29 @@ def test_ivf_recall_vs_brute_force(emb, trained):
     for r in approx.collect():
         if (r.qid, r.cid) in exact_scores:
             assert abs(exact_scores[(r.qid, r.cid)] - r.cos_sim) < 1e-6
+
+
+def test_ivf_pruned_probe_partition_filters(spark, emb, trained, tmp_path):
+    """The persisted-index probe must partition-prune: PartitionFilters on
+    cell_id at the scan, matching results vs the in-memory search."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.ivf import ivf_search_pruned, ivf_write_index
+    from polars_lake_spark.plans import executed_plan
+
+    centroids, index = trained
+    engine = Engine(spark, str(tmp_path))
+    ivf_write_index(engine, "ivf_idx", emb, centroids)
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    pruned = ivf_search_pruned(engine, "ivf_idx", centroids, queries, k=5, nprobe=2)
+    plan = executed_plan(pruned)
+    # several scans appear (query side is unpartitioned); the INDEX scan
+    # must carry a cell_id partition filter
+    segs = [s.split("]")[0] for s in plan.split("PartitionFilters")[1:]]
+    assert any("cell_id" in s for s in segs), segs
+
+    # same results as probing the in-memory index with the same nprobe
+    mem = ivf_search(index, centroids, queries, k=5, nprobe=2)
+    assert {(r.qid, r.cid, r.cos_sim) for r in pruned.collect()} == {
+        (r.qid, r.cid, r.cos_sim) for r in mem.collect()
+    }
