@@ -209,6 +209,20 @@ class Engine:
             writer.option("header", "true").csv(path)
         elif spec.format == "json":
             writer.json(path)
+        elif spec.format == "ipc":
+            # Arrow IPC dir (storage.rs:6-10 TODO completed): distributed
+            # mapInArrow sink, unpartitioned only (hive routing for IPC
+            # would need a custom committer — parquet is the layout tier).
+            if parts:
+                raise ValueError("ipc format does not support partition_by/bucket_by")
+            from polars_lake_spark.sources.ipc import write_ipc_dir
+
+            if mode == "overwrite":
+                import glob as _glob
+
+                for f in _glob.glob(os.path.join(path, "*.arrow")):
+                    os.remove(f)
+            write_ipc_dir(df, path, compression="zstd")
         else:
             raise ValueError(f"unsupported format: {spec.format}")
         # Invalidate any cached file listings for readers of this path.
@@ -247,6 +261,10 @@ class Engine:
             return reader.option("header", "true").csv(path)
         if spec.format == "json":
             return reader.json(path)
+        if spec.format == "ipc":
+            from polars_lake_spark.sources.ipc import read_ipc_dir
+
+            return read_ipc_dir(self.spark, path)
         raise ValueError(f"unsupported format: {spec.format}")
 
     def _register(self, name: str) -> None:

@@ -1,17 +1,24 @@
-"""Serving façade: a thin TCP endpoint over one Engine/SparkSession.
+"""Serving façade: the reference's wire surface over one Engine/SparkSession.
 
-The reference serves SQL over a bidirectional gRPC stream returning
-ZSTD-Arrow-IPC frames (``/root/reference/src/server.rs:276-304``,
-``proto/db.proto:34,66-77``).  The production-grade Spark analog is Spark
-Connect — the same gRPC+Arrow design, built in.  This façade exists to
-demonstrate the serving semantics standalone with zero extra
-dependencies: newline-delimited JSON requests ``{"sql": ..., "qid": ...}``
-in, length-prefixed responses out, each response a JSON header
-``{"qid", "rows", "columns", "dtypes", "nbytes"}`` followed by ``nbytes``
-of ZSTD-compressed Arrow IPC — the exact fields of the reference's
-``SqlResults`` (``proto/db.proto:71-77``).
+The reference serves SIX RPCs over tonic gRPC
+(``/root/reference/proto/db.proto:20-35``, ``src/server.rs:92-304``):
+CreateTable / InsertTable / UpsertTable (each a client-streamed sequence of
+Arrow IPC chunks handled as ONE call), MaterializeTable, GetTableInfo, and
+SelectIpc (bidirectional SQL stream returning ZSTD Arrow IPC frames).  The
+production-grade Spark analog is Spark Connect — the same gRPC+Arrow
+design, built in.  This façade demonstrates the full RPC SEMANTICS
+standalone with zero extra dependencies (no grpcio in this environment):
 
-Unlike the reference, a failed query returns an error response instead of
+* requests: one newline-delimited JSON header
+  ``{"op", "qid", "table", ...}``; ingest ops are followed by ``n_chunks``
+  length-prefixed Arrow IPC chunks — the client-streaming part of the call.
+* responses: length-prefixed JSON header echoing ``qid`` (the reference's
+  ``SqlResults`` fields: rows, columns, dtypes, nbytes), then ``nbytes``
+  of ZSTD-compressed Arrow IPC for ``select``.
+* a bare ``{"sql": ...}`` header (no ``op``) is accepted as ``select`` for
+  backward compatibility.
+
+Unlike the reference, a failed call returns an error response instead of
 being silently skipped (``/root/reference/src/server.rs:299``).
 """
 
@@ -22,11 +29,34 @@ import socket
 import socketserver
 import struct
 import threading
+from functools import reduce
 
-from polars_lake_spark.sources.ipc import arrow_table_to_ipc
+from polars_lake_spark.sources.ipc import arrow_table_to_ipc, dataframe_from_ipc
+
+
+def _read_exact(f, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        part = f.read(n - len(buf))
+        if not part:
+            raise EOFError("connection closed mid-frame")
+        buf += part
+    return buf
 
 
 class _Handler(socketserver.StreamRequestHandler):
+    def _read_chunks(self, n_chunks: int):
+        """Client-streamed ingest chunks (db.proto:57-64 analog): each is a
+        4-byte BE length + one Arrow IPC stream."""
+        spark = self.server.engine.spark  # type: ignore[attr-defined]
+        frames = []
+        for _ in range(n_chunks):
+            (clen,) = struct.unpack(">I", _read_exact(self.rfile, 4))
+            frames.append(dataframe_from_ipc(spark, _read_exact(self.rfile, clen)))
+        if not frames:
+            raise ValueError("ingest call carried no chunks")
+        return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)
+
     def handle(self) -> None:
         engine = self.server.engine  # type: ignore[attr-defined]
         for raw in self.rfile:
@@ -36,18 +66,51 @@ class _Handler(socketserver.StreamRequestHandler):
             req = None
             try:
                 req = json.loads(line)
-                df = engine.sql(req["sql"])
-                # Execute ONCE: toArrow is the only action; rows come from
-                # the materialized table, not a second df.count() job.
-                table = df.toArrow()
-                payload = arrow_table_to_ipc(table, compression="zstd")
-                header = {
-                    "qid": req.get("qid"),
-                    "rows": table.num_rows,
-                    "columns": df.columns,
-                    "dtypes": [t for _, t in df.dtypes],
-                    "nbytes": len(payload),
-                }
+                op = req.get("op") or ("select" if "sql" in req else None)
+                payload = b""
+                if op == "select":
+                    df = engine.sql(req["sql"])
+                    # Execute ONCE: toArrow is the only action; rows come
+                    # from the materialized table, not a second count job.
+                    table = df.toArrow()
+                    payload = arrow_table_to_ipc(table, compression="zstd")
+                    header = {
+                        "qid": req.get("qid"),
+                        "rows": table.num_rows,
+                        "columns": df.columns,
+                        "dtypes": [t for _, t in df.dtypes],
+                        "nbytes": len(payload),
+                    }
+                elif op == "create_table":
+                    df = self._read_chunks(int(req.get("n_chunks", 0)))
+                    engine.create_table(
+                        req["table"],
+                        df,
+                        partition_by=req.get("partition_by"),
+                        bucket_by=req.get("bucket_by"),
+                        n_buckets=int(req.get("n_buckets", 8)),
+                        keys=req.get("keys"),
+                        save=bool(req.get("save", False)),
+                    )
+                    header = {"qid": req.get("qid"), "ok": True, "nbytes": 0}
+                elif op in ("insert", "upsert"):
+                    df = self._read_chunks(int(req.get("n_chunks", 0)))
+                    if op == "insert":
+                        engine.insert(req["table"], df, save=bool(req.get("save", False)))
+                    else:
+                        engine.upsert(req["table"], df, keys=req.get("keys"))
+                    header = {"qid": req.get("qid"), "ok": True, "nbytes": 0}
+                elif op == "materialize":
+                    engine.materialize(req["table"])
+                    header = {"qid": req.get("qid"), "ok": True, "nbytes": 0}
+                elif op == "table_info":
+                    header = {
+                        "qid": req.get("qid"),
+                        "info": engine.table_info(req["table"]),
+                        "nbytes": 0,
+                    }
+                else:
+                    raise ValueError(f"unknown op: {op!r}")
             except Exception as e:  # surface, don't swallow
                 payload = b""
                 header = {
@@ -87,18 +150,39 @@ class SqlServer:
         self._srv.server_close()
 
 
-def query(host: str, port: int, sql: str, qid: int = 0, timeout: float = 60.0):
-    """Minimal client: send one SQL, return (header, arrow_table|None)."""
+def _read_response(f):
     import pyarrow as pa
 
+    (hlen,) = struct.unpack(">I", _read_exact(f, 4))
+    header = json.loads(_read_exact(f, hlen))
+    table = None
+    if header.get("nbytes"):
+        data = _read_exact(f, header["nbytes"])
+        with pa.ipc.open_stream(pa.BufferReader(data)) as r:
+            table = r.read_all()
+    return header, table
+
+
+def query(host: str, port: int, sql: str, qid: int = 0, timeout: float = 60.0):
+    """Minimal client: send one SQL, return (header, arrow_table|None)."""
     with socket.create_connection((host, port), timeout=timeout) as s:
-        s.sendall((json.dumps({"sql": sql, "qid": qid}) + "\n").encode())
-        f = s.makefile("rb")
-        (hlen,) = struct.unpack(">I", f.read(4))
-        header = json.loads(f.read(hlen))
-        table = None
-        if header.get("nbytes"):
-            data = f.read(header["nbytes"])
-            with pa.ipc.open_stream(pa.BufferReader(data)) as r:
-                table = r.read_all()
-        return header, table
+        s.sendall((json.dumps({"op": "select", "sql": sql, "qid": qid}) + "\n").encode())
+        return _read_response(s.makefile("rb"))
+
+
+def rpc(host: str, port: int, header: dict, chunks: list[bytes] = (), timeout: float = 120.0):
+    """Generic RPC client: JSON header + streamed Arrow IPC chunks (the
+    reference's client-streaming calls, ``/root/reference/call.py:20-38``).
+
+    header["op"] ∈ {create_table, insert, upsert, materialize, table_info,
+    select}; ingest ops must set n_chunks == len(chunks).
+    """
+    chunks = list(chunks)
+    header = dict(header)
+    if header.get("op") in ("create_table", "insert", "upsert"):
+        header["n_chunks"] = len(chunks)
+    with socket.create_connection((host, port), timeout=timeout) as s:
+        s.sendall((json.dumps(header) + "\n").encode())
+        for c in chunks:
+            s.sendall(struct.pack(">I", len(c)) + c)
+        return _read_response(s.makefile("rb"))

@@ -43,6 +43,80 @@ def dataframe_to_ipc(df: DataFrame, compression: str | None = "zstd") -> bytes:
     return arrow_table_to_ipc(df.toArrow(), compression)
 
 
+# --------------------------------------------------------------------------
+# Arrow IPC *file format* as a distributed table format (the reference
+# declares Ipc storage, /root/reference/src/storage.rs:6-10, but never
+# implemented writing it, src/dataset.rs:177 — this completes the TODO).
+# Each Spark task writes/reads one .arrow (Feather V2) file; Python stays
+# at the Arrow batch boundary (mapInArrow), no per-row work.
+
+
+def write_ipc_dir(df: DataFrame, path: str, compression: str | None = "zstd") -> int:
+    """Distributed IPC sink: every partition streams its record batches to
+    its own ``part-*.arrow`` file. Returns total rows written.
+
+    The path must be task-visible (local dir in local mode; a shared
+    filesystem on a cluster). Empty partitions write no file."""
+    import os
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    prefix = uuid.uuid4().hex[:8]  # append-safe unique file names
+
+    def task(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(path, f"part-{prefix}-{pid:05d}.arrow")
+        writer = None
+        sink = None
+        n = 0
+        for batch in batches:
+            if writer is None:
+                sink = pa.OSFile(out, "wb")
+                options = pa.ipc.IpcWriteOptions(
+                    compression=pa.Codec(compression) if compression else None
+                )
+                writer = pa.ipc.new_file(sink, batch.schema, options=options)
+            writer.write_batch(batch)
+            n += batch.num_rows
+        if writer is not None:
+            writer.close()
+            sink.close()
+        yield pa.RecordBatch.from_pydict({"rows": [n]})
+
+    summary = df.mapInArrow(task, schema="rows long")
+    return sum(r.rows for r in summary.collect())
+
+
+def read_ipc_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed IPC source: schema from one file's footer (driver-side
+    metadata peek), then ``binaryFile`` scan + mapInArrow decode — one
+    task per file, batches streamed, never a whole-partition materialize."""
+    import glob as _glob
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    files = sorted(_glob.glob(f"{path}/*.arrow"))
+    if not files:
+        raise FileNotFoundError(f"no .arrow files under {path}")
+    # prefer_timestamp_ntz: tz-less Arrow timestamps faithfully map back to
+    # TIMESTAMP_NTZ (LTZ columns carry an explicit tz in the footer).
+    with pa.ipc.open_file(files[0]) as r:
+        spark_schema = from_arrow_schema(r.schema, prefer_timestamp_ntz=True)
+
+    bin_df = spark.read.format("binaryFile").load(f"{path}/*.arrow").select("content")
+
+    def decode(batches):
+        for batch in batches:
+            for buf in batch.column(0).to_pylist():
+                with pa.ipc.open_file(pa.BufferReader(buf)) as r:
+                    for i in range(r.num_record_batches):
+                        yield r.get_batch(i)
+
+    return bin_df.mapInArrow(decode, schema=spark_schema)
+
+
 def ipc_chunks(df: DataFrame, rows_per_chunk: int = 80_000):
     """Slice a DataFrame into IPC chunks — the client-side chunking of
     ``/root/reference/call.py:20-24`` (25–80k-row chunks)."""

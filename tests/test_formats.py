@@ -58,3 +58,31 @@ def test_delete_removes_emptied_partitions(spark, tmp_path):
     got = engine.table("t")
     assert got.count() == 2
     assert got.filter(F.col("p") == "b").count() == 0
+
+
+def test_ipc_table_format_roundtrip(spark, sf_dir, tmp_path):
+    """format='ipc': distributed mapInArrow sink/source (one .arrow file
+    per task), engine roundtrip incl. append + reload-from-manifest."""
+    orders = load_table(spark, sf_dir, "orders")
+    engine = Engine(spark, str(tmp_path))
+    engine.create_table("o_ipc", orders, format="ipc")
+    got = engine.table("o_ipc")
+    assert got.count() == orders.count()
+    assert dict(got.dtypes) == dict(orders.dtypes)  # schema from footer
+    total = F.round(F.sum("o_totalprice"), 2)
+    assert (
+        got.agg(total).collect()[0][0] == orders.agg(total).collect()[0][0]
+    )
+
+    # append via insert writes more .arrow files, no clobber
+    engine.insert("o_ipc", orders.limit(7))
+    assert engine.table("o_ipc").count() == orders.count() + 7
+
+    # reload from manifest in a fresh engine
+    e2 = Engine(spark, str(tmp_path))
+    e2.load_all()
+    assert e2.table("o_ipc").count() == orders.count() + 7
+
+    # partitioned ipc is refused (parquet is the layout tier)
+    with pytest.raises(ValueError, match="ipc"):
+        engine.create_table("bad", orders, partition_by=["o_orderpriority"], format="ipc")

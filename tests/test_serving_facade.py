@@ -86,3 +86,52 @@ def test_sql_server_single_execution(spark, sf_dir):
         assert header["rows"] == table.num_rows == 3
     finally:
         server.stop()
+
+
+def test_rpc_ingest_lifecycle(spark, sf_dir):
+    """The reference's six RPCs (proto/db.proto:20-35) as one lifecycle:
+    chunk-streamed create/insert/upsert, materialize, table_info, select."""
+    import pyspark.sql.functions as F
+
+    from polars_lake_spark.serving import rpc
+    from polars_lake_spark.sources.ipc import ipc_chunks
+
+    engine = Engine(spark, None)
+    server = SqlServer(engine).start()
+    host, port = server.address
+    try:
+        orders = load_table(spark, sf_dir, "orders").limit(100)
+        chunks = list(ipc_chunks(orders, rows_per_chunk=30))
+        assert len(chunks) >= 3  # genuinely streamed in several chunks
+
+        h, _ = rpc(host, port, {"op": "create_table", "table": "o_rpc",
+                                "keys": ["o_orderkey"], "qid": 1}, chunks)
+        assert h.get("ok") and h["qid"] == 1
+
+        h, _ = rpc(host, port, {"op": "table_info", "table": "o_rpc", "qid": 2})
+        assert h["info"]["rows"] == 100
+
+        batch = orders.limit(5).withColumn("o_totalprice", F.lit(1.0))
+        h, _ = rpc(host, port, {"op": "upsert", "table": "o_rpc", "qid": 3},
+                   list(ipc_chunks(batch)))
+        assert h.get("ok")
+        _, t = query(host, port,
+                     "SELECT COUNT(*) AS n FROM o_rpc WHERE o_totalprice = 1.0", qid=4)
+        assert t.column("n")[0].as_py() == 5
+
+        h, _ = rpc(host, port, {"op": "materialize", "table": "o_rpc", "qid": 5})
+        assert h.get("ok")
+
+        h, _ = rpc(host, port, {"op": "insert", "table": "o_rpc", "qid": 6},
+                   list(ipc_chunks(orders.limit(3))))
+        assert h.get("ok")
+        h, _ = rpc(host, port, {"op": "table_info", "table": "o_rpc", "qid": 7})
+        assert h["info"]["rows"] == 103
+
+        # unknown op and chunkless ingest surface errors
+        h, _ = rpc(host, port, {"op": "nope", "qid": 8})
+        assert "error" in h and h["qid"] == 8
+        h, _ = rpc(host, port, {"op": "insert", "table": "o_rpc", "qid": 9}, [])
+        assert "error" in h
+    finally:
+        server.stop()
