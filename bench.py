@@ -42,6 +42,13 @@ HEADLINE = [
     "asof_join_events",
     "range_join_events",
     "similarity_ivf",
+    # r2 additions — the headline set is FROZEN from here on so
+    # round-over-round regressions stay attributable.
+    "dedup_simhash",
+    "dedup_clusters",
+    "sample_hash",
+    "pack_sequences",
+    "multimodal_image_features",
 ]
 
 
@@ -145,6 +152,10 @@ def main() -> None:
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Storage hygiene between measurements: operators that persist
+        # intermediates (shingle sets, IVF centroids) must not bleed
+        # executor memory into later queries' timings.
+        spark.catalog.clearCache()
 
     timings.update(lifecycle_bench(spark, sf_dir))
 

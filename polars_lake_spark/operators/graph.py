@@ -1,0 +1,77 @@
+"""Connected components over near-duplicate pair edges — the step that
+turns pairwise dedup output into dedup GROUPS (pick one survivor per
+cluster of transitively-linked near-dups).
+
+Algorithm: iterative min-label propagation (each vertex repeatedly adopts
+the smallest label among itself and its neighbors) until fixpoint. This is
+the shuffle-conscious distributed formulation: every iteration is one
+equi-join + one groupBy keyed on vertex id, converging in O(component
+diameter) rounds (near-dup clusters are shallow — dup chains, not long
+paths). For adversarial long-chain graphs the large-star/small-star
+variant halves rounds; not needed for dedup workloads.
+
+Driver involvement per round is a single converged-check count — no
+collect of vertex data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 20
+) -> DataFrame:
+    """(id, component) for every vertex appearing in ``pairs``; component
+    is the minimum vertex id reachable from it.
+
+    Storage hygiene: each iteration persists its labels and unpersists the
+    previous iteration's — a long-lived session doesn't accumulate blocks
+    (iterative jobs that leak persisted state are a classic cluster-memory
+    killer). The returned frame is localCheckpointed so downstream plans
+    don't re-analyze the whole iteration chain."""
+    from pyspark.storagelevel import StorageLevel
+
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)  # reused every iteration
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    prev = None
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nmin", F.col("component")) < F.col("component")).alias(
+                    "__chg"
+                ),
+            )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        changed = updated.filter(F.col("__chg")).limit(1).count()  # materialize
+        if prev is not None:
+            prev.unpersist()
+        prev = updated
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    result = labels.localCheckpoint(eager=True)
+    if prev is not None:
+        prev.unpersist()
+    edges.unpersist()
+    return result

@@ -61,7 +61,6 @@ def train_ivf(
         [(i, list(r.v), float(r.nrm)) for i, r in enumerate(seed_rows)],
         "cell_id int, cv array<double>, cnrm double",
     )
-    dim = len(corpus.select(vec_col).first()[0])
     for _ in range(iters):
         assigned = _assign(vecs, centroids)
         # mean vector per cell: aggregate element-wise sums then divide
@@ -78,7 +77,6 @@ def train_ivf(
             )
             .withColumn("cnrm", norm(F.col("cv")))
         )
-        _ = dim  # dim retained for clarity; element-wise agg is dim-agnostic
     return centroids
 
 

@@ -1,0 +1,80 @@
+"""Deterministic sampling + sequence packing for training-data pipelines.
+
+All three operators use ENGINE-INDEPENDENT determinism (md5-derived
+hashes, explicit orderings) so results are reproducible across runs,
+partitionings, and engines — the property that makes a training-data
+split auditable. Everything is pure column expressions / window
+functions: map-side, codegen, at most one shuffle on the window key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def md5_bucket(col, modulus: int = 100):
+    """Deterministic [0, modulus) bucket from md5's first 8 hex chars —
+    identical in any engine with md5 (32-bit value, no sign issues)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("long")
+        % modulus
+    )
+
+
+def hash_sample(
+    df: DataFrame, content_col: str, pct: int, modulus: int = 100
+) -> DataFrame:
+    """Keep ~pct% of rows by content hash: stable under reruns, appends,
+    and repartitioning (unlike df.sample, which is seed+partition
+    dependent) — the reproducible train/held-out split primitive."""
+    return df.filter(md5_bucket(F.col(content_col), modulus) < pct)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, content_col: str, id_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Deterministic top-N per stratum, ordered by content hash (i.e. a
+    reproducible uniform draw within each stratum); unique id breaks
+    exact-duplicate-content ties. One shuffle on the stratum key; skewed
+    strata are bounded by the per-stratum limit."""
+    h = F.md5(F.col(content_col).cast("binary"))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col,
+    budget: int,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Assign each document a (shard, pack_id): concat-then-chunk sequence
+    packing for LM training. Documents are laid out in deterministic id
+    order within ``id % n_shards`` shards; pack_id = which ``budget``-token
+    window the document STARTS in (documents may straddle packs — the
+    standard concatenate-and-chunk regime).
+
+    One shuffle on shard; the cumulative sum is a per-shard ordered window
+    — shard count is the parallelism dial at 100 TB."""
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(id_col, shard, token_col.alias("tokens"))
+    return out.select(
+        id_col,
+        "shard",
+        "tokens",
+        F.floor((F.sum("tokens").over(w) - F.col("tokens")) / budget)
+        .cast("bigint")
+        .alias("pack_id"),
+    )

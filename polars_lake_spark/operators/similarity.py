@@ -144,28 +144,34 @@ def cosine_pairs_blocked(
     side is never broadcast. Replication factor is n_blocks+1; pick
     n_blocks ≈ cluster parallelism.
     """
-    spark = df.sparkSession
     v = (
         df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
         .withColumn("nrm", norm(F.col("v")))
         .withColumn("g", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int"))
     )
-    grid = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "i int, j int",
+    # Map-side replication via explode (no grid table, no extra joins):
+    # block-g vectors act as the A side in cells (g, j≥g) and as the B
+    # side in cells (i≤g, g); the equi-join on the cell key then builds
+    # each cell's |block_i|×|block_j| pairs inside one shuffle.
+    a_cells = F.transform(
+        F.sequence(F.col("g"), F.lit(n_blocks - 1)),
+        lambda j: F.struct(F.col("g").alias("i"), j.alias("j")),
     )
-    left = v.join(F.broadcast(grid), v.g == F.col("i")).select(
-        "i", "j", F.col("id").alias("ida"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    b_cells = F.transform(
+        F.sequence(F.lit(0), F.col("g")),
+        lambda i: F.struct(i.alias("i"), F.col("g").alias("j")),
     )
-    right = v.join(F.broadcast(grid), v.g == F.col("j")).select(
-        F.col("i").alias("i2"), F.col("j").alias("j2"),
+    left = v.select(
+        F.explode(a_cells).alias("cell"),
+        F.col("id").alias("ida"), F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    right = v.select(
+        F.explode(b_cells).alias("cell"),
         F.col("id").alias("idb"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
-    cand = left.join(
-        right, (F.col("i") == F.col("i2")) & (F.col("j") == F.col("j2"))
-    ).filter(
+    cand = left.join(right, "cell").filter(
         # within-block cells see both orders; cross-block cells exactly one
-        (F.col("i") != F.col("j")) | (F.col("ida") < F.col("idb"))
+        (F.col("cell.i") != F.col("cell.j")) | (F.col("ida") < F.col("idb"))
     )
     return (
         cand.select(

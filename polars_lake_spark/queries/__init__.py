@@ -35,6 +35,7 @@ def all_queries() -> dict[str, Query]:
     # Import side-effect modules once, on first use.
     from polars_lake_spark.queries import (  # noqa: F401
         advanced,
+        corpus,
         functions_ext,
         mutation,
         pipeline,

@@ -1,0 +1,115 @@
+"""Corpus-curation queries: dedup clustering (connected components),
+deterministic sampling, and sequence packing — the steps between pairwise
+dedup output and an actual training set.
+
+All oracled: the operators are built on engine-independent determinism
+(md5 hashes, explicit total orders), so DuckDB can replay them exactly —
+the connected-components oracle is a recursive CTE transitive closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_lake_spark.functions import text as TX
+from polars_lake_spark.operators import dedup as D
+from polars_lake_spark.operators.graph import connected_components
+from polars_lake_spark.operators.sampling import (
+    hash_sample,
+    md5_bucket,
+    pack_sequences,
+    stratified_sample,
+)
+from polars_lake_spark.queries import register
+from polars_lake_spark.queries.pipeline import _JACCARD_ORACLE, _NORM_SQL
+from polars_lake_spark.sources import load_table
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ({_JACCARD_ORACLE}) jp),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+             FROM reach GROUP BY a)
+    SELECT cluster_id, COUNT(*) AS n_docs,
+           ARRAY_TO_STRING(LIST_SORT(ARRAY_AGG(doc_id)), ',') AS member_ids
+    FROM comp GROUP BY cluster_id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs (MinHash-LSH @ 0.8, exact-verified) → transitive
+    clusters via min-label propagation; oracle replays the closure with a
+    recursive CTE. Members serialized to a sorted string (hashable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=128, bands=32, threshold=0.8
+    )
+    comps = connected_components(pairs, "d1", "d2")
+    return comps.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(F.array_sort(F.collect_list("id")), ",").alias("member_ids"),
+    )
+
+
+@register(
+    "sample_hash",
+    oracle="""
+    SELECT doc_id,
+           CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 AS bucket
+    FROM documents
+    WHERE CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 < 20
+    """,
+)
+def sample_hash(spark, sf_dir):
+    """~20% reproducible split by content hash — stable under reruns,
+    appends, and repartitioning (df.sample is not)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = hash_sample(docs, "text", pct=20)
+    return sampled.select("doc_id", md5_bucket(F.col("text")).alias("bucket"))
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) <= 10
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic 10-per-language draw (hash-ordered within stratum)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "text", "doc_id", 10).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, doc_id % 4 AS shard,
+                      len(string_split({_NORM_SQL}, ' ')) AS tokens
+               FROM documents)
+    SELECT doc_id, shard, CAST(tokens AS BIGINT) AS tokens,
+           CAST((SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens)
+                // 512 AS BIGINT) AS pack_id
+    FROM t
+    """,
+)
+def pack_sequences_query(spark, sf_dir):
+    """Concat-then-chunk sequence packing: which 512-token window each
+    document starts in, per shard (deterministic id order)."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(
+        docs, "doc_id", TX.ws_token_count(F.col("text")), budget=512, n_shards=4
+    )
+    return packed.select(
+        "doc_id", "shard", F.col("tokens").cast("bigint").alias("tokens"), "pack_id"
+    )

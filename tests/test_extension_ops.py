@@ -115,3 +115,22 @@ def test_image_header_parsers_pure():
     assert parse_image_header(b"\x89PNG\r\n\x1a\nXXXXIDAT") is None
     assert parse_image_header(b"\xff\xd8\xff\xe0\x00\x04\x00\x00") is None
     assert parse_image_header(b"GIF89a") is None
+
+
+def test_connected_components_chain(spark):
+    """Chains longer than one hop must converge to the min label; disjoint
+    clusters stay disjoint."""
+    from polars_lake_spark.operators.graph import connected_components
+
+    # components: {1,2,3,4,5} (a chain), {10,11}, {20,21,22} (a star)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (21, 20), (21, 22)],
+        "d1 long, d2 long",
+    )
+    got = {
+        (r.id, r.component) for r in connected_components(edges).collect()
+    }
+    want = {(i, 1) for i in (1, 2, 3, 4, 5)} | {(10, 10), (11, 10)} | {
+        (i, 20) for i in (20, 21, 22)
+    }
+    assert got == want
