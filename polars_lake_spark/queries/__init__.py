@@ -41,6 +41,7 @@ def all_queries() -> dict[str, Query]:
         pipeline,
         relational,
         reshape,
+        scale_ops,
         tpch_like,
         windows_ext,
     )

@@ -1,0 +1,96 @@
+"""Scale-mechanism queries: the operators whose POINT is their physical
+plan (skew-salted aggregation, exchange-free co-bucketed joins), exposed
+as driver-checkable oracled queries — the values prove the mechanism
+computes the same answer as the straightforward formulation; the plan
+tests (test_skew, test_native_bucketing) prove the mechanism itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_lake_spark.operators.skew import salted_collect_set, salted_count_distinct
+from polars_lake_spark.queries import register
+from polars_lake_spark.sources import load_table
+
+
+@register(
+    "skew_count_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_count_distinct(spark, sf_dir):
+    """Exact COUNT(DISTINCT) via two salted shuffles (the hot-key-safe
+    formulation) — must equal the plain aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count_distinct(ev, ["event_type"], "user_id", n_salts=16)
+
+
+@register(
+    "skew_collect_set",
+    oracle="""
+    SELECT event_type,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(ARRAY_AGG(user_id % 50))), ',')
+               AS users_mod
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_collect_set(spark, sf_dir):
+    """Salted collect_set (non-algebraic agg) vs plain set — serialized
+    sorted for hashability."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "u", (F.col("user_id") % 50)
+    )
+    sets = salted_collect_set(ev, ["event_type"], "u", n_salts=8)
+    return sets.select(
+        "event_type",
+        F.array_join(F.array_sort("values"), ",").alias("users_mod"),
+    )
+
+
+@register(
+    "join_cobucketed",
+    oracle="""
+    SELECT c_custkey % 100 AS ckey_mod, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey % 100
+    """,
+)
+def join_cobucketed(spark, sf_dir):
+    """Join two NATIVELY BUCKETED tables (bucketBy + saveAsTable) — runs
+    exchange-free (test_native_bucketing asserts the plan); the oracle
+    checks the values equal a plain join. Tables are (re)written into a
+    per-call temp warehouse."""
+    import tempfile
+
+    from polars_lake_spark.engine import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_cobucket_")
+    engine = Engine(spark, root)
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "custkey"
+    )
+    engine.create_table(
+        "orders_cbq", orders, bucket_by=["custkey"], n_buckets=4, native_bucketing=True
+    )
+    engine.create_table(
+        "customer_cbq",
+        customer,
+        bucket_by=["custkey"],
+        n_buckets=4,
+        native_bucketing=True,
+    )
+    return engine.sql(
+        """
+        SELECT c.custkey % 100 AS ckey_mod, COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS total
+        FROM orders_cbq o JOIN customer_cbq c USING (custkey)
+        GROUP BY c.custkey % 100
+        """
+    )

@@ -1,0 +1,112 @@
+"""Property-based checks of asof_join, connected_components, and the
+multi-NULL-column asof carry against direct Python reference models.
+Hypothesis drives small random instances; Spark must match the model
+exactly.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from polars_lake_spark.operators.asof import asof_join
+from polars_lake_spark.operators.graph import connected_components
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+edges_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=15,
+)
+
+
+def model_components(edges):
+    """Union-find ground truth: component = min id reachable."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.usefixtures("spark")
+@given(edges=edges_st)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == model_components(edges)
+
+
+asof_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # group
+        st.integers(min_value=0, max_value=20),  # ts
+    ),
+    min_size=1,
+    max_size=12,
+)
+right_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=20),
+        st.one_of(st.none(), st.integers(min_value=-9, max_value=9)),  # nullable v1
+        st.integers(min_value=-9, max_value=9),                        # v2
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def model_asof(left, right):
+    """For each left row: the LAST right row at-or-before its ts in the
+    same group; ALL carried columns come from that one row (NULLs and
+    all)."""
+    out = {}
+    # unique per (group, ts): keep the last occurrence like pre-aggregated input
+    rmap = {}
+    for g, ts, v1, v2 in right:
+        rmap[(g, ts)] = (v1, v2)
+    for i, (g, ts) in enumerate(left):
+        best = None
+        for (rg, rts), vals in rmap.items():
+            if rg == g and rts <= ts and (best is None or rts > best[0]):
+                best = (rts, vals)
+        out[i] = best[1] if best else (None, None)
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@given(left=asof_rows_st, right=right_rows_st)
+@settings(**_SETTINGS)
+def test_asof_join_matches_model(spark, left, right):
+    # dedup right per (g, ts) — asof requires unique (by, on)
+    rmap = {}
+    for g, ts, v1, v2 in right:
+        rmap[(g, ts)] = (v1, v2)
+    rrows = [(g, ts, v[0], v[1]) for (g, ts), v in rmap.items()]
+    ldf = spark.createDataFrame(
+        [(i, g, ts) for i, (g, ts) in enumerate(left)], "idx int, g int, ts int"
+    )
+    rdf = spark.createDataFrame(rrows, "g int, ts int, v1 int, v2 int")
+    out = asof_join(ldf, rdf, on="ts", by=["g"])
+    got = {r.idx: (r.v1_right, r.v2_right) for r in out.collect()}
+    assert got == model_asof(left, right)
