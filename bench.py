@@ -145,6 +145,14 @@ def main() -> None:
 
     # JVM/codegen warmup outside the timed region.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Python-worker warmup: the first Arrow-batched stage otherwise pays
+    # the one-time pyspark.daemon spawn (+pandas import) on every core —
+    # ~20s of cold-start attributed to whichever query runs it first. On a
+    # long-lived cluster the daemons exist; bench measures steady state.
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(n_workers).repartition(n_workers).mapInPandas(
+        lambda batches: batches, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
