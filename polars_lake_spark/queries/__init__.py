@@ -43,6 +43,7 @@ def all_queries() -> dict[str, Query]:
         reshape,
         scale_ops,
         tpch_like,
+        tpch_like2,
         windows_ext,
     )
 
