@@ -75,6 +75,10 @@ class TableSpec:
     # partition-PRUNING; pick per table: pruning for point-lookup/merge
     # tables, native bucketing for join-heavy fact tables.
     native_bucketing: bool = False
+    # Versioned (snapshot) tables: immutable write dirs + JSON snapshot
+    # manifests (snapshots.py) → snapshot isolation, time travel, restore,
+    # vacuum. The SURVEY §7 "later Delta" tier, no lake-format dependency.
+    versioned: bool = False
 
     @property
     def physical_partitioning(self) -> list[str]:
@@ -117,11 +121,17 @@ class Engine:
         save: bool = True,
         format: str = "parquet",
         native_bucketing: bool = False,
+        versioned: bool = False,
     ) -> TableSpec:
         """CreateTable (``/root/reference/src/server.rs:92-135`` analog).
 
         save=False keeps the table in the in-memory tier — the gRPC server
         never persists either (``/root/reference/src/server.rs:68,73,87``).
+
+        versioned=True stores the table through the snapshot layer
+        (snapshots.py): immutable write dirs + manifest chain → snapshot
+        isolation, time travel (``table(name, version=...)``), ``restore``
+        and ``vacuum``.
         """
         spec = TableSpec(
             name=name,
@@ -131,7 +141,18 @@ class Engine:
             keys=list(keys or []),
             format=format,
             native_bucketing=native_bucketing,
+            versioned=versioned,
         )
+        if versioned:
+            if native_bucketing or not save or format != "parquet":
+                raise ValueError(
+                    "versioned tables require save=True, format='parquet', "
+                    "and no native_bucketing"
+                )
+            self.specs[name] = spec
+            self._write_versioned(self._with_layout(df, spec), spec, op="create")
+            self._register(name)
+            return spec
         if native_bucketing:
             if not spec.bucket_by or spec.partition_by or not save:
                 raise ValueError(
@@ -185,6 +206,28 @@ class Engine:
             f"LOCATION '{self._path(spec.name)}'"
         )
 
+    def _snapstore(self, name: str):
+        from polars_lake_spark.snapshots import SnapshotStore
+
+        return SnapshotStore(self._path(name))
+
+    def _write_versioned(self, df: DataFrame, spec: TableSpec, op: str):
+        """One immutable write dir + one snapshot commit (snapshots.py).
+        Writes never overwrite dirs a reader (or this plan's own input
+        scan) may hold — no localCheckpoint staging needed."""
+        store = self._snapstore(spec.name)
+        base = store.load() if store.versions() else None
+        wname, wpath = store.new_write_dir()
+        spec.schema_json = df.schema.json()
+        writer = df.write.mode("overwrite")
+        parts = spec.physical_partitioning
+        if parts:
+            writer = writer.partitionBy(*parts)
+        writer.option("compression", spec.compression).parquet(wpath)
+        snap = store.commit_write(wname, op, spec.schema_json, base=base)
+        self._write_manifest(spec)
+        return snap
+
     def _with_layout(self, df: DataFrame, spec: TableSpec) -> DataFrame:
         if spec.bucket_by:
             df = with_bucket_column(df, spec.bucket_by, spec.n_buckets)
@@ -237,13 +280,22 @@ class Engine:
             json.dump(asdict(spec), f, indent=2)
 
     # ------------------------------------------------------------------- read
-    def table(self, name: str) -> DataFrame:
-        """The table as a DataFrame (lazy scan or in-memory tier)."""
+    def table(self, name: str, version: int | None = None) -> DataFrame:
+        """The table as a DataFrame (lazy scan or in-memory tier).
+
+        ``version`` time-travels a versioned table to a past snapshot;
+        passing it for an unversioned table is an error."""
         if name in self._mem:
+            if version is not None:
+                raise ValueError(f"table {name} is in-memory; no versions")
             return self._mem[name]
         if name not in self.specs:
             self.load_table(name)
         spec = self.specs[name]
+        if spec.versioned:
+            return self._snapstore(name).read(self.spark, version)
+        if version is not None:
+            raise ValueError(f"table {name} is not versioned")
         if spec.native_bucketing:
             self._recreate_native_entry(spec)
             return self.spark.table(name)
@@ -327,7 +379,9 @@ class Engine:
         spec = self._guard_mutable(name)
         with self._lock(name):
             df = self._with_layout(df.select(*[c for c in df.columns]), spec)
-            if save and name not in self._mem:
+            if spec.versioned:
+                self._write_versioned(df, spec, op="append")
+            elif save and name not in self._mem:
                 self._write(df, spec, mode="append")
             else:
                 base = self._mem.get(name)
@@ -365,7 +419,22 @@ class Engine:
         with self._lock(name):
             new = self._with_layout(df, spec)
             old = self.table(name)
-            if save and name not in self._mem:
+            if spec.versioned:
+                parts = spec.physical_partitioning
+                if parts:
+                    old_slice = self._prune_to_touched(old, new, parts)
+                    merged = M.upsert(old_slice, new, keys, evolve=evolve)
+                    op = "replace"  # touched partitions move to the new dir
+                else:
+                    merged = M.upsert(old, new, keys, evolve=evolve)
+                    op = "rewrite"
+                if audit:
+                    merged = M.with_audit_columns(merged, created=False)
+                # No localCheckpoint staging: the write lands in a FRESH
+                # immutable dir, so the plan's input scans are never
+                # overwritten mid-query (the snapshot-isolation win).
+                self._write_versioned(merged, spec, op=op)
+            elif save and name not in self._mem:
                 parts = spec.physical_partitioning
                 if parts:
                     old_slice = self._prune_to_touched(old, new, parts)
@@ -400,7 +469,9 @@ class Engine:
             raise ValueError(f"no delete keys for table {name}")
         with self._lock(name):
             remaining = M.delete_keys(self.table(name), deletes, keys)
-            if name in self._mem or self.root is None:
+            if spec.versioned:
+                self._write_versioned(remaining, spec, op="rewrite")
+            elif name in self._mem or self.root is None:
                 self._mem[name] = remaining
             else:
                 self._write(
@@ -417,7 +488,9 @@ class Engine:
         keys = list(keys or spec.keys) or None
         with self._lock(name):
             deduped = self.table(name).dropDuplicates(keys)
-            if name in self._mem or self.root is None:
+            if spec.versioned:
+                self._write_versioned(deduped, spec, op="rewrite")
+            elif name in self._mem or self.root is None:
                 self._mem[name] = deduped
             else:
                 self._write(
@@ -502,10 +575,42 @@ class Engine:
                 df = df.repartition(*[F.col(c) for c in parts])
             else:
                 df = df.coalesce(n_files or 1)
-            self._write(
-                df.localCheckpoint(eager=True), spec, "overwrite", static_overwrite=True
-            )
+            if spec.versioned:
+                # Compaction folds every partition's dir list back to one
+                # write dir; old dirs stay until vacuum().
+                self._write_versioned(df, spec, op="rewrite")
+            else:
+                self._write(
+                    df.localCheckpoint(eager=True),
+                    spec,
+                    "overwrite",
+                    static_overwrite=True,
+                )
             self._register(name)
+
+    # ------------------------------------------------------ snapshot surface
+    def history(self, name: str) -> list[dict]:
+        """DESCRIBE HISTORY analog for a versioned table."""
+        if not self.specs[name].versioned:
+            raise ValueError(f"table {name} is not versioned")
+        return self._snapstore(name).history()
+
+    def restore(self, name: str, version: int) -> None:
+        """Roll a versioned table back to a past snapshot (as a NEW
+        version — history is preserved)."""
+        if not self.specs[name].versioned:
+            raise ValueError(f"table {name} is not versioned")
+        with self._lock(name):
+            self._snapstore(name).restore(version)
+            self._register(name)
+
+    def vacuum(self, name: str, keep_last: int = 1) -> dict:
+        """Delete write dirs unreferenced by the newest ``keep_last``
+        snapshots (and the expired snapshot manifests)."""
+        if not self.specs[name].versioned:
+            raise ValueError(f"table {name} is not versioned")
+        with self._lock(name):
+            return self._snapstore(name).vacuum(keep_last)
 
     def tables(self) -> list[str]:
         """SHOW TABLES analog (SURVEY §2.c DDL-ish row)."""
@@ -548,4 +653,7 @@ class Engine:
             "partition_by": spec.partition_by,
             "bucket_by": spec.bucket_by,
             "keys": spec.keys,
+            "version": (
+                self._snapstore(name).latest_version() if spec.versioned else None
+            ),
         }

@@ -200,3 +200,75 @@ def audit_columns(spark, sf_dir):
         orders.select("o_orderkey", "o_orderstatus"), ts="2026-01-01 00:00:00"
     )
     return stamped
+
+
+@register(
+    "time_travel_upsert",
+    oracle="""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+    v1 AS (
+        SELECT 'v1' AS snapshot, o_orderstatus, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM base GROUP BY o_orderstatus
+    ),
+    v2 AS (
+        SELECT 'v2' AS snapshot, o_orderstatus, COUNT(*) AS n_orders,
+               ROUND(SUM(CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 2
+                              ELSE o_totalprice END), 2) AS total
+        FROM base GROUP BY o_orderstatus
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """,
+)
+def time_travel_upsert(spark, sf_dir):
+    """End-to-end snapshot-layer roundtrip (snapshots.py): create a
+    versioned table, upsert a repricing batch, then aggregate BOTH the
+    pre-upsert snapshot (time travel to v1) and the current one.  The
+    oracle replays v1 as the raw subset and v2 as the CASE-repriced
+    subset — matching both proves the snapshot mapping replaces exactly
+    the touched partitions and old dirs stay intact.
+
+    The result is collected (bounded: #status × 2 rows) so the temp
+    store can be removed eagerly; everything before the final aggregate
+    is distributed."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="pls_tt_")
+    try:
+        eng = Engine(spark, root)
+        base = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 3 == 0
+        )
+        eng.create_table(
+            "tt_orders",
+            base,
+            partition_by=["o_orderstatus"],
+            keys=["o_orderkey"],
+            versioned=True,
+        )
+        batch = base.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        eng.upsert("tt_orders", batch)
+
+        def snap_agg(df, label):
+            return df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            ).select(
+                F.lit(label).alias("snapshot"),
+                "o_orderstatus",
+                "n_orders",
+                "total",
+            )
+
+        out = snap_agg(eng.table("tt_orders", version=1), "v1").unionByName(
+            snap_agg(eng.table("tt_orders"), "v2")
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

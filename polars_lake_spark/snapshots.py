@@ -1,0 +1,250 @@
+"""Snapshot layer: Iceberg/Delta-style versioned tables over plain Parquet.
+
+The unversioned Engine layout mutates partition directories in place
+(dynamic partition overwrite), which — as engine.py documents — has no
+snapshot isolation for read-during-rewrite.  This module removes that
+divergence without any lake-format dependency (none ships in this
+container): a versioned table is a set of IMMUTABLE write directories plus
+a chain of JSON snapshot manifests mapping each hive partition path to the
+write dir(s) that own its current data.
+
+Layout for table ``t``::
+
+    root/t/_manifest.json              # TableSpec (versioned=true)
+    root/t/_snapshots/v000001.json     # one manifest per committed version
+    root/t/data/w000001/...            # immutable write dirs (hive layout)
+
+Snapshot manifest::
+
+    {"version": 3, "op": "upsert", "ts_ns": ..., "schema_json": "...",
+     "mapping": {"o_orderstatus=F/bucket_id=0": ["w000001", "w000003"]}}
+
+Semantics:
+
+* every write lands in a FRESH ``wNNNNNN`` dir — old dirs are never
+  touched, so a reader holding version N sees a consistent table while any
+  number of later writes commit (snapshot isolation, read-your-version);
+* append  = add the new dir to each touched partition's list;
+* upsert / delete / compact = replace touched partitions' lists with the
+  single new dir;
+* time travel = read any retained version; restore = commit a new version
+  whose mapping is a past one; vacuum = delete write dirs unreferenced by
+  retained versions.
+
+100 TB design: all snapshot operations are DRIVER-SIDE METADATA — O(touched
+partitions) JSON, no data movement.  Reads are explicit file-list scans
+(one union branch per write dir, each with its own basePath so partition
+values parse), which at scale is *cheaper* than directory discovery: no
+recursive listing storms on object stores, and partition pruning works on
+the explicit paths.  Commits are atomic via temp-file + ``os.rename``.
+
+The reference has no versioning at all (its manifest is a single mutable
+spec, ``/root/reference/src/dataset.rs:337-358``); this is the
+``SURVEY.md §7`` "later Delta" tier built directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+
+SNAP_DIR = "_snapshots"
+DATA_DIR = "data"
+
+
+@dataclass
+class Snapshot:
+    version: int
+    op: str
+    ts_ns: int
+    schema_json: str | None
+    # hive partition rel-path ("" for unpartitioned) -> ordered write dirs
+    mapping: dict[str, list[str]]
+
+
+def _partition_relpaths(write_dir: str) -> list[str]:
+    """Hive partition rel-paths containing parquet files under a write dir
+    ('' for unpartitioned). Driver-side walk of ONE new dir — O(its parts)."""
+    found = set()
+    for cur, _dirs, files in os.walk(write_dir):
+        if any(f.endswith(".parquet") for f in files):
+            found.add(os.path.relpath(cur, write_dir).replace(os.sep, "/"))
+    return sorted("" if p == "." else p for p in found)
+
+
+class SnapshotStore:
+    """Snapshot bookkeeping for one versioned table directory."""
+
+    def __init__(self, table_path: str):
+        self.table_path = table_path
+        self.snap_path = os.path.join(table_path, SNAP_DIR)
+        self.data_path = os.path.join(table_path, DATA_DIR)
+
+    # ------------------------------------------------------------- inventory
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.snap_path):
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.snap_path)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise ValueError(f"no snapshots under {self.snap_path}")
+        return vs[-1]
+
+    def load(self, version: int | None = None) -> Snapshot:
+        v = self.latest_version() if version is None else version
+        path = os.path.join(self.snap_path, f"v{v:06d}.json")
+        if not os.path.isfile(path):
+            raise ValueError(f"version {v} not found (have {self.versions()})")
+        with open(path) as f:
+            return Snapshot(**json.load(f))
+
+    def history(self) -> list[dict]:
+        out = []
+        for v in self.versions():
+            s = self.load(v)
+            out.append(
+                {
+                    "version": s.version,
+                    "op": s.op,
+                    "ts_ns": s.ts_ns,
+                    "n_partitions": len(s.mapping),
+                    "write_dirs": sorted({w for ws in s.mapping.values() for w in ws}),
+                }
+            )
+        return out
+
+    # --------------------------------------------------------------- writing
+    def new_write_dir(self) -> tuple[str, str]:
+        """(dir name, absolute path) for the next immutable write dir."""
+        os.makedirs(self.data_path, exist_ok=True)
+        existing = [
+            int(d[1:]) for d in os.listdir(self.data_path) if d.startswith("w")
+        ]
+        n = (max(existing) + 1) if existing else 1
+        name = f"w{n:06d}"
+        return name, os.path.join(self.data_path, name)
+
+    def commit(
+        self, mapping: dict[str, list[str]], op: str, schema_json: str | None
+    ) -> Snapshot:
+        """Atomically write the next snapshot manifest."""
+        os.makedirs(self.snap_path, exist_ok=True)
+        vs = self.versions()
+        v = (vs[-1] + 1) if vs else 1
+        snap = Snapshot(
+            version=v,
+            op=op,
+            ts_ns=time.time_ns(),
+            schema_json=schema_json,
+            mapping=mapping,
+        )
+        tmp = os.path.join(self.snap_path, f".v{v:06d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(snap.__dict__, f, indent=1)
+        os.rename(tmp, os.path.join(self.snap_path, f"v{v:06d}.json"))
+        return snap
+
+    def commit_write(
+        self,
+        write_name: str,
+        op: str,
+        schema_json: str | None,
+        *,
+        base: Snapshot | None = None,
+    ) -> Snapshot:
+        """Fold a completed write dir into the next snapshot.
+
+        op='create'/'rewrite': mapping = exactly the new dir's partitions.
+        op='append': new dir's partitions appended to the base mapping.
+        op='replace' (upsert): new dir's partitions REPLACE their base
+        entries; untouched partitions carry over.
+        """
+        new_parts = _partition_relpaths(os.path.join(self.data_path, write_name))
+        if op in ("create", "rewrite"):
+            mapping = {p: [write_name] for p in new_parts}
+        else:
+            assert base is not None, f"op={op} needs a base snapshot"
+            mapping = {p: list(ws) for p, ws in base.mapping.items()}
+            if op == "append":
+                for p in new_parts:
+                    mapping.setdefault(p, []).append(write_name)
+            elif op == "replace":
+                for p in new_parts:
+                    mapping[p] = [write_name]
+            else:
+                raise ValueError(f"unknown snapshot op: {op}")
+        return self.commit(mapping, op, schema_json)
+
+    # --------------------------------------------------------------- reading
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The table at a version, as one DataFrame.
+
+        One scan per write dir (each needs its own basePath so hive
+        partition values parse), unioned by name with missing columns
+        allowed — write dirs from before a schema evolution contribute
+        NULLs for later columns, exactly like the unversioned read path.
+        """
+        snap = self.load(version)
+        by_wdir: dict[str, list[str]] = {}
+        for ppath, wdirs in snap.mapping.items():
+            for w in wdirs:
+                by_wdir.setdefault(w, []).append(ppath)
+        if not by_wdir:
+            raise ValueError(f"version {snap.version} maps no data")
+        scans = []
+        for wdir in sorted(by_wdir):
+            base = os.path.join(self.data_path, wdir)
+            ppaths = by_wdir[wdir]
+            if ppaths == [""]:
+                scans.append(spark.read.parquet(base))
+            else:
+                scans.append(
+                    spark.read.option("basePath", base).parquet(
+                        *[os.path.join(base, p) for p in ppaths]
+                    )
+                )
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), scans
+        )
+
+    # ----------------------------------------------------------- maintenance
+    def restore(self, version: int) -> Snapshot:
+        """Roll the table back: commit a NEW version with an old mapping
+        (history is preserved — restore is itself an audited operation)."""
+        past = self.load(version)
+        return self.commit(past.mapping, f"restore_v{version}", past.schema_json)
+
+    def vacuum(self, keep_last: int = 1) -> dict:
+        """Drop snapshots older than the newest ``keep_last`` and delete
+        write dirs no retained snapshot references.  Readers of retained
+        versions are unaffected (their dirs survive by definition)."""
+        vs = self.versions()
+        keep = set(vs[-keep_last:]) if keep_last > 0 else set(vs)
+        referenced: set[str] = set()
+        for v in keep:
+            for ws in self.load(v).mapping.values():
+                referenced.update(ws)
+        removed_dirs = []
+        if os.path.isdir(self.data_path):
+            for d in sorted(os.listdir(self.data_path)):
+                if d.startswith("w") and d not in referenced:
+                    shutil.rmtree(os.path.join(self.data_path, d))
+                    removed_dirs.append(d)
+        removed_versions = []
+        for v in vs:
+            if v not in keep:
+                os.remove(os.path.join(self.snap_path, f"v{v:06d}.json"))
+                removed_versions.append(v)
+        return {"removed_dirs": removed_dirs, "removed_versions": removed_versions}

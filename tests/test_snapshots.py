@@ -1,0 +1,184 @@
+"""Versioned (snapshot) tables: time travel, snapshot isolation during
+rewrite, append/replace mapping semantics, restore, vacuum.
+
+The capability the unversioned layout explicitly documents as missing
+(engine.py: "no snapshot isolation for read-during-rewrite — Delta/Iceberg
+territory") — implemented in snapshots.py with no lake-format dependency.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from polars_lake_spark import Engine
+from polars_lake_spark.sources import load_table
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path))
+
+
+def _orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+def _make(engine, spark, sf_dir, **kw):
+    o = _orders(spark, sf_dir)
+    engine.create_table(
+        "vorders",
+        o,
+        partition_by=["o_orderstatus"],
+        keys=["o_orderkey"],
+        versioned=True,
+        **kw,
+    )
+    return o
+
+
+def test_create_and_read_latest(engine, spark, sf_dir):
+    o = _make(engine, spark, sf_dir)
+    got = engine.table("vorders")
+    assert got.count() == o.count()
+    assert set(got.columns) == set(o.columns)
+    assert engine.table_info("vorders")["version"] == 1
+
+
+def test_upsert_creates_version_and_time_travel(engine, spark, sf_dir):
+    o = _make(engine, spark, sf_dir)
+    n0 = o.count()
+    batch = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    engine.upsert("vorders", batch)
+
+    v1 = engine.table("vorders", version=1)
+    v2 = engine.table("vorders")
+    assert v1.count() == n0 and v2.count() == n0
+    # v1 is the pre-upsert table; v2 has doubled prices on the batch keys
+    s1 = v1.filter(F.col("o_orderkey") % 10 == 0).agg(F.sum("o_totalprice")).first()[0]
+    s2 = v2.filter(F.col("o_orderkey") % 10 == 0).agg(F.sum("o_totalprice")).first()[0]
+    assert abs(s2 - 2 * s1) < 1e-6 * abs(s2)
+    # untouched keys identical across versions
+    u1 = v1.filter(F.col("o_orderkey") % 10 != 0).agg(F.sum("o_totalprice")).first()[0]
+    u2 = v2.filter(F.col("o_orderkey") % 10 != 0).agg(F.sum("o_totalprice")).first()[0]
+    assert u1 == u2
+
+    hist = engine.history("vorders")
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["op"] == "create" and hist[1]["op"] == "replace"
+
+
+def test_reader_isolated_from_concurrent_rewrite(engine, spark, sf_dir):
+    """A DataFrame pinned to a version keeps returning the same answer
+    while later writes commit — the read-during-rewrite hazard of the
+    in-place layout cannot occur (old dirs are immutable)."""
+    o = _make(engine, spark, sf_dir)
+    reader = engine.table("vorders", version=1)
+    before = reader.agg(F.sum("o_totalprice")).first()[0]
+    for i in range(2):
+        batch = o.filter(F.col("o_orderkey") % 5 == i).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000.0
+        )
+        engine.upsert("vorders", batch)
+    # same plan, re-executed AFTER two rewrites of its partitions
+    after = reader.agg(F.sum("o_totalprice")).first()[0]
+    assert before == after
+    assert engine.table_info("vorders")["version"] == 3
+
+
+def test_insert_appends_dirs(engine, spark, sf_dir):
+    o = _make(engine, spark, sf_dir)
+    n0 = o.count()
+    extra = o.limit(100).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 50_000_000
+    )
+    engine.insert("vorders", extra)
+    assert engine.table("vorders").count() == n0 + 100
+    assert engine.table("vorders", version=1).count() == n0
+    assert engine.history("vorders")[-1]["op"] == "append"
+
+
+def test_delete_rewrites_and_preserves_history(engine, spark, sf_dir):
+    o = _make(engine, spark, sf_dir)
+    n0 = o.count()
+    doomed = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    nf = doomed.count()
+    engine.delete("vorders", doomed)
+    now = engine.table("vorders")
+    assert now.count() == n0 - nf
+    assert now.filter(F.col("o_orderstatus") == "F").count() == 0
+    # the pre-delete snapshot still has every row
+    assert engine.table("vorders", version=1).count() == n0
+
+
+def test_restore_rolls_back_as_new_version(engine, spark, sf_dir):
+    o = _make(engine, spark, sf_dir)
+    batch = o.limit(50).withColumn("o_totalprice", F.lit(0.0))
+    engine.upsert("vorders", batch)
+    engine.restore("vorders", 1)
+    assert engine.table_info("vorders")["version"] == 3
+    s_now = engine.table("vorders").agg(F.sum("o_totalprice")).first()[0]
+    s_v1 = engine.table("vorders", version=1).agg(F.sum("o_totalprice")).first()[0]
+    assert s_now == s_v1
+
+
+def test_vacuum_drops_unreferenced_dirs_keeps_current(engine, spark, sf_dir, tmp_path):
+    o = _make(engine, spark, sf_dir)
+    n0 = o.count()
+    for i in range(2):
+        batch = o.filter(F.col("o_orderkey") % 3 == i).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1.0
+        )
+        engine.upsert("vorders", batch)
+    engine.compact("vorders")  # folds all partitions into one new dir
+    data_dir = os.path.join(str(tmp_path), "vorders", "data")
+    n_dirs_before = len(os.listdir(data_dir))
+    report = engine.vacuum("vorders", keep_last=1)
+    assert report["removed_dirs"], "vacuum should drop pre-compaction dirs"
+    assert len(os.listdir(data_dir)) < n_dirs_before
+    # current version unaffected
+    assert engine.table("vorders").count() == n0
+    # expired versions are gone
+    with pytest.raises(ValueError):
+        engine.table("vorders", version=1)
+
+
+def test_schema_evolution_across_versions(engine, spark, sf_dir):
+    o = _make(engine, spark, sf_dir)
+    evolved = (
+        o.limit(20)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5.0)
+        .withColumn("o_channel", F.lit("web"))
+    )
+    engine.upsert("vorders", evolved, evolve=True)
+    now = engine.table("vorders")
+    assert "o_channel" in now.columns
+    # rows from untouched (pre-evolution) dirs read as NULL
+    assert now.filter(F.col("o_channel").isNull()).count() > 0
+    # time travel to v1 yields the pre-evolution schema
+    assert "o_channel" not in engine.table("vorders", version=1).columns
+
+
+def test_fresh_engine_loads_versioned_table(engine, spark, sf_dir, tmp_path):
+    o = _make(engine, spark, sf_dir)
+    engine.upsert(
+        "vorders", o.limit(10).withColumn("o_totalprice", F.lit(1.0))
+    )
+    e2 = Engine(spark, str(tmp_path))
+    assert e2.load_all() == ["vorders"]
+    assert e2.specs["vorders"].versioned
+    assert e2.table("vorders").count() == o.count()
+    assert e2.table("vorders", version=1).count() == o.count()
+
+
+def test_versioned_rejects_bad_combos(engine, spark, sf_dir):
+    o = _orders(spark, sf_dir)
+    with pytest.raises(ValueError):
+        engine.create_table("v1", o, versioned=True, save=False)
+    with pytest.raises(ValueError):
+        engine.create_table("v2", o, versioned=True, format="csv")
+    engine.create_table("plain", o, keys=["o_orderkey"])
+    with pytest.raises(ValueError):
+        engine.table("plain", version=1)
