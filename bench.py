@@ -162,8 +162,16 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         # Storage hygiene between measurements: operators that persist
         # intermediates (shingle sets, IVF centroids) must not bleed
-        # executor memory into later queries' timings.
+        # executor memory into later queries' timings.  clearCache drops
+        # SQL-cached relations; the GC pair lets ContextCleaner reap
+        # localCheckpoint blocks from iterative operators (k-means,
+        # connected components), which clearCache cannot see — measured
+        # 3-6× tail-query slowdown when they accumulate.
         spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     timings.update(lifecycle_bench(spark, sf_dir))
 

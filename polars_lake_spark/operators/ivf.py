@@ -19,17 +19,50 @@ from pyspark.sql.window import Window
 from polars_lake_spark.operators.similarity import as_double, dot, norm
 
 
+# Above this many centroid elements (k × dim) the literal-inline plan
+# would bloat; fall back to the broadcast crossJoin + grouped argmax.
+MAX_LITERAL_CENTROID_ELEMS = 32_768
+
+
 def _assign(vectors: DataFrame, centroids: DataFrame, vec: str = "v") -> DataFrame:
-    """Nearest-centroid assignment by cosine (broadcast centroids)."""
+    """Nearest-centroid assignment by cosine.
+
+    A coarse quantizer is SMALL by design (k cells × dim floats), so the
+    default path collects it and inlines the centroids as plan literals:
+    the assignment becomes a pure map-side projection — no crossJoin row
+    blowup, no per-id shuffle at all (the previous window formulation
+    shuffled the k×N scored relation).  Quantizers past
+    MAX_LITERAL_CENTROID_ELEMS use broadcast crossJoin + grouped argmax
+    (one shuffle, still never a window over the full relation)."""
+    rows = sorted(centroids.collect(), key=lambda r: r.cell_id)
+    dim = len(rows[0].cv)
+    if len(rows) * dim <= MAX_LITERAL_CENTROID_ELEMS:
+        entries = []
+        for r in rows:
+            cv = F.array(*[F.lit(float(x)) for x in r.cv])
+            sim = dot(F.col(vec), cv) / (F.col("nrm") * F.lit(float(r.cnrm)))
+            # lexicographic max over (sim, -cell_id) = best sim, ties to
+            # the smallest cell id — deterministic
+            entries.append(
+                F.struct(
+                    sim.alias("sim"), F.lit(-r.cell_id).cast("int").alias("negc")
+                )
+            )
+        best = F.array_max(F.array(*entries))
+        return vectors.withColumn("cell_id", (-best["negc"]).cast("int"))
     scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
         "sim", dot(F.col(vec), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
     )
-    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cell_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "cv", "cnrm", "sim")
-    )
+    others = [c for c in vectors.columns if c != "id"]
+    return scored.groupBy("id").agg(
+        F.max_by(
+            F.col("cell_id"),
+            F.struct(F.col("sim"), (-F.col("cell_id")).alias("negc")),
+        ).alias("cell_id"),
+        # non-id vector columns are functionally dependent on id — any
+        # value is THE value
+        *[F.any_value(c).alias(c) for c in others],
+    ).select("id", *others, "cell_id")
 
 
 def train_ivf(
@@ -61,22 +94,20 @@ def train_ivf(
         [(i, list(r.v), float(r.nrm)) for i, r in enumerate(seed_rows)],
         "cell_id int, cv array<double>, cnrm double",
     )
+    dim = len(seed_rows[0].v)
     for _ in range(iters):
         assigned = _assign(vecs, centroids)
-        # mean vector per cell: aggregate element-wise sums then divide
-        sums = assigned.select(
-            "cell_id", F.posexplode("v").alias("pos", "x")
-        ).groupBy("cell_id", "pos").agg(F.sum("x").alias("sx"), F.count("*").alias("cnt"))
-        centroids = (
-            sums.withColumn("m", F.col("sx") / F.col("cnt"))
-            .groupBy("cell_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                "cell_id",
-                F.transform(F.col("pm"), lambda s: s["m"]).alias("cv"),
-            )
-            .withColumn("cnrm", norm(F.col("cv")))
+        # mean vector per cell: one grouped aggregate with a sum per
+        # dimension (map-side partials, k×dim result) — replaces the
+        # posexplode formulation that shuffled N×dim rows per iteration.
+        sums = assigned.groupBy("cell_id").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
         )
+        centroids = sums.select(
+            "cell_id",
+            F.array(*[F.col(f"s{i}") / F.col("cnt") for i in range(dim)]).alias("cv"),
+        ).withColumn("cnrm", norm(F.col("cv")))
     return centroids
 
 

@@ -126,3 +126,58 @@ def test_upsert_partitioned_scans_only_touched(spark, tmp_path):
     got = engine.table("t")
     assert got.count() == 100
     assert {r.v for r in got.filter(F.col("k").isin(2, 7)).collect()} == {999}
+
+
+def test_q6_scan_agg_pushdown(spark, sf_dir):
+    """Q6 is the canonical pushdown query: discount/quantity predicates
+    must reach the Parquet scan, and the single-row aggregate must be a
+    map-side partial."""
+    df = all_queries()["q6_forecast_revenue"].fn(spark, sf_dir)
+    plan = formatted(df)
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters: ")[1:]]
+    assert any("l_discount" in s and "l_quantity" in s for s in pushed), pushed
+    assert "partial_sum" in plan_of(df)
+    # only the 4 referenced columns are read
+    rs = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_orderkey" not in rs and "l_extendedprice" in rs
+
+
+def test_q8_broadcasts_all_dims(spark, sf_dir):
+    """Six-table star: supplier + both nation scans + region ride
+    broadcast joins; the fact-side joins never broadcast lineitem."""
+    df = all_queries()["q8_market_share"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    """EXISTS must compile to a LeftSemi hash join, not a fan-out join +
+    dedup."""
+    plan = plan_of(all_queries()["q4_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_threshold_is_broadcast_not_collect(spark, sf_dir):
+    """Q11/Q15/Q22-style scalar thresholds attach via a broadcast
+    1-row cross join — one distributed plan, no driver round-trip."""
+    for name in ("q11_important_parts", "q15_top_supplier", "q22_idle_customers"):
+        plan = plan_of(all_queries()[name].fn(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, name
+
+
+def test_ivf_assignment_is_map_side(spark, sf_dir):
+    """The literal-centroid assignment adds NO shuffle: assigning cells to
+    the corpus is exchange-free past the quantizer training."""
+    from polars_lake_spark.operators.ivf import _assign, train_ivf
+    from polars_lake_spark.operators.similarity import as_double, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf(emb, k=4, iters=1)
+    vecs = emb.select(
+        F.col("vec_id").alias("id"), as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    plan = plan_of(_assign(vecs, cents))
+    assert "Exchange" not in plan
