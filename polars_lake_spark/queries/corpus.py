@@ -113,3 +113,61 @@ def pack_sequences_query(spark, sf_dir):
     return packed.select(
         "doc_id", "shard", F.col("tokens").cast("bigint").alias("tokens"), "pack_id"
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM t),
+    tf AS (SELECT doc_id, w, COUNT(*) AS c FROM toks WHERE w <> ''
+           GROUP BY doc_id, w),
+    dfreq AS (SELECT w, COUNT(*) AS dfreq FROM tf GROUP BY w),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf)
+    SELECT doc_id, w AS term,
+           ROUND(c * (LN((n_docs + 1.0) / (dfreq + 1.0)) + 1), 6) AS tfidf
+    FROM tf JOIN dfreq USING (w) CROSS JOIN n
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY doc_id
+        ORDER BY ROUND(c * (LN((n_docs + 1.0) / (dfreq + 1.0)) + 1), 6) DESC, w
+    ) <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms (functions/text.py:tfidf_top_terms):
+    the canonical corpus-weighting operator — scores rounded before
+    ranking so the order is engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+@register(
+    "text_pmi_bigrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+               FROM documents),
+    uni AS (SELECT w, COUNT(*) AS cw
+            FROM (SELECT unnest(ws) AS w FROM t) WHERE w <> '' GROUP BY w),
+    bi AS (SELECT b, COUNT(*) AS cb
+           FROM (SELECT unnest(list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i+1])) AS b FROM t)
+           GROUP BY b HAVING COUNT(*) >= 5),
+    nu AS (SELECT SUM(cw) AS n_uni FROM uni),
+    nb AS (SELECT SUM(cb) AS n_bi FROM bi)
+    SELECT b AS bigram, cb,
+           ROUND(LN((cb / n_bi) /
+                 ((u1.cw / n_uni) * (u2.cw / n_uni))), 6) AS pmi
+    FROM bi
+    JOIN uni u1 ON u1.w = string_split(b, ' ')[1]
+    JOIN uni u2 ON u2.w = string_split(b, ' ')[2]
+    CROSS JOIN nu CROSS JOIN nb
+    ORDER BY pmi DESC, bigram
+    LIMIT 25
+    """,
+)
+def text_pmi_bigrams(spark, sf_dir):
+    """Top collocations by pointwise mutual information
+    (functions/text.py:pmi_bigrams) — adjacent-pair counts vs unigram
+    marginals, rare-bigram noise guard, fully distributed."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.pmi_bigrams(docs, "doc_id", "text", min_count=5, top=25)

@@ -684,3 +684,73 @@ def approx_distinct(spark, sf_dir):
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
     )
+
+
+@register(
+    "exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+           ROUND(quantile_cont(l_quantity, 0.50), 4) AS qty_median
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def exact_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (SQL PERCENTILE_CONT semantics in
+    both engines). The approx sketch variant stays rows-only
+    (approx_distinct); this is the oracled exact path."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.90)), 4).alias("p90"),
+            F.round(F.percentile("l_quantity", F.lit(0.50)), 4).alias("qty_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "window_range_frames",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW), 2)
+               AS rolling_30d,
+           NTILE(4) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+               AS quartile,
+           ROUND(PERCENT_RANK() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 8)
+               AS pct_rank,
+           ROUND(LAG(o_totalprice, 1, 0.0) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS prev_price
+    FROM orders WHERE o_custkey % 20 = 0
+    """,
+)
+def window_range_frames(spark, sf_dir):
+    """Value-RANGE window frames (30-day rolling sum via epoch-second
+    range bounds — peers included identically in both engines), plus
+    ntile/percent_rank/lag on fully-deterministic orders."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    ts = F.to_date("o_orderdate").cast("timestamp").cast("long")
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(ts)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w_range), 2).alias("rolling_30d"),
+        F.ntile(4).over(w_rank).alias("quartile"),
+        F.round(F.percent_rank().over(w_rank), 8).alias("pct_rank"),
+        F.round(F.lag("o_totalprice", 1, 0.0).over(w_seq), 2).alias("prev_price"),
+    )
