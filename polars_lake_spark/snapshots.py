@@ -58,6 +58,13 @@ SNAP_DIR = "_snapshots"
 DATA_DIR = "data"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed a snapshot since this transaction read its
+    base version. The losing transaction must re-read and re-apply (its
+    merge may have been computed against stale data) — classic optimistic
+    concurrency, same contract as Delta/Iceberg commit conflicts."""
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -137,12 +144,27 @@ class SnapshotStore:
         return name, os.path.join(self.data_path, name)
 
     def commit(
-        self, mapping: dict[str, list[str]], op: str, schema_json: str | None
+        self,
+        mapping: dict[str, list[str]],
+        op: str,
+        schema_json: str | None,
+        *,
+        expected_base: int | None = None,
     ) -> Snapshot:
-        """Atomically write the next snapshot manifest."""
+        """Atomically publish the next snapshot manifest with optimistic
+        concurrency: the manifest file is created via hard-link (fails if
+        the version already exists — no silent lost update between
+        processes), and ``expected_base`` rejects commits whose
+        transaction read a version that is no longer latest."""
         os.makedirs(self.snap_path, exist_ok=True)
         vs = self.versions()
-        v = (vs[-1] + 1) if vs else 1
+        latest = vs[-1] if vs else None
+        if expected_base is not None and latest != expected_base:
+            raise ConcurrentCommitError(
+                f"commit based on v{expected_base} but latest is v{latest}: "
+                "another writer committed first; re-read and re-apply"
+            )
+        v = (latest + 1) if latest else 1
         snap = Snapshot(
             version=v,
             op=op,
@@ -150,10 +172,18 @@ class SnapshotStore:
             schema_json=schema_json,
             mapping=mapping,
         )
-        tmp = os.path.join(self.snap_path, f".v{v:06d}.json.tmp")
+        tmp = os.path.join(self.snap_path, f".v{v:06d}.json.tmp{os.getpid()}")
         with open(tmp, "w") as f:
             json.dump(snap.__dict__, f, indent=1)
-        os.rename(tmp, os.path.join(self.snap_path, f"v{v:06d}.json"))
+        final = os.path.join(self.snap_path, f"v{v:06d}.json")
+        try:
+            os.link(tmp, final)  # atomic create-if-absent (rename replaces)
+        except FileExistsError as e:
+            raise ConcurrentCommitError(
+                f"version v{v} was concurrently committed by another writer"
+            ) from e
+        finally:
+            os.remove(tmp)
         return snap
 
     def commit_write(
@@ -185,7 +215,12 @@ class SnapshotStore:
                     mapping[p] = [write_name]
             else:
                 raise ValueError(f"unknown snapshot op: {op}")
-        return self.commit(mapping, op, schema_json)
+        return self.commit(
+            mapping,
+            op,
+            schema_json,
+            expected_base=base.version if base is not None else None,
+        )
 
     # --------------------------------------------------------------- reading
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -224,7 +259,12 @@ class SnapshotStore:
         """Roll the table back: commit a NEW version with an old mapping
         (history is preserved — restore is itself an audited operation)."""
         past = self.load(version)
-        return self.commit(past.mapping, f"restore_v{version}", past.schema_json)
+        return self.commit(
+            past.mapping,
+            f"restore_v{version}",
+            past.schema_json,
+            expected_base=self.latest_version(),
+        )
 
     def vacuum(self, keep_last: int = 1) -> dict:
         """Drop snapshots older than the newest ``keep_last`` and delete

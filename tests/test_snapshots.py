@@ -182,3 +182,33 @@ def test_versioned_rejects_bad_combos(engine, spark, sf_dir):
     engine.create_table("plain", o, keys=["o_orderkey"])
     with pytest.raises(ValueError):
         engine.table("plain", version=1)
+
+
+def test_concurrent_commit_conflict_detected(engine, spark, sf_dir, tmp_path):
+    """Two Engine instances over the same root: the writer whose
+    transaction read a stale base must get ConcurrentCommitError, never a
+    silent lost update."""
+    from polars_lake_spark.snapshots import ConcurrentCommitError, SnapshotStore
+
+    o = _make(engine, spark, sf_dir)
+    store = SnapshotStore(os.path.join(str(tmp_path), "vorders"))
+    stale_base = store.load()  # v1
+
+    # another writer lands v2
+    e2 = Engine(spark, str(tmp_path))
+    e2.load_all()
+    e2.upsert("vorders", o.limit(5).withColumn("o_totalprice", F.lit(9.0)))
+    assert store.latest_version() == 2
+
+    # replaying a write against the stale base must fail
+    wname, wpath = store.new_write_dir()
+    os.makedirs(os.path.join(wpath, "o_orderstatus=F"), exist_ok=True)
+    with open(os.path.join(wpath, "o_orderstatus=F", "x.parquet"), "wb") as f:
+        f.write(b"")
+    with pytest.raises(ConcurrentCommitError):
+        store.commit_write(wname, "replace", None, base=stale_base)
+
+    # and a direct same-version race (rename would silently replace;
+    # link must refuse)
+    with pytest.raises(ConcurrentCommitError):
+        store.commit(stale_base.mapping, "replace", None, expected_base=1)
