@@ -49,6 +49,13 @@ HEADLINE = [
     "sample_hash",
     "pack_sequences",
     "multimodal_image_features",
+    # r2 later additions (appended — earlier entries stay attributable)
+    "q6_forecast_revenue",
+    "q13_customer_distribution",
+    "text_tfidf_top_terms",
+    "window_range_frames",
+    "exact_percentiles",
+    "time_travel_upsert",
 ]
 
 

@@ -612,6 +612,72 @@ class Engine:
         with self._lock(name):
             return self._snapstore(name).vacuum(keep_last)
 
+    def changes(
+        self,
+        name: str,
+        from_version: int,
+        to_version: int | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Change feed between two snapshots (Delta CDF analog): one row
+        per key whose content differs, tagged ``_change_type`` in
+        {insert, update, delete}.  Computed as a keyed full-outer diff of
+        the two version reads — both sides are explicit file-list scans,
+        so the cost is two scans + one shuffle on the keys regardless of
+        how many intermediate versions exist."""
+        spec = self.specs[name]
+        if not spec.versioned:
+            raise ValueError(f"table {name} is not versioned")
+        keys = list(keys or spec.keys)
+        if not keys:
+            raise ValueError(f"no keys for table {name}")
+        old = self.table(name, from_version)
+        new = self.table(name, to_version)
+        # diff over the union of columns; version-specific columns (schema
+        # evolution) compare as NULL on the missing side
+        cols = list(dict.fromkeys(old.columns + new.columns))
+        o = old.select(
+            *[
+                (F.col(c) if c in old.columns else F.lit(None)).alias(c)
+                for c in cols
+            ]
+        ).alias("o")
+        n = new.select(
+            *[
+                (F.col(c) if c in new.columns else F.lit(None)).alias(c)
+                for c in cols
+            ]
+        ).alias("n")
+        o = o.withColumn("_o_present", F.lit(True)).alias("o")
+        n = n.withColumn("_n_present", F.lit(True)).alias("n")
+        cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+        joined = o.join(n, cond, "full_outer")
+        non_keys = [c for c in cols if c not in keys]
+        o_first_key = F.col("o._o_present")
+        n_first_key = F.col("n._n_present")
+        same = F.struct(*[F.col(f"o.{c}") for c in non_keys]).eqNullSafe(
+            F.struct(*[F.col(f"n.{c}") for c in non_keys])
+        )
+        change = (
+            F.when(o_first_key.isNull(), F.lit("insert"))
+            .when(n_first_key.isNull(), F.lit("delete"))
+            .when(~same, F.lit("update"))
+        )
+        out_cols = [
+            F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
+        ] + [
+            # deleted rows surface their OLD values; inserts/updates the new
+            F.when(n_first_key.isNull(), F.col(f"o.{c}"))
+            .otherwise(F.col(f"n.{c}"))
+            .alias(c)
+            for c in non_keys
+        ]
+        return (
+            joined.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*out_cols, "_change_type")
+        )
+
     def tables(self) -> list[str]:
         """SHOW TABLES analog (SURVEY §2.c DDL-ish row)."""
         return sorted(self.specs)

@@ -272,3 +272,62 @@ def time_travel_upsert(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "cdc_changes",
+    oracle="""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(o_totalprice + 10, 2) AS o_totalprice,
+           'update' AS _change_type
+    FROM base WHERE o_orderkey % 6 = 0
+    UNION ALL
+    SELECT o_orderkey + 90000000, o_orderstatus,
+           ROUND(o_totalprice + 10, 2), 'insert'
+    FROM base WHERE o_orderkey % 97 = 0
+    """,
+)
+def cdc_changes(spark, sf_dir):
+    """Change-data-feed roundtrip (engine.changes, snapshots.py): create a
+    versioned table, upsert updates + brand-new keys, then diff snapshot
+    v1 → v2.  The oracle states the expected feed directly: the repriced
+    keys as updates, the new keys as inserts, nothing else.  Collected
+    (bounded: the change set) so the temp store can be removed eagerly."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="pls_cdc_")
+    try:
+        eng = Engine(spark, root)
+        base = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderkey") % 3 == 0
+        )
+        eng.create_table(
+            "cdc_orders",
+            base,
+            partition_by=["o_orderstatus"],
+            keys=["o_orderkey"],
+            versioned=True,
+        )
+        upd = base.filter(F.col("o_orderkey") % 6 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 10.0
+        )
+        ins = (
+            base.filter(F.col("o_orderkey") % 97 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 90_000_000)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+        )
+        eng.upsert("cdc_orders", upd.unionByName(ins))
+        out = eng.changes("cdc_orders", 1, 2).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "_change_type",
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -212,3 +212,33 @@ def test_concurrent_commit_conflict_detected(engine, spark, sf_dir, tmp_path):
     # link must refuse)
     with pytest.raises(ConcurrentCommitError):
         store.commit(stale_base.mapping, "replace", None, expected_base=1)
+
+
+def test_change_feed_between_versions(engine, spark, sf_dir):
+    """CDC: changes(from, to) tags exactly the inserted / updated /
+    deleted keys between two snapshots, with deleted rows carrying their
+    old values."""
+    o = _make(engine, spark, sf_dir)
+    # v2: update 10 keys, insert 5 new ones
+    upd = o.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 7.0
+    )
+    ins = o.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + 90_000_000)
+    engine.upsert("vorders", upd.unionByName(ins))
+    # v3: delete the F partition
+    engine.delete("vorders", o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"))
+
+    n_upd = upd.count()
+    cdc12 = engine.changes("vorders", 1, 2).cache()
+    assert cdc12.filter(F.col("_change_type") == "update").count() == n_upd
+    assert cdc12.filter(F.col("_change_type") == "insert").count() == 5
+    assert cdc12.filter(F.col("_change_type") == "delete").count() == 0
+
+    cdc13 = engine.changes("vorders", 1, 3)
+    dels = cdc13.filter(F.col("_change_type") == "delete")
+    n_f = o.filter(F.col("o_orderstatus") == "F").count()
+    # updates that landed in F then got deleted count as deletes vs v1
+    assert dels.count() == n_f
+    # deleted rows surface old values (status F preserved)
+    assert dels.filter(F.col("o_orderstatus") != "F").count() == 0
+    cdc12.unpersist()
