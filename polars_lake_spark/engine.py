@@ -560,17 +560,43 @@ class Engine:
             self._pending_merges[name] = 0
             self._register(name)
 
-    def compact(self, name: str, n_files: int | None = None) -> None:
+    def compact(
+        self,
+        name: str,
+        n_files: int | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> None:
         """Small-file compaction: rewrite the table so each partition
         directory holds one file (or ``n_files`` for unpartitioned
         tables). The long-lived-table hygiene operator the reference's
         deferred-materialization counter gestures at
-        (/root/reference/src/dataset.rs:95,136)."""
+        (/root/reference/src/dataset.rs:95,136).
+
+        ``zorder_by`` additionally clusters the rewrite on a
+        bit-interleaved multi-column key (layout.zorder_key — the
+        OPTIMIZE ZORDER BY analog): range-partitioned and sorted by the
+        key, so every output file carries narrow min/max ranges on ALL
+        listed columns and Parquet file/row-group skipping applies to
+        predicates on any of them."""
         spec = self._guard_mutable(name)
         with self._lock(name):
             df = self.table(name)
             parts = spec.physical_partitioning
-            if parts:
+            if zorder_by:
+                from polars_lake_spark.layout import zorder_key
+
+                zk = zorder_key(df, zorder_by)
+                range_cols = [F.col(c) for c in parts] + [F.col("__zk")]
+                df = (
+                    df.withColumn("__zk", zk)
+                    .repartitionByRange(
+                        n_files or self.spark.sparkContext.defaultParallelism,
+                        *range_cols,
+                    )
+                    .sortWithinPartitions("__zk")
+                    .drop("__zk")
+                )
+            elif parts:
                 # all rows of one partition dir land in one task → 1 file/dir
                 df = df.repartition(*[F.col(c) for c in parts])
             else:

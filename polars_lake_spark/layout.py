@@ -48,3 +48,42 @@ def layout_columns(partition_cols: Sequence[str], bucket_cols: Sequence[str]) ->
     if bucket_cols:
         out.append(BUCKET_COL)
     return out
+
+
+# ------------------------------------------------------------------ z-order
+ZORDER_BITS = 8  # per-column rank resolution (2^8 buckets per column)
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = ZORDER_BITS
+) -> Column:
+    """Bit-interleaved multi-column clustering key (Z-order curve).
+
+    Each column is rank-bucketed into 2^bits quantile buckets using
+    approxQuantile boundaries collected driver-side (bounded: 2^bits
+    values per column — never a global-sort window), then the bucket
+    bits are interleaved so files sorted by the key are clustered in
+    EVERY listed column at once: per-file min/max ranges narrow on all
+    of them, and Parquet row-group / file skipping works for predicates
+    on any column combination — the Delta OPTIMIZE ZORDER BY analog.
+
+    The bucket lookup is a pure expression over literal boundary arrays
+    (map-side, codegen); NULLs land in bucket 0.
+    """
+    n_b = (1 << bits) - 1
+    probs = [i / (n_b + 1) for i in range(1, n_b + 1)]
+    key = None
+    for ci, c in enumerate(cols):
+        bounds = df.stat.approxQuantile(c, probs, 0.001)
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.coalesce(
+            F.size(F.filter(barr, lambda b: b <= F.col(c).cast("double"))),
+            F.lit(0),
+        )
+        for bit in range(bits):
+            piece = (
+                F.shiftright(bucket, bit).bitwiseAND(F.lit(1))
+                * F.lit(1 << (bit * len(cols) + ci))
+            ).cast("long")
+            key = piece if key is None else key + piece
+    return key

@@ -167,3 +167,73 @@ def with_audit_columns(
     if changed:
         df = df.withColumn("changed_at", t)
     return df
+
+
+def merge_into(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    *,
+    when_matched_delete=None,
+    when_matched_update: bool = True,
+    when_not_matched_insert: bool = True,
+    null_clobbers: bool = False,
+) -> DataFrame:
+    """SQL MERGE INTO semantics as a pure transform (the Delta/Iceberg
+    statement the reference never reached):
+
+    * matched  + ``when_matched_delete`` condition true  → row removed
+    * matched  (otherwise, if ``when_matched_update``)   → coalesce merge
+      (or last-write-wins with ``null_clobbers=True``)
+    * source-only (if ``when_not_matched_insert``)        → inserted
+    * target-only                                         → kept
+
+    ``when_matched_delete`` is a Column evaluated over the joined row —
+    reference source columns as ``n.<col>`` and target as ``o.<col>``.
+    One full-outer join on the keys, same shuffle shape as upsert().
+    """
+    keys = list(keys)
+    old_cols = old.columns
+    new_cols = set(new.columns)
+    o = old.alias("o")
+    n = new.alias("n")
+    joined = o.join(
+        n,
+        on=[F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys],
+        how="full_outer",
+    ).withColumn("__o_present", F.col(f"o.{keys[0]}").isNotNull()).withColumn(
+        "__n_present", F.col(f"n.{keys[0]}").isNotNull()
+    )
+    matched = F.col("__o_present") & F.col("__n_present")
+
+    keep = F.lit(True)
+    if when_matched_delete is not None:
+        keep = ~(matched & F.coalesce(when_matched_delete, F.lit(False)))
+    if not when_not_matched_insert:
+        keep = keep & (F.col("__o_present") | F.lit(False))
+    joined = joined.filter(keep)
+
+    select = []
+    for c in old_cols:
+        if c in keys:
+            select.append(F.coalesce(F.col(f"o.{c}"), F.col(f"n.{c}")).alias(c))
+        elif c in new_cols:
+            if not when_matched_update:
+                # updates suppressed: matched rows keep old values; pure
+                # inserts still take source values
+                select.append(
+                    F.when(F.col("__o_present"), F.col(f"o.{c}"))
+                    .otherwise(F.col(f"n.{c}"))
+                    .alias(c)
+                )
+            elif null_clobbers:
+                select.append(
+                    F.when(F.col("__n_present"), F.col(f"n.{c}"))
+                    .otherwise(F.col(f"o.{c}"))
+                    .alias(c)
+                )
+            else:
+                select.append(F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c))
+        else:
+            select.append(F.col(f"o.{c}").alias(c))
+    return joined.select(*select)

@@ -331,3 +331,47 @@ def cdc_changes(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "merge_into_conditional",
+    oracle="""
+    WITH res AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 100
+        FROM orders WHERE o_orderkey % 5 = 0 AND o_custkey % 3 <> 0
+        UNION ALL
+        SELECT o_orderkey + 70000000, o_orderstatus, o_totalprice + 100
+        FROM orders WHERE o_orderkey % 89 = 0
+    )
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM res GROUP BY o_orderstatus
+    """,
+)
+def merge_into_conditional(spark, sf_dir):
+    """MERGE INTO with all three actions (operators/merge.py:merge_into):
+    matched rows with o_custkey%3=0 are DELETED, other matches are
+    UPDATED (+100), source-only keys INSERTED.  The oracle states the
+    closed-form result of the three clauses."""
+    orders = load_table(spark, sf_dir, "orders")
+    src = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 89 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 70_000_000
+            )
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+    )
+    merged = M.merge_into(
+        orders,
+        src,
+        keys=["o_orderkey"],
+        when_matched_delete=(F.col("n.o_custkey") % 3 == 0),
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

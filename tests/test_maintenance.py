@@ -59,3 +59,93 @@ def test_widening_long_float_promotes_double():
     assert M._widened("bigint", "float") == "double"
     assert M._widened("int", "bigint") == "bigint"
     assert M._widened("string", "int") is None
+
+
+def test_zorder_compact_narrows_file_ranges(spark, sf_dir, tmp_path):
+    """OPTIMIZE ZORDER BY analog: after compact(zorder_by=[a, b]) every
+    output file must carry narrow min/max ranges on BOTH columns (checked
+    via parquet footer stats) — plain compaction only ever clusters the
+    incidental input order."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    engine = Engine(spark, str(tmp_path))
+    engine.create_table("zli", li)
+    engine.compact("zli", n_files=8, zorder_by=["l_orderkey", "l_partkey"])
+
+    def spans(path_glob, col):
+        out = []
+        for f in glob.glob(path_glob):
+            md = pq.read_metadata(f)
+            lo = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            out.append(hi - lo)
+        return out
+
+    files = str(tmp_path / "zli" / "*.parquet")
+    full_ok = li.agg(F.max("l_orderkey") - F.min("l_orderkey")).first()[0]
+    full_pk = li.agg(F.max("l_partkey") - F.min("l_partkey")).first()[0]
+    span_ok = spans(files, "l_orderkey")
+    span_pk = spans(files, "l_partkey")
+    assert len(span_ok) >= 4  # actually produced multiple files
+    # Files are clustered in both dimensions at once. (A z-curve segment
+    # that crosses a major quadrant boundary legitimately spans wide in
+    # one dim — same artifact as Delta ZORDER — so assert the
+    # distribution, not the max.)
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    assert med(span_ok) <= 0.55 * full_ok, (span_ok, full_ok)
+    assert med(span_pk) <= 0.55 * full_pk, (span_pk, full_pk)
+    frac_narrow_ok = sum(s <= 0.7 * full_ok for s in span_ok) / len(span_ok)
+    frac_narrow_pk = sum(s <= 0.7 * full_pk for s in span_pk) / len(span_pk)
+    assert frac_narrow_ok >= 0.75 and frac_narrow_pk >= 0.75
+    # and the table still reads back complete
+    assert engine.table("zli").count() == li.count()
+
+
+def test_merge_into_clause_flags(spark, sf_dir):
+    """merge_into: delete/update/insert clauses toggle independently."""
+    from polars_lake_spark.operators.merge import merge_into
+    from polars_lake_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    src = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    )
+    n0, ns = o.count(), src.count()
+
+    # update-only (no insert): count unchanged even with alien keys
+    alien = src.withColumn("o_orderkey", F.col("o_orderkey") + 123_456_789)
+    m = merge_into(o, alien, ["o_orderkey"], when_not_matched_insert=False)
+    assert m.count() == n0
+
+    # matched-delete removes exactly the matches
+    m2 = merge_into(
+        o, src, ["o_orderkey"], when_matched_delete=F.lit(True),
+        when_not_matched_insert=False,
+    )
+    assert m2.count() == n0 - ns
+
+    # suppressed update keeps old values
+    m3 = merge_into(o, src, ["o_orderkey"], when_matched_update=False)
+    s_old = o.agg(F.round(F.sum("o_totalprice"), 2)).first()[0]
+    s_m3 = m3.agg(F.round(F.sum("o_totalprice"), 2)).first()[0]
+    assert s_old == s_m3

@@ -242,3 +242,51 @@ def test_change_feed_between_versions(engine, spark, sf_dir):
     # deleted rows surface old values (status F preserved)
     assert dels.filter(F.col("o_orderstatus") != "F").count() == 0
     cdc12.unpersist()
+
+
+def test_stream_upsert_into_versioned_table(engine, spark, sf_dir, tmp_path):
+    """Structured Streaming foreachBatch merging into a VERSIONED table:
+    each micro-batch commits one snapshot, so the ingest history is
+    time-travelable and a concurrent reader never sees a half-applied
+    batch."""
+    from polars_lake_spark.streaming import stream_upsert
+
+    o = _make(engine, spark, sf_dir)
+    updates = o.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 500.0
+    )
+    staging = str(tmp_path / "stream_staging")
+    updates.repartition(3).write.parquet(staging)
+
+    stream = spark.readStream.schema(updates.schema).parquet(staging)
+    q = stream_upsert(
+        engine,
+        "vorders",
+        stream,
+        keys=["o_orderkey"],
+        checkpoint_dir=str(tmp_path / "ckpt_vup"),
+    )
+    q.awaitTermination(120)
+
+    hist = engine.history("vorders")
+    assert hist[0]["op"] == "create"
+    assert all(h["op"] == "replace" for h in hist[1:])
+    assert len(hist) >= 2
+    # final state == batch upsert result; v1 is untouched
+    n0 = o.count()
+    assert engine.table("vorders").count() == n0
+    got = (
+        engine.table("vorders")
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .first()[0]
+    )
+    want = updates.agg(F.round(F.sum("o_totalprice"), 2)).first()[0]
+    assert got == want
+    v1_sum = (
+        engine.table("vorders", version=1)
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .first()[0]
+    )
+    assert abs(want - v1_sum - 500.0 * updates.count()) < 1.0
