@@ -171,3 +171,93 @@ def text_pmi_bigrams(spark, sf_dir):
     marginals, rare-bigram noise guard, fully distributed."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.pmi_bigrams(docs, "doc_id", "text", min_count=5, top=25)
+
+
+@register(
+    "decontaminate_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+               FROM documents),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                           || ws[i+3] || ' ' || ws[i+4]))) AS g
+        FROM t WHERE len(ws) >= 5
+    ),
+    bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM sh
+        WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench)
+    )
+    SELECT doc_id FROM t
+    WHERE doc_id % 50 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY doc_id
+    """,
+)
+def decontaminate_overlap(spark, sf_dir):
+    """Benchmark decontamination: drop training documents sharing any
+    5-gram with the held-out set (here: doc_id%50=0 plays the benchmark).
+    The benchmark shingle set is orders smaller than the corpus →
+    broadcast semi/anti join against the exploded training shingles; at
+    100 TB the training side stays map-side streaming.  The standard
+    train/test-overlap removal step of LLM data pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.word_shingles(docs, "doc_id", "text", n=5)
+    exploded = sh.select("id", F.explode("shingles").alias("g"))
+    bench_g = exploded.filter(F.col("id") % 50 == 0).select("g").distinct()
+    train = exploded.filter(F.col("id") % 50 != 0)
+    contaminated = train.join(F.broadcast(bench_g), "g", "left_semi").select("id").distinct()
+    train_ids = (
+        docs.filter(F.col("doc_id") % 50 != 0)
+        .filter(F.size(F.split(TX.normalized(F.col("text")), " ")) >= 5)
+        .select(F.col("doc_id"))
+    )
+    short_ids = docs.filter(F.col("doc_id") % 50 != 0).filter(
+        F.size(F.split(TX.normalized(F.col("text")), " ")) < 5
+    ).select("doc_id")
+    clean = train_ids.join(
+        contaminated.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"
+    ).unionByName(short_ids)
+    return clean.orderBy("doc_id")
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, len(ws) - 1),
+                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                 AS gs
+          FROM t WHERE len(ws) >= 3)
+    SELECT doc_id,
+           CAST(len(gs) AS BIGINT) AS n_grams,
+           ROUND(1.0 - len(list_distinct(gs)) * 1.0 / len(gs), 8) AS dup_frac
+    FROM g
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Intra-document repetition signal (the Gopher/C4-style quality
+    rule): fraction of duplicated word 3-grams per doc — high values mark
+    boilerplate/spam. Pure map-side array expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(TX.normalized(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    return (
+        docs.filter(F.size(ws) >= 3)
+        .select(
+            "doc_id",
+            F.size(grams).cast("bigint").alias("n_grams"),
+            F.round(
+                1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 8
+            ).alias("dup_frac"),
+        )
+    )

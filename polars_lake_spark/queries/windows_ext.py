@@ -100,3 +100,47 @@ def events_session_window(spark, sf_dir):
             "session_value",
         )
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               CAST(to_timestamp(floor(epoch(ts) / 604800) * 604800) AS DATE)
+                   AS week
+        FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, week FROM e)
+    SELECT cohort_week,
+           CAST(DATEDIFF('day', cohort_week, week) / 7 AS INT) AS week_offset,
+           COUNT(*) AS active_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen epoch-aligned week ×
+    weeks-since-cohort activity counts — the standard product-analytics
+    triangle.  Two grouped aggregates sharing the user_id shuffle key;
+    week bucketing is pure epoch arithmetic so both engines align
+    identically (no calendar-week locale divergence)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date(
+            F.timestamp_seconds(F.floor(F.unix_timestamp("ts") / 604800) * 604800)
+        ).alias("week"),
+    )
+    firsts = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = e.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
