@@ -754,3 +754,26 @@ def window_range_frames(spark, sf_dir):
         F.round(F.percent_rank().over(w_rank), 8).alias("pct_rank"),
         F.round(F.lag("o_totalprice", 1, 0.0).over(w_seq), 2).alias("prev_price"),
     )
+
+
+@register(
+    "exact_percentiles_windowed",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def exact_percentiles_windowed(spark, sf_dir):
+    """Same PERCENTILE_CONT results as exact_percentiles, via the
+    sort-spill windowed formulation (operators/quantiles.py) — the
+    100 TB-group-size path; sharing the oracle proves the two
+    formulations equal."""
+    from polars_lake_spark.operators.quantiles import grouped_percentiles_windowed
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_percentiles_windowed(
+        li, ["l_returnflag"], "l_extendedprice", [0.25, 0.50, 0.90]
+    ).orderBy("l_returnflag")
