@@ -199,9 +199,15 @@ def similarity_ivf(spark, sf_dir):
 
 @register(
     "similarity_ivf_recall",
-    doc="IVF consistency companion: queries whose IVF top-k recall vs the "
-    "exact brute-force top-k falls below 0.4 — expected EMPTY (0 rows). "
-    "A rows-only check whose row count IS the assertion.",
+    oracle="""
+    SELECT COUNT(*) AS queries_checked, 0 AS violations
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="IVF consistency companion: one summary row counting queries whose "
+    "IVF top-k recall vs the exact brute-force top-k falls below 0.4. "
+    "The oracle hardcodes the invariant violations=0 (and derives "
+    "queries_checked from the data), so any recall regression in the "
+    "deterministic IVF path shows up as a value mismatch.",
 )
 def similarity_ivf_recall(spark, sf_dir):
     from polars_lake_spark.operators.ivf import ivf_index, ivf_search, train_ivf
@@ -222,8 +228,9 @@ def similarity_ivf_recall(spark, sf_dir):
     recall = hits.groupBy("qid").agg(
         (F.sum("hit") / F.count(F.lit(1))).alias("recall")
     )
-    return recall.filter(F.col("recall") < 0.4).select(
-        "qid", F.round("recall", 4).alias("recall")
+    return recall.agg(
+        F.count(F.lit(1)).alias("queries_checked"),
+        F.sum(F.when(F.col("recall") < 0.4, 1).otherwise(0)).alias("violations"),
     )
 
 
