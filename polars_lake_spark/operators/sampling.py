@@ -48,6 +48,53 @@ def stratified_sample(
     )
 
 
+def chunk_words(
+    df: DataFrame,
+    id_col: str,
+    words_col,
+    window: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Sliding-window document chunking (the context-window prep step for
+    embedding / training pipelines): chunk ``i`` covers words
+    ``[i*stride, i*stride + window)`` with ``stride = window - overlap``;
+    every document yields at least one chunk.
+
+    Pure map-side (sequence + explode + slice — no shuffle, no UDF);
+    chunk count per row is ``max(1, ceil((n_words - overlap) / stride))``
+    so output size is linear in corpus token count. Deterministic chunk
+    ids make downstream dedup/joins stable across reruns."""
+    stride = window - overlap
+    if stride <= 0:
+        raise ValueError("window must exceed overlap")
+    words = words_col.alias("__words")
+    n = F.size(F.col("__words"))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    out = (
+        df.select(id_col, words)
+        .select(
+            id_col,
+            "__words",
+            F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(
+                F.col("__words"), F.col("chunk_id") * stride + 1, window
+            ).alias("__chunk"),
+        )
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.size("__chunk").alias("n_chunk_words"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -37,6 +37,36 @@ def cosine(a, b):
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage/IO lever for
+    100 TB embedding corpora (4× smaller than float32, 8× than float64;
+    int8 dot products are SIMD-friendly downstream).
+
+    scale = max|x| / 127; q_i = floor(x_i / scale + 0.5). floor(x+0.5) is
+    used instead of round() because IEEE-double floor is bit-identical
+    across engines while round()'s half-way ties are not. Zero vectors
+    quantize to zeros with scale 1. Pure map-side array expressions —
+    no shuffle, no UDF; emits per-vector max reconstruction error as the
+    quality signal."""
+    v = as_double(F.col(vec_col))
+    max_abs = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = F.when(max_abs == 0.0, F.lit(1.0)).otherwise(max_abs / F.lit(127.0))
+    q = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    err = F.aggregate(
+        F.zip_with(v, q, lambda x, qi: F.abs(x - qi.cast("double") * scale)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return df.select(
+        id_col,
+        F.round(scale, 8).alias("scale"),
+        F.array_join(q, ",").alias("q8"),
+        F.round(err, 8).alias("max_err"),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

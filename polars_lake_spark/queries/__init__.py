@@ -71,6 +71,10 @@ CHECK_PRIORITY: list[str] = [
     "skew_collect_set",
     "join_cobucketed",
     # -- new this round (insert here, above the stale greens) ---------
+    "chunk_documents",
+    "embedding_quantize",
+    "domain_mix_weights",
+    "dedup_survivors",
     # -- green in r01 only; row is a round old (12) -------------------
     "set_operations",
     "agg_stats",

@@ -15,6 +15,7 @@ from polars_lake_spark.functions import text as TX
 from polars_lake_spark.operators import dedup as D
 from polars_lake_spark.operators.graph import connected_components
 from polars_lake_spark.operators.sampling import (
+    chunk_words,
     hash_sample,
     md5_bucket,
     pack_sequences,
@@ -260,4 +261,119 @@ def text_repetition(spark, sf_dir):
                 1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 8
             ).alias("dup_frac"),
         )
+    )
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({{norm}}, ' ') AS ws FROM documents),
+    n AS (SELECT doc_id, ws,
+            GREATEST(1, CAST(ceil((len(ws) - 8) / 24.0) AS INTEGER)) AS n_chunks
+          FROM t),
+    c AS (SELECT doc_id, ws, UNNEST(range(0, n_chunks)) AS chunk_id FROM n),
+    s AS (SELECT doc_id, chunk_id,
+            list_slice(ws, chunk_id * 24 + 1, chunk_id * 24 + 32) AS chunk
+          FROM c)
+    SELECT doc_id, chunk_id,
+           len(chunk) AS n_chunk_words,
+           ARRAY_TO_STRING(chunk, ' ') AS chunk_text
+    FROM s
+    """.replace("{norm}", _NORM_SQL),
+)
+def chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (window=32 words, overlap=8): the
+    context-window prep step before embedding / packing. Map-side only
+    (sequence + explode + slice) — output scales linearly with corpus
+    tokens, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(TX.normalized(F.col("text")), " ")
+    return chunk_words(docs, "doc_id", ws, window=32, overlap=8)
+
+
+@register(
+    "domain_mix_weights",
+    oracle=f"""
+    WITH s AS (SELECT source, COUNT(*) AS n_docs,
+                      CAST(SUM(len(string_split({_NORM_SQL}, ' '))) AS BIGINT)
+                          AS n_tokens
+               FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 COUNT(*) AS n_sources
+          FROM s)
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_docs * 1.0 / total_docs, 8) AS doc_share,
+           ROUND(n_tokens * 1.0 / total_tokens, 8) AS token_share,
+           ROUND(total_docs * 1.0 / (n_sources * n_docs), 8) AS uniform_weight
+    FROM s CROSS JOIN t
+    """,
+)
+def domain_mix_weights(spark, sf_dir):
+    """Data-mixture rebalancing table (the domain-weighting step of corpus
+    assembly): per-source doc/token counts, corpus shares, and the
+    resampling weight that would equalize source shares. One groupBy on
+    source + a 1-row broadcast of the totals — the per-source table stays
+    tiny however big the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.word_count(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    t = s.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.col("total_docs"), 8).alias("doc_share"),
+        F.round(F.col("n_tokens") / F.col("total_tokens"), 8).alias("token_share"),
+        F.round(
+            F.col("total_docs") / (F.col("n_sources") * F.col("n_docs")), 8
+        ).alias("uniform_weight"),
+    )
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ({_JACCARD_ORACLE}) jp),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+             FROM reach GROUP BY a),
+    dropped AS (SELECT doc_id FROM comp WHERE cluster_id <> doc_id)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split({_NORM_SQL}, ' '))) AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    GROUP BY lang
+    """,
+)
+def dedup_survivors(spark, sf_dir):
+    """End of the dedup pipeline: keep the canonical (min-id) doc per
+    near-dup cluster plus all singletons, then account the surviving
+    corpus per language. The dropped set is tiny relative to the corpus,
+    so the anti-join broadcasts; the only big-data shuffle is the final
+    per-lang aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=128, bands=32, threshold=0.8
+    )
+    comps = connected_components(pairs, "d1", "d2")
+    dropped = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    surv = docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+    return surv.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.word_count(F.col("text"))).cast("bigint").alias("n_tokens"),
     )

@@ -152,6 +152,33 @@ def similarity_topk(spark, sf_dir):
     return S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
 
 
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+            CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+                 ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+            END AS scale
+          FROM e),
+    q AS (SELECT vec_id, v, scale,
+            list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS qi
+          FROM s)
+    SELECT vec_id, ROUND(scale, 8) AS scale,
+           ARRAY_TO_STRING(qi, ',') AS q8,
+           ROUND(list_max(list_transform(range(1, len(v) + 1),
+                 i -> abs(v[i] - qi[i] * scale))), 8) AS max_err
+    FROM q
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization with per-vector scale and max
+    reconstruction error — map-side only; floor(x+0.5) keeps ties
+    bit-identical across engines (see quantize_int8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantize_int8(emb, "vec_id", "embedding")
+
+
 def _ann_lsh_oracle(n_planes: int = 12, dim: int = 64, k: int = 5) -> str:
     """The hyperplanes are md5-derived (engine-independent), so the oracle
     inlines them as literals and replays the exact bucketing + re-rank."""
