@@ -461,6 +461,59 @@ class Engine:
                 self._bump_pending(name)
             self._register(name)
 
+    def merge(
+        self,
+        name: str,
+        source: DataFrame,
+        keys: list[str] | None = None,
+        *,
+        when_matched_delete=None,
+        when_matched_update: bool = True,
+        when_not_matched_insert: bool = True,
+    ) -> None:
+        """MERGE INTO <table> USING <source> with conditional actions
+        (operators/merge.py:merge_into) through the same write paths as
+        upsert/delete — including versioned tables, where each merge lands
+        as one new snapshot (the Delta MERGE + time-travel combination).
+
+        Scan/write bounds: a delete-capable merge can empty a partition,
+        which dynamic partition overwrite would silently leave behind, so
+        it takes the full-rewrite path; a delete-free merge reads and
+        rewrites only the partitions the source batch touches, exactly
+        like upsert."""
+        spec = self._guard_mutable(name)
+        keys = list(keys or spec.keys)
+        if not keys:
+            raise ValueError(f"no merge keys for table {name}")
+        with self._lock(name):
+            new = self._with_layout(source, spec)
+            old = self.table(name)
+            parts = spec.physical_partitioning
+            prune = when_matched_delete is None and bool(parts)
+            target = self._prune_to_touched(old, new, parts) if prune else old
+            merged = M.merge_into(
+                target,
+                new,
+                keys,
+                when_matched_delete=when_matched_delete,
+                when_matched_update=when_matched_update,
+                when_not_matched_insert=when_not_matched_insert,
+            )
+            if spec.versioned:
+                self._write_versioned(
+                    merged, spec, op="replace" if prune else "rewrite"
+                )
+            elif name in self._mem or self.root is None:
+                self._mem[name] = merged
+                self._bump_pending(name)
+            else:
+                merged = merged.localCheckpoint(eager=True)
+                if prune:
+                    self._write(merged, spec, "overwrite")
+                else:
+                    self._write(merged, spec, "overwrite", static_overwrite=True)
+            self._register(name)
+
     def delete(self, name: str, deletes: DataFrame, keys: list[str] | None = None) -> None:
         """Delete by key — anti join (reference TODO /root/reference/src/main.rs:31)."""
         spec = self._guard_mutable(name)

@@ -33,9 +33,20 @@ def connected_components(
     don't re-analyze the whole iteration chain."""
     from pyspark.storagelevel import StorageLevel
 
+    # Symmetrize map-side (explode of the two orientations), NOT via
+    # pairs.union(pairs-swapped): a union's branches each re-execute the
+    # whole upstream pair-generation pipeline (minhash, verify joins...)
+    # when `pairs` isn't cached — one explode runs it once.
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)  # reused every iteration
     )

@@ -149,3 +149,28 @@ def test_merge_into_clause_flags(spark, sf_dir):
     s_old = o.agg(F.round(F.sum("o_totalprice"), 2)).first()[0]
     s_m3 = m3.agg(F.round(F.sum("o_totalprice"), 2)).first()[0]
     assert s_old == s_m3
+
+
+def test_engine_merge_unversioned_persisted(spark, sf_dir, tmp_path):
+    """engine.merge on a plain persisted table: conditional delete + update
+    land via a static overwrite; alien keys stay out when insert is off."""
+    o = load_table(spark, sf_dir, "orders")
+    engine = Engine(spark, str(tmp_path))
+    engine.create_table(
+        "orders_m", o, partition_by=["o_orderstatus"], keys=["o_orderkey"]
+    )
+    n0 = o.count()
+    src = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    )
+    alien = src.withColumn("o_orderkey", F.col("o_orderkey") + 987_654_321)
+    engine.merge(
+        "orders_m",
+        src.union(alien),
+        when_matched_delete=F.col("n.o_totalprice") > 200_000.0,
+        when_not_matched_insert=False,
+    )
+    deleted = src.filter(F.col("o_totalprice") > 200_000.0).count()
+    got = engine.table("orders_m")
+    assert got.count() == n0 - deleted
+    assert got.filter(F.col("o_orderkey") > 900_000_000).count() == 0

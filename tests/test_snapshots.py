@@ -290,3 +290,55 @@ def test_stream_upsert_into_versioned_table(engine, spark, sf_dir, tmp_path):
         .first()[0]
     )
     assert abs(want - v1_sum - 500.0 * updates.count()) < 1.0
+
+
+def test_engine_merge_versioned_conditional_delete(engine, spark, sf_dir):
+    """engine.merge drives MERGE INTO conditional actions through the
+    snapshot write path: each merge is one new version, time travel sees
+    the pre-merge rows, and a delete-capable merge takes the full-rewrite
+    op (emptied partitions cannot linger)."""
+    o = _make(engine, spark, sf_dir)
+    n0 = o.count()
+    src = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1.0
+    )
+    ns = src.count()
+
+    # matched rows with price over the threshold are deleted, rest updated
+    engine.merge(
+        "vorders",
+        src,
+        when_matched_delete=F.col("n.o_totalprice") > 100_000.0,
+        when_not_matched_insert=False,
+    )
+    deleted = src.filter(F.col("o_totalprice") > 100_000.0).count()
+    assert 0 < deleted < ns
+    assert engine.table("vorders").count() == n0 - deleted
+    # pre-merge snapshot is intact; merge committed exactly one version
+    assert engine.table("vorders", version=1).count() == n0
+    assert engine.table_info("vorders")["version"] == 2
+    assert engine.history("vorders")[-1]["op"] == "rewrite"
+
+
+def test_engine_merge_versioned_prunes_without_delete(engine, spark, sf_dir):
+    """A delete-free engine.merge takes the partition-pruned 'replace'
+    path: only touched partitions land in the new write dir."""
+    o = _make(engine, spark, sf_dir)
+    src = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .limit(50)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    engine.merge("vorders", src)
+    assert engine.history("vorders")[-1]["op"] == "replace"
+    got = engine.table("vorders")
+    assert got.count() == o.count()
+    # doubled prices visible at latest, not at v1
+    k = src.select("o_orderkey").limit(1).first()[0]
+    p_new = got.filter(F.col("o_orderkey") == k).first()["o_totalprice"]
+    p_old = (
+        engine.table("vorders", version=1)
+        .filter(F.col("o_orderkey") == k)
+        .first()["o_totalprice"]
+    )
+    assert abs(p_new - 2 * p_old) < 1e-6
