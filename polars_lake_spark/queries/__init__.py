@@ -75,6 +75,7 @@ CHECK_PRIORITY: list[str] = [
     "embedding_quantize",
     "domain_mix_weights",
     "dedup_survivors",
+    "boilerplate_chunks",
     # -- green in r01 only; row is a round old (12) -------------------
     "set_operations",
     "agg_stats",

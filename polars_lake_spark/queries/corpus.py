@@ -377,3 +377,42 @@ def dedup_survivors(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(TX.word_count(F.col("text"))).cast("bigint").alias("n_tokens"),
     )
+
+
+@register(
+    "boilerplate_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({{norm}}, ' ') AS ws FROM documents),
+    n AS (SELECT doc_id, ws,
+            GREATEST(1, CAST(ceil(len(ws) / 16.0) AS INTEGER)) AS n_chunks
+          FROM t),
+    c AS (SELECT doc_id, ws, UNNEST(range(0, n_chunks)) AS chunk_id FROM n),
+    s AS (SELECT doc_id,
+            md5(ARRAY_TO_STRING(list_slice(ws, chunk_id * 16 + 1,
+                                           chunk_id * 16 + 16), ' ')) AS fp
+          FROM c)
+    SELECT fp, COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS example_doc
+    FROM s GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    """.replace("{norm}", _NORM_SQL),
+)
+def boilerplate_chunks(spark, sf_dir):
+    """Cross-document repeated spans (the C4/RefinedWeb boilerplate-removal
+    signal): non-overlapping 16-word chunks that recur in >= 2 distinct
+    documents, keyed by md5 fingerprint. Chunking is map-side; the only
+    shuffle is the groupBy on the fingerprint — at 100 TB that shuffle
+    carries 16-byte hashes, not text."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(TX.normalized(F.col("text")), " ")
+    chunks = chunk_words(docs, "doc_id", ws, window=16, overlap=0)
+    return (
+        chunks.select("doc_id", F.md5(F.col("chunk_text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

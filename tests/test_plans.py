@@ -181,3 +181,31 @@ def test_ivf_assignment_is_map_side(spark, sf_dir):
     ).withColumn("nrm", norm(F.col("v")))
     plan = plan_of(_assign(vecs, cents))
     assert "Exchange" not in plan
+
+
+def test_chunking_and_quantize_are_map_side(spark, sf_dir):
+    """The chunker and int8 quantizer must stay shuffle-free and UDF-free:
+    pure narrow transforms over the scan (the property that makes them
+    embarrassingly parallel at 100 TB)."""
+    for name in ("chunk_documents", "embedding_quantize"):
+        df = all_queries()[name].fn(spark, sf_dir)
+        plan = plan_of(df)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_boilerplate_shuffles_hashes_not_text(spark, sf_dir):
+    """boilerplate_chunks aggregates on the md5 fingerprint: the pre-shuffle
+    projection must carry fp but never the chunk text."""
+    df = all_queries()["boilerplate_chunks"].fn(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "partial_count" in plan  # map-side partial agg before the shuffle
+    assert "chunk_text" not in plan.split("Exchange")[1]
+
+
+def test_dedup_survivors_anti_join_broadcasts(spark, sf_dir):
+    df = all_queries()["dedup_survivors"].fn(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
