@@ -76,6 +76,8 @@ CHECK_PRIORITY: list[str] = [
     "domain_mix_weights",
     "dedup_survivors",
     "boilerplate_chunks",
+    "events_gap_fill",
+    "histogram_totals",
     # -- green in r01 only; row is a round old (12) -------------------
     "set_operations",
     "agg_stats",

@@ -197,3 +197,34 @@ def array_agg_sorted(spark, sf_dir):
         )
         .filter(F.col("n_orders") >= 3)
     )
+
+
+@register(
+    "histogram_totals",
+    oracle="""
+    -- width_bucket(x, 0, 600000, 12) spelled out (DuckDB lacks the fn):
+    -- 0 underflow, 13 overflow, else floor(x / 50000) + 1
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 13
+                ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1
+           END AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY bucket
+    """,
+)
+def histogram_totals(spark, sf_dir):
+    """Equi-width histogram via width_bucket — one partial-aggregated
+    groupBy on a 14-value key (n buckets + under/overflow), the
+    fixed-size-output profiling scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12)).alias(
+            "bucket"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

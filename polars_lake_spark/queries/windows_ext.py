@@ -144,3 +144,63 @@ def events_retention_cohorts(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+    WITH e AS (SELECT user_id, date_trunc('hour', ts)::TIMESTAMP AS h, value
+               FROM events WHERE user_id < 20),
+    hourly AS (SELECT user_id, h, COUNT(*) AS n_events,
+                      ROUND(SUM(value), 2) AS v
+               FROM e GROUP BY 1, 2),
+    spans AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+             FROM spans)
+    SELECT user_id, h AS hour,
+           COALESCE(n_events, 0) AS n_events,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM grid LEFT JOIN hourly USING (user_id, h)
+    """,
+)
+def events_gap_fill(spark, sf_dir):
+    """Time-series resample + gap fill: a dense hourly grid per user
+    (sequence over each user's observed span) left-joined to observed
+    hours, missing hours forward-filled with the last hourly total.
+    The grid explode is map-side off a tiny per-user span table; the
+    fill is one window over the user shuffle key — the standard
+    upsample-then-LOCF plan. Output is bounded by users x span-hours,
+    independent of event count."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("v"),
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .withColumn("v_filled", F.last("v", ignorenulls=True).over(w))
+        .select(
+            "user_id",
+            F.col("h").alias("hour"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "v_filled",
+        )
+    )
