@@ -1,0 +1,247 @@
+"""Product quantization (PQ) for embedding columns — the compression tier
+of the ANN stack (similarity.py: hyperplane LSH; ivf.py: coarse cells).
+
+A dim-D vector is split into ``m`` subvectors of D/m dims; each subspace
+gets its own tiny k-means codebook (``ksub`` centroids, deterministic
+Lloyd — same discipline as ivf.train_ivf: hash-seeded, no RNG). A vector
+is stored as ``m`` small integer codes (m bytes with ksub<=256) — 32x
+smaller than float32 at D=64/m=8 — and search uses asymmetric distance
+(ADC): the query stays exact, candidate distance is the sum of
+query-to-centroid sub-distances looked up by code.
+
+Scale shape mirrors ivf._assign's literal-codebook trick: codebooks are
+k*m*(D/m) = k*D doubles — always tiny — so encoding is a pure MAP-SIDE
+projection (no join, no shuffle), and the only shuffle in training is the
+per-(subspace, code) mean update (m*ksub result rows). ADC search scans
+the code table once with the codebooks inlined as literals and takes a
+per-query top-k window — the same plan family as brute_force_topk but
+over m element_at lookups per candidate instead of D multiplies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from polars_lake_spark.operators.similarity import as_double, norm
+
+
+def _unit(vec):
+    """L2-normalize so ADC's L2 ranking equals the cosine ranking the rest
+    of the similarity stack uses (l2sq(u1, u2) = 2 - 2*cos): unit vectors
+    make PQ's metric consistent with brute_force_topk/ivf_search. Zero
+    vectors map to zero (guarded denominator)."""
+    n = F.greatest(norm(vec), F.lit(1e-300))
+    return F.transform(vec, lambda x: x / n)
+
+
+def _sub_l2sq(a, b):
+    """Squared L2 between two (short) array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _codebook_literal(codebooks: list[list[list[float]]]):
+    """Literal array<array<array<double>>>: CB[sub][code] = centroid."""
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in sub])
+            for sub in codebooks
+        ]
+    )
+
+
+def _encode_expr(vec, codebooks: list[list[list[float]]], d_sub: int):
+    """codes[j] = argmin_c l2sq(subvector_j, CB[j][c]) as a map-side
+    expression — lexicographic array_min over (dist, code) structs, ties
+    to the smallest code, exactly ivf._assign's literal pattern."""
+    codes = []
+    for j, sub in enumerate(codebooks):
+        sv = F.slice(vec, j * d_sub + 1, d_sub)
+        entries = [
+            F.struct(
+                _sub_l2sq(sv, F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
+                F.lit(c).cast("int").alias("c"),
+            )
+            for c, cv in enumerate(sub)
+        ]
+        codes.append(F.array_min(F.array(*entries))["c"])
+    return F.array(*codes)
+
+
+def train_pq(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks via deterministic Lloyd.
+
+    Seeds: the ksub corpus vectors with the smallest xxhash64(id) (one
+    distributed TakeOrdered, shared across all m subspaces). Each
+    iteration is one map-side encode + one explode + one groupBy on
+    (subspace, code) — the shuffle carries N*m short rows and returns
+    m*ksub means. Returns plain Python lists (the codebook IS driver-side
+    metadata, k*D doubles)."""
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _unit(as_double(F.col(vec_col))).alias("v")
+    )
+    first = vecs.select(F.size("v").alias("d")).first()
+    dim = first.d
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+
+    seed_rows = (
+        vecs.withColumn("h", F.xxhash64(F.col("id"))).orderBy("h", "id")
+        .limit(ksub)
+        .select("v")
+        .collect()
+    )
+    if len(seed_rows) < ksub:
+        raise ValueError(f"corpus smaller than ksub={ksub}")
+    codebooks = [
+        [list(r.v[j * d_sub : (j + 1) * d_sub]) for r in seed_rows]
+        for j in range(m)
+    ]
+
+    for _ in range(iters):
+        coded = vecs.withColumn("codes", _encode_expr(F.col("v"), codebooks, d_sub))
+        sub = coded.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.element_at("codes", j + 1).alias("code"),
+                            F.slice("v", j * d_sub + 1, d_sub).alias("sv"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("sub_id", "e")
+        ).select("sub_id", F.col("e.code").alias("code"), F.col("e.sv").alias("sv"))
+        means = sub.groupBy("sub_id", "code").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            *[
+                F.sum(F.element_at("sv", i + 1)).alias(f"s{i}")
+                for i in range(d_sub)
+            ],
+        )
+        new = {
+            (r.sub_id, r.code): [getattr(r, f"s{i}") / r.cnt for i in range(d_sub)]
+            for r in means.collect()
+        }
+        # empty cells keep their previous centroid (standard Lloyd fix)
+        codebooks = [
+            [new.get((j, c), codebooks[j][c]) for c in range(ksub)]
+            for j in range(m)
+        ]
+    return codebooks
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — pure map-side projection; at 100 TB this
+    is the table you persist (m small ints per vector)."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _unit(as_double(F.col(vec_col))).alias("v")
+    )
+    return vecs.select(
+        "id", _encode_expr(F.col("v"), codebooks, d_sub).alias("codes")
+    )
+
+
+def pq_search(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k: approx dist²(q, cand) = Σ_j l2sq(q_sub_j, CB[j][codes_j]).
+
+    One scan of the code table crossJoined with the broadcast query set
+    (|Q| small — the brute_force_topk regime at 1/32 the bytes), codebook
+    lookups via element_at on a literal nested array, then a per-query
+    top-k window. Returns (qid, cid, approx_dist)."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    cb = _codebook_literal(codebooks)
+    q = queries.select(
+        F.col(id_col).alias("qid"), _unit(as_double(F.col(vec_col))).alias("qv")
+    )
+    cand = codes.crossJoin(F.broadcast(q)).filter(F.col("id") != F.col("qid"))
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + _sub_l2sq(
+            F.slice(F.col("qv"), j * F.lit(d_sub) + 1, d_sub),
+            F.element_at(
+                F.element_at(cb, (j + 1).cast("int")),
+                (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast("int"),
+            ),
+        ),
+    )
+    scored = cand.select(
+        "qid", F.col("id").alias("cid"), dist.alias("approx_dist")
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("approx_dist"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("approx_dist", 6).alias("approx_dist"))
+    )
+
+
+def pq_search_rerank(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 100,
+) -> DataFrame:
+    """The production PQ pattern: ADC over the compressed code table
+    produces a ``shortlist`` of candidates per query (scanning m-byte
+    codes, 32x less IO than floats), then ONLY those candidates' full
+    vectors are fetched and re-ranked by exact cosine. At 100 TB the
+    exact re-rank touches |Q| x shortlist vectors — independent of corpus
+    size. Returns (qid, cid, cos_sim) exact-scored top-k."""
+    from polars_lake_spark.operators.similarity import cosine
+
+    short = pq_search(
+        codes, codebooks, queries, id_col=id_col, vec_col=vec_col, k=shortlist
+    ).select("qid", "cid")
+    full = corpus.select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        short.join(full, "cid")
+        .join(F.broadcast(qv), "qid")
+        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("cos_sim", 4).alias("cos_sim"))
+    )

@@ -78,6 +78,7 @@ CHECK_PRIORITY: list[str] = [
     "boilerplate_chunks",
     "events_gap_fill",
     "histogram_totals",
+    "similarity_pq_recall",
     # -- green in r01 only; row is a round old (12) -------------------
     "set_operations",
     "agg_stats",

@@ -422,3 +422,54 @@ def multimodal_image_features(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     blobs = MM.synthesize_images(docs, "doc_id", "text")
     return MM.parse_image_headers(blobs, "doc_id", "media")
+
+
+@register(
+    "similarity_pq",
+    doc="Product-quantization ANN (ADC shortlist over 8-byte codes, exact "
+    "cosine re-rank) — approximate by design, rows-only check; the oracled "
+    "similarity_pq_recall companion pins its quality.",
+)
+def similarity_pq(spark, sf_dir):
+    from polars_lake_spark.operators.pq import pq_encode, pq_search_rerank, train_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = train_pq(emb, m=8, ksub=16, iters=2)
+    codes = pq_encode(emb, cbs).cache()
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_search_rerank(codes, cbs, emb, queries, k=5, shortlist=100)
+
+
+@register(
+    "similarity_pq_recall",
+    oracle="""
+    SELECT COUNT(*) AS queries_checked, 0 AS violations
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="PQ consistency companion (same pattern as similarity_ivf_recall): "
+    "one summary row counting queries whose shortlist-reranked PQ top-5 "
+    "recall vs brute force falls below 0.4; the oracle pins violations=0.",
+)
+def similarity_pq_recall(spark, sf_dir):
+    from polars_lake_spark.operators.pq import pq_encode, pq_search_rerank, train_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = train_pq(emb, m=8, ksub=16, iters=2)
+    codes = pq_encode(emb, cbs).cache()
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = pq_search_rerank(codes, cbs, emb, queries, k=5, shortlist=100).select(
+        "qid", F.col("cid").alias("acid")
+    )
+    exact = S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5).select(
+        "qid", "cid"
+    )
+    hits = exact.join(
+        approx, (exact.qid == approx.qid) & (exact.cid == approx.acid), "left"
+    ).select(exact.qid, F.when(approx.acid.isNotNull(), 1).otherwise(0).alias("hit"))
+    recall = hits.groupBy("qid").agg(
+        (F.sum("hit") / F.count(F.lit(1))).alias("recall")
+    )
+    return recall.agg(
+        F.count(F.lit(1)).alias("queries_checked"),
+        F.sum(F.when(F.col("recall") < 0.4, 1).otherwise(0)).alias("violations"),
+    )

@@ -1,0 +1,89 @@
+"""Product quantization: codebook determinism, map-side encode plan,
+compression shape, and shortlist-rerank recall vs brute force.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from polars_lake_spark.operators import similarity as S
+from polars_lake_spark.operators.pq import (
+    pq_encode,
+    pq_search,
+    pq_search_rerank,
+    train_pq,
+)
+from polars_lake_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def cbs(emb):
+    return train_pq(emb, m=8, ksub=16, iters=2)
+
+
+def test_train_is_deterministic(emb, cbs):
+    again = train_pq(emb, m=8, ksub=16, iters=2)
+    assert again == cbs  # hash-seeded Lloyd, no RNG anywhere
+
+
+def test_codes_shape_and_range(emb, cbs):
+    codes = pq_encode(emb, cbs)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_encode_is_map_side(emb, cbs):
+    from polars_lake_spark.plans import executed_plan
+
+    plan = executed_plan(pq_encode(emb, cbs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_adc_orders_by_true_distance_on_centroids(emb, cbs):
+    """A query that IS a corpus vector must rank its own near-identical
+    code neighbors first: sanity that ADC distances are monotone with
+    reconstruction distance (exact check is the recall test)."""
+    codes = pq_encode(emb, cbs)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = pq_search(codes, cbs, queries, k=10).collect()
+    assert len(out) == 30
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r.approx_dist)
+    for dists in by_q.values():
+        assert dists == sorted(dists)  # window ordered ascending
+
+
+def test_shortlist_rerank_recall(emb, cbs):
+    """Exact top-5 recall of the shortlist-100 reranked PQ search >= 0.4
+    per query (measured 0.6-1.0 on the fixtures; threshold leaves margin
+    in line with the similarity_pq_recall oracle invariant)."""
+    codes = pq_encode(emb, cbs).cache()
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = {
+        (r.qid, r.cid)
+        for r in pq_search_rerank(
+            codes, cbs, emb, queries, k=5, shortlist=100
+        ).collect()
+    }
+    exact = S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    per_q = {}
+    for r in exact.collect():
+        hit, tot = per_q.setdefault(r.qid, [0, 0])
+        per_q[r.qid][1] = tot + 1
+        if (r.qid, r.cid) in approx:
+            per_q[r.qid][0] = hit + 1
+    assert all(h / t >= 0.4 for h, t in per_q.values()), per_q
+
+
+def test_train_rejects_bad_m(emb):
+    with pytest.raises(ValueError):
+        train_pq(emb, m=7, ksub=16, iters=1)  # 64 % 7 != 0
