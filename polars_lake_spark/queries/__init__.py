@@ -79,6 +79,8 @@ CHECK_PRIORITY: list[str] = [
     "events_gap_fill",
     "histogram_totals",
     "similarity_pq_recall",
+    "text_unigram_logprob",
+    "text_pii_scrub",
     # -- green in r01 only; row is a round old (12) -------------------
     "set_operations",
     "agg_stats",

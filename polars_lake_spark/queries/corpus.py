@@ -416,3 +416,102 @@ def boilerplate_chunks(spark, sf_dir):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      unnest(string_split({_NORM_SQL}, ' ')) AS w
+               FROM documents),
+    tk AS (SELECT doc_id, w FROM t WHERE w <> ''),
+    uni AS (SELECT w, COUNT(*) AS cw FROM tk GROUP BY w),
+    tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS total FROM uni)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(ROUND(SUM(LN(cw * 1.0 / total)), 4) / COUNT(*), 8)
+               AS avg_logprob
+    FROM tk JOIN uni USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-fitted unigram LM score per document (the CCNet-style
+    fluency/quality signal): avg token log-probability under the corpus
+    unigram distribution. Two shuffles (vocab count, per-doc aggregate);
+    the vocab join broadcasts when small, hash-joins otherwise. Sum is
+    rounded before the divide so partial-aggregation order can't leak
+    into the 8dp output."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(TX.normalized(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tot = uni.agg(F.sum("cw").cast("bigint").alias("total"))
+    lp = (
+        toks.join(uni, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.log(F.col("cw") / F.col("total")).alias("lp"))
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.round(F.sum("lp"), 4) / F.count(F.lit(1)), 8).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+# Deterministic synthetic PII (the fixture corpus is word salad with no
+# real PII), same synth→operate→verify pattern as the multimodal image
+# roundtrip: the scrub operators are real, the planted PII is derived
+# from doc_id so the oracle can replay it.
+_PII_SYNTH_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com "
+    "or call 555-' || CAST(doc_id % 1000 AS VARCHAR) || ' now'"
+)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_PII_SYNTH_SQL} AS synth FROM documents),
+    r AS (SELECT doc_id,
+                 len(regexp_extract_all(synth, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+'))
+                     AS n_emails,
+                 len(regexp_extract_all(synth, '555-[0-9]+')) AS n_phones,
+                 regexp_replace(
+                     regexp_replace(synth, '[a-z0-9]+@[a-z0-9]+\\.[a-z]+',
+                                    '<EMAIL>', 'g'),
+                     '555-[0-9]+', '<PHONE>', 'g') AS scrubbed
+          FROM s)
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           md5(scrubbed) AS scrubbed_md5
+    FROM r
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction (emails, phone numbers) with per-doc redaction
+    counts — pure map-side regexp chain, the pre-training scrub pass.
+    PII is planted deterministically from doc_id (see _PII_SYNTH_SQL);
+    output carries the md5 of the scrubbed text so the oracle verifies
+    the exact redacted string, not just the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        (F.col("doc_id") % 1000).cast("string"),
+        F.lit(" now"),
+    )
+    email_re = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    phone_re = "555-[0-9]+"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(synth, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(synth, F.lit(email_re)).cast("bigint").alias("n_emails"),
+        F.regexp_count(synth, F.lit(phone_re)).cast("bigint").alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )
