@@ -80,6 +80,7 @@ def train_pq(
     m: int = 8,
     ksub: int = 16,
     iters: int = 2,
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Per-subspace codebooks via deterministic Lloyd.
 
@@ -89,8 +90,9 @@ def train_pq(
     (subspace, code) — the shuffle carries N*m short rows and returns
     m*ksub means. Returns plain Python lists (the codebook IS driver-side
     metadata, k*D doubles)."""
+    vraw = as_double(F.col(vec_col))
     vecs = corpus.select(
-        F.col(id_col).alias("id"), _unit(as_double(F.col(vec_col))).alias("v")
+        F.col(id_col).alias("id"), (_unit(vraw) if normalize else vraw).alias("v")
     )
     first = vecs.select(F.size("v").alias("d")).first()
     dim = first.d
@@ -150,16 +152,22 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, codes array<int>) — pure map-side projection; at 100 TB this
     is the table you persist (m small ints per vector)."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
+    vraw = as_double(F.col(vec_col))
+    extra = list(keep_cols or [])
     vecs = corpus.select(
-        F.col(id_col).alias("id"), _unit(as_double(F.col(vec_col))).alias("v")
+        F.col(id_col).alias("id"),
+        (_unit(vraw) if normalize else vraw).alias("v"),
+        *extra,
     )
     return vecs.select(
-        "id", _encode_expr(F.col("v"), codebooks, d_sub).alias("codes")
+        "id", _encode_expr(F.col("v"), codebooks, d_sub).alias("codes"), *extra
     )
 
 
@@ -227,6 +235,151 @@ def pq_search_rerank(
 
     short = pq_search(
         codes, codebooks, queries, id_col=id_col, vec_col=vec_col, k=shortlist
+    ).select("qid", "cid")
+    full = corpus.select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        short.join(full, "cid")
+        .join(F.broadcast(qv), "qid")
+        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
+def _unit_cols(df: DataFrame, vec: str):
+    return df.withColumn(vec, _unit(F.col(vec)))
+
+
+def train_ivfpq(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cells: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+):
+    """IVF-PQ with residual encoding (the FAISS IVFPQ design): a coarse
+    quantizer (ivf.train_ivf) splits the corpus into cells; PQ codebooks
+    are trained on the RESIDUALS v_unit - c_unit, which are far more
+    concentrated than raw vectors, so the same ksub buys less distortion.
+    Residuals are NOT re-normalized (their magnitude is the signal).
+
+    Returns (centroids_df, codebooks, codes_df) where codes_df is
+    (id, cell_id, codes) — at 100 TB you persist codes_df partitioned by
+    cell_id (ivf.ivf_write_index layout) at m bytes/vector."""
+    from polars_lake_spark.operators.ivf import ivf_index, train_ivf
+
+    centroids = train_ivf(corpus, id_col, vec_col, k=k_cells, iters=iters)
+    assigned = ivf_index(corpus, centroids, id_col, vec_col)
+    cu = centroids.select(
+        "cell_id", _unit(F.col("cv")).alias("cu")
+    )
+    residuals = (
+        assigned.join(F.broadcast(cu), "cell_id")
+        .select(
+            "id",
+            "cell_id",
+            F.zip_with(
+                _unit(F.col("v")), F.col("cu"), lambda x, y: x - y
+            ).alias("r"),
+        )
+    )
+    codebooks = train_pq(
+        residuals, id_col="id", vec_col="r", m=m, ksub=ksub, iters=iters,
+        normalize=False,
+    )
+    codes = pq_encode(
+        residuals, codebooks, id_col="id", vec_col="r", normalize=False,
+        keep_cols=["cell_id"],
+    )
+    return centroids, codebooks, codes
+
+
+def ivfpq_search(
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    codes: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe nprobe cells (ivf.probe_cells), then ADC against the residual
+    codes of ONLY those cells: per probe pair the query residual is
+    q_unit - c_unit and the distance is the usual codebook lookup sum.
+    The cell join is an equi-join on cell_id (partition-prunable when
+    codes are persisted by cell), never a corpus scan: candidate count is
+    sum of probed cell sizes ~ nprobe/K of the corpus."""
+    from polars_lake_spark.operators.ivf import probe_cells
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    cb = _codebook_literal(codebooks)
+    probes = probe_cells(centroids, queries, id_col, vec_col, nprobe)
+    cu = centroids.select("cell_id", _unit(F.col("cv")).alias("cu"))
+    pq_probe = (
+        probes.join(F.broadcast(cu), "cell_id")
+        .select(
+            "qid",
+            "cell_id",
+            F.zip_with(
+                _unit(F.col("qv")), F.col("cu"), lambda x, y: x - y
+            ).alias("qr"),
+        )
+    )
+    cand = pq_probe.join(codes, "cell_id").filter(F.col("qid") != F.col("id"))
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + _sub_l2sq(
+            F.slice(F.col("qr"), j * F.lit(d_sub) + 1, d_sub),
+            F.element_at(
+                F.element_at(cb, (j + 1).cast("int")),
+                (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast("int"),
+            ),
+        ),
+    )
+    scored = cand.select("qid", F.col("id").alias("cid"), dist.alias("approx_dist"))
+    w = Window.partitionBy("qid").orderBy(F.asc("approx_dist"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("approx_dist", 6).alias("approx_dist"))
+    )
+
+
+def ivfpq_search_rerank(
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 100,
+) -> DataFrame:
+    """IVF-PQ shortlist + exact cosine re-rank (same production pattern as
+    pq_search_rerank): candidate IO is bounded by the probed cells' code
+    rows; the exact pass touches |Q| x shortlist full vectors."""
+    from polars_lake_spark.operators.similarity import cosine
+
+    short = ivfpq_search(
+        centroids, codebooks, codes, queries,
+        id_col=id_col, vec_col=vec_col, k=shortlist, nprobe=nprobe,
     ).select("qid", "cid")
     full = corpus.select(
         F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")

@@ -81,6 +81,7 @@ CHECK_PRIORITY: list[str] = [
     "similarity_pq_recall",
     "text_unigram_logprob",
     "text_pii_scrub",
+    "similarity_ivfpq_recall",
     # -- green in r01 only; row is a round old (12) -------------------
     "set_operations",
     "agg_stats",

@@ -473,3 +473,58 @@ def similarity_pq_recall(spark, sf_dir):
         F.count(F.lit(1)).alias("queries_checked"),
         F.sum(F.when(F.col("recall") < 0.4, 1).otherwise(0)).alias("violations"),
     )
+
+
+@register(
+    "similarity_ivfpq",
+    doc="IVF-PQ with residual encoding (FAISS-style): coarse cells + "
+    "per-cell residual codes, ADC shortlist over probed cells, exact "
+    "re-rank — approximate by design, rows-only; quality pinned by the "
+    "oracled similarity_ivfpq_recall companion.",
+)
+def similarity_ivfpq(spark, sf_dir):
+    from polars_lake_spark.operators.pq import ivfpq_search_rerank, train_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, cbs, codes = train_ivfpq(emb, k_cells=8, m=8, ksub=16, iters=2)
+    codes = codes.cache()
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_search_rerank(
+        cents, cbs, codes, emb, queries, k=5, nprobe=6, shortlist=100
+    )
+
+
+@register(
+    "similarity_ivfpq_recall",
+    oracle="""
+    SELECT COUNT(*) AS queries_checked, 0 AS violations
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="IVF-PQ consistency companion: counts queries whose reranked "
+    "top-5 recall vs brute force falls below 0.2 (measured >= 0.4 on the "
+    "fixtures; the threshold leaves 2x margin because nprobe truncation "
+    "composes with PQ distortion). Oracle pins violations=0.",
+)
+def similarity_ivfpq_recall(spark, sf_dir):
+    from polars_lake_spark.operators.pq import ivfpq_search_rerank, train_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, cbs, codes = train_ivfpq(emb, k_cells=8, m=8, ksub=16, iters=2)
+    codes = codes.cache()
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = ivfpq_search_rerank(
+        cents, cbs, codes, emb, queries, k=5, nprobe=6, shortlist=100
+    ).select("qid", F.col("cid").alias("acid"))
+    exact = S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5).select(
+        "qid", "cid"
+    )
+    hits = exact.join(
+        approx, (exact.qid == approx.qid) & (exact.cid == approx.acid), "left"
+    ).select(exact.qid, F.when(approx.acid.isNotNull(), 1).otherwise(0).alias("hit"))
+    recall = hits.groupBy("qid").agg(
+        (F.sum("hit") / F.count(F.lit(1))).alias("recall")
+    )
+    return recall.agg(
+        F.count(F.lit(1)).alias("queries_checked"),
+        F.sum(F.when(F.col("recall") < 0.2, 1).otherwise(0)).alias("violations"),
+    )
