@@ -398,3 +398,79 @@ def ivfpq_search_rerank(
         .filter(F.col("rn") <= k)
         .select("qid", "cid", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+def ivfpq_write_index(
+    engine,
+    name: str,
+    codes: DataFrame,
+    versioned: bool = False,
+):
+    """Persist IVF-PQ codes through the Engine layout, hive-partitioned by
+    cell_id — the m-bytes-per-vector table a 100 TB deployment actually
+    stores. With versioned=True each index rebuild commits a snapshot, so
+    searches can pin (time-travel to) an index version while a rebuild
+    lands."""
+    return engine.create_table(
+        name, codes, partition_by=["cell_id"], versioned=versioned
+    )
+
+
+def ivfpq_search_pruned(
+    engine,
+    name: str,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+    version: int | None = None,
+) -> DataFrame:
+    """ADC search against a PERSISTED code table with literal cell
+    predicates, so the scan partition-prunes to the probed cells (same
+    bounded-literal pattern as ivf_search_pruned — the probed-cell set is
+    <= K). ``version`` pins a snapshot of a versioned index."""
+    from polars_lake_spark.operators.ivf import probe_cells
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    cb = _codebook_literal(codebooks)
+    probes = probe_cells(centroids, queries, id_col, vec_col, nprobe).cache()
+    cells = sorted(r.cell_id for r in probes.select("cell_id").distinct().collect())
+    codes = (
+        engine.table(name, version=version) if version is not None
+        else engine.table(name)
+    ).filter(F.col("cell_id").isin(cells))
+    cu = centroids.select("cell_id", _unit(F.col("cv")).alias("cu"))
+    pq_probe = (
+        probes.join(F.broadcast(cu), "cell_id")
+        .select(
+            "qid",
+            "cell_id",
+            F.zip_with(
+                _unit(F.col("qv")), F.col("cu"), lambda x, y: x - y
+            ).alias("qr"),
+        )
+    )
+    cand = pq_probe.join(codes, "cell_id").filter(F.col("qid") != F.col("id"))
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + _sub_l2sq(
+            F.slice(F.col("qr"), j * F.lit(d_sub) + 1, d_sub),
+            F.element_at(
+                F.element_at(cb, (j + 1).cast("int")),
+                (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast("int"),
+            ),
+        ),
+    )
+    scored = cand.select("qid", F.col("id").alias("cid"), dist.alias("approx_dist"))
+    w = Window.partitionBy("qid").orderBy(F.asc("approx_dist"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("approx_dist", 6).alias("approx_dist"))
+    )

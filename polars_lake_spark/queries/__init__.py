@@ -68,7 +68,6 @@ CHECK_PRIORITY: list[str] = [
     "exact_percentiles_windowed",
     "window_range_frames",
     "skew_count_distinct",
-    "skew_collect_set",
     "join_cobucketed",
     # -- new this round (insert here, above the stale greens) ---------
     "chunk_documents",
@@ -82,6 +81,10 @@ CHECK_PRIORITY: list[str] = [
     "text_unigram_logprob",
     "text_pii_scrub",
     "similarity_ivfpq_recall",
+    "data_quality_report",
+    # skew_collect_set rotates to the next round's batch (sibling
+    # skew_count_distinct holds the salted-agg slot this round)
+    "skew_collect_set",
     # -- green in r01 only; row is a round old (12) -------------------
     "set_operations",
     "agg_stats",

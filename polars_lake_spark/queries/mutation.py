@@ -375,3 +375,68 @@ def merge_into_conditional(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+    SELECT 'null_violations' AS check_name,
+           CAST(COUNT(*) FILTER (WHERE l_orderkey IS NULL OR l_quantity IS NULL)
+                AS BIGINT) AS n_bad
+    FROM lineitem
+    UNION ALL
+    SELECT 'pk_duplicates',
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS c FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'range_violations',
+           CAST(COUNT(*) FILTER (WHERE l_quantity < 0 OR l_quantity > 100
+                                 OR l_discount < 0 OR l_discount > 1)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'enum_violations',
+           CAST(COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R'))
+                AS BIGINT)
+    FROM lineitem
+    """,
+)
+def data_quality_report(spark, sf_dir):
+    """Constraint-check report (the Delta CHECK-constraint / expectations
+    analog): NOT NULL, primary-key uniqueness, numeric range, and enum
+    membership violations in one pass — three scans collapse to
+    conditional aggregates plus one keyed groupBy for the PK check; at
+    100 TB each check is a map-side partial aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nulls = li.agg(
+        F.lit("null_violations").alias("check_name"),
+        F.count_if(
+            F.col("l_orderkey").isNull() | F.col("l_quantity").isNull()
+        ).cast("bigint").alias("n_bad"),
+    )
+    dups = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.lit("pk_duplicates").alias("check_name"),
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("bigint").alias("n_bad"),
+        )
+    )
+    ranges = li.agg(
+        F.lit("range_violations").alias("check_name"),
+        F.count_if(
+            (F.col("l_quantity") < 0)
+            | (F.col("l_quantity") > 100)
+            | (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 1)
+        ).cast("bigint").alias("n_bad"),
+    )
+    enums = li.agg(
+        F.lit("enum_violations").alias("check_name"),
+        F.count_if(~F.col("l_returnflag").isin("A", "N", "R"))
+        .cast("bigint")
+        .alias("n_bad"),
+    )
+    return nulls.union(dups).union(ranges).union(enums)

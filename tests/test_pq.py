@@ -87,3 +87,37 @@ def test_shortlist_rerank_recall(emb, cbs):
 def test_train_rejects_bad_m(emb):
     with pytest.raises(ValueError):
         train_pq(emb, m=7, ksub=16, iters=1)  # 64 % 7 != 0
+
+
+def test_ivfpq_pruned_probe_partition_filters(spark, emb, tmp_path):
+    """Persisted IVF-PQ codes partition-prune at probe time (cell_id in
+    PartitionFilters) and match the in-memory ADC search; a versioned
+    index pins searches to a snapshot while a rebuild lands."""
+    import pyspark.sql.functions as F
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.pq import (
+        ivfpq_search,
+        ivfpq_search_pruned,
+        ivfpq_write_index,
+        train_ivfpq,
+    )
+    from polars_lake_spark.plans import executed_plan
+
+    cents, cbs2, codes = train_ivfpq(emb, k_cells=8, m=8, ksub=16, iters=2)
+    codes = codes.localCheckpoint(eager=True)
+    engine = Engine(spark, str(tmp_path))
+    ivfpq_write_index(engine, "pq_idx", codes, versioned=True)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    pruned = ivfpq_search_pruned(
+        engine, "pq_idx", cents, cbs2, queries, k=5, nprobe=2, version=1
+    )
+    plan = executed_plan(pruned)
+    segs = [s.split("]")[0] for s in plan.split("PartitionFilters")[1:]]
+    assert any("cell_id" in s for s in segs), segs
+
+    mem = ivfpq_search(cents, cbs2, codes, queries, k=5, nprobe=2)
+    assert {(r.qid, r.cid, r.approx_dist) for r in pruned.collect()} == {
+        (r.qid, r.cid, r.approx_dist) for r in mem.collect()
+    }
