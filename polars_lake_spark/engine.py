@@ -514,6 +514,58 @@ class Engine:
                     self._write(merged, spec, "overwrite", static_overwrite=True)
             self._register(name)
 
+    def clone(self, src: str, dst: str, *, shallow: bool = True) -> None:
+        """CLONE analog (Delta SHALLOW/DEEP CLONE) for versioned tables.
+
+        Shallow: commits a v1 snapshot on ``dst`` whose mapping references
+        the SOURCE's write dirs by relative path — zero data movement,
+        O(partitions) driver-side metadata, done in milliseconds at any
+        table size. The clone then diverges independently: its upserts
+        land in its own local write dirs (the source refs persist only for
+        untouched partitions), and vacuum on the clone never touches
+        foreign dirs (it only removes local ``w*`` entries). Caveat shared
+        with Delta: vacuuming the SOURCE can drop dirs a shallow clone
+        still references — keep source retention >= clone lifetime.
+
+        Deep: a full versioned copy via one distributed write."""
+        if src not in self.specs:
+            self.load_table(src)
+        sspec = self.specs[src]
+        if not sspec.versioned:
+            raise ValueError(f"clone requires a versioned source: {src}")
+        if dst in self.specs:
+            raise ValueError(f"table {dst} already exists")
+        if not shallow:
+            self.create_table(
+                dst,
+                self.table(src),
+                partition_by=list(sspec.partition_by),
+                bucket_by=list(sspec.bucket_by),
+                n_buckets=sspec.n_buckets,
+                keys=list(sspec.keys),
+                versioned=True,
+            )
+            return
+        from dataclasses import replace as _dc_replace
+
+        from polars_lake_spark.snapshots import SnapshotStore
+
+        with self._lock(dst):
+            src_store = self._snapstore(src)
+            snap = src_store.load()
+            dst_store = SnapshotStore(self._path(dst))
+            os.makedirs(dst_store.data_path, exist_ok=True)
+            rel = os.path.relpath(src_store.data_path, dst_store.data_path)
+            mapping = {
+                p: [os.path.join(rel, w).replace(os.sep, "/") for w in ws]
+                for p, ws in snap.mapping.items()
+            }
+            dst_store.commit(mapping, "clone", snap.schema_json)
+            dspec = _dc_replace(sspec, name=dst)
+            self.specs[dst] = dspec
+            self._write_manifest(dspec)
+            self._register(dst)
+
     def delete(self, name: str, deletes: DataFrame, keys: list[str] | None = None) -> None:
         """Delete by key — anti join (reference TODO /root/reference/src/main.rs:31)."""
         spec = self._guard_mutable(name)

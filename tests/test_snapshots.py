@@ -342,3 +342,45 @@ def test_engine_merge_versioned_prunes_without_delete(engine, spark, sf_dir):
         .first()["o_totalprice"]
     )
     assert abs(p_new - 2 * p_old) < 1e-6
+
+
+def test_shallow_clone_zero_copy_and_divergence(engine, spark, sf_dir):
+    """engine.clone(shallow): v1 references the source's write dirs (no
+    data copied), then the clone diverges through its own write dirs;
+    vacuuming the clone never deletes source files."""
+    import glob
+    import os
+
+    o = _make(engine, spark, sf_dir)
+    n0 = o.count()
+    engine.clone("vorders", "vclone")
+
+    # zero copy: the clone's data dir holds no local parquet at v1
+    clone_data = os.path.join(engine.root, "vclone", "data")
+    assert glob.glob(os.path.join(clone_data, "w*")) == []
+    assert engine.table("vclone").count() == n0
+    assert engine.history("vclone")[-1]["op"] == "clone"
+
+    # clone diverges; source untouched
+    batch = o.limit(20).withColumn("o_totalprice", F.lit(1.0))
+    engine.upsert("vclone", batch)
+    assert engine.table("vclone").filter(F.col("o_totalprice") == 1.0).count() == 20
+    assert engine.table("vorders").filter(F.col("o_totalprice") == 1.0).count() == 0
+
+    # vacuum on the clone removes nothing foreign
+    src_files = set(glob.glob(os.path.join(engine.root, "vorders", "data", "**", "*.parquet"), recursive=True))
+    engine.vacuum("vclone", keep_last=1)
+    still = set(glob.glob(os.path.join(engine.root, "vorders", "data", "**", "*.parquet"), recursive=True))
+    assert still == src_files
+    assert engine.table("vclone").count() == n0
+
+
+def test_deep_clone_independent_copy(engine, spark, sf_dir):
+    o = _make(engine, spark, sf_dir)
+    engine.clone("vorders", "vdeep", shallow=False)
+    assert engine.table("vdeep").count() == o.count()
+    # deep clone has its own write dirs
+    import glob
+    import os
+
+    assert glob.glob(os.path.join(engine.root, "vdeep", "data", "w*"))
