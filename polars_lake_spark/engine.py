@@ -749,13 +749,21 @@ class Engine:
         from_version: int,
         to_version: int | None = None,
         keys: list[str] | None = None,
+        *,
+        preimages: bool = False,
     ) -> DataFrame:
         """Change feed between two snapshots (Delta CDF analog): one row
         per key whose content differs, tagged ``_change_type`` in
         {insert, update, delete}.  Computed as a keyed full-outer diff of
         the two version reads — both sides are explicit file-list scans,
         so the cost is two scans + one shuffle on the keys regardless of
-        how many intermediate versions exist."""
+        how many intermediate versions exist.
+
+        ``preimages=True`` emits Delta CDF's full four-type feed — updates
+        become TWO rows (update_preimage with the old values,
+        update_postimage with the new) via a map-side explode over the
+        same single join, which is what makes downstream consumers able to
+        SUBTRACT old contributions (incremental aggregate maintenance)."""
         spec = self.specs[name]
         if not spec.versioned:
             raise ValueError(f"table {name} is not versioned")
@@ -794,9 +802,35 @@ class Engine:
             .when(n_first_key.isNull(), F.lit("delete"))
             .when(~same, F.lit("update"))
         )
-        out_cols = [
+        key_cols = [
             F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys
-        ] + [
+        ]
+        if preimages:
+            is_insert = o_first_key.isNull()
+            is_delete = n_first_key.isNull()
+            old_img = F.struct(
+                *[F.col(f"o.{c}").alias(c) for c in non_keys],
+                F.when(is_delete, F.lit("delete"))
+                .when(~is_insert & ~is_delete & ~same, F.lit("update_preimage"))
+                .alias("_change_type"),
+            )
+            new_img = F.struct(
+                *[F.col(f"n.{c}").alias(c) for c in non_keys],
+                F.when(is_insert, F.lit("insert"))
+                .when(~is_insert & ~is_delete & ~same, F.lit("update_postimage"))
+                .alias("_change_type"),
+            )
+            exploded = joined.select(
+                *key_cols, F.explode(F.array(old_img, new_img)).alias("_img")
+            )
+            return exploded.filter(
+                F.col("_img._change_type").isNotNull()
+            ).select(
+                *keys,
+                *[F.col(f"_img.{c}").alias(c) for c in non_keys],
+                F.col("_img._change_type").alias("_change_type"),
+            )
+        out_cols = key_cols + [
             # deleted rows surface their OLD values; inserts/updates the new
             F.when(n_first_key.isNull(), F.col(f"o.{c}"))
             .otherwise(F.col(f"n.{c}"))
@@ -808,6 +842,99 @@ class Engine:
             .filter(F.col("_change_type").isNotNull())
             .select(*out_cols, "_change_type")
         )
+
+    # ------------------------------------------- incremental aggregates
+    AGGDEF = "_aggdef.json"
+
+    def create_aggregate(
+        self,
+        agg_name: str,
+        src: str,
+        group_by: list[str],
+        sum_cols: dict[str, str],
+        count_col: str = "n_rows",
+    ) -> None:
+        """Materialize an incrementally-maintainable sum/count aggregate
+        over a versioned source table (materialized-view maintenance, the
+        Delta CDF consumer pattern).  The sidecar records which source
+        snapshot the aggregate reflects; refresh_aggregate() advances it
+        by applying ONLY the change feed — at 100 TB a refresh costs two
+        version scans + one grouped delta, never a full recompute chain,
+        and the delta itself is partition-prunable like any CDC read."""
+        if src not in self.specs:
+            self.load_table(src)
+        if not self.specs[src].versioned:
+            raise ValueError(f"aggregate source must be versioned: {src}")
+        if self.root is None:
+            raise ValueError("aggregates need a persisted engine root")
+        src_v = self._snapstore(src).latest_version()
+        df = self.table(src).groupBy(*group_by).agg(
+            *[F.sum(c).cast("double").alias(out) for out, c in sum_cols.items()],
+            F.count(F.lit(1)).alias(count_col),
+        )
+        self.create_table(agg_name, df, keys=list(group_by), versioned=True)
+        with open(os.path.join(self._path(agg_name), self.AGGDEF), "w") as f:
+            json.dump(
+                {
+                    "src": src,
+                    "group_by": list(group_by),
+                    "sum_cols": dict(sum_cols),
+                    "count_col": count_col,
+                    "applied_version": src_v,
+                },
+                f,
+            )
+
+    def refresh_aggregate(self, agg_name: str) -> dict:
+        """Advance the aggregate to the source's latest snapshot by
+        applying signed CDF contributions: insert/update_postimage add,
+        delete/update_preimage subtract — group-key changes in an update
+        move mass between groups for free (the preimage subtracts from
+        the old group, the postimage adds to the new). Groups whose row
+        count reaches zero are dropped. Commits one snapshot on the
+        aggregate; a no-op when already current."""
+        with open(os.path.join(self._path(agg_name), self.AGGDEF)) as f:
+            d = json.load(f)
+        src, applied = d["src"], d["applied_version"]
+        group_by, sum_cols, count_col = d["group_by"], d["sum_cols"], d["count_col"]
+        latest = self._snapstore(src).latest_version()
+        if latest == applied:
+            return {"applied_version": applied, "refreshed": False}
+        cdc = self.changes(src, applied, latest, preimages=True)
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = cdc.groupBy(*group_by).agg(
+            *[
+                F.sum(sign * F.col(c)).cast("double").alias(f"__d_{out}")
+                for out, c in sum_cols.items()
+            ],
+            F.sum(sign).alias("__d_n"),
+        )
+        spec = self.specs[agg_name]
+        with self._lock(agg_name):
+            cur = self.table(agg_name)
+            joined = cur.join(delta, on=list(group_by), how="full_outer")
+            merged = joined.select(
+                *group_by,
+                *[
+                    (
+                        F.coalesce(F.col(out), F.lit(0.0))
+                        + F.coalesce(F.col(f"__d_{out}"), F.lit(0.0))
+                    ).alias(out)
+                    for out in sum_cols
+                ],
+                (
+                    F.coalesce(F.col(count_col), F.lit(0))
+                    + F.coalesce(F.col("__d_n"), F.lit(0))
+                ).alias(count_col),
+            ).filter(F.col(count_col) > 0)
+            self._write_versioned(merged, spec, op="rewrite")
+            self._register(agg_name)
+        d["applied_version"] = latest
+        with open(os.path.join(self._path(agg_name), self.AGGDEF), "w") as f:
+            json.dump(d, f)
+        return {"applied_version": latest, "refreshed": True}
 
     def tables(self) -> list[str]:
         """SHOW TABLES analog (SURVEY §2.c DDL-ish row)."""

@@ -384,3 +384,63 @@ def test_deep_clone_independent_copy(engine, spark, sf_dir):
     import os
 
     assert glob.glob(os.path.join(engine.root, "vdeep", "data", "w*"))
+
+
+def test_cdf_preimages_four_types(engine, spark, sf_dir):
+    """changes(preimages=True) emits the Delta-CDF four-type feed: updates
+    appear twice (pre+post), and signed sums reconcile the two versions."""
+    o = _make(engine, spark, sf_dir)
+    upd = o.limit(30).withColumn("o_totalprice", F.col("o_totalprice") + 7.0)
+    engine.upsert("vorders", upd)
+    cdc = engine.changes("vorders", 1, 2, preimages=True)
+    by_type = {r["_change_type"]: r["n"] for r in
+               cdc.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_type.get("update_preimage", 0) == by_type.get("update_postimage", 0) == 30
+    assert "insert" not in by_type and "delete" not in by_type
+    # signed price delta == 30 * 7
+    sign = F.when(F.col("_change_type").isin("insert", "update_postimage"), 1).otherwise(-1)
+    d = cdc.agg(F.round(F.sum(sign * F.col("o_totalprice")), 2)).first()[0]
+    assert abs(d - 210.0) < 1e-6
+
+
+def test_incremental_aggregate_matches_recompute(engine, spark, sf_dir):
+    """create_aggregate + refresh_aggregate: after updates, inserts with
+    NEW group keys, and deletes, the incrementally-maintained aggregate
+    equals a from-scratch recompute (2dp)."""
+    o = _make(engine, spark, sf_dir)
+    engine.create_aggregate(
+        "orders_agg", "vorders", ["o_orderstatus"], {"revenue": "o_totalprice"}
+    )
+
+    # mutate: reprice some, insert a new status group, delete some
+    upd = o.filter(F.col("o_orderkey") % 9 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.5
+    )
+    engine.upsert("vorders", upd)
+    newg = (
+        o.limit(10)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 77_000_000)
+        .withColumn("o_orderstatus", F.lit("X"))
+    )
+    engine.upsert("vorders", newg)
+    engine.delete("vorders", o.filter(F.col("o_orderkey") % 31 == 0).select("o_orderkey"))
+
+    out = engine.refresh_aggregate("orders_agg")
+    assert out["refreshed"]
+    got = {
+        r.o_orderstatus: (round(r.revenue, 2), r.n_rows)
+        for r in engine.table("orders_agg").collect()
+    }
+    expect = {
+        r.o_orderstatus: (round(r.revenue, 2), r.n_rows)
+        for r in engine.table("vorders")
+        .groupBy("o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][1] == expect[k][1], k
+        assert abs(got[k][0] - expect[k][0]) < 0.05, (k, got[k], expect[k])
+    # second refresh is a no-op
+    assert engine.refresh_aggregate("orders_agg")["refreshed"] is False
