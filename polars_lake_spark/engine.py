@@ -51,6 +51,11 @@ from polars_lake_spark.session import configure_session
 MANIFEST = "_manifest.json"
 
 
+class ConstraintViolationError(ValueError):
+    """A write (or add_constraint over existing data) found rows failing a
+    table CHECK constraint; nothing was written."""
+
+
 @dataclass
 class TableSpec:
     """Table metadata — the reference Dataset's (partition cols, bucket
@@ -79,6 +84,10 @@ class TableSpec:
     # manifests (snapshots.py) → snapshot isolation, time travel, restore,
     # vacuum. The SURVEY §7 "later Delta" tier, no lake-format dependency.
     versioned: bool = False
+    # CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analog):
+    # name -> SQL boolean expression, enforced on every write's touched
+    # slice before it lands (engine._enforce).
+    constraints: dict[str, str] = field(default_factory=dict)
 
     @property
     def physical_partitioning(self) -> list[str]:
@@ -372,6 +381,45 @@ class Engine:
             )
         return spec
 
+    def add_constraint(self, name: str, cname: str, expr_sql: str) -> None:
+        """ALTER TABLE ADD CONSTRAINT analog: a SQL boolean expression
+        every row must satisfy. Existing data is validated first (one
+        count over the table — same contract as Delta, which scans before
+        accepting a constraint); subsequent writes validate only their
+        touched slice."""
+        spec = self.specs[name]
+        bad = self.table(name).filter(~F.expr(expr_sql)).limit(1).count()
+        if bad:
+            raise ConstraintViolationError(
+                f"existing rows in {name} violate {cname}: {expr_sql}"
+            )
+        spec.constraints[cname] = expr_sql
+        if self.root is not None and name not in self._mem:
+            self._write_manifest(spec)
+
+    def drop_constraint(self, name: str, cname: str) -> None:
+        spec = self.specs[name]
+        spec.constraints.pop(cname, None)
+        if self.root is not None and name not in self._mem:
+            self._write_manifest(spec)
+
+    def _enforce(self, spec: TableSpec, df: DataFrame) -> DataFrame:
+        """Validate a to-be-written frame against the table's CHECK
+        constraints. Cost is one pass over the TOUCHED slice (bounded by
+        batch size on the pruned paths), short-circuited by limit(1).
+        Raises before anything lands — writes stay all-or-nothing."""
+        if not spec.constraints:
+            return df
+        for cname, expr_sql in spec.constraints.items():
+            bad = df.filter(~F.coalesce(F.expr(expr_sql), F.lit(False))).limit(1)
+            rows = bad.collect()
+            if rows:
+                raise ConstraintViolationError(
+                    f"write to {spec.name} violates constraint {cname} "
+                    f"({expr_sql}); first bad row: {rows[0].asDict()}"
+                )
+        return df
+
     def insert(self, name: str, df: DataFrame, *, save: bool = True) -> None:
         """Append (``/root/reference/src/dataset.rs:271-295``): the shuffle
         on partition columns replaces the reference's HashMap routing of
@@ -379,6 +427,7 @@ class Engine:
         spec = self._guard_mutable(name)
         with self._lock(name):
             df = self._with_layout(df.select(*[c for c in df.columns]), spec)
+            self._enforce(spec, df)
             if spec.versioned:
                 self._write_versioned(df, spec, op="append")
             elif save and name not in self._mem:
@@ -430,6 +479,7 @@ class Engine:
                     op = "rewrite"
                 if audit:
                     merged = M.with_audit_columns(merged, created=False)
+                self._enforce(spec, merged)
                 # No localCheckpoint staging: the write lands in a FRESH
                 # immutable dir, so the plan's input scans are never
                 # overwritten mid-query (the snapshot-isolation win).
@@ -441,6 +491,7 @@ class Engine:
                     merged = M.upsert(old_slice, new, keys, evolve=evolve)
                     if audit:
                         merged = M.with_audit_columns(merged, created=False)
+                    self._enforce(spec, merged)
                     # Cut the read→overwrite cycle on the same path. (On a
                     # real cluster this would be a staging-dir write + swap;
                     # localCheckpoint keeps the touched slice only.)
@@ -451,12 +502,14 @@ class Engine:
                     merged = M.upsert(old, new, keys, evolve=evolve)
                     if audit:
                         merged = M.with_audit_columns(merged, created=False)
+                    self._enforce(spec, merged)
                     # Unpartitioned: stage then swap (can't overwrite input in place).
                     self._write(merged.localCheckpoint(eager=True), spec, "overwrite")
             else:
                 merged = M.upsert(old, new, keys, evolve=evolve)
                 if audit:
                     merged = M.with_audit_columns(merged, created=False)
+                self._enforce(spec, merged)
                 self._mem[name] = merged
                 self._bump_pending(name)
             self._register(name)
@@ -499,6 +552,7 @@ class Engine:
                 when_matched_update=when_matched_update,
                 when_not_matched_insert=when_not_matched_insert,
             )
+            self._enforce(spec, merged)
             if spec.versioned:
                 self._write_versioned(
                     merged, spec, op="replace" if prune else "rewrite"

@@ -174,3 +174,42 @@ def test_engine_merge_unversioned_persisted(spark, sf_dir, tmp_path):
     got = engine.table("orders_m")
     assert got.count() == n0 - deleted
     assert got.filter(F.col("o_orderkey") > 900_000_000).count() == 0
+
+
+def test_check_constraints_enforced_on_writes(spark, sf_dir, tmp_path):
+    """ALTER TABLE ADD CONSTRAINT analog: existing data is validated when
+    the constraint is added; violating inserts/upserts are rejected before
+    anything lands; clean writes pass; constraints survive manifest
+    reload."""
+    import pytest as _pt
+
+    from polars_lake_spark.engine import ConstraintViolationError
+
+    o = load_table(spark, sf_dir, "orders")
+    engine = Engine(spark, str(tmp_path))
+    engine.create_table("oc", o, partition_by=["o_orderstatus"], keys=["o_orderkey"])
+    engine.add_constraint("oc", "price_positive", "o_totalprice > 0")
+
+    # a constraint existing data violates is refused
+    with _pt.raises(ConstraintViolationError):
+        engine.add_constraint("oc", "impossible", "o_totalprice > 1e12")
+
+    n0 = engine.table("oc").count()
+    bad = o.limit(5).withColumn("o_totalprice", F.lit(-1.0)).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 55_000_000
+    )
+    with _pt.raises(ConstraintViolationError):
+        engine.insert("oc", bad)
+    with _pt.raises(ConstraintViolationError):
+        engine.upsert("oc", bad)
+    assert engine.table("oc").count() == n0  # nothing landed
+
+    ok = o.limit(5).withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    engine.upsert("oc", ok)
+    assert engine.table("oc").count() == n0
+
+    # constraint round-trips through the manifest
+    e2 = Engine(spark, str(tmp_path))
+    e2.load_all()
+    with _pt.raises(ConstraintViolationError):
+        e2.insert("oc", bad)
