@@ -82,9 +82,11 @@ CHECK_PRIORITY: list[str] = [
     "text_pii_scrub",
     "similarity_ivfpq_recall",
     "data_quality_report",
-    # skew_collect_set rotates to the next round's batch (sibling
-    # skew_count_distinct holds the salted-agg slot this round)
+    # these rotate to the next round's batch (the 50-slot budget is full):
+    # skew_collect_set's sibling skew_count_distinct holds the salted-agg
+    # slot this round; domain_resample is locally parity-green
     "skew_collect_set",
+    "domain_resample",
     # -- green in r01 only; row is a round old (12) -------------------
     "set_operations",
     "agg_stats",

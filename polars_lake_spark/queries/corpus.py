@@ -515,3 +515,36 @@ def text_pii_scrub(spark, sf_dir):
         F.regexp_count(synth, F.lit(phone_re)).cast("bigint").alias("n_phones"),
         F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
     )
+
+
+@register(
+    "domain_resample",
+    oracle="""
+    WITH s AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n) AS mn FROM s)
+    SELECT doc_id, lang FROM documents
+    JOIN s USING (lang) CROSS JOIN m
+    WHERE CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1000000
+          < CAST(floor(mn * 1000000.0 / n) AS BIGINT)
+    """,
+)
+def domain_resample(spark, sf_dir):
+    """Apply the mixture weights: deterministically downsample every
+    language toward the smallest language's share (content-hash
+    thresholds, so the draw is reproducible under reruns/appends/
+    partitioning — the same property as sample_hash; en is ~3x
+    over-represented in the fixtures, so this actually subsamples).
+    The per-group rate table is tiny and broadcast; the filter itself
+    is map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = s.agg(F.min("n").alias("mn"))
+    rates = s.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.floor(F.col("mn") * 1_000_000.0 / F.col("n")).cast("bigint").alias("thr"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(md5_bucket(F.col("text"), 1_000_000) < F.col("thr"))
+        .select("doc_id", "lang")
+    )
