@@ -227,7 +227,7 @@ def similarity_ivf(spark, sf_dir):
 @register(
     "similarity_ivf_recall",
     oracle="""
-    SELECT COUNT(*) AS queries_checked, 0 AS violations
+    SELECT COUNT(*) AS queries_checked, CAST(0 AS BIGINT) AS violations
     FROM embeddings WHERE vec_id < 10
     """,
     doc="IVF consistency companion: one summary row counting queries whose "
@@ -443,7 +443,7 @@ def similarity_pq(spark, sf_dir):
 @register(
     "similarity_pq_recall",
     oracle="""
-    SELECT COUNT(*) AS queries_checked, 0 AS violations
+    SELECT COUNT(*) AS queries_checked, CAST(0 AS BIGINT) AS violations
     FROM embeddings WHERE vec_id < 10
     """,
     doc="PQ consistency companion (same pattern as similarity_ivf_recall): "
@@ -497,7 +497,7 @@ def similarity_ivfpq(spark, sf_dir):
 @register(
     "similarity_ivfpq_recall",
     oracle="""
-    SELECT COUNT(*) AS queries_checked, 0 AS violations
+    SELECT COUNT(*) AS queries_checked, CAST(0 AS BIGINT) AS violations
     FROM embeddings WHERE vec_id < 10
     """,
     doc="IVF-PQ consistency companion: counts queries whose reranked "
