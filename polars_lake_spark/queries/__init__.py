@@ -87,6 +87,7 @@ CHECK_PRIORITY: list[str] = [
     # slot this round; domain_resample is locally parity-green
     "skew_collect_set",
     "domain_resample",
+    "events_funnel",
     # -- green in r01 only; row is a round old (12) -------------------
     "set_operations",
     "agg_stats",

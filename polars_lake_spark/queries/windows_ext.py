@@ -204,3 +204,62 @@ def events_gap_fill(spark, sf_dir):
             "v_filled",
         )
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND ts > t1
+            AND ts <= t1 + INTERVAL 12 HOUR GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND ts > t2
+            AND ts <= t2 + INTERVAL 12 HOUR GROUP BY e.user_id)
+    SELECT 'step1_view' AS step, COUNT(*) AS users FROM v
+    UNION ALL SELECT 'step2_click', COUNT(*) FROM c
+    UNION ALL SELECT 'step3_purchase', COUNT(*) FROM p
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel conversion (product analytics): users reaching
+    view -> click -> purchase where each step strictly follows the
+    previous step's timestamp within a 12-hour conversion window. Three scans each pruned to one event
+    type at the source (PushedFilters), all joins and aggregates share
+    the user_id shuffle key — the chain adds steps, not shuffle width."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 12 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 12 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def _count(df, label):
+        return df.agg(
+            F.lit(label).alias("step"), F.count(F.lit(1)).alias("users")
+        )
+    return (
+        _count(v, "step1_view")
+        .union(_count(c, "step2_click"))
+        .union(_count(p, "step3_purchase"))
+    )
