@@ -405,18 +405,27 @@ class Engine:
 
     def _enforce(self, spec: TableSpec, df: DataFrame) -> DataFrame:
         """Validate a to-be-written frame against the table's CHECK
-        constraints. Cost is one pass over the TOUCHED slice (bounded by
-        batch size on the pruned paths), short-circuited by limit(1).
-        Raises before anything lands — writes stay all-or-nothing."""
+        constraints. SQL CHECK semantics: a NULL-evaluating expression
+        PASSES (same rule add_constraint applies to existing data). All
+        constraints are counted in ONE aggregation job over the touched
+        slice — cost bounded by batch size on the pruned paths. Raises
+        before anything lands — writes stay all-or-nothing."""
         if not spec.constraints:
             return df
-        for cname, expr_sql in spec.constraints.items():
-            bad = df.filter(~F.coalesce(F.expr(expr_sql), F.lit(False))).limit(1)
-            rows = bad.collect()
-            if rows:
+        names = list(spec.constraints)
+        counts = df.agg(
+            *[
+                F.count_if(
+                    ~F.coalesce(F.expr(spec.constraints[c]), F.lit(True))
+                ).alias(f"c{i}")
+                for i, c in enumerate(names)
+            ]
+        ).first()
+        for i, cname in enumerate(names):
+            if counts[f"c{i}"]:
                 raise ConstraintViolationError(
                     f"write to {spec.name} violates constraint {cname} "
-                    f"({expr_sql}); first bad row: {rows[0].asDict()}"
+                    f"({spec.constraints[cname]}): {counts[f'c{i}']} row(s)"
                 )
         return df
 
@@ -533,7 +542,9 @@ class Engine:
         which dynamic partition overwrite would silently leave behind, so
         it takes the full-rewrite path; a delete-free merge reads and
         rewrites only the partitions the source batch touches, exactly
-        like upsert."""
+        like upsert — and shares upsert's requirement that partition/
+        bucket columns are stable under updates (an update that moves a
+        row across partitions would strand the old copy)."""
         spec = self._guard_mutable(name)
         keys = list(keys or spec.keys)
         if not keys:
@@ -615,7 +626,14 @@ class Engine:
                 for p, ws in snap.mapping.items()
             }
             dst_store.commit(mapping, "clone", snap.schema_json)
-            dspec = _dc_replace(sspec, name=dst)
+            dspec = _dc_replace(
+                sspec,
+                name=dst,
+                partition_by=list(sspec.partition_by),
+                bucket_by=list(sspec.bucket_by),
+                keys=list(sspec.keys),
+                constraints=dict(sspec.constraints),
+            )
             self.specs[dst] = dspec
             self._write_manifest(dspec)
             self._register(dst)
@@ -817,7 +835,13 @@ class Engine:
         become TWO rows (update_preimage with the old values,
         update_postimage with the new) via a map-side explode over the
         same single join, which is what makes downstream consumers able to
-        SUBTRACT old contributions (incremental aggregate maintenance)."""
+        SUBTRACT old contributions (incremental aggregate maintenance).
+
+        Contract: the diff is KEYED — it assumes at most one row per key
+        per version, i.e. the table's key-uniqueness invariant (which
+        upsert/merge/delete maintain) holds. Appending duplicate keys via
+        insert() breaks that invariant and yields pairwise-join change
+        rows; refresh_aggregate would silently mis-apply them."""
         spec = self.specs[name]
         if not spec.versioned:
             raise ValueError(f"table {name} is not versioned")
@@ -946,7 +970,14 @@ class Engine:
         move mass between groups for free (the preimage subtracts from
         the old group, the postimage adds to the new). Groups whose row
         count reaches zero are dropped. Commits one snapshot on the
-        aggregate; a no-op when already current."""
+        aggregate; a no-op when already current.
+
+        Durability note: the sidecar's applied_version is written after
+        the aggregate snapshot commits; a process crash between the two
+        re-applies the same delta on the next refresh. Single-writer
+        in-process refreshes (the per-table lock) never hit this; a
+        multi-process deployment should treat refresh as restartable from
+        create_aggregate."""
         with open(os.path.join(self._path(agg_name), self.AGGDEF)) as f:
             d = json.load(f)
         src, applied = d["src"], d["applied_version"]

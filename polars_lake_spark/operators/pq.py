@@ -55,6 +55,67 @@ def _codebook_literal(codebooks: list[list[list[float]]]):
     )
 
 
+def _adc_dist(qvec, codes_col, codebooks: list[list[list[float]]]):
+    """ADC distance expression: sum over subspaces of l2sq between the
+    query's subvector and the codebook centroid selected by the stored
+    code — one literal nested-array lookup per subspace."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    cb = _codebook_literal(codebooks)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + _sub_l2sq(
+            F.slice(qvec, j * F.lit(d_sub) + 1, d_sub),
+            F.element_at(
+                F.element_at(cb, (j + 1).cast("int")),
+                (F.element_at(codes_col, (j + 1).cast("int")) + 1).cast("int"),
+            ),
+        ),
+    )
+
+
+def _topk_by_dist(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.asc("approx_dist"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("approx_dist", 6).alias("approx_dist"))
+    )
+
+
+def _exact_rerank(
+    short: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact cosine re-rank of an (qid, cid) shortlist — touches only
+    |Q| x shortlist full vectors regardless of corpus size."""
+    from polars_lake_spark.operators.similarity import cosine
+
+    full = corpus.select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        short.join(full, "cid")
+        .join(F.broadcast(qv), "qid")
+        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "cid", F.round("cos_sim", 4).alias("cos_sim"))
+    )
+
+
 def _encode_expr(vec, codebooks: list[list[list[float]]], d_sub: int):
     """codes[j] = argmin_c l2sq(subvector_j, CB[j][c]) as a map-side
     expression — lexicographic array_min over (dist, code) structs, ties
@@ -185,34 +246,16 @@ def pq_search(
     (|Q| small — the brute_force_topk regime at 1/32 the bytes), codebook
     lookups via element_at on a literal nested array, then a per-query
     top-k window. Returns (qid, cid, approx_dist)."""
-    m = len(codebooks)
-    d_sub = len(codebooks[0][0])
-    cb = _codebook_literal(codebooks)
     q = queries.select(
         F.col(id_col).alias("qid"), _unit(as_double(F.col(vec_col))).alias("qv")
     )
     cand = codes.crossJoin(F.broadcast(q)).filter(F.col("id") != F.col("qid"))
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + _sub_l2sq(
-            F.slice(F.col("qv"), j * F.lit(d_sub) + 1, d_sub),
-            F.element_at(
-                F.element_at(cb, (j + 1).cast("int")),
-                (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast("int"),
-            ),
-        ),
-    )
     scored = cand.select(
-        "qid", F.col("id").alias("cid"), dist.alias("approx_dist")
+        "qid",
+        F.col("id").alias("cid"),
+        _adc_dist(F.col("qv"), F.col("codes"), codebooks).alias("approx_dist"),
     )
-    w = Window.partitionBy("qid").orderBy(F.asc("approx_dist"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("qid", "cid", F.round("approx_dist", 6).alias("approx_dist"))
-    )
+    return _topk_by_dist(scored, k)
 
 
 def pq_search_rerank(
@@ -231,32 +274,10 @@ def pq_search_rerank(
     vectors are fetched and re-ranked by exact cosine. At 100 TB the
     exact re-rank touches |Q| x shortlist vectors — independent of corpus
     size. Returns (qid, cid, cos_sim) exact-scored top-k."""
-    from polars_lake_spark.operators.similarity import cosine
-
     short = pq_search(
         codes, codebooks, queries, id_col=id_col, vec_col=vec_col, k=shortlist
     ).select("qid", "cid")
-    full = corpus.select(
-        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
-    )
-    qv = queries.select(
-        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
-    )
-    scored = (
-        short.join(full, "cid")
-        .join(F.broadcast(qv), "qid")
-        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("qid", "cid", F.round("cos_sim", 4).alias("cos_sim"))
-    )
-
-
-def _unit_cols(df: DataFrame, vec: str):
-    return df.withColumn(vec, _unit(F.col(vec)))
+    return _exact_rerank(short, corpus, queries, id_col, vec_col, k)
 
 
 def train_ivfpq(
@@ -305,6 +326,28 @@ def train_ivfpq(
     return centroids, codebooks, codes
 
 
+def _residual_adc_scored(
+    probes: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    codes: DataFrame,
+) -> DataFrame:
+    """(qid, cid, approx_dist) for probe pairs: query residual qr =
+    q_unit - c_unit per probed cell, ADC against that cell's codes."""
+    cu = centroids.select("cell_id", _unit(F.col("cv")).alias("cu"))
+    pq_probe = probes.join(F.broadcast(cu), "cell_id").select(
+        "qid",
+        "cell_id",
+        F.zip_with(_unit(F.col("qv")), F.col("cu"), lambda x, y: x - y).alias("qr"),
+    )
+    cand = pq_probe.join(codes, "cell_id").filter(F.col("qid") != F.col("id"))
+    return cand.select(
+        "qid",
+        F.col("id").alias("cid"),
+        _adc_dist(F.col("qr"), F.col("codes"), codebooks).alias("approx_dist"),
+    )
+
+
 def ivfpq_search(
     centroids: DataFrame,
     codebooks: list[list[list[float]]],
@@ -323,41 +366,9 @@ def ivfpq_search(
     sum of probed cell sizes ~ nprobe/K of the corpus."""
     from polars_lake_spark.operators.ivf import probe_cells
 
-    m = len(codebooks)
-    d_sub = len(codebooks[0][0])
-    cb = _codebook_literal(codebooks)
     probes = probe_cells(centroids, queries, id_col, vec_col, nprobe)
-    cu = centroids.select("cell_id", _unit(F.col("cv")).alias("cu"))
-    pq_probe = (
-        probes.join(F.broadcast(cu), "cell_id")
-        .select(
-            "qid",
-            "cell_id",
-            F.zip_with(
-                _unit(F.col("qv")), F.col("cu"), lambda x, y: x - y
-            ).alias("qr"),
-        )
-    )
-    cand = pq_probe.join(codes, "cell_id").filter(F.col("qid") != F.col("id"))
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + _sub_l2sq(
-            F.slice(F.col("qr"), j * F.lit(d_sub) + 1, d_sub),
-            F.element_at(
-                F.element_at(cb, (j + 1).cast("int")),
-                (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast("int"),
-            ),
-        ),
-    )
-    scored = cand.select("qid", F.col("id").alias("cid"), dist.alias("approx_dist"))
-    w = Window.partitionBy("qid").orderBy(F.asc("approx_dist"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("qid", "cid", F.round("approx_dist", 6).alias("approx_dist"))
-    )
+    scored = _residual_adc_scored(probes, centroids, codebooks, codes)
+    return _topk_by_dist(scored, k)
 
 
 def ivfpq_search_rerank(
@@ -375,29 +386,11 @@ def ivfpq_search_rerank(
     """IVF-PQ shortlist + exact cosine re-rank (same production pattern as
     pq_search_rerank): candidate IO is bounded by the probed cells' code
     rows; the exact pass touches |Q| x shortlist full vectors."""
-    from polars_lake_spark.operators.similarity import cosine
-
     short = ivfpq_search(
         centroids, codebooks, codes, queries,
         id_col=id_col, vec_col=vec_col, k=shortlist, nprobe=nprobe,
     ).select("qid", "cid")
-    full = corpus.select(
-        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
-    )
-    qv = queries.select(
-        F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
-    )
-    scored = (
-        short.join(full, "cid")
-        .join(F.broadcast(qv), "qid")
-        .select("qid", "cid", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("qid", "cid", F.round("cos_sim", 4).alias("cos_sim"))
-    )
+    return _exact_rerank(short, corpus, queries, id_col, vec_col, k)
 
 
 def ivfpq_write_index(
@@ -434,43 +427,11 @@ def ivfpq_search_pruned(
     <= K). ``version`` pins a snapshot of a versioned index."""
     from polars_lake_spark.operators.ivf import probe_cells
 
-    m = len(codebooks)
-    d_sub = len(codebooks[0][0])
-    cb = _codebook_literal(codebooks)
     probes = probe_cells(centroids, queries, id_col, vec_col, nprobe).cache()
     cells = sorted(r.cell_id for r in probes.select("cell_id").distinct().collect())
     codes = (
         engine.table(name, version=version) if version is not None
         else engine.table(name)
     ).filter(F.col("cell_id").isin(cells))
-    cu = centroids.select("cell_id", _unit(F.col("cv")).alias("cu"))
-    pq_probe = (
-        probes.join(F.broadcast(cu), "cell_id")
-        .select(
-            "qid",
-            "cell_id",
-            F.zip_with(
-                _unit(F.col("qv")), F.col("cu"), lambda x, y: x - y
-            ).alias("qr"),
-        )
-    )
-    cand = pq_probe.join(codes, "cell_id").filter(F.col("qid") != F.col("id"))
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + _sub_l2sq(
-            F.slice(F.col("qr"), j * F.lit(d_sub) + 1, d_sub),
-            F.element_at(
-                F.element_at(cb, (j + 1).cast("int")),
-                (F.element_at(F.col("codes"), (j + 1).cast("int")) + 1).cast("int"),
-            ),
-        ),
-    )
-    scored = cand.select("qid", F.col("id").alias("cid"), dist.alias("approx_dist"))
-    w = Window.partitionBy("qid").orderBy(F.asc("approx_dist"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("qid", "cid", F.round("approx_dist", 6).alias("approx_dist"))
-    )
+    scored = _residual_adc_scored(probes, centroids, codebooks, codes)
+    return _topk_by_dist(scored, k)

@@ -67,7 +67,10 @@ def chunk_words(
     stride = window - overlap
     if stride <= 0:
         raise ValueError("window must exceed overlap")
-    words = words_col.alias("__words")
+    # NULL words (e.g. NULL text upstream) would make size/sequence NULL
+    # and the explode drop the document — coalesce to a single empty word
+    # so the every-doc-yields-a-chunk invariant holds.
+    words = F.coalesce(words_col, F.array(F.lit(""))).alias("__words")
     n = F.size(F.col("__words"))
     n_chunks = F.greatest(
         F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")

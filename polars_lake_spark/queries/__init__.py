@@ -128,10 +128,11 @@ def all_queries() -> dict[str, Query]:
         windows_ext,
     )
 
+    missing = [n for n in CHECK_PRIORITY if n not in REGISTRY]
+    assert not missing, f"CHECK_PRIORITY names not in REGISTRY: {missing}"
     ordered: dict[str, Query] = {}
     for name in CHECK_PRIORITY:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
+        ordered[name] = REGISTRY[name]
     for name, q in REGISTRY.items():
         if name not in ordered:
             ordered[name] = q

@@ -75,3 +75,12 @@ def test_quantize_roundtrip_error_bound(spark):
     # symmetric quantization error is bounded by scale/2 per element
     for r in out.values():
         assert r.max_err <= r.scale / 2 + 1e-12
+
+
+def test_chunk_null_words_yields_one_empty_chunk(spark):
+    df = spark.createDataFrame([(1, "a b c"), (2, None)], "doc_id int, text string")
+    ws = F.split(F.col("text"), " ")
+    out = chunk_words(df, "doc_id", ws, window=32, overlap=8).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert set(by_doc) == {1, 2}  # the NULL-text doc is not dropped
+    assert by_doc[2].chunk_text == "" and by_doc[2].chunk_id == 0

@@ -213,3 +213,18 @@ def test_check_constraints_enforced_on_writes(spark, sf_dir, tmp_path):
     e2.load_all()
     with _pt.raises(ConstraintViolationError):
         e2.insert("oc", bad)
+
+
+def test_check_constraint_null_passes(spark, tmp_path):
+    """SQL CHECK semantics: a NULL-evaluating constraint expression
+    PASSES — on add_constraint's existing-data scan AND on writes (they
+    must agree, else a table accepted at add time becomes unwritable)."""
+    from polars_lake_spark.engine import ConstraintViolationError  # noqa: F401
+
+    df = spark.createDataFrame([(1, 10.0), (2, None)], "k int, amount double")
+    engine = Engine(spark, str(tmp_path))
+    engine.create_table("nc", df, keys=["k"])
+    engine.add_constraint("nc", "pos", "amount > 0")  # NULL row passes
+    # upserting the same NULL row back must also pass
+    engine.upsert("nc", df.filter(F.col("amount").isNull()))
+    assert engine.table("nc").count() == 2

@@ -444,3 +444,15 @@ def test_incremental_aggregate_matches_recompute(engine, spark, sf_dir):
         assert abs(got[k][0] - expect[k][0]) < 0.05, (k, got[k], expect[k])
     # second refresh is a no-op
     assert engine.refresh_aggregate("orders_agg")["refreshed"] is False
+
+
+def test_clone_spec_containers_are_independent(engine, spark, sf_dir):
+    """A shallow clone must not share mutable spec state: constraints
+    added to the clone never appear on (or get enforced against) the
+    source."""
+    _make(engine, spark, sf_dir)
+    engine.clone("vorders", "vc2")
+    engine.add_constraint("vc2", "pos", "o_totalprice > 0")
+    assert "pos" not in engine.specs["vorders"].constraints
+    engine.drop_constraint("vc2", "pos")
+    assert "pos" not in engine.specs["vc2"].constraints
