@@ -553,7 +553,17 @@ class Engine:
             new = self._with_layout(source, spec)
             old = self.table(name)
             parts = spec.physical_partitioning
-            prune = when_matched_delete is None and bool(parts)
+            # Pruning is only sound when the write path replaces JUST the
+            # touched partitions (versioned replace / dynamic partition
+            # overwrite). The in-memory branch below assigns the merge
+            # result as the ENTIRE table, so merging a pruned slice there
+            # would silently drop every untouched partition.
+            lands_in_mem = not spec.versioned and (
+                name in self._mem or self.root is None
+            )
+            prune = (
+                when_matched_delete is None and bool(parts) and not lands_in_mem
+            )
             target = self._prune_to_touched(old, new, parts) if prune else old
             merged = M.merge_into(
                 target,

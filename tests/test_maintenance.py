@@ -176,6 +176,39 @@ def test_engine_merge_unversioned_persisted(spark, sf_dir, tmp_path):
     assert got.filter(F.col("o_orderkey") > 900_000_000).count() == 0
 
 
+def test_engine_merge_inmem_partitioned_keeps_untouched_partitions(
+    spark, sf_dir, tmp_path
+):
+    """A delete-free merge on an in-memory partitioned table (save=False)
+    must NOT prune to touched partitions: the result is assigned as the
+    whole table, so pruning would silently drop every untouched partition
+    (regression test for the r3 advice finding)."""
+    o = load_table(spark, sf_dir, "orders")
+    engine = Engine(spark, str(tmp_path))
+    engine.create_table(
+        "orders_im",
+        o,
+        partition_by=["o_orderstatus"],
+        keys=["o_orderkey"],
+        save=False,
+    )
+    n0 = o.count()
+    statuses0 = {r[0] for r in o.select("o_orderstatus").distinct().collect()}
+    assert len(statuses0) > 1  # the test needs untouched partitions to lose
+    # source batch touches exactly one partition
+    one = next(iter(sorted(statuses0)))
+    src = (
+        o.filter(F.col("o_orderstatus") == one)
+        .limit(10)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    )
+    engine.merge("orders_im", src)
+    got = engine.table("orders_im")
+    assert got.count() == n0
+    statuses1 = {r[0] for r in got.select("o_orderstatus").distinct().collect()}
+    assert statuses1 == statuses0
+
+
 def test_check_constraints_enforced_on_writes(spark, sf_dir, tmp_path):
     """ALTER TABLE ADD CONSTRAINT analog: existing data is validated when
     the constraint is added; violating inserts/upserts are rejected before
