@@ -676,13 +676,51 @@ def events_sessionize(spark, sf_dir):
 
 
 # Approx sketch (no oracle: estimator implementations differ by engine;
-# driver records rows-only).
+# driver records rows-only; approx_distinct_check below is the oracled
+# companion that pins the estimator's error bound).
 @register("approx_distinct", doc="approx_count_distinct sketch — rows-only check")
 def approx_distinct(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+@register(
+    "approx_distinct_check",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS groups_checked,
+           CAST(0 AS BIGINT) AS violations
+    FROM lineitem
+    """,
+    doc="Oracled companion for approx_distinct (one-row violations=0 "
+    "invariant, same pattern as similarity_*_recall): per-group HLL++ "
+    "estimate vs exact COUNT(DISTINCT), violation when relative error "
+    "exceeds 4x the configured rsd.",
+)
+def approx_distinct_check(spark, sf_dir):
+    """|approx_count_distinct − exact| ≤ 4·rsd·exact per l_returnflag
+    group. HLL++ at rsd=0.05 is a 1-sigma bound; 4 sigma makes the
+    invariant deterministic for a fixed dataset while still catching a
+    broken sketch (which errs by orders of magnitude, not percent)."""
+    rsd = 0.05
+    li = _t(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    return per_group.agg(
+        F.count(F.lit(1)).cast("bigint").alias("groups_checked"),
+        F.sum(
+            F.when(
+                F.abs(F.col("approx") - F.col("exact"))
+                > 4 * rsd * F.col("exact"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("violations"),
     )
 
 

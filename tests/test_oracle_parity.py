@@ -12,6 +12,19 @@ ORACLED = [name for name, q in QUERIES.items() if q.oracle]
 ROWS_ONLY = [name for name, q in QUERIES.items() if not q.oracle]
 
 
+def test_check_priority_names_valid():
+    """The verification-rotation list must reference only registered
+    queries and cover every registered query exactly once or not at all
+    (replaces the former runtime assert in all_queries())."""
+    from polars_lake_spark.queries import CHECK_PRIORITY, REGISTRY
+
+    missing = [n for n in CHECK_PRIORITY if n not in REGISTRY]
+    assert not missing, f"CHECK_PRIORITY names not in REGISTRY: {missing}"
+    assert len(set(CHECK_PRIORITY)) == len(CHECK_PRIORITY), "duplicates"
+    # all_queries() must emit every registered query exactly once
+    assert set(QUERIES) == set(REGISTRY)
+
+
 @pytest.fixture(scope="module")
 def con(sf_dir):
     return duckdb_con(sf_dir)
