@@ -104,9 +104,15 @@ def train_ivf(
             F.count(F.lit(1)).alias("cnt"),
             *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
         )
+        # Fixed-tolerance rounding makes the centroids layout-independent:
+        # distributed double sums are order-dependent in the last ulps,
+        # which would otherwise drift cell assignments across partition
+        # layouts (same fix as pq.train_pq).
         centroids = sums.select(
             "cell_id",
-            F.array(*[F.col(f"s{i}") / F.col("cnt") for i in range(dim)]).alias("cv"),
+            F.array(
+                *[F.round(F.col(f"s{i}") / F.col("cnt"), 9) for i in range(dim)]
+            ).alias("cv"),
         ).withColumn("cnrm", norm(F.col("cv")))
     return centroids
 

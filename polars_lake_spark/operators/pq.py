@@ -196,8 +196,16 @@ def train_pq(
                 for i in range(d_sub)
             ],
         )
+        # Round means to a fixed tolerance: distributed double sums are
+        # order-dependent in the last ulps, so without this the codebooks
+        # (and every downstream code assignment) could drift across
+        # cluster layouts / partition counts.  1e-9 is far below any
+        # meaningful signal on unit vectors and far above double-sum
+        # nondeterminism — codebooks become layout-independent.
         new = {
-            (r.sub_id, r.code): [getattr(r, f"s{i}") / r.cnt for i in range(d_sub)]
+            (r.sub_id, r.code): [
+                round(getattr(r, f"s{i}") / r.cnt, 9) for i in range(d_sub)
+            ]
             for r in means.collect()
         }
         # empty cells keep their previous centroid (standard Lloyd fix)

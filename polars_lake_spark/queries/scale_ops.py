@@ -62,35 +62,49 @@ def skew_collect_set(spark, sf_dir):
 def join_cobucketed(spark, sf_dir):
     """Join two NATIVELY BUCKETED tables (bucketBy + saveAsTable) — runs
     exchange-free (test_native_bucketing asserts the plan); the oracle
-    checks the values equal a plain join. Tables are (re)written into a
-    per-call temp warehouse."""
+    checks the values equal a plain join. Tables live in a per-call temp
+    warehouse; the bounded result (≤100 groups) is collected so the
+    warehouse and its catalog entries can be dropped eagerly (no
+    plsq_cobucket_* dirs survive the call — r4 VERDICT item 10)."""
+    import shutil
     import tempfile
 
     from polars_lake_spark.engine import Engine
 
     root = tempfile.mkdtemp(prefix="plsq_cobucket_")
-    engine = Engine(spark, root)
-    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
-        "o_custkey", "custkey"
-    )
-    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
-        "c_custkey", "custkey"
-    )
-    engine.create_table(
-        "orders_cbq", orders, bucket_by=["custkey"], n_buckets=4, native_bucketing=True
-    )
-    engine.create_table(
-        "customer_cbq",
-        customer,
-        bucket_by=["custkey"],
-        n_buckets=4,
-        native_bucketing=True,
-    )
-    return engine.sql(
-        """
-        SELECT c.custkey % 100 AS ckey_mod, COUNT(*) AS n_orders,
-               ROUND(SUM(o.o_totalprice), 2) AS total
-        FROM orders_cbq o JOIN customer_cbq c USING (custkey)
-        GROUP BY c.custkey % 100
-        """
-    )
+    try:
+        engine = Engine(spark, root)
+        orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+            "o_custkey", "custkey"
+        )
+        customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+            "c_custkey", "custkey"
+        )
+        engine.create_table(
+            "orders_cbq",
+            orders,
+            bucket_by=["custkey"],
+            n_buckets=4,
+            native_bucketing=True,
+        )
+        engine.create_table(
+            "customer_cbq",
+            customer,
+            bucket_by=["custkey"],
+            n_buckets=4,
+            native_bucketing=True,
+        )
+        out = engine.sql(
+            """
+            SELECT c.custkey % 100 AS ckey_mod, COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 2) AS total
+            FROM orders_cbq o JOIN customer_cbq c USING (custkey)
+            GROUP BY c.custkey % 100
+            """
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_cbq")
+        spark.sql("DROP TABLE IF EXISTS customer_cbq")
+        shutil.rmtree(root, ignore_errors=True)

@@ -73,6 +73,11 @@ class Snapshot:
     schema_json: str | None
     # hive partition rel-path ("" for unpartitioned) -> ordered write dirs
     mapping: dict[str, list[str]]
+    # Optional commit metadata (Delta operationParameters analog): small
+    # JSON recorded ATOMICALLY with the commit — e.g. refresh_aggregate
+    # stores the source version it applied, so progress markers can never
+    # drift from the data they describe.  Absent in pre-existing manifests.
+    meta: dict | None = None
 
 
 def _partition_relpaths(write_dir: str) -> list[str]:
@@ -150,6 +155,7 @@ class SnapshotStore:
         schema_json: str | None,
         *,
         expected_base: int | None = None,
+        meta: dict | None = None,
     ) -> Snapshot:
         """Atomically publish the next snapshot manifest with optimistic
         concurrency: the manifest file is created via hard-link (fails if
@@ -171,6 +177,7 @@ class SnapshotStore:
             ts_ns=time.time_ns(),
             schema_json=schema_json,
             mapping=mapping,
+            meta=meta,
         )
         tmp = os.path.join(self.snap_path, f".v{v:06d}.json.tmp{os.getpid()}")
         with open(tmp, "w") as f:
@@ -193,6 +200,7 @@ class SnapshotStore:
         schema_json: str | None,
         *,
         base: Snapshot | None = None,
+        meta: dict | None = None,
     ) -> Snapshot:
         """Fold a completed write dir into the next snapshot.
 
@@ -220,6 +228,7 @@ class SnapshotStore:
             op,
             schema_json,
             expected_base=base.version if base is not None else None,
+            meta=meta,
         )
 
     # --------------------------------------------------------------- reading

@@ -132,3 +132,33 @@ def test_in_memory_tier_and_materialize(engine, spark):
     got = {r.k: r.v for r in engine.table("m").collect()}
     assert got[3] == 300 and got[40] == 400
     engine.root = None  # flush not used here; in-memory only
+
+
+def test_two_level_namespace(engine, spark, sf_dir, tmp_path):
+    """Reference TableName(schema, name) (database.rs:10-25): the engine
+    accepts 'schema.table' names; same-named tables in different schemas
+    never collide; SQL addresses them as schema__table."""
+    nation = load_table(spark, sf_dir, "nation")
+    engine.create_table("a.t", nation.filter(F.col("n_regionkey") == 0))
+    engine.create_table("b.t", nation.filter(F.col("n_regionkey") <= 1))
+    na = engine.table("a.t").count()
+    nb = engine.table("b.t").count()
+    assert na == nation.filter(F.col("n_regionkey") == 0).count()
+    assert nb == nation.filter(F.col("n_regionkey") <= 1).count()
+    assert na != nb  # genuinely distinct tables
+    # SQL surface: one-level views keyed schema__table (bijective mapping)
+    assert engine.sql("SELECT COUNT(*) c FROM a__t").first().c == na
+    assert engine.sql("SELECT COUNT(*) c FROM b__t").first().c == nb
+    assert engine.tables("a") == ["a.t"]
+    # reload from storage in a fresh engine
+    e2 = Engine(spark, str(tmp_path))
+    names = e2.load_all()
+    assert "a.t" in names and "b.t" in names
+    assert e2.table("a.t").count() == na
+    # invalid names rejected (>2 levels, '__' breaks bijectivity, bad chars)
+    for bad in ("a.b.c", "a__x.t", "1a.t", "a.t-x"):
+        with pytest.raises(ValueError):
+            engine.create_table(bad, nation)
+    # drop removes the view
+    engine.drop_table("a.t", delete_files=True)
+    assert "a.t" not in engine.tables()

@@ -78,3 +78,20 @@ def test_ivf_pruned_probe_partition_filters(spark, emb, trained, tmp_path):
     assert {(r.qid, r.cid, r.cos_sim) for r in pruned.collect()} == {
         (r.qid, r.cid, r.cos_sim) for r in mem.collect()
     }
+
+
+def test_train_ivf_layout_independent(spark, sf_dir):
+    """Same layout-independence contract as train_pq: centroids from a
+    repartition(7)ed corpus are identical (fixed-tolerance rounding)."""
+    from polars_lake_spark.operators.ivf import train_ivf
+    from polars_lake_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {r.cell_id: (r.cv, r.cnrm) for r in train_ivf(emb, k=8, iters=2).collect()}
+    b = {
+        r.cell_id: (r.cv, r.cnrm)
+        for r in train_ivf(emb.repartition(7), k=8, iters=2).collect()
+    }
+    assert set(a) == set(b)
+    for c in a:
+        assert a[c][0] == b[c][0], c

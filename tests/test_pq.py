@@ -121,3 +121,13 @@ def test_ivfpq_pruned_probe_partition_filters(spark, emb, tmp_path):
     assert {(r.qid, r.cid, r.approx_dist) for r in pruned.collect()} == {
         (r.qid, r.cid, r.approx_dist) for r in mem.collect()
     }
+
+
+def test_train_is_layout_independent(emb, cbs):
+    """r4 VERDICT item 7: codebooks must not depend on the physical
+    partitioning of the training input (distributed double-sum order).
+    Fixed-tolerance rounding of the centroid means makes a repartition(7)
+    — different partial-aggregation order — produce IDENTICAL codebooks,
+    so the pq/ivfpq recall oracles cannot flap across cluster layouts."""
+    again = train_pq(emb.repartition(7), m=8, ksub=16, iters=2)
+    assert again == cbs
