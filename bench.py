@@ -54,7 +54,12 @@ HEADLINE = [
     "q13_customer_distribution",
     "text_tfidf_top_terms",
     "window_range_frames",
-    "exact_percentiles",
+    # r5 (r4 VERDICT item 3): the exact-percentile headline is the
+    # sort-spill windowed formulation (operators/quantiles.py) — same
+    # oracle, no per-group executor-memory cliff at 100 TB group sizes.
+    # The builtin-percentile variant stays registered/oracled as
+    # "exact_percentiles".
+    "exact_percentiles_windowed",
     "time_travel_upsert",
 ]
 
@@ -140,6 +145,58 @@ def lifecycle_bench(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def ivf_amortized_setup(spark, sf_dir: str):
+    """Train + persist the IVF index OUTSIDE the headline probe timing
+    (r4 VERDICT item 2): at 100 TB you never retrain per query — the
+    index is built once and probed millions of times. The headline
+    ``similarity_ivf`` entry now measures the amortized probe path
+    (``ivf_search_pruned`` against the persisted cell-partitioned index);
+    the one-time train+index cost is reported separately as
+    ``similarity_ivf_train_index``.
+
+    Returns (probe_fn, train_sec, cleanup_fn). Centroids are collected
+    (k rows) and re-created as a literal DataFrame so the per-query
+    ``clearCache`` hygiene between headline entries cannot silently
+    re-trigger Lloyd iterations through cached lineage."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.ivf import (
+        ivf_search_pruned,
+        ivf_write_index,
+        train_ivf,
+    )
+    from polars_lake_spark.sources import load_table
+
+    root = tempfile.mkdtemp(prefix="plsbench_ivf_")
+    engine = Engine(spark, root)
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    trained = train_ivf(emb, k=8, iters=2)
+    centroids = spark.createDataFrame(
+        [(r.cell_id, list(r.cv), float(r.cnrm)) for r in trained.collect()],
+        "cell_id int, cv array<double>, cnrm double",
+    )
+    ivf_write_index(engine, "ivf_idx", emb, centroids)
+    train_sec = round(time.perf_counter() - t0, 3)
+
+    def probe(spark, sf_dir):
+        queries = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < 10
+        )
+        return ivf_search_pruned(
+            engine, "ivf_idx", centroids, queries, k=5, nprobe=4
+        )
+
+    def cleanup():
+        shutil.rmtree(root, ignore_errors=True)
+
+    return probe, train_sec, cleanup
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -161,11 +218,15 @@ def main() -> None:
         lambda batches: batches, schema="id long"
     ).count()
 
+    # One-time IVF train+index outside the probe timing (see
+    # ivf_amortized_setup); its cost still counts once in the total.
+    ivf_probe, ivf_train_sec, ivf_cleanup = ivf_amortized_setup(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        q = registry[name]
+        fn = ivf_probe if name == "similarity_ivf" else registry[name].fn
         t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         # Storage hygiene between measurements: operators that persist
         # intermediates (shingle sets, IVF centroids) must not bleed
@@ -180,6 +241,8 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
+    timings["similarity_ivf_train_index"] = ivf_train_sec
+    ivf_cleanup()
     timings.update(lifecycle_bench(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)

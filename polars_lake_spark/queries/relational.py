@@ -712,12 +712,16 @@ def approx_distinct_check(spark, sf_dir):
     )
     return per_group.agg(
         F.count(F.lit(1)).cast("bigint").alias("groups_checked"),
-        F.sum(
-            F.when(
-                F.abs(F.col("approx") - F.col("exact"))
-                > 4 * rsd * F.col("exact"),
-                1,
-            ).otherwise(0)
+        # coalesce: SUM over zero rows is NULL, the oracle's literal is 0
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.abs(F.col("approx") - F.col("exact"))
+                    > 4 * rsd * F.col("exact"),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("violations"),
