@@ -231,7 +231,11 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 48, word_hash: str = "md5"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 48,
+    word_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash) — per-word hash, per-bit ±1 majority vote.
 
@@ -239,10 +243,13 @@ def simhash_signatures(
     per-bit sums are one grouped aggregation (explode on words, map-side
     partial agg).
 
-    word_hash='md5' (default) takes a 60-bit value from md5's first 15 hex
-    chars — bit-identical in ANY engine with md5, which makes the whole
-    operator oracle-checkable (the r2 upgrade from rows-only).
-    'xxhash64' is the faster JVM-only variant for production."""
+    word_hash='xxhash64' (default) is the fast whole-stage-codegen JVM
+    hash — the production path (r5: default flipped from md5; the md5
+    string pipeline was the single most compute-bound expression in the
+    bench).  word_hash='md5' takes a 60-bit value from md5's first 15 hex
+    chars — bit-identical in ANY engine with md5, which is what makes the
+    operator oracle-checkable; the oracled registry query pins it
+    explicitly."""
     assert bits <= 60, "md5-derived word hash provides 60 bits"
     df = parallelize_for_cpu(df)
     words = F.split(normalized_text(F.col(text_col)), " ")
@@ -277,7 +284,7 @@ def simhash_pairs(
     bits: int = 48,
     band_bits: int = 12,
     max_hamming: int = 3,
-    word_hash: str = "md5",
+    word_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the signature (docs sharing any
     band become candidates — by pigeonhole a pair within max_hamming always

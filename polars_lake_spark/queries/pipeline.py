@@ -103,9 +103,12 @@ _SIMHASH_ORACLE = f"""
 
 @register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark, sf_dir):
+    """word_hash='md5' pinned: bit-identical to the DuckDB oracle's md5
+    (the production default is the faster JVM xxhash64)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.simhash_pairs(
-        docs, "doc_id", "text", bits=48, band_bits=12, max_hamming=3
+        docs, "doc_id", "text", bits=48, band_bits=12, max_hamming=3,
+        word_hash="md5",
     )
     return pairs.select("d1", "d2", F.col("hamming").cast("bigint").alias("hamming"))
 
