@@ -50,6 +50,9 @@ from polars_lake_spark.session import configure_session
 # Leading underscore: Spark's file index treats "_"-prefixed files as
 # metadata (like _SUCCESS) and skips them when scanning the table dir.
 MANIFEST = "_manifest.json"
+# Breadcrumb left in the engine root when a table is offloaded to another
+# storage root (S3 cold tier): {"root_override": "<root>"}.
+POINTER = "_pointer.json"
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -112,6 +115,13 @@ class TableSpec:
     # name -> SQL boolean expression, enforced on every write's touched
     # slice before it lands (engine._enforce).
     constraints: dict[str, str] = field(default_factory=dict)
+    # Storage-root override (reference S3-offload TODO, main.rs:35 /
+    # proto/db.proto:29): when set, this table's directory lives under
+    # this root instead of the engine root — e.g. an s3a://bucket/prefix
+    # cold tier. A _pointer.json breadcrumb in the engine root keeps the
+    # table discoverable by load_all. Spark reads/writes the path the
+    # same way either way (path-based IO).
+    root_override: str | None = None
 
     @property
     def physical_partitioning(self) -> list[str]:
@@ -134,6 +144,9 @@ class Engine:
 
     # ------------------------------------------------------------------ paths
     def _path(self, name: str) -> str:
+        spec = self.specs.get(name)
+        if spec is not None and spec.root_override:
+            return os.path.join(spec.root_override, name)
         if self.root is None:
             raise ValueError("Engine has no storage root (in-memory only)")
         return os.path.join(self.root, name)
@@ -394,8 +407,16 @@ class Engine:
     def load_table(self, name: str) -> TableSpec:
         """from_storage analog (``/root/reference/src/dataset.rs:355-409``):
         read the manifest; partition values and bucket ids come back as
-        ordinary hive partition columns — no path re-parsing."""
-        with open(os.path.join(self._path(name), MANIFEST)) as f:
+        ordinary hive partition columns — no path re-parsing.  Offloaded
+        tables are followed through their ``_pointer.json`` breadcrumb."""
+        mpath = os.path.join(self._path(name), MANIFEST)
+        if not os.path.isfile(mpath):
+            ppath = os.path.join(self._path(name), POINTER)
+            if os.path.isfile(ppath):
+                with open(ppath) as f:
+                    dest = json.load(f)["root_override"]
+                mpath = os.path.join(dest, name, MANIFEST)
+        with open(mpath) as f:
             spec = TableSpec(**json.load(f))
         self.specs[name] = spec
         self._register(name)
@@ -406,10 +427,61 @@ class Engine:
             d
             for d in sorted(os.listdir(self.root))
             if os.path.isfile(os.path.join(self.root, d, MANIFEST))
+            or os.path.isfile(os.path.join(self.root, d, POINTER))
         ]
         for n in names:
             self.load_table(n)
         return names
+
+    def offload_table(self, name: str, dest_root: str | None) -> TableSpec:
+        """Move a table's storage to another root — the reference's
+        S3-offload TODO (``/root/reference/src/main.rs:35``,
+        ``proto/db.proto:29``) done for real: the table directory
+        (data + manifest, snapshots included for versioned tables)
+        relocates under ``dest_root`` and a ``_pointer.json`` breadcrumb
+        in the engine root keeps it discoverable by ``load_all``.  All
+        reads/writes already go through ``_path`` so every operator works
+        unchanged on the offloaded location.  ``dest_root=None`` recalls
+        the table to the engine root and removes the breadcrumb.
+
+        Locally the relocation is one directory move; with an object
+        store root (``s3a://bucket/prefix``) it becomes a distcp-style
+        copy — the manifest/pointer mechanics are identical, and the
+        100 TB cost is the data transfer itself, never a rewrite (files
+        move byte-identical, no re-encode)."""
+        import shutil
+
+        if name not in self.specs:
+            self.load_table(name)
+        if name in self._mem:
+            raise ValueError(f"table {name} is in-memory; nothing to offload")
+        spec = self.specs[name]
+        with self._lock(name):
+            src = self._path(name)
+            home = os.path.join(self.root, name)
+            if dest_root is None:
+                if not spec.root_override:
+                    return spec  # already home
+                shutil.rmtree(home, ignore_errors=True)  # breadcrumb dir
+                shutil.move(src, home)
+                spec.root_override = None
+            else:
+                os.makedirs(dest_root, exist_ok=True)
+                dst = os.path.join(dest_root, name)
+                if os.path.exists(dst):
+                    raise ValueError(f"offload destination exists: {dst}")
+                shutil.move(src, dst)
+                if spec.root_override:
+                    # tier-to-tier move: breadcrumb needs rewriting only
+                    shutil.rmtree(home, ignore_errors=True)
+                spec.root_override = dest_root
+                os.makedirs(home, exist_ok=True)
+                with open(os.path.join(home, POINTER), "w") as f:
+                    json.dump({"root_override": dest_root}, f)
+            self._write_manifest(spec)
+            self.spark.catalog.refreshByPath(self._path(name))
+            self._register(name)
+        return spec
 
     # -------------------------------------------------------------------- sql
     def sql(self, query: str) -> DataFrame:
@@ -1113,15 +1185,27 @@ class Engine:
         return sorted(n for n in self.specs if n.startswith(schema + "."))
 
     def drop_table(self, name: str, *, delete_files: bool = False) -> None:
-        """DROP TABLE analog; optionally removes the storage directory."""
+        """DROP TABLE analog; optionally removes the storage directory
+        (both the real location and, for offloaded tables, the engine-root
+        breadcrumb)."""
+        # resolve paths BEFORE dropping the spec (offloaded tables route
+        # _path through spec.root_override)
+        paths = []
+        if delete_files and self.root is not None:
+            if name in self.specs:
+                paths.append(self._path(name))
+            home = os.path.join(self.root, name)
+            if home not in paths:
+                paths.append(home)
         self.specs.pop(name, None)
         self._mem.pop(name, None)
         self._pending_merges.pop(name, None)
         self.spark.catalog.dropTempView(view_key(name))
-        if delete_files and self.root is not None:
+        if paths:
             import shutil
 
-            shutil.rmtree(self._path(name), ignore_errors=True)
+            for p in paths:
+                shutil.rmtree(p, ignore_errors=True)
 
     def create_table_as(self, name: str, query: str, **kwargs) -> TableSpec:
         """CREATE TABLE AS SELECT (SURVEY §2.c DDL-ish row)."""

@@ -265,6 +265,84 @@ def similarity_ivf_recall(spark, sf_dir):
 
 
 @register(
+    "similarity_ivf_pruned_recall",
+    oracle="""
+    SELECT COUNT(*) AS queries_checked, CAST(0 AS BIGINT) AS violations
+    FROM embeddings WHERE vec_id < 10
+    """,
+    doc="Recall invariant for the PERSISTED-index pruned probe path — the "
+    "exact path bench.py's similarity_ivf headline times (train+index "
+    "once, partition-pruned ivf_search_pruned per query). Invariant: "
+    "pruned-probe top-k recall vs exact brute force >= 0.4 per query, "
+    "and the pruned result EQUALS the unpruned ivf_search result.",
+)
+def similarity_ivf_pruned_recall(spark, sf_dir):
+    """Builds the cell-partitioned index in a throwaway engine root,
+    probes it with literal cell predicates, and checks BOTH invariants:
+    recall vs brute force, and pruned == unpruned IVF (pruning must be a
+    pure IO optimization, never a result change). Bounded collect; the
+    temp warehouse is removed eagerly."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark.engine import Engine
+    from polars_lake_spark.operators.ivf import (
+        ivf_index,
+        ivf_search,
+        ivf_search_pruned,
+        ivf_write_index,
+        train_ivf,
+    )
+
+    root = tempfile.mkdtemp(prefix="plsq_ivfprune_")
+    try:
+        eng = Engine(spark, root)
+        emb = load_table(spark, sf_dir, "embeddings")
+        trained = train_ivf(emb, k=8, iters=2)
+        centroids = spark.createDataFrame(
+            [(r.cell_id, list(r.cv), float(r.cnrm)) for r in trained.collect()],
+            "cell_id int, cv array<double>, cnrm double",
+        )
+        ivf_write_index(eng, "ivf_idx", emb, centroids)
+        queries = emb.filter(F.col("vec_id") < 10)
+        pruned = ivf_search_pruned(
+            eng, "ivf_idx", centroids, queries, k=5, nprobe=4
+        ).select("qid", F.col("cid").alias("acid"))
+        # invariant 1: pruned == unpruned (pruning is IO-only)
+        unpruned = ivf_search(
+            ivf_index(emb, centroids), centroids, queries, k=5, nprobe=4
+        ).select("qid", "cid")
+        sym_diff = (
+            pruned.withColumnRenamed("acid", "cid").exceptAll(unpruned)
+        ).unionAll(unpruned.exceptAll(pruned.withColumnRenamed("acid", "cid")))
+        # invariant 2: recall vs exact brute force
+        exact = S.brute_force_topk(emb, queries, "vec_id", "embedding", k=5).select(
+            "qid", "cid"
+        )
+        hits = exact.join(
+            pruned, (exact.qid == pruned.qid) & (exact.cid == pruned.acid), "left"
+        ).select(
+            exact.qid, F.when(pruned.acid.isNotNull(), 1).otherwise(0).alias("hit")
+        )
+        recall = hits.groupBy("qid").agg(
+            (F.sum("hit") / F.count(F.lit(1))).alias("recall")
+        )
+        out = recall.agg(
+            F.count(F.lit(1)).alias("queries_checked"),
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("recall") < 0.4, 1).otherwise(0)), F.lit(0)
+                )
+                + F.lit(sym_diff.count()).cast("bigint")
+            ).alias("violations"),
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "text_stats",
     oracle=f"""
     WITH t AS (SELECT doc_id, text, {_NORM_SQL} AS norm FROM documents)

@@ -162,3 +162,46 @@ def test_two_level_namespace(engine, spark, sf_dir, tmp_path):
     # drop removes the view
     engine.drop_table("a.t", delete_files=True)
     assert "a.t" not in engine.tables()
+
+
+def test_offload_table_and_recall(engine, spark, sf_dir, tmp_path_factory):
+    """S3-offload TODO (reference main.rs:35) done for real: a table's
+    storage relocates to another root (cold tier); every operator keeps
+    working through the manifest's root_override; a _pointer.json
+    breadcrumb keeps it discoverable; recall moves it home again."""
+    import os
+
+    nation = load_table(spark, sf_dir, "nation")
+    engine.create_table("nation", nation, partition_by=["n_regionkey"], keys=["n_nationkey"])
+    cold = str(tmp_path_factory.mktemp("cold_tier"))
+
+    engine.offload_table("nation", cold)
+    assert os.path.isfile(os.path.join(cold, "nation", "_manifest.json"))
+    assert os.path.isfile(os.path.join(engine.root, "nation", "_pointer.json"))
+    assert engine.table("nation").count() == nation.count()
+
+    # mutations work against the offloaded location
+    upd = nation.limit(3).withColumn("n_name", F.lit("OFFLOADED"))
+    engine.upsert("nation", upd)
+    assert (
+        engine.table("nation").filter(F.col("n_name") == "OFFLOADED").count() == 3
+    )
+
+    # a fresh engine discovers the offloaded table via the breadcrumb
+    e2 = Engine(spark, engine.root)
+    assert "nation" in e2.load_all()
+    assert e2.specs["nation"].root_override == cold
+    assert e2.table("nation").count() == nation.count()
+
+    # recall home: breadcrumb gone, data back under the engine root
+    engine.offload_table("nation", None)
+    assert engine.specs["nation"].root_override is None
+    assert not os.path.exists(os.path.join(engine.root, "nation", "_pointer.json"))
+    assert os.path.isfile(os.path.join(engine.root, "nation", "_manifest.json"))
+    assert engine.table("nation").count() == nation.count()
+
+    # drop removes an offloaded table's real dir AND the breadcrumb
+    engine.offload_table("nation", cold)
+    engine.drop_table("nation", delete_files=True)
+    assert not os.path.exists(os.path.join(cold, "nation"))
+    assert not os.path.exists(os.path.join(engine.root, "nation"))
