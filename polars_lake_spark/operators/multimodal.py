@@ -2,10 +2,18 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schemas, batch shapes, partitioning, UDF
-signatures — is real and tested; the actual codec step is STUBBED because
-no image/audio library ships in this environment: ``decode_images`` uses a
-clearly-marked deterministic fake decoder, and ``decode_images_real``
-raises NotImplementedError unless PIL is importable.
+signatures — is real and tested.  The codec story (r5):
+
+* **PNG is decoded for real** — ``encode_png``/``decode_png`` are a
+  complete 8-bit PNG codec on stdlib ``zlib`` + numpy (chunk walk, CRCs,
+  all five scanline filters Sub/Up/Average/Paeth on decode), so
+  ``decode_images_real`` and ``resize_images`` do genuine pixel work
+  with zero external dependencies.
+* JPEG pixel decode stays honestly gated behind
+  ``NotImplementedError`` (baseline JPEG needs entropy/DCT codec work
+  that a lib should do); JPEG *headers* are parsed for real.
+* ``decode_images`` remains the clearly-marked deterministic fake for
+  plumbing tests.
 
 At scale the pattern is: keep media bytes in their own column (Parquet
 stores them row-group-columnar, so metadata-only queries never read
@@ -238,16 +246,311 @@ def parse_image_headers(
     )
 
 
-def decode_images_real(df: DataFrame, **kwargs) -> DataFrame:
-    """Real codec path — requires PIL, not available in this container."""
+# --------------------------------------------------------------------------
+# Real PNG codec (stdlib zlib + numpy; PNG spec = public W3C standard).
+# 8-bit depth, color types 0 (gray) and 2 (RGB); encode emits filter 0
+# (None) and 2 (Up) scanlines, decode handles all five filter types.
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + tag
+        + data
+        + zlib.crc32(tag + data).to_bytes(4, "big")
+    )
+
+
+def encode_png(pixels) -> bytes:
+    """Complete, valid PNG from a (h, w) or (h, w, c) uint8 array —
+    signature, IHDR, one zlib IDAT, IEND, real CRCs. Even rows use filter
+    0 (None), odd rows filter 2 (Up), so decoders must actually unfilter.
+    Any standard viewer opens the output."""
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    if c not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {c}")
+    flat = px.reshape(h, w * c).astype(np.int16)
+    lines = []
+    for r in range(h):
+        if r % 2 == 0:
+            lines.append(b"\x00" + flat[r].astype(np.uint8).tobytes())
+        else:
+            up = (flat[r] - flat[r - 1]) % 256  # filter 2: Up
+            lines.append(b"\x02" + up.astype(np.uint8).tobytes())
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 0 if c == 1 else 2, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes):
+    """(width, height, channels, (h,w,c) uint8 array) from a real PNG —
+    chunk walk, IDAT concat, zlib inflate, scanline unfiltering for ALL
+    five filter types (None/Sub/Up/Average/Paeth, PNG spec 9.2). 8-bit
+    depth, non-interlaced, color types 0/2/4/6 (palette excluded)."""
+    import zlib
+
+    import numpy as np
+
+    b = bytes(buf)
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i, ihdr, idat = 8, None, []
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i : i + 4], "big")
+        tag = b[i + 4 : i + 8]
+        if tag == b"IHDR":
+            ihdr = b[i + 8 : i + 8 + ln]
+        elif tag == b"IDAT":
+            idat.append(b[i + 8 : i + 8 + ln])
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
     try:
-        import PIL  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "real image decoding needs PIL/opencv; this environment ships "
-            "neither — use decode_images (deterministic stub) instead"
-        ) from e
-    raise NotImplementedError("wire PIL decode here when the codec lib exists")
+        c = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    except KeyError:
+        raise ValueError(f"unsupported color type {color_type}") from None
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (1 + stride):
+        raise ValueError("IDAT size mismatch")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for r in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int32)
+        pos += 1 + stride
+        prev = img[r - 1].astype(np.int32) if r else np.zeros(stride, np.int32)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up (vectorized)
+            cur = (line + prev) % 256
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth — sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for j in range(stride):
+                a = int(cur[j - c]) if j >= c else 0
+                up = int(prev[j])
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + up) // 2
+                else:
+                    cl = int(prev[j - c]) if j >= c else 0
+                    p = a + up - cl
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - cl)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else cl)
+                cur[j] = (int(line[j]) + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        img[r] = cur.astype(np.uint8)
+    return w, h, c, img.reshape(h, w, c)
+
+
+def box_resize(pixels, out_w: int, out_h: int):
+    """Box (area-mean) downsample/nearest upsample of an (h,w,c) uint8
+    array via numpy index mapping — the classic feature-extract resize,
+    no codec lib."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    h, w, c = px.shape
+    ys = (np.arange(out_h + 1) * h / out_h).round().astype(int)
+    xs = (np.arange(out_w + 1) * w / out_w).round().astype(int)
+    out = np.zeros((out_h, out_w, c), dtype=np.float64)
+    for r in range(out_h):
+        y0, y1 = ys[r], max(ys[r + 1], ys[r] + 1)
+        for q in range(out_w):
+            x0, x1 = xs[q], max(xs[q + 1], xs[q] + 1)
+            out[r, q] = px[y0:y1, x0:x1].mean(axis=(0, 1))
+    return np.clip(out + 0.5, 0, 255).astype(np.uint8)
+
+
+def decode_images_real(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    on_undecodable: str = "null",
+) -> DataFrame:
+    """REAL pixel decode via mapInPandas: PNGs are decoded by the
+    pure-stdlib codec above (actual inflate + unfilter + pixel mean);
+    JPEG/other formats either yield NULL feature columns
+    (``on_undecodable='null'``) or raise (``'error'``) — baseline JPEG
+    entropy decoding is the one step that still needs a codec library."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, buf in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(buf)
+                if b[:8] == _PNG_SIG:
+                    w, h, c, px = decode_png(b)
+                    mi = round(float(px.mean()) / 255.0, 6)
+                    rows.append((int(_id), len(b), w, h, c, mi))
+                elif on_undecodable == "null":
+                    rows.append((int(_id), len(b), None, None, None, None))
+                else:
+                    raise NotImplementedError(
+                        "non-PNG pixel decode needs a codec library (JPEG "
+                        "entropy coding); headers parse fine — see "
+                        "parse_image_headers"
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_bytes",
+                    "width",
+                    "height",
+                    "channels",
+                    "mean_intensity",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        decode_batches, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """Decode → box-resize → re-encode PNG, all map-side (the standard
+    thumbnail/feature-extract stage). Non-PNG rows are dropped (decode
+    gated — see decode_images_real)."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs, ws, hs = [], [], [], []
+            for _id, buf in zip(pdf[id_col], pdf[media_col]):
+                b = bytes(buf)
+                if b[:8] != _PNG_SIG:
+                    continue
+                _, _, _, px = decode_png(b)
+                ids.append(int(_id))
+                blobs.append(encode_png(box_resize(px, out_w, out_h)))
+                ws.append(out_w)
+                hs.append(out_h)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media": blobs, "width": ws, "height": hs}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        resize_batches, schema=RESIZED_SCHEMA
+    )
+
+
+def synthesize_pixel_pngs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic COMPLETE PNGs (pixels, not just headers) from
+    documents: pixel[y,x,ch] = (3x + 7y + 11ch + seed) % 256 with
+    formula-determined dims, so any decoder can be checked against the
+    closed-form expectation without storing originals.
+
+      seed     = doc_id % 251
+      width    = 8 + doc_id % 24
+      height   = 8 + (doc_id // 7) % 24
+      channels = 1 if doc_id % 3 == 0 else 3
+    """
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for _id in pdf[id_col]:
+                _id = int(_id)
+                w = 8 + _id % 24
+                h = 8 + (_id // 7) % 24
+                c = 1 if _id % 3 == 0 else 3
+                seed = _id % 251
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                ch = np.arange(c)[None, None, :]
+                px = ((3 * x + 7 * y + 11 * ch + seed) % 256).astype(np.uint8)
+                ids.append(_id)
+                blobs.append(encode_png(px))
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    from polars_lake_spark.operators.dedup import parallelize_for_cpu
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return parallelize_for_cpu(df.select(id_col)).mapInPandas(synth, schema=schema)
+
+
+def verify_pixel_roundtrip(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """(doc_id, ok): decode each synthesize_pixel_pngs blob through the
+    REAL codec and compare the pixel array ELEMENTWISE against the
+    regenerated closed-form expectation — any filter/inflate/stride bug
+    in the decoder (or encoder) flips ok to false. Map-side."""
+    import numpy as np
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, oks = [], []
+            for _id, buf in zip(pdf[id_col], pdf[media_col]):
+                _id = int(_id)
+                try:
+                    w, h, c, px = decode_png(bytes(buf))
+                    ew = 8 + _id % 24
+                    eh = 8 + (_id // 7) % 24
+                    ec = 1 if _id % 3 == 0 else 3
+                    seed = _id % 251
+                    x = np.arange(ew)[None, :, None]
+                    y = np.arange(eh)[:, None, None]
+                    ch = np.arange(ec)[None, None, :]
+                    want = ((3 * x + 7 * y + 11 * ch + seed) % 256).astype(np.uint8)
+                    ok = (w, h, c) == (ew, eh, ec) and np.array_equal(px, want)
+                except Exception:
+                    ok = False
+                ids.append(_id)
+                oks.append(bool(ok))
+            yield pd.DataFrame({"doc_id": ids, "ok": oks})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("ok", T.BooleanType())]
+    )
+    return df.select(id_col, media_col).mapInPandas(check, schema=schema)
 
 
 def frame_sample_stub(

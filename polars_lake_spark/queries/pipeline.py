@@ -506,6 +506,33 @@ def multimodal_image_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_pixel_decode",
+    oracle="""
+    SELECT COUNT(*) AS images_checked, CAST(0 AS BIGINT) AS violations
+    FROM documents
+    """,
+    doc="REAL PNG pixel codec invariant (r5): synthesize complete valid "
+    "PNGs (zlib IDAT, mixed None/Up filters, CRCs) with closed-form "
+    "pixels, decode them through the pure-stdlib codec, and require the "
+    "decoded array to equal the formula ELEMENTWISE for every document. "
+    "violations=0 is the oracle-pinned invariant — any inflate/unfilter/"
+    "stride bug in encode_png/decode_png fails the gate.",
+)
+def multimodal_pixel_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pngs = MM.synthesize_pixel_pngs(docs)
+    checks = MM.verify_pixel_roundtrip(pngs)
+    return checks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("images_checked"),
+        F.coalesce(
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("violations"),
+    )
+
+
+@register(
     "similarity_pq",
     doc="Product-quantization ANN (ADC shortlist over 8-byte codes, exact "
     "cosine re-rank) — approximate by design, rows-only check; the oracled "
