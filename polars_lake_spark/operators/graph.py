@@ -50,6 +50,19 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)  # reused every iteration
     )
+    # Right-size the iteration parallelism to the EDGE count, not the
+    # upstream pair-pipeline's partitioning: near-dup edge sets are tiny
+    # relative to the corpus (512 edges from 25k docs at sf0.1), and each
+    # propagation round otherwise pays full-width task-scheduling
+    # overhead (measured 1.5 s/round at 32 tasks for those 512 edges).
+    # ~1M edges per partition keeps rounds wide on genuinely big graphs.
+    n_edges = edges.count()  # also materializes the persist before looping
+    width = max(1, min(edges.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
+    if width < edges.rdd.getNumPartitions():
+        narrow = edges.repartition(width, "b").persist(StorageLevel.MEMORY_AND_DISK)
+        narrow.count()
+        edges.unpersist()
+        edges = narrow
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()

@@ -78,10 +78,18 @@ def test_multimodal_decode_batch_shape(docs):
         assert 0.0 <= r.mean_intensity <= 1.0
 
 
-def test_multimodal_real_decoder_is_gated(docs):
-    with_media = MM.attach_media_column(docs.limit(1), "text")
-    with pytest.raises(NotImplementedError):
-        MM.decode_images_real(with_media)
+def test_multimodal_real_decoder_contract(docs):
+    """r5: PNG decodes for REAL (see test_multimodal_codec); non-PNG
+    payloads yield NULL features by default and raise only under
+    on_undecodable='error' (JPEG entropy decoding stays lib-gated)."""
+    with_media = MM.attach_media_column(docs.limit(1), "text")  # raw text bytes
+    row = MM.decode_images_real(with_media).collect()[0]
+    assert row.width is None and row.mean_intensity is None
+    with pytest.raises(Exception) as ei:
+        MM.decode_images_real(with_media, on_undecodable="error").collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
 
 
 def test_frame_sample_stub_fanout(docs):
