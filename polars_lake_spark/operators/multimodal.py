@@ -516,6 +516,196 @@ def synthesize_pixel_pngs(
     return parallelize_for_cpu(df.select(id_col)).mapInPandas(synth, schema=schema)
 
 
+# --------------------------------------------------------------------------
+# Real WAV/PCM audio codec (RIFF is a public Microsoft/IBM format; 16-bit
+# PCM needs no entropy decoding — stdlib bytes + numpy only).
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Complete valid RIFF/WAVE from an (n, channels) int16 array:
+    RIFF header + fmt chunk (PCM, 16-bit, little-endian) + data chunk.
+    Any audio tool opens the output."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()  # interleaved frames, little-endian
+    byte_rate = sample_rate * ch * 2
+    fmt = (
+        (1).to_bytes(2, "little")  # PCM
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits/sample
+    )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+        + (b"\x00" if len(data) % 2 else b"")  # RIFF word padding
+    )
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def decode_wav(buf: bytes):
+    """(sample_rate, channels, (n, channels) int16 array) from a real
+    RIFF/WAVE: chunk walk, fmt parse, PCM-16 data — rejects compressed
+    formats (those need a codec library)."""
+    import numpy as np
+
+    b = bytes(buf)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(b):
+        tag = b[i : i + 4]
+        ln = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = b[i + 8 : i + 8 + ln]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        i += 8 + ln + (ln % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    codec = int.from_bytes(fmt[0:2], "little")
+    if codec != 1:
+        raise ValueError(f"non-PCM WAV (codec {codec}) needs a codec library")
+    ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if bits != 16:
+        raise ValueError("only 16-bit PCM supported")
+    n = len(data) // (2 * ch)
+    arr = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
+    return rate, ch, arr
+
+
+def decode_audio(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """REAL audio feature extraction via mapInPandas: PCM WAVs decode to
+    sample arrays (rate, channels, duration, RMS amplitude); non-WAV
+    rows yield NULL features."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, buf in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    rate, ch, arr = decode_wav(bytes(buf))
+                    rms = float(np.sqrt((arr.astype(np.float64) ** 2).mean()))
+                    rows.append(
+                        (
+                            int(_id),
+                            rate,
+                            ch,
+                            arr.shape[0],
+                            round(arr.shape[0] * 1000.0 / rate, 6),
+                            round(rms, 6),
+                        )
+                    )
+                except ValueError:
+                    rows.append((int(_id), None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "channels",
+                    "n_samples",
+                    "duration_ms",
+                    "rms",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        feats, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def synthesize_pcm_wavs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic COMPLETE PCM WAVs from documents:
+    sample[i, ch] = ((31*doc_id + 7*i + 13*ch) % 2003) - 1001, with
+
+      n_samples   = 256 + doc_id % 512
+      sample_rate = 8000 + 4000 * (doc_id % 3)
+      channels    = 1 if doc_id % 2 == 0 else 2
+    """
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for _id in pdf[id_col]:
+                _id = int(_id)
+                n = 256 + _id % 512
+                rate = 8000 + 4000 * (_id % 3)
+                ch = 1 if _id % 2 == 0 else 2
+                i = np.arange(n)[:, None]
+                c = np.arange(ch)[None, :]
+                s = ((31 * _id + 7 * i + 13 * c) % 2003 - 1001).astype("<i2")
+                ids.append(_id)
+                blobs.append(encode_wav(s, rate))
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    from polars_lake_spark.operators.dedup import parallelize_for_cpu
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return parallelize_for_cpu(df.select(id_col)).mapInPandas(synth, schema=schema)
+
+
+def verify_audio_roundtrip(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """(doc_id, ok): decode each synthesize_pcm_wavs blob and compare
+    rate/channels/samples ELEMENTWISE against the closed form."""
+    import numpy as np
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, oks = [], []
+            for _id, buf in zip(pdf[id_col], pdf[media_col]):
+                _id = int(_id)
+                try:
+                    rate, ch, arr = decode_wav(bytes(buf))
+                    n = 256 + _id % 512
+                    erate = 8000 + 4000 * (_id % 3)
+                    ech = 1 if _id % 2 == 0 else 2
+                    i = np.arange(n)[:, None]
+                    c = np.arange(ech)[None, :]
+                    want = ((31 * _id + 7 * i + 13 * c) % 2003 - 1001).astype(
+                        np.int16
+                    )
+                    ok = (rate, ch) == (erate, ech) and np.array_equal(arr, want)
+                except Exception:
+                    ok = False
+                ids.append(_id)
+                oks.append(bool(ok))
+            yield pd.DataFrame({"doc_id": ids, "ok": oks})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("ok", T.BooleanType())]
+    )
+    return df.select(id_col, media_col).mapInPandas(check, schema=schema)
+
+
 def verify_pixel_roundtrip(
     df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
 ) -> DataFrame:

@@ -533,6 +533,34 @@ def multimodal_pixel_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_audio_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 + 4000 * (doc_id % 3) AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS channels,
+           CAST(256 + doc_id % 512 AS INT) AS n_samples,
+           ROUND((256 + doc_id % 512) * 1000.0
+                 / (8000 + 4000 * (doc_id % 3)), 6) AS duration_ms
+    FROM documents
+    """,
+    doc="REAL WAV/PCM audio decode (r5): synthesize complete valid RIFF "
+    "WAVs with formula-determined rate/channels/length, decode them "
+    "through the stdlib codec, emit per-file audio features. The oracle "
+    "predicts every feature from the formulas — a mismatch means the "
+    "RIFF chunk walk, fmt parse, or PCM frame math is wrong. (RMS is "
+    "checked elementwise in test_multimodal_codec; it's a float over "
+    "~2003 modular terms, kept out of the hash compare.)",
+)
+def multimodal_audio_decode(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    wavs = MM.synthesize_pcm_wavs(docs)
+    feats = MM.decode_audio(wavs)
+    return feats.select(
+        "doc_id", "sample_rate", "channels", "n_samples", "duration_ms"
+    )
+
+
+@register(
     "similarity_pq",
     doc="Product-quantization ANN (ADC shortlist over 8-byte codes, exact "
     "cosine re-rank) — approximate by design, rows-only check; the oracled "

@@ -186,3 +186,94 @@ def test_resize_images_spark_roundtrip(spark, sf_dir):
     for r in small:
         w, h, c, px = decode_png(bytes(r.media))
         assert (w, h) == (8, 8) and px.shape[:2] == (8, 8)
+
+
+# ---------------------------------------------------------------- WAV codec
+from polars_lake_spark.operators.multimodal import (  # noqa: E402
+    decode_audio,
+    decode_wav,
+    encode_wav,
+    synthesize_pcm_wavs,
+    verify_audio_roundtrip,
+)
+
+
+@pytest.mark.parametrize("n,ch,rate", [(1, 1, 8000), (300, 1, 16000), (257, 2, 44100)])
+def test_wav_roundtrip_exact(n, ch, rate):
+    rng = np.random.RandomState(n + ch)
+    s = rng.randint(-32768, 32768, size=(n, ch)).astype(np.int16)
+    got_rate, got_ch, got = decode_wav(encode_wav(s, rate))
+    assert (got_rate, got_ch) == (rate, ch)
+    assert np.array_equal(got, s)
+
+
+def test_wav_output_is_riff_valid():
+    b = encode_wav(np.zeros((5, 1), dtype=np.int16), 8000)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    # declared RIFF size matches actual
+    assert int.from_bytes(b[4:8], "little") == len(b) - 8
+    # odd-length data chunk gets a pad byte (RIFF word alignment)
+    b2 = encode_wav(np.zeros((5, 1), dtype=np.int16), 8000)
+    assert len(b2) % 2 == 0
+
+
+def test_wav_rejects_non_pcm_and_garbage():
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00AIFF")
+    with pytest.raises(ValueError):
+        decode_wav(b"junkjunkjunk")
+    # compressed codec id -> gated error
+    s = np.zeros((4, 1), dtype=np.int16)
+    b = bytearray(encode_wav(s, 8000))
+    b[20] = 85  # fmt codec field -> MP3
+    with pytest.raises(ValueError, match="codec"):
+        decode_wav(bytes(b))
+
+
+def test_decode_audio_on_spark(spark, sf_dir):
+    from polars_lake_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    wavs = synthesize_pcm_wavs(docs)
+    feats = {r.doc_id: r for r in decode_audio(wavs).collect()}
+    assert len(feats) == 10
+    for _id, r in feats.items():
+        n = 256 + _id % 512
+        assert r.sample_rate == 8000 + 4000 * (_id % 3)
+        assert r.channels == (1 if _id % 2 == 0 else 2)
+        assert r.n_samples == n
+        # RMS equals the closed-form expectation over the sample formula
+        i = np.arange(n)[:, None]
+        c = np.arange(r.channels)[None, :]
+        want = ((31 * _id + 7 * i + 13 * c) % 2003 - 1001).astype(np.float64)
+        assert abs(r.rms - round(float(np.sqrt((want**2).mean())), 6)) < 1e-9
+
+
+def test_verify_audio_roundtrip_catches_corruption(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from polars_lake_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(6)
+    wavs = synthesize_pcm_wavs(docs)
+    assert verify_audio_roundtrip(wavs).filter(~F.col("ok")).count() == 0
+
+    def corrupt(rows):
+        import pandas as pd
+
+        for pdf in rows:
+            blobs = []
+            for buf in pdf["media"]:
+                b = bytearray(bytes(buf))
+                b[60] ^= 0xFF  # inside PCM data
+                blobs.append(bytes(b))
+            pdf = pdf.copy()
+            pdf["media"] = blobs
+            yield pdf
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    bad = wavs.mapInPandas(corrupt, schema=schema)
+    assert verify_audio_roundtrip(bad).filter(~F.col("ok")).count() == 6
