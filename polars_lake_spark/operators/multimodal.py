@@ -748,7 +748,9 @@ def frame_sample_stub(
 ) -> DataFrame:
     """Video frame-sampling plumbing (STUB): emits one row per sampled
     'frame' with deterministic fake offsets — demonstrates the explode-
-    style fan-out a real sampler produces."""
+    style fan-out a real sampler produces.  Superseded by the REAL
+    AVI container walk below (``sample_video_frames``); kept for the
+    plumbing tests."""
     n_frames = (F.octet_length(F.col(media_col)) / F.lit(every_n)).cast("int")
     return (
         df.select(
@@ -761,3 +763,200 @@ def frame_sample_stub(
             (F.col("pos") * every_n).alias("byte_offset"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Real AVI (MJPEG) container codec — AVI is RIFF (public Microsoft
+# format), frames are plain '00dc' chunks; for MJPEG each chunk is a
+# standalone JPEG.  Container walk + frame extraction are fully real;
+# frame PIXEL decode shares JPEG's honest entropy-coding gate.
+
+
+def encode_avi(frames: list, width: int, height: int, fps: int = 25) -> bytes:
+    """Minimal valid RIFF/AVI wrapping MJPEG frames: LIST hdrl (avih main
+    header + one 'vids'/'MJPG' stream with strh/strf) then LIST movi with
+    one '00dc' chunk per frame (word-aligned)."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) % 2 else b""
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    n = len(frames)
+    max_size = max((len(f) for f in frames), default=0)
+    avih = (
+        (1_000_000 // fps).to_bytes(4, "little")  # microseconds per frame
+        + (max_size * fps).to_bytes(4, "little")  # max bytes/sec
+        + (0).to_bytes(4, "little")
+        + (0x10).to_bytes(4, "little")  # AVIF_HASINDEX off; simple file
+        + n.to_bytes(4, "little")  # total frames
+        + (0).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")  # streams
+        + max_size.to_bytes(4, "little")
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + bytes(16)
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + bytes(12)  # flags, priority, language, initial frames
+        + (1).to_bytes(4, "little")  # scale
+        + fps.to_bytes(4, "little")  # rate (rate/scale = fps)
+        + (0).to_bytes(4, "little")
+        + n.to_bytes(4, "little")  # length in frames
+        + max_size.to_bytes(4, "little")
+        + (0xFFFFFFFF).to_bytes(4, "little")  # quality
+        + (0).to_bytes(4, "little")
+        + bytes(8)
+    )
+    strf = (  # BITMAPINFOHEADER
+        (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"MJPG"
+        + (width * height * 3).to_bytes(4, "little")
+        + bytes(16)
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_avi(buf: bytes):
+    """(fps, width, height, [frame bytes]) from a RIFF/AVI: recursive
+    LIST walk, avih main-header parse, '00dc'/'00db' frame chunk
+    extraction. Container-level decode is complete; MJPEG frame PIXELS
+    stay gated exactly like standalone JPEG (entropy coding)."""
+    b = bytes(buf)
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    avih, frames = None, []
+
+    def walk(lo: int, hi: int):
+        nonlocal avih
+        i = lo
+        while i + 8 <= hi:
+            tag = b[i : i + 4]
+            ln = int.from_bytes(b[i + 4 : i + 8], "little")
+            if tag == b"LIST":
+                walk(i + 12, i + 8 + ln)
+            elif tag == b"avih":
+                avih = b[i + 8 : i + 8 + ln]
+            elif tag in (b"00dc", b"00db"):
+                frames.append(b[i + 8 : i + 8 + ln])
+            i += 8 + ln + (ln % 2)
+
+    walk(12, len(b))
+    if avih is None:
+        raise ValueError("missing avih header")
+    us_per_frame = int.from_bytes(avih[0:4], "little")
+    fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
+    width = int.from_bytes(avih[32:36], "little")
+    height = int.from_bytes(avih[36:40], "little")
+    n_declared = int.from_bytes(avih[16:20], "little")
+    if n_declared != len(frames):
+        raise ValueError(
+            f"frame count mismatch: header {n_declared} vs {len(frames)} chunks"
+        )
+    return fps, width, height, frames
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """REAL frame sampling: walk each AVI container, keep every
+    ``every_n``-th frame chunk, parse the frame's own JPEG/PNG header —
+    one output row per sampled frame, all map-side via mapInPandas."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _id, buf in zip(pdf[id_col], pdf[media_col]):
+                try:
+                    fps, _w, _h, frames = decode_avi(bytes(buf))
+                except ValueError:
+                    continue
+                for idx in range(0, len(frames), every_n):
+                    fb = frames[idx]
+                    parsed = parse_image_header(fb)
+                    fmt, w, h = (
+                        (parsed[0], parsed[1], parsed[2]) if parsed else (None, None, None)
+                    )
+                    rows.append((int(_id), idx, fps, fmt, w, h, len(fb)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "fps",
+                    "fmt",
+                    "width",
+                    "height",
+                    "n_bytes",
+                ],
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        sample, schema=VIDEO_FRAMES_SCHEMA
+    )
+
+
+def synthesize_mjpeg_avis(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic COMPLETE MJPEG AVIs from documents: each holds
+    formula-determined JPEG frames (headers real, payload deterministic):
+
+      n_frames = 1 + doc_id % 5
+      fps      = 10 + 5 * (doc_id % 4)
+      width    = 32 + doc_id % 64      (all frames)
+      height   = 24 + doc_id % 48
+      frame payload = b'f' * (10 + frame_idx)
+    """
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for _id in pdf[id_col]:
+                _id = int(_id)
+                nf = 1 + _id % 5
+                fps = 10 + 5 * (_id % 4)
+                w = 32 + _id % 64
+                h = 24 + _id % 48
+                frames = [
+                    synthesize_jpeg(w, h, 3, b"f" * (10 + i)) for i in range(nf)
+                ]
+                ids.append(_id)
+                blobs.append(encode_avi(frames, w, h, fps))
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    from polars_lake_spark.operators.dedup import parallelize_for_cpu
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    return parallelize_for_cpu(df.select(id_col)).mapInPandas(synth, schema=schema)

@@ -30,8 +30,8 @@ REGISTRY: dict[str, Query] = {}
 # lead, so nothing new can ship unverified:
 #   after r4, every query has green evidence; the oldest is 18 r2-greens
 #   (deferred twice by the 50-slot budget) then 50 r3-greens.
-#   r5 window (50) = 3 new + 5 changed-this-round + the 18 r2-greens + the
-#   first 24 r3-greens (r3 gate order).  The 26 r3-greens left over lead
+#   r5 window (50) = 4 new + 5 changed-this-round + the 18 r2-greens + the
+#   first 23 r3-greens (r3 gate order).  The 27 r3-greens left over lead
 #   r6 — their evidence is exactly 2 rounds old at r5, so nothing exceeds
 #   the ≤2-rounds-stale target.  Every deferred query is still verified
 #   every session by tests/test_oracle_parity.py (local mirror of the gate
@@ -46,6 +46,7 @@ CHECK_PRIORITY: list[str] = [
     "similarity_ivf_pruned_recall",  # NEW r5 — the benched probe path
     "multimodal_pixel_decode",  # NEW r5 — real PNG codec roundtrip
     "multimodal_audio_decode",  # NEW r5 — real WAV/PCM codec features
+    "multimodal_video_frames",  # NEW r5 — real AVI container frame walk
     "similarity_pq_recall",
     "similarity_ivfpq_recall",
     "join_cobucketed",
@@ -92,8 +93,8 @@ CHECK_PRIORITY: list[str] = [
     "q22_idle_customers",
     "json_extraction",
     "distinct_orderby_offset",
+    # ------ 50-slot window boundary falls here (9 + 18 + 23) ----------
     "predicates_having",
-    # ------ 50-slot window boundary falls here (8 + 18 + 24) ----------
     "approx_distinct",
     "unnest_explode",
     "pivot_status",

@@ -561,6 +561,34 @@ def multimodal_audio_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_video_frames",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id, unnest(range(0, 1 + doc_id % 5)) AS i FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(10 + 5 * (doc_id % 4) AS INT) AS fps,
+           'jpeg' AS fmt,
+           CAST(32 + doc_id % 64 AS INT) AS width,
+           CAST(24 + doc_id % 48 AS INT) AS height,
+           CAST(49 + i AS BIGINT) AS n_bytes
+    FROM f
+    """,
+    doc="REAL AVI container walk (r5): synthesize complete MJPEG AVIs "
+    "(RIFF LIST hdrl/movi, avih + vids/MJPG stream headers), extract "
+    "every frame chunk, parse each frame's JPEG SOF header. One row per "
+    "frame; the oracle predicts frame count, fps, dims, and byte sizes "
+    "from the formulas — any container-walk or header bug mismatches. "
+    "Frame PIXEL decode shares JPEG's honest entropy-coding gate.",
+)
+def multimodal_video_frames(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    avis = MM.synthesize_mjpeg_avis(docs)
+    return MM.sample_video_frames(avis, every_n=1)
+
+
+@register(
     "similarity_pq",
     doc="Product-quantization ANN (ADC shortlist over 8-byte codes, exact "
     "cosine re-rank) — approximate by design, rows-only check; the oracled "

@@ -277,3 +277,63 @@ def test_verify_audio_roundtrip_catches_corruption(spark, sf_dir):
     )
     bad = wavs.mapInPandas(corrupt, schema=schema)
     assert verify_audio_roundtrip(bad).filter(~F.col("ok")).count() == 6
+
+
+# ---------------------------------------------------------------- AVI codec
+from polars_lake_spark.operators.multimodal import (  # noqa: E402
+    decode_avi,
+    encode_avi,
+    sample_video_frames,
+    synthesize_jpeg,
+    synthesize_mjpeg_avis,
+)
+
+
+def test_avi_roundtrip_frames_exact():
+    frames = [synthesize_jpeg(40, 30, 3, b"x" * (5 + i)) for i in range(7)]
+    buf = encode_avi(frames, 40, 30, fps=15)
+    fps, w, h, got = decode_avi(buf)
+    assert (fps, w, h) == (15, 40, 30)
+    assert got == frames  # byte-identical frame extraction
+
+
+def test_avi_roundtrip_odd_sized_frames():
+    # odd-length chunks exercise RIFF word-alignment padding
+    frames = [b"a" * 3, b"b" * 5, b"c" * 4]
+    fps, w, h, got = decode_avi(encode_avi(frames, 8, 8, fps=25))
+    assert got == frames
+
+
+def test_avi_rejects_garbage_and_mismatch():
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    # header/frame-count mismatch detected
+    frames = [b"ab", b"cd"]
+    buf = bytearray(encode_avi(frames, 8, 8))
+    idx = buf.find(b"avih") + 8 + 16  # total_frames field
+    buf[idx] = 9
+    with pytest.raises(ValueError, match="mismatch"):
+        decode_avi(bytes(buf))
+
+
+def test_sample_video_frames_on_spark(spark, sf_dir):
+    from polars_lake_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(9)
+    avis = synthesize_mjpeg_avis(docs)
+    # every_n=2: frames 0,2,4... per doc
+    rows = sample_video_frames(avis, every_n=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 9
+    for _id, rs in by_doc.items():
+        nf = 1 + _id % 5
+        want_idx = list(range(0, nf, 2))
+        assert sorted(r.frame_idx for r in rs) == want_idx
+        for r in rs:
+            assert r.fps == 10 + 5 * (_id % 4)
+            assert r.fmt == "jpeg"
+            assert r.width == 32 + _id % 64
+            assert r.height == 24 + _id % 48
+            assert r.n_bytes == 39 + 10 + r.frame_idx
