@@ -456,6 +456,16 @@ class Engine:
         if name in self._mem:
             raise ValueError(f"table {name} is in-memory; nothing to offload")
         spec = self.specs[name]
+        if spec.versioned:
+            # A shallow clone's mapping references the SOURCE's write dirs
+            # by relative path — moving the clone dir would break every
+            # foreign reference. Deep-clone first, then offload.
+            snap = self._snapstore(name).load()
+            if any(".." in w for ws in snap.mapping.values() for w in ws):
+                raise ValueError(
+                    f"table {name} is a shallow clone referencing foreign "
+                    "write dirs; deep-clone it before offloading"
+                )
         with self._lock(name):
             src = self._path(name)
             home = os.path.join(self.root, name)

@@ -205,3 +205,37 @@ def test_offload_table_and_recall(engine, spark, sf_dir, tmp_path_factory):
     engine.drop_table("nation", delete_files=True)
     assert not os.path.exists(os.path.join(cold, "nation"))
     assert not os.path.exists(os.path.join(engine.root, "nation"))
+
+
+def test_offload_versioned_table_keeps_snapshots(engine, spark, sf_dir, tmp_path_factory):
+    """Offloading a VERSIONED table moves the snapshot chain + write dirs
+    together; time travel still works from the cold tier and new commits
+    land there."""
+    nation = load_table(spark, sf_dir, "nation")
+    engine.create_table("vn", nation, keys=["n_nationkey"], versioned=True)
+    engine.upsert("vn", nation.limit(2).withColumn("n_name", F.lit("V2")))
+    cold = str(tmp_path_factory.mktemp("cold_v"))
+
+    engine.offload_table("vn", cold)
+    assert engine.table("vn", version=1).filter(F.col("n_name") == "V2").count() == 0
+    assert engine.table("vn").filter(F.col("n_name") == "V2").count() == 2
+    engine.upsert("vn", nation.limit(1).withColumn("n_name", F.lit("V3")))
+    assert engine._snapstore("vn").latest_version() == 3
+    import os
+
+    assert os.path.isdir(os.path.join(cold, "vn", "_snapshots"))
+
+
+def test_offload_refuses_shallow_clone(engine, spark, sf_dir, tmp_path_factory):
+    """A shallow clone's snapshot mapping references the source's write
+    dirs relatively - relocating it would break them; offload refuses."""
+    nation = load_table(spark, sf_dir, "nation")
+    engine.create_table("vsrc", nation, keys=["n_nationkey"], versioned=True)
+    engine.clone("vsrc", "vshallow")
+    cold = str(tmp_path_factory.mktemp("cold_s"))
+    with pytest.raises(ValueError, match="shallow clone"):
+        engine.offload_table("vshallow", cold)
+    # a deep clone offloads fine
+    engine.clone("vsrc", "vdeep2", shallow=False)
+    engine.offload_table("vdeep2", cold)
+    assert engine.table("vdeep2").count() == nation.count()
