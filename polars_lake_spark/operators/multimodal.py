@@ -263,11 +263,15 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
+PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> color type
+
+
 def encode_png(pixels) -> bytes:
     """Complete, valid PNG from a (h, w) or (h, w, c) uint8 array —
-    signature, IHDR, one zlib IDAT, IEND, real CRCs. Even rows use filter
-    0 (None), odd rows filter 2 (Up), so decoders must actually unfilter.
-    Any standard viewer opens the output."""
+    signature, IHDR, one zlib IDAT, IEND, real CRCs. Channels 1/2/3/4
+    map to color types 0 (gray), 4 (gray+alpha), 2 (RGB), 6 (RGBA).
+    Even rows use filter 0 (None), odd rows filter 2 (Up), so decoders
+    must actually unfilter. Any standard viewer opens the output."""
     import zlib
 
     import numpy as np
@@ -276,8 +280,8 @@ def encode_png(pixels) -> bytes:
     if px.ndim == 2:
         px = px[:, :, None]
     h, w, c = px.shape
-    if c not in (1, 3):
-        raise ValueError(f"channels must be 1 or 3, got {c}")
+    if c not in PNG_COLOR_TYPE:
+        raise ValueError(f"channels must be 1-4, got {c}")
     flat = px.reshape(h, w * c).astype(np.int16)
     lines = []
     for r in range(h):
@@ -289,7 +293,7 @@ def encode_png(pixels) -> bytes:
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, 0 if c == 1 else 2, 0, 0, 0])
+        + bytes([8, PNG_COLOR_TYPE[c], 0, 0, 0])
     )
     return (
         _PNG_SIG

@@ -337,3 +337,31 @@ def test_sample_video_frames_on_spark(spark, sf_dir):
             assert r.width == 32 + _id % 64
             assert r.height == 24 + _id % 48
             assert r.n_bytes == 39 + 10 + r.frame_idx
+
+
+@pytest.mark.parametrize("c", [1, 2, 3, 4])
+def test_png_all_color_types_roundtrip(c):
+    """Color types 0/4/2/6 (gray, gray+alpha, RGB, RGBA) all roundtrip
+    exactly — the decoder's channel map is fully exercised."""
+    px = _rand(6, 5, c, seed=c)
+    w, h, got_c, got = decode_png(encode_png(px))
+    assert (w, h, got_c) == (5, 6, c)
+    assert np.array_equal(got, px)
+
+
+def test_codec_queries_have_no_preshuffle(spark, sf_dir):
+    """The synth -> decode chains stay map-side: no Exchange before the
+    Python stage (one narrow pipeline per modality)."""
+    from polars_lake_spark.plans import executed_plan
+    from polars_lake_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for chain in (
+        verify_pixel_roundtrip(synthesize_pixel_pngs(docs)),
+        decode_audio(synthesize_pcm_wavs(docs)),
+        sample_video_frames(synthesize_mjpeg_avis(docs)),
+    ):
+        plan = executed_plan(chain)
+        # the only exchange allowed is the parallelize_for_cpu repartition
+        # feeding the synth stage; decode must chain onto it shuffle-free
+        assert plan.count("Exchange") <= 1, plan
