@@ -489,6 +489,10 @@ class Engine:
                 with open(os.path.join(home, POINTER), "w") as f:
                     json.dump({"root_override": dest_root}, f)
             self._write_manifest(spec)
+            if spec.native_bucketing:
+                # the catalog entry pins the OLD path in its LOCATION —
+                # drop it so _register recreates it at the new root
+                self.spark.sql(f"DROP TABLE IF EXISTS {spec.name}")
             self.spark.catalog.refreshByPath(self._path(name))
             self._register(name)
         return spec

@@ -97,3 +97,26 @@ def test_native_bucketed_tables_refuse_mutation(spark, sf_dir, tmp_path):
     ):
         with pytest.raises(ValueError, match="native_bucketing"):
             op()
+
+
+def test_offload_native_bucketed_rebinds_catalog(spark, sf_dir, tmp_path, tmp_path_factory):
+    """Offloading a bucketBy/saveAsTable table must re-point the catalog
+    entry's LOCATION at the new root (a stale location would read the
+    emptied old dir)."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.sources import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    engine = Engine(spark, str(tmp_path))
+    engine.create_table(
+        "cust_nb", cust, bucket_by=["c_custkey"], n_buckets=4, native_bucketing=True
+    )
+    n = engine.table("cust_nb").count()
+    cold = str(tmp_path_factory.mktemp("cold_nb"))
+    engine.offload_table("cust_nb", cold)
+    assert engine.table("cust_nb").count() == n == cust.count()
+    # bucket metadata survives the move (still a bucketed catalog table)
+    desc = spark.sql("DESCRIBE TABLE EXTENDED cust_nb").collect()
+    text = "\n".join(f"{r.col_name} {r.data_type}" for r in desc)
+    assert "Num Buckets 4" in text or "4 buckets" in text.lower(), text
+    spark.sql("DROP TABLE IF EXISTS cust_nb")
