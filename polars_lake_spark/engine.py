@@ -207,24 +207,29 @@ class Engine:
             versioned=versioned,
             constraints=dict(constraints or {}),
         )
+        # Cheap parameter validation FIRST — _enforce below runs a full
+        # aggregation job over df, which must not precede (or mask) an
+        # immediate configuration error.
+        if versioned and (native_bucketing or not save or format != "parquet"):
+            raise ValueError(
+                "versioned tables require save=True, format='parquet', "
+                "and no native_bucketing"
+            )
+        if native_bucketing and (
+            not spec.bucket_by or spec.partition_by or not save
+        ):
+            raise ValueError(
+                "native_bucketing requires bucket_by, save=True, and no "
+                "partition_by (use the derived bucket_id layout instead)"
+            )
         if spec.constraints:
             self._enforce(spec, df)
         if versioned:
-            if native_bucketing or not save or format != "parquet":
-                raise ValueError(
-                    "versioned tables require save=True, format='parquet', "
-                    "and no native_bucketing"
-                )
             self.specs[name] = spec
             self._write_versioned(self._with_layout(df, spec), spec, op="create")
             self._register(name)
             return spec
         if native_bucketing:
-            if not spec.bucket_by or spec.partition_by or not save:
-                raise ValueError(
-                    "native_bucketing requires bucket_by, save=True, and no "
-                    "partition_by (use the derived bucket_id layout instead)"
-                )
             self.specs[name] = spec
             self._write_native_bucketed(df, spec)
             return spec
@@ -444,27 +449,52 @@ class Engine:
         unchanged on the offloaded location.  ``dest_root=None`` recalls
         the table to the engine root and removes the breadcrumb.
 
-        Locally the relocation is one directory move; with an object
-        store root (``s3a://bucket/prefix``) it becomes a distcp-style
-        copy — the manifest/pointer mechanics are identical, and the
-        100 TB cost is the data transfer itself, never a rewrite (files
-        move byte-identical, no re-encode)."""
+        This implementation relocates across LOCAL/posix roots (one
+        directory move). Object-store roots (``s3a://...``) are refused
+        explicitly: the move there is a distcp-style copy a deployment
+        must provide — the manifest/pointer mechanics would be identical,
+        and the 100 TB cost is the transfer itself, never a rewrite
+        (files move byte-identical, no re-encode)."""
         import shutil
 
+        if dest_root is not None and "://" in dest_root:
+            raise NotImplementedError(
+                "offload_table moves across local roots; an object-store "
+                f"destination ({dest_root}) needs a distcp-style copy step "
+                "this environment cannot run — the pointer/manifest "
+                "mechanics are root-agnostic"
+            )
         if name not in self.specs:
             self.load_table(name)
         if name in self._mem:
             raise ValueError(f"table {name} is in-memory; nothing to offload")
         spec = self.specs[name]
         if spec.versioned:
-            # A shallow clone's mapping references the SOURCE's write dirs
-            # by relative path — moving the clone dir would break every
-            # foreign reference. Deep-clone first, then offload.
-            snap = self._snapstore(name).load()
-            if any(".." in w for ws in snap.mapping.values() for w in ws):
+            # A shallow clone references the SOURCE's write dirs by
+            # relative path — moving EITHER side breaks the references.
+            # Check every retained snapshot of this table (a later
+            # all-partition rewrite can make only the LATEST mapping
+            # local while time travel still needs the foreign refs), and
+            # refuse if any sibling table's retained snapshots reach into
+            # this one.
+            store = self._snapstore(name)
+            for v in store.versions():
+                if any(
+                    ".." in w
+                    for ws in store.load(v).mapping.values()
+                    for w in ws
+                ):
+                    raise ValueError(
+                        f"table {name} is a shallow clone referencing foreign "
+                        f"write dirs (snapshot v{v}); deep-clone it before "
+                        "offloading"
+                    )
+            dependent = self._shallow_clone_dependents(name)
+            if dependent:
                 raise ValueError(
-                    f"table {name} is a shallow clone referencing foreign "
-                    "write dirs; deep-clone it before offloading"
+                    f"table {name} is the shallow-clone source of "
+                    f"{dependent}; deep-clone or drop the dependents "
+                    "before offloading"
                 )
         with self._lock(name):
             src = self._path(name)
@@ -496,6 +526,42 @@ class Engine:
             self.spark.catalog.refreshByPath(self._path(name))
             self._register(name)
         return spec
+
+    def _shallow_clone_dependents(self, name: str) -> list[str]:
+        """Sibling tables in this engine root whose RETAINED snapshots
+        reference ``name``'s write dirs through relative paths — i.e.
+        shallow clones of it (driver-side JSON walk, O(tables ×
+        versions), no data access)."""
+        from polars_lake_spark.snapshots import DATA_DIR, SnapshotStore
+
+        if self.root is None or not os.path.isdir(self.root):
+            return []
+        target = os.path.realpath(os.path.join(self._path(name), DATA_DIR))
+
+        def refs_target(store: SnapshotStore) -> bool:
+            for v in store.versions():
+                for ws in store.load(v).mapping.values():
+                    for w in ws:
+                        if ".." not in w:
+                            continue
+                        ref = os.path.realpath(os.path.join(store.data_path, w))
+                        if ref == target or ref.startswith(target + os.sep):
+                            return True
+            return False
+
+        out = []
+        for d in sorted(os.listdir(self.root)):
+            if d == name:
+                continue
+            tdir = os.path.join(self.root, d)
+            ppath = os.path.join(tdir, POINTER)
+            if os.path.isfile(ppath):  # offloaded sibling: follow breadcrumb
+                with open(ppath) as f:
+                    tdir = os.path.join(json.load(f)["root_override"], d)
+            store = SnapshotStore(tdir)
+            if os.path.isdir(store.snap_path) and refs_target(store):
+                out.append(d)
+        return out
 
     # -------------------------------------------------------------------- sql
     def sql(self, query: str) -> DataFrame:
@@ -1181,14 +1247,21 @@ class Engine:
 
     def _agg_applied_version(self, agg_name: str, sidecar: dict) -> int:
         """The source version the aggregate currently reflects, read from
-        the newest snapshot commit that carries ``meta.applied_version``
-        (atomic with the data it describes); the sidecar supplies only the
-        create-time value for chains with no refresh commit yet."""
+        the snapshot chain's commit metadata (atomic with the data it
+        describes). Walk newest → oldest: the first commit carrying
+        ``meta.applied_version`` wins (content-preserving ops like
+        compact commit without meta and are skipped over), but the walk
+        STOPS at a restore commit — restore() carries the restored
+        version's meta, so a meta-less restore means the data reflects
+        the create-time state and any newer pre-restore marker must NOT
+        be trusted. Falls back to the sidecar's create-time value."""
         store = self._snapstore(agg_name)
         for v in reversed(store.versions()):
-            m = store.load(v).meta
-            if m and "applied_version" in m:
-                return m["applied_version"]
+            snap = store.load(v)
+            if snap.meta and "applied_version" in snap.meta:
+                return snap.meta["applied_version"]
+            if snap.op.startswith("restore_"):
+                break  # rolled back to a pre-refresh state
         return sidecar["applied_version"]
 
     def tables(self, schema: str | None = None) -> list[str]:
@@ -1206,9 +1279,18 @@ class Engine:
         # _path through spec.root_override)
         paths = []
         if delete_files and self.root is not None:
+            home = os.path.join(self.root, name)
             if name in self.specs:
                 paths.append(self._path(name))
-            home = os.path.join(self.root, name)
+            else:
+                # never-loaded offloaded table: follow the breadcrumb so
+                # the real data dir is removed too, not just the pointer
+                ppath = os.path.join(home, POINTER)
+                if os.path.isfile(ppath):
+                    with open(ppath) as f:
+                        paths.append(
+                            os.path.join(json.load(f)["root_override"], name)
+                        )
             if home not in paths:
                 paths.append(home)
         self.specs.pop(name, None)

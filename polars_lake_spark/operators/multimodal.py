@@ -376,18 +376,22 @@ def decode_png(buf: bytes):
 def box_resize(pixels, out_w: int, out_h: int):
     """Box (area-mean) downsample/nearest upsample of an (h,w,c) uint8
     array via numpy index mapping — the classic feature-extract resize,
-    no codec lib."""
+    no codec lib.  FLOOR edges guarantee every output cell covers a
+    non-empty source window at any scale factor (rounded edges could
+    produce y0==y1==h when upsampling >2×, yielding NaN means)."""
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.float64)
     h, w, c = px.shape
-    ys = (np.arange(out_h + 1) * h / out_h).round().astype(int)
-    xs = (np.arange(out_w + 1) * w / out_w).round().astype(int)
+    ys = (np.arange(out_h + 1) * h) // out_h  # floor: ys[r] <= h-1 for r<out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
     out = np.zeros((out_h, out_w, c), dtype=np.float64)
     for r in range(out_h):
-        y0, y1 = ys[r], max(ys[r + 1], ys[r] + 1)
+        y0 = int(ys[r])
+        y1 = max(int(ys[r + 1]), y0 + 1)
         for q in range(out_w):
-            x0, x1 = xs[q], max(xs[q + 1], xs[q] + 1)
+            x0 = int(xs[q])
+            x1 = max(int(xs[q + 1]), x0 + 1)
             out[r, q] = px[y0:y1, x0:x1].mean(axis=(0, 1))
     return np.clip(out + 0.5, 0, 255).astype(np.uint8)
 
@@ -405,21 +409,29 @@ def decode_images_real(
     entropy decoding is the one step that still needs a codec library."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
         for pdf in batches:
             rows = []
             for _id, buf in zip(pdf[id_col], pdf[media_col]):
                 b = bytes(buf)
+                decoded = None
                 if b[:8] == _PNG_SIG:
-                    w, h, c, px = decode_png(b)
+                    try:
+                        decoded = decode_png(b)
+                    except (ValueError, zlib.error):
+                        decoded = None  # truncated/corrupt/unsupported PNG
+                if decoded is not None:
+                    w, h, c, px = decoded
                     mi = round(float(px.mean()) / 255.0, 6)
                     rows.append((int(_id), len(b), w, h, c, mi))
                 elif on_undecodable == "null":
                     rows.append((int(_id), len(b), None, None, None, None))
                 else:
                     raise NotImplementedError(
-                        "non-PNG pixel decode needs a codec library (JPEG "
-                        "entropy coding); headers parse fine — see "
-                        "parse_image_headers"
+                        "undecodable media (non-PNG needs a codec library — "
+                        "JPEG entropy coding; corrupt PNG bytes); headers "
+                        "parse fine — see parse_image_headers"
                     )
             yield pd.DataFrame(
                 rows,
@@ -593,6 +605,10 @@ def decode_wav(buf: bytes):
     bits = int.from_bytes(fmt[14:16], "little")
     if bits != 16:
         raise ValueError("only 16-bit PCM supported")
+    if ch < 1 or rate < 1:
+        # a zero here would turn downstream frame/duration math into
+        # ZeroDivisionError inside the Spark worker — reject as malformed
+        raise ValueError(f"malformed fmt chunk: channels={ch} rate={rate}")
     n = len(data) // (2 * ch)
     arr = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
     return rate, ch, arr
@@ -795,7 +811,9 @@ def encode_avi(frames: list, width: int, height: int, fps: int = 25) -> bytes:
         (1_000_000 // fps).to_bytes(4, "little")  # microseconds per frame
         + (max_size * fps).to_bytes(4, "little")  # max bytes/sec
         + (0).to_bytes(4, "little")
-        + (0x10).to_bytes(4, "little")  # AVIF_HASINDEX off; simple file
+        # dwFlags = 0: no idx1 chunk is written, so AVIF_HASINDEX (0x10)
+        # must NOT be declared — strict demuxers would seek the index
+        + (0).to_bytes(4, "little")
         + n.to_bytes(4, "little")  # total frames
         + (0).to_bytes(4, "little")
         + (1).to_bytes(4, "little")  # streams

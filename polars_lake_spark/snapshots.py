@@ -266,13 +266,17 @@ class SnapshotStore:
     # ----------------------------------------------------------- maintenance
     def restore(self, version: int) -> Snapshot:
         """Roll the table back: commit a NEW version with an old mapping
-        (history is preserved — restore is itself an audited operation)."""
+        (history is preserved — restore is itself an audited operation).
+        The restored version's commit ``meta`` is carried along, so
+        consumers that read progress markers from the latest commit (e.g.
+        incremental aggregates) see the state the data actually reflects."""
         past = self.load(version)
         return self.commit(
             past.mapping,
             f"restore_v{version}",
             past.schema_json,
             expected_base=self.latest_version(),
+            meta=past.meta,
         )
 
     def vacuum(self, keep_last: int = 1) -> dict:

@@ -239,3 +239,77 @@ def test_offload_refuses_shallow_clone(engine, spark, sf_dir, tmp_path_factory):
     engine.clone("vsrc", "vdeep2", shallow=False)
     engine.offload_table("vdeep2", cold)
     assert engine.table("vdeep2").count() == nation.count()
+
+
+def test_offload_refuses_shallow_clone_source(engine, spark, sf_dir, tmp_path_factory):
+    """Moving the SOURCE of a shallow clone would break the clone's
+    relative write-dir references - offload must refuse until the
+    dependents are deep-cloned or dropped."""
+    nation = load_table(spark, sf_dir, "nation")
+    engine.create_table("vsrc2", nation, keys=["n_nationkey"], versioned=True)
+    engine.clone("vsrc2", "vdep")
+    cold = str(tmp_path_factory.mktemp("cold_src"))
+    with pytest.raises(ValueError, match="shallow-clone source"):
+        engine.offload_table("vsrc2", cold)
+    # dropping the dependent unblocks the offload
+    engine.drop_table("vdep", delete_files=True)
+    engine.offload_table("vsrc2", cold)
+    assert engine.table("vsrc2").count() == nation.count()
+
+
+def test_offload_refuses_clone_with_foreign_refs_in_history(
+    engine, spark, sf_dir, tmp_path_factory
+):
+    """A shallow clone whose LATEST snapshot is all-local still carries
+    foreign refs in older snapshots (time travel) - the guard scans every
+    retained version, not just the newest."""
+    nation = load_table(spark, sf_dir, "nation")
+    engine.create_table("vsrc3", nation, keys=["n_nationkey"], versioned=True)
+    engine.clone("vsrc3", "vdep3")
+    # rewrite every partition of the clone: latest mapping becomes local
+    engine.upsert("vdep3", nation.withColumn("n_name", F.upper(F.col("n_name"))))
+    latest = engine._snapstore("vdep3").load()
+    assert not any(".." in w for ws in latest.mapping.values() for w in ws)
+    cold = str(tmp_path_factory.mktemp("cold_hist"))
+    with pytest.raises(ValueError, match="shallow clone"):
+        engine.offload_table("vdep3", cold)
+
+
+def test_offload_rejects_object_store_uri(engine, spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    engine.create_table("nat2", nation)
+    with pytest.raises(NotImplementedError, match="object-store"):
+        engine.offload_table("nat2", "s3a://bucket/cold")
+
+
+def test_drop_never_loaded_offloaded_table_removes_data(
+    engine, spark, sf_dir, tmp_path_factory
+):
+    """drop_table(delete_files=True) on a fresh engine (table never
+    loaded) must follow the breadcrumb and delete the offloaded data,
+    not orphan it."""
+    import os
+
+    nation = load_table(spark, sf_dir, "nation")
+    engine.create_table("nat3", nation)
+    cold = str(tmp_path_factory.mktemp("cold_drop"))
+    engine.offload_table("nat3", cold)
+    e2 = Engine(spark, engine.root)  # fresh: nat3 not in specs
+    e2.drop_table("nat3", delete_files=True)
+    assert not os.path.exists(os.path.join(cold, "nat3"))
+    assert not os.path.exists(os.path.join(engine.root, "nat3"))
+
+
+def test_create_table_validates_params_before_constraint_scan(engine, spark, sf_dir):
+    """Configuration errors surface immediately - no aggregation job (and
+    no constraint-violation masking) before the cheap parameter check."""
+    nation = load_table(spark, sf_dir, "nation")
+    with pytest.raises(ValueError, match="versioned tables require"):
+        engine.create_table(
+            "bad1",
+            nation,
+            bucket_by=["n_nationkey"],
+            versioned=True,
+            native_bucketing=True,
+            constraints={"never": "n_nationkey < 0"},  # all rows violate
+        )

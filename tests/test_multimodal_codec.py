@@ -365,3 +365,49 @@ def test_codec_queries_have_no_preshuffle(spark, sf_dir):
         # the only exchange allowed is the parallelize_for_cpu repartition
         # feeding the synth stage; decode must chain onto it shuffle-free
         assert plan.count("Exchange") <= 1, plan
+
+
+def test_box_resize_upsample_no_nan():
+    """Upsampling >2x must nearest-neighbor cleanly - floor edge mapping
+    guarantees non-empty source windows (rounded edges produced NaN)."""
+    px = np.array([[[10], [200]]], dtype=np.uint8)  # 1x2 image
+    out = box_resize(px, 4, 4)
+    assert out.shape == (4, 4, 1)
+    assert set(out.ravel().tolist()) == {10, 200}  # no NaN-derived zeros
+    assert np.array_equal(out[:, :2, 0], np.full((4, 2), 10))
+    assert np.array_equal(out[:, 2:, 0], np.full((4, 2), 200))
+
+
+def test_decode_images_real_nulls_on_corrupt_png(spark, sf_dir):
+    """A blob with a valid PNG signature but corrupt body must follow the
+    on_undecodable='null' contract, not kill the Spark task."""
+    from pyspark.sql import types as T
+
+    rows = [(1, encode_png(_rand(4, 4, 3, 1))), (2, _PNG_SIG + b"garbage")]
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("media", T.BinaryType())]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = {r.doc_id: r for r in decode_images_real(df).collect()}
+    assert got[1].width == 4 and got[1].mean_intensity is not None
+    assert got[2].width is None and got[2].mean_intensity is None
+
+
+def test_decode_wav_rejects_zero_channels_and_rate():
+    s = np.zeros((4, 1), dtype=np.int16)
+    good = encode_wav(s, 8000)
+    b = bytearray(good)
+    b[22] = 0  # nChannels -> 0
+    with pytest.raises(ValueError, match="malformed"):
+        decode_wav(bytes(b))
+    b = bytearray(good)
+    b[24:28] = (0).to_bytes(4, "little")  # sample rate -> 0
+    with pytest.raises(ValueError, match="malformed"):
+        decode_wav(bytes(b))
+
+
+def test_encode_avi_declares_no_index():
+    buf = encode_avi([b"xx"], 8, 8)
+    i = buf.find(b"avih") + 8
+    flags = int.from_bytes(buf[i + 12 : i + 16], "little")
+    assert flags & 0x10 == 0  # AVIF_HASINDEX not set (no idx1 written)

@@ -515,3 +515,39 @@ def test_clone_spec_containers_are_independent(engine, spark, sf_dir):
     assert "pos" not in engine.specs["vorders"].constraints
     engine.drop_constraint("vc2", "pos")
     assert "pos" not in engine.specs["vc2"].constraints
+
+
+def test_refresh_aggregate_after_restore_reapplies(engine, spark, sf_dir):
+    """restore() on an aggregate carries the restored commit's meta, so
+    the next refresh re-applies the FULL delta from the rolled-back state
+    instead of trusting the newer pre-restore marker (r5 review)."""
+    o = _make(engine, spark, sf_dir)
+    engine.create_aggregate(
+        "orders_agg4", "vorders", ["o_orderstatus"], {"revenue": "o_totalprice"}
+    )
+    upd = o.limit(25).withColumn("o_totalprice", F.col("o_totalprice") + 50.0)
+    engine.upsert("vorders", upd)
+    assert engine.refresh_aggregate("orders_agg4")["refreshed"] is True
+
+    # roll the aggregate back to its create-time state (v1)
+    engine.restore("orders_agg4", 1)
+    # the marker must have rolled back too: refresh re-applies the delta
+    out = engine.refresh_aggregate("orders_agg4")
+    assert out["refreshed"] is True
+    got = {
+        r.o_orderstatus: (round(r.revenue, 2), r.n_rows)
+        for r in engine.table("orders_agg4").collect()
+    }
+    expect = {
+        r.o_orderstatus: (round(r.revenue, 2), r.n_rows)
+        for r in engine.table("vorders")
+        .groupBy("o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("revenue"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][1] == expect[k][1], k
+        assert abs(got[k][0] - expect[k][0]) < 0.05, (k, got[k], expect[k])
+    # and it converges: another refresh is a no-op
+    assert engine.refresh_aggregate("orders_agg4")["refreshed"] is False
