@@ -209,3 +209,20 @@ def test_dedup_survivors_anti_join_broadcasts(spark, sf_dir):
     df.collect()
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_partition_pruning_survives_offload(spark, sf_dir, tmp_path, tmp_path_factory):
+    """Reads through root_override are ordinary parquet scans: partition
+    pruning (and thus bucket pruning) is identical after offload_table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    engine = Engine(spark, str(tmp_path))
+    engine.create_table(
+        "li2", li, partition_by=["l_returnflag"], bucket_by=["l_orderkey"], n_buckets=4
+    )
+    engine.offload_table("li2", str(tmp_path_factory.mktemp("cold_plan")))
+    q = engine.table("li2").filter(F.col("l_returnflag") == "A")
+    plan = plan_of(q)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "l_returnflag" in seg
+    assert "cold_plan" in plan  # the scan really reads the cold tier
