@@ -120,3 +120,42 @@ def test_ipc_table_format_roundtrip(spark, sf_dir, tmp_path):
     # partitioned ipc is refused (parquet is the layout tier)
     with pytest.raises(ValueError, match="ipc"):
         engine.create_table("bad", orders, partition_by=["o_orderpriority"], format="ipc")
+
+
+def test_bloom_filter_cols_roundtrip(spark, sf_dir, tmp_path):
+    """create_table(bloom_filter_cols=...): parquet bloom filters land in
+    the files (verified by byte growth on identical data), persist in the
+    manifest, and apply to subsequent writes; reads are unchanged."""
+    import glob
+    import os
+
+    orders = load_table(spark, sf_dir, "orders").coalesce(1)
+
+    e1 = Engine(spark, str(tmp_path / "plain"))
+    e1.create_table("o", orders, keys=["o_orderkey"])
+    e2 = Engine(spark, str(tmp_path / "bloomed"))
+    e2.create_table(
+        "o", orders, keys=["o_orderkey"], bloom_filter_cols=["o_custkey"]
+    )
+
+    def total_bytes(root):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(root, "o", "**", "*.parquet"), recursive=True)
+        )
+
+    plain, bloomed = total_bytes(str(tmp_path / "plain")), total_bytes(
+        str(tmp_path / "bloomed")
+    )
+    assert bloomed > plain, (plain, bloomed)  # the filter bytes are real
+
+    # identical data either way
+    assert e2.table("o").count() == orders.count()
+    got = e2.sql("SELECT COUNT(*) c FROM o WHERE o_custkey = 371").first().c
+    want = orders.filter(F.col("o_custkey") == 371).count()
+    assert got == want
+
+    # manifest roundtrip: a fresh engine keeps writing bloom filters
+    e3 = Engine(spark, str(tmp_path / "bloomed"))
+    e3.load_all()
+    assert e3.specs["o"].bloom_filter_cols == ["o_custkey"]
