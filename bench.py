@@ -61,6 +61,11 @@ HEADLINE = [
     # "exact_percentiles".
     "exact_percentiles_windowed",
     "time_travel_upsert",
+    # r5 additions (appended — the frozen prefix stays attributable):
+    # real multimodal codecs, all map-side mapInPandas chains.
+    "multimodal_pixel_decode",
+    "multimodal_audio_decode",
+    "multimodal_video_frames",
 ]
 
 
