@@ -122,12 +122,13 @@ class TableSpec:
     # table discoverable by load_all. Spark reads/writes the path the
     # same way either way (path-based IO).
     root_override: str | None = None
-    # Parquet bloom filters on these columns (written on every parquet
-    # write of this table): at 100 TB a point predicate on a NON-layout
-    # column skips row groups whose bloom filter excludes the value —
-    # the complement to partition/bucket pruning, which only covers the
-    # layout keys.
-    bloom_filter_cols: list[str] = field(default_factory=list)
+    # Parquet bloom filters: column -> expected ndv (filter sizing),
+    # written on every parquet write of this table. At 100 TB a point
+    # predicate on a NON-layout column skips row groups whose bloom
+    # filter excludes the value — the complement to partition/bucket
+    # pruning, which only covers the layout keys. create_table() measures
+    # ndv from the initial data when given a plain column list.
+    bloom_filter_cols: dict[str, int] = field(default_factory=dict)
 
     @property
     def physical_partitioning(self) -> list[str]:
@@ -176,7 +177,7 @@ class Engine:
         native_bucketing: bool = False,
         versioned: bool = False,
         constraints: dict[str, str] | None = None,
-        bloom_filter_cols: list[str] | None = None,
+        bloom_filter_cols: list[str] | dict[str, int] | None = None,
     ) -> TableSpec:
         """CreateTable (``/root/reference/src/server.rs:92-135`` analog).
 
@@ -199,6 +200,9 @@ class Engine:
         bloom_filter_cols writes parquet bloom filters for those columns
         on every write — row-group skipping for point predicates on
         NON-layout columns (the complement to partition/bucket pruning).
+        Pass a list to have the expected-ndv sizing MEASURED from the
+        initial data (one approx_count_distinct pass, ×4 headroom), or a
+        {column: ndv} dict to size explicitly; parquet format only.
 
         Names may be two-level ``"schema.table"`` (reference
         ``TableName(schema, name)``, ``database.rs:10-25``): the engine
@@ -217,7 +221,9 @@ class Engine:
             native_bucketing=native_bucketing,
             versioned=versioned,
             constraints=dict(constraints or {}),
-            bloom_filter_cols=list(bloom_filter_cols or []),
+            bloom_filter_cols=self._resolve_bloom_cols(
+                df, bloom_filter_cols, format
+            ),
         )
         # Cheap parameter validation FIRST — _enforce below runs a full
         # aggregation job over df, which must not precede (or mask) an
@@ -321,6 +327,34 @@ class Engine:
         self._write_manifest(spec)
         return snap
 
+    def _resolve_bloom_cols(
+        self, df: DataFrame, requested, format: str
+    ) -> dict[str, int]:
+        """Validate + size bloom-filter columns at create time: columns
+        must exist (typos would silently flip the table-wide toggle and
+        never filter the intended column), format must be parquet (other
+        formats would persist an inert setting), and a plain list gets
+        its expected-ndv MEASURED from the initial data — one
+        approx_count_distinct pass, ×4 headroom, floor 100k — because an
+        undersized filter saturates and skips nothing exactly on the
+        high-cardinality columns the feature targets."""
+        if not requested:
+            return {}
+        if format != "parquet":
+            raise ValueError(
+                f"bloom_filter_cols requires format='parquet', got {format!r}"
+            )
+        cols = list(requested)
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"bloom_filter_cols not in schema: {missing}")
+        if isinstance(requested, dict):
+            return {c: int(n) for c, n in requested.items()}
+        measured = df.agg(
+            *[F.approx_count_distinct(c).alias(c) for c in cols]
+        ).first()
+        return {c: max(100_000, 4 * int(measured[c])) for c in cols}
+
     def _parquet_options(self, writer, spec: TableSpec):
         """Per-table parquet writer options: codec + bloom filters.
         Bloom filters are row-group-level data skipping for point
@@ -331,14 +365,14 @@ class Engine:
         per-column ``parquet.bloom.filter.enabled#col`` keys (verified
         empirically: file bytes identical with/without), so a non-empty
         ``bloom_filter_cols`` enables the table-wide toggle — every
-        written column gets a filter. The ndv hints below size the
-        listed columns' filters properly either way."""
+        written column gets a filter. The ndv hints size the listed
+        columns' filters properly either way."""
         writer = writer.option("compression", spec.compression)
         if spec.bloom_filter_cols:
             writer = writer.option("parquet.bloom.filter.enabled", "true")
-            for c in spec.bloom_filter_cols:
+            for c, ndv in spec.bloom_filter_cols.items():
                 writer = writer.option(
-                    f"parquet.bloom.filter.expected.ndv#{c}", "100000"
+                    f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
                 )
         return writer
 
@@ -863,6 +897,7 @@ class Engine:
                 compression=sspec.compression,
                 versioned=True,
                 constraints=dict(sspec.constraints),
+                bloom_filter_cols=dict(sspec.bloom_filter_cols),
             )
             return
         from dataclasses import replace as _dc_replace
@@ -887,6 +922,9 @@ class Engine:
                 bucket_by=list(sspec.bucket_by),
                 keys=list(sspec.keys),
                 constraints=dict(sspec.constraints),
+                # every mutable container must be copied, or spec state
+                # leaks between clone and source (the 73e0733 bug class)
+                bloom_filter_cols=dict(sspec.bloom_filter_cols),
             )
             self.specs[dst] = dspec
             self._write_manifest(dspec)

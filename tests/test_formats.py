@@ -155,7 +155,39 @@ def test_bloom_filter_cols_roundtrip(spark, sf_dir, tmp_path):
     want = orders.filter(F.col("o_custkey") == 371).count()
     assert got == want
 
-    # manifest roundtrip: a fresh engine keeps writing bloom filters
+    # manifest roundtrip: a fresh engine keeps writing bloom filters,
+    # with the create-time MEASURED ndv sizing preserved
     e3 = Engine(spark, str(tmp_path / "bloomed"))
     e3.load_all()
-    assert e3.specs["o"].bloom_filter_cols == ["o_custkey"]
+    assert list(e3.specs["o"].bloom_filter_cols) == ["o_custkey"]
+    assert e3.specs["o"].bloom_filter_cols["o_custkey"] >= 100_000
+
+    # validation: unknown columns and non-parquet formats are rejected
+    with pytest.raises(ValueError, match="not in schema"):
+        e3.create_table("bad_b1", orders, bloom_filter_cols=["o_custkye"])
+    with pytest.raises(ValueError, match="parquet"):
+        e3.create_table(
+            "bad_b2", orders, format="csv", bloom_filter_cols=["o_custkey"]
+        )
+
+    # explicit {col: ndv} sizing is taken verbatim
+    e3.create_table(
+        "o_sized", orders, bloom_filter_cols={"o_custkey": 5_000_000}
+    )
+    assert e3.specs["o_sized"].bloom_filter_cols == {"o_custkey": 5_000_000}
+
+    # deep clones carry the setting (same contract as constraints)
+    e4 = Engine(spark, str(tmp_path / "cl"))
+    e4.create_table(
+        "vb", orders, keys=["o_orderkey"], versioned=True,
+        bloom_filter_cols=["o_custkey"],
+    )
+    e4.clone("vb", "vb_deep", shallow=False)
+    assert e4.specs["vb_deep"].bloom_filter_cols == e4.specs["vb"].bloom_filter_cols
+    e4.clone("vb", "vb_shallow")
+    assert e4.specs["vb_shallow"].bloom_filter_cols == e4.specs["vb"].bloom_filter_cols
+    # and the containers are independent (spec-isolation invariant)
+    assert (
+        e4.specs["vb_shallow"].bloom_filter_cols
+        is not e4.specs["vb"].bloom_filter_cols
+    )
