@@ -411,3 +411,57 @@ def test_encode_avi_declares_no_index():
     i = buf.find(b"avih") + 8
     flags = int.from_bytes(buf[i + 12 : i + 16], "little")
     assert flags & 0x10 == 0  # AVIF_HASINDEX not set (no idx1 written)
+
+
+# --------------------------------------------------------- property fuzzing
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    px = np.random.RandomState(seed).randint(0, 256, size=(h, w, c), dtype=np.uint8)
+    got_w, got_h, got_c, got = decode_png(encode_png(px))
+    assert (got_w, got_h, got_c) == (w, h, c)
+    assert np.array_equal(got, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 500),
+    ch=st.integers(1, 4),
+    rate=st.sampled_from([8000, 11025, 16000, 44100, 48000]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    s = (
+        np.random.RandomState(seed)
+        .randint(-32768, 32768, size=(n, ch))
+        .astype(np.int16)
+    )
+    got_rate, got_ch, got = decode_wav(encode_wav(s, rate))
+    assert (got_rate, got_ch) == (rate, ch)
+    assert np.array_equal(got, s)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_frames=st.integers(0, 8),
+    fps=st.integers(1, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_roundtrip_property(n_frames, fps, seed):
+    rng = np.random.RandomState(seed)
+    frames = [
+        rng.randint(0, 256, size=rng.randint(1, 64), dtype=np.uint8).tobytes()
+        for _ in range(n_frames)
+    ]
+    got_fps, _w, _h, got = decode_avi(encode_avi(frames, 16, 16, fps))
+    assert got_fps == fps
+    assert got == frames
