@@ -1,0 +1,240 @@
+"""Training-set assembly operators: named splits, shard layout, length
+bucketing, cluster-scoped semantic dedup (SemDeDup), and sharded export.
+
+These are the last-mile steps of an LLM data pipeline — after filtering
+and dedup, the corpus is split into train/val/test, globally shuffled,
+laid out into fixed-size shards, and (optionally) batched by sequence
+length. Everything here follows the repo's determinism discipline
+(``operators/sampling.py``): md5-derived orderings and content-hash
+buckets so the SAME rows land in the SAME split/shard/batch across
+reruns, appends, repartitionings, and engines. A training split that
+shifts when the cluster layout changes is an audit failure.
+
+Scale design (100 TB):
+- split/shard/bucket assignment is pure map-side column arithmetic (no
+  shuffle at all);
+- in-shard positions use a window PARTITIONED BY the shard key — a
+  bounded sort per shard, never a global ORDER BY (a single-partition
+  global row_number is the classic driver-melting mistake at scale);
+- SemDeDup joins pairs only WITHIN a cluster (equi-join on the cluster
+  key, one shuffle); cost is sum over clusters of c^2, which the
+  upstream clustering step keeps bounded by using fine-grained k
+  (the SemDeDup paper's design: k large, clusters small).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from polars_lake_spark.operators.sampling import md5_bucket
+from polars_lake_spark.operators.similarity import as_double, cosine
+
+
+def split_assign(
+    df: DataFrame,
+    content_col: str,
+    splits: dict[str, int] | None = None,
+    modulus: int = 100,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split (train/val/test) by content hash.
+
+    ``splits`` maps name -> percentage; ranges are carved out of
+    ``[0, modulus)`` in the given order, so ``{"train": 96, "val": 2,
+    "test": 2}`` means bucket 0-95 -> train, 96-97 -> val, 98-99 -> test.
+    Content-hash assignment (not row-number or ``df.sample``) is what
+    makes the split stable under appends and repartitioning, and keeps
+    exact duplicates in the SAME split — a leak-prevention property
+    row-random splits do not have. Pure map-side expression, no shuffle.
+    """
+    splits = splits or {"train": 96, "val": 2, "test": 2}
+    total = sum(splits.values())
+    if total > modulus or any(v <= 0 for v in splits.values()):
+        raise ValueError(f"split percentages must be positive and sum <= {modulus}")
+    bucket = md5_bucket(F.col(content_col), modulus)
+    expr = None
+    hi = 0
+    for name, pct in splits.items():
+        hi += pct
+        cond = bucket < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # Rows past the last range (when percentages sum < modulus) are
+    # deliberately labeled 'unassigned' rather than silently dropped.
+    return df.withColumn(out_col, expr.otherwise(F.lit("unassigned")))
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    seed: str = "s0",
+) -> DataFrame:
+    """Deterministic global shuffle + shard layout for training export.
+
+    shard_id = md5(seed || id) % num_shards — a map-side hash, so shard
+    membership needs NO global sort (at 100 TB a global row_number is a
+    one-partition bottleneck; hash sharding is embarrassingly parallel).
+    pos = dense order WITHIN the shard by the same md5 (window partitioned
+    by shard_id — a bounded per-shard sort). The (shard_id, pos) pair is a
+    reproducible global training order: changing ``seed`` reshuffles,
+    rerunning does not.
+    """
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")).cast("binary"))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % num_shards
+    ).alias("shard_id")
+    out = df.withColumn("__h", h).withColumn("shard_id", shard)
+    w = Window.partitionBy("shard_id").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return out.withColumn("pos", F.row_number().over(w) - F.lit(1)).drop("__h")
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str,
+    length_col: str,
+    bucket_width: int = 64,
+    batch_size: int = 16,
+    seed: str = "b0",
+) -> DataFrame:
+    """Length-bucketed batch assignment (sequence-length batching).
+
+    Training on variable-length documents wastes compute when short and
+    long sequences share a batch (everything pads to the batch max).
+    Bucketing by length and batching within a bucket bounds padding waste
+    to ``bucket_width`` tokens per sequence. bucket = floor(len / width)
+    is map-side; batch_id = floor(rank / batch_size) where rank orders the
+    bucket by md5(seed || id) — a deterministic shuffle within the bucket
+    so batches are a reproducible uniform draw, not input-order artifacts.
+    One shuffle, keyed on the bucket (bounded key cardinality ~ max_len /
+    width; skew in common lengths is absorbed by AQE or a finer width).
+    """
+    if bucket_width <= 0 or batch_size <= 0:
+        raise ValueError("bucket_width and batch_size must be positive")
+    bucket = F.floor(F.col(length_col) / bucket_width).cast("long")
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")).cast("binary"))
+    out = df.withColumn("bucket", bucket).withColumn("__h", h)
+    w = Window.partitionBy("bucket").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    rn = F.row_number().over(w) - F.lit(1)
+    return (
+        out.withColumn("batch_id", F.floor(rn / batch_size).cast("long"))
+        .withColumn("pos_in_batch", (rn % batch_size).cast("long"))
+        .drop("__h")
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    threshold: float = 0.30,
+    keep_col: str = "is_kept",
+) -> DataFrame:
+    """Cluster-scoped semantic dedup (SemDeDup, Abbas et al. 2023).
+
+    Within each cluster, a row is DROPPED if any row with a smaller id in
+    the same cluster has cosine similarity >= threshold to it; kept
+    otherwise. The earlier-id rule is the deterministic, non-iterative
+    stand-in for the paper's "keep one per semantic-duplicate group":
+    no fixpoint, no driver loop, one equi-join. (It is slightly more
+    aggressive than greedy chain-following — a row near only-dropped
+    rows is still dropped — which is the conservative direction for
+    dedup.) Cosine is folded over the array in element order on both
+    engines, so the boolean is reproducible bit-for-bit.
+
+    Plan: self-equi-join on the cluster key with ``a.id < b.id`` — one
+    shuffle keyed on the cluster; per-cluster cost c^2 is bounded by the
+    upstream clustering granularity (use fine k-means at scale so
+    clusters stay small). Never an unkeyed cross join.
+    """
+    a = df.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__ida"),
+        as_double(F.col(vec_col)).alias("__va"),
+    )
+    b = df.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__idb"),
+        as_double(F.col(vec_col)).alias("__vb"),
+    )
+    dropped = (
+        a.join(b, on="__c")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .filter(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    flagged = df.join(
+        dropped.withColumn("__dropped", F.lit(True)), on=id_col, how="left"
+    )
+    return flagged.withColumn(
+        keep_col, F.coalesce(~F.col("__dropped"), F.lit(True))
+    ).drop("__dropped")
+
+
+def write_training_shards(
+    df: DataFrame,
+    id_col: str,
+    out_dir: str,
+    num_shards: int,
+    seed: str = "s0",
+    max_records_per_file: int = 1_000_000,
+) -> DataFrame:
+    """Export a deterministic sharded training layout to parquet.
+
+    Rows are shard-assigned with :func:`shard_assign`, physically
+    clustered one-shard-per-partition (``repartition(num_shards,
+    shard_id)`` — co-locates each shard's rows so the writer emits one
+    file run per shard, no cross-file interleaving), sorted by ``pos``
+    within the partition (training readers stream in-order without a
+    sort), and written ``partitionBy("shard_id")`` so a reader doing
+    ``load(dir/shard_id=K)`` gets partition pruning for free.
+    ``maxRecordsPerFile`` bounds individual file size at scale — a 100 TB
+    export must never produce one 100 GB parquet file per shard.
+
+    Returns the shard manifest (shard_id, n_rows, id checksum) computed
+    FROM THE WRITTEN FILES, so the manifest proves what landed on disk,
+    not what the plan intended.
+    """
+    spark = df.sparkSession
+    assigned = shard_assign(df, id_col, num_shards, seed=seed)
+    (
+        assigned.repartition(num_shards, "shard_id")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    written = spark.read.parquet(out_dir)
+    return written.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(id_col)).alias("id_sum"),
+        F.min("pos").alias("min_pos"),
+        F.max("pos").alias("max_pos"),
+    )
+
+
+def list_shard_files(out_dir: str) -> dict[int, list[str]]:
+    """Enumerate the written shard -> files mapping (driver-side, bounded
+    by shard count — this walks directories, not data)."""
+    out: dict[int, list[str]] = {}
+    if not os.path.isdir(out_dir):
+        return out
+    for entry in sorted(os.listdir(out_dir)):
+        if not entry.startswith("shard_id="):
+            continue
+        sid = int(entry.split("=", 1)[1])
+        files = [
+            f
+            for f in sorted(os.listdir(os.path.join(out_dir, entry)))
+            if f.endswith(".parquet")
+        ]
+        out[sid] = files
+    return out

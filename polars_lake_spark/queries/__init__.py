@@ -37,6 +37,11 @@ REGISTRY: dict[str, Query] = {}
 #   every session by tests/test_oracle_parity.py (local mirror of the gate
 #   over all oracled queries).
 CHECK_PRIORITY: list[str] = [
+    # -- NEW r5 (late): training-set assembly (operators/splits.py) ----
+    "split_train_val_test",
+    "shard_manifest",
+    "length_bucket_batches",
+    "semdedup_embeddings",
     # -- changed this round (lead: nothing ships unverified) -----------
     # r5: approx_distinct_check gained a NULL-coalesce; train_pq/train_ivf
     # centroid rounding (layout independence) touches every recall
@@ -144,6 +149,7 @@ def all_queries() -> dict[str, Query]:
         scale_ops,
         tpch_like,
         tpch_like2,
+        training,
         windows_ext,
     )
 

@@ -1,0 +1,144 @@
+"""Training-set assembly queries: named splits, shard layout, length
+bucketing, SemDeDup — the last-mile export stage of an LLM data pipeline
+(extends the curation surface in queries/corpus.py / pipeline.py).
+
+All four are fully deterministic by construction (md5-derived buckets and
+orderings, see operators/splits.py), so each gets a value-exact DuckDB
+oracle: the same split/shard/batch assignment must come out of any
+engine — that reproducibility IS the feature being tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polars_lake_spark.operators import splits as SP
+from polars_lake_spark.queries import register
+from polars_lake_spark.sources import load_table
+
+
+@register(
+    "split_train_val_test",
+    oracle="""
+    WITH b AS (
+        SELECT lang, n_chars,
+               CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 AS bk
+        FROM documents
+    )
+    SELECT CASE WHEN bk < 96 THEN 'train'
+                WHEN bk < 98 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM b
+    GROUP BY 1, 2
+    """,
+)
+def split_train_val_test(spark, sf_dir):
+    """96/2/2 content-hash split — stable under appends/repartitioning,
+    and exact duplicate texts land in the SAME split (leak prevention).
+    Returns the per-(split, lang) audit summary."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = SP.split_assign(docs, "text", {"train": 96, "val": 2, "test": 2})
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "shard_manifest",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               md5('r5' || CAST(doc_id AS VARCHAR)) AS h,
+               CAST('0x' || substr(md5('r5' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 8 AS shard_id
+        FROM documents
+    ), p AS (
+        SELECT doc_id, shard_id,
+               ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY h, doc_id) - 1
+                   AS pos
+        FROM s
+    )
+    SELECT shard_id,
+           COUNT(*) AS n_rows,
+           SUM(doc_id) AS id_sum,
+           SUM(pos * doc_id) AS ord_check
+    FROM p
+    GROUP BY shard_id
+    """,
+)
+def shard_manifest(spark, sf_dir):
+    """Deterministic 8-shard training layout: hash shard membership
+    (map-side, no global sort) + per-shard md5 ordering. ``ord_check``
+    = SUM(pos * doc_id) pins the ENTIRE in-shard permutation, not just
+    membership — the oracle proves the global training order is
+    engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = SP.shard_assign(docs, "doc_id", num_shards=8, seed="r5")
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.col("pos") * F.col("doc_id")).alias("ord_check"),
+    )
+
+
+@register(
+    "length_bucket_batches",
+    oracle="""
+    WITH x AS (
+        SELECT doc_id,
+               CAST(FLOOR(n_chars / 32) AS BIGINT) AS bucket,
+               md5('b0' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ), r AS (
+        SELECT doc_id, bucket,
+               ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1
+                   AS rn
+        FROM x
+    )
+    SELECT doc_id, bucket,
+           CAST(FLOOR(rn / 16) AS BIGINT) AS batch_id,
+           CAST(rn % 16 AS BIGINT) AS pos_in_batch
+    FROM r
+    """,
+)
+def length_bucket_batches(spark, sf_dir):
+    """Sequence-length batching: 32-char buckets, deterministic batches
+    of 16 within each bucket (padding waste bounded by the bucket width).
+    Full per-doc assignment is returned so the oracle hashes every
+    (doc, bucket, batch, position) — any engine divergence shows."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = SP.length_bucket_batches(
+        docs, "doc_id", "n_chars", bucket_width=32, batch_size=16, seed="b0"
+    )
+    return out.select("doc_id", "bucket", "batch_id", "pos_in_batch")
+
+
+@register(
+    "semdedup_embeddings",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    )
+    SELECT a.vec_id, a.label,
+           NOT EXISTS (
+               SELECT 1 FROM v b
+               WHERE b.label = a.label AND b.vec_id < a.vec_id
+                 AND list_cosine_similarity(a.e, b.e) >= 0.30
+           ) AS is_kept
+    FROM v a
+    """,
+)
+def semdedup_embeddings(spark, sf_dir):
+    """SemDeDup over the embeddings table with the ``label`` column as
+    the cluster assignment: a vector is dropped when an earlier-id vector
+    in the same cluster is cosine-similar above 0.30 (~19% drop rate at
+    sf0.01). Pairs are joined only within a cluster — one shuffle on the
+    cluster key, never an unkeyed cross join (operators/splits.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = SP.semdedup(emb, "vec_id", "embedding", "label", threshold=0.30)
+    return out.select("vec_id", "label", "is_kept")
