@@ -57,6 +57,16 @@ POINTER = "_pointer.json"
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
+def _json_scalar(v):
+    """min/max values as JSON-storable scalars (dates → ISO strings;
+    numerics/strings/bools/None pass through)."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return v
+
+
 def view_key(name: str) -> str:
     """SQL-addressable view name for a table — implements the reference's
     two-level ``TableName(schema, name)`` namespace
@@ -122,6 +132,13 @@ class TableSpec:
     # table discoverable by load_all. Spark reads/writes the path the
     # same way either way (path-based IO).
     root_override: str | None = None
+    # Table/column statistics from analyze_table() (ANALYZE TABLE
+    # COMPUTE STATISTICS analog): {"rows": n, "analyzed_version": v|None,
+    # "columns": {col: {non_null, approx_ndv, min, max}}}. Persisted in
+    # the manifest so a fresh engine can make broadcast/skew decisions
+    # without rescanning 100 TB; None until analyzed, and consumers must
+    # treat it as advisory (it goes stale as writes land).
+    stats: dict | None = None
     # Parquet bloom filters: column -> expected ndv (filter sizing),
     # written on every parquet write of this table. At 100 TB a point
     # predicate on a NON-layout column skips row groups whose bloom
@@ -1402,3 +1419,86 @@ class Engine:
                 self._snapstore(name).latest_version() if spec.versioned else None
             ),
         }
+
+    # ------------------------------------------------------ statistics
+    _STATS_MINMAX_TYPES = (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "string", "date", "boolean",
+    )
+
+    def analyze_table(self, name: str, columns: list[str] | None = None) -> dict:
+        """ANALYZE TABLE COMPUTE STATISTICS FOR COLUMNS analog.
+
+        ONE aggregation pass over the table computes row count plus
+        per-column non-null count, approx NDV (HLL++), and min/max for
+        orderable scalar types; the result is persisted in the manifest
+        (``TableSpec.stats``) tagged with the snapshot version it was
+        computed at, so a FRESH engine process can plan against it
+        without touching the data. That is the point at 100 TB: the
+        decision "is this dimension broadcastable" must not cost a scan
+        per session. Single pass = one job; all column aggregates ride
+        in the same partial-aggregation stage (no per-column scans).
+        """
+        spec = self.specs[name]
+        df = self.table(name)
+        dtypes = dict(df.dtypes)
+        cols = columns if columns is not None else df.columns
+        unknown = [c for c in cols if c not in dtypes]
+        if unknown:
+            raise ValueError(f"analyze_table({name}): unknown columns {unknown}")
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs.append(F.count(F.col(c)).alias(f"nn__{c}"))
+            # rsd=0.02: persisted planning stats are worth a tighter
+            # sketch than the 5% default (per-column memory, not a scan).
+            aggs.append(F.approx_count_distinct(F.col(c), 0.02).alias(f"ndv__{c}"))
+            if dtypes[c] in self._STATS_MINMAX_TYPES:
+                # timestamps serialized via cast to string so the manifest
+                # stays plain JSON; numerics/strings/dates store natively.
+                aggs.append(F.min(F.col(c)).alias(f"min__{c}"))
+                aggs.append(F.max(F.col(c)).alias(f"max__{c}"))
+            elif dtypes[c].startswith("timestamp"):
+                aggs.append(F.min(F.col(c)).cast("string").alias(f"min__{c}"))
+                aggs.append(F.max(F.col(c)).cast("string").alias(f"max__{c}"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        colstats = {}
+        for c in cols:
+            entry = {
+                "non_null": row[f"nn__{c}"],
+                "approx_ndv": row[f"ndv__{c}"],
+            }
+            if f"min__{c}" in row:
+                entry["min"] = _json_scalar(row[f"min__{c}"])
+                entry["max"] = _json_scalar(row[f"max__{c}"])
+            colstats[c] = entry
+        stats = {
+            "rows": row["__rows"],
+            "analyzed_version": (
+                self._snapstore(name).latest_version() if spec.versioned else None
+            ),
+            "columns": colstats,
+        }
+        with self._lock(name):
+            spec.stats = stats
+            if name not in self._mem and self.root is not None:
+                self._write_manifest(spec)
+        return stats
+
+    def table_stats(self, name: str) -> dict | None:
+        """Persisted stats from the last analyze_table(), or None. For a
+        versioned table, stats older than the current snapshot are still
+        returned (advisory) — check ``analyzed_version`` if staleness
+        matters to the caller."""
+        return self.specs[name].stats
+
+    def table_hinted(self, name: str, broadcast_max_rows: int = 10_000_000) -> DataFrame:
+        """The table, broadcast-hinted when its ANALYZED row count is
+        under ``broadcast_max_rows`` — the stats-driven version of the
+        dimension-table broadcast every large join wants. Without stats
+        (or above the bound) the plain DataFrame is returned and
+        Catalyst/AQE decide from its own size estimate."""
+        df = self.table(name)
+        stats = self.specs[name].stats
+        if stats is not None and stats["rows"] <= broadcast_max_rows:
+            return F.broadcast(df)
+        return df

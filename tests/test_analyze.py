@@ -1,0 +1,80 @@
+"""analyze_table / table_stats / table_hinted: one-pass stats, manifest
+persistence across engine restarts, and the stats-driven broadcast hint."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_lake_spark import Engine
+from polars_lake_spark.sources import load_table
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path))
+
+
+def test_analyze_table_basic_stats(engine, spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    engine.create_table("orders", orders, keys=["o_orderkey"])
+    stats = engine.analyze_table("orders")
+    n = orders.count()
+    assert stats["rows"] == n
+    cs = stats["columns"]
+    assert cs["o_orderkey"]["non_null"] == n
+    # HLL++ at rsd=0.02; allow 3 sigma
+    assert abs(cs["o_orderkey"]["approx_ndv"] - n) <= max(3, 0.06 * n)
+    exact_min, exact_max = orders.agg(
+        F.min("o_totalprice"), F.max("o_totalprice")).first()
+    assert cs["o_totalprice"]["min"] == pytest.approx(exact_min)
+    assert cs["o_totalprice"]["max"] == pytest.approx(exact_max)
+    # timestamps/dates serialize to strings (manifest stays plain JSON)
+    datecol = cs.get("o_orderdate")
+    if datecol is not None and "min" in datecol:
+        assert isinstance(datecol["min"], str)
+
+
+def test_analyze_persists_across_engine_restart(engine, spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    engine.create_table("nation", nation, keys=["n_nationkey"])
+    engine.analyze_table("nation", columns=["n_nationkey", "n_name"])
+    e2 = Engine(spark, str(tmp_path))
+    e2.load_all()
+    stats = e2.table_stats("nation")
+    assert stats is not None and stats["rows"] == 25
+    assert set(stats["columns"]) == {"n_nationkey", "n_name"}
+
+
+def test_analyze_unknown_column_rejected(engine, spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    engine.create_table("nation", nation, keys=["n_nationkey"])
+    with pytest.raises(ValueError, match="unknown columns"):
+        engine.analyze_table("nation", columns=["nope"])
+
+
+def test_table_hinted_broadcasts_small_analyzed_table(engine, spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    engine.create_table("nation", nation, keys=["n_nationkey"], save=False)
+    engine.analyze_table("nation")
+    joined = supplier.join(
+        engine.table_hinted("nation"),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    )
+    assert "BroadcastHashJoin" in joined._jdf.queryExecution().executedPlan().toString()
+    # above the bound → no forced hint
+    plain = engine.table_hinted("nation", broadcast_max_rows=10)
+    assert plain is not None  # returns the raw table, no error
+
+
+def test_table_hinted_without_stats_is_plain(engine, spark, sf_dir):
+    region = load_table(spark, sf_dir, "region")
+    engine.create_table("region", region, keys=["r_regionkey"], save=False)
+    assert engine.table_stats("region") is None
+    assert engine.table_hinted("region").count() == 5
+
+
+def test_analyze_versioned_table_records_version(engine, spark, sf_dir):
+    region = load_table(spark, sf_dir, "region")
+    engine.create_table("region", region, keys=["r_regionkey"], versioned=True)
+    stats = engine.analyze_table("region")
+    assert stats["analyzed_version"] == engine.table_info("region")["version"]
