@@ -66,6 +66,9 @@ HEADLINE = [
     "multimodal_pixel_decode",
     "multimodal_audio_decode",
     "multimodal_video_frames",
+    # r5 additions: training-set assembly (operators/splits.py).
+    "shard_manifest",
+    "semdedup_embeddings",
 ]
 
 

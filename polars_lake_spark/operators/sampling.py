@@ -32,6 +32,22 @@ def hash_sample(
     return df.filter(md5_bucket(F.col(content_col), modulus) < pct)
 
 
+def weighted_hash_sample(
+    df: DataFrame, content_col: str, weight, modulus: int = 10000
+) -> DataFrame:
+    """Per-row acceptance with probability ``weight`` (a [0,1] Column
+    expression, e.g. a quality score): keep iff
+    ``md5_bucket(content) < weight * modulus``. The md5 bucket plays the
+    uniform draw, so acceptance is deterministic per content — rerun- and
+    partitioning-stable, and exact duplicates get the same verdict. This
+    is the curriculum/quality-weighted sampling primitive: higher-quality
+    rows survive proportionally more often, with zero RNG state. Pure
+    map-side filter, no shuffle."""
+    return df.filter(
+        md5_bucket(F.col(content_col), modulus) < weight * F.lit(float(modulus))
+    )
+
+
 def stratified_sample(
     df: DataFrame, strata_col: str, content_col: str, id_col: str, n_per_stratum: int
 ) -> DataFrame:

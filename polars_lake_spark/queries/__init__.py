@@ -42,6 +42,8 @@ CHECK_PRIORITY: list[str] = [
     "shard_manifest",
     "length_bucket_batches",
     "semdedup_embeddings",
+    "quality_weighted_sample",
+    "decontaminate_exact",
     # -- changed this round (lead: nothing ships unverified) -----------
     # r5: approx_distinct_check gained a NULL-coalesce; train_pq/train_ivf
     # centroid rounding (layout independence) touches every recall

@@ -12,9 +12,26 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from polars_lake_spark.functions import text as TX
+from polars_lake_spark.operators import sampling as SA
 from polars_lake_spark.operators import splits as SP
 from polars_lake_spark.queries import register
 from polars_lake_spark.sources import load_table
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+# DuckDB transliteration of functions/text.py quality_score (the same
+# expression tree as pipeline.py's text_quality_filter oracle — float
+# parity across engines is proven by that query's green history).
+_QUALITY_SQL = f"""
+    LEAST(1.0, len(string_split({_NORM_SQL}, ' ')) / 100.0)
+    * (1 - length(regexp_replace(text, '[^.,!?;:]', '', 'g')) * 1.0
+           / GREATEST(length(text), 1))
+    * (0.5 + 0.5 * LEAST(1.0,
+          len(list_filter(string_split({_NORM_SQL}, ' '),
+              w -> w IN ('the','a','of','and','to','in','is'))) * 1.0
+          / len(string_split({_NORM_SQL}, ' ')) * 5))
+"""
 
 
 @register(
@@ -115,6 +132,56 @@ def length_bucket_batches(spark, sf_dir):
         docs, "doc_id", "n_chars", bucket_width=32, batch_size=16, seed="b0"
     )
     return out.select("doc_id", "bucket", "batch_id", "pos_in_batch")
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text, ({_QUALITY_SQL}) AS q FROM documents
+    )
+    SELECT doc_id, ROUND(q, 4) AS quality
+    FROM scored
+    WHERE CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 10000
+          < q * 10000
+    """,
+)
+def quality_weighted_sample(spark, sf_dir):
+    """Quality-weighted (curriculum) sampling: each document survives
+    with probability equal to its quality score, decided by content hash
+    instead of RNG — deterministic, rerun/partitioning-stable, and exact
+    duplicates share a verdict. Map-side filter only."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = TX.quality_score(F.col("text"))
+    kept = SA.weighted_hash_sample(docs, "text", q)
+    return kept.select("doc_id", F.round(q, 4).alias("quality"))
+
+
+@register(
+    "decontaminate_exact",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents),
+    bench AS (SELECT DISTINCT fp FROM t WHERE doc_id % 50 = 0)
+    SELECT doc_id FROM t
+    WHERE doc_id % 50 <> 0 AND fp NOT IN (SELECT fp FROM bench)
+    """,
+)
+def decontaminate_exact(spark, sf_dir):
+    """Exact-match benchmark decontamination (the cheap first pass before
+    the n-gram overlap in ``decontaminate_overlap``): drop any training
+    document whose normalized-text md5 equals a held-out document's
+    (doc_id%50=0 plays the benchmark). The benchmark fingerprint set is
+    tiny relative to the corpus → broadcast anti-join, map-side at 100 TB.
+    The synthetic corpus has no exact cross-boundary duplicates, so the
+    drop count is 0 here — the oracle still verifies the kept set
+    value-exactly (a wrong join would mismatch); the drop path itself is
+    proven on synthetic dupes in tests/test_splits.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(TX.normalized(F.col("text")).cast("binary"))
+    with_fp = docs.select("doc_id", fp.alias("fp"))
+    bench = with_fp.filter(F.col("doc_id") % 50 == 0).select("fp").distinct()
+    train = with_fp.filter(F.col("doc_id") % 50 != 0)
+    return train.join(F.broadcast(bench), on="fp", how="left_anti").select("doc_id")
 
 
 @register(

@@ -130,6 +130,39 @@ def test_semdedup_earliest_id_always_kept(spark, sf_dir):
     assert joined.filter(~F.col("is_kept")).count() == 0
 
 
+def test_weighted_hash_sample_rates_track_weight(spark):
+    from polars_lake_spark.operators.sampling import weighted_hash_sample
+    df = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(2000)], ["id", "t"]
+    )
+    none = weighted_hash_sample(df, "t", F.lit(0.0)).count()
+    all_ = weighted_hash_sample(df, "t", F.lit(1.0)).count()
+    half = weighted_hash_sample(df, "t", F.lit(0.5)).count()
+    assert none == 0 and all_ == 2000
+    assert 800 < half < 1200  # md5 buckets ~uniform
+    # deterministic: same inputs, same survivors
+    a = sorted(r["id"] for r in weighted_hash_sample(df, "t", F.lit(0.3)).collect())
+    b = sorted(r["id"] for r in
+               weighted_hash_sample(df.repartition(13), "t", F.lit(0.3)).collect())
+    assert a == b
+
+
+def test_decontaminate_exact_drops_synthetic_dupes(spark):
+    """The oracled query's corpus has no exact cross-boundary dupes;
+    prove the drop path on a frame where they exist."""
+    from polars_lake_spark.functions import text as TX
+    rows = [(0, "the shared benchmark doc"), (50, "another bench doc"),
+            (1, "THE  shared benchmark DOC"),  # normalizes equal to doc 0
+            (2, "unique training doc")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = F.md5(TX.normalized(F.col("text")).cast("binary"))
+    with_fp = docs.select("doc_id", fp.alias("fp"))
+    bench = with_fp.filter(F.col("doc_id") % 50 == 0).select("fp").distinct()
+    train = with_fp.filter(F.col("doc_id") % 50 != 0)
+    kept = train.join(F.broadcast(bench), on="fp", how="left_anti")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2]
+
+
 def test_write_training_shards_layout_and_determinism(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out1 = str(tmp_path / "shards1")
