@@ -18,13 +18,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 20
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 20,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(id, component) for every vertex appearing in ``pairs``; component
     is the minimum vertex id reachable from it.
+
+    Adaptive execution: the edge count is measured once (it already was,
+    for iteration-width sizing); at or below ``local_threshold`` edges the
+    closure runs as a driver-side union-find on the collected edge list —
+    the same result, without N rounds of join+groupBy job overhead (the
+    rounds dominate cold-JVM cost: measured ~10 s for a 512-edge graph).
+    This is the AQE move — swap the physical strategy when the measured
+    input is small — with the memory bound explicit: 1M edges ≈ tens of
+    MB on the driver. Above the threshold, distributed min-label
+    propagation runs as before; near-dup graphs from 100 TB corpora take
+    that path.
 
     Storage hygiene: each iteration persists its labels and unpersists the
     previous iteration's — a long-lived session doesn't accumulate blocks
@@ -57,6 +73,30 @@ def connected_components(
     # overhead (measured 1.5 s/round at 32 tasks for those 512 edges).
     # ~1M edges per partition keeps rounds wide on genuinely big graphs.
     n_edges = edges.count()  # also materializes the persist before looping
+    if n_edges <= local_threshold:
+        spark = pairs.sparkSession
+        id_type = edges.schema["a"].dataType
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.toLocalIterator():
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(x, find(x)) for x in parent]
+        edges.unpersist()
+        schema = StructType(
+            [StructField("id", id_type), StructField("component", id_type)]
+        )
+        return spark.createDataFrame(rows, schema)
     width = max(1, min(edges.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
     if width < edges.rdd.getNumPartitions():
         narrow = edges.repartition(width, "b").persist(StorageLevel.MEMORY_AND_DISK)

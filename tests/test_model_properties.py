@@ -110,3 +110,17 @@ def test_asof_join_matches_model(spark, left, right):
     out = asof_join(ldf, rdf, on="ts", by=["g"])
     got = {r.idx: (r.v1_right, r.v2_right) for r in out.collect()}
     assert got == model_asof(left, right)
+
+
+@given(edges=edges_st)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_local_and_distributed_agree(spark, edges):
+    """The adaptive driver-side union-find (small graphs) and the
+    distributed min-label propagation must be indistinguishable."""
+    df = spark.createDataFrame(edges, ["d1", "d2"])
+    local = {(r["id"], r["component"])
+             for r in connected_components(df).collect()}
+    dist = {(r["id"], r["component"])
+            for r in connected_components(df, local_threshold=0).collect()}
+    assert local == dist
