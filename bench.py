@@ -69,6 +69,10 @@ HEADLINE = [
     # r5 additions: training-set assembly (operators/splits.py).
     "shard_manifest",
     "semdedup_embeddings",
+    # r5 additions: incremental dedup (batch vs indexed corpus, probe cost
+    # O(batch)) and winnowing exact-substring fingerprints.
+    "dedup_incremental_minhash",
+    "dedup_substring_winnow",
 ]
 
 

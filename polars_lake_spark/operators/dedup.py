@@ -162,6 +162,48 @@ def minhash_signatures(
     return with_base.select("id", F.col("shingles"), sig.alias("sig"))
 
 
+def minhash_band_entries(
+    sigs: DataFrame, num_perm: int = 128, bands: int = 32
+) -> DataFrame:
+    """(id, band, bh) LSH bucket keys from (id, sig) signatures — the
+    persistable index representation.  Map-side only: one row per
+    (doc, band); docs sharing any (band, bh) are candidate near-dups."""
+    r = num_perm // bands
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(F.slice("sig", b * r + 1, r)).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        sigs.select("id", F.explode(entries).alias("e"))
+        .select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    )
+
+
+def verified_jaccard_pairs(
+    cands: DataFrame, s1: DataFrame, s2: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard over candidate (d1, d2) pairs.  The candidate set is
+    small (band-bucket collisions), so broadcast it against the shingle
+    ARRAYS and intersect in-place — no re-explode, no extra shuffle of the
+    full shingle relation.  ``s1``/``s2`` carry (d1, sh1) / (d2, sh2)."""
+    verified = (
+        s1.join(F.broadcast(cands), "d1")
+        .join(s2, "d2")
+        .withColumn("common", F.size(F.array_intersect("sh1", "sh2")))
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.size("sh1") + F.size("sh2") - F.col("common")),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select("d1", "d2", "jaccard")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -180,7 +222,6 @@ def minhash_lsh_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
-    r = num_perm // bands
     # Shingling feeds both the signature path and the verification path,
     # and verification reads it twice (self-join) — persist it once.
     shingled = word_shingles(df, id_col, text_col, n).persist(
@@ -188,18 +229,8 @@ def minhash_lsh_pairs(
     )
     sigs = minhash_signatures(shingled, num_perm)
 
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(F.slice("sig", b * r + 1, r)).alias("bh"),
-            )
-            for b in range(bands)
-        ]
-    )
     buckets = (
-        sigs.select("id", F.explode(band_entries).alias("e"))
-        .select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+        minhash_band_entries(sigs, num_perm, bands)
         .groupBy("band", "bh")
         .agg(F.collect_set("id").alias("ids"))
         .filter(F.size("ids") > 1)
@@ -211,23 +242,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Exact verification restricted to candidates only: the candidate set
-    # is small (band-bucket collisions), so broadcast it against the
-    # shingle ARRAYS and intersect in-place — no re-explode, no extra
-    # shuffle of the full shingle relation.
     s1 = shingled.select(F.col("id").alias("d1"), F.col("shingles").alias("sh1"))
     s2 = shingled.select(F.col("id").alias("d2"), F.col("shingles").alias("sh2"))
-    verified = (
-        s1.join(F.broadcast(cands), "d1")
-        .join(s2, "d2")
-        .withColumn("common", F.size(F.array_intersect("sh1", "sh2")))
-        .withColumn(
-            "jaccard",
-            F.col("common")
-            / (F.size("sh1") + F.size("sh2") - F.col("common")),
-        )
-    )
-    return verified.filter(F.col("jaccard") >= threshold).select("d1", "d2", "jaccard")
+    return verified_jaccard_pairs(cands, s1, s2, threshold)
 
 
 def simhash_signatures(

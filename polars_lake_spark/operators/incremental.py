@@ -1,0 +1,223 @@
+"""Incremental near-dup detection: a persisted MinHash-LSH index that new
+document batches join against, so the corpus is never re-shingled.
+
+The reference's dedup story stops at planned ``drop_duplicates``
+(``/root/reference/src/main.rs:32``); at 100 TB the dominant curation cost
+is re-running whole-corpus dedup every time a crawl lands.  This module
+makes dedup INCREMENTAL:
+
+* the index is two tables — ``(id, band, bh)`` bucket entries partitioned
+  by ``band`` and ``(id, shingles)`` for exact verification;
+* a new batch computes signatures map-side for ITS rows only, joins the
+  bucket table on ``(band, bh)`` (partition-pruned to the bands, shuffle
+  bounded by batch size), and exact-verifies the candidates;
+* novel survivors append their entries/shingles; duplicates never enter.
+
+Cost per batch is O(batch × perms) map-side + a join whose probe side is
+the batch, independent of corpus size — the property that makes 100 TB
+continuous ingest feasible.  All column expressions (whole-stage codegen);
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_lake_spark.operators.dedup import (
+    minhash_band_entries,
+    minhash_signatures,
+    verified_jaccard_pairs,
+    word_shingles,
+)
+from polars_lake_spark.operators.graph import connected_components
+
+if TYPE_CHECKING:  # pragma: no cover
+    from polars_lake_spark.engine import Engine
+
+
+def prepare_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingled, band_entries) for a document slice — the two relations
+    every MinHash flavor (batch or incremental) consumes.  ``shingled`` is
+    persisted: it feeds both the signature path and exact verification."""
+    from pyspark.storagelevel import StorageLevel
+
+    shingled = word_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    entries = minhash_band_entries(
+        minhash_signatures(shingled, num_perm), num_perm, bands
+    )
+    return shingled, entries
+
+
+def incremental_minhash_pairs(
+    batch_shingled: DataFrame,
+    batch_entries: DataFrame,
+    index_entries: DataFrame,
+    index_shingles: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(d1, d2, jaccard) near-dup pairs where d2 is ALWAYS a batch doc and
+    d1 is an indexed doc or a smaller-keyed batch doc.  Corpus-internal
+    pairs are never recomputed — that is the point.
+
+    Plan shape: batch entries ⋈ index entries on (band, bh) — the probe
+    side is the batch, so the shuffle is O(batch); batch-internal
+    candidates come from a groupBy over batch entries alone.  Exact
+    verification broadcasts the candidate pairs against the shingle
+    arrays (index side read only for candidate d1 rows)."""
+    cross = (
+        batch_entries.alias("n")
+        .join(index_entries.alias("o"), ["band", "bh"])
+        .filter(F.col("o.id") != F.col("n.id"))
+        .select(F.col("o.id").alias("d1"), F.col("n.id").alias("d2"))
+        .distinct()
+    )
+    internal = (
+        batch_entries.groupBy("band", "bh")
+        .agg(F.collect_set("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("d1"), F.col("ids"))
+        .select("d1", F.explode("ids").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+        .distinct()
+    )
+    cands = cross.unionByName(internal).distinct()
+    all_sh = index_shingles.unionByName(batch_shingled)
+    s1 = all_sh.select(F.col("id").alias("d1"), F.col("shingles").alias("sh1"))
+    s2 = batch_shingled.select(
+        F.col("id").alias("d2"), F.col("shingles").alias("sh2")
+    )
+    return verified_jaccard_pairs(cands, s1, s2, threshold)
+
+
+def batch_survivors(pairs: DataFrame, batch_ids: DataFrame) -> DataFrame:
+    """(id) batch docs that should ENTER the index: not near-dup of any
+    indexed doc, and the canonical (min-id) representative of any
+    batch-internal near-dup cluster.
+
+    Transitivity matches ``dedup_survivors``: components are built over
+    ALL pairs; a component containing any indexed doc is contaminated
+    (every batch member drops), otherwise the min-id batch member keeps.
+    ``batch_ids`` carries a single ``id`` column."""
+    comps = connected_components(pairs, "d1", "d2")
+    tagged = comps.join(batch_ids.withColumn("is_batch", F.lit(True)), "id", "left")
+    comp_state = tagged.groupBy("component").agg(
+        F.max(F.when(F.col("is_batch").isNull(), 1).otherwise(0)).alias(
+            "contaminated"
+        ),
+        F.min(F.when(F.col("is_batch").isNotNull(), F.col("id"))).alias("keeper"),
+    )
+    dropped = (
+        tagged.join(comp_state, "component")
+        .filter(
+            F.col("is_batch").isNotNull()
+            & ((F.col("contaminated") == 1) | (F.col("id") != F.col("keeper")))
+        )
+        .select("id")
+    )
+    return batch_ids.join(dropped, "id", "left_anti")
+
+
+class MinHashIndex:
+    """Engine-persisted incremental MinHash-LSH dedup index.
+
+    Two engine tables back it: ``{name}_mh_entries`` — (id, band, bh)
+    partitioned by band so a probe's (band, bh) join prunes to band dirs —
+    and ``{name}_mh_shingles`` — (id, shingles) for exact verification.
+    Parameters ride in ``{name}_mh_meta`` so a reopened index is
+    self-describing (signatures are only comparable under identical
+    n/num_perm/bands).
+    """
+
+    def __init__(
+        self,
+        engine: "Engine",
+        name: str,
+        *,
+        n: int = 3,
+        num_perm: int = 128,
+        bands: int = 32,
+        threshold: float = 0.8,
+    ):
+        self.engine = engine
+        self.name = name
+        self.n, self.num_perm, self.bands = n, num_perm, bands
+        self.threshold = threshold
+
+    @property
+    def _t_entries(self) -> str:
+        return f"{self.name}_mh_entries"
+
+    @property
+    def _t_shingles(self) -> str:
+        return f"{self.name}_mh_shingles"
+
+    @property
+    def _t_meta(self) -> str:
+        return f"{self.name}_mh_meta"
+
+    def create(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> None:
+        """Seed the index from an initial (already-deduplicated) corpus."""
+        shingled, entries = prepare_docs(
+            docs, id_col, text_col, self.n, self.num_perm, self.bands
+        )
+        eng = self.engine
+        eng.create_table(self._t_entries, entries, partition_by=["band"])
+        eng.create_table(self._t_shingles, shingled)
+        meta = eng.spark.createDataFrame(
+            [(self.n, self.num_perm, self.bands, float(self.threshold))],
+            "n int, num_perm int, bands int, threshold double",
+        )
+        eng.create_table(self._t_meta, meta)
+        shingled.unpersist()
+
+    @classmethod
+    def open(cls, engine: "Engine", name: str) -> "MinHashIndex":
+        row = engine.table(f"{name}_mh_meta").head()
+        return cls(
+            engine,
+            name,
+            n=row["n"],
+            num_perm=row["num_perm"],
+            bands=row["bands"],
+            threshold=row["threshold"],
+        )
+
+    def add_batch(
+        self, batch: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> dict:
+        """Dedup a new batch against the index + itself, append the novel
+        survivors, and return ``{"pairs": DataFrame, "novel": DataFrame}``.
+
+        ``pairs`` is materialized before the index mutates (the plan reads
+        the pre-append index tables lazily otherwise)."""
+        shingled, entries = prepare_docs(
+            batch, id_col, text_col, self.n, self.num_perm, self.bands
+        )
+        eng = self.engine
+        pairs = incremental_minhash_pairs(
+            shingled,
+            entries,
+            eng.table(self._t_entries),
+            eng.table(self._t_shingles),
+            self.threshold,
+        ).localCheckpoint()
+        batch_ids = shingled.select("id")
+        novel = batch_survivors(pairs, batch_ids).localCheckpoint()
+        eng.insert(self._t_entries, entries.join(novel, "id"))
+        eng.insert(self._t_shingles, shingled.join(novel, "id"))
+        shingled.unpersist()
+        return {"pairs": pairs, "novel": novel}

@@ -37,6 +37,9 @@ REGISTRY: dict[str, Query] = {}
 #   every session by tests/test_oracle_parity.py (local mirror of the gate
 #   over all oracled queries).
 CHECK_PRIORITY: list[str] = [
+    # -- NEW r5 (latest): incremental dedup + winnowing ----------------
+    "dedup_incremental_minhash",
+    "dedup_substring_winnow",
     # -- NEW r5 (late): training-set assembly (operators/splits.py) ----
     "split_train_val_test",
     "shard_manifest",

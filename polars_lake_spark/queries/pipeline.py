@@ -692,3 +692,84 @@ def similarity_ivfpq_recall(spark, sf_dir):
         F.count(F.lit(1)).alias("queries_checked"),
         F.sum(F.when(F.col("recall") < 0.2, 1).otherwise(0)).alias("violations"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (operators/incremental.py): batch-vs-persisted-corpus.
+# The oracle recomputes exact Jaccard over everything and keeps only pairs
+# touching the batch (doc_id % 5 == 0) — exactly the pairs the incremental
+# path may emit (corpus-internal pairs are excluded on both sides).  LSH
+# recall at the 0.8 threshold is ~1 (see minhash_lsh_pairs), so the banded
+# result equals the exact result.
+_INCR_JACCARD_ORACLE = f"""
+    SELECT d1, d2, jaccard FROM ({_JACCARD_ORACLE})
+    WHERE d1 % 5 = 0 OR d2 % 5 = 0
+"""
+
+
+@register("dedup_incremental_minhash", oracle=_INCR_JACCARD_ORACLE)
+def dedup_incremental_minhash(spark, sf_dir):
+    """A crawl lands: 20% of the corpus arrives as a new batch and is
+    deduplicated against the indexed 80% WITHOUT re-shingling it — probe
+    cost is O(batch).  The registry entry runs the operator path in one
+    plan; MinHashIndex persists the same relations as engine tables."""
+    from polars_lake_spark.operators import incremental as INC
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    ish, ient = INC.prepare_docs(corpus, "doc_id", "text")
+    bsh, bent = INC.prepare_docs(batch, "doc_id", "text")
+    pairs = INC.incremental_minhash_pairs(bsh, bent, ient, ish, threshold=0.8)
+    return pairs.select(
+        F.least("d1", "d2").alias("d1"),
+        F.greatest("d1", "d2").alias("d2"),
+        F.round("jaccard", 8).alias("jaccard"),
+    )
+
+
+# Winnowing (operators/winnow.py): exact-substring matches ≥ k+w-1 chars.
+# md5-derived gram hash → bit-identical recomputation in DuckDB.
+# k=20/w=10 ⇒ any shared verbatim run of ≥ 29 normalized chars is caught;
+# shorter k floods this synthetic corpus with common-word-sequence pairs.
+_WINNOW_K, _WINNOW_W = 20, 10
+_WINNOW_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, len(s) - {_WINNOW_K} + 2),
+                     i -> CAST('0x' || substr(md5(substr(s, i, {_WINNOW_K})), 1, 15)
+                          AS BIGINT)) AS hs
+          FROM t WHERE len(s) >= {_WINNOW_K}),
+    f AS (SELECT doc_id,
+                 CASE WHEN len(hs) >= {_WINNOW_W}
+                      THEN list_distinct(list_transform(
+                           range(1, len(hs) - {_WINNOW_W} + 2),
+                           j -> list_min(hs[j:j+{_WINNOW_W - 1}])))
+                      ELSE [list_min(hs)] END AS fps
+          FROM g),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    b AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) > 1 AND COUNT(*) <= 50),
+    p AS (SELECT a.doc_id AS d1, c.doc_id AS d2, COUNT(*) AS n_shared
+          FROM e a JOIN b USING (fp) JOIN e c USING (fp)
+          WHERE a.doc_id < c.doc_id
+          GROUP BY 1, 2)
+    SELECT d1, d2, CAST(n_shared AS BIGINT) AS n_shared
+    FROM p WHERE n_shared >= 2
+"""
+
+
+@register("dedup_substring_winnow", oracle=_WINNOW_ORACLE)
+def dedup_substring_winnow(spark, sf_dir):
+    """gram_hash='md5' pinned for DuckDB bit-parity (the production
+    default is the faster JVM xxhash64)."""
+    from polars_lake_spark.operators import winnow as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = W.winnow_match_pairs(
+        docs, "doc_id", "text",
+        k=_WINNOW_K, w=_WINNOW_W, min_shared=2, max_bucket=50,
+        gram_hash="md5",
+    )
+    return pairs.select(
+        "d1", "d2", F.col("n_shared").cast("bigint").alias("n_shared")
+    )

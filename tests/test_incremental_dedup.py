@@ -1,0 +1,140 @@
+"""Incremental MinHash-LSH dedup index (operators/incremental.py) and
+winnowing substring fingerprints (operators/winnow.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_lake_spark.engine import Engine
+from polars_lake_spark.operators import incremental as INC
+from polars_lake_spark.operators import winnow as W
+from polars_lake_spark.operators.dedup import minhash_lsh_pairs
+from polars_lake_spark.sources import load_table
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path))
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "completely different content about spark execution engines and shuffles"),
+    (3, "a third document with its own unrelated words entirely here now"),
+]
+DUP_OF_1 = (10, "the quick brown fox jumps over the lazy dog near the river bank")
+NOVEL = (11, "fresh never seen before text with many original words in it")
+DUP_OF_11 = (12, "fresh never seen before text with many original words in it")
+
+
+def test_incremental_pairs_match_full_recompute(spark, sf_dir):
+    """Operator equivalence on real data: incremental(corpus, batch) must
+    emit exactly the full-corpus LSH pairs that touch the batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    ish, ient = INC.prepare_docs(corpus, "doc_id", "text")
+    bsh, bent = INC.prepare_docs(batch, "doc_id", "text")
+    got = {
+        (min(r.d1, r.d2), max(r.d1, r.d2))
+        for r in INC.incremental_minhash_pairs(bsh, bent, ient, ish).collect()
+    }
+    full = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+        if r.d1 % 5 == 0 or r.d2 % 5 == 0
+    }
+    assert got == full
+
+
+def test_minhash_index_add_batch(engine, spark):
+    idx = INC.MinHashIndex(engine, "corpus_idx", threshold=0.8)
+    idx.create(_docs(spark, BASE))
+    out = idx.add_batch(_docs(spark, [DUP_OF_1, NOVEL, DUP_OF_11]))
+    pairs = {(r.d1, r.d2) for r in out["pairs"].collect()}
+    assert (1, 10) in pairs  # batch dup of an indexed doc
+    assert (11, 12) in pairs  # batch-internal dup
+    novel = {r.id for r in out["novel"].collect()}
+    # 10 drops (dup of corpus); 11 keeps (min of internal cluster); 12 drops
+    assert novel == {11}
+    idx_ids = {r.id for r in engine.table("corpus_idx_mh_shingles").collect()}
+    assert idx_ids == {1, 2, 3, 11}
+
+
+def test_minhash_index_second_batch_sees_first(engine, spark):
+    idx = INC.MinHashIndex(engine, "idx2")
+    idx.create(_docs(spark, BASE))
+    idx.add_batch(_docs(spark, [NOVEL]))
+    # reopen from persisted meta — parameters recovered
+    idx2 = INC.MinHashIndex.open(engine, "idx2")
+    assert (idx2.n, idx2.num_perm, idx2.bands) == (3, 128, 32)
+    out = idx2.add_batch(_docs(spark, [DUP_OF_11]))
+    pairs = {(r.d1, r.d2) for r in out["pairs"].collect()}
+    assert (11, 12) in pairs  # dup of a doc indexed by the FIRST batch
+    assert out["novel"].count() == 0
+
+
+def test_batch_survivors_transitive_contamination(spark):
+    """B pairs only with batch doc A, but A is a dup of indexed doc → the
+    whole component is contaminated and both drop."""
+    pairs = spark.createDataFrame(
+        [(1, 10, 0.9), (10, 11, 0.9)], "d1 long, d2 long, jaccard double"
+    )
+    batch_ids = spark.createDataFrame([(10,), (11,), (12,)], "id long")
+    surv = {r.id for r in INC.batch_survivors(pairs, batch_ids).collect()}
+    assert surv == {12}
+
+
+def test_winnow_detects_long_verbatim_run(spark):
+    # k=8, w=4 → guaranteed detection of any shared run ≥ 11 chars
+    shared = "this exact sentence was copied verbatim into both documents"
+    docs = _docs(
+        spark,
+        [
+            (1, f"prefix one {shared} and a unique suffix alpha"),
+            (2, f"other opening words {shared} closing differently beta"),
+            (3, "nothing in common with the others at all whatsoever"),
+        ],
+    )
+    pairs = W.winnow_match_pairs(docs, "doc_id", "text", k=8, w=4, min_shared=2)
+    got = {(r.d1, r.d2) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+def test_winnow_guarantee_property(spark):
+    """Any two docs sharing a normalized substring of ≥ k+w-1 chars share
+    ≥ 1 fingerprint (the winnowing theorem) — checked on generated docs."""
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    run = "xyzzy plugh quux corge grault"  # 29 chars ≥ k+w-1=13
+    rows = []
+    for i in range(8):
+        pre = " ".join(rng.choices(words, k=6))
+        post = " ".join(rng.choices(words, k=6))
+        rows.append((i, f"{pre} {run} {post}"))
+    fps = W.winnow_fingerprints(_docs(spark, rows), "doc_id", "text", k=8, w=6)
+    sets = {r.id: set(r.fps) for r in fps.collect()}
+    for i in range(8):
+        for j in range(i + 1, 8):
+            assert sets[i] & sets[j], f"docs {i},{j} share no fingerprint"
+
+
+def test_winnow_boilerplate_guard(spark):
+    """A fingerprint present in > max_bucket docs is excluded from pair
+    expansion."""
+    shared = "common boilerplate header sentence repeated everywhere"
+    # identical docs ⇒ every fingerprint bucket holds all 6 docs
+    docs = _docs(spark, [(i, shared) for i in range(6)])
+    none = W.winnow_match_pairs(
+        docs, "doc_id", "text", k=8, w=4, min_shared=1, max_bucket=3
+    )
+    assert none.count() == 0
+    some = W.winnow_match_pairs(
+        docs, "doc_id", "text", k=8, w=4, min_shared=1, max_bucket=10
+    )
+    assert some.count() == 15  # all C(6,2) pairs share the header
