@@ -29,6 +29,19 @@ def normalized_text(col):
     return F.trim(F.regexp_replace(F.lower(col), NORM_PATTERN, " "))
 
 
+def let_bound(value, body):
+    """Let-binding for an expensive sub-expression: evaluate ``value``
+    ONCE per row, pass it to ``body`` as a lambda variable.
+
+    Catalyst's CollapseProject inlines a projected alias into EVERY
+    downstream reference regardless of cost, so an expression that
+    references an expensive array N times recomputes it N times.  A
+    higher-order-function lambda variable is evaluated exactly once —
+    the column-expression equivalent of ``let`` (measured 3.5× on
+    minhash signatures, 82× on winnowing's sliding-window mins)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def parallelize_for_cpu(df: DataFrame) -> DataFrame:
     """Spread CPU-bound per-row work across the cluster when the input
     arrives under-partitioned (a small parquet file reads as ONE task, so
@@ -144,22 +157,27 @@ def minhash_signatures(
     multiply), all map-side JVM codegen, no shuffle.
     """
 
-    with_base = shingled.withColumn(
-        "base_h", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
-    )
     # One nested higher-order expression instead of num_perm unrolled
     # branches: same hash values (xxhash64(h, i) with i an int element ==
     # xxhash64(h, lit(i))), but the expression tree is O(1) in num_perm —
     # measured ~3× faster cold (codegen compile) at 128 perms.
     # NB: single-arg lambdas only — a two-arg lambda would be read by
     # F.transform as (element, index).
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("base_h"), lambda h: F.xxhash64(h, i))
-        ),
+    # base_h is let-bound: as a projected alias Catalyst would inline its
+    # definition into every perm's reference and re-hash the shingle
+    # array 128× (measured 3.5× slower).
+    def sig_of(base_h):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: F.array_min(
+                F.transform(base_h, lambda h: F.xxhash64(h, i))
+            ),
+        )
+
+    base = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    return shingled.select(
+        "id", F.col("shingles"), let_bound(base, sig_of).alias("sig")
     )
-    return with_base.select("id", F.col("shingles"), sig.alias("sig"))
 
 
 def minhash_band_entries(

@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from polars_lake_spark.operators.dedup import normalized_text, parallelize_for_cpu
+from polars_lake_spark.operators.dedup import (
+    let_bound,
+    normalized_text,
+    parallelize_for_cpu,
+)
 
 
 def _gram_hash(gram: Column, gram_hash: str) -> Column:
@@ -35,19 +39,6 @@ def _gram_hash(gram: Column, gram_hash: str) -> Column:
             F.substring(F.md5(gram.cast("binary")), 1, 15), 16, 10
         ).cast("long")
     return F.xxhash64(gram)
-
-
-def _let(value: Column, body) -> Column:
-    """Let-binding for an expensive sub-expression: evaluate ``value``
-    ONCE per row, pass it to ``body`` as a lambda variable.
-
-    Catalyst's CollapseProject inlines a projected alias into EVERY
-    downstream reference regardless of cost — referencing the gram-hash
-    array from each sliding-window position would recompute the whole
-    md5 array per position (measured 40× blowup).  A higher-order-function
-    lambda variable is evaluated exactly once, which makes this the
-    column-expression equivalent of ``let``."""
-    return F.element_at(F.transform(F.array(value), body), 1)
 
 
 def winnow_fingerprints(
@@ -87,7 +78,7 @@ def winnow_fingerprints(
         ).otherwise(F.array(F.array_min(hs)))
 
     return d.select(
-        "id", _let(grams(F.col("s")), fps).alias("fps")
+        "id", let_bound(grams(F.col("s")), fps).alias("fps")
     )
 
 
