@@ -158,15 +158,24 @@ def pmi_bigrams(df, id_col: str, text_col: str, min_count: int = 5, top: int = 2
     One explode for unigrams, one for bigrams; counts are map-side
     partial aggregates.
     """
-    ws = words(F.col(text_col))
+    from polars_lake_spark.operators.dedup import let_bound
+
     # Guard size<2: F.sequence(1, 0) would DESCEND ([1,0]) and index 0.
-    bigrams = F.when(F.size(ws) >= 2, F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
-        ),
-        lambda s: s != " ",
-    )).otherwise(F.array().cast("array<string>"))
+    # The split is let-bound — referencing it from the per-bigram lambda
+    # would re-split the document per element (see dedup.let_bound).
+    def _bigrams(ws):
+        return F.when(F.size(ws) >= 2, F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ws, i), F.element_at(ws, i + 1)
+                ),
+            ),
+            lambda s: s != " ",
+        )).otherwise(F.array().cast("array<string>"))
+
+    ws = words(F.col(text_col))
+    bigrams = let_bound(ws, _bigrams)
     uni = (
         df.select(F.explode(ws).alias("w"))
         .filter(F.col("w") != "")

@@ -31,9 +31,17 @@ def _unit(vec):
     """L2-normalize so ADC's L2 ranking equals the cosine ranking the rest
     of the similarity stack uses (l2sq(u1, u2) = 2 - 2*cos): unit vectors
     make PQ's metric consistent with brute_force_topk/ivf_search. Zero
-    vectors map to zero (guarded denominator)."""
-    n = F.greatest(norm(vec), F.lit(1e-300))
-    return F.transform(vec, lambda x: x / n)
+    vectors map to zero (guarded denominator).
+
+    The norm is let-bound: subexpression elimination does not reach
+    inside HOF lambdas, so a plain reference would re-run the norm fold
+    per element — O(d²) per vector."""
+    from polars_lake_spark.operators.dedup import let_bound
+
+    return let_bound(
+        F.greatest(norm(vec), F.lit(1e-300)),
+        lambda n: F.transform(vec, lambda x: x / n),
+    )
 
 
 def _sub_l2sq(a, b):

@@ -244,23 +244,38 @@ def text_repetition(spark, sf_dir):
     """Intra-document repetition signal (the Gopher/C4-style quality
     rule): fraction of duplicated word 3-grams per doc — high values mark
     boilerplate/spam. Pure map-side array expressions."""
+    from polars_lake_spark.operators.dedup import let_bound
+
     docs = load_table(spark, sf_dir, "documents")
     ws = F.split(TX.normalized(F.col("text")), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
-        ),
-    )
+
+    # ws and grams are let-bound: the per-gram lambda would otherwise
+    # re-split the document per element, and the three grams references
+    # would rebuild the gram array (see dedup.let_bound).
+    def _stats(words_arr):
+        def _of_grams(grams):
+            return F.struct(
+                F.size(grams).cast("bigint").alias("n_grams"),
+                F.round(
+                    1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 8
+                ).alias("dup_frac"),
+            )
+
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(words_arr) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words_arr, i),
+                F.element_at(words_arr, i + 1),
+                F.element_at(words_arr, i + 2),
+            ),
+        )
+        return let_bound(grams, _of_grams)
+
     return (
         docs.filter(F.size(ws) >= 3)
-        .select(
-            "doc_id",
-            F.size(grams).cast("bigint").alias("n_grams"),
-            F.round(
-                1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 8
-            ).alias("dup_frac"),
-        )
+        .select("doc_id", let_bound(ws, _stats).alias("_r"))
+        .select("doc_id", "_r.n_grams", "_r.dup_frac")
     )
 
 
