@@ -203,7 +203,12 @@ class MinHashIndex:
         survivors, and return ``{"pairs": DataFrame, "novel": DataFrame}``.
 
         ``pairs`` is materialized before the index mutates (the plan reads
-        the pre-append index tables lazily otherwise)."""
+        the pre-append index tables lazily otherwise).
+
+        IDEMPOTENT under batch replay: ids already present in the index
+        are never novel (anti-join), so a micro-batch re-delivered after
+        a crash (Structured Streaming foreachBatch at-least-once window)
+        re-inserts nothing."""
         shingled, entries = prepare_docs(
             batch, id_col, text_col, self.n, self.num_perm, self.bands
         )
@@ -216,7 +221,20 @@ class MinHashIndex:
             self.threshold,
         ).localCheckpoint()
         batch_ids = shingled.select("id")
-        novel = batch_survivors(pairs, batch_ids).localCheckpoint()
+        # Docs too short to shingle (< n words) have no near-dup notion
+        # here — they count as novel but contribute no index rows (the
+        # entries/shingles inserts inner-join them away).
+        short = (
+            batch.select(F.col(id_col).alias("id"))
+            .distinct()
+            .join(batch_ids, "id", "left_anti")
+        )
+        novel = (
+            batch_survivors(pairs, batch_ids)
+            .unionByName(short)
+            .join(eng.table(self._t_shingles).select("id"), "id", "left_anti")
+            .localCheckpoint()
+        )
         eng.insert(self._t_entries, entries.join(novel, "id"))
         eng.insert(self._t_shingles, shingled.join(novel, "id"))
         shingled.unpersist()

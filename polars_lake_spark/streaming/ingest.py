@@ -92,3 +92,40 @@ def stream_upsert(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup_ingest(
+    engine,
+    index,
+    stream_df: DataFrame,
+    target: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Dedup-on-ingest: each micro-batch is near-dup-checked against the
+    persisted MinHashIndex (operators/incremental.py) and only NOVEL
+    documents land in ``target`` — continuous crawl ingestion where the
+    corpus is never re-shingled.
+
+    Semantics per batch: index.add_batch finds batch-vs-corpus and
+    batch-internal near-dup pairs, appends the novel survivors' signatures
+    to the index, and the novel rows upsert into ``target`` (keyed on
+    ``id_col``, so a replayed batch — foreachBatch is at-least-once
+    between checkpoint commits — is a no-op: add_batch is idempotent by
+    anti-join and the upsert is keyed)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        out = index.add_batch(batch_df, id_col, text_col)
+        novel = out["novel"].withColumnRenamed("id", id_col)
+        engine.upsert(target, batch_df.join(novel, id_col), keys=[id_col])
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

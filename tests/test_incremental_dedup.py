@@ -138,3 +138,35 @@ def test_winnow_boilerplate_guard(spark):
         docs, "doc_id", "text", k=8, w=4, min_shared=1, max_bucket=10
     )
     assert some.count() == 15  # all C(6,2) pairs share the header
+
+
+def test_stream_dedup_ingest(engine, spark, tmp_path):
+    """Dedup-on-ingest: a doc stream lands micro-batches against the
+    persisted index; only novel docs reach the target table."""
+    from polars_lake_spark.streaming.ingest import stream_dedup_ingest
+
+    idx = INC.MinHashIndex(engine, "stream_idx")
+    idx.create(_docs(spark, BASE))
+    engine.create_table(
+        "clean_docs", _docs(spark, BASE), keys=["doc_id"]
+    )
+
+    staging = str(tmp_path / "doc_stream")
+    incoming = _docs(
+        spark, [DUP_OF_1, NOVEL, DUP_OF_11, (13, "tiny doc")]
+    )
+    incoming.repartition(2).write.parquet(staging)
+    stream = spark.readStream.schema(incoming.schema).parquet(staging)
+
+    q = stream_dedup_ingest(
+        engine, idx, stream, "clean_docs",
+        checkpoint_dir=str(tmp_path / "ckpt_dedup"),
+    )
+    q.awaitTermination(180)
+
+    got = {r.doc_id for r in engine.table("clean_docs").collect()}
+    # 10 (dup of indexed 1) and 12 (dup of batch-kept 11) never land;
+    # 11 is novel; 13 is too short to shingle and passes through.
+    assert got == {1, 2, 3, 11, 13}
+    idx_ids = {r.id for r in engine.table("stream_idx_mh_shingles").collect()}
+    assert idx_ids == {1, 2, 3, 11}
