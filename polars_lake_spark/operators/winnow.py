@@ -100,10 +100,17 @@ def winnow_match_pairs(
     boilerplate (headers, licenses) and are excluded BEFORE the pair
     expansion — the guard that keeps bucket fan-out, and thus the shuffle,
     linear in the corpus rather than quadratic in a hot bucket."""
-    exploded = (
-        winnow_fingerprints(df, id_col, text_col, k, w, gram_hash)
-        .select("id", F.explode("fps").alias("fp"))
+    from pyspark.storagelevel import StorageLevel
+
+    # The fingerprint arrays are materialized BEFORE the explode: Catalyst
+    # collapses a single-reference projection into Generate's input, where
+    # the (expensive, HOF-heavy) expression gets re-evaluated per emitted
+    # element — measured 25× on sf0.1 (the same persisted-intermediate
+    # pattern minhash_lsh_pairs uses for its shingles).
+    fps_df = winnow_fingerprints(df, id_col, text_col, k, w, gram_hash).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    exploded = fps_df.select("id", F.explode("fps").alias("fp"))
     buckets = (
         exploded.groupBy("fp")
         .agg(F.collect_set("id").alias("ids"))
