@@ -73,6 +73,7 @@ HEADLINE = [
     # O(batch)) and winnowing exact-substring fingerprints.
     "dedup_incremental_minhash",
     "dedup_substring_winnow",
+    "decontaminate_substring",
 ]
 
 

@@ -124,3 +124,43 @@ def winnow_match_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return pairs.filter(F.col("n_shared") >= min_shared)
+
+
+def contamination_matches(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    w: int = 10,
+    gram_hash: str = "xxhash64",
+) -> DataFrame:
+    """(id, n_bench_matches) — training documents sharing a verbatim
+    normalized run of ≥ k+w-1 chars with ≥ 1 benchmark document, with the
+    count of distinct benchmark docs matched.
+
+    The substring complement to n-gram-overlap decontamination
+    (queries/corpus.py decontaminate_*): a benchmark answer quoted inside
+    an otherwise-different page is caught even when the page's shingle
+    Jaccard is negligible.  Plan shape for 100 TB: the benchmark side is
+    small by definition, so its fingerprints BROADCAST; the training side
+    is one map-side fingerprint pass + a broadcast-hash semi-join — no
+    shuffle of the corpus.  No max_bucket guard here: every benchmark
+    fingerprint counts, however common."""
+    from pyspark.storagelevel import StorageLevel
+
+    bfp = (
+        winnow_fingerprints(bench, id_col, text_col, k, w, gram_hash)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select(F.col("id").alias("bid"), F.explode("fps").alias("fp"))
+        .distinct()
+    )
+    tfp_src = winnow_fingerprints(
+        train, id_col, text_col, k, w, gram_hash
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tfp = tfp_src.select("id", F.explode("fps").alias("fp"))
+    return (
+        tfp.join(F.broadcast(bfp), "fp")
+        .groupBy("id")
+        .agg(F.count_distinct("bid").alias("n_bench_matches"))
+    )

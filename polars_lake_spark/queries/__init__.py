@@ -40,6 +40,7 @@ CHECK_PRIORITY: list[str] = [
     # -- NEW r5 (latest): incremental dedup + winnowing ----------------
     "dedup_incremental_minhash",
     "dedup_substring_winnow",
+    "decontaminate_substring",
     # -- NEW r5 (late): training-set assembly (operators/splits.py) ----
     "split_train_val_test",
     "shard_manifest",

@@ -733,8 +733,10 @@ def dedup_incremental_minhash(spark, sf_dir):
 # k=20/w=10 ⇒ any shared verbatim run of ≥ 29 normalized chars is caught;
 # shorter k floods this synthetic corpus with common-word-sequence pairs.
 _WINNOW_K, _WINNOW_W = 20, 10
-_WINNOW_ORACLE = f"""
-    WITH t AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents),
+# Shared fingerprint CTEs: normalized text -> md5-derived char-gram hashes
+# -> per-window minima -> exploded (doc_id, fp) relation "e".
+_WINNOW_FPS_CTE = f"""
+    t AS (SELECT doc_id, {_NORM_SQL} AS s FROM documents),
     g AS (SELECT doc_id,
                  list_transform(range(1, len(s) - {_WINNOW_K} + 2),
                      i -> CAST('0x' || substr(md5(substr(s, i, {_WINNOW_K})), 1, 15)
@@ -747,7 +749,10 @@ _WINNOW_ORACLE = f"""
                            j -> list_min(hs[j:j+{_WINNOW_W - 1}])))
                       ELSE [list_min(hs)] END AS fps
           FROM g),
-    e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+"""
+_WINNOW_ORACLE = f"""
+    WITH {_WINNOW_FPS_CTE},
     b AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) > 1 AND COUNT(*) <= 50),
     p AS (SELECT a.doc_id AS d1, c.doc_id AS d2, COUNT(*) AS n_shared
           FROM e a JOIN b USING (fp) JOIN e c USING (fp)
@@ -772,4 +777,38 @@ def dedup_substring_winnow(spark, sf_dir):
     )
     return pairs.select(
         "d1", "d2", F.col("n_shared").cast("bigint").alias("n_shared")
+    )
+
+
+# Substring decontamination: training docs quoting >= 29 verbatim chars of
+# any benchmark doc (doc_id % 17 == 0 plays the benchmark set).
+_DECONTAM_SUBSTR_ORACLE = f"""
+    WITH {_WINNOW_FPS_CTE},
+    bf AS (SELECT DISTINCT fp, doc_id AS bid FROM e WHERE doc_id % 17 = 0),
+    tf AS (SELECT doc_id, fp FROM e WHERE doc_id % 17 <> 0)
+    SELECT tf.doc_id AS doc_id,
+           CAST(COUNT(DISTINCT bf.bid) AS BIGINT) AS n_bench_matches
+    FROM tf JOIN bf USING (fp)
+    GROUP BY 1
+"""
+
+
+@register("decontaminate_substring", oracle=_DECONTAM_SUBSTR_ORACLE)
+def decontaminate_substring(spark, sf_dir):
+    """Verbatim-quote decontamination: the benchmark side is small, so
+    its fingerprints broadcast; the corpus side is one map-side
+    fingerprint pass + broadcast join — no corpus shuffle.  md5 gram
+    hash pinned for DuckDB bit-parity."""
+    from polars_lake_spark.operators import winnow as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    m = W.contamination_matches(
+        train, bench, "doc_id", "text",
+        k=_WINNOW_K, w=_WINNOW_W, gram_hash="md5",
+    )
+    return m.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_bench_matches").cast("bigint").alias("n_bench_matches"),
     )

@@ -170,3 +170,22 @@ def test_stream_dedup_ingest(engine, spark, tmp_path):
     assert got == {1, 2, 3, 11, 13}
     idx_ids = {r.id for r in engine.table("stream_idx_mh_shingles").collect()}
     assert idx_ids == {1, 2, 3, 11}
+
+
+def test_contamination_matches_broadcast_plan(spark):
+    """A train doc quoting ≥ k+w-1 chars of a benchmark doc is flagged;
+    unrelated docs are not — and the benchmark side joins broadcast."""
+    quote = "what is the capital of france the answer is paris"
+    train = _docs(
+        spark,
+        [
+            (1, f"some page that happens to quote {quote} inside prose"),
+            (2, "a perfectly clean document about completely other topics"),
+        ],
+    )
+    bench = _docs(spark, [(100, f"q and a pair {quote}")])
+    m = W.contamination_matches(train, bench, "doc_id", "text", k=20, w=10)
+    rows = {r.id: r.n_bench_matches for r in m.collect()}
+    assert rows == {1: 1}
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
