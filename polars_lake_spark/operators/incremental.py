@@ -76,8 +76,11 @@ def incremental_minhash_pairs(
     candidates come from a groupBy over batch entries alone.  Exact
     verification broadcasts the candidate pairs against the shingle
     arrays (index side read only for candidate d1 rows)."""
+    # The batch side is the small side BY DESIGN (a crawl increment vs the
+    # corpus) — broadcast it so the index entries table is probed map-side
+    # and never shuffles, whatever the stats estimator thinks.
     cross = (
-        batch_entries.alias("n")
+        F.broadcast(batch_entries.alias("n"))
         .join(index_entries.alias("o"), ["band", "bh"])
         .filter(F.col("o.id") != F.col("n.id"))
         .select(F.col("o.id").alias("d1"), F.col("n.id").alias("d2"))
@@ -95,8 +98,14 @@ def incremental_minhash_pairs(
     cands = cross.unionByName(internal).distinct()
     all_sh = index_shingles.unionByName(batch_shingled)
     s1 = all_sh.select(F.col("id").alias("d1"), F.col("shingles").alias("sh1"))
-    s2 = batch_shingled.select(
-        F.col("id").alias("d2"), F.col("shingles").alias("sh2")
+    # s2 is the batch's shingles — small by the same design argument, so
+    # the verification join is broadcast too (in the full-corpus LSH path
+    # s2 is the whole corpus and must NOT be hinted; hence here, not in
+    # verified_jaccard_pairs).
+    s2 = F.broadcast(
+        batch_shingled.select(
+            F.col("id").alias("d2"), F.col("shingles").alias("sh2")
+        )
     )
     return verified_jaccard_pairs(cands, s1, s2, threshold)
 

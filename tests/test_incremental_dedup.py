@@ -189,3 +189,23 @@ def test_contamination_matches_broadcast_plan(spark):
     assert rows == {1: 1}
     plan = m._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_probe_broadcasts_batch(engine, spark):
+    """The index side must never shuffle: the (small) batch entries are
+    the broadcast build side of the probe join."""
+    idx = INC.MinHashIndex(engine, "plan_idx")
+    idx.create(_docs(spark, BASE))
+    from polars_lake_spark.operators.incremental import (
+        incremental_minhash_pairs,
+        prepare_docs,
+    )
+
+    bsh, bent = prepare_docs(_docs(spark, [NOVEL]), "doc_id", "text")
+    pairs = incremental_minhash_pairs(
+        bsh, bent, engine.table("plan_idx_mh_entries"),
+        engine.table("plan_idx_mh_shingles"),
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
