@@ -161,9 +161,46 @@ def ivf_write_index(
     """Persist the IVF index through the Engine layout, hive-partitioned
     by cell_id — the physical arrangement that makes a probe a
     partition-pruned scan of nprobe/K of the corpus (the docstring claim,
-    proven by test_ivf_pruned_probe's PartitionFilters assertion)."""
+    proven by test_ivf_pruned_probe's PartitionFilters assertion).
+
+    The centroids persist alongside as ``{name}_centroids`` so the index
+    is self-contained: reopen with ivf_open_centroids, grow with
+    ivf_add_batch — no retraining on ingest."""
     index = ivf_index(corpus, centroids, id_col, vec_col)
-    return engine.create_table(name, index, partition_by=["cell_id"])
+    spec = engine.create_table(name, index, partition_by=["cell_id"])
+    engine.create_table(f"{name}_centroids", centroids)
+    return spec
+
+
+def ivf_open_centroids(engine, name: str) -> DataFrame:
+    """Centroids of a persisted index, re-created as a literal DataFrame
+    (k rows — bounded driver metadata, the codebook pattern) so downstream
+    plans embed them instead of nesting a table scan."""
+    rows = engine.table(f"{name}_centroids").collect()
+    return engine.spark.createDataFrame(
+        [(r.cell_id, list(r.cv), float(r.cnrm)) for r in rows],
+        "cell_id int, cv array<double>, cnrm double",
+    )
+
+
+def ivf_add_batch(
+    engine,
+    name: str,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous ingest for the ANN index (the similarity analog of
+    incremental.MinHashIndex.add_batch): new vectors are assigned to their
+    cells MAP-SIDE against the persisted centroids — a broadcast argmax,
+    no retraining, no corpus read — and appended into the cell-partitioned
+    table, where the insert's partition shuffle routes them to the right
+    cell dirs.  Probes see them immediately; cell balance drifts only as
+    far as the data does (retrain + rewrite when it matters)."""
+    centroids = ivf_open_centroids(engine, name)
+    assigned = ivf_index(new_vecs, centroids, id_col, vec_col)
+    engine.insert(name, assigned)
+    return assigned
 
 
 def probe_cells(

@@ -95,3 +95,43 @@ def test_train_ivf_layout_independent(spark, sf_dir):
     assert set(a) == set(b)
     for c in a:
         assert a[c][0] == b[c][0], c
+
+
+def test_ivf_add_batch_incremental(spark, emb, trained, tmp_path):
+    """Continuous ingest: new vectors map-side-assign against the
+    persisted centroids and become searchable without retraining; the
+    probe stays partition-pruned."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.ivf import (
+        ivf_add_batch,
+        ivf_open_centroids,
+        ivf_search_pruned,
+        ivf_write_index,
+    )
+    from polars_lake_spark.plans import executed_plan
+
+    centroids, _ = trained
+    engine = Engine(spark, str(tmp_path))
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    ivf_write_index(engine, "grow_idx", seed, centroids)
+
+    # reopened centroids match the training output
+    reopened = ivf_open_centroids(engine, "grow_idx")
+    assert {(r.cell_id, tuple(r.cv), r.cnrm) for r in reopened.collect()} == {
+        (r.cell_id, tuple(r.cv), r.cnrm) for r in centroids.collect()
+    }
+
+    newbies = emb.filter(F.col("vec_id") % 2 == 1)
+    ivf_add_batch(engine, "grow_idx", newbies)
+    assert engine.table("grow_idx").count() == emb.count()
+
+    # an added vector is now findable: probe with an added vector itself;
+    # its own cell must contain it, so its nearest neighbors include a
+    # same-cell odd vector (sanity: search returns k rows per query)
+    q = emb.filter(F.col("vec_id") == 1)
+    res = ivf_search_pruned(engine, "grow_idx", reopened, q, k=5, nprobe=2)
+    rows = res.collect()
+    assert len(rows) == 5
+    plan = executed_plan(res)
+    segs = [s.split("]")[0] for s in plan.split("PartitionFilters")[1:]]
+    assert any("cell_id" in s for s in segs), segs
