@@ -248,3 +248,29 @@ class MinHashIndex:
         eng.insert(self._t_shingles, shingled.join(novel, "id"))
         shingled.unpersist()
         return {"pairs": pairs, "novel": novel}
+
+    def compact(self) -> None:
+        """Rewrite each index table to one file per partition dir — every
+        add_batch appends small files, and probe cost is file-count-bound
+        long before it is byte-bound.  Run on the same cadence as any
+        other hot table (engine.compact is the general mechanism)."""
+        self.engine.compact(self._t_entries)
+        self.engine.compact(self._t_shingles)
+
+    def stats(self) -> dict:
+        """{'docs': indexed doc count, 'entries': band-bucket rows,
+        'max_bucket': largest (band, bh) bucket} — the skew signal: a
+        huge bucket means boilerplate-identical content got past exact
+        dedup and every probe pays for it."""
+        e = self.engine.table(self._t_entries)
+        top = (
+            e.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .head()
+        )
+        return {
+            "docs": self.engine.table(self._t_shingles).count(),
+            "entries": e.count(),
+            "max_bucket": top["mx"] if top and top["mx"] is not None else 0,
+        }

@@ -209,3 +209,62 @@ def test_incremental_probe_broadcasts_batch(engine, spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_index_compact_and_stats(engine, spark):
+    import glob
+
+    idx = INC.MinHashIndex(engine, "cidx")
+    idx.create(_docs(spark, BASE))
+    idx.add_batch(_docs(spark, [NOVEL]))
+    idx.add_batch(_docs(spark, [(20, "another entirely novel body of words to index today")]))
+    st = idx.stats()
+    assert st["docs"] == 5 and st["entries"] == 5 * 32
+    assert 1 <= st["max_bucket"] <= 5
+
+    before = len(glob.glob(f"{engine.root}/cidx_mh_entries/**/*.parquet", recursive=True))
+    idx.compact()
+    after = len(glob.glob(f"{engine.root}/cidx_mh_entries/**/*.parquet", recursive=True))
+    assert after < before  # one file per band dir now
+    assert idx.stats() == st  # contents unchanged
+
+
+def test_crawl_refresh_pipeline(engine, spark, sf_dir, tmp_path):
+    """End-to-end composition on real data: seed index from the corpus
+    slice, stream the 'crawl' slice through dedup-on-ingest, then verify
+    the target equals seed + exactly the novel crawl survivors computed
+    by the batch operator path."""
+    from polars_lake_spark.streaming.ingest import stream_dedup_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    crawl = docs.filter(F.col("doc_id") % 5 == 0)
+
+    idx = INC.MinHashIndex(engine, "refresh_idx")
+    idx.create(corpus)
+    engine.create_table("refresh_target", corpus, keys=["doc_id"])
+
+    staging = str(tmp_path / "crawl")
+    crawl.repartition(3).write.parquet(staging)
+    stream = spark.readStream.schema(crawl.schema).parquet(staging)
+    q = stream_dedup_ingest(
+        engine, idx, stream, "refresh_target",
+        checkpoint_dir=str(tmp_path / "ckpt_refresh"),
+    )
+    q.awaitTermination(300)
+
+    got = {r.doc_id for r in engine.table("refresh_target").select("doc_id").collect()}
+    corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    # batch-path ground truth (streaming arrival order may keep a
+    # different representative inside a crawl-internal dup cluster, but
+    # corpus-matched dups must never land and the CLEAN crawl docs always
+    # do)
+    ish, ient = INC.prepare_docs(corpus, "doc_id", "text")
+    bsh, bent = INC.prepare_docs(crawl, "doc_id", "text")
+    pairs = INC.incremental_minhash_pairs(bsh, bent, ient, ish).collect()
+    crawl_ids = {r.doc_id for r in crawl.select("doc_id").collect()}
+    dup_any = {r.d2 for r in pairs} | {r.d1 for r in pairs if r.d1 in crawl_ids}
+    clean = crawl_ids - dup_any
+    assert clean <= got - corpus_ids  # every clean crawl doc landed
+    corpus_matched = {r.d2 for r in pairs if r.d1 in corpus_ids}
+    assert not (corpus_matched & got)  # no corpus dup ever lands
