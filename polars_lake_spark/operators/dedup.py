@@ -230,6 +230,7 @@ def minhash_lsh_pairs(
     num_perm: int = 128,
     bands: int = 32,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash banding → candidate pairs → exact Jaccard verification.
 
@@ -237,7 +238,14 @@ def minhash_lsh_pairs(
     is missed with probability (1-0.8^4)^32 ≈ 5e-8 — effectively exact
     recall, so the verified output equals the exact-Jaccard result while
     scaling as O(docs) + candidate volume instead of all-pairs.
-    """
+
+    ``max_bucket`` (None = exact, the oracle semantics) caps the bucket
+    fan-out: a band bucket holding B docs expands to B² candidate pairs,
+    and at corpus scale a boilerplate flood that slipped past exact dedup
+    turns one hot bucket into the whole job's runtime.  Buckets above the
+    cap are dropped — pairs inside them are near-identical floods better
+    handled by exact dedup, and each pair has bands-1 more chances to
+    surface through a non-flooded bucket."""
     from pyspark.storagelevel import StorageLevel
 
     # Shingling feeds both the signature path and the verification path,
@@ -253,6 +261,8 @@ def minhash_lsh_pairs(
         .agg(F.collect_set("id").alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     cands = (
         buckets.select(F.explode("ids").alias("d1"), F.col("ids"))
         .select("d1", F.explode("ids").alias("d2"))

@@ -66,6 +66,7 @@ def incremental_minhash_pairs(
     index_entries: DataFrame,
     index_shingles: DataFrame,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(d1, d2, jaccard) near-dup pairs where d2 is ALWAYS a batch doc and
     d1 is an indexed doc or a smaller-keyed batch doc.  Corpus-internal
@@ -75,7 +76,23 @@ def incremental_minhash_pairs(
     side is the batch, so the shuffle is O(batch); batch-internal
     candidates come from a groupBy over batch entries alone.  Exact
     verification broadcasts the candidate pairs against the shingle
-    arrays (index side read only for candidate d1 rows)."""
+    arrays (index side read only for candidate d1 rows).
+
+    ``max_bucket`` (None = exact) guards hot index buckets: a boilerplate
+    flood of B indexed docs sharing a (band, bh) multiplies EVERY probe
+    touching it by B.  The over-cap bucket set is one cheap aggregate
+    over the entries table, broadcast as an anti-join (see
+    minhash_lsh_pairs for the recall argument)."""
+    if max_bucket is not None:
+        heavy = (
+            index_entries.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("band", "bh")
+        )
+        index_entries = index_entries.join(
+            F.broadcast(heavy), ["band", "bh"], "left_anti"
+        )
     # The batch side is the small side BY DESIGN (a crawl increment vs the
     # corpus) — broadcast it so the index entries table is probed map-side
     # and never shuffles, whatever the stats estimator thinks.
@@ -158,11 +175,13 @@ class MinHashIndex:
         num_perm: int = 128,
         bands: int = 32,
         threshold: float = 0.8,
+        max_bucket: int | None = None,
     ):
         self.engine = engine
         self.name = name
         self.n, self.num_perm, self.bands = n, num_perm, bands
         self.threshold = threshold
+        self.max_bucket = max_bucket
 
     @property
     def _t_entries(self) -> str:
@@ -187,8 +206,9 @@ class MinHashIndex:
         eng.create_table(self._t_entries, entries, partition_by=["band"])
         eng.create_table(self._t_shingles, shingled)
         meta = eng.spark.createDataFrame(
-            [(self.n, self.num_perm, self.bands, float(self.threshold))],
-            "n int, num_perm int, bands int, threshold double",
+            [(self.n, self.num_perm, self.bands, float(self.threshold),
+              self.max_bucket)],
+            "n int, num_perm int, bands int, threshold double, max_bucket int",
         )
         eng.create_table(self._t_meta, meta)
         shingled.unpersist()
@@ -203,6 +223,7 @@ class MinHashIndex:
             num_perm=row["num_perm"],
             bands=row["bands"],
             threshold=row["threshold"],
+            max_bucket=row.asDict().get("max_bucket"),
         )
 
     def add_batch(
@@ -228,6 +249,7 @@ class MinHashIndex:
             eng.table(self._t_entries),
             eng.table(self._t_shingles),
             self.threshold,
+            max_bucket=self.max_bucket,
         ).localCheckpoint()
         batch_ids = shingled.select("id")
         # Docs too short to shingle (< n words) have no near-dup notion

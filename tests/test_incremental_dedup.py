@@ -268,3 +268,19 @@ def test_crawl_refresh_pipeline(engine, spark, sf_dir, tmp_path):
     assert clean <= got - corpus_ids  # every clean crawl doc landed
     corpus_matched = {r.d2 for r in pairs if r.d1 in corpus_ids}
     assert not (corpus_matched & got)  # no corpus dup ever lands
+
+
+def test_max_bucket_guard_drops_flooded_buckets(engine, spark):
+    """With a flood of near-identical indexed docs, max_bucket suppresses
+    the hot buckets: a probing dup of the flood finds nothing (all its
+    buckets are over-cap) while normal dups still surface."""
+    flood_text = "repeated boilerplate spam page with the same words again and again"
+    flood = [(100 + i, flood_text) for i in range(6)]
+    idx = INC.MinHashIndex(engine, "guard_idx", max_bucket=3)
+    idx.create(_docs(spark, BASE + flood))
+    out = idx.add_batch(_docs(spark, [(200, flood_text), DUP_OF_1]))
+    pairs = {(r.d1, r.d2) for r in out["pairs"].collect()}
+    assert (1, 10) in pairs  # normal dup unaffected
+    assert not any(d2 == 200 for _, d2 in pairs)  # flood bucket suppressed
+    # reopen keeps the guard
+    assert INC.MinHashIndex.open(engine, "guard_idx").max_bucket == 3
