@@ -451,3 +451,36 @@ def ivfpq_search_pruned(
     ).filter(F.col("cell_id").isin(cells))
     scored = _residual_adc_scored(probes, centroids, codebooks, codes)
     return _topk_by_dist(scored, k)
+
+
+def ivfpq_add_batch(
+    engine,
+    name: str,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Continuous ingest for the IVF-PQ index (the compressed analog of
+    ivf.ivf_add_batch): new vectors assign to their coarse cell
+    (broadcast argmax), residual-encode against the EXISTING codebooks
+    (map-side literal lookups — no retraining), and append into the
+    cell-partitioned code table.  Codebook fit degrades only as far as
+    the data distribution drifts; retrain + rebuild (versioned=True on
+    ivfpq_write_index snapshots the cutover) when recall decays."""
+    from polars_lake_spark.operators.ivf import ivf_index
+
+    assigned = ivf_index(new_vecs, centroids, id_col, vec_col)
+    cu = centroids.select("cell_id", _unit(F.col("cv")).alias("cu"))
+    residuals = assigned.join(F.broadcast(cu), "cell_id").select(
+        "id",
+        "cell_id",
+        F.zip_with(_unit(F.col("v")), F.col("cu"), lambda x, y: x - y).alias("r"),
+    )
+    codes = pq_encode(
+        residuals, codebooks, id_col="id", vec_col="r", normalize=False,
+        keep_cols=["cell_id"],
+    )
+    engine.insert(name, codes)
+    return codes

@@ -131,3 +131,41 @@ def test_train_is_layout_independent(emb, cbs):
     so the pq/ivfpq recall oracles cannot flap across cluster layouts."""
     again = train_pq(emb.repartition(7), m=8, ksub=16, iters=2)
     assert again == cbs
+
+
+def test_ivfpq_add_batch_incremental(spark, sf_dir, tmp_path):
+    """New vectors residual-encode against the existing codebooks and
+    append into the cell-partitioned code table — searchable without
+    retraining, byte-identical codes to a full re-encode."""
+    import pyspark.sql.functions as F
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.pq import (
+        ivfpq_add_batch,
+        ivfpq_search_pruned,
+        ivfpq_write_index,
+        train_ivfpq,
+    )
+    from polars_lake_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, codebooks, codes = train_ivfpq(emb, k_cells=4, m=8, ksub=8, iters=1)
+    engine = Engine(spark, str(tmp_path))
+    seed_codes = codes.join(
+        emb.filter(F.col("vec_id") % 2 == 0).select(F.col("vec_id").alias("id")),
+        "id",
+    )
+    ivfpq_write_index(engine, "pq_grow", seed_codes)
+
+    newbies = emb.filter(F.col("vec_id") % 2 == 1)
+    ivfpq_add_batch(engine, "pq_grow", centroids, codebooks, newbies)
+    assert engine.table("pq_grow").count() == emb.count()
+
+    # added codes match what full-corpus encoding produced for those ids
+    full = {(r.id, tuple(r.codes)) for r in codes.collect()}
+    grown = {(r.id, tuple(r.codes)) for r in engine.table("pq_grow").collect()}
+    assert grown == full
+
+    q = emb.filter(F.col("vec_id") == 1)
+    res = ivfpq_search_pruned(engine, "pq_grow", centroids, codebooks, q, k=5, nprobe=2)
+    assert res.count() == 5
