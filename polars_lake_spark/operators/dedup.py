@@ -222,6 +222,29 @@ def verified_jaccard_pairs(
     return verified.filter(F.col("jaccard") >= threshold).select("d1", "d2", "jaccard")
 
 
+def prepare_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingled, band_entries) for a document slice — the two relations
+    every MinHash flavor (whole-corpus or incremental) consumes.
+    ``shingled`` is persisted: it feeds both the signature path and exact
+    verification."""
+    from pyspark.storagelevel import StorageLevel
+
+    shingled = word_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    entries = minhash_band_entries(
+        minhash_signatures(shingled, num_perm), num_perm, bands
+    )
+    return shingled, entries
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -246,18 +269,9 @@ def minhash_lsh_pairs(
     cap are dropped — pairs inside them are near-identical floods better
     handled by exact dedup, and each pair has bands-1 more chances to
     surface through a non-flooded bucket."""
-    from pyspark.storagelevel import StorageLevel
-
-    # Shingling feeds both the signature path and the verification path,
-    # and verification reads it twice (self-join) — persist it once.
-    shingled = word_shingles(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sigs = minhash_signatures(shingled, num_perm)
-
+    shingled, entries = prepare_docs(df, id_col, text_col, n, num_perm, bands)
     buckets = (
-        minhash_band_entries(sigs, num_perm, bands)
-        .groupBy("band", "bh")
+        entries.groupBy("band", "bh")
         .agg(F.collect_set("id").alias("ids"))
         .filter(F.size("ids") > 1)
     )

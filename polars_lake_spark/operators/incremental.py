@@ -27,37 +27,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from polars_lake_spark.operators.dedup import (
-    minhash_band_entries,
-    minhash_signatures,
+    prepare_docs,
     verified_jaccard_pairs,
-    word_shingles,
 )
 from polars_lake_spark.operators.graph import connected_components
 
 if TYPE_CHECKING:  # pragma: no cover
     from polars_lake_spark.engine import Engine
 
-
-def prepare_docs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    num_perm: int = 128,
-    bands: int = 32,
-) -> tuple[DataFrame, DataFrame]:
-    """(shingled, band_entries) for a document slice — the two relations
-    every MinHash flavor (batch or incremental) consumes.  ``shingled`` is
-    persisted: it feeds both the signature path and exact verification."""
-    from pyspark.storagelevel import StorageLevel
-
-    shingled = word_shingles(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    entries = minhash_band_entries(
-        minhash_signatures(shingled, num_perm), num_perm, bands
-    )
-    return shingled, entries
+__all__ = [
+    "prepare_docs",  # re-exported from dedup (single definition)
+    "incremental_minhash_pairs",
+    "batch_survivors",
+    "MinHashIndex",
+]
 
 
 def incremental_minhash_pairs(
@@ -80,12 +63,16 @@ def incremental_minhash_pairs(
 
     ``max_bucket`` (None = exact) guards hot index buckets: a boilerplate
     flood of B indexed docs sharing a (band, bh) multiplies EVERY probe
-    touching it by B.  The over-cap bucket set is one cheap aggregate
-    over the entries table, broadcast as an anti-join (see
-    minhash_lsh_pairs for the recall argument)."""
+    touching it by B.  The bucket-size aggregate is restricted to the
+    buckets the BATCH touches (broadcast semi-join) before it shuffles,
+    so the guard's cost follows the batch, not the corpus; the over-cap
+    set broadcasts back as an anti-join (see minhash_lsh_pairs for the
+    recall argument)."""
     if max_bucket is not None:
+        touched = batch_entries.select("band", "bh").distinct()
         heavy = (
-            index_entries.groupBy("band", "bh")
+            index_entries.join(F.broadcast(touched), ["band", "bh"], "leftsemi")
+            .groupBy("band", "bh")
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > max_bucket)
             .select("band", "bh")
@@ -235,19 +222,40 @@ class MinHashIndex:
         ``pairs`` is materialized before the index mutates (the plan reads
         the pre-append index tables lazily otherwise).
 
-        IDEMPOTENT under batch replay: ids already present in the index
-        are never novel (anti-join), so a micro-batch re-delivered after
-        a crash (Structured Streaming foreachBatch at-least-once window)
-        re-inserts nothing."""
+        Idempotent under CLEAN batch replay: ids already present in the
+        index are never novel (checked against the shingle table, which is
+        written FIRST), so a micro-batch re-delivered after a successful
+        commit (foreachBatch at-least-once window) re-inserts nothing and
+        re-emits no self-pairs.  A crash BETWEEN the two table inserts can
+        leave a doc with shingles but no entries — run ``repair()`` to
+        reconcile (the replay itself stays safe either way: shingles-first
+        ordering means the membership check can only over-report, never
+        re-insert).
+
+        Per-batch cost: every corpus-side relation is reduced to the
+        batch's footprint BEFORE any shuffle — membership and replay
+        filters broadcast the batch ids; the probe broadcasts the batch
+        entries (incremental_minhash_pairs).  The corpus tables are
+        scanned (column-pruned, map-side) but never shuffled."""
+        batch = batch.dropDuplicates([id_col])  # at-least-once sources
         shingled, entries = prepare_docs(
             batch, id_col, text_col, self.n, self.num_perm, self.bands
         )
         eng = self.engine
+        all_ids = batch.select(F.col(id_col).alias("id"))
+        # A replayed (already-indexed) id must not match its own index
+        # rows — drop those rows from the probe's view of the index.
+        idx_entries = eng.table(self._t_entries).join(
+            F.broadcast(all_ids), "id", "left_anti"
+        )
+        idx_shingles = eng.table(self._t_shingles).join(
+            F.broadcast(all_ids), "id", "left_anti"
+        )
         pairs = incremental_minhash_pairs(
             shingled,
             entries,
-            eng.table(self._t_entries),
-            eng.table(self._t_shingles),
+            idx_entries,
+            idx_shingles,
             self.threshold,
             max_bucket=self.max_bucket,
         ).localCheckpoint()
@@ -255,21 +263,52 @@ class MinHashIndex:
         # Docs too short to shingle (< n words) have no near-dup notion
         # here — they count as novel but contribute no index rows (the
         # entries/shingles inserts inner-join them away).
-        short = (
-            batch.select(F.col(id_col).alias("id"))
-            .distinct()
-            .join(batch_ids, "id", "left_anti")
+        short = all_ids.join(batch_ids, "id", "left_anti")
+        # Replay guard, bounded by the batch: semi-join the corpus ids
+        # down to the batch's ids (broadcast, map-side) and anti-join that
+        # small result — never a corpus-wide shuffle.
+        already = eng.table(self._t_shingles).select("id").join(
+            F.broadcast(all_ids), "id", "leftsemi"
         )
         novel = (
             batch_survivors(pairs, batch_ids)
             .unionByName(short)
-            .join(eng.table(self._t_shingles).select("id"), "id", "left_anti")
+            .join(F.broadcast(already), "id", "left_anti")
             .localCheckpoint()
         )
-        eng.insert(self._t_entries, entries.join(novel, "id"))
+        # Shingles land BEFORE entries: the membership check reads
+        # shingles, so a crash between the writes makes the replay skip
+        # (conservative) rather than double-insert entries.
         eng.insert(self._t_shingles, shingled.join(novel, "id"))
+        eng.insert(self._t_entries, entries.join(novel, "id"))
         shingled.unpersist()
         return {"pairs": pairs, "novel": novel}
+
+    def repair(self) -> int:
+        """Reconcile a crash between add_batch's two inserts: any doc with
+        shingles but no entries gets its entries re-derived from the
+        stored shingles.  Corpus-size work — run on demand (a probe that
+        misses a doc you know is indexed is the symptom), not per batch.
+        Returns the number of repaired docs."""
+        from polars_lake_spark.operators.dedup import (
+            minhash_band_entries,
+            minhash_signatures,
+        )
+
+        eng = self.engine
+        have_entries = eng.table(self._t_entries).select("id").distinct()
+        orphans = eng.table(self._t_shingles).join(
+            have_entries, "id", "left_anti"
+        )
+        n = orphans.count()
+        if n:
+            entries = minhash_band_entries(
+                minhash_signatures(orphans, self.num_perm),
+                self.num_perm,
+                self.bands,
+            )
+            eng.insert(self._t_entries, entries)
+        return n
 
     def compact(self) -> None:
         """Rewrite each index table to one file per partition dir — every

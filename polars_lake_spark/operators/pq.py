@@ -296,6 +296,18 @@ def pq_search_rerank(
     return _exact_rerank(short, corpus, queries, id_col, vec_col, k)
 
 
+def _residuals(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(id, cell_id, r) residuals v_unit - c_unit for assigned vectors —
+    the single definition both training and incremental ingest encode
+    against (a drift between them would silently corrupt codes)."""
+    cu = centroids.select("cell_id", _unit(F.col("cv")).alias("cu"))
+    return assigned.join(F.broadcast(cu), "cell_id").select(
+        "id",
+        "cell_id",
+        F.zip_with(_unit(F.col("v")), F.col("cu"), lambda x, y: x - y).alias("r"),
+    )
+
+
 def train_ivfpq(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -318,19 +330,7 @@ def train_ivfpq(
 
     centroids = train_ivf(corpus, id_col, vec_col, k=k_cells, iters=iters)
     assigned = ivf_index(corpus, centroids, id_col, vec_col)
-    cu = centroids.select(
-        "cell_id", _unit(F.col("cv")).alias("cu")
-    )
-    residuals = (
-        assigned.join(F.broadcast(cu), "cell_id")
-        .select(
-            "id",
-            "cell_id",
-            F.zip_with(
-                _unit(F.col("v")), F.col("cu"), lambda x, y: x - y
-            ).alias("r"),
-        )
-    )
+    residuals = _residuals(assigned, centroids)
     codebooks = train_pq(
         residuals, id_col="id", vec_col="r", m=m, ksub=ksub, iters=iters,
         normalize=False,
@@ -472,12 +472,7 @@ def ivfpq_add_batch(
     from polars_lake_spark.operators.ivf import ivf_index
 
     assigned = ivf_index(new_vecs, centroids, id_col, vec_col)
-    cu = centroids.select("cell_id", _unit(F.col("cv")).alias("cu"))
-    residuals = assigned.join(F.broadcast(cu), "cell_id").select(
-        "id",
-        "cell_id",
-        F.zip_with(_unit(F.col("v")), F.col("cu"), lambda x, y: x - y).alias("r"),
-    )
+    residuals = _residuals(assigned, centroids)
     codes = pq_encode(
         residuals, codebooks, id_col="id", vec_col="r", normalize=False,
         keep_cols=["cell_id"],

@@ -149,11 +149,12 @@ def contamination_matches(
     fingerprint counts, however common."""
     from pyspark.storagelevel import StorageLevel
 
+    # fps is array_distinct per doc, so the exploded (bid, fp) rows are
+    # already unique — no distinct needed.
     bfp = (
         winnow_fingerprints(bench, id_col, text_col, k, w, gram_hash)
         .persist(StorageLevel.MEMORY_AND_DISK)
         .select(F.col("id").alias("bid"), F.explode("fps").alias("fp"))
-        .distinct()
     )
     tfp_src = winnow_fingerprints(
         train, id_col, text_col, k, w, gram_hash

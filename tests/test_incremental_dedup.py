@@ -284,3 +284,43 @@ def test_max_bucket_guard_drops_flooded_buckets(engine, spark):
     assert not any(d2 == 200 for _, d2 in pairs)  # flood bucket suppressed
     # reopen keeps the guard
     assert INC.MinHashIndex.open(engine, "guard_idx").max_bucket == 3
+
+
+def test_add_batch_replay_and_dup_ids(engine, spark):
+    """At-least-once hygiene: intra-batch duplicate ids collapse to one
+    row, and a full clean replay of a committed batch re-inserts nothing
+    and emits no self-pairs."""
+    idx = INC.MinHashIndex(engine, "replay_idx")
+    idx.create(_docs(spark, BASE))
+    batch = _docs(spark, [NOVEL, NOVEL])  # duplicate id in one batch
+    out1 = idx.add_batch(batch)
+    assert {r.id for r in out1["novel"].collect()} == {11}
+    assert engine.table("replay_idx_mh_shingles").filter("id = 11").count() == 1
+    assert engine.table("replay_idx_mh_entries").filter("id = 11").count() == 32
+
+    out2 = idx.add_batch(_docs(spark, [NOVEL]))  # clean replay
+    assert out2["novel"].count() == 0
+    assert out2["pairs"].count() == 0  # no self-pair against its own rows
+    assert engine.table("replay_idx_mh_shingles").filter("id = 11").count() == 1
+    assert engine.table("replay_idx_mh_entries").filter("id = 11").count() == 32
+
+
+def test_repair_restores_missing_entries(engine, spark):
+    """Crash between the shingle and entry inserts: repair() re-derives
+    the missing entries from the stored shingles."""
+    idx = INC.MinHashIndex(engine, "repair_idx")
+    idx.create(_docs(spark, BASE))
+    idx.add_batch(_docs(spark, [NOVEL]))
+    # simulate the crash window: doc 11's entries vanish
+    engine.delete(
+        "repair_idx_mh_entries",
+        spark.createDataFrame([(11,)], "id long"),
+        keys=["id"],
+    )
+    assert engine.table("repair_idx_mh_entries").filter("id = 11").count() == 0
+    assert idx.repair() == 1
+    assert engine.table("repair_idx_mh_entries").filter("id = 11").count() == 32
+    # the repaired doc is probe-matchable again
+    out = idx.add_batch(_docs(spark, [DUP_OF_11]))
+    assert {(r.d1, r.d2) for r in out["pairs"].collect()} == {(11, 12)}
+    assert idx.repair() == 0
