@@ -2,13 +2,20 @@
 turns pairwise dedup output into dedup GROUPS (pick one survivor per
 cluster of transitively-linked near-dups).
 
-Algorithm: iterative min-label propagation (each vertex repeatedly adopts
-the smallest label among itself and its neighbors) until fixpoint. This is
-the shuffle-conscious distributed formulation: every iteration is one
-equi-join + one groupBy keyed on vertex id, converging in O(component
-diameter) rounds (near-dup clusters are shallow — dup chains, not long
-paths). For adversarial long-chain graphs the large-star/small-star
-variant halves rounds; not needed for dedup workloads.
+Two distributed algorithms, selectable per workload shape:
+
+- ``label_prop`` (default): iterative min-label propagation (each vertex
+  repeatedly adopts the smallest label among itself and its neighbors)
+  until fixpoint. Every iteration is one equi-join + one groupBy keyed on
+  vertex id, converging in O(component diameter) rounds — the right cost
+  model for near-dup clusters, which are shallow (dup fans, not paths).
+- ``two_star``: the large-star/small-star algorithm (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14), converging in
+  O(log^2 n) rounds independent of diameter. Each round is the same
+  join/groupBy cost but the round COUNT no longer depends on the graph:
+  the safety valve for adversarial long-chain graphs (linked boilerplate
+  runs, URL redirect chains) where diameter-bound propagation would take
+  hundreds of rounds at 100 TB.
 
 Driver involvement per round is a single converged-check count — no
 collect of vertex data.
@@ -21,12 +28,117 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 
+def _two_star_components(
+    edges: DataFrame, max_iter: int, n_edges: int | None = None
+) -> DataFrame:
+    """Large-star/small-star rounds over a persisted symmetric edge set;
+    returns (id, component) with component = the component's min vertex.
+
+    State between rounds is the CANONICAL edge set (a > b, distinct).
+    Large-star hangs every strictly-larger neighbor of u off m(u) =
+    min(N(u) ∪ {u}); small-star re-parents u and its smaller neighbors
+    onto their minimum. At fixpoint the graph is a forest of depth-1
+    stars rooted at each component's minimum — labels read off the edges
+    with no further propagation. Convergence is detected by an
+    order-insensitive fingerprint (count + two xxhash64 sums), one 1-row
+    aggregate per round.
+
+    Lineage is TRUNCATED every round with an eager localCheckpoint:
+    each round's plan references the previous round's edge set twice
+    (both orientations), so carrying lineage would double the analyzed
+    tree per round — exponential by round 12 even though the data is
+    tiny. A persist caches data but not the plan; checkpointing is the
+    correct tool for iterative graph algorithms on Spark."""
+    # canonical orientation (a > b), from the symmetric input; rounds are
+    # right-sized to the edge count like the label_prop path (near-dup
+    # edge sets are tiny next to the corpus partitioning they inherit)
+    cur = edges.filter(F.col("a") > F.col("b")).distinct()
+    if n_edges is not None:
+        width = max(
+            1, min(edges.rdd.getNumPartitions(), n_edges // 1_000_000 + 1)
+        )
+        cur = cur.repartition(width, "a")
+    cur = cur.localCheckpoint(eager=True)
+    prev_fp = None
+    for _ in range(max_iter):
+        # -- large-star: m(u) over the FULL neighborhood ----------------
+        sym = cur.select("a", "b").union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("a", "mb").alias("m"))
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # -- small-star: m over the smaller-or-equal neighborhood -------
+        smins = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(smins, "a")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("b").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("a"), F.col("m").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .select("e.a", "e.b")
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        fp = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sums: hash fingerprints can't hit ANSI long
+            # overflow no matter the edge count
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h1"),
+            F.sum(F.xxhash64("b", "a", F.lit(7)).cast("decimal(38,0)")).alias("h2"),
+        ).collect()[0]
+        fp = (fp.n, fp.h1, fp.h2)
+        cur = small
+        if fp == prev_fp:
+            # Fixpoint candidate. Both operators preserve connectivity,
+            # so if the stable state is a star forest (every child has
+            # exactly one parent and no parent is itself a child), each
+            # star is exactly one original component rooted at its min.
+            not_star = (
+                cur.groupBy("a").count().filter(F.col("count") > 1).limit(1).count()
+                or cur.alias("x")
+                .join(cur.alias("y"), F.col("x.a") == F.col("y.b"), "left_semi")
+                .limit(1)
+                .count()
+            )
+            if not not_star:
+                break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"two_star did not converge within {max_iter} rounds"
+        )
+    # fixpoint: stars (child > root). Roots only ever appear as b.
+    labels = (
+        cur.select(F.col("a").alias("id"), F.col("b").alias("component"))
+        .union(
+            cur.select(F.col("b").alias("id"), F.col("b").alias("component"))
+        )
+        .distinct()
+    )
+    # (checkpoint blocks from intermediate rounds are released by the
+    # ContextCleaner once their DataFrames are garbage-collected)
+    return labels.localCheckpoint(eager=True)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "d1",
     dst: str = "d2",
     max_iter: int = 20,
     local_threshold: int = 1_000_000,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """(id, component) for every vertex appearing in ``pairs``; component
     is the minimum vertex id reachable from it.
@@ -41,6 +153,11 @@ def connected_components(
     MB on the driver. Above the threshold, distributed min-label
     propagation runs as before; near-dup graphs from 100 TB corpora take
     that path.
+
+    ``algorithm`` selects the distributed strategy above the threshold:
+    ``label_prop`` (default — O(diameter) rounds, right for shallow
+    dup clusters) or ``two_star`` (O(log^2 n) rounds regardless of
+    diameter — the safety valve for long-chain graphs).
 
     Storage hygiene: each iteration persists its labels and unpersists the
     previous iteration's — a long-lived session doesn't accumulate blocks
@@ -97,6 +214,13 @@ def connected_components(
             [StructField("id", id_type), StructField("component", id_type)]
         )
         return spark.createDataFrame(rows, schema)
+    if algorithm == "two_star":
+        try:
+            return _two_star_components(edges, max_iter, n_edges)
+        finally:
+            edges.unpersist()
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     width = max(1, min(edges.rdd.getNumPartitions(), n_edges // 1_000_000 + 1))
     if width < edges.rdd.getNumPartitions():
         narrow = edges.repartition(width, "b").persist(StorageLevel.MEMORY_AND_DISK)

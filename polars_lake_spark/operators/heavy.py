@@ -1,0 +1,147 @@
+"""Heavy hitters (frequent tokens) via a mergeable Misra-Gries sketch —
+the vocab/stopword/top-terms pass a 100 TB corpus needs without a full
+groupBy over billions of distinct tokens.
+
+Scale shape: tokens never shuffle. Each input partition folds its token
+stream into a bounded Misra-Gries summary (``capacity`` counters) inside
+one ``mapInPandas`` pass; the only shuffle carries the per-partition
+summaries — at most ``capacity + 1`` rows per partition — which a single
+small groupBy merges. Compare: a naive ``explode → groupBy(token)`` at
+100 TB shuffles the entire token stream.
+
+Guarantees (Misra-Gries + mergeability, Agarwal et al., "Mergeable
+Summaries", PODS'12): with n total tokens and per-sketch capacity m,
+every trim subtracts its cut from ≥ m+1 positive counters, so the total
+subtraction across all partitions is ≤ n/(m+1) < n/m. Hence for every
+token x: est(x) ∈ [true(x) - n/m, true(x)], and any token with
+true(x) > n/m is guaranteed present in the merged sketch. That makes the
+two-pass exact top-k sound: pass 1 sketches a candidate set, pass 2
+counts ONLY the candidates exactly (broadcast semi join — the second
+shuffle is again bounded by the candidate set); if the k-th true count
+exceeds n/m the result provably equals the global top-k.
+
+No counterpart in the reference (pure batch OLAP); this is one of the
+training-data-pipeline extensions (SURVEY.md §6 tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_lake_spark.functions.text import words
+
+
+def _token_arrays(df: DataFrame, text_col: str) -> DataFrame:
+    """One array column of normalized non-empty tokens — tokenization
+    stays JVM-side (shared with every other text operator) so the pandas
+    stage only counts."""
+    return df.select(
+        F.filter(words(F.col(text_col)), lambda w: w != "").alias("toks")
+    )
+
+
+def mg_sketch_partitions(
+    df: DataFrame, text_col: str, capacity: int = 4096
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries.
+
+    Output rows: ``(token, cnt, ntok)`` — surviving counters as
+    ``(token, est, NULL)`` plus exactly one marker row per non-empty
+    partition ``(NULL, subtracted_total, tokens_seen)`` so callers can
+    reconstruct both the error bound actually incurred and n without a
+    second scan of the text.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+
+    def fold(batches):
+        import pandas as pd
+
+        counts: dict = {}
+        subtracted = 0
+        ntok = 0
+        # Lazy trimming: let the dict grow to 8x capacity, then subtract
+        # the (capacity+1)-th largest value from everything and keep the
+        # strictly-positive survivors (<= capacity of them). The error
+        # bound is unchanged — every trim still removes its cut from
+        # >= capacity+1 positive counters.
+        trim_at = capacity * 8
+
+        def trim():
+            nonlocal counts, subtracted
+            if len(counts) <= capacity:
+                return
+            vals = sorted(counts.values(), reverse=True)
+            cut = vals[capacity]
+            counts = {t: c - cut for t, c in counts.items() if c > cut}
+            subtracted += cut
+
+        from collections import Counter
+
+        acc = Counter(counts)
+        for pdf in batches:
+            for toks in pdf["toks"]:
+                lst = list(toks)
+                ntok += len(lst)
+                acc.update(lst)
+            if len(acc) > trim_at:
+                counts = dict(acc)
+                trim()
+                acc = Counter(counts)
+        counts = dict(acc)
+        trim()
+        if ntok:
+            out = pd.DataFrame(
+                {
+                    "token": list(counts.keys()) + [None],
+                    "cnt": list(counts.values()) + [subtracted],
+                    "ntok": [None] * len(counts) + [ntok],
+                }
+            )
+            yield out
+
+    return _token_arrays(df, text_col).mapInPandas(
+        fold, "token string, cnt long, ntok long"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, text_col: str, capacity: int = 4096
+) -> DataFrame:
+    """Merged sketch: ``(token, est_count)`` for every surviving token.
+    est_count ∈ [true - n/capacity, true]; every token with true count
+    > n/capacity is present."""
+    sk = mg_sketch_partitions(df, text_col, capacity)
+    return (
+        sk.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("est_count"))
+    )
+
+
+def heavy_hitters_exact_topk(
+    df: DataFrame, text_col: str, k: int = 50, capacity: int = 4096
+) -> DataFrame:
+    """Two-pass EXACT top-k: sketch candidates, then count only the
+    candidates (broadcast semi join on the exploded token stream — the
+    groupBy key set is bounded by the candidate list, not the vocab).
+    Equals the global top-k whenever the k-th true count > n/capacity;
+    size ``capacity`` so that holds for the workload (top-k tokens are
+    stopword-frequency, orders of magnitude above n/capacity at any
+    realistic capacity >= ~50k per TB-scale shard).
+    Deterministic order: (cnt DESC, token ASC)."""
+    cands = heavy_hitters(df, text_col, capacity).select("token")
+    toks = df.select(
+        F.explode(F.filter(words(F.col(text_col)), lambda w: w != "")).alias(
+            "token"
+        )
+    )
+    exact = (
+        toks.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    )

@@ -37,7 +37,11 @@ REGISTRY: dict[str, Query] = {}
 #   every session by tests/test_oracle_parity.py (local mirror of the gate
 #   over all oracled queries).
 CHECK_PRIORITY: list[str] = [
-    # -- NEW r5 (latest): incremental dedup + winnowing ----------------
+    # -- NEW r5 (latest): two-star CC + Misra-Gries heavy hitters ------
+    "dedup_clusters_twostar",
+    "token_heavy_hitters",
+    "heavy_hitters_check",
+    # -- NEW r5: incremental dedup + winnowing -------------------------
     "dedup_incremental_minhash",
     "dedup_substring_winnow",
     "decontaminate_substring",

@@ -60,6 +60,42 @@ def dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "dedup_clusters_twostar",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT d1, d2 FROM ({_JACCARD_ORACLE}) jp),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+             FROM reach GROUP BY a)
+    SELECT cluster_id, COUNT(*) AS n_docs,
+           ARRAY_TO_STRING(LIST_SORT(ARRAY_AGG(doc_id)), ',') AS member_ids
+    FROM comp GROUP BY cluster_id
+    """,
+)
+def dedup_clusters_twostar(spark, sf_dir):
+    """Same clusters as ``dedup_clusters`` via the large-star/small-star
+    algorithm, FORCED onto the distributed path (local_threshold=0) so
+    the gate exercises the O(log^2 n)-round strategy a long-chain graph
+    needs at 100 TB. Shares the recursive-CTE closure oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=128, bands=32, threshold=0.8
+    )
+    comps = connected_components(
+        pairs, "d1", "d2", local_threshold=0, algorithm="two_star"
+    )
+    return comps.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(F.array_sort(F.collect_list("id")), ",").alias("member_ids"),
+    )
+
+
+@register(
     "sample_hash",
     oracle="""
     SELECT doc_id,
@@ -562,4 +598,79 @@ def domain_resample(spark, sf_dir):
         docs.join(F.broadcast(rates), "lang")
         .filter(md5_bucket(F.col("text"), 1_000_000) < F.col("thr"))
         .select("doc_id", "lang")
+    )
+
+
+@register(
+    "token_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w
+                  FROM documents),
+    t AS (SELECT w AS token, COUNT(*) AS cnt FROM toks
+          WHERE w <> '' GROUP BY w)
+    SELECT token, cnt FROM t ORDER BY cnt DESC, token LIMIT 50
+    """,
+)
+def token_heavy_hitters(spark, sf_dir):
+    """Exact corpus top-50 tokens via the two-pass Misra-Gries pattern:
+    sketch pass (tokens never shuffle — only <= capacity+1 summary rows
+    per partition do) proposes candidates, second pass counts ONLY the
+    candidates (broadcast semi join). Provably equal to the global top-k
+    because the 50th token's count >> n/capacity; the oracle replays the
+    naive full groupBy, which is affordable at gate SF."""
+    from polars_lake_spark.operators.heavy import heavy_hitters_exact_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters_exact_topk(docs, "text", k=50, capacity=4096)
+
+
+@register(
+    "heavy_hitters_check",
+    oracle=f"""
+    WITH toks AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w
+                  FROM documents),
+    t AS (SELECT w, COUNT(*) AS c FROM toks WHERE w <> '' GROUP BY w),
+    tot AS (SELECT SUM(c) AS n FROM t)
+    SELECT (SELECT COUNT(*) FROM t, tot WHERE c * 64 > n) AS tokens_checked,
+           CAST(0 AS BIGINT) AS violations
+    """,
+)
+def heavy_hitters_check(spark, sf_dir):
+    """Misra-Gries guarantee companion (same pattern as
+    approx_distinct_check): with capacity m=64 — small enough that trims
+    actually fire at gate SF — every token with true count > n/m must
+    appear in the merged sketch, no estimate may exceed its true count,
+    and no estimate may undercount by more than n/m. One summary row;
+    the oracle derives tokens_checked from the data and pins
+    violations=0. All threshold comparisons are integer (c*m > n), so
+    there is no float boundary to flap."""
+    from polars_lake_spark.operators.heavy import heavy_hitters
+
+    capacity = 64
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.filter(TX.words(F.col("text")), lambda w: w != "")).alias(
+            "token"
+        )
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = exact.agg(F.sum("c").alias("n"))
+    sk = heavy_hitters(docs, "text", capacity=capacity)
+    j = exact.join(sk, "token", "left").crossJoin(F.broadcast(tot))
+    guaranteed = F.col("c") * capacity > F.col("n")
+    viol = (
+        F.when(guaranteed & F.col("est_count").isNull(), 1)
+        .when(F.col("est_count") > F.col("c"), 1)
+        .when(
+            F.col("est_count").isNotNull()
+            & ((F.col("c") - F.col("est_count")) * capacity > F.col("n")),
+            1,
+        )
+        .otherwise(0)
+    )
+    return j.agg(
+        F.coalesce(
+            F.sum(F.when(guaranteed, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("tokens_checked"),
+        F.coalesce(F.sum(viol), F.lit(0)).cast("bigint").alias("violations"),
     )

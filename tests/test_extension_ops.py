@@ -142,3 +142,48 @@ def test_connected_components_chain(spark):
         (i, 20) for i in (20, 21, 22)
     }
     assert got == want
+
+
+def test_two_star_long_chain_distributed(spark):
+    """two_star on a 60-hop path, FORCED onto the distributed path
+    (local_threshold=0): must find the single component in O(log^2 n)
+    rounds — well under a max_iter that would starve O(diameter)
+    label propagation."""
+    from polars_lake_spark.operators.graph import connected_components
+
+    n = 60
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "d1 long, d2 long"
+    )
+    got = {
+        (r.id, r.component)
+        for r in connected_components(
+            edges, local_threshold=0, max_iter=14, algorithm="two_star"
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(n + 1)}
+
+
+def test_two_star_matches_label_prop_distributed(spark):
+    """Both distributed algorithms agree on a multi-component graph with
+    mixed shapes (chain + star + triangle + isolated pair)."""
+    from polars_lake_spark.operators.graph import connected_components
+
+    raw = (
+        [(i, i + 1) for i in range(5)]            # chain 0..5
+        + [(20, j) for j in (21, 22, 23)]          # star
+        + [(30, 31), (31, 32), (32, 30)]           # triangle
+        + [(40, 41)]
+    )
+    edges = spark.createDataFrame(raw, "d1 long, d2 long")
+    kw = dict(local_threshold=0, max_iter=20)
+    a = {
+        (r.id, r.component)
+        for r in connected_components(edges, algorithm="two_star", **kw).collect()
+    }
+    b = {
+        (r.id, r.component)
+        for r in connected_components(edges, algorithm="label_prop", **kw).collect()
+    }
+    assert a == b
+    assert {(40, 40), (41, 40), (32, 30)} <= a

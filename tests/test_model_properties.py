@@ -56,6 +56,23 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == model_components(edges)
 
 
+@pytest.mark.usefixtures("spark")
+@given(edges=edges_st)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_two_star_matches_union_find(spark, edges):
+    """The distributed large-star/small-star path (forced: threshold=0)
+    must equal the union-find model on random small graphs."""
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    got = {
+        r.id: r.component
+        for r in connected_components(
+            df, local_threshold=0, algorithm="two_star"
+        ).collect()
+    }
+    assert got == model_components(edges)
+
+
 asof_rows_st = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=2),   # group
