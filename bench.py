@@ -74,6 +74,9 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "dedup_substring_winnow",
     "decontaminate_substring",
+    # r5 additions: Misra-Gries two-pass exact top-k (tokens never
+    # shuffle in pass 1; pass 2 groupBy keys bounded by candidates).
+    "token_heavy_hitters",
 ]
 
 

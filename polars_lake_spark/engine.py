@@ -739,6 +739,37 @@ class Engine:
                 self._bump_pending(name)
             self._register(name)
 
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        """INSERT OVERWRITE TABLE analog: atomically replace the table's
+        FULL contents (unlike ``upsert``, which merges by key and cannot
+        drop rows absent from the source).
+
+        Versioned tables publish one 'rewrite' snapshot — new state and
+        old state never mix, readers pinned to a prior version are
+        undisturbed, and the replacement is all-or-nothing even when
+        ``df`` is derived from the table's own current contents (the
+        write lands in a fresh immutable dir). Non-versioned persisted
+        tables stage via localCheckpoint then static-overwrite (emptied
+        partitions are removed, same as ``delete``). The primary consumer
+        is small derived state replaced wholesale per batch — e.g. the
+        incremental heavy-hitters sketch (operators/heavy.py)."""
+        spec = self._guard_mutable(name)
+        with self._lock(name):
+            new = self._with_layout(df, spec)
+            self._enforce(spec, new)
+            if spec.versioned:
+                self._write_versioned(new, spec, op="rewrite")
+            elif name in self._mem or self.root is None:
+                self._mem[name] = new.localCheckpoint(eager=True)
+            else:
+                self._write(
+                    new.localCheckpoint(eager=True),
+                    spec,
+                    "overwrite",
+                    static_overwrite=True,
+                )
+            self._register(name)
+
     def upsert(
         self,
         name: str,

@@ -145,3 +145,150 @@ def heavy_hitters_exact_topk(
     return (
         exact.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
     )
+
+
+def mg_global_trim(items: DataFrame, capacity: int) -> tuple[DataFrame, int]:
+    """Trim a merged (token, cnt) frame to ≤ ``capacity`` rows by
+    subtracting the (capacity+1)-th largest count from everything and
+    keeping the strictly-positive rest. Returns (trimmed, cut).
+
+    The only driver materialization is the top capacity+1 COUNTS — the
+    same bounded-collect class as k-means centroids; token strings never
+    leave the executors."""
+    cuts = [
+        r.cnt
+        for r in items.select("cnt")
+        .orderBy(F.desc("cnt"))
+        .limit(capacity + 1)
+        .collect()
+    ]
+    if len(cuts) <= capacity:
+        return items, 0
+    cut = cuts[-1]
+    trimmed = items.select(
+        "token", (F.col("cnt") - cut).alias("cnt")
+    ).filter(F.col("cnt") > 0)
+    return trimmed, int(cut)
+
+
+class HeavyHittersIndex:
+    """Engine-persisted INCREMENTAL Misra-Gries sketch: track a growing
+    corpus's frequent tokens across arbitrarily many ingest batches
+    without ever rescanning it.
+
+    One versioned engine table ``{name}_hh_state`` holds the whole state:
+    item rows ``(token, cnt, NULL, NULL, NULL)`` plus exactly one marker
+    row ``(NULL, subtracted, ntok, last_batch_id, capacity)``. Every
+    ``add_batch`` folds the batch's per-partition sketches
+    (``mg_sketch_partitions`` — the batch's tokens never shuffle) into
+    the stored state and atomically REPLACES the table via
+    ``engine.overwrite`` (one 'rewrite' snapshot commit): counts, error
+    accounting, and the replay marker publish together, so there is no
+    crash window that can split them. Snapshot versioning additionally
+    gives vocabulary time travel for free.
+
+    Guarantees after any number of batches (mergeable summaries): for
+    every token, est ∈ [true − subtracted, true], with
+    subtracted ≤ ntok/(capacity+1); any token whose true corpus count
+    exceeds ``subtracted`` is present in the state.
+
+    Exactly-once under Structured Streaming: pass foreachBatch's epoch id
+    as ``batch_id`` — a redelivery of the last committed batch is a
+    no-op (the marker carries ``last_batch_id``)."""
+
+    SCHEMA = (
+        "token string, cnt long, ntok long, batch_id long, capacity int"
+    )
+
+    def __init__(self, engine, name: str, capacity: int = 4096):
+        self.engine = engine
+        self.name = name
+        self.capacity = capacity
+
+    @property
+    def _t(self) -> str:
+        return f"{self.name}_hh_state"
+
+    def create(self) -> None:
+        eng = self.engine
+        marker = eng.spark.createDataFrame(
+            [(None, 0, 0, -1, self.capacity)], self.SCHEMA
+        )
+        eng.create_table(self._t, marker, versioned=True)
+
+    @classmethod
+    def open(cls, engine, name: str) -> "HeavyHittersIndex":
+        row = (
+            engine.table(f"{name}_hh_state")
+            .filter(F.col("token").isNull())
+            .head()
+        )
+        return cls(engine, name, capacity=int(row["capacity"]))
+
+    def _marker(self):
+        return self.engine.table(self._t).filter(F.col("token").isNull()).head()
+
+    def add_batch(
+        self, batch: DataFrame, text_col: str = "text", batch_id: int | None = None
+    ) -> dict:
+        """Fold one batch in; returns {"ntok", "subtracted", "replayed"}."""
+        eng = self.engine
+        mk = self._marker()
+        if batch_id is not None and mk["batch_id"] == batch_id:
+            return {
+                "ntok": mk["ntok"],
+                "subtracted": mk["cnt"],
+                "replayed": True,
+            }
+        sk = mg_sketch_partitions(batch, text_col, self.capacity)
+        b_items = sk.filter(F.col("token").isNotNull()).select("token", "cnt")
+        b_meta = (
+            sk.filter(F.col("token").isNull())
+            .agg(
+                F.coalesce(F.sum("cnt"), F.lit(0)).alias("sub"),
+                F.coalesce(F.sum("ntok"), F.lit(0)).alias("nt"),
+            )
+            .head()
+        )
+        state_items = (
+            eng.table(self._t)
+            .filter(F.col("token").isNotNull())
+            .select("token", "cnt")
+        )
+        merged = (
+            state_items.unionByName(b_items)
+            .groupBy("token")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        trimmed, cut = mg_global_trim(merged, self.capacity)
+        subtracted = int(mk["cnt"]) + int(b_meta["sub"]) + cut
+        ntok = int(mk["ntok"]) + int(b_meta["nt"])
+        items = trimmed.select(
+            "token",
+            "cnt",
+            F.lit(None).cast("long").alias("ntok"),
+            F.lit(None).cast("long").alias("batch_id"),
+            F.lit(None).cast("int").alias("capacity"),
+        )
+        marker = eng.spark.createDataFrame(
+            [
+                (
+                    None,
+                    subtracted,
+                    ntok,
+                    -1 if batch_id is None else int(batch_id),
+                    self.capacity,
+                )
+            ],
+            self.SCHEMA,
+        )
+        eng.overwrite(self._t, items.unionByName(marker))
+        return {"ntok": ntok, "subtracted": subtracted, "replayed": False}
+
+    def estimates(self) -> DataFrame:
+        """(token, est_count) current merged sketch."""
+        return (
+            self.engine.table(self._t)
+            .filter(F.col("token").isNotNull())
+            .select("token", F.col("cnt").alias("est_count"))
+        )

@@ -37,10 +37,13 @@ REGISTRY: dict[str, Query] = {}
 #   every session by tests/test_oracle_parity.py (local mirror of the gate
 #   over all oracled queries).
 CHECK_PRIORITY: list[str] = [
-    # -- NEW r5 (latest): two-star CC + Misra-Gries heavy hitters ------
+    # -- NEW r5 (latest): two-star CC, MG heavy hitters, sketch checks -
     "dedup_clusters_twostar",
     "token_heavy_hitters",
     "heavy_hitters_check",
+    "approx_percentile_check",
+    "hll_union_check",
+    "heavy_hitters_incremental_check",
     # -- NEW r5: incremental dedup + winnowing -------------------------
     "dedup_incremental_minhash",
     "dedup_substring_winnow",
@@ -157,6 +160,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         reshape,
         scale_ops,
+        sketches,
         tpch_like,
         tpch_like2,
         training,

@@ -674,3 +674,67 @@ def heavy_hitters_check(spark, sf_dir):
         ).cast("bigint").alias("tokens_checked"),
         F.coalesce(F.sum(viol), F.lit(0)).cast("bigint").alias("violations"),
     )
+
+
+@register(
+    "heavy_hitters_incremental_check",
+    oracle=f"""
+    WITH toks AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w
+                  FROM documents),
+    t AS (SELECT w, COUNT(*) AS c FROM toks WHERE w <> '' GROUP BY w),
+    tot AS (SELECT SUM(c) AS n FROM t)
+    SELECT (SELECT COUNT(*) FROM t, tot WHERE c * 64 > n) AS tokens_checked,
+           CAST(0 AS BIGINT) AS violations
+    """,
+)
+def heavy_hitters_incremental_check(spark, sf_dir):
+    """Incremental variant of heavy_hitters_check: the corpus arrives as
+    two disjoint batches, each folded into its own partition sketches,
+    merged and globally trimmed (the HeavyHittersIndex.add_batch path,
+    run operator-level). The MG guarantee must survive the merge: any
+    token with true corpus count > n/m present, no overcount, undercount
+    ≤ n/m. Identical oracle to heavy_hitters_check — the whole point of
+    mergeable summaries is that batching must not change the contract."""
+    from polars_lake_spark.operators.heavy import (
+        mg_global_trim,
+        mg_sketch_partitions,
+    )
+
+    capacity = 64
+    docs = load_table(spark, sf_dir, "documents")
+    merged_items = None
+    for i in range(2):
+        sk = mg_sketch_partitions(
+            docs.filter(F.col("doc_id") % 2 == i), "text", capacity
+        ).filter(F.col("token").isNotNull()).select("token", "cnt")
+        merged_items = sk if merged_items is None else (
+            merged_items.unionByName(sk)
+        )
+    merged = merged_items.groupBy("token").agg(F.sum("cnt").alias("cnt"))
+    trimmed, _ = mg_global_trim(merged, capacity)
+    sk = trimmed.withColumnRenamed("cnt", "est_count")
+    toks = docs.select(
+        F.explode(F.filter(TX.words(F.col("text")), lambda w: w != "")).alias(
+            "token"
+        )
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = exact.agg(F.sum("c").alias("n"))
+    j = exact.join(sk, "token", "left").crossJoin(F.broadcast(tot))
+    guaranteed = F.col("c") * capacity > F.col("n")
+    viol = (
+        F.when(guaranteed & F.col("est_count").isNull(), 1)
+        .when(F.col("est_count") > F.col("c"), 1)
+        .when(
+            F.col("est_count").isNotNull()
+            & ((F.col("c") - F.col("est_count")) * capacity > F.col("n")),
+            1,
+        )
+        .otherwise(0)
+    )
+    return j.agg(
+        F.coalesce(
+            F.sum(F.when(guaranteed, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("tokens_checked"),
+        F.coalesce(F.sum(viol), F.lit(0)).cast("bigint").alias("violations"),
+    )

@@ -65,3 +65,81 @@ def test_exact_topk_layout_independent(spark):
         df.repartition(7), "text", k=10, capacity=64
     ).collect()
     assert [(r.token, r.cnt) for r in a] == [(r.token, r.cnt) for r in b]
+
+
+def _batches(spark, n_batches=3):
+    """Split the synthetic corpus into disjoint batches."""
+    df, true = _docs(spark)
+    return [
+        df.filter(F.col("doc_id") % n_batches == i) for i in range(n_batches)
+    ], true
+
+
+def test_incremental_index_guarantees(spark, tmp_path):
+    """Folding batches into the persisted index one at a time must keep
+    the MG guarantees vs exact counts over EVERYTHING ingested, and the
+    observable subtracted total must stay within the theoretical bound."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.heavy import HeavyHittersIndex
+
+    eng = Engine(spark, str(tmp_path))
+    idx = HeavyHittersIndex(eng, "vocab", capacity=16)
+    idx.create()
+    batches, true = _batches(spark)
+    n = sum(true.values())
+    for i, b in enumerate(batches):
+        out = idx.add_batch(b, "text", batch_id=i)
+        assert not out["replayed"]
+    mk = idx._marker()
+    assert mk["ntok"] == n
+    assert 0 < mk["cnt"] <= n / (16 + 1)
+    est = {r.token: r.est_count for r in idx.estimates().collect()}
+    assert len(est) <= 16
+    for tok, e in est.items():
+        assert e <= true[tok]
+        assert e >= true[tok] - mk["cnt"]
+    for tok, c in true.items():
+        if c > mk["cnt"]:
+            assert tok in est, f"guaranteed token missing: {tok}"
+
+
+def test_incremental_index_replay_and_reopen(spark, tmp_path):
+    """Redelivering the last batch_id is a no-op (no new snapshot);
+    a reopened index carries its capacity and state."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.heavy import HeavyHittersIndex
+
+    eng = Engine(spark, str(tmp_path))
+    idx = HeavyHittersIndex(eng, "vocab", capacity=16)
+    idx.create()
+    batches, _ = _batches(spark)
+    idx.add_batch(batches[0], "text", batch_id=0)
+    before = len(eng.history("vocab_hh_state"))
+    out = idx.add_batch(batches[0], "text", batch_id=0)  # redelivery
+    assert out["replayed"]
+    assert len(eng.history("vocab_hh_state")) == before
+    idx2 = HeavyHittersIndex.open(eng, "vocab")
+    assert idx2.capacity == 16
+    assert idx2.estimates().count() > 0
+
+
+def test_engine_overwrite_replaces_contents(spark, tmp_path):
+    """engine.overwrite fully replaces a table: rows absent from the new
+    frame are gone (upsert can't do that); versioned tables get one
+    'rewrite' snapshot and keep time travel."""
+    from polars_lake_spark import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    eng.create_table("plain", df1, keys=["id"])
+    eng.overwrite("plain", df2)
+    assert [(r.id, r.v) for r in eng.table("plain").collect()] == [(3, "c")]
+    eng.create_table("vers", df1, keys=["id"], versioned=True)
+    eng.overwrite("vers", df2)
+    assert [(r.id, r.v) for r in eng.table("vers").collect()] == [(3, "c")]
+    assert eng.history("vers")[-1]["op"] == "rewrite"
+    assert {(r.id, r.v) for r in eng.table("vers", version=1).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
