@@ -129,3 +129,32 @@ def stream_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_vocab_ingest(
+    index,
+    stream_df: DataFrame,
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Vocabulary-on-ingest: fold each micro-batch into the persisted
+    incremental Misra-Gries sketch (operators/heavy.py:HeavyHittersIndex)
+    so corpus-wide frequent-token state stays current without rescans.
+
+    Exactly-once: foreachBatch redelivers the last uncommitted epoch on
+    restart; passing the epoch id as ``batch_id`` makes the redelivery a
+    no-op against the index's marker row, and the index's single-snapshot
+    commit means a crash never publishes half a fold."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        index.add_batch(batch_df, text_col, batch_id=batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -143,3 +143,32 @@ def test_engine_overwrite_replaces_contents(spark, tmp_path):
         (1, "a"),
         (2, "b"),
     }
+
+
+def test_stream_vocab_ingest(spark, tmp_path):
+    """Micro-batches fold into the persisted sketch via foreachBatch;
+    the final state matches a one-shot batch fold's guarantees."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.heavy import HeavyHittersIndex
+    from polars_lake_spark.streaming.ingest import stream_vocab_ingest
+
+    eng = Engine(spark, str(tmp_path / "eng"))
+    idx = HeavyHittersIndex(eng, "svocab", capacity=16)
+    idx.create()
+    df, true = _docs(spark)
+    staging = str(tmp_path / "doc_stream")
+    df.repartition(3).write.parquet(staging)
+    stream = spark.readStream.schema(df.schema).parquet(staging)
+    q = stream_vocab_ingest(
+        idx, stream, "text", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    mk = idx._marker()
+    n = sum(true.values())
+    assert mk["ntok"] == n
+    est = {r.token: r.est_count for r in idx.estimates().collect()}
+    for tok, c in true.items():
+        if c > mk["cnt"]:
+            assert tok in est
+        if tok in est:
+            assert est[tok] <= c

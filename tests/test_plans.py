@@ -226,3 +226,14 @@ def test_partition_pruning_survives_offload(spark, sf_dir, tmp_path, tmp_path_fa
     report = plan_report(q)
     assert any("l_returnflag" in p for p in report["partition_filters"])
     assert "cold_plan" in plan_of(q)  # the scan really reads the cold tier
+
+
+def test_heavy_hitters_topk_broadcasts_candidates(spark, sf_dir):
+    """token_heavy_hitters' second pass must probe the exploded token
+    stream with a BROADCAST semi join on the sketch candidates — a
+    sort-merge join would shuffle the whole token stream, defeating the
+    sketch."""
+    df = all_queries()["token_heavy_hitters"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
