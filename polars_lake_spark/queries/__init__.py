@@ -30,11 +30,13 @@ REGISTRY: dict[str, Query] = {}
 # lead, so nothing new can ship unverified:
 #   after r4, every query has green evidence; the oldest is 18 r2-greens
 #   (deferred twice by the 50-slot budget) then 50 r3-greens.
-#   r5 window (50) = 4 new + 5 changed-this-round + the 18 r2-greens + the
-#   first 23 r3-greens (r3 gate order).  The 27 r3-greens left over lead
-#   r6 — their evidence is exactly 2 rounds old at r5, so nothing exceeds
-#   the ≤2-rounds-stale target.  Every deferred query is still verified
-#   every session by tests/test_oracle_parity.py (local mirror of the gate
+#   r5 window (50) = 15 new-or-changed-this-round + the 18 r2-greens +
+#   the first 17 r3-greens (r3 gate order).  The r3-greens past the
+#   boundary lead r6; 6 of them slipped out when the late-r5 sketch/CC
+#   queries took their slots (new queries always lead — nothing ships
+#   unverified, at the cost of those 6 carrying 3-round-old driver
+#   evidence until r6).  Every deferred query is still verified every
+#   session by tests/test_oracle_parity.py (local mirror of the gate
 #   over all oracled queries).
 CHECK_PRIORITY: list[str] = [
     # -- NEW r5 (latest): two-star CC, MG heavy hitters, sketch checks -
@@ -96,6 +98,7 @@ CHECK_PRIORITY: list[str] = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
+    # ------ 50-slot window boundary falls here (15 + 18 + 17) ---------
     "q10_returned_items",
     "q11_important_parts",
     "q12_priority_class",
@@ -111,7 +114,6 @@ CHECK_PRIORITY: list[str] = [
     "q22_idle_customers",
     "json_extraction",
     "distinct_orderby_offset",
-    # ------ 50-slot window boundary falls here (9 + 18 + 23) ----------
     "predicates_having",
     "approx_distinct",
     "unnest_explode",
