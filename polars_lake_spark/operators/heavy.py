@@ -41,10 +41,57 @@ def _token_arrays(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _mg_fold(capacity: int, value_lists):
+    """Shared per-partition Misra-Gries fold over an iterator of value
+    lists; yields one pandas frame: surviving (token, cnt, NULL) rows +
+    one (NULL, subtracted, ntok) marker."""
+    import pandas as pd
+
+    counts: dict = {}
+    subtracted = 0
+    ntok = 0
+    # Lazy trimming: let the dict grow to 8x capacity, then subtract
+    # the (capacity+1)-th largest value from everything and keep the
+    # strictly-positive survivors (<= capacity of them). The error
+    # bound is unchanged — every trim still removes its cut from
+    # >= capacity+1 positive counters.
+    trim_at = capacity * 8
+
+    def trim():
+        nonlocal counts, subtracted
+        if len(counts) <= capacity:
+            return
+        vals = sorted(counts.values(), reverse=True)
+        cut = vals[capacity]
+        counts = {t: c - cut for t, c in counts.items() if c > cut}
+        subtracted += cut
+
+    from collections import Counter
+
+    acc = Counter()
+    for lst in value_lists:
+        ntok += len(lst)
+        acc.update(lst)
+        if len(acc) > trim_at:
+            counts = dict(acc)
+            trim()
+            acc = Counter(counts)
+    counts = dict(acc)
+    trim()
+    if ntok:
+        yield pd.DataFrame(
+            {
+                "token": list(counts.keys()) + [None],
+                "cnt": list(counts.values()) + [subtracted],
+                "ntok": [None] * len(counts) + [ntok],
+            }
+        )
+
+
 def mg_sketch_partitions(
     df: DataFrame, text_col: str, capacity: int = 4096
 ) -> DataFrame:
-    """Per-partition Misra-Gries summaries.
+    """Per-partition Misra-Gries summaries over document TOKENS.
 
     Output rows: ``(token, cnt, ntok)`` — surviving counters as
     ``(token, est, NULL)`` plus exactly one marker row per non-empty
@@ -56,54 +103,35 @@ def mg_sketch_partitions(
         raise ValueError("capacity must be >= 1")
 
     def fold(batches):
-        import pandas as pd
-
-        counts: dict = {}
-        subtracted = 0
-        ntok = 0
-        # Lazy trimming: let the dict grow to 8x capacity, then subtract
-        # the (capacity+1)-th largest value from everything and keep the
-        # strictly-positive survivors (<= capacity of them). The error
-        # bound is unchanged — every trim still removes its cut from
-        # >= capacity+1 positive counters.
-        trim_at = capacity * 8
-
-        def trim():
-            nonlocal counts, subtracted
-            if len(counts) <= capacity:
-                return
-            vals = sorted(counts.values(), reverse=True)
-            cut = vals[capacity]
-            counts = {t: c - cut for t, c in counts.items() if c > cut}
-            subtracted += cut
-
-        from collections import Counter
-
-        acc = Counter(counts)
-        for pdf in batches:
-            for toks in pdf["toks"]:
-                lst = list(toks)
-                ntok += len(lst)
-                acc.update(lst)
-            if len(acc) > trim_at:
-                counts = dict(acc)
-                trim()
-                acc = Counter(counts)
-        counts = dict(acc)
-        trim()
-        if ntok:
-            out = pd.DataFrame(
-                {
-                    "token": list(counts.keys()) + [None],
-                    "cnt": list(counts.values()) + [subtracted],
-                    "ntok": [None] * len(counts) + [ntok],
-                }
-            )
-            yield out
+        yield from _mg_fold(
+            capacity,
+            (list(toks) for pdf in batches for toks in pdf["toks"]),
+        )
 
     return _token_arrays(df, text_col).mapInPandas(
         fold, "token string, cnt long, ntok long"
     )
+
+
+def mg_sketch_keys(
+    df: DataFrame, key_col: str, capacity: int = 4096
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries over a KEY COLUMN's values
+    (cast to string) — hot-key detection for skewed joins/aggregations:
+    find the keys worth salting (operators/skew.py) in one cheap
+    shuffle-free pass instead of a full groupBy over every key."""
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+
+    def fold(batches):
+        yield from _mg_fold(
+            capacity, (pdf["k"].tolist() for pdf in batches)
+        )
+
+    keyed = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("k")
+    )
+    return keyed.mapInPandas(fold, "token string, cnt long, ntok long")
 
 
 def heavy_hitters(
@@ -292,3 +320,33 @@ class HeavyHittersIndex:
             .filter(F.col("token").isNotNull())
             .select("token", F.col("cnt").alias("est_count"))
         )
+
+
+def hot_keys_exact_topk(
+    df: DataFrame, key_col: str, k: int = 20, capacity: int = 16384
+) -> DataFrame:
+    """Two-pass EXACT top-k keys by row count — the skew probe: sketch
+    pass proposes candidates (one shuffle-free mapInPandas + a tiny
+    summary shuffle), second pass counts only the candidates (broadcast
+    semi join). Sound whenever the k-th hottest key's count > n/capacity;
+    output (key string, cnt), ordered (cnt DESC, key ASC)."""
+    sk = mg_sketch_keys(df, key_col, capacity)
+    cands = (
+        sk.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("est"))
+        .select(F.col("token").alias("k"))
+    )
+    keyed = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("string").alias("k")
+    )
+    exact = (
+        keyed.join(F.broadcast(cands), "k", "left_semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.select(F.col("k").alias("key"), "cnt")
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(k)
+    )

@@ -46,6 +46,7 @@ CHECK_PRIORITY: list[str] = [
     "approx_percentile_check",
     "hll_union_check",
     "heavy_hitters_incremental_check",
+    "skew_hot_keys",
     # -- NEW r5: incremental dedup + winnowing -------------------------
     "dedup_incremental_minhash",
     "dedup_substring_winnow",

@@ -108,3 +108,27 @@ def join_cobucketed(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS orders_cbq")
         spark.sql("DROP TABLE IF EXISTS customer_cbq")
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "skew_hot_keys",
+    oracle="""
+    SELECT CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS cnt
+    FROM orders GROUP BY o_custkey
+    ORDER BY cnt DESC, key LIMIT 20
+    """,
+)
+def skew_hot_keys(spark, sf_dir):
+    """The skew probe: exact top-20 hottest order customers via the
+    two-pass Misra-Gries pattern (operators/heavy.py:hot_keys_exact_topk)
+    — keys never shuffle in pass 1 (per-partition sketches), pass 2
+    counts only the sketched candidates (broadcast semi join). This is
+    how you find the keys worth salting (operators/skew.py) BEFORE a
+    skewed join burns a stage, at a cost that does not scale with key
+    cardinality. Sound here because the 20th-hottest customer's order
+    count is far above n/capacity at every fixture SF; the oracle replays
+    the naive full groupBy."""
+    from polars_lake_spark.operators.heavy import hot_keys_exact_topk
+
+    orders = load_table(spark, sf_dir, "orders")
+    return hot_keys_exact_topk(orders, "o_custkey", k=20, capacity=16384)

@@ -4,6 +4,9 @@ layout independence under repartitioning."""
 
 from collections import Counter
 
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from polars_lake_spark.operators.heavy import (
@@ -172,3 +175,69 @@ def test_stream_vocab_ingest(spark, tmp_path):
             assert tok in est
         if tok in est:
             assert est[tok] <= c
+
+
+def test_hot_keys_exact_topk_matches_model(spark):
+    """Skewed key column (Zipf-ish): the two-pass hot-key probe must
+    equal the exact groupBy top-k, including tie order, and the sketch
+    pass must honor its bounds at a capacity small enough to trim."""
+    from polars_lake_spark.operators.heavy import (
+        hot_keys_exact_topk,
+        mg_sketch_keys,
+    )
+
+    rows = []
+    for i in range(1, 200):
+        rows.extend([(f"k{i:03d}",)] * (2000 // i))
+    df = spark.createDataFrame(rows, "key string").repartition(5)
+    true = Counter(r[0] for r in rows)
+    got = [
+        (r.key, r.cnt)
+        for r in hot_keys_exact_topk(df, "key", k=15, capacity=256).collect()
+    ]
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert got == want
+    # force trims at capacity 16 and check the MG bounds
+    sk = mg_sketch_keys(df, "key", 16)
+    items = sk.filter(F.col("token").isNotNull()).groupBy("token").agg(
+        F.sum("cnt").alias("est")
+    )
+    markers = sk.filter(F.col("token").isNull()).collect()
+    n = sum(true.values())
+    assert sum(r.ntok for r in markers) == n
+    sub = sum(r.cnt for r in markers)
+    assert 0 < sub <= n / 17
+    est = {r.token: r.est for r in items.collect()}
+    for tok, e in est.items():
+        assert true[tok] - sub <= e <= true[tok]
+
+
+@pytest.mark.usefixtures("spark")
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=200),
+    parts=st.integers(min_value=1, max_value=5),
+    cap=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mg_sketch_keys_properties(spark, vals, parts, cap):
+    """Random streams, partitionings, and capacities: no estimate above
+    its true count; undercount bounded by the observable subtraction
+    total; every value with true count > subtracted is present."""
+    from polars_lake_spark.operators.heavy import mg_sketch_keys
+
+    df = spark.createDataFrame([(v,) for v in vals], "key int").repartition(parts)
+    true = Counter(str(v) for v in vals)
+    sk = mg_sketch_keys(df, "key", cap).collect()
+    sub = sum(r.cnt for r in sk if r.token is None)
+    est = Counter()
+    for r in sk:
+        if r.token is not None:
+            est[r.token] += r.cnt
+    assert sum(r.ntok for r in sk if r.token is None) == len(vals)
+    for tok, e in est.items():
+        assert e <= true[tok]
+        assert e >= true[tok] - sub
+    for tok, c in true.items():
+        if c > sub:
+            assert tok in est
