@@ -258,6 +258,19 @@ def connected_components(
         labels = updated.drop("__chg")
         if changed == 0:
             break
+    else:
+        # Silent non-convergence would hand back WRONG components (labels
+        # mid-propagation look plausible). A graph deeper than max_iter
+        # is exactly the long-chain shape the diameter-independent
+        # algorithm exists for — say so.
+        if prev is not None:
+            prev.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            f"label_prop did not converge within {max_iter} rounds; "
+            "this graph is deeper than the near-dup assumption — rerun "
+            "with algorithm='two_star' (O(log^2 n) rounds)"
+        )
     result = labels.localCheckpoint(eager=True)
     if prev is not None:
         prev.unpersist()

@@ -164,6 +164,21 @@ def test_two_star_long_chain_distributed(spark):
     assert got == {(i, 0) for i in range(n + 1)}
 
 
+def test_label_prop_raises_on_nonconvergence(spark):
+    """Running out of rounds mid-propagation must raise, not hand back
+    plausible-but-wrong components (labels at round k < diameter are a
+    valid-looking partial answer)."""
+    import pytest
+
+    from polars_lake_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "d1 long, d2 long"
+    )
+    with pytest.raises(RuntimeError, match="two_star"):
+        connected_components(edges, local_threshold=0, max_iter=3)
+
+
 def test_two_star_matches_label_prop_distributed(spark):
     """Both distributed algorithms agree on a multi-component graph with
     mixed shapes (chain + star + triangle + isolated pair)."""
