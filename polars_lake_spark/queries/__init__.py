@@ -47,6 +47,8 @@ CHECK_PRIORITY: list[str] = [
     "hll_union_check",
     "heavy_hitters_incremental_check",
     "skew_hot_keys",
+    "events_ewma",
+    "events_anomaly_zscore",
     # -- NEW r5: incremental dedup + winnowing -------------------------
     "dedup_incremental_minhash",
     "dedup_substring_winnow",
@@ -96,10 +98,10 @@ CHECK_PRIORITY: list[str] = [
     "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    # ------ 50-slot window boundary falls here (18 + 18 + 14) ---------
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    # ------ 50-slot window boundary falls here (15 + 18 + 17) ---------
     "q10_returned_items",
     "q11_important_parts",
     "q12_priority_class",

@@ -263,3 +263,105 @@ def events_funnel(spark, sf_dir):
         .union(_count(c, "step2_click"))
         .union(_count(p, "step3_purchase"))
     )
+
+
+@register(
+    "events_ewma",
+    oracle="""
+    WITH t AS (SELECT user_id, event_id, value,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events WHERE user_id < 200),
+    w AS (SELECT user_id, event_id, rn,
+                 list(value) OVER (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+          FROM t)
+    SELECT user_id, event_id,
+           ROUND(list_reduce(vals, (acc, v) -> acc * 0.8 + 0.2 * v), 6)
+               AS ewma
+    FROM w
+    """,
+)
+def events_ewma(spark, sf_dir):
+    """Per-user exponentially weighted moving average (alpha=0.2) over a
+    truncated 20-event lookback — the recursive definition computed as a
+    LEFT FOLD over the frame's values, so the float operation ORDER is
+    pinned and DuckDB's list_reduce replays it bit-for-bit.
+
+    Scale shape: one shuffle on user_id; the frame array is bounded (20
+    doubles), so memory per row is constant — unlike carrying unbounded
+    history, and unlike the pow((1-a), -rn) rebasing trick, which
+    overflows on long sequences. The array is built with sort_array over
+    (rn, value) structs rather than trusting collect_list's frame order."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    rn_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "user_id", "event_id", F.col("value").cast("double").alias("value"),
+        F.row_number().over(rn_w).alias("rn"),
+    )
+    frame = (
+        Window.partitionBy("user_id").orderBy("rn").rowsBetween(-19, 0)
+    )
+    vals = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("rn"), F.col("value"))).over(frame)
+        ),
+        lambda s: s["value"],
+    )
+    t = t.withColumn("vals", vals)
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), F.lit(2), F.size("vals") - 1),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, v: acc * F.lit(0.8) + F.lit(0.2) * v,
+    )
+    return t.select("user_id", "event_id", F.round(ewma, 6).alias("ewma"))
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH t AS (SELECT user_id, event_id, value,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events WHERE user_id < 200),
+    w AS (SELECT user_id, event_id, value,
+                 AVG(value) OVER fr AS mu,
+                 STDDEV_SAMP(value) OVER fr AS sigma,
+                 COUNT(*) OVER fr AS n
+          FROM t
+          WINDOW fr AS (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id,
+           CASE WHEN n >= 5 AND sigma > 0.001
+                THEN ROUND((value - mu) / sigma, 4) END AS z
+    FROM w
+    """,
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Trailing z-score anomaly signal: each event scored against its
+    user's own last-20-events distribution (NULL until 5 observations or
+    when the window is flat — the classic cold-start/zero-variance
+    guards). Shares the single user_id shuffle with every other per-user
+    window; constant memory per row."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    rn_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        "user_id", "event_id", F.col("value").cast("double").alias("value"),
+        F.row_number().over(rn_w).alias("rn"),
+    )
+    fr = Window.partitionBy("user_id").orderBy("rn").rowsBetween(-19, 0)
+    t = t.select(
+        "user_id", "event_id", "value",
+        F.avg("value").over(fr).alias("mu"),
+        F.stddev_samp("value").over(fr).alias("sigma"),
+        F.count(F.lit(1)).over(fr).alias("n"),
+    )
+    z = F.when(
+        (F.col("n") >= 5) & (F.col("sigma") > 0.001),
+        F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4),
+    )
+    return t.select("user_id", "event_id", z.alias("z"))
