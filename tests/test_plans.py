@@ -237,3 +237,21 @@ def test_heavy_hitters_topk_broadcasts_candidates(spark, sf_dir):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ewma_windows_share_one_exchange(spark, sf_dir):
+    """The row-number window and the 20-row frame window both partition
+    by user_id — the plan must reuse ONE exchange, not shuffle twice."""
+    plan = plan_of(all_queries()["events_ewma"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    plan = plan_of(all_queries()["events_anomaly_zscore"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_hot_keys_broadcasts_candidates(spark, sf_dir):
+    """The hot-key probe's exact pass must be candidate-broadcast — a
+    sort-merge join would shuffle the full key column it exists to
+    avoid."""
+    plan = plan_of(all_queries()["skew_hot_keys"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
