@@ -77,6 +77,10 @@ HEADLINE = [
     # r5 additions: Misra-Gries two-pass exact top-k (tokens never
     # shuffle in pass 1; pass 2 groupBy keys bounded by candidates).
     "token_heavy_hitters",
+    # r5 additions: hot-key skew probe + single-exchange time-series
+    # windows (EWMA fold / trailing z-score).
+    "skew_hot_keys",
+    "events_ewma",
 ]
 
 

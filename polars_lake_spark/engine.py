@@ -1381,6 +1381,136 @@ class Engine:
                 break  # rolled back to a pre-refresh state
         return sidecar["applied_version"]
 
+    SKETCHDEF = "_sketchdef.json"
+
+    def create_sketch_rollup(
+        self,
+        rollup_name: str,
+        src: str,
+        segment_cols: list[str],
+        key_col: str,
+        lgk: int = 12,
+    ) -> None:
+        """Materialize a per-segment HLL sketch rollup over a versioned
+        source: one row per segment carrying a Datasketches-HLL of
+        ``key_col`` plus the segment's row count.
+
+        This is how distinct-count questions over ARBITRARY segment
+        subsets get answered at 100 TB: `approx_distinct_over` unions
+        the matching sketch rows (associative, bytes-per-segment cost)
+        instead of rescanning the source. `refresh_sketch_rollup`
+        maintains it from the change feed."""
+        if src not in self.specs:
+            self.load_table(src)
+        if not self.specs[src].versioned:
+            raise ValueError(f"sketch rollup source must be versioned: {src}")
+        if self.root is None:
+            raise ValueError("sketch rollups need a persisted engine root")
+        src_v = self._snapstore(src).latest_version()
+        df = (
+            self.table(src)
+            .groupBy(*segment_cols)
+            .agg(
+                F.hll_sketch_agg(key_col, F.lit(lgk)).alias("sketch"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        self.create_table(rollup_name, df, keys=list(segment_cols), versioned=True)
+        with open(os.path.join(self._path(rollup_name), self.SKETCHDEF), "w") as f:
+            json.dump(
+                {
+                    "src": src,
+                    "segment_cols": list(segment_cols),
+                    "key_col": key_col,
+                    "lgk": lgk,
+                    "applied_version": src_v,
+                },
+                f,
+            )
+
+    def refresh_sketch_rollup(self, rollup_name: str) -> dict:
+        """Advance the rollup to the source's latest snapshot.
+
+        Appended rows sketch ONLY their own slice and hll_union into the
+        existing segment rows — refresh cost tracks the appended data.
+        HLL cannot subtract, so segments touched by a delete or update
+        are REBUILT from the current source (still pruned to exactly
+        those segments); pure-append feeds — the normal event-log shape —
+        never rebuild anything. The applied source version commits inside
+        the rollup's snapshot meta (atomic with the data), exactly like
+        refresh_aggregate."""
+        with open(os.path.join(self._path(rollup_name), self.SKETCHDEF)) as f:
+            d = json.load(f)
+        src, seg, key_col, lgk = d["src"], d["segment_cols"], d["key_col"], d["lgk"]
+        applied = self._agg_applied_version(rollup_name, d)
+        latest = self._snapstore(src).latest_version()
+        if latest == applied:
+            return {"applied_version": applied, "refreshed": False}
+        # preimages: an update that MOVES a row between segments must mark
+        # BOTH segments destructive (the old one lost a row HLL can't
+        # forget).
+        cdc = self.changes(src, applied, latest, preimages=True)
+        destructive = (
+            cdc.filter(F.col("_change_type") != "insert")
+            .select(*seg)
+            .distinct()
+        )
+        inserts = cdc.filter(F.col("_change_type") == "insert").join(
+            F.broadcast(destructive), on=seg, how="left_anti"
+        )
+        ins_sk = inserts.groupBy(*seg).agg(
+            F.hll_sketch_agg(key_col, F.lit(lgk)).alias("__sk"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        rebuilt = (
+            self.table(src)
+            .join(F.broadcast(destructive), on=seg, how="left_semi")
+            .groupBy(*seg)
+            .agg(
+                F.hll_sketch_agg(key_col, F.lit(lgk)).alias("sketch"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        spec = self.specs[rollup_name]
+        with self._lock(rollup_name):
+            cur = self.table(rollup_name).join(
+                F.broadcast(destructive), on=seg, how="left_anti"
+            )
+            merged = cur.join(ins_sk, on=seg, how="full_outer").select(
+                *seg,
+                F.when(F.col("sketch").isNull(), F.col("__sk"))
+                .when(F.col("__sk").isNull(), F.col("sketch"))
+                .otherwise(F.hll_union("sketch", "__sk"))
+                .alias("sketch"),
+                (
+                    F.coalesce(F.col("n_rows"), F.lit(0))
+                    + F.coalesce(F.col("__n"), F.lit(0))
+                ).alias("n_rows"),
+            )
+            merged = merged.unionByName(rebuilt)
+            self._write_versioned(
+                merged, spec, op="rewrite",
+                meta={"applied_version": latest, "src": src},
+            )
+            self._register(rollup_name)
+        return {"applied_version": latest, "refreshed": True}
+
+    def approx_distinct_over(
+        self, rollup_name: str, predicate: str | None = None
+    ) -> DataFrame:
+        """One-row (approx_distinct, rows) for the segments matching the
+        SQL ``predicate`` (None = all): a union of sketch ROWS — the
+        source is never touched."""
+        df = self.table(rollup_name)
+        if predicate:
+            df = df.filter(predicate)
+        return df.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+            .cast("bigint")
+            .alias("approx_distinct"),
+            F.coalesce(F.sum("n_rows"), F.lit(0)).alias("rows"),
+        )
+
     def tables(self, schema: str | None = None) -> list[str]:
         """SHOW TABLES analog (SURVEY §2.c DDL-ish row); ``schema``
         filters to one namespace level (SHOW TABLES IN schema)."""

@@ -49,6 +49,7 @@ CHECK_PRIORITY: list[str] = [
     "skew_hot_keys",
     "events_ewma",
     "events_anomaly_zscore",
+    "sketch_rollup_lifecycle",
     # -- NEW r5: incremental dedup + winnowing -------------------------
     "dedup_incremental_minhash",
     "dedup_substring_winnow",

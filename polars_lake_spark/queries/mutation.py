@@ -440,3 +440,74 @@ def data_quality_report(spark, sf_dir):
         .alias("n_bad"),
     )
     return nulls.union(dups).union(ranges).union(enums)
+
+
+@register(
+    "sketch_rollup_lifecycle",
+    oracle="""
+    WITH whole AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
+                          COUNT(*) AS rows
+                   FROM events GROUP BY event_type)
+    SELECT event_type, rows, CAST(0 AS BIGINT) AS violations
+    FROM whole ORDER BY event_type
+    """,
+)
+def sketch_rollup_lifecycle(spark, sf_dir):
+    """End-to-end engine sketch-rollup lifecycle: create a versioned
+    events table from HALF the fixture, roll up per-event-type HLL
+    sketches of user_id, append the other half, refresh incrementally
+    (append-only path — only the new rows are sketched), then compare
+    every segment's estimate from SKETCH ROWS ONLY against the exact
+    distinct count. Exact row counts and the 4-sigma estimate invariant
+    (lgK=12 => ~6.5% gate) are the oracle-checkable outputs; the oracle
+    replays rows/violations over the whole fixture."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    lgk = 12
+    tol = 4 * 1.04 / (2 ** (lgk / 2.0))
+    root = tempfile.mkdtemp(prefix="pls_skr_")
+    try:
+        eng = Engine(spark, root)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "user_id"
+        )
+        eng.create_table(
+            "ev", ev.filter(F.col("event_id") % 2 == 0),
+            keys=["event_id"], versioned=True,
+        )
+        eng.create_sketch_rollup("ev_sk", "ev", ["event_type"], "user_id", lgk=lgk)
+        eng.insert("ev", ev.filter(F.col("event_id") % 2 == 1))
+        eng.refresh_sketch_rollup("ev_sk")
+        est = eng.table("ev_sk").select(
+            "event_type",
+            F.hll_sketch_estimate("sketch").cast("bigint").alias("approx"),
+            "n_rows",
+        )
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_distinct"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+        out = (
+            exact.join(est, "event_type")
+            .select(
+                "event_type",
+                "rows",
+                (
+                    (F.col("n_rows") != F.col("rows"))
+                    | (
+                        F.abs(F.col("approx") - F.col("exact_distinct"))
+                        > tol * F.col("exact_distinct")
+                    )
+                )
+                .cast("bigint")
+                .alias("violations"),
+            )
+            .orderBy("event_type")
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
