@@ -38,8 +38,10 @@ if TYPE_CHECKING:  # pragma: no cover
 __all__ = [
     "prepare_docs",  # re-exported from dedup (single definition)
     "incremental_minhash_pairs",
+    "incremental_winnow_pairs",
     "batch_survivors",
     "MinHashIndex",
+    "WinnowIndex",
 ]
 
 
@@ -335,3 +337,176 @@ class MinHashIndex:
             "entries": e.count(),
             "max_bucket": top["mx"] if top and top["mx"] is not None else 0,
         }
+
+
+def incremental_winnow_pairs(
+    batch_entries: DataFrame,
+    index_entries: DataFrame,
+    min_shared: int = 2,
+    max_bucket: int = 100,
+) -> DataFrame:
+    """(d1, d2, n_shared) exact-substring near-dup pairs where d2 is
+    ALWAYS a batch doc (d1 indexed, or a smaller-keyed batch doc) —
+    the winnowing analog of ``incremental_minhash_pairs``: the corpus's
+    fingerprints are never recomputed, the probe joins on fp with the
+    batch side broadcast, and the boilerplate ``max_bucket`` guard uses
+    the TRUE (index + batch) bucket size restricted to the buckets the
+    batch touches, so its cost follows the batch too. n_shared equals
+    what a full-corpus ``winnow_match_pairs`` would report for the same
+    pair, because bucket totals and the cut are identical.
+
+    ``batch_entries`` / ``index_entries`` carry (id, fp) rows."""
+    touched = batch_entries.select("fp").distinct()
+    idx_touched = index_entries.join(F.broadcast(touched), "fp", "leftsemi")
+    if max_bucket is not None:
+        sizes = (
+            idx_touched.groupBy("fp").agg(F.count(F.lit(1)).alias("ni"))
+            .join(
+                batch_entries.groupBy("fp").agg(
+                    F.count(F.lit(1)).alias("nb")
+                ),
+                "fp",
+                "full_outer",
+            )
+            .filter(
+                F.coalesce("ni", F.lit(0)) + F.coalesce("nb", F.lit(0))
+                > max_bucket
+            )
+            .select("fp")
+        )
+        idx_touched = idx_touched.join(F.broadcast(sizes), "fp", "left_anti")
+        batch_entries = batch_entries.join(
+            F.broadcast(sizes), "fp", "left_anti"
+        )
+    cross = (
+        F.broadcast(batch_entries.alias("n"))
+        .join(idx_touched.alias("o"), "fp")
+        .select(F.col("o.id").alias("d1"), F.col("n.id").alias("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    internal = (
+        batch_entries.groupBy("fp")
+        .agg(F.collect_set("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("d1"), F.col("ids"))
+        .select("d1", F.explode("ids").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return cross.unionByName(internal).filter(
+        F.col("n_shared") >= min_shared
+    )
+
+
+class WinnowIndex:
+    """Engine-persisted incremental EXACT-SUBSTRING dedup index — the
+    winnowing complement to ``MinHashIndex`` (bag-of-ngram Jaccard misses
+    a long verbatim quote inside otherwise-different documents; this
+    catches any shared normalized run of >= k+w-1 chars).
+
+    One entries table ``{name}_wn_fps`` — (id, fp), hash-partitioned into
+    ``fpb`` dirs for file organization — plus ``{name}_wn_meta`` carrying
+    (k, w, min_shared, max_bucket, gram_hash) so a reopened index is
+    self-describing (fingerprints only compare under identical
+    parameters).
+
+    add_batch mirrors MinHashIndex: probe is O(batch) (batch fingerprints
+    broadcast), novel survivors append, replayed ids are inert. Docs
+    shorter than k normalized chars have no fingerprints: they count as
+    novel, contribute no entries, and are re-flagged novel under replay —
+    harmless for keyed-upsert consumers (same contract as MinHashIndex's
+    short-doc rule)."""
+
+    N_FPB = 32
+
+    def __init__(
+        self,
+        engine: "Engine",
+        name: str,
+        *,
+        k: int = 8,
+        w: int = 6,
+        min_shared: int = 2,
+        max_bucket: int = 100,
+        gram_hash: str = "xxhash64",
+    ):
+        self.engine = engine
+        self.name = name
+        self.k, self.w = k, w
+        self.min_shared, self.max_bucket = min_shared, max_bucket
+        self.gram_hash = gram_hash
+
+    @property
+    def _t_fps(self) -> str:
+        return f"{self.name}_wn_fps"
+
+    @property
+    def _t_meta(self) -> str:
+        return f"{self.name}_wn_meta"
+
+    def _entries(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        from polars_lake_spark.operators.winnow import winnow_fingerprints
+
+        fps = winnow_fingerprints(
+            docs, id_col, text_col, self.k, self.w, self.gram_hash
+        )
+        return fps.select("id", F.explode("fps").alias("fp")).withColumn(
+            "fpb", F.pmod(F.col("fp"), F.lit(self.N_FPB))
+        )
+
+    def create(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> None:
+        eng = self.engine
+        eng.create_table(
+            self._t_fps, self._entries(docs, id_col, text_col),
+            partition_by=["fpb"],
+        )
+        meta = eng.spark.createDataFrame(
+            [(self.k, self.w, self.min_shared, self.max_bucket, self.gram_hash)],
+            "k int, w int, min_shared int, max_bucket int, gram_hash string",
+        )
+        eng.create_table(self._t_meta, meta)
+
+    @classmethod
+    def open(cls, engine: "Engine", name: str) -> "WinnowIndex":
+        row = engine.table(f"{name}_wn_meta").head()
+        return cls(
+            engine, name, k=row["k"], w=row["w"],
+            min_shared=row["min_shared"], max_bucket=row["max_bucket"],
+            gram_hash=row["gram_hash"],
+        )
+
+    def add_batch(
+        self, batch: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> dict:
+        """Probe the batch against the index + itself, append novel
+        survivors' fingerprints; returns {"pairs", "novel"}. Pairs are
+        materialized before the index mutates."""
+        batch = batch.dropDuplicates([id_col])
+        eng = self.engine
+        all_ids = batch.select(F.col(id_col).alias("id"))
+        idx = eng.table(self._t_fps).join(
+            F.broadcast(all_ids), "id", "left_anti"
+        )
+        bent = self._entries(batch, id_col, text_col).localCheckpoint(
+            eager=True
+        )
+        pairs = incremental_winnow_pairs(
+            bent, idx, self.min_shared, self.max_bucket
+        ).localCheckpoint()
+        batch_ids = bent.select("id").distinct()
+        short = all_ids.join(batch_ids, "id", "left_anti")
+        already = eng.table(self._t_fps).select("id").distinct().join(
+            F.broadcast(all_ids), "id", "leftsemi"
+        )
+        novel = (
+            batch_survivors(pairs, batch_ids)
+            .unionByName(short)
+            .join(F.broadcast(already), "id", "left_anti")
+            .localCheckpoint()
+        )
+        eng.insert(self._t_fps, bent.join(novel, "id"))
+        return {"pairs": pairs, "novel": novel}

@@ -50,6 +50,7 @@ CHECK_PRIORITY: list[str] = [
     "events_ewma",
     "events_anomaly_zscore",
     "sketch_rollup_lifecycle",
+    "dedup_incremental_winnow",
     # -- NEW r5: incremental dedup + winnowing -------------------------
     "dedup_incremental_minhash",
     "dedup_substring_winnow",

@@ -812,3 +812,48 @@ def decontaminate_substring(spark, sf_dir):
         F.col("id").alias("doc_id"),
         F.col("n_bench_matches").cast("bigint").alias("n_bench_matches"),
     )
+
+
+_INC_WINNOW_ORACLE = f"""
+    WITH {_WINNOW_FPS_CTE},
+    b AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) > 1 AND COUNT(*) <= 50),
+    p AS (SELECT a.doc_id AS d1, c.doc_id AS d2, COUNT(*) AS n_shared
+          FROM e a JOIN b USING (fp) JOIN e c USING (fp)
+          WHERE a.doc_id < c.doc_id
+          GROUP BY 1, 2)
+    SELECT d1, d2, CAST(n_shared AS BIGINT) AS n_shared
+    FROM p WHERE n_shared >= 2 AND (d1 % 5 = 0 OR d2 % 5 = 0)
+"""
+
+
+@register("dedup_incremental_winnow", oracle=_INC_WINNOW_ORACLE)
+def dedup_incremental_winnow(spark, sf_dir):
+    """A crawl lands: 20% of the corpus probes the winnow fingerprints of
+    the indexed 80% WITHOUT recomputing them (incremental_winnow_pairs —
+    the exact-substring analog of dedup_incremental_minhash; batch side
+    broadcast, bucket guard restricted to batch-touched fingerprints).
+    Pair n_shared equals the full-corpus computation because bucket
+    totals and the max_bucket cut are identical; the oracle replays the
+    full pair set restricted to batch-touching pairs. md5 gram hash
+    pinned for DuckDB bit-parity."""
+    from polars_lake_spark.operators import incremental as INC
+    from polars_lake_spark.operators import winnow as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    def entries(d):
+        fps = W.winnow_fingerprints(
+            d, "doc_id", "text", _WINNOW_K, _WINNOW_W, gram_hash="md5"
+        )
+        return fps.select("id", F.explode("fps").alias("fp"))
+
+    pairs = INC.incremental_winnow_pairs(
+        entries(batch), entries(corpus), min_shared=2, max_bucket=50
+    )
+    return pairs.select(
+        F.least("d1", "d2").alias("d1"),
+        F.greatest("d1", "d2").alias("d2"),
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+    )

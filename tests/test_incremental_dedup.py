@@ -324,3 +324,79 @@ def test_repair_restores_missing_entries(engine, spark):
     out = idx.add_batch(_docs(spark, [DUP_OF_11]))
     assert {(r.d1, r.d2) for r in out["pairs"].collect()} == {(11, 12)}
     assert idx.repair() == 0
+
+
+# --- WinnowIndex: incremental exact-substring dedup -------------------
+
+_Q = "what is the capital of france the answer is paris obviously"
+WBASE = [
+    (1, f"document one happens to contain the sentence {_Q} in the middle"),
+    (2, "a clean document about spark shuffles with no quoted material"),
+    (3, "another unrelated text concerning winnowing fingerprints and moss"),
+]
+W_DUP_OF_1 = (10, f"a later crawl page quoting {_Q} word for word")
+W_NOVEL = (11, "entirely fresh content that quotes nothing from anywhere")
+W_DUP_OF_11 = (12, "entirely fresh content that quotes nothing from anywhere")
+W_SHORT = (13, "tiny")
+
+
+def test_incremental_winnow_matches_full_recompute(spark, sf_dir):
+    """Operator equivalence on real data: incremental winnow pairs must
+    equal the full-corpus winnow_match_pairs restricted to batch-touching
+    pairs — including n_shared (bucket totals and cut are identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    def entries(d):
+        return W.winnow_fingerprints(d, "doc_id", "text", 20, 10).select(
+            "id", F.explode("fps").alias("fp")
+        )
+
+    got = {
+        (min(r.d1, r.d2), max(r.d1, r.d2), r.n_shared)
+        for r in INC.incremental_winnow_pairs(
+            entries(batch), entries(corpus), min_shared=2, max_bucket=50
+        ).collect()
+    }
+    full = {
+        (r.d1, r.d2, r.n_shared)
+        for r in W.winnow_match_pairs(
+            docs, "doc_id", "text", 20, 10, min_shared=2, max_bucket=50
+        ).collect()
+        if r.d1 % 5 == 0 or r.d2 % 5 == 0
+    }
+    assert got == full
+
+
+def test_winnow_index_add_batch(engine, spark):
+    idx = INC.WinnowIndex(engine, "wn_idx", k=8, w=6, min_shared=2)
+    idx.create(_docs(spark, WBASE))
+    out = idx.add_batch(
+        _docs(spark, [W_DUP_OF_1, W_NOVEL, W_DUP_OF_11, W_SHORT])
+    )
+    pairs = {(min(r.d1, r.d2), max(r.d1, r.d2)) for r in out["pairs"].collect()}
+    assert (1, 10) in pairs   # batch doc quoting an indexed doc verbatim
+    assert (11, 12) in pairs  # batch-internal verbatim dup
+    novel = {r.id for r in out["novel"].collect()}
+    # 10 drops (dup of indexed 1); 12 drops (dup of batch-kept 11);
+    # 11 novel; 13 too short to fingerprint but passes through
+    assert novel == {11, 13}
+    idx_ids = {r.id for r in engine.table("wn_idx_wn_fps").collect()}
+    assert idx_ids == {1, 2, 3, 11}
+
+
+def test_winnow_index_replay_and_reopen(engine, spark):
+    idx = INC.WinnowIndex(engine, "wn_idx", k=8, w=6)
+    idx.create(_docs(spark, WBASE))
+    idx.add_batch(_docs(spark, [W_DUP_OF_1, W_NOVEL]))
+    n_before = engine.table("wn_idx_wn_fps").count()
+    # clean replay of the same batch: nothing re-inserts, no self-pairs
+    out = idx.add_batch(_docs(spark, [W_DUP_OF_1, W_NOVEL]))
+    assert engine.table("wn_idx_wn_fps").count() == n_before
+    assert {r.id for r in out["novel"].collect()} == set()
+    pairs = {(r.d1, r.d2) for r in out["pairs"].collect()}
+    assert not any(a == b for a, b in pairs)
+    # reopen carries parameters
+    idx2 = INC.WinnowIndex.open(engine, "wn_idx")
+    assert (idx2.k, idx2.w, idx2.gram_hash) == (8, 6, "xxhash64")
