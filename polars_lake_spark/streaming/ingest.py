@@ -105,9 +105,11 @@ def stream_dedup_ingest(
     available_now: bool = True,
 ):
     """Dedup-on-ingest: each micro-batch is near-dup-checked against the
-    persisted MinHashIndex (operators/incremental.py) and only NOVEL
-    documents land in ``target`` — continuous crawl ingestion where the
-    corpus is never re-shingled.
+    persisted index (operators/incremental.py — ``MinHashIndex`` for
+    Jaccard near-dups or ``WinnowIndex`` for exact-substring dups; both
+    share the add_batch contract) and only NOVEL documents land in
+    ``target`` — continuous crawl ingestion where the corpus is never
+    re-shingled/re-fingerprinted.
 
     Semantics per batch: index.add_batch finds batch-vs-corpus and
     batch-internal near-dup pairs, appends the novel survivors' signatures

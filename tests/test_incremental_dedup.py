@@ -400,3 +400,26 @@ def test_winnow_index_replay_and_reopen(engine, spark):
     # reopen carries parameters
     idx2 = INC.WinnowIndex.open(engine, "wn_idx")
     assert (idx2.k, idx2.w, idx2.gram_hash) == (8, 6, "xxhash64")
+
+
+def test_stream_dedup_ingest_winnow(engine, spark, tmp_path):
+    """stream_dedup_ingest is generic over the index: a WinnowIndex
+    behind foreachBatch keeps verbatim-quoting docs out of the target."""
+    from polars_lake_spark.streaming.ingest import stream_dedup_ingest
+
+    idx = INC.WinnowIndex(engine, "wstream_idx", k=8, w=6, min_shared=2)
+    idx.create(_docs(spark, WBASE))
+    engine.create_table("wclean_docs", _docs(spark, WBASE), keys=["doc_id"])
+    staging = str(tmp_path / "wdoc_stream")
+    incoming = _docs(spark, [W_DUP_OF_1, W_NOVEL, W_DUP_OF_11, W_SHORT])
+    incoming.repartition(2).write.parquet(staging)
+    stream = spark.readStream.schema(incoming.schema).parquet(staging)
+    q = stream_dedup_ingest(
+        engine, idx, stream, "wclean_docs",
+        checkpoint_dir=str(tmp_path / "ckpt_wn"),
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in engine.table("wclean_docs").collect()}
+    assert got == {1, 2, 3, 11, 13}
+    idx_ids = {r.id for r in engine.table("wstream_idx_wn_fps").collect()}
+    assert idx_ids == {1, 2, 3, 11}
