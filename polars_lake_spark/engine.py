@@ -1407,8 +1407,10 @@ class Engine:
         if self.root is None:
             raise ValueError("sketch rollups need a persisted engine root")
         src_v = self._snapstore(src).latest_version()
+        # pinned read: a concurrent commit after the version capture must
+        # not leak into a rollup stamped applied_version=src_v
         df = (
-            self.table(src)
+            self.table(src, version=src_v)
             .groupBy(*segment_cols)
             .agg(
                 F.hll_sketch_agg(key_col, F.lit(lgk)).alias("sketch"),
@@ -1450,21 +1452,39 @@ class Engine:
         # BOTH segments destructive (the old one lost a row HLL can't
         # forget).
         cdc = self.changes(src, applied, latest, preimages=True)
-        destructive = (
+        # NULL is a legal segment value (changes() itself matches keys
+        # null-safely) — every segment join here must be <=> not =, and
+        # the join side carries RENAMED columns so no self-join lineage
+        # ambiguity can arise (destructive and the insert slice share the
+        # cdc plan).
+        dst = (
             cdc.filter(F.col("_change_type") != "insert")
-            .select(*seg)
+            .select(*[F.col(c).alias(f"__d_{c}") for c in seg])
             .distinct()
         )
+
+        def null_safe(prefix):
+            import functools
+            import operator
+
+            return functools.reduce(
+                operator.and_,
+                [F.col(c).eqNullSafe(F.col(f"{prefix}{c}")) for c in seg],
+            )
+
         inserts = cdc.filter(F.col("_change_type") == "insert").join(
-            F.broadcast(destructive), on=seg, how="left_anti"
+            F.broadcast(dst), null_safe("__d_"), "left_anti"
         )
         ins_sk = inserts.groupBy(*seg).agg(
             F.hll_sketch_agg(key_col, F.lit(lgk)).alias("__sk"),
             F.count(F.lit(1)).alias("__n"),
         )
+        # pinned read (the applied_version contract): a commit landing
+        # after the latest_version() capture must not leak into this
+        # refresh — its rows arrive via the NEXT change feed.
         rebuilt = (
-            self.table(src)
-            .join(F.broadcast(destructive), on=seg, how="left_semi")
+            self.table(src, version=latest)
+            .join(F.broadcast(dst), null_safe("__d_"), "left_semi")
             .groupBy(*seg)
             .agg(
                 F.hll_sketch_agg(key_col, F.lit(lgk)).alias("sketch"),
@@ -1474,10 +1494,16 @@ class Engine:
         spec = self.specs[rollup_name]
         with self._lock(rollup_name):
             cur = self.table(rollup_name).join(
-                F.broadcast(destructive), on=seg, how="left_anti"
+                F.broadcast(dst), null_safe("__d_"), "left_anti"
             )
-            merged = cur.join(ins_sk, on=seg, how="full_outer").select(
-                *seg,
+            ins2 = ins_sk.select(
+                *[F.col(c).alias(f"__i_{c}") for c in seg], "__sk", "__n"
+            )
+            merged = cur.join(ins2, null_safe("__i_"), "full_outer").select(
+                *[
+                    F.coalesce(F.col(c), F.col(f"__i_{c}")).alias(c)
+                    for c in seg
+                ],
                 F.when(F.col("sketch").isNull(), F.col("__sk"))
                 .when(F.col("__sk").isNull(), F.col("sketch"))
                 .otherwise(F.hll_union("sketch", "__sk"))

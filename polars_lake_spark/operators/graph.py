@@ -120,11 +120,27 @@ def _two_star_components(
             f"two_star did not converge within {max_iter} rounds"
         )
     # fixpoint: stars (child > root). Roots only ever appear as b.
+    # Vertices whose ONLY edges were self-loops vanished at the a > b
+    # canonicalization — re-emit them as their own singleton components
+    # (label_prop and the local union-find both keep them).
+    singletons = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .join(
+            cur.select(F.col("a").alias("id"))
+            .union(cur.select(F.col("b").alias("id")))
+            .distinct(),
+            "id",
+            "left_anti",
+        )
+        .select("id", F.col("id").alias("component"))
+    )
     labels = (
         cur.select(F.col("a").alias("id"), F.col("b").alias("component"))
         .union(
             cur.select(F.col("b").alias("id"), F.col("b").alias("component"))
         )
+        .union(singletons)
         .distinct()
     )
     # (checkpoint blocks from intermediate rounds are released by the

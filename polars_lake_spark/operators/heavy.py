@@ -35,8 +35,9 @@ from polars_lake_spark.functions.text import words
 def _token_arrays(df: DataFrame, text_col: str) -> DataFrame:
     """One array column of normalized non-empty tokens — tokenization
     stays JVM-side (shared with every other text operator) so the pandas
-    stage only counts."""
-    return df.select(
+    stage only counts. NULL text yields no row (words(NULL) is NULL,
+    which the pandas fold would choke on)."""
+    return df.filter(F.col(text_col).isNotNull()).select(
         F.filter(words(F.col(text_col)), lambda w: w != "").alias("toks")
     )
 
@@ -268,7 +269,11 @@ class HeavyHittersIndex:
                 "subtracted": mk["cnt"],
                 "replayed": True,
             }
-        sk = mg_sketch_partitions(batch, text_col, self.capacity)
+        # One evaluation of the (dominant-cost) batch fold: the sketch is
+        # read three times below — marker aggregate, trim collect, and the
+        # final overwrite — and the trim's cut must describe the SAME
+        # counts that get written.
+        sk = mg_sketch_partitions(batch, text_col, self.capacity).localCheckpoint()
         b_items = sk.filter(F.col("token").isNotNull()).select("token", "cnt")
         b_meta = (
             sk.filter(F.col("token").isNull())

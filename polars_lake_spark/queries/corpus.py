@@ -624,30 +624,14 @@ def token_heavy_hitters(spark, sf_dir):
     return heavy_hitters_exact_topk(docs, "text", k=50, capacity=4096)
 
 
-@register(
-    "heavy_hitters_check",
-    oracle=f"""
-    WITH toks AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w
-                  FROM documents),
-    t AS (SELECT w, COUNT(*) AS c FROM toks WHERE w <> '' GROUP BY w),
-    tot AS (SELECT SUM(c) AS n FROM t)
-    SELECT (SELECT COUNT(*) FROM t, tot WHERE c * 64 > n) AS tokens_checked,
-           CAST(0 AS BIGINT) AS violations
-    """,
-)
-def heavy_hitters_check(spark, sf_dir):
-    """Misra-Gries guarantee companion (same pattern as
-    approx_distinct_check): with capacity m=64 — small enough that trims
-    actually fire at gate SF — every token with true count > n/m must
-    appear in the merged sketch, no estimate may exceed its true count,
-    and no estimate may undercount by more than n/m. One summary row;
-    the oracle derives tokens_checked from the data and pins
-    violations=0. All threshold comparisons are integer (c*m > n), so
-    there is no float boundary to flap."""
-    from polars_lake_spark.operators.heavy import heavy_hitters
-
-    capacity = 64
-    docs = load_table(spark, sf_dir, "documents")
+def _mg_guarantee_summary(docs, sk, capacity):
+    """Shared MG-contract check (ONE definition — both oracled gates
+    below must enforce the identical bound): given a merged sketch
+    ``sk`` (token, est_count), emit the one-row
+    (tokens_checked, violations) summary vs exact counts. Violations:
+    a token with true count > n/m missing; any overcount; any
+    undercount beyond n/m. Integer thresholds (c*m > n) — no float
+    boundary to flap."""
     toks = docs.select(
         F.explode(F.filter(TX.words(F.col("text")), lambda w: w != "")).alias(
             "token"
@@ -655,7 +639,6 @@ def heavy_hitters_check(spark, sf_dir):
     )
     exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     tot = exact.agg(F.sum("c").alias("n"))
-    sk = heavy_hitters(docs, "text", capacity=capacity)
     j = exact.join(sk, "token", "left").crossJoin(F.broadcast(tot))
     guaranteed = F.col("c") * capacity > F.col("n")
     viol = (
@@ -674,6 +657,30 @@ def heavy_hitters_check(spark, sf_dir):
         ).cast("bigint").alias("tokens_checked"),
         F.coalesce(F.sum(viol), F.lit(0)).cast("bigint").alias("violations"),
     )
+
+
+@register(
+    "heavy_hitters_check",
+    oracle=f"""
+    WITH toks AS (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w
+                  FROM documents),
+    t AS (SELECT w, COUNT(*) AS c FROM toks WHERE w <> '' GROUP BY w),
+    tot AS (SELECT SUM(c) AS n FROM t)
+    SELECT (SELECT COUNT(*) FROM t, tot WHERE c * 64 > n) AS tokens_checked,
+           CAST(0 AS BIGINT) AS violations
+    """,
+)
+def heavy_hitters_check(spark, sf_dir):
+    """Misra-Gries guarantee companion (same pattern as
+    approx_distinct_check): with capacity m=64 — small enough that trims
+    actually fire at gate SF — the one-row MG-contract summary
+    (_mg_guarantee_summary) over the one-shot merged sketch."""
+    from polars_lake_spark.operators.heavy import heavy_hitters
+
+    capacity = 64
+    docs = load_table(spark, sf_dir, "documents")
+    sk = heavy_hitters(docs, "text", capacity=capacity)
+    return _mg_guarantee_summary(docs, sk, capacity)
 
 
 @register(
@@ -713,28 +720,4 @@ def heavy_hitters_incremental_check(spark, sf_dir):
     merged = merged_items.groupBy("token").agg(F.sum("cnt").alias("cnt"))
     trimmed, _ = mg_global_trim(merged, capacity)
     sk = trimmed.withColumnRenamed("cnt", "est_count")
-    toks = docs.select(
-        F.explode(F.filter(TX.words(F.col("text")), lambda w: w != "")).alias(
-            "token"
-        )
-    )
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    tot = exact.agg(F.sum("c").alias("n"))
-    j = exact.join(sk, "token", "left").crossJoin(F.broadcast(tot))
-    guaranteed = F.col("c") * capacity > F.col("n")
-    viol = (
-        F.when(guaranteed & F.col("est_count").isNull(), 1)
-        .when(F.col("est_count") > F.col("c"), 1)
-        .when(
-            F.col("est_count").isNotNull()
-            & ((F.col("c") - F.col("est_count")) * capacity > F.col("n")),
-            1,
-        )
-        .otherwise(0)
-    )
-    return j.agg(
-        F.coalesce(
-            F.sum(F.when(guaranteed, 1).otherwise(0)), F.lit(0)
-        ).cast("bigint").alias("tokens_checked"),
-        F.coalesce(F.sum(viol), F.lit(0)).cast("bigint").alias("violations"),
-    )
+    return _mg_guarantee_summary(docs, sk, capacity)

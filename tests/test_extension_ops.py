@@ -202,3 +202,24 @@ def test_two_star_matches_label_prop_distributed(spark):
     }
     assert a == b
     assert {(40, 40), (41, 40), (32, 30)} <= a
+
+
+def test_two_star_keeps_self_loop_only_vertices(spark):
+    """A vertex whose only pair is a self-loop must appear as its own
+    singleton component under EVERY strategy (they all agree)."""
+    from polars_lake_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(7, 7), (1, 2)], "d1 long, d2 long"
+    )
+    want = {(7, 7), (1, 1), (2, 1)}
+    for kw in (
+        dict(),  # local union-find path
+        dict(local_threshold=0, algorithm="label_prop"),
+        dict(local_threshold=0, algorithm="two_star"),
+    ):
+        got = {
+            (r.id, r.component)
+            for r in connected_components(edges, **kw).collect()
+        }
+        assert got == want, kw

@@ -241,3 +241,17 @@ def test_mg_sketch_keys_properties(spark, vals, parts, cap):
     for tok, c in true.items():
         if c > sub:
             assert tok in est
+
+
+def test_null_text_rows_are_skipped(spark):
+    """A NULL text row must not crash the sketch fold (words(NULL) is
+    NULL); it simply contributes no tokens — both passes of the exact
+    top-k then agree on input tolerance."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, None), (3, "alpha")],
+        "doc_id long, text string",
+    )
+    est = {r.token: r.est_count for r in heavy_hitters(df, "text", 8).collect()}
+    assert est == {"alpha": 3, "beta": 1}
+    got = [(r.token, r.cnt) for r in heavy_hitters_exact_topk(df, "text", k=2, capacity=8).collect()]
+    assert got == [("alpha", 3), ("beta", 1)]

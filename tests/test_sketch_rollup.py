@@ -95,3 +95,28 @@ def test_rollup_segment_moving_update_rebuilds_both(engine, spark):
     b = engine.approx_distinct_over("ev_sk", "seg = 'b'").head()
     assert a.rows == 10 and abs(a.approx_distinct - 10) <= 2
     assert b.rows == 30 and abs(b.approx_distinct - 30) <= 3
+
+
+def test_rollup_null_segment_is_first_class(engine, spark):
+    """NULL is a legal segment value: its sketch row exists, appends fold
+    into it, and a delete in the NULL segment rebuilds it (null-safe
+    joins throughout)."""
+    rows = [(0, None, 1), (1, None, 2), (2, "a", 3)]
+    src = spark.createDataFrame(rows, "id long, seg string, user long")
+    engine.create_table("ev", src, keys=["id"], versioned=True)
+    engine.create_sketch_rollup("ev_sk", "ev", ["seg"], "user")
+    row = engine.approx_distinct_over("ev_sk", "seg IS NULL").head()
+    assert row.rows == 2 and row.approx_distinct == 2
+    # append into the NULL segment (non-destructive path)
+    engine.insert(
+        "ev", spark.createDataFrame([(10, None, 9)], "id long, seg string, user long")
+    )
+    engine.refresh_sketch_rollup("ev_sk")
+    row = engine.approx_distinct_over("ev_sk", "seg IS NULL").head()
+    assert row.rows == 3 and row.approx_distinct == 3
+    assert engine.table("ev_sk").filter("seg IS NULL").count() == 1  # no dup row
+    # delete from the NULL segment (destructive rebuild path)
+    engine.delete("ev", spark.createDataFrame([(0,), (1,)], "id long"))
+    engine.refresh_sketch_rollup("ev_sk")
+    row = engine.approx_distinct_over("ev_sk", "seg IS NULL").head()
+    assert row.rows == 1 and row.approx_distinct == 1
