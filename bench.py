@@ -81,6 +81,10 @@ HEADLINE = [
     # windows (EWMA fold / trailing z-score).
     "skew_hot_keys",
     "events_ewma",
+    # r5 additions: incremental winnow probe + the HLL sketch-rollup
+    # engine lifecycle (create -> append -> incremental refresh).
+    "dedup_incremental_winnow",
+    "sketch_rollup_lifecycle",
 ]
 
 

@@ -98,9 +98,9 @@ CHECK_PRIORITY: list[str] = [
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
+    # ------ 50-slot window boundary falls here (20 + 18 + 12) ---------
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    # ------ 50-slot window boundary falls here (18 + 18 + 14) ---------
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
