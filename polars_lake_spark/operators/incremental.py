@@ -446,24 +446,34 @@ class WinnowIndex:
     def _t_meta(self) -> str:
         return f"{self.name}_wn_meta"
 
-    def _entries(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    def _entries(
+        self, docs: DataFrame, id_col: str, text_col: str
+    ) -> tuple[DataFrame, DataFrame]:
+        """(persisted_fps, entries): fps is persisted BEFORE the explode —
+        Catalyst collapses a single-reference projection into Generate's
+        input, re-evaluating the HOF-heavy fingerprint expression per
+        emitted element (measured 25x in winnow_match_pairs; a 22 s bench
+        entry here before the persist). Callers unpersist fps once the
+        entries are materialized (same contract as prepare_docs)."""
+        from pyspark.storagelevel import StorageLevel
+
         from polars_lake_spark.operators.winnow import winnow_fingerprints
 
         fps = winnow_fingerprints(
             docs, id_col, text_col, self.k, self.w, self.gram_hash
-        )
-        return fps.select("id", F.explode("fps").alias("fp")).withColumn(
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        entries = fps.select("id", F.explode("fps").alias("fp")).withColumn(
             "fpb", F.pmod(F.col("fp"), F.lit(self.N_FPB))
         )
+        return fps, entries
 
     def create(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> None:
         eng = self.engine
-        eng.create_table(
-            self._t_fps, self._entries(docs, id_col, text_col),
-            partition_by=["fpb"],
-        )
+        fps, entries = self._entries(docs, id_col, text_col)
+        eng.create_table(self._t_fps, entries, partition_by=["fpb"])
+        fps.unpersist()
         meta = eng.spark.createDataFrame(
             [(self.k, self.w, self.min_shared, self.max_bucket, self.gram_hash)],
             "k int, w int, min_shared int, max_bucket int, gram_hash string",
@@ -491,9 +501,9 @@ class WinnowIndex:
         idx = eng.table(self._t_fps).join(
             F.broadcast(all_ids), "id", "left_anti"
         )
-        bent = self._entries(batch, id_col, text_col).localCheckpoint(
-            eager=True
-        )
+        bfps, bent_raw = self._entries(batch, id_col, text_col)
+        bent = bent_raw.localCheckpoint(eager=True)
+        bfps.unpersist()
         pairs = incremental_winnow_pairs(
             bent, idx, self.min_shared, self.max_bucket
         ).localCheckpoint()

@@ -844,9 +844,15 @@ def dedup_incremental_winnow(spark, sf_dir):
     batch = docs.filter(F.col("doc_id") % 5 == 0)
 
     def entries(d):
+        from pyspark.storagelevel import StorageLevel
+
+        # persist before the explode — otherwise Generate re-evaluates the
+        # HOF fingerprint chain per emitted element (the repo-wide
+        # recompute class; measured 25x in winnow_match_pairs, and a 22 s
+        # bench entry here before this persist)
         fps = W.winnow_fingerprints(
             d, "doc_id", "text", _WINNOW_K, _WINNOW_W, gram_hash="md5"
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         return fps.select("id", F.explode("fps").alias("fp"))
 
     pairs = INC.incremental_winnow_pairs(
