@@ -520,3 +520,26 @@ class WinnowIndex:
         )
         eng.insert(self._t_fps, bent.join(novel, "id"))
         return {"pairs": pairs, "novel": novel}
+
+    def compact(self) -> None:
+        """One file per fpb dir — every add_batch appends small files and
+        probe cost is file-count-bound long before it is byte-bound (same
+        cadence as MinHashIndex.compact)."""
+        self.engine.compact(self._t_fps)
+
+    def stats(self) -> dict:
+        """{'docs', 'entries', 'max_bucket'} — max_bucket is the
+        boilerplate signal: a fingerprint shared by many docs multiplies
+        every probe that touches it."""
+        e = self.engine.table(self._t_fps)
+        top = (
+            e.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .head()
+        )
+        return {
+            "docs": e.select("id").distinct().count(),
+            "entries": e.count(),
+            "max_bucket": top["mx"] if top and top["mx"] is not None else 0,
+        }

@@ -144,3 +144,67 @@ def pack_sequences(
         .cast("bigint")
         .alias("pack_id"),
     )
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    id_col: str,
+    token_col,
+    budget: int,
+    n_shards: int = 4,
+) -> DataFrame:
+    """First-fit-decreasing bin packing per shard: every document lands
+    WHOLE in exactly one pack of capacity ``budget`` — the no-straddle
+    regime that minimizes pad waste when examples must not cross pack
+    boundaries (instruction tuning, short-context evals). Documents
+    longer than ``budget`` get a pack of their own (truncation is the
+    caller's policy).
+
+    Guarantees: no multi-doc pack exceeds budget; FFD uses at most
+    11/9·OPT + 1 packs per shard (Dosa's tight bound). Deterministic:
+    docs sort (tokens DESC, id ASC) within their ``id % n_shards`` shard,
+    so the assignment is identical across reruns and layouts.
+
+    Scale shape: one shuffle on shard; packing is sequential WITHIN a
+    shard (applyInPandas), so shard count is the parallelism dial and
+    per-shard size the memory bound — shard by (day, source, hash) at
+    100 TB so each group stays executor-sized."""
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    base = df.select(
+        F.col(id_col).alias("id"), shard, token_col.cast("long").alias("tokens")
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["tokens", "id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        remaining: list = []  # per-pack remaining capacity
+        assignment = []
+        for t in pdf["tokens"]:
+            t = int(t)
+            placed = -1
+            if t < budget:
+                for bi, room in enumerate(remaining):
+                    if room >= t:
+                        placed = bi
+                        break
+            if placed < 0:
+                remaining.append(max(budget - t, 0))
+                placed = len(remaining) - 1
+            else:
+                remaining[placed] -= t
+            assignment.append(placed)
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "shard": pdf["shard"],
+                "tokens": pdf["tokens"],
+                "pack_id": assignment,
+            }
+        )
+
+    return base.groupBy("shard").applyInPandas(
+        pack, "id long, shard long, tokens long, pack_id long"
+    ).withColumnRenamed("id", id_col)

@@ -51,6 +51,7 @@ CHECK_PRIORITY: list[str] = [
     "events_anomaly_zscore",
     "sketch_rollup_lifecycle",
     "dedup_incremental_winnow",
+    "pack_sequences_ffd_check",
     # -- NEW r5: incremental dedup + winnowing -------------------------
     "dedup_incremental_minhash",
     "dedup_substring_winnow",

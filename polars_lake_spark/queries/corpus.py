@@ -721,3 +721,51 @@ def heavy_hitters_incremental_check(spark, sf_dir):
     trimmed, _ = mg_global_trim(merged, capacity)
     sk = trimmed.withColumnRenamed("cnt", "est_count")
     return _mg_guarantee_summary(docs, sk, capacity)
+
+
+@register(
+    "pack_sequences_ffd_check",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS docs_packed,
+           CAST(0 AS BIGINT) AS violations
+    FROM documents
+    """,
+)
+def pack_sequences_ffd_check(spark, sf_dir):
+    """First-fit-decreasing packing contract (rows-only assignments are
+    engine-replayable but not SQL-replayable, so the gate checks the
+    GUARANTEES): every document packed exactly once, no multi-doc pack
+    over budget, and per-shard pack count within FFD's 11/9·OPT + 1
+    bound (OPT lower-bounded by ceil(capped token mass / budget)).
+    One summary row; the oracle derives docs_packed and pins
+    violations=0."""
+    from polars_lake_spark.operators.sampling import pack_sequences_ffd
+
+    budget = 512
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences_ffd(
+        docs, "doc_id", TX.ws_token_count(F.col("text")), budget=budget,
+        n_shards=4,
+    )
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tokens").alias("total")
+    )
+    over = per_pack.filter(
+        (F.col("n_docs") > 1) & (F.col("total") > budget)
+    ).count()
+    per_shard = packed.groupBy("shard").agg(
+        F.countDistinct("pack_id").alias("packs"),
+        F.ceil(
+            F.sum(F.least(F.col("tokens"), F.lit(budget))) / budget
+        ).alias("opt_lb"),
+    )
+    bound = per_shard.filter(
+        F.col("packs") > F.floor(F.col("opt_lb") * 11 / 9) + 1
+    ).count()
+    dup = packed.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    return packed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_packed"),
+        (F.lit(over) + F.lit(bound) + F.lit(dup)).cast("bigint").alias(
+            "violations"
+        ),
+    )

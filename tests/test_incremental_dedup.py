@@ -423,3 +423,15 @@ def test_stream_dedup_ingest_winnow(engine, spark, tmp_path):
     assert got == {1, 2, 3, 11, 13}
     idx_ids = {r.id for r in engine.table("wstream_idx_wn_fps").collect()}
     assert idx_ids == {1, 2, 3, 11}
+
+
+def test_winnow_index_compact_and_stats(engine, spark):
+    idx = INC.WinnowIndex(engine, "wn_ls", k=8, w=6)
+    idx.create(_docs(spark, WBASE))
+    idx.add_batch(_docs(spark, [W_NOVEL]))
+    s = idx.stats()
+    assert s["docs"] == 4 and s["entries"] > 0 and s["max_bucket"] >= 1
+    before = {r.id for r in engine.table("wn_ls_wn_fps").collect()}
+    idx.compact()
+    after = {r.id for r in engine.table("wn_ls_wn_fps").collect()}
+    assert before == after

@@ -197,3 +197,60 @@ def test_write_training_shards_max_records_per_file(spark, sf_dir, tmp_path):
         for f in fs:
             cnt = spark.read.parquet(f"{out}/shard_id={sid}/{f}").count()
             assert cnt <= 50
+
+
+def test_pack_sequences_ffd_matches_model(spark):
+    """FFD assignment equals the Python model exactly (incl. oversize and
+    budget-exact docs) and is identical under repartitioning."""
+    from polars_lake_spark.operators.sampling import pack_sequences_ffd
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate([700, 512, 300, 300, 200, 120, 90, 60, 30, 10, 5, 1])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens long")
+
+    def model(items, budget):
+        items = sorted(items, key=lambda r: (-r[1], r[0]))
+        rem, out = [], {}
+        for i, t in items:
+            placed = -1
+            if t < budget:
+                for bi, room in enumerate(rem):
+                    if room >= t:
+                        placed = bi
+                        break
+            if placed < 0:
+                rem.append(max(budget - t, 0))
+                placed = len(rem) - 1
+            else:
+                rem[placed] -= t
+            out[i] = placed
+        return out
+
+    budget, shards = 512, 2
+    got = {
+        r.doc_id: (r.shard, r.pack_id)
+        for r in pack_sequences_ffd(
+            df, "doc_id", F.col("tokens"), budget, n_shards=shards
+        ).collect()
+    }
+    want = {}
+    for s in range(shards):
+        items = [(i, t) for i, t in rows if i % shards == s]
+        for i, p in model(items, budget).items():
+            want[i] = (s, p)
+    assert got == want
+    got2 = {
+        r.doc_id: (r.shard, r.pack_id)
+        for r in pack_sequences_ffd(
+            df.repartition(7), "doc_id", F.col("tokens"), budget, n_shards=shards
+        ).collect()
+    }
+    assert got2 == got
+    # no multi-doc pack over budget
+    from collections import defaultdict
+    totals = defaultdict(list)
+    for i, t in rows:
+        totals[got[i]].append(t)
+    for pack, ts in totals.items():
+        if len(ts) > 1:
+            assert sum(ts) <= budget, (pack, ts)
