@@ -292,3 +292,37 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "cid", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+def truncate_normalize(df, id_col: str, vec_col: str, dim: int):
+    """Matryoshka-style truncation: keep the first ``dim`` components and
+    re-normalize to unit length — the cheap-tier embedding for coarse
+    retrieval/clustering when the model was MRL-trained (prefixes remain
+    meaningful). Pure map-side expressions; the squared-norm fold runs
+    left-to-right so both engines produce bit-identical doubles.
+    Zero-norm prefixes stay all-zero (no NaN division)."""
+    v = F.slice(as_double(F.col(vec_col)), 1, dim)
+    from polars_lake_spark.operators.dedup import let_bound
+
+    def build(sl):
+        # nested let: the norm is referenced per element in the division,
+        # so bind it too (else the O(dim) fold re-runs per element)
+        def with_norm(nrm):
+            return F.struct(
+                F.when(
+                    nrm > 0, F.transform(sl, lambda x: x / nrm)
+                ).otherwise(sl).alias("tvec"),
+                nrm.alias("norm"),
+            )
+
+        return let_bound(
+            F.sqrt(F.aggregate(sl, F.lit(0.0), lambda acc, x: acc + x * x)),
+            with_norm,
+        )
+
+    built = let_bound(v, build)
+    return df.select(
+        F.col(id_col),
+        built["tvec"].alias("tvec"),
+        built["norm"].alias("norm"),
+    )

@@ -52,6 +52,8 @@ CHECK_PRIORITY: list[str] = [
     "sketch_rollup_lifecycle",
     "dedup_incremental_winnow",
     "pack_sequences_ffd_check",
+    "embedding_truncate",
+    "events_top_paths",
     # -- NEW r5: incremental dedup + winnowing -------------------------
     "dedup_incremental_minhash",
     "dedup_substring_winnow",

@@ -863,3 +863,103 @@ def dedup_incremental_winnow(spark, sf_dir):
         F.greatest("d1", "d2").alias("d2"),
         F.col("n_shared").cast("bigint").alias("n_shared"),
     )
+
+
+@register(
+    "embedding_truncate",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id, v[1:16] AS sl FROM e),
+    n AS (SELECT vec_id, sl,
+                 sqrt(list_sum(list_transform(sl, x -> x * x))) AS nrm
+          FROM s)
+    SELECT vec_id, ROUND(nrm, 6) AS norm,
+           ARRAY_TO_STRING(list_transform(
+               CASE WHEN nrm > 0
+                    THEN list_transform(sl, x -> x / nrm) ELSE sl END,
+               x -> CAST(ROUND(x * 1000000) AS BIGINT)), ',') AS tvec16
+    FROM n
+    """,
+)
+def embedding_truncate(spark, sf_dir):
+    """Matryoshka truncation to the 16-dim prefix + re-normalization
+    (operators/similarity.py:truncate_normalize) — the cheap-tier vector
+    for coarse retrieval when embeddings are MRL-trained. Elements
+    rounded to 6dp and serialized so the hash compare is exact; the
+    squared-norm fold is left-to-right in both engines, so the doubles
+    match bit-for-bit before rounding."""
+    from polars_lake_spark.operators.similarity import truncate_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = truncate_normalize(emb, "vec_id", "embedding", 16)
+    # elements serialize as round(x*1e6) INTEGERS: a float join would
+    # hit Spark-vs-DuckDB formatting differences (1e-4 prints as
+    # "-7.81E-4" vs "-0.000781") even when the values are identical
+    return t.select(
+        "vec_id",
+        F.round("norm", 6).alias("norm"),
+        F.array_join(
+            F.transform(
+                "tvec", lambda x: F.round(x * 1_000_000).cast("long")
+            ),
+            ",",
+        ).alias("tvec16"),
+    )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               list(event_type ORDER BY ts, event_id) AS types
+        FROM events WHERE user_id < 500 GROUP BY user_id
+    ),
+    tri AS (
+        SELECT unnest(list_transform(range(1, len(types) - 1),
+                   i -> types[i] || '>' || types[i+1] || '>' || types[i+2]))
+                   AS path
+        FROM seq WHERE len(types) >= 3
+    )
+    SELECT path, COUNT(*) AS n FROM tri
+    GROUP BY path ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def events_top_paths(spark, sf_dir):
+    """Path analysis: the 20 most common 3-step event journeys
+    (view>click>purchase style), from per-user time-ordered sequences.
+    One shuffle on user_id builds the ordered sequence; trigram
+    explosion is map-side; the final count groups on a key set bounded
+    by |event_types|^3. Deterministic total order (n DESC, path)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 500)
+    seq = e.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("types")
+    )
+    tri = (
+        seq.filter(F.size("types") >= 3)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("types") - 2),
+                    lambda i: F.concat_ws(
+                        ">",
+                        F.element_at(F.col("types"), i),
+                        F.element_at(F.col("types"), i + 1),
+                        F.element_at(F.col("types"), i + 2),
+                    ),
+                )
+            ).alias("path")
+        )
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )
