@@ -30,11 +30,10 @@ REGISTRY: dict[str, Query] = {}
 # lead, so nothing new can ship unverified:
 #   after r4, every query has green evidence; the oldest is 18 r2-greens
 #   (deferred twice by the 50-slot budget) then 50 r3-greens.
-#   r5 window (50) = 15 new-or-changed-this-round + the 18 r2-greens +
-#   the first 17 r3-greens (r3 gate order).  The r3-greens past the
-#   boundary lead r6; 6 of them slipped out when the late-r5 sketch/CC
-#   queries took their slots (new queries always lead — nothing ships
-#   unverified, at the cost of those 6 carrying 3-round-old driver
+#   r5 window (50) = 23 NEW-this-round + 9 changed-this-round + the 18
+#   r2-greens — the late-r5 additions consumed every r3-green slot, so
+#   the whole r3 block leads r6 (new queries always lead; nothing ships
+#   unverified, at the cost of the r3-greens carrying 3-round-old driver
 #   evidence until r6).  Every deferred query is still verified every
 #   session by tests/test_oracle_parity.py (local mirror of the gate
 #   over all oracled queries).
@@ -97,11 +96,13 @@ CHECK_PRIORITY: list[str] = [
     "top_customers",
     "semi_join_suppliers",
     "anti_join_parts",
+    # ------ 50-slot window boundary falls here (23 + 18 + 9... the
+    # late-r5 additions consumed every r3-green slot; the r3 block
+    # below leads r6) --------------------------------------------------
     # -- green in r03; evidence 2 rounds old (r3 gate order) -----------
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
-    # ------ 50-slot window boundary falls here (20 + 18 + 12) ---------
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
