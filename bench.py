@@ -267,6 +267,9 @@ def dedup_amortized_setup(spark, sf_dir: str):
         batch = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 5 == 0
         )
+        # bsh stays persisted through the lazy plan (it feeds the exact
+        # verification join at execution time); the per-entry clearCache
+        # hygiene in the timing loop releases it after the measurement
         bsh, bent = prepare_docs(batch, "doc_id", "text")
         return incremental_minhash_pairs(
             bsh, bent, engine.table("bench_mh_mh_entries"),
@@ -283,9 +286,11 @@ def dedup_amortized_setup(spark, sf_dir: str):
         )
         # checkpoint: the probe consumes the batch entries four times
         # (touched set, guard sizes, guard anti, cross) — one
-        # materialization instead of four (still inside the timed region)
-        _, bent = wn._entries(batch, "doc_id", "text")
+        # materialization instead of four (still inside the timed region);
+        # the fps cache is released immediately after (caller contract)
+        fps, bent = wn._entries(batch, "doc_id", "text")
         bent = bent.localCheckpoint(eager=True)
+        fps.unpersist()
         return incremental_winnow_pairs(
             bent, engine.table("bench_wn_wn_fps"), min_shared=2, max_bucket=50
         )

@@ -39,6 +39,7 @@ __all__ = [
     "prepare_docs",  # re-exported from dedup (single definition)
     "incremental_minhash_pairs",
     "incremental_winnow_pairs",
+    "winnow_entries",
     "batch_survivors",
     "MinHashIndex",
     "WinnowIndex",
@@ -339,6 +340,38 @@ class MinHashIndex:
         }
 
 
+def winnow_entries(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    w: int,
+    gram_hash: str = "xxhash64",
+    n_fpb: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(persisted_fps, exploded (id, fp[, fpb]) entries) — the ONE home
+    of the persist-before-explode workaround: Catalyst collapses a
+    single-reference projection into Generate's input, re-evaluating the
+    HOF-heavy fingerprint expression per emitted element (measured 25x
+    in winnow_match_pairs; a 22 s bench entry before the persist).
+    Callers that materialize the entries should unpersist fps; lazy
+    registry-query callers accept the session-lifetime cache (the
+    prepare_docs contract)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from polars_lake_spark.operators.winnow import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs, id_col, text_col, k, w, gram_hash).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    entries = fps.select("id", F.explode("fps").alias("fp"))
+    if n_fpb is not None:
+        entries = entries.withColumn(
+            "fpb", F.pmod(F.col("fp"), F.lit(n_fpb))
+        )
+    return fps, entries
+
+
 def incremental_winnow_pairs(
     batch_entries: DataFrame,
     index_entries: DataFrame,
@@ -449,23 +482,13 @@ class WinnowIndex:
     def _entries(
         self, docs: DataFrame, id_col: str, text_col: str
     ) -> tuple[DataFrame, DataFrame]:
-        """(persisted_fps, entries): fps is persisted BEFORE the explode —
-        Catalyst collapses a single-reference projection into Generate's
-        input, re-evaluating the HOF-heavy fingerprint expression per
-        emitted element (measured 25x in winnow_match_pairs; a 22 s bench
-        entry here before the persist). Callers unpersist fps once the
-        entries are materialized (same contract as prepare_docs)."""
-        from pyspark.storagelevel import StorageLevel
-
-        from polars_lake_spark.operators.winnow import winnow_fingerprints
-
-        fps = winnow_fingerprints(
-            docs, id_col, text_col, self.k, self.w, self.gram_hash
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        entries = fps.select("id", F.explode("fps").alias("fp")).withColumn(
-            "fpb", F.pmod(F.col("fp"), F.lit(self.N_FPB))
+        """Delegates to the shared ``winnow_entries`` (single home of the
+        persist-before-explode workaround); callers unpersist fps once
+        the entries are materialized."""
+        return winnow_entries(
+            docs, id_col, text_col, self.k, self.w, self.gram_hash,
+            n_fpb=self.N_FPB,
         )
-        return fps, entries
 
     def create(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"

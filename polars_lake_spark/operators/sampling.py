@@ -170,8 +170,15 @@ def pack_sequences_ffd(
     per-shard size the memory bound — shard by (day, source, hash) at
     100 TB so each group stays executor-sized."""
     shard = (F.col(id_col) % n_shards).alias("shard")
+    # NULL/negative token counts (NULL text upstream: size(NULL) = -1)
+    # are clamped to 0 — the doc still packs (zero-width), and the pandas
+    # fold never sees NaN (nullable long would arrive as float64).
     base = df.select(
-        F.col(id_col).alias("id"), shard, token_col.cast("long").alias("tokens")
+        F.col(id_col).alias("id"),
+        shard,
+        F.greatest(
+            F.coalesce(token_col.cast("long"), F.lit(0)), F.lit(0)
+        ).alias("tokens"),
     )
 
     def pack(pdf):

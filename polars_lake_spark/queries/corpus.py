@@ -735,8 +735,11 @@ def pack_sequences_ffd_check(spark, sf_dir):
     """First-fit-decreasing packing contract (rows-only assignments are
     engine-replayable but not SQL-replayable, so the gate checks the
     GUARANTEES): every document packed exactly once, no multi-doc pack
-    over budget, and per-shard pack count within FFD's 11/9·OPT + 1
-    bound (OPT lower-bounded by ceil(capped token mass / budget)).
+    over budget, and per shard AT MOST ONE pack at or below half
+    capacity — the classic first-fit invariant (two half-empty packs
+    p < q contradict FFD: q's opening item, itself <= budget/2, would
+    have fit p). Unlike a bound against an OPT *lower bound* — which a
+    provably-optimal packing can exceed — this holds for every FFD run.
     One summary row; the oracle derives docs_packed and pins
     violations=0."""
     from polars_lake_spark.operators.sampling import pack_sequences_ffd
@@ -746,22 +749,17 @@ def pack_sequences_ffd_check(spark, sf_dir):
     packed = pack_sequences_ffd(
         docs, "doc_id", TX.ws_token_count(F.col("text")), budget=budget,
         n_shards=4,
-    )
+    ).localCheckpoint()  # consumed by four actions below — pack once
     per_pack = packed.groupBy("shard", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("tokens").alias("total")
-    )
+    ).localCheckpoint()
     over = per_pack.filter(
         (F.col("n_docs") > 1) & (F.col("total") > budget)
     ).count()
-    per_shard = packed.groupBy("shard").agg(
-        F.countDistinct("pack_id").alias("packs"),
-        F.ceil(
-            F.sum(F.least(F.col("tokens"), F.lit(budget))) / budget
-        ).alias("opt_lb"),
-    )
-    bound = per_shard.filter(
-        F.col("packs") > F.floor(F.col("opt_lb") * 11 / 9) + 1
+    half_empty = per_pack.filter(F.col("total") * 2 <= budget).groupBy(
+        "shard"
     ).count()
+    bound = half_empty.filter(F.col("count") > 1).count()
     dup = packed.groupBy("doc_id").count().filter(F.col("count") > 1).count()
     return packed.agg(
         F.count(F.lit(1)).cast("bigint").alias("docs_packed"),

@@ -844,16 +844,12 @@ def dedup_incremental_winnow(spark, sf_dir):
     batch = docs.filter(F.col("doc_id") % 5 == 0)
 
     def entries(d):
-        from pyspark.storagelevel import StorageLevel
-
-        # persist before the explode — otherwise Generate re-evaluates the
-        # HOF fingerprint chain per emitted element (the repo-wide
-        # recompute class; measured 25x in winnow_match_pairs, and a 22 s
-        # bench entry here before this persist)
-        fps = W.winnow_fingerprints(
+        # winnow_entries = the shared persist-before-explode home; the
+        # session-lifetime cache is the accepted lazy-query tradeoff
+        # (prepare_docs contract)
+        return INC.winnow_entries(
             d, "doc_id", "text", _WINNOW_K, _WINNOW_W, gram_hash="md5"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        return fps.select("id", F.explode("fps").alias("fp"))
+        )[1]
 
     pairs = INC.incremental_winnow_pairs(
         entries(batch), entries(corpus), min_shared=2, max_bucket=50

@@ -254,3 +254,26 @@ def test_pack_sequences_ffd_matches_model(spark):
     for pack, ts in totals.items():
         if len(ts) > 1:
             assert sum(ts) <= budget, (pack, ts)
+
+
+def test_pack_sequences_ffd_null_and_negative_tokens(spark):
+    """NULL / negative token counts (size(NULL) = -1 upstream) clamp to
+    zero-width docs: they pack without crashing the fold or inflating a
+    pack's capacity."""
+    from polars_lake_spark.operators.sampling import pack_sequences_ffd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 100), (1, None), (2, -1), (3, 500)],
+        "doc_id long, tokens long",
+    )
+    got = {
+        r.doc_id: (r.tokens, r.shard, r.pack_id)
+        for r in pack_sequences_ffd(
+            df, "doc_id", F.col("tokens"), budget=512, n_shards=1
+        ).collect()
+    }
+    assert len(got) == 4
+    assert got[1][0] == 0 and got[2][0] == 0  # clamped
+    # capacity accounting intact: 500 and 100 cannot share a pack
+    assert got[0][2] != got[3][2]
