@@ -215,3 +215,43 @@ def pmi_bigrams(df, id_col: str, text_col: str, min_count: int = 5, top: int = 2
         .limit(top)
         .select(F.col("b").alias("bigram"), "cb", "pmi")
     )
+
+
+def readability_flesch(col) -> Column:
+    """Flesch reading-ease approximation — the classic document-quality
+    signal (gibberish and boilerplate score far outside prose's 0-100
+    band): 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word).
+    Sentences = non-empty [.!?]-separated runs of the RAW lowercased
+    text (normalization keeps punctuation); syllables ≈ vowel groups
+    per word, the standard heuristic. Everything is regex/HOF column
+    expressions chosen to evaluate identically under Java regex and
+    RE2, so the score is oracle-checkable."""
+    lower = F.lower(col)
+    sentences = F.greatest(
+        F.lit(1),
+        F.size(
+            F.filter(
+                F.split(lower, "[.!?]+"), lambda s: F.trim(s) != ""
+            )
+        ),
+    )
+    ws = F.filter(words(col), lambda w: w != "")
+    n_words = F.greatest(F.lit(1), F.size(ws))
+    syllables = F.aggregate(
+        ws,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(
+                F.filter(
+                    F.split(w, "[^aeiouy]+"), lambda g: g != ""
+                )
+            ),
+        ),
+    )
+    return (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / sentences)
+        - F.lit(84.6) * (syllables / n_words)
+    )

@@ -53,6 +53,7 @@ CHECK_PRIORITY: list[str] = [
     "pack_sequences_ffd_check",
     "embedding_truncate",
     "events_top_paths",
+    "text_readability",
     # -- NEW r5: incremental dedup + winnowing -------------------------
     "dedup_incremental_minhash",
     "dedup_substring_winnow",

@@ -959,3 +959,38 @@ def events_top_paths(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(20)
     )
+
+
+@register(
+    "text_readability",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lower(text) AS lt, {_NORM_SQL} AS norm
+               FROM documents),
+    s AS (SELECT doc_id,
+            greatest(1, len(list_filter(string_split_regex(lt, '[.!?]+'),
+                                        x -> trim(x) <> ''))) AS sentences,
+            list_filter(string_split(norm, ' '), w -> w <> '') AS ws
+          FROM t),
+    y AS (SELECT doc_id, sentences, greatest(1, len(ws)) AS n_words,
+            COALESCE(list_sum(list_transform(ws, w -> greatest(1,
+              len(list_filter(string_split_regex(w, '[^aeiouy]+'),
+                              g -> g <> ''))))), 0) AS syl
+          FROM s)
+    SELECT doc_id,
+           ROUND(206.835 - 1.015 * (n_words / CAST(sentences AS DOUBLE))
+                 - 84.6 * (syl / CAST(n_words AS DOUBLE)), 4) AS flesch
+    FROM y
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease per document (functions/text.py:
+    readability_flesch) — the classic prose-vs-gibberish quality gate
+    (C4/Gopher-family heuristics band documents by it). Sentence split,
+    word split, and vowel-group syllable counting are simple regex
+    classes that evaluate identically under Java regex and RE2, so
+    DuckDB replays the exact score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(TX.readability_flesch(F.col("text")), 4).alias("flesch"),
+    )
