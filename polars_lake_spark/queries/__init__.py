@@ -96,10 +96,12 @@ CHECK_PRIORITY: list[str] = [
     "star_join_revenue",
     "top_customers",
     "semi_join_suppliers",
+    # ------ 50-slot window boundary falls here (24 new + 9 changed +
+    # 17 r2-greens).  The late-r5 additions consumed every r3-green
+    # slot AND one r2-green slot: anti_join_parts leads r6 (4-round-old
+    # evidence there — the one exception to the ≤3-round target; it
+    # stays locally verified every session by test_oracle_parity) ------
     "anti_join_parts",
-    # ------ 50-slot window boundary falls here (23 + 18 + 9... the
-    # late-r5 additions consumed every r3-green slot; the r3 block
-    # below leads r6) --------------------------------------------------
     # -- green in r03; evidence 2 rounds old (r3 gate order) -----------
     "q2_min_cost_supplier",
     "q3_shipping_priority",
