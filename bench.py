@@ -85,6 +85,13 @@ HEADLINE = [
     # engine lifecycle (create -> append -> incremental refresh).
     "dedup_incremental_winnow",
     "sketch_rollup_lifecycle",
+    # r5 additions: prefix-filter EXACT similarity join (the
+    # no-false-negative counterpart to dedup_minhash_lsh), A-ES weighted
+    # sampling, and distributed BPE (train = 24 merge rounds over the
+    # distinct-word table; encode = Arrow-batched map-side pass).
+    "dedup_prefix_join",
+    "sample_weighted_aes",
+    "bpe_train_encode_check",
 ]
 
 

@@ -1,0 +1,219 @@
+"""Distributed byte-pair-encoding (BPE) vocabulary training and encoding.
+
+The training-data-pipeline tokenizer step the reference never had: learn a
+subword merge table from a corpus (Sennrich et al. ACL'16), then encode
+text with it.  Spark-first shape:
+
+* the corpus is collapsed ONCE to a distinct-word frequency table (one
+  shuffle) — Zipf's law makes this table orders of magnitude smaller than
+  the corpus, and it is the only relation training ever touches again;
+* each merge round is one pair-count aggregation over the word table plus
+  a map-side fold applying the chosen merge(s) — no per-round corpus
+  scan, no driver-side token stream;
+* only the argmax pair row(s) are ever collected (bounded by
+  ``merges_per_round``); the word table itself stays distributed and is
+  ``localCheckpoint``-ed per round so the iterative plan never deepens
+  (a persist alone leaves an exponentially growing analyzed plan — same
+  lesson as two-star connected components);
+* encoding is an Arrow-batched pandas UDF with the merge list in the task
+  closure (vocab-bounded, broadcast-sized) and per-worker word
+  memoization — at 100 TB the encode pass is embarrassingly parallel and
+  the memo hit-rate is the corpus' type/token ratio.
+
+``merges_per_round > 1`` is the scale knob: one aggregation pass selects
+up to k NON-INTERACTING pairs (no shared or produced symbol strings), cuts
+passes over the word table by ~k×.  Within a batch the counts of
+later-selected pairs are the pre-batch counts (the standard scalable-BPE
+approximation); ``merges_per_round=1`` is exact classic BPE.
+"""
+
+# NB: no `from __future__ import annotations` here — it stringifies the
+# pandas_udf type hints and Spark's signature parser rejects them.
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polars_lake_spark.operators.dedup import normalized_text, parallelize_for_cpu
+
+
+def word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, n) distinct-word frequency table — the Zipf-compressed
+    training relation. One shuffle on the word."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    return (
+        parallelize_for_cpu(df)
+        .select(F.explode(words).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def _initial_symbols(word_col: Column) -> Column:
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: word_col.substr(i, F.lit(1)),
+    )
+
+
+def _apply_merges(sym_col: Column, batch: list[tuple[str, str]]) -> Column:
+    """One leftmost-greedy fold pass applying every (a, b) in ``batch``.
+
+    Pairs in a batch are guaranteed non-interacting (disjoint symbol
+    strings, produced strings distinct from all batch symbols), so one
+    combined pass equals applying them sequentially.  The fold never
+    re-uses a just-merged token as a left element (a+b is strictly longer
+    than a), which makes it bit-identical to the classic single-pass
+    python loop — the encoder and the property-test model rely on that.
+    """
+    def step(acc, s):
+        out = F.concat(acc, F.array(s))
+        for a, b in reversed(batch):
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (s == F.lit(b))
+            )
+            out = F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(a + b)),
+                ),
+            ).otherwise(out)
+        return out
+
+    return F.aggregate(sym_col, F.array().cast("array<string>"), step)
+
+
+def _select_batch(rows, merges_per_round: int, min_frequency: int):
+    """Greedy prefix of the (cnt desc, a, b) order keeping pairs mutually
+    non-interacting: no symbol shared between pairs, and no produced
+    string colliding with any batch symbol or other produced string."""
+    batch = []
+    used: set[str] = set()
+    produced: set[str] = set()
+    for r in rows:
+        if int(r["cnt"]) < min_frequency:
+            break
+        a, b, m = r["a"], r["b"], r["a"] + r["b"]
+        if {a, b, m} & used or m in produced or a in produced or b in produced:
+            continue
+        batch.append((a, b, int(r["cnt"])))
+        used |= {a, b, m}
+        produced.add(m)
+        if len(batch) >= merges_per_round:
+            break
+    return batch
+
+
+def train_bpe(
+    wc: DataFrame,
+    n_merges: int,
+    min_frequency: int = 2,
+    merges_per_round: int = 1,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Learn up to ``n_merges`` BPE merges from a (word, n) table.
+
+    Returns ``(merges, sym_table)`` where merges is
+    ``[(rank, a, b, count), ...]`` in application order and ``sym_table``
+    is (word, n, syms) with the final trained segmentation of every
+    distinct word.
+
+    Deterministic and layout-independent: pair counts are exact integer
+    sums; the argmax tie-break is (count desc, a asc, b asc); only the
+    top ``4·merges_per_round`` candidate rows are collected per round.
+    """
+    sym = wc.select(
+        "word", "n", _initial_symbols(F.col("word")).alias("syms")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    while len(merges) < n_merges:
+        pair_struct = F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i).alias("a"),
+                F.element_at(F.col("syms"), i + 1).alias("b"),
+            ),
+        )
+        pairs = (
+            sym.filter(F.size("syms") >= 2)
+            .select("n", F.explode(pair_struct).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = (
+            pairs.orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(max(4 * merges_per_round, 8))
+            .collect()
+        )
+        room = n_merges - len(merges)
+        batch = _select_batch(top, min(merges_per_round, room), min_frequency)
+        if not batch:
+            break
+        for a, b, cnt in batch:
+            merges.append((len(merges), a, b, cnt))
+        sym = sym.withColumn(
+            "syms", _apply_merges(F.col("syms"), [(a, b) for a, b, _ in batch])
+        ).localCheckpoint(eager=True)
+    return merges, sym
+
+
+def encode_word(word: str, merges: list, memo: dict | None = None) -> list[str]:
+    """Apply the learned merges to one word, in rank order, one
+    leftmost-greedy pass per merge — the exact replay of training's fold
+    (so for every word seen in training, encode == trained segmentation).
+    """
+    if memo is not None and word in memo:
+        return memo[word]
+    syms = list(word)
+    for m in merges:
+        a, b = m[1], m[2]
+        if len(syms) < 2:
+            break
+        out = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    if memo is not None:
+        memo[word] = syms
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame, text_col: str, merges: list, out_col: str = "tokens"
+) -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge list: normalize, split
+    to words, encode each word (worker-local memo across the Arrow batch
+    stream), concatenate.  Map-side only — the merge list rides the task
+    closure (bounded by vocab size); no shuffle, no driver round-trip."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    frozen = [(int(m[0]), m[1], m[2]) for m in merges]
+
+    @pandas_udf("array<string>")
+    def encode(texts: pd.Series) -> pd.Series:
+        import re
+
+        memo: dict = {}
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            norm = re.sub(r"\s+", " ", t.lower()).strip()
+            toks: list[str] = []
+            for w in norm.split(" "):
+                if w:
+                    toks.extend(encode_word(w, frozen, memo))
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, encode(F.col(text_col)))

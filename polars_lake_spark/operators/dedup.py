@@ -386,3 +386,83 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering (the
+    SSJoin/PPJoin family: Chaudhuri et al. ICDE'06, Xiao et al. WWW'08).
+
+    The deterministic complement to ``minhash_lsh_pairs``: output is
+    provably IDENTICAL to the brute-force shingle self-join — no recall
+    argument needed — while never materializing all shared-shingle pairs:
+
+    * one aggregation computes each shingle's document frequency;
+    * each document's shingle set is canonically ordered rarest-first
+      (by ``(df, shingle)`` — a global total order), and only its PREFIX
+      of ``|x| - ceil(t·|x|) + 1`` shingles enters the candidate join.
+      Any pair with J ≥ t shares ≥ ceil(t·|x|) shingles, and the
+      globally-smallest shared shingle must sit inside BOTH prefixes
+      (pigeonhole: all other shared shingles order after it), so no true
+      pair can be missed;
+    * the size filter t·|x| ≤ |y| (both directions) prunes
+      length-incompatible candidates before verification;
+    * exact Jaccard verification over the surviving pairs (shared with
+      the LSH path).
+
+    Scale shape: frequent shingles — boilerplate — sort to the SUFFIX and
+    never generate candidates, so candidate volume is governed by
+    rare-shingle collisions (the plausibly-similar pairs), not by
+    hot-shingle document frequency.  Shuffles: shingle df agg, df join,
+    per-doc re-agg, candidate equi-join — all keyed, none all-pairs.
+
+    Float-safety: ceil/threshold comparisons subtract 1e-9 so binary
+    representation error (0.8·25 → 20.000000000000004) can only LENGTHEN
+    a prefix / loosen the size filter, never lose a true pair.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    shingled = word_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ex = _exploded_shingles(shingled)
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        ex.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("os"))
+    )
+    npref = (
+        F.size("os") - F.ceil(F.lit(threshold) * F.size("os") - F.lit(1e-9)) + 1
+    )
+    # pref feeds BOTH sides of the candidate self-join: persist, or the
+    # shingle→df→sort subtree executes twice (same lesson as the minhash
+    # signature path).
+    pref = ordered.select(
+        "id",
+        F.size("os").alias("sz"),
+        F.explode(
+            F.transform(F.slice("os", F.lit(1), npref), lambda s: s["shingle"])
+        ).alias("tok"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = pref.alias("a"), pref.alias("b")
+    thr = F.lit(threshold) - F.lit(1e-9)
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.sz") * thr <= F.col("b.sz"))
+            & (F.col("b.sz") * thr <= F.col("a.sz")),
+        )
+        .select(F.col("a.id").alias("d1"), F.col("b.id").alias("d2"))
+        .distinct()
+    )
+    s1 = shingled.select(F.col("id").alias("d1"), F.col("shingles").alias("sh1"))
+    s2 = shingled.select(F.col("id").alias("d2"), F.col("shingles").alias("sh2"))
+    return verified_jaccard_pairs(cands, s1, s2, threshold)

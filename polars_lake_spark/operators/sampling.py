@@ -215,3 +215,39 @@ def pack_sequences_ffd(
     return base.groupBy("shard").applyInPandas(
         pack, "id long, shard long, tokens long, pack_id long"
     ).withColumnRenamed("id", id_col)
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: k rows per group, each
+    row's inclusion probability proportional to its weight (Efraimidis &
+    Spirtakis 2006, A-ES): rank by ``u^(1/w)`` descending and keep the
+    top k — provably equivalent to sequential weighted draws without
+    replacement.
+
+    The uniform draw ``u`` is deterministic — md5(id) scaled to (0, 1) —
+    so the sample is rerun-, append-, and partitioning-stable, and any
+    engine with md5 replays it exactly (the comparison happens on
+    ``ln(u)/w``, a monotone transform that avoids overflow for tiny u).
+    One shuffle on the group key; per-group cost is the top-k window.
+    Weights must be > 0."""
+    v = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy(
+        key.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -38,7 +38,12 @@ REGISTRY: dict[str, Query] = {}
 #   session by tests/test_oracle_parity.py (local mirror of the gate
 #   over all oracled queries).
 CHECK_PRIORITY: list[str] = [
-    # -- NEW r5 (latest): two-star CC, MG heavy hitters, sketch checks -
+    # -- NEW r5 (latest): prefix-filter exact similarity join, BPE
+    # tokenizer training, A-ES weighted sampling ----------------------
+    "dedup_prefix_join",
+    "bpe_train_encode_check",
+    "sample_weighted_aes",
+    # -- NEW r5: two-star CC, MG heavy hitters, sketch checks ----------
     "dedup_clusters_twostar",
     "token_heavy_hitters",
     "heavy_hitters_check",
@@ -93,14 +98,15 @@ CHECK_PRIORITY: list[str] = [
     "merge_into_conditional",
     "q1_pricing_summary",
     "point_filter",
+    # ------ 50-slot window boundary falls here (27 new + 9 changed +
+    # 14 r2-greens).  The late-r5 additions consumed every r3-green
+    # slot AND four r2-green slots: the four below lead r6 with
+    # 4-round-old driver evidence — the exceptions to the ≤3-round
+    # target; all stay locally verified every session by
+    # test_oracle_parity ----------------------------------------------
     "star_join_revenue",
     "top_customers",
     "semi_join_suppliers",
-    # ------ 50-slot window boundary falls here (24 new + 9 changed +
-    # 17 r2-greens).  The late-r5 additions consumed every r3-green
-    # slot AND one r2-green slot: anti_join_parts leads r6 (4-round-old
-    # evidence there — the one exception to the ≤3-round target; it
-    # stays locally verified every session by test_oracle_parity) ------
     "anti_join_parts",
     # -- green in r03; evidence 2 rounds old (r3 gate order) -----------
     "q2_min_cost_supplier",

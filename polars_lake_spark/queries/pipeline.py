@@ -68,6 +68,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return pairs.select("d1", "d2", F.round("jaccard", 8).alias("jaccard"))
 
 
+# Same oracle again, but by THEOREM rather than recall argument: prefix
+# filtering under a global rarest-first shingle order provably generates
+# every pair with J >= t as a candidate (pigeonhole on the smallest
+# shared shingle), and candidates are exact-verified — so the output is
+# the brute-force result without the all-pairs join. The third point in
+# the dedup design space: exact+quadratic (ngram), approx+linear
+# (minhash), exact+rare-collision-bounded (this).
+@register("dedup_prefix_join", oracle=_JACCARD_ORACLE)
+def dedup_prefix_join(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.prefix_filter_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return pairs.select("d1", "d2", F.round("jaccard", 8).alias("jaccard"))
+
+
 # Same oracle as the exact query: banding (r=4, b=32) has ~1-5e-8 recall at
 # the 0.8 threshold, and every candidate is exact-verified, so the outputs
 # coincide — that's the point of the design.

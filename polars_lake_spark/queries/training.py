@@ -209,3 +209,85 @@ def semdedup_embeddings(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     out = SP.semdedup(emb, "vec_id", "embedding", "label", threshold=0.30)
     return out.select("vec_id", "label", "is_kept")
+
+
+@register(
+    "sample_weighted_aes",
+    oracle="""
+    SELECT lang, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) + 0.5) / 1152921504606846976.0)
+               / n_chars AS k
+        FROM documents) t
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) <= 10
+    """,
+)
+def sample_weighted_aes(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirtakis A-ES):
+    10 docs per language with inclusion probability proportional to
+    n_chars — the principled upsample-by-quality/length primitive
+    (weighted_hash_sample is per-row Bernoulli; this fixes the sample
+    SIZE). The uniform draw is md5(doc_id) scaled to (0,1), so DuckDB
+    replays the exact ln(u)/w ranking (1-ulp libm divergence is the only
+    risk, and membership flips need two keys within ~1e-16)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.weighted_sample_k(docs, "lang", "doc_id", "n_chars", 10).select(
+        "lang", "doc_id", "n_chars"
+    )
+
+
+@register(
+    "bpe_train_encode_check",
+    oracle=f"""
+    SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS words_checked,
+           CAST(0 AS BIGINT) AS violations
+    FROM (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents) t
+    WHERE w <> ''
+    """,
+    doc="Oracled invariant companion for distributed BPE training "
+    "(operators/bpe.py): DuckDB pins the distinct-word count; violations "
+    "covers encode-replay == trained segmentation, losslessness, "
+    "compression, and merge-count monotonicity.",
+)
+def bpe_train_encode_check(spark, sf_dir):
+    """Train 24 BPE merges on the corpus' distinct-word table, then check
+    the invariants that make the tokenizer trustworthy:
+
+    * the Arrow-batched encoder replays training bit-for-bit — for every
+      word seen in training, encode(word) == the trained segmentation
+      (the same replay class as the winnow model test);
+    * losslessness: concat(syms) == word, and |syms| <= |word| (merges
+      only ever shrink);
+    * the merge list is count-monotone non-increasing (a later merge can
+      never beat an earlier one — new pairs' counts are bounded by the
+      pre-merge pair they descend from) and every count >= min_frequency.
+
+    The merge-list invariants are checked driver-side (the list is
+    n_merges rows); the per-word invariants run distributed."""
+    from polars_lake_spark.operators import bpe as BP
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = BP.word_counts(docs, "text")
+    merges, sym = BP.train_bpe(wc, n_merges=24, min_frequency=2)
+    counts = [c for (_r, _a, _b, c) in merges]
+    merge_viol = sum(
+        1 for i in range(1, len(counts)) if counts[i] > counts[i - 1]
+    ) + sum(1 for c in counts if c < 2)
+    enc = BP.bpe_encode(sym, "word", merges, out_col="etoks")
+    per_word = enc.select(
+        F.when(
+            (F.col("etoks") != F.col("syms"))
+            | (F.concat_ws("", F.col("syms")) != F.col("word"))
+            | (F.size("syms") > F.length("word")),
+            1,
+        )
+        .otherwise(0)
+        .alias("viol")
+    )
+    return per_word.agg(
+        F.count(F.lit(1)).cast("bigint").alias("words_checked"),
+        (F.coalesce(F.sum("viol"), F.lit(0)) + F.lit(merge_viol))
+        .cast("bigint")
+        .alias("violations"),
+    )

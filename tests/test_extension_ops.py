@@ -223,3 +223,38 @@ def test_two_star_keeps_self_loop_only_vertices(spark):
             for r in connected_components(edges, **kw).collect()
         }
         assert got == want, kw
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8])
+def test_prefix_filter_equals_exact_jaccard(docs, threshold):
+    """Prefix filtering is exact by THEOREM — the full (d1, d2, jaccard)
+    output must be identical to the brute-force self-join at any
+    threshold (0.5 stresses long prefixes, 0.8 short ones)."""
+    exact = {
+        (r.d1, r.d2, round(r.jaccard, 8))
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", 3, threshold
+        ).collect()
+    }
+    pf = {
+        (r.d1, r.d2, round(r.jaccard, 8))
+        for r in D.prefix_filter_pairs(
+            docs, "doc_id", "text", 3, threshold
+        ).collect()
+    }
+    assert pf == exact and len(exact) > 0
+
+
+def test_prefix_filter_layout_independent(docs):
+    """Same pairs under an adversarial repartition of the input."""
+    base = {
+        (r.d1, r.d2)
+        for r in D.prefix_filter_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    rep = {
+        (r.d1, r.d2)
+        for r in D.prefix_filter_pairs(
+            docs.repartition(7), "doc_id", "text", 3, 0.8
+        ).collect()
+    }
+    assert base == rep

@@ -277,3 +277,54 @@ def test_pack_sequences_ffd_null_and_negative_tokens(spark):
     assert got[1][0] == 0 and got[2][0] == 0  # clamped
     # capacity accounting intact: 500 and 100 cannot share a pack
     assert got[0][2] != got[3][2]
+
+
+def test_weighted_sample_k_matches_python_model(spark):
+    """A-ES top-k must equal the direct python computation of the same
+    ln(md5-uniform)/weight ranking, and be layout-independent."""
+    import hashlib
+    import math
+
+    from polars_lake_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, "g%d" % (i % 3), float(1 + (i * 7) % 13)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, w double")
+
+    def key(i, w):
+        v = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return math.log((v + 0.5) / float(1 << 60)) / w
+
+    expect = set()
+    for g in {"g0", "g1", "g2"}:
+        members = [(key(i, w), i) for i, gg, w in rows if gg == g]
+        members.sort(key=lambda t: (-t[0], t[1]))
+        expect |= {i for _k, i in members[:5]}
+
+    got = {
+        r.id for r in weighted_sample_k(df, "grp", "id", "w", 5).collect()
+    }
+    assert got == expect
+    rep = {
+        r.id
+        for r in weighted_sample_k(
+            df.repartition(7), "grp", "id", "w", 5
+        ).collect()
+    }
+    assert rep == expect
+
+
+def test_weighted_sample_k_rates_track_weight(spark):
+    """Across many disjoint groups, a row with 9x the weight of its four
+    peers must be selected (k=1) far more often than 1-in-5."""
+    from polars_lake_spark.operators.sampling import weighted_sample_k
+
+    rows = []
+    for g in range(200):
+        for m in range(5):
+            rows.append((g * 10 + m, "g%d" % g, 9.0 if m == 0 else 1.0))
+    df = spark.createDataFrame(rows, "id bigint, grp string, w double")
+    picked = weighted_sample_k(df, "grp", "id", "w", 1).collect()
+    heavy = sum(1 for r in picked if r.id % 10 == 0)
+    # P(heavy) = 9/13 ≈ 0.69; with 200 groups, [0.5, 0.9] is a >6-sigma band
+    assert len(picked) == 200
+    assert 100 <= heavy <= 180, heavy
