@@ -92,6 +92,9 @@ HEADLINE = [
     "dedup_prefix_join",
     "sample_weighted_aes",
     "bpe_train_encode_check",
+    # r5: integer-exact PageRank over the customer->supplier purchase
+    # graph (8 iterations, per-iteration keyed join + grouped sum).
+    "graph_pagerank",
 ]
 
 

@@ -217,3 +217,23 @@ def bpe_encode(
         return pd.Series(out)
 
     return df.withColumn(out_col, encode(F.col(text_col)))
+
+
+def save_merges(engine, name: str, merges: list) -> None:
+    """Persist a trained merge list as the engine table ``{name}_bpe`` —
+    the tokenizer artifact: train once (expensive corpus passes), encode
+    forever (every later job loads the table and runs the map-side
+    encoder). Rank order IS the application order, so the table is the
+    complete tokenizer state."""
+    df = engine.spark.createDataFrame(
+        [(int(r), a, b, int(c)) for (r, a, b, c) in merges],
+        "rank int, a string, b string, cnt bigint",
+    )
+    engine.create_table(f"{name}_bpe", df)
+
+
+def load_merges(engine, name: str) -> list:
+    """Reload a persisted merge list in rank order (driver-side — the
+    merge table is vocab-bounded, thousands of rows at most)."""
+    rows = engine.table(f"{name}_bpe").orderBy("rank").collect()
+    return [(r["rank"], r["a"], r["b"], r["cnt"]) for r in rows]

@@ -292,3 +292,69 @@ def connected_components(
         prev.unpersist()
     edges.unpersist()
     return result
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 8,
+    scale: int = 10**9,
+    damping: int = 85,
+) -> DataFrame:
+    """Weighted PageRank in EXACT integer arithmetic — (node, r) after a
+    fixed number of iterations, with ranks in units of ``1/scale``.
+
+    The host-graph quality-ranking step of web-corpus curation (rank
+    domains by weighted link structure, keep the head): every operation
+    is integer (contributions are ``(r·w) DIV W_out``, the damping mix is
+    ``(100-d)·scale DIV 100 + d·contrib DIV 100``), so partial-aggregation
+    order cannot perturb a single bit — the result is layout-independent
+    and any engine replays it exactly (the registry oracle unrolls the
+    iterations as chained CTEs).
+
+    Scale shape: multi-edges collapse in one groupBy; the per-iteration
+    cost is one equi-join (ranks × edges on src) + one grouped sum on dst
+    — both keyed shuffles, no all-pairs anywhere.  Lineage is truncated
+    per iteration (localCheckpoint) so the plan stays O(1) deep — the
+    two-star lesson.  Dangling mass (nodes without out-edges) is dropped,
+    not redistributed: deterministic, documented, and harmless for
+    ranking use.  For weights approaching 1e9, pre-scale ``weight`` so
+    ``r·w`` stays inside int64.
+    """
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    e = edges.groupBy(src, dst).agg(F.sum(w).alias("w"))
+    outw = e.groupBy(src).agg(F.sum("w").alias("wout"))
+    e = (
+        e.join(outw, src)
+        .select(F.col(src).alias("u"), F.col(dst).alias("v"), "w", "wout")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("r"))
+    base = (100 - damping) * scale // 100
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e.u == ranks.node)
+            .select(F.col("v").alias("node"), F.expr("(r * w) DIV wout").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping} * coalesce(c, 0)) DIV 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -42,7 +42,11 @@ CHECK_PRIORITY: list[str] = [
     # tokenizer training, A-ES weighted sampling ----------------------
     "dedup_prefix_join",
     "bpe_train_encode_check",
+    "bpe_token_consistency_check",
     "sample_weighted_aes",
+    "decontaminate_semantic",
+    "graph_pagerank",
+    "text_bigram_logprob",
     # -- NEW r5: two-star CC, MG heavy hitters, sketch checks ----------
     "dedup_clusters_twostar",
     "token_heavy_hitters",
@@ -94,16 +98,16 @@ CHECK_PRIORITY: list[str] = [
     "schema_evolution_union",
     "audit_columns",
     "time_travel_upsert",
+    # ------ 50-slot window boundary falls after time_travel_upsert
+    # (31 new + 9 changed + 10 r2-greens).  The late-r5 additions
+    # consumed every r3-green slot AND eight r2-green slots: the eight
+    # below lead r6 with 4-round-old driver evidence — the exceptions to
+    # the ≤3-round target; all stay locally verified every session by
+    # test_oracle_parity ----------------------------------------------
     "cdc_changes",
     "merge_into_conditional",
     "q1_pricing_summary",
     "point_filter",
-    # ------ 50-slot window boundary falls here (27 new + 9 changed +
-    # 14 r2-greens).  The late-r5 additions consumed every r3-green
-    # slot AND four r2-green slots: the four below lead r6 with
-    # 4-round-old driver evidence — the exceptions to the ≤3-round
-    # target; all stay locally verified every session by
-    # test_oracle_parity ----------------------------------------------
     "star_join_revenue",
     "top_customers",
     "semi_join_suppliers",

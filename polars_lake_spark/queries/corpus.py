@@ -511,6 +511,85 @@ def text_unigram_logprob(spark, sf_dir):
     )
 
 
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+               FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(w[1:len(w)-1]) AS w1,
+                  unnest(w[2:len(w)]) AS w2
+           FROM t WHERE len(w) >= 2),
+    big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT x) AS nv FROM
+              (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS x
+               FROM documents) q WHERE x <> '')
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(ROUND(SUM(LN((c12 + 1.0) / (c1 + nv))), 4) / COUNT(*), 8)
+               AS avg_logprob
+    FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark, sf_dir):
+    """Corpus-fitted BIGRAM LM score per document with add-one smoothing
+    (one order up from text_unigram_logprob — the n-gram-LM fluency
+    signal CCNet-style pipelines use; word salad scores near the
+    smoothing floor, coherent prose above it):
+    P(w2|w1) = (c12 + 1) / (c1_ctx + |V|), c1_ctx = occurrences of w1 as
+    a bigram context (proper normalization: the smoothed row sums to 1).
+
+    Shuffles: bigram count, context roll-up (tiny), per-doc aggregate;
+    the model joins broadcast when small, hash-join otherwise.  Count
+    arithmetic is all-integer; the sum of logs is rounded BEFORE the
+    divide so partial-aggregation order can't leak into the 8dp output
+    (the unigram query's discipline)."""
+    words = F.split(TX.normalized(F.col("text")), " ")
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", words.alias("w"))
+    bg = (
+        base.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("w"), i).alias("w1"),
+                        F.element_at(F.col("w"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    vocab = (
+        base.select(F.explode("w").alias("x"))
+        .filter(F.col("x") != "")
+        .agg(F.countDistinct("x").alias("nv"))
+    )
+    lp = (
+        bg.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("nv"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.round(F.sum("lp"), 4) / F.count(F.lit(1)), 8).alias(
+            "avg_logprob"
+        ),
+    )
+
+
 # Deterministic synthetic PII (the fixture corpus is word salad with no
 # real PII), same synth→operate→verify pattern as the multimodal image
 # roundtrip: the scrub operators are real, the planted PII is derived

@@ -132,3 +132,56 @@ def skew_hot_keys(spark, sf_dir):
 
     orders = load_table(spark, sf_dir, "orders")
     return hot_keys_exact_topk(orders, "o_custkey", k=20, capacity=16384)
+
+
+def _pagerank_oracle(iterations: int = 8, scale: int = 10**9) -> str:
+    """Unrolled-CTE replay of the EXACT integer PageRank: one CTE per
+    iteration (recursive CTEs can't aggregate per step), every op the
+    same BIGINT floor-division as operators/graph.py:pagerank."""
+    base = 15 * scale // 100
+    its = []
+    for i in range(iterations):
+        its.append(
+            f"""r{i + 1} AS (
+        SELECT n.node,
+               CAST({base} + (85 * COALESCE(SUM((r.r * e.w) // e.wout), 0)) // 100
+                    AS BIGINT) AS r
+        FROM nodes n
+        LEFT JOIN e ON e.dst = n.node
+        LEFT JOIN r{i} r ON r.node = e.src
+        GROUP BY n.node)"""
+        )
+    return f"""
+    WITH e0 AS (
+        SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, SUM(w) AS wout FROM e0 GROUP BY src),
+    e AS (SELECT e0.src, e0.dst, e0.w, ow.wout FROM e0 JOIN ow USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes),
+    {",".join(its)}
+    SELECT node, r FROM r{iterations}
+    """
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """Weighted PageRank over the customer→supplier purchase graph
+    (edge weight = lineitem count) — the host-graph ranking operator of
+    web-corpus curation, here exercised on the TPC-H bipartite graph.
+    Integer arithmetic end to end, so the 8-iteration fixpoint is
+    bit-identical in any engine and under any partitioning; the oracle
+    unrolls the iterations as chained CTEs."""
+    from polars_lake_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return pagerank(edges, "src", "dst", iterations=8)

@@ -291,3 +291,105 @@ def bpe_train_encode_check(spark, sf_dir):
         .cast("bigint")
         .alias("violations"),
     )
+
+
+@register(
+    "decontaminate_semantic",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    bench AS (SELECT * FROM v WHERE vec_id % 20 = 0),
+    corp AS (SELECT * FROM v WHERE vec_id % 20 <> 0)
+    SELECT c.vec_id, c.label FROM corp c
+    WHERE NOT EXISTS (SELECT 1 FROM bench b
+                      WHERE list_cosine_similarity(c.e, b.e) >= 0.30)
+    """,
+)
+def decontaminate_semantic(spark, sf_dir):
+    """Semantic decontamination — the third decontamination mode after
+    exact n-gram (decontaminate_exact) and verbatim-substring
+    (decontaminate_substring): drop corpus vectors whose embedding is
+    cosine-similar (>= 0.30) to ANY held-out benchmark vector, catching
+    paraphrased leakage that string matching misses.
+
+    Scale shape: the benchmark suite is the small side by construction
+    (eval sets are thousands of rows, the corpus is billions) — it
+    broadcasts, the corpus never shuffles, and the anti-join folds each
+    corpus row against the broadcast bench set map-side.  For benchmark
+    sets too large to broadcast-scan, prefilter candidates with the LSH
+    tier (similarity.hyperplane_lsh) and verify only bucket collisions.
+    """
+    from polars_lake_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "label", S.as_double(F.col("embedding")).alias("e"))
+    bench = v.filter(F.col("vec_id") % 20 == 0).select(F.col("e").alias("be"))
+    corp = v.filter(F.col("vec_id") % 20 != 0)
+    out = corp.join(
+        F.broadcast(bench),
+        S.cosine(F.col("e"), F.col("be")) >= 0.30,
+        "left_anti",
+    )
+    return out.select("vec_id", "label")
+
+
+@register(
+    "bpe_token_consistency_check",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS docs_checked,
+           CAST(SUM(len(string_split({_NORM_SQL}, ' '))) AS BIGINT)
+               AS words_total,
+           CAST(0 AS BIGINT) AS violations
+    FROM documents
+    """,
+    doc="Cross-check of two independent distributed BPE tokenization "
+    "paths: per-doc Arrow-batched encode vs explode-words + broadcast "
+    "join against the trained word-segmentation table.",
+)
+def bpe_token_consistency_check(spark, sf_dir):
+    """Token counts computed two structurally different ways must agree
+    for every document:
+
+    * path A — ``bpe_encode`` runs the python merge-replay per document
+      (pandas UDF, map-side);
+    * path B — explode the corpus to words, broadcast-join the TRAINED
+      Spark-fold segmentation table, sum per doc (pure JVM).
+
+    A divergence would mean the python encoder and the Spark fold
+    disagree on some word (the consistency the tokenizer's offline/online
+    split depends on).  DuckDB pins docs_checked and words_total."""
+    from polars_lake_spark.operators import bpe as BP
+    from polars_lake_spark.operators.dedup import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = BP.word_counts(docs, "text")
+    merges, sym = BP.train_bpe(wc, 24)
+    enc = BP.bpe_encode(docs, "text", merges)
+    a = enc.select(
+        "doc_id",
+        F.size("tokens").alias("ta"),
+        F.size(F.split(normalized_text(F.col("text")), " ")).alias("nw"),
+    )
+    wtok = sym.select("word", F.size("syms").alias("wt"))
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(normalized_text(F.col("text")), " ")).alias("word"),
+    ).filter(F.length("word") > 0)
+    b = words.join(F.broadcast(wtok), "word").groupBy("doc_id").agg(
+        F.sum("wt").alias("tb")
+    )
+    j = a.join(b, "doc_id", "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_checked"),
+        F.coalesce(F.sum("nw"), F.lit(0)).cast("bigint").alias("words_total"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("ta") != F.coalesce(F.col("tb"), F.lit(0)), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("violations"),
+    )

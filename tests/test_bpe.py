@@ -129,3 +129,23 @@ def test_encode_null_text_yields_empty(spark):
     df = spark.createDataFrame([(1, None)], "id bigint, text string")
     out = B.bpe_encode(df, "text", [(0, "a", "b", 2)]).collect()
     assert out[0].tokens == []
+
+
+def test_merge_table_roundtrip(spark, sf_dir, tmp_path):
+    """Train → persist as engine table → reopen → encode must equal
+    encoding with the in-memory merges."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    wc = B.word_counts(docs, "text")
+    merges, _ = B.train_bpe(wc, 12)
+    eng = Engine(spark, str(tmp_path))
+    B.save_merges(eng, "tok", merges)
+    eng2 = Engine(spark, str(tmp_path))
+    eng2.load_all()
+    reloaded = B.load_merges(eng2, "tok")
+    assert reloaded == merges
+    a = {r.doc_id: r.tokens for r in B.bpe_encode(docs, "text", merges).select("doc_id", "tokens").collect()}
+    b = {r.doc_id: r.tokens for r in B.bpe_encode(docs, "text", reloaded).select("doc_id", "tokens").collect()}
+    assert a == b

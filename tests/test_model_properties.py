@@ -141,3 +141,45 @@ def test_connected_components_local_and_distributed_agree(spark, edges):
     dist = {(r["id"], r["component"])
             for r in connected_components(df, local_threshold=0).collect()}
     assert local == dist
+
+
+def model_pagerank(edges, iterations=4, scale=10**9):
+    """Driver-side integer PageRank with the operator's exact semantics."""
+    from collections import defaultdict
+
+    w = defaultdict(int)
+    for a, b in edges:
+        w[(a, b)] += 1
+    wout = defaultdict(int)
+    for (a, _b), c in w.items():
+        wout[a] += c
+    nodes = {x for e in w for x in e}
+    r = {n: scale for n in nodes}
+    base = 15 * scale // 100
+    for _ in range(iterations):
+        contrib = defaultdict(int)
+        for (a, b), c in w.items():
+            contrib[b] += (r[a] * c) // wout[a]
+        r = {n: base + (85 * contrib[n]) // 100 for n in nodes}
+    return r
+
+
+@given(edges=edges_st)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_matches_python_model(spark, edges):
+    from polars_lake_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.r for r in pagerank(df, iterations=4).collect()}
+    assert got == model_pagerank(edges, iterations=4)
+
+
+def test_pagerank_layout_independent(spark):
+    from polars_lake_spark.operators.graph import pagerank
+
+    edges = [(i % 7, (i * 3) % 7) for i in range(40) if i % 7 != (i * 3) % 7]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = {(r.node, r.r) for r in pagerank(df, iterations=6).collect()}
+    b = {(r.node, r.r) for r in pagerank(df.repartition(5), iterations=6).collect()}
+    assert a == b

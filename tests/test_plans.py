@@ -255,3 +255,23 @@ def test_hot_keys_broadcasts_candidates(spark, sf_dir):
     plan = plan_of(all_queries()["skew_hot_keys"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_prefix_join_all_equi_joins(spark, sf_dir):
+    """dedup_prefix_join is exact WITHOUT quadratic physics: candidate
+    generation and verification must all be equi-joins (token / id keys)
+    — never BroadcastNestedLoopJoin / CartesianProduct."""
+    df = all_queries()["dedup_prefix_join"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_semantic_broadcasts_bench(spark, sf_dir):
+    """The benchmark side must broadcast (eval suites are the small side
+    by construction) and the corpus must not shuffle: the only join is
+    the broadcast anti fold."""
+    df = all_queries()["decontaminate_semantic"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin BuildRight, LeftAnti" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
