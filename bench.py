@@ -95,6 +95,10 @@ HEADLINE = [
     # r5: integer-exact PageRank over the customer->supplier purchase
     # graph (8 iterations, per-iteration keyed join + grouped sum).
     "graph_pagerank",
+    # r5: manual runtime filter (map-side bloom prefilter ahead of the
+    # semi-join shuffle) and two-stage skew-safe top-k per group.
+    "bloom_semi_join",
+    "topk_per_group_twostage",
 ]
 
 

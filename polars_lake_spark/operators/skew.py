@@ -16,6 +16,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 SALT_COL = "salt_id"
 
@@ -95,3 +96,53 @@ def salted_join(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return l.join(r, keys + [SALT_COL], how).drop(SALT_COL)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k rows per group under the total order
+    ``(order_col DESC, id_col ASC)`` via two stages:
+
+    1. per-PARTITION top-k candidates (mapInPandas, bounded state of
+       groups-per-partition × k rows, NO shuffle) — any row in the
+       global top-k is necessarily in its partition's top-k;
+    2. the standard window over candidates only.
+
+    The plain window formulation shuffles and SORTS every row of every
+    group; at 100 TB a hot group's full history lands on one task.  Here
+    the shuffle carries at most k rows per (partition, group) — skew in
+    the raw data never reaches the exchange.  Output columns:
+    ``group_cols + [order_col, id_col]``.
+    """
+    import pandas as pd
+
+    cols = [*group_cols, order_col, id_col]
+    slim = df.select(*cols)
+    gl = list(group_cols)
+
+    def partition_topk(batches):
+        cand = None
+        for pdf in batches:
+            cand = pdf if cand is None else pd.concat([cand, pdf])
+            cand = (
+                cand.sort_values([order_col, id_col], ascending=[False, True])
+                .groupby(gl, sort=False)
+                .head(k)
+            )
+        if cand is not None:
+            yield cand
+
+    candidates = slim.mapInPandas(partition_topk, slim.schema)
+    w = Window.partitionBy(*gl).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -47,6 +47,8 @@ CHECK_PRIORITY: list[str] = [
     "decontaminate_semantic",
     "graph_pagerank",
     "text_bigram_logprob",
+    "bloom_semi_join",
+    "topk_per_group_twostage",
     # -- NEW r5: two-star CC, MG heavy hitters, sketch checks ----------
     "dedup_clusters_twostar",
     "token_heavy_hitters",
@@ -96,14 +98,14 @@ CHECK_PRIORITY: list[str] = [
     "delete_anti",
     "dedup_keyed",
     "schema_evolution_union",
+    # ------ 50-slot window boundary falls after schema_evolution_union
+    # (33 new + 9 changed + 8 r2-greens).  The late-r5 additions
+    # consumed every r3-green slot AND ten r2-green slots: the ten below
+    # lead r6 with 4-round-old driver evidence — the exceptions to the
+    # ≤3-round target; all stay locally verified every session by
+    # test_oracle_parity ----------------------------------------------
     "audit_columns",
     "time_travel_upsert",
-    # ------ 50-slot window boundary falls after time_travel_upsert
-    # (31 new + 9 changed + 10 r2-greens).  The late-r5 additions
-    # consumed every r3-green slot AND eight r2-green slots: the eight
-    # below lead r6 with 4-round-old driver evidence — the exceptions to
-    # the ≤3-round target; all stay locally verified every session by
-    # test_oracle_parity ----------------------------------------------
     "cdc_changes",
     "merge_into_conditional",
     "q1_pricing_summary",

@@ -185,3 +185,49 @@ def graph_pagerank(spark, sf_dir):
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
     )
     return pagerank(edges, "src", "dst", iterations=8)
+
+
+@register(
+    "bloom_semi_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_suppkey
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+    """,
+)
+def bloom_semi_join(spark, sf_dir):
+    """The manual runtime filter: fact rows test k deterministic
+    xxhash64 probe bits against a broadcast one-row bitmap of the dim
+    keys BEFORE any shuffle — at 100 TB this is the difference between
+    shuffling the full fact table and shuffling the matching slice.
+    Bloom filters have no false negatives, so the result provably equals
+    the plain semi-join, which is what the oracle pins (false positives
+    only add rows to the exact phase, never to the output)."""
+    from polars_lake_spark.operators.bloom import bloom_semi_join as bsj
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+    out = bsj(li, sup, "l_suppkey", "s_suppkey", m_bits=1 << 16, k=3)
+    return out.select("l_orderkey", "l_linenumber", "l_suppkey")
+
+
+@register(
+    "topk_per_group_twostage",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def topk_per_group_twostage(spark, sf_dir):
+    """Exact top-3 orders by price per priority via the two-stage
+    formulation: per-partition candidates first (bounded state, no
+    shuffle), window over candidates only — the shuffle carries ≤ k rows
+    per (partition, group) instead of the group's full history.  Must
+    equal the plain window (the oracle)."""
+    from polars_lake_spark.operators.skew import topk_per_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    return topk_per_group(
+        orders, ["o_orderpriority"], "o_totalprice", "o_orderkey", 3
+    )

@@ -71,3 +71,75 @@ def test_salted_join_splits_key_across_salts(spark, sf_dir):
         .mx
     )
     assert spread > 1  # hot keys actually fan out over salts
+
+
+def test_bloom_semi_join_equals_plain_and_prunes(spark):
+    """No false negatives (result == plain semi-join on adversarial
+    keys) and real pruning (the prefiltered slice is far smaller than
+    the fact table when the dim is selective)."""
+    import pyspark.sql.functions as F
+
+    from polars_lake_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_prefilter,
+        bloom_semi_join,
+    )
+
+    fact = spark.range(0, 5000).select(
+        F.col("id").alias("rid"), (F.col("id") % 997).alias("k")
+    )
+    dim = spark.range(0, 10).select((F.col("id") * 101).alias("dk"))
+    got = {r.rid for r in bloom_semi_join(fact, dim, "k", "dk").collect()}
+    want = {
+        r.rid
+        for r in fact.join(
+            dim, fact.k == dim.dk, "left_semi"
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    pre = bloom_prefilter(fact, bloom_bitmap(dim, "dk"), "k")
+    n_pre = pre.count()
+    assert len(want) <= n_pre < 5000 // 4, n_pre
+
+
+def test_bloom_empty_dim_yields_empty(spark):
+    import pyspark.sql.functions as F
+
+    from polars_lake_spark.operators.bloom import bloom_semi_join
+
+    fact = spark.range(0, 100).select(F.col("id").alias("k"))
+    dim = spark.range(0, 10).select(F.col("id").alias("dk")).filter("dk < 0")
+    assert bloom_semi_join(fact, dim, "k", "dk").count() == 0
+
+
+def test_topk_per_group_matches_window(spark):
+    """Two-stage top-k == plain window on a skewed distribution (one
+    group holds 90% of rows), under an adversarial repartition too."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from polars_lake_spark.operators.skew import topk_per_group
+
+    df = spark.range(0, 4000).select(
+        F.when(F.col("id") < 3600, F.lit("hot"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 7).cast("string")))
+        .alias("g"),
+        (F.col("id") * 37 % 1001).cast("double").alias("v"),
+        F.col("id").alias("rid"),
+    )
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("rid").asc())
+    want = {
+        (r.g, r.rid)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .collect()
+    }
+    got = {
+        (r.g, r.rid)
+        for r in topk_per_group(df, ["g"], "v", "rid", 5).collect()
+    }
+    rep = {
+        (r.g, r.rid)
+        for r in topk_per_group(df.repartition(13), ["g"], "v", "rid", 5).collect()
+    }
+    assert got == want == rep and len(want) > 5
