@@ -208,7 +208,11 @@ def bpe_encode(
             if t is None:
                 out.append([])
                 continue
-            norm = re.sub(r"\s+", " ", t.lower()).strip()
+            # re.ASCII: Java's \s is ASCII-only, Python's is unicode —
+            # without the flag a \xa0 would split here but not in the
+            # Spark-side normalized_text, and the two tokenization
+            # paths (bpe_token_consistency_check) would diverge.
+            norm = re.sub(r"\s+", " ", t.lower(), flags=re.ASCII).strip()
             toks: list[str] = []
             for w in norm.split(" "):
                 if w:

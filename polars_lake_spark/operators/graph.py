@@ -320,8 +320,10 @@ def pagerank(
     per iteration (localCheckpoint) so the plan stays O(1) deep — the
     two-star lesson.  Dangling mass (nodes without out-edges) is dropped,
     not redistributed: deterministic, documented, and harmless for
-    ranking use.  For weights approaching 1e9, pre-scale ``weight`` so
-    ``r·w`` stays inside int64.
+    ranking use.  int64 bounds: ``r·w`` must stay under 2^63 (pre-scale
+    huge weights), and a node's summed contribution is bounded by the
+    total system mass ``n_nodes·scale`` — at ~1e9 nodes drop ``scale``
+    to 1e6 so ``damping·contrib`` cannot overflow.
     """
     w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
     e = edges.groupBy(src, dst).agg(F.sum(w).alias("w"))

@@ -149,3 +149,22 @@ def test_merge_table_roundtrip(spark, sf_dir, tmp_path):
     a = {r.doc_id: r.tokens for r in B.bpe_encode(docs, "text", merges).select("doc_id", "tokens").collect()}
     b = {r.doc_id: r.tokens for r in B.bpe_encode(docs, "text", reloaded).select("doc_id", "tokens").collect()}
     assert a == b
+
+
+def test_encode_unicode_whitespace_matches_spark_norm(spark):
+    """Java's \\s is ASCII-only; the python encoder must NOT split on
+    unicode whitespace (\\xa0) or the two consistency-check paths
+    diverge. The \\xa0 stays inside the word, chars it joins stay one
+    word."""
+    from polars_lake_spark.operators.dedup import normalized_text
+
+    df = spark.createDataFrame([(1, "foo\xa0bar baz")], "id bigint, text string")
+    spark_words = df.select(
+        F.split(normalized_text(F.col("text")), " ").alias("w")
+    ).head()["w"]
+    assert spark_words == ["foo\xa0bar", "baz"]
+    out = B.bpe_encode(df, "text", []).head()["tokens"]
+    assert "".join(out) == "foo\xa0barbaz"
+    # the unicode-space word stayed intact: chars of foo\xa0bar are
+    # contiguous (no token boundary inserted by a python-side split)
+    assert out == list("foo\xa0bar") + list("baz")
