@@ -99,6 +99,9 @@ HEADLINE = [
     # semi-join shuffle) and two-stage skew-safe top-k per group.
     "bloom_semi_join",
     "topk_per_group_twostage",
+    # r5: sorted-neighborhood dedup on the distributed global rank
+    # (range partitions + offset prefix-sum, no single-task sort).
+    "dedup_snm",
 ]
 
 

@@ -466,3 +466,106 @@ def prefix_filter_pairs(
     s1 = shingled.select(F.col("id").alias("d1"), F.col("shingles").alias("sh1"))
     s2 = shingled.select(F.col("id").alias("d2"), F.col("shingles").alias("sh2"))
     return verified_jaccard_pairs(cands, s1, s2, threshold)
+
+
+def global_rank(
+    df: DataFrame, order_cols: list[str], partitions: int | None = None
+) -> DataFrame:
+    """0-based global rank under the total order ``order_cols`` WITHOUT a
+    single-task sort (the naive ``row_number() OVER (ORDER BY ...)``
+    plans one partition and dies at scale):
+
+    * range-repartition + sort within partitions (the distributed sort
+      Spark already does for orderBy — but kept partitioned);
+    * per-partition row counts → prefix-sum offsets on the driver (a
+      collect bounded by the partition COUNT, not the data);
+    * a map-side running counter adds the offset — no further shuffle.
+
+    The input is localCheckpoint-ed after range partitioning so the two
+    passes (count, assign) see identical partition bounds.  ``order_cols``
+    must be a TOTAL order (include a unique id) or ranks within ties are
+    partition-layout-dependent.
+    """
+    import pandas as pd  # noqa: F401
+
+    spark = df.sparkSession
+    p = partitions or spark.sparkContext.defaultParallelism
+    rp = (
+        df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["__pid"]: r["c"]
+        for r in rp.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # fresh StructType — .add() would MUTATE rp's cached schema object
+    out_schema = StructType(
+        list(rp.schema.fields) + [StructField("__rank", LongType())]
+    )
+
+    def assign(batches):
+        counter = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if counter is None:
+                counter = offsets[int(pdf["__pid"].iloc[0])]
+            pdf = pdf.copy()
+            pdf["__rank"] = range(counter, counter + len(pdf))
+            counter += len(pdf)
+            yield pdf
+
+    return rp.mapInPandas(assign, out_schema).drop("__pid")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 10,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Sorted-neighborhood dedup (SNM, Hernandez & Stolfo SIGMOD'95):
+    rank all documents under (normalized_text, id), compare each doc only
+    to its next ``window-1`` neighbors, exact-verify Jaccard.
+
+    The fifth point in the dedup design space: O(docs · window)
+    comparisons with recall concentrated on near-dups that share a sort
+    prefix — the classic cheap pass before LSH.  Deterministic end to
+    end (total sort order, exact verification), so DuckDB replays it
+    exactly.  Scale shape: the distributed ``global_rank`` (no
+    single-task sort), one keyed self-join on rank, broadcast-verified
+    candidates.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    shingled = word_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        normalized_text(F.col(text_col)).alias("__norm"),
+    ).join(shingled.select("id"), "id")
+    ranked = global_rank(base, ["__norm", "id"]).select("id", "__rank")
+    a = ranked.select(F.col("id").alias("d1"), F.col("__rank").alias("ra"))
+    b = ranked.select(F.col("id").alias("d2"), F.col("__rank").alias("rb"))
+    probes = a.select(
+        "d1",
+        F.explode(
+            F.array(*[F.col("ra") + F.lit(j) for j in range(1, window)])
+        ).alias("rb"),
+    )
+    cands = probes.join(b, "rb").select("d1", "d2")
+    s1 = shingled.select(F.col("id").alias("d1"), F.col("shingles").alias("sh1"))
+    s2 = shingled.select(F.col("id").alias("d2"), F.col("shingles").alias("sh2"))
+    return verified_jaccard_pairs(cands, s1, s2, threshold)

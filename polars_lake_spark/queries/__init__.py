@@ -49,6 +49,8 @@ CHECK_PRIORITY: list[str] = [
     "text_bigram_logprob",
     "bloom_semi_join",
     "topk_per_group_twostage",
+    "dedup_snm",
+    "domain_resample_temperature",
     # -- NEW r5: two-star CC, MG heavy hitters, sketch checks ----------
     "dedup_clusters_twostar",
     "token_heavy_hitters",
@@ -96,14 +98,14 @@ CHECK_PRIORITY: list[str] = [
     "upsert_merge",
     "insert_append",
     "delete_anti",
+    # ------ 50-slot window boundary falls after delete_anti (35 new +
+    # 9 changed + 6 r2-greens).  The late-r5 additions consumed every
+    # r3-green slot AND twelve r2-green slots: the twelve below lead r6
+    # with 4-round-old driver evidence — the exceptions to the ≤3-round
+    # target; all stay locally verified every session by
+    # test_oracle_parity ----------------------------------------------
     "dedup_keyed",
     "schema_evolution_union",
-    # ------ 50-slot window boundary falls after schema_evolution_union
-    # (33 new + 9 changed + 8 r2-greens).  The late-r5 additions
-    # consumed every r3-green slot AND ten r2-green slots: the ten below
-    # lead r6 with 4-round-old driver evidence — the exceptions to the
-    # ≤3-round target; all stay locally verified every session by
-    # test_oracle_parity ----------------------------------------------
     "audit_columns",
     "time_travel_upsert",
     "cdc_changes",

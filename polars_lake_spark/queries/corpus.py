@@ -846,3 +846,41 @@ def pack_sequences_ffd_check(spark, sf_dir):
             "violations"
         ),
     )
+
+
+@register(
+    "domain_resample_temperature",
+    oracle="""
+    WITH s AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n) AS mn FROM s)
+    SELECT doc_id, lang FROM documents
+    JOIN s USING (lang) CROSS JOIN m
+    WHERE CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1000000
+          < CAST(floor(1000000.0 * pow(mn * 1.0 / n, 0.7)) AS BIGINT)
+    """,
+)
+def domain_resample_temperature(spark, sf_dir):
+    """Temperature-scaled mixture resampling (XLM-R-style alpha
+    smoothing, alpha=0.3): acceptance rate (n_min/n_l)^(1-alpha) per
+    language — interpolates between no resampling (alpha=1) and the
+    uniform `domain_resample` (alpha=0), keeping head domains dominant
+    but boosting the tail's relative share.  Same deterministic
+    content-hash draw (rerun/append/partitioning-stable), broadcast rate
+    table, map-side filter."""
+    alpha = 0.3
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = s.agg(F.min("n").alias("mn"))
+    rates = s.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.floor(
+            1_000_000.0 * F.pow(F.col("mn") / F.col("n"), F.lit(1 - alpha))
+        )
+        .cast("bigint")
+        .alias("thr"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(md5_bucket(F.col("text"), 1_000_000) < F.col("thr"))
+        .select("doc_id", "lang")
+    )

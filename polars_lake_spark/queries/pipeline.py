@@ -1008,3 +1008,37 @@ def text_readability(spark, sf_dir):
         "doc_id",
         F.round(TX.readability_flesch(F.col("text")), 4).alias("flesch"),
     )
+
+
+_SNM_ORACLE = f"""
+    WITH docs0 AS (SELECT doc_id, {_NORM_SQL} AS norm,
+                          string_split({_NORM_SQL}, ' ') AS w
+                   FROM documents),
+    d AS (SELECT doc_id, norm,
+                 list_distinct(list_transform(range(1, len(w)-1),
+                     i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS sh
+          FROM docs0 WHERE len(w) >= 3),
+    r AS (SELECT doc_id, norm, sh,
+                 ROW_NUMBER() OVER (ORDER BY norm, doc_id) - 1 AS rk FROM d),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.sh AS sa, b.sh AS sb
+              FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 9),
+    j AS (SELECT d1, d2, len(list_intersect(sa, sb)) * 1.0 /
+                 (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jac
+          FROM pairs)
+    SELECT d1, d2, ROUND(jac, 8) AS jaccard FROM j WHERE jac >= 0.8
+"""
+
+
+@register("dedup_snm", oracle=_SNM_ORACLE)
+def dedup_snm(spark, sf_dir):
+    """Sorted-neighborhood dedup (window 10 over the normalized-text
+    sort order, exact-verified at 0.8): the classic O(docs·window) cheap
+    pass — recall concentrated on near-dups sharing a sort prefix.  The
+    interesting scale part is the distributed global rank underneath
+    (range partitions + offset prefix-sum; NO single-task window sort —
+    see operators/dedup.py:global_rank)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.sorted_neighborhood_pairs(
+        docs, "doc_id", "text", window=10, n=3, threshold=0.8
+    )
+    return pairs.select("d1", "d2", F.round("jaccard", 8).alias("jaccard"))

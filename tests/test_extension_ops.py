@@ -258,3 +258,45 @@ def test_prefix_filter_layout_independent(docs):
         ).collect()
     }
     assert base == rep
+
+
+def test_global_rank_is_dense_total_order(spark):
+    """global_rank == the single-task window row_number, without one:
+    dense 0..n-1, ordered by the keys, stable under repartition."""
+    from polars_lake_spark.operators.dedup import global_rank
+
+    rows = [(i, "k%03d" % ((i * 7) % 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    got = {
+        (r["id"], r["__rank"])
+        for r in global_rank(df, ["k", "id"], partitions=7).collect()
+    }
+    want = {
+        (i, rk)
+        for rk, (i, _k) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == want
+    rep = {
+        (r["id"], r["__rank"])
+        for r in global_rank(df.repartition(11), ["k", "id"], partitions=3).collect()
+    }
+    assert rep == want
+
+
+def test_snm_subset_of_exact_and_finds_planted(docs):
+    """SNM pairs are exact-verified, so they're a SUBSET of brute-force
+    Jaccard at the same threshold — and on the fixtures (near-dups share
+    sort prefixes) it finds a real fraction of them."""
+    # SNM emits (lower-rank, higher-rank); normalize to unordered pairs
+    snm = {
+        frozenset((r.d1, r.d2))
+        for r in D.sorted_neighborhood_pairs(
+            docs, "doc_id", "text", window=10, threshold=0.8
+        ).collect()
+    }
+    exact = {
+        frozenset((r.d1, r.d2))
+        for r in D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    assert snm <= exact
+    assert len(snm) >= len(exact) * 0.5 > 0
