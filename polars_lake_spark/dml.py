@@ -1,0 +1,148 @@
+"""SQL DML statements over engine tables.
+
+Vanilla Spark SQL cannot mutate parquet-backed views, so
+``Engine.sql("DELETE FROM t WHERE ...")`` would fail at the analyzer.
+This shim recognizes the three DML statement shapes and routes them
+through the engine's real mutation paths:
+
+* ``DELETE FROM t [WHERE p]``            → row-exact ``engine.overwrite``
+  with the kept slice (NOT key-based ``engine.delete`` — with non-unique
+  keys a key anti-join deletes every row SHARING a doomed row's key;
+  caught live against the TPC-H lineitem fixture, 600 predicate matches
+  but 896 rows gone)
+* ``UPDATE t SET c = e, ... [WHERE p]``  → row-exact ``engine.overwrite``
+  with ``when(p, e).otherwise(c)`` per column, all SET expressions
+  evaluated against the OLD row (standard SQL: ``SET a = b, b = a``
+  swaps) — and ``SET c = NULL`` works, unlike a keyed coalesce-merge
+* ``INSERT INTO t [(cols)] SELECT ...``  → ``engine.insert``
+
+Each returns a one-row ``(operation, table, n_affected)`` status frame;
+versioned tables get one atomic 'rewrite'/'append' snapshot per
+statement.  Non-DML statements fall through to ``spark.sql`` untouched.
+Table names resolve like everywhere else: the registered name
+(``schema.table``) or its view key (``schema__table``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    re.I | re.S,
+)
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    re.I | re.S,
+)
+_INSERT = re.compile(
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(\([^)]*\))?\s*(SELECT\b.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parens/brackets/quotes (SET-clause lists
+    whose expressions contain function calls)."""
+    parts, cur, depth, q = [], [], 0, None
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _resolve(engine, name: str) -> str | None:
+    if name in engine.specs:
+        return name
+    dotted = name.replace("__", ".")
+    if dotted in engine.specs:
+        return dotted
+    return None
+
+
+def _status(engine, op: str, table: str, n: int) -> DataFrame:
+    return engine.spark.createDataFrame(
+        [(op, table, n)], "operation string, table string, n_affected bigint"
+    )
+
+
+def try_execute_dml(engine, query: str) -> DataFrame | None:
+    """Execute ``query`` if it is a DML statement over a known engine
+    table; return the status frame, or None for everything else."""
+    m = _DELETE.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        t = engine.table(name)
+        # WHERE p deletes rows where p is TRUE; NULL predicate keeps.
+        pred = F.coalesce(F.expr(m.group(2)), F.lit(False)) if m.group(2) else F.lit(True)
+        n = t.filter(pred).count()
+        if n:
+            engine.overwrite(name, t.filter(~pred))
+        return _status(engine, "delete", name, n)
+
+    m = _UPDATE.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        t = engine.table(name)
+        pred = (
+            F.coalesce(F.expr(m.group(3)), F.lit(False))
+            if m.group(3)
+            else F.lit(True)
+        )
+        assigns = {}
+        for clause in _split_top_level(m.group(2)):
+            col, eq, expr = clause.partition("=")
+            col = col.strip()
+            if not eq or not re.fullmatch(r"[A-Za-z_]\w*", col):
+                raise ValueError(f"cannot parse SET clause: {clause!r}")
+            if col not in t.columns:
+                raise ValueError(f"UPDATE {name}: no column {col!r}")
+            assigns[col] = F.when(pred, F.expr(expr.strip())).otherwise(F.col(col))
+        # ONE select: every SET expression sees the OLD row (SQL
+        # semantics — sequential withColumn would leak earlier updates).
+        updated = t.select(
+            *[assigns.get(c, F.col(c)).alias(c) for c in t.columns]
+        )
+        n = t.filter(pred).count()
+        if n:
+            engine.overwrite(name, updated)
+        return _status(engine, "update", name, n)
+
+    m = _INSERT.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        df = engine.spark.sql(m.group(3))
+        if m.group(2):
+            cols = [c.strip() for c in m.group(2).strip("()").split(",")]
+            df = df.toDF(*cols)
+        n = df.count()
+        engine.insert(name, df)
+        return _status(engine, "insert", name, n)
+
+    return None

@@ -649,7 +649,17 @@ class Engine:
     def sql(self, query: str) -> DataFrame:
         """Execute SQL over the registered tables
         (``/root/reference/src/database.rs:50-56`` analog; the persistent
-        catalog replaces its per-query SQLContext rebuild)."""
+        catalog replaces its per-query SQLContext rebuild).
+
+        DELETE / UPDATE / INSERT INTO ... SELECT statements over engine
+        tables route through the real mutation paths (polars_lake_spark.
+        dml) and return a one-row (operation, table, n_affected) status
+        frame; everything else is vanilla Spark SQL."""
+        from polars_lake_spark import dml
+
+        res = dml.try_execute_dml(self, query)
+        if res is not None:
+            return res
         return self.spark.sql(query)
 
     def sqls(self, queries: list[str]) -> list[DataFrame]:

@@ -1,0 +1,96 @@
+"""SQL DML statements (DELETE / UPDATE / INSERT INTO ... SELECT) routed
+through the engine's mutation paths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_lake_spark import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i * 10)) for i in range(20)],
+        "id bigint, grp string, val double",
+    )
+    e.create_table("t", df, keys=["id"])
+    return e
+
+
+def test_delete_where(eng):
+    st = eng.sql("DELETE FROM t WHERE grp = 'g0'").head()
+    assert (st["operation"], st["n_affected"]) == ("delete", 7)
+    assert eng.sql("SELECT count(*) AS n FROM t").head()["n"] == 13
+    assert eng.table("t").filter("grp = 'g0'").count() == 0
+
+
+def test_update_set_where(eng):
+    st = eng.sql("UPDATE t SET val = val + 1, grp = upper(grp) WHERE id < 5").head()
+    assert (st["operation"], st["n_affected"]) == ("update", 5)
+    rows = {r.id: (r.grp, r.val) for r in eng.table("t").collect()}
+    assert rows[0] == ("G0", 1.0) and rows[4] == ("G1", 41.0)
+    assert rows[10] == ("g1", 100.0)  # untouched
+
+
+def test_update_set_with_function_commas(eng):
+    st = eng.sql(
+        "UPDATE t SET val = round(greatest(val, 55.0), 1) WHERE id IN (1, 2)"
+    ).head()
+    assert st["n_affected"] == 2
+    rows = {r.id: r.val for r in eng.table("t").collect()}
+    assert rows[1] == 55.0 and rows[2] == 55.0 and rows[3] == 30.0
+
+
+def test_insert_into_select(eng, spark):
+    spark.range(100, 103).select(
+        F.col("id"), F.lit("gx").alias("grp"), F.lit(0.0).alias("val")
+    ).createOrReplaceTempView("src")
+    st = eng.sql("INSERT INTO t SELECT id, grp, val FROM src").head()
+    assert (st["operation"], st["n_affected"]) == ("insert", 3)
+    assert eng.table("t").filter("grp = 'gx'").count() == 3
+
+
+def test_select_passthrough_and_unknown_table_falls_through(eng):
+    assert eng.sql("SELECT max(id) AS m FROM t").head()["m"] == 19
+    with pytest.raises(Exception):
+        eng.sql("DELETE FROM no_such_table WHERE 1=1").collect()
+
+
+def test_dml_on_two_level_namespace(eng, spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id bigint, v double")
+    eng.create_table("s.u", df, keys=["id"])
+    st = eng.sql("DELETE FROM s__u WHERE id = 1").head()
+    assert st["n_affected"] == 1 and st["table"] == "s.u"
+    assert eng.table("s.u").count() == 1
+
+
+def test_update_set_sees_old_row_values(eng, spark):
+    """Standard SQL: all SET expressions evaluate against the OLD row —
+    SET a = b, b = a must swap."""
+    df = spark.createDataFrame([(1, 10.0, 20.0)], "id bigint, a double, b double")
+    eng.create_table("sw", df, keys=["id"])
+    eng.sql("UPDATE sw SET a = b, b = a")
+    r = eng.table("sw").head()
+    assert (r.a, r.b) == (20.0, 10.0)
+
+
+def test_update_set_null_sticks(eng, spark):
+    df = spark.createDataFrame([(1, "x")], "id bigint, s string")
+    eng.create_table("nl", df, keys=["id"])
+    eng.sql("UPDATE nl SET s = NULL WHERE id = 1")
+    assert eng.table("nl").head().s is None
+
+
+def test_delete_row_exact_under_duplicate_keys(eng, spark):
+    """Two rows share the key; DELETE WHERE must remove exactly the
+    matching ROW, not every row sharing its key (the engine.delete
+    anti-join would take both)."""
+    df = spark.createDataFrame(
+        [(1, "keep"), (1, "doomed")], "id bigint, tag string"
+    )
+    eng.create_table("dup", df, keys=["id"])
+    st = eng.sql("DELETE FROM dup WHERE tag = 'doomed'").head()
+    assert st["n_affected"] == 1
+    rows = eng.table("dup").collect()
+    assert len(rows) == 1 and rows[0].tag == "keep"
