@@ -35,7 +35,7 @@ _DELETE = re.compile(
     re.I | re.S,
 )
 _UPDATE = re.compile(
-    r"^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    r"^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.+?)\s*;?\s*$",
     re.I | re.S,
 )
 _INSERT = re.compile(
@@ -69,6 +69,35 @@ def _split_top_level(s: str) -> list[str]:
             cur.append(ch)
     parts.append("".join(cur))
     return [p.strip() for p in parts if p.strip()]
+
+
+def _split_where(s: str) -> tuple[str, str | None]:
+    """Split "set-clauses [WHERE pred]" at the first TOP-LEVEL WHERE
+    keyword — outside quotes and parens, so a string literal containing
+    'where' in a SET expression can't truncate the clause (review
+    finding)."""
+    depth, q, i, n = 0, None, 0, len(s)
+    low = s.lower()
+    while i < n:
+        ch = s[i]
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif (
+            depth == 0
+            and low.startswith("where", i)
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + 5 >= n or not (s[i + 5].isalnum() or s[i + 5] == "_"))
+        ):
+            return s[:i].strip(), s[i + 5 :].strip()
+        i += 1
+    return s.strip(), None
 
 
 def _resolve(engine, name: str) -> str | None:
@@ -108,13 +137,14 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         if name is None:
             return None
         t = engine.table(name)
+        set_sql, where_sql = _split_where(m.group(2))
         pred = (
-            F.coalesce(F.expr(m.group(3)), F.lit(False))
-            if m.group(3)
+            F.coalesce(F.expr(where_sql), F.lit(False))
+            if where_sql
             else F.lit(True)
         )
         assigns = {}
-        for clause in _split_top_level(m.group(2)):
+        for clause in _split_top_level(set_sql):
             col, eq, expr = clause.partition("=")
             col = col.strip()
             if not eq or not re.fullmatch(r"[A-Za-z_]\w*", col):
@@ -141,6 +171,17 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         if m.group(2):
             cols = [c.strip() for c in m.group(2).strip("()").split(",")]
             df = df.toDF(*cols)
+            # SQL semantics: unlisted table columns are NULL-filled —
+            # and without this a narrower-schema append would clobber
+            # the table's recorded schema (review finding).
+            tschema = engine.table(name).schema
+            for f in tschema.fields:
+                if f.name not in cols:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            df = df.select(*[f.name for f in tschema.fields])
+        # one materialization: the count and the insert must agree even
+        # for a non-deterministic SELECT, and the source scans once.
+        df = df.localCheckpoint(eager=True)
         n = df.count()
         engine.insert(name, df)
         return _status(engine, "insert", name, n)

@@ -664,8 +664,9 @@ class Engine:
 
     def sqls(self, queries: list[str]) -> list[DataFrame]:
         """Batched execution (``/root/reference/src/database.rs:58-63``):
-        one session shares Catalyst caches/exchange reuse across plans."""
-        return [self.spark.sql(q) for q in queries]
+        one session shares Catalyst caches/exchange reuse across plans.
+        Routes through ``sql()`` so DML statements work in batches too."""
+        return [self.sql(q) for q in queries]
 
     # --------------------------------------------------------------- mutation
     def _guard_mutable(self, name: str):

@@ -30,6 +30,12 @@ from pyspark.sql import functions as F
 
 
 def _probe_positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    # cast to string first: xxhash64 is input-TYPE-sensitive (int 5 and
+    # bigint 5 hash differently), and build/probe sides may carry
+    # different numeric types for the same key values — which would be
+    # silent false negatives, the one failure mode a bloom filter must
+    # never have.
+    key = key.cast("string")
     return [F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)]
 
 

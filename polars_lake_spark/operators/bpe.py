@@ -212,7 +212,10 @@ def bpe_encode(
             # without the flag a \xa0 would split here but not in the
             # Spark-side normalized_text, and the two tokenization
             # paths (bpe_token_consistency_check) would diverge.
-            norm = re.sub(r"\s+", " ", t.lower(), flags=re.ASCII).strip()
+            # .strip(" "): F.trim strips ASCII spaces only — bare
+            # .strip() would also eat unicode whitespace and diverge
+            # from the Spark-side word (review finding, \xa0 prefixes).
+            norm = re.sub(r"\s+", " ", t.lower(), flags=re.ASCII).strip(" ")
             toks: list[str] = []
             for w in norm.split(" "):
                 if w:

@@ -131,7 +131,9 @@ def topk_per_group(
             cand = pdf if cand is None else pd.concat([cand, pdf])
             cand = (
                 cand.sort_values([order_col, id_col], ascending=[False, True])
-                .groupby(gl, sort=False)
+                # dropna=False: Spark windows treat NULL as a normal
+                # group; pandas' default would silently drop those rows
+                .groupby(gl, sort=False, dropna=False)
                 .head(k)
             )
         if cand is not None:

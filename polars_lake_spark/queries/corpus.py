@@ -548,19 +548,21 @@ def text_bigram_logprob(spark, sf_dir):
     words = F.split(TX.normalized(F.col("text")), " ")
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", words.alias("w"))
+    # let_bound: the pair builder references the split THREE times
+    # (sequence bound + two element_at) — CollapseProject would inline
+    # the normalize+split into each reference (the HOF-recompute class).
+    bigrams_of = lambda w: F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.struct(
+            F.element_at(w, i).alias("w1"),
+            F.element_at(w, i + 1).alias("w2"),
+        ),
+    )
     bg = (
         base.filter(F.size("w") >= 2)
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("w"), i).alias("w1"),
-                        F.element_at(F.col("w"), i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("b"),
+            F.explode(D.let_bound(F.col("w"), bigrams_of)).alias("b"),
         )
         .select("doc_id", "b.w1", "b.w2")
     )

@@ -94,3 +94,32 @@ def test_delete_row_exact_under_duplicate_keys(eng, spark):
     assert st["n_affected"] == 1
     rows = eng.table("dup").collect()
     assert len(rows) == 1 and rows[0].tag == "keep"
+
+
+def test_update_where_inside_string_literal(eng, spark):
+    """A SET expression whose string literal contains 'WHERE' must not
+    truncate the clause (quote-aware top-level split)."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+    eng.create_table("q", df, keys=["id"])
+    eng.sql("UPDATE q SET s = 'x where y' WHERE id = 1")
+    rows = {r.id: r.s for r in eng.table("q").collect()}
+    assert rows == {1: "x where y", 2: "b"}
+
+
+def test_insert_column_subset_null_fills(eng):
+    """Unlisted table columns become NULL and the table keeps its full
+    schema (a narrower append must not clobber the recorded schema)."""
+    st = eng.sql(
+        "INSERT INTO t (id, grp) SELECT 900 AS a, 'gz' AS b"
+    ).head()
+    assert st["n_affected"] == 1
+    row = eng.table("t").filter("id = 900").head()
+    assert row.grp == "gz" and row.val is None
+    assert set(eng.table("t").columns) == {"id", "grp", "val"}
+
+
+def test_batched_sqls_routes_dml(eng):
+    """sqls() must route DML like sql() — not hit the Spark analyzer."""
+    out = eng.sqls(["DELETE FROM t WHERE id = 0", "SELECT count(*) AS n FROM t"])
+    assert out[0].head()["n_affected"] == 1
+    assert out[1].head()["n"] == 19

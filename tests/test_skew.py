@@ -143,3 +143,32 @@ def test_topk_per_group_matches_window(spark):
         for r in topk_per_group(df.repartition(13), ["g"], "v", "rid", 5).collect()
     }
     assert got == want == rep and len(want) > 5
+
+
+def test_topk_per_group_null_group_kept(spark):
+    """Spark windows treat NULL as a normal group; stage 1's pandas
+    groupby must not silently drop those rows (dropna=False)."""
+    import pyspark.sql.functions as F
+
+    from polars_lake_spark.operators.skew import topk_per_group
+
+    df = spark.createDataFrame(
+        [(1, None, 5.0), (2, None, 7.0), (3, "g", 1.0)],
+        "rid bigint, g string, v double",
+    )
+    got = {(r.g, r.rid) for r in topk_per_group(df, ["g"], "v", "rid", 1).collect()}
+    assert got == {(None, 2), ("g", 3)}
+
+
+def test_bloom_semi_join_mixed_key_types(spark):
+    """Build int key vs probe bigint key: xxhash64 is type-sensitive, so
+    positions hash the CAST-to-string key — a type mismatch must never
+    produce a false negative."""
+    import pyspark.sql.functions as F
+
+    from polars_lake_spark.operators.bloom import bloom_semi_join
+
+    fact = spark.range(0, 100).select(F.col("id").alias("k"))  # bigint
+    dim = spark.createDataFrame([(3,), (7,)], "dk int")        # int
+    got = {r.k for r in bloom_semi_join(fact, dim, "k", "dk").collect()}
+    assert got == {3, 7}
