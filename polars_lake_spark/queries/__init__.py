@@ -51,6 +51,8 @@ CHECK_PRIORITY: list[str] = [
     "topk_per_group_twostage",
     "dedup_snm",
     "domain_resample_temperature",
+    "join_cardinality_probe",
+    "histogram_equidepth",
     # -- NEW r5: two-star CC, MG heavy hitters, sketch checks ----------
     "dedup_clusters_twostar",
     "token_heavy_hitters",
@@ -96,14 +98,14 @@ CHECK_PRIORITY: list[str] = [
     "select_exclude",
     "array_agg_sorted",
     "upsert_merge",
+    # ------ 50-slot window boundary falls after upsert_merge (37 new +
+    # 9 changed + 4 r2-greens).  The late-r5 additions consumed every
+    # r3-green slot AND fourteen r2-green slots: the fourteen below lead
+    # r6 with 4-round-old driver evidence — the exceptions to the
+    # ≤3-round target; all stay locally verified every session by
+    # test_oracle_parity ----------------------------------------------
     "insert_append",
     "delete_anti",
-    # ------ 50-slot window boundary falls after delete_anti (35 new +
-    # 9 changed + 6 r2-greens).  The late-r5 additions consumed every
-    # r3-green slot AND twelve r2-green slots: the twelve below lead r6
-    # with 4-round-old driver evidence — the exceptions to the ≤3-round
-    # target; all stay locally verified every session by
-    # test_oracle_parity ----------------------------------------------
     "dedup_keyed",
     "schema_evolution_union",
     "audit_columns",

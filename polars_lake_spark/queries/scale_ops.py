@@ -231,3 +231,88 @@ def topk_per_group_twostage(spark, sf_dir):
     return topk_per_group(
         orders, ["o_orderpriority"], "o_totalprice", "o_orderkey", 3
     )
+
+
+@register(
+    "join_cardinality_probe",
+    oracle="""
+    WITH a AS (SELECT l_suppkey AS k, COUNT(*) AS ca FROM lineitem GROUP BY 1),
+    b AS (SELECT s_suppkey AS k, COUNT(*) AS cb FROM supplier GROUP BY 1)
+    SELECT CAST(SUM(ca * cb) AS BIGINT) AS join_rows,
+           CAST(MAX(ca * cb) AS BIGINT) AS max_key_rows,
+           CAST(COUNT(*) AS BIGINT) AS matching_keys
+    FROM a JOIN b USING (k)
+    """,
+)
+def join_cardinality_probe(spark, sf_dir):
+    """Pre-flight join planning: the EXACT output cardinality of
+    ``fact JOIN dim`` from the two per-key count tables — sum over
+    matching keys of ``ca·cb`` — plus the largest single key's
+    contribution (the skew signal that decides salting) and the matching
+    key count (with the dim count, the broadcast-vs-shuffle signal).
+    Cost: one aggregation per side + a join on DISTINCT keys — at 100 TB
+    this is orders cheaper than discovering mid-join that one key
+    produces 10^10 rows.  All-integer, so the probe is exact and
+    layout-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    a = li.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = sup.groupBy(F.col("s_suppkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    prod = a.join(b, "k").select((F.col("ca") * F.col("cb")).alias("p"))
+    return prod.agg(
+        F.sum("p").cast("bigint").alias("join_rows"),
+        F.max("p").cast("bigint").alias("max_key_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("matching_keys"),
+    )
+
+
+@register(
+    "histogram_equidepth",
+    oracle="""
+    WITH t AS (SELECT l_extendedprice AS v, l_orderkey AS id,
+                      l_linenumber AS ln FROM lineitem),
+    n AS (SELECT COUNT(*) AS total FROM t),
+    b AS (SELECT v,
+                 ((ROW_NUMBER() OVER (ORDER BY v, id, ln) - 1) * 10)
+                     // total + 1 AS bucket
+          FROM t CROSS JOIN n)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(v), 4) AS lo, ROUND(MAX(v), 4) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def histogram_equidepth(spark, sf_dir):
+    """Equi-DEPTH histogram (10 buckets of ~equal row count) over
+    l_extendedprice — the profiling complement to the equi-width
+    ``histogram_totals``: boundaries adapt to the distribution, so each
+    bucket is a usable selectivity estimate under heavy skew.
+
+    Scale shape: bucket = ``(rank·10) DIV n`` over the DISTRIBUTED
+    ``global_rank`` (range partitions + offset prefix-sum,
+    operators/dedup.py) — never the single-partition sort a global
+    NTILE window would plan.  All-integer bucket assignment under a
+    total order, so DuckDB replays it exactly with ROW_NUMBER."""
+    from polars_lake_spark.operators.dedup import global_rank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_orderkey").alias("id"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    total = t.count()
+    ranked = global_rank(t, ["v", "id", "ln"])
+    # integer DIV, matching the oracle bit-for-bit (float floor could
+    # drift a bucket when rank*10/total lands within an ulp of an int)
+    b = ranked.withColumn(
+        "bucket", F.expr(f"CAST((__rank * 10) DIV {total} AS INT) + 1")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.min("v"), 4).alias("lo"),
+        F.round(F.max("v"), 4).alias("hi"),
+    )
