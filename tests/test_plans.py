@@ -275,3 +275,15 @@ def test_decontaminate_semantic_broadcasts_bench(spark, sf_dir):
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin BuildRight, LeftAnti" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bloom_semi_join_prefilter_is_map_side(spark, sf_dir):
+    """The bloom prefilter must be a broadcast of the ONE-ROW bitmap plus
+    a map-side Filter — no shuffle (SortMergeJoin/Exchange of the fact
+    table) before the exact semi-join, and never a CartesianProduct of
+    anything larger than the bitmap row."""
+    df = all_queries()["bloom_semi_join"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row bitmap
+    assert "LeftSemi" in plan

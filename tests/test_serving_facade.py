@@ -135,3 +135,25 @@ def test_rpc_ingest_lifecycle(spark, sf_dir):
         assert "error" in h
     finally:
         server.stop()
+
+
+def test_sql_server_dml_over_the_wire(spark, sf_dir):
+    """DELETE arrives as a SQL statement over the socket, routes through
+    the engine's row-exact mutation path, and answers with the status
+    frame; the follow-up SELECT sees the mutation."""
+    engine = Engine(spark, None)
+    engine.create_table(
+        "li2", load_table(spark, sf_dir, "lineitem"), keys=["l_orderkey"], save=False
+    )
+    before = engine.table("li2").count()
+    doomed = engine.table("li2").filter("l_suppkey = 5").count()
+    server = SqlServer(engine).start()
+    host, port = server.address
+    try:
+        h, t = query(host, port, "DELETE FROM li2 WHERE l_suppkey = 5", qid=41)
+        assert h["qid"] == 41 and h.get("error") is None
+        assert t.to_pydict()["n_affected"] == [doomed]
+        h2, t2 = query(host, port, "SELECT count(*) AS n FROM li2", qid=42)
+        assert t2.to_pydict()["n"] == [before - doomed]
+    finally:
+        server.stop()
