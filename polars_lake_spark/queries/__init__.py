@@ -85,6 +85,12 @@ CHECK_PRIORITY: list[str] = [
     # centroid rounding (layout independence) touches every recall
     # invariant; join_cobucketed now collects + cleans its temp warehouse.
     "approx_distinct_check",
+    # r5 late: q1 moved to exact DECIMAL sums, logprob queries emit
+    # midpoint-free scaled-integer sums, PQ/IVF-PQ recall invariants
+    # respecified as aggregate mean-recall floors — all four re-verified
+    # at sf0.1 as well as the gate's sf0.01 (changed -> lead).
+    "q1_pricing_summary",
+    "text_unigram_logprob",
     "similarity_ivf_recall",
     "similarity_ivf_pruned_recall",  # NEW r5 — the benched probe path
     "multimodal_pixel_decode",  # NEW r5 — real PNG codec roundtrip
@@ -96,14 +102,14 @@ CHECK_PRIORITY: list[str] = [
     # -- green in r02 only; evidence 3 rounds old (18) -----------------
     "minmax_by",
     "select_exclude",
+    # ------ 50-slot window boundary falls after select_exclude (37 new
+    # + 11 changed + 2 r2-greens).  The late-r5 additions + the four
+    # sf0.1-hardening changes consumed every r3-green slot AND sixteen
+    # r2-green slots: the sixteen below lead r6 with 4-round-old driver
+    # evidence — the exceptions to the ≤3-round target; all stay locally
+    # verified every session by test_oracle_parity ---------------------
     "array_agg_sorted",
     "upsert_merge",
-    # ------ 50-slot window boundary falls after upsert_merge (37 new +
-    # 9 changed + 4 r2-greens).  The late-r5 additions consumed every
-    # r3-green slot AND fourteen r2-green slots: the fourteen below lead
-    # r6 with 4-round-old driver evidence — the exceptions to the
-    # ≤3-round target; all stay locally verified every session by
-    # test_oracle_parity ----------------------------------------------
     "insert_append",
     "delete_anti",
     "dedup_keyed",
@@ -112,7 +118,6 @@ CHECK_PRIORITY: list[str] = [
     "time_travel_upsert",
     "cdc_changes",
     "merge_into_conditional",
-    "q1_pricing_summary",
     "point_filter",
     "star_join_revenue",
     "top_customers",
@@ -164,7 +169,6 @@ CHECK_PRIORITY: list[str] = [
     "boilerplate_chunks",
     "events_gap_fill",
     "histogram_totals",
-    "text_unigram_logprob",
     "text_pii_scrub",
     "data_quality_report",
 ]

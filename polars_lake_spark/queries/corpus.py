@@ -479,8 +479,8 @@ def boilerplate_chunks(spark, sf_dir):
     uni AS (SELECT w, COUNT(*) AS cw FROM tk GROUP BY w),
     tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS total FROM uni)
     SELECT doc_id, COUNT(*) AS n_tokens,
-           ROUND(ROUND(SUM(LN(cw * 1.0 / total)), 4) / COUNT(*), 8)
-               AS avg_logprob
+           CAST(ROUND(SUM(LN(cw * 1.0 / total)) * 10000) AS BIGINT)
+               AS sum_lp_e4
     FROM tk JOIN uni USING (w) CROSS JOIN tot
     GROUP BY doc_id
     """,
@@ -503,11 +503,12 @@ def text_unigram_logprob(spark, sf_dir):
         .crossJoin(F.broadcast(tot))
         .select("doc_id", F.log(F.col("cw") / F.col("total")).alias("lp"))
     )
+    # scaled-INTEGER sum, same midpoint-free form as text_bigram_logprob
     return lp.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.round(F.sum("lp"), 4) / F.count(F.lit(1)), 8).alias(
-            "avg_logprob"
-        ),
+        F.round(F.sum("lp") * 10000)
+        .cast("bigint")
+        .alias("sum_lp_e4"),
     )
 
 
@@ -526,8 +527,8 @@ def text_unigram_logprob(spark, sf_dir):
               (SELECT unnest(string_split({_NORM_SQL}, ' ')) AS x
                FROM documents) q WHERE x <> '')
     SELECT doc_id, COUNT(*) AS n_bigrams,
-           ROUND(ROUND(SUM(LN((c12 + 1.0) / (c1 + nv))), 4) / COUNT(*), 8)
-               AS avg_logprob
+           CAST(ROUND(SUM(LN((c12 + 1.0) / (c1 + nv))) * 10000) AS BIGINT)
+               AS sum_lp_e4
     FROM bg JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
     GROUP BY doc_id
     """,
@@ -584,11 +585,14 @@ def text_bigram_logprob(spark, sf_dir):
             ),
         )
     )
+    # scaled-INTEGER sum (gotcha: a 4dp-rounded sum divided by a small
+    # count lands exactly on 8dp rounding midpoints — sf0.1 flipped one
+    # doc's last digit between engines; consumers divide by n_bigrams)
     return lp.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.round(F.sum("lp"), 4) / F.count(F.lit(1)), 8).alias(
-            "avg_logprob"
-        ),
+        F.round(F.sum("lp") * 10000)
+        .cast("bigint")
+        .alias("sum_lp_e4"),
     )
 
 

@@ -30,48 +30,54 @@ def _t(spark, sf_dir, name):
 @register(
     "q1_pricing_summary",
     oracle="""
+    WITH t AS (SELECT l_returnflag, l_linestatus,
+                      CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+                      CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                      CAST(l_discount AS DECIMAL(4,2)) AS disc,
+                      CAST(l_tax AS DECIMAL(4,2)) AS tax
+               FROM lineitem
+               WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02')
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-           ROUND(ROUND(SUM(l_quantity), 2) / COUNT(*), 8)      AS avg_qty,
-           ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(*), 8) AS avg_price,
-           ROUND(ROUND(SUM(l_discount), 2) / COUNT(*), 8)      AS avg_disc,
+           CAST(SUM(qty) AS DOUBLE)                       AS sum_qty,
+           CAST(SUM(price) AS DOUBLE)                     AS sum_base_price,
+           CAST(SUM(price * (1 - disc)) AS DOUBLE)        AS sum_disc_price,
+           CAST(SUM(price * (1 - disc) * (1 + tax)) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(qty) AS DOUBLE) / COUNT(*), 8)   AS avg_qty,
+           ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 8) AS avg_price,
+           ROUND(CAST(SUM(disc) AS DOUBLE) / COUNT(*), 8)  AS avg_disc,
            COUNT(*)                         AS count_order
-    FROM lineitem
-    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    FROM t
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q1_pricing_summary(spark, sf_dir):
+    """DECIMAL arithmetic throughout (r5): the source monetary columns
+    are 2dp values, so casting to DECIMAL makes every sum EXACT — the
+    double formulation hit 6dp rounding boundaries at sf0.1 (partial-agg
+    order shifted sum_charge by 1e-6 between engines). Exact decimals
+    cast to DOUBLE at the end are bit-identical at any scale and
+    partitioning."""
     li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                6,
-            ).alias("sum_charge"),
-            F.round(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 8).alias(
-                "avg_qty"
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias(
+                "sum_disc_price"
             ),
-            F.round(
-                F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 8
-            ).alias("avg_price"),
-            F.round(F.round(F.sum("l_discount"), 2) / F.count(F.lit(1)), 8).alias(
-                "avg_disc"
-            ),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / cnt, 8).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / cnt, 8).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / cnt, 8).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
