@@ -26,17 +26,14 @@ REGISTRY: dict[str, Query] = {}
 # (observed: CORRECTNESS_r01..r04 each contain exactly the first 50 registry
 # names in insertion order).  With 118+ registered queries, ordering decides
 # which get a fresh correctness row each round.  This list is a VERIFICATION
-# ROTATION, strictly oldest-evidence-first — queries added this round always
-# lead, so nothing new can ship unverified:
-#   after r4, every query has green evidence; the oldest is 18 r2-greens
-#   (deferred twice by the 50-slot budget) then 50 r3-greens.
-#   r5 window (50) = 23 NEW-this-round + 9 changed-this-round + the 18
-#   r2-greens — the late-r5 additions consumed every r3-green slot, so
-#   the whole r3 block leads r6 (new queries always lead; nothing ships
-#   unverified, at the cost of the r3-greens carrying 3-round-old driver
-#   evidence until r6).  Every deferred query is still verified every
-#   session by tests/test_oracle_parity.py (local mirror of the gate
-#   over all oracled queries).
+# ROTATION, strictly oldest-evidence-first — queries added or changed
+# this round always lead, so nothing ships unverified:
+#   after r4, every query has green driver evidence.  The FINAL r5
+#   window (50) = 37 NEW-this-round + 11 changed-this-round + 2
+#   r2-greens (see the boundary comment below for what spills to r6).
+#   Every deferred query is still verified every session by
+#   tests/test_oracle_parity.py (the local mirror of the gate over all
+#   oracled queries — green at sf0.001 AND sf0.1 as of late r5).
 CHECK_PRIORITY: list[str] = [
     # -- NEW r5 (latest): prefix-filter exact similarity join, BPE
     # tokenizer training, A-ES weighted sampling ----------------------
