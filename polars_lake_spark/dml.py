@@ -44,59 +44,64 @@ _INSERT = re.compile(
 )
 
 
-def _split_top_level(s: str) -> list[str]:
-    """Split on commas outside parens/brackets/quotes (SET-clause lists
-    whose expressions contain function calls)."""
-    parts, cur, depth, q = [], [], 0, None
-    for ch in s:
+def _scan_top_level(s: str):
+    """Yield (index, char) for every character, tagging only TOP-LEVEL
+    positions (outside quotes/parens/brackets).  ONE scanner for both
+    splitters so quote semantics can't drift between them; handles
+    backslash-escaped quotes (Spark SQL's default string escape)."""
+    depth, q, i, n = 0, None, 0, len(s)
+    while i < n:
+        ch = s[i]
         if q:
-            cur.append(ch)
+            if ch == "\\":
+                i += 2
+                continue
             if ch == q:
                 q = None
         elif ch in "'\"":
             q = ch
-            cur.append(ch)
         elif ch in "([":
             depth += 1
-            cur.append(ch)
         elif ch in ")]":
             depth -= 1
-            cur.append(ch)
-        elif ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    parts.append("".join(cur))
+        elif depth == 0:
+            yield i, ch
+        i += 1
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parens/brackets/quotes (SET-clause lists
+    whose expressions contain function calls)."""
+    cuts = [i for i, ch in _scan_top_level(s) if ch == ","]
+    parts, prev = [], 0
+    for c in cuts:
+        parts.append(s[prev:c])
+        prev = c + 1
+    parts.append(s[prev:])
     return [p.strip() for p in parts if p.strip()]
 
 
 def _split_where(s: str) -> tuple[str, str | None]:
     """Split "set-clauses [WHERE pred]" at the first TOP-LEVEL WHERE
-    keyword — outside quotes and parens, so a string literal containing
-    'where' in a SET expression can't truncate the clause (review
-    finding)."""
-    depth, q, i, n = 0, None, 0, len(s)
-    low = s.lower()
-    while i < n:
-        ch = s[i]
-        if q:
-            if ch == q:
-                q = None
-        elif ch in "'\"":
-            q = ch
-        elif ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        elif (
-            depth == 0
-            and low.startswith("where", i)
+    keyword — a string literal containing 'where' can't truncate the
+    clause.  The keyword test slices ``s`` directly (no whole-string
+    lower(), whose length can drift from the original for exotic
+    casefolds). A trailing bare WHERE is an error, not an
+    update-everything."""
+    for i, ch in _scan_top_level(s):
+        if (
+            ch in "wW"
+            and s[i : i + 5].lower() == "where"
             and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
-            and (i + 5 >= n or not (s[i + 5].isalnum() or s[i + 5] == "_"))
+            and (
+                i + 5 >= len(s)
+                or not (s[i + 5].isalnum() or s[i + 5] == "_")
+            )
         ):
-            return s[:i].strip(), s[i + 5 :].strip()
-        i += 1
+            where = s[i + 5 :].strip()
+            if not where:
+                raise ValueError("empty WHERE clause in UPDATE statement")
+            return s[:i].strip(), where
     return s.strip(), None
 
 
@@ -168,17 +173,47 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         if name is None:
             return None
         df = engine.spark.sql(m.group(3))
+        tschema = engine.table(name).schema
+        canon = {f.name.lower(): f.name for f in tschema.fields}
         if m.group(2):
             cols = [c.strip() for c in m.group(2).strip("()").split(",")]
-            df = df.toDF(*cols)
+            # resolve listed names CASE-INSENSITIVELY against the table
+            # (Spark's resolution default) and reject unknowns — a
+            # case-mismatched name must not NULL-clobber the real
+            # column, and an unknown name must not silently drop data.
+            unknown = [c for c in cols if c.lower() not in canon]
+            if unknown:
+                raise ValueError(f"INSERT INTO {name}: no columns {unknown}")
+            if len(cols) != len(df.columns):
+                raise ValueError(
+                    f"INSERT INTO {name}: {len(cols)} listed columns but "
+                    f"the SELECT produces {len(df.columns)}"
+                )
+            listed = [canon[c.lower()] for c in cols]
+            df = df.toDF(*listed)
             # SQL semantics: unlisted table columns are NULL-filled —
             # and without this a narrower-schema append would clobber
             # the table's recorded schema (review finding).
-            tschema = engine.table(name).schema
             for f in tschema.fields:
-                if f.name not in cols:
+                if f.name not in listed:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-            df = df.select(*[f.name for f in tschema.fields])
+        else:
+            # no column list: positional, and the arity must match — a
+            # narrower SELECT would otherwise append narrower-schema
+            # files and clobber the recorded schema.
+            if len(df.columns) != len(tschema.fields):
+                raise ValueError(
+                    f"INSERT INTO {name}: table has {len(tschema.fields)} "
+                    f"columns but the SELECT produces {len(df.columns)}"
+                )
+            df = df.toDF(*[f.name for f in tschema.fields])
+        # SQL implicit cast on insert: the SELECT's literal/expression
+        # types (e.g. INT 900 into a BIGINT column) land as the TABLE's
+        # types, or the appended parquet would carry narrower physical
+        # types that later scans of the mixed directory reject.
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tschema.fields]
+        )
         # one materialization: the count and the insert must agree even
         # for a non-deterministic SELECT, and the source scans once.
         df = df.localCheckpoint(eager=True)

@@ -96,6 +96,19 @@ def bloom_semi_join(
     """``fact LEFT SEMI JOIN dim`` with a bloom prefilter ahead of the
     shuffle.  Result is provably identical to the plain semi-join (no
     false negatives); the shuffle only carries the pre-filtered slice."""
+    # cast('string') unifies integer WIDTHS, but int-vs-double or
+    # decimal keys stringify differently ('3' vs '3.0') — that would be
+    # a silent false negative, so heterogeneous key type FAMILIES are
+    # rejected here: pre-cast both sides to a common type instead.
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    ft = dict(fact.dtypes)[fact_key]
+    dt = dict(dim.dtypes)[dim_key]
+    if ft != dt and not (ft in integral and dt in integral):
+        raise ValueError(
+            f"bloom_semi_join: key types {ft!r} vs {dt!r} stringify "
+            "differently and would yield bloom false negatives; cast "
+            "both keys to a common type first"
+        )
     bm = bloom_bitmap(dim, dim_key, m_bits, k)
     pre = bloom_prefilter(fact, bm, fact_key, m_bits, k)
     return pre.join(

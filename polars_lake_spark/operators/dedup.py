@@ -469,8 +469,11 @@ def prefix_filter_pairs(
 
 
 def global_rank(
-    df: DataFrame, order_cols: list[str], partitions: int | None = None
-) -> DataFrame:
+    df: DataFrame,
+    order_cols: list[str],
+    partitions: int | None = None,
+    with_total: bool = False,
+):
     """0-based global rank under the total order ``order_cols`` WITHOUT a
     single-task sort (the naive ``row_number() OVER (ORDER BY ...)``
     plans one partition and dies at scale):
@@ -524,7 +527,10 @@ def global_rank(
             counter += len(pdf)
             yield pdf
 
-    return rp.mapInPandas(assign, out_schema).drop("__pid")
+    out = rp.mapInPandas(assign, out_schema).drop("__pid")
+    # acc is the exact row count, already paid for by the offsets pass —
+    # callers needing it (equi-depth bucketing) skip a second full scan
+    return (out, acc) if with_total else out
 
 
 def sorted_neighborhood_pairs(

@@ -122,15 +122,29 @@ def topk_per_group(
     import pandas as pd
 
     cols = [*group_cols, order_col, id_col]
-    slim = df.select(*cols)
     gl = list(group_cols)
+    # NaN vs NULL: Spark ranks NaN ABOVE every double under desc but
+    # NULL last; pandas conflates both to NaN (sorted last). Compute
+    # the distinction Spark-side as a sort prefix both stages share —
+    # stage 1 sorts [__nan desc, order desc, id], and the final window
+    # uses the same keys (for non-floating order columns __nan is
+    # constant false and changes nothing).
+    dt = dict(df.dtypes)[order_col]
+    isnan = (
+        F.isnan(F.col(order_col)) if dt in ("double", "float") else F.lit(False)
+    )
+    slim = df.select(*gl, F.coalesce(isnan, F.lit(False)).alias("__nan"),
+                     order_col, id_col)
 
     def partition_topk(batches):
         cand = None
         for pdf in batches:
             cand = pdf if cand is None else pd.concat([cand, pdf])
             cand = (
-                cand.sort_values([order_col, id_col], ascending=[False, True])
+                cand.sort_values(
+                    ["__nan", order_col, id_col],
+                    ascending=[False, False, True],
+                )
                 # dropna=False: Spark windows treat NULL as a normal
                 # group; pandas' default would silently drop those rows
                 .groupby(gl, sort=False, dropna=False)
@@ -141,10 +155,12 @@ def topk_per_group(
 
     candidates = slim.mapInPandas(partition_topk, slim.schema)
     w = Window.partitionBy(*gl).orderBy(
-        F.col(order_col).desc(), F.col(id_col).asc()
+        F.col("__nan").desc(),
+        F.col(order_col).desc(),
+        F.col(id_col).asc(),
     )
     return (
         candidates.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
-        .drop("__rn")
+        .drop("__rn", "__nan")
     )

@@ -99,12 +99,13 @@ CHECK_PRIORITY: list[str] = [
     # -- green in r02 only; evidence 3 rounds old (18) -----------------
     "minmax_by",
     "select_exclude",
-    # ------ 50-slot window boundary falls after select_exclude (37 new
-    # + 11 changed + 2 r2-greens).  The late-r5 additions + the four
-    # sf0.1-hardening changes consumed every r3-green slot AND sixteen
-    # r2-green slots: the sixteen below lead r6 with 4-round-old driver
-    # evidence — the exceptions to the ≤3-round target; all stay locally
-    # verified every session by test_oracle_parity ---------------------
+    # ------ 50-slot window boundary: the 50th entry is select_exclude
+    # (48 new-or-changed-this-round entries above, then minmax_by +
+    # select_exclude as the only two r2-greens in the window).  The
+    # FIFTEEN r2-greens below (array_agg_sorted .. anti_join_parts) lead
+    # r6 with 4-round-old driver evidence — the exceptions to the
+    # ≤3-round target; all stay locally verified every session by
+    # test_oracle_parity ----------------------------------------------
     "array_agg_sorted",
     "upsert_merge",
     "insert_append",

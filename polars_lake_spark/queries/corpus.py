@@ -489,9 +489,10 @@ def text_unigram_logprob(spark, sf_dir):
     """Corpus-fitted unigram LM score per document (the CCNet-style
     fluency/quality signal): avg token log-probability under the corpus
     unigram distribution. Two shuffles (vocab count, per-doc aggregate);
-    the vocab join broadcasts when small, hash-joins otherwise. Sum is
-    rounded before the divide so partial-aggregation order can't leak
-    into the 8dp output."""
+    the vocab join broadcasts when small, hash-joins otherwise. Output
+    is the midpoint-free scaled-integer sum (sum_lp_e4 = round(sum*1e4)
+    as BIGINT, divide by n_tokens for the average) — an 8dp-rounded
+    quotient landed exactly on 5e-9 midpoints at sf0.1."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(TX.normalized(F.col("text")), " ")).alias("w")
@@ -543,9 +544,9 @@ def text_bigram_logprob(spark, sf_dir):
 
     Shuffles: bigram count, context roll-up (tiny), per-doc aggregate;
     the model joins broadcast when small, hash-join otherwise.  Count
-    arithmetic is all-integer; the sum of logs is rounded BEFORE the
-    divide so partial-aggregation order can't leak into the 8dp output
-    (the unigram query's discipline)."""
+    arithmetic is all-integer; the output is the midpoint-free
+    scaled-integer sum (sum_lp_e4, divide by n_bigrams for the average)
+    — same discipline as text_unigram_logprob."""
     words = F.split(TX.normalized(F.col("text")), " ")
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", words.alias("w"))

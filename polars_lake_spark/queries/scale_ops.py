@@ -304,8 +304,7 @@ def histogram_equidepth(spark, sf_dir):
         F.col("l_orderkey").alias("id"),
         F.col("l_linenumber").alias("ln"),
     )
-    total = t.count()
-    ranked = global_rank(t, ["v", "id", "ln"])
+    ranked, total = global_rank(t, ["v", "id", "ln"], with_total=True)
     # integer DIV, matching the oracle bit-for-bit (float floor could
     # drift a bucket when rank*10/total lands within an ulp of an int)
     b = ranked.withColumn(

@@ -172,3 +172,46 @@ def test_bloom_semi_join_mixed_key_types(spark):
     dim = spark.createDataFrame([(3,), (7,)], "dk int")        # int
     got = {r.k for r in bloom_semi_join(fact, dim, "k", "dk").collect()}
     assert got == {3, 7}
+
+
+def test_topk_per_group_nan_ranks_first_like_spark(spark):
+    """Spark's desc ordering puts NaN above every double; stage 1 must
+    not let pandas (NaN-last) drop it from the candidates."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from polars_lake_spark.operators.skew import topk_per_group
+
+    df = spark.createDataFrame(
+        [(1, "g", float("nan")), (2, "g", 5.0), (3, "g", None), (4, "g", 7.0)],
+        "rid bigint, g string, v double",
+    )
+    got = [
+        r.rid
+        for r in topk_per_group(df, ["g"], "v", "rid", 2)
+        .orderBy("rid")
+        .collect()
+    ]
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("rid").asc())
+    want = [
+        r.rid
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 2")
+        .orderBy("rid")
+        .collect()
+    ]
+    assert got == want == [1, 4]
+
+
+def test_bloom_semi_join_rejects_incompatible_key_types(spark):
+    """int-vs-double keys stringify differently ('3' vs '3.0') — the
+    operator must refuse rather than silently drop matches."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from polars_lake_spark.operators.bloom import bloom_semi_join
+
+    fact = spark.range(0, 10).select(F.col("id").alias("k"))
+    dim = spark.createDataFrame([(3.0,)], "dk double")
+    with pytest.raises(ValueError, match="common type"):
+        bloom_semi_join(fact, dim, "k", "dk")
