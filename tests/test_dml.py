@@ -123,3 +123,19 @@ def test_batched_sqls_routes_dml(eng):
     out = eng.sqls(["DELETE FROM t WHERE id = 0", "SELECT count(*) AS n FROM t"])
     assert out[0].head()["n_affected"] == 1
     assert out[1].head()["n"] == 19
+
+
+def test_update_respects_check_constraints(eng, spark):
+    """DML routes through engine.overwrite, which enforces CHECK
+    constraints — an UPDATE that would violate one must fail and leave
+    the table untouched."""
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id bigint, v double")
+    eng.create_table("c", df, keys=["id"])
+    eng.add_constraint("c", "v_pos", "v > 0")
+    with pytest.raises(Exception, match="v_pos|constraint"):
+        eng.sql("UPDATE c SET v = -5 WHERE id = 1").collect()
+    rows = {r.id: r.v for r in eng.table("c").collect()}
+    assert rows == {1: 10.0, 2: 20.0}
+    # a valid update still lands
+    eng.sql("UPDATE c SET v = 99.0 WHERE id = 1")
+    assert {r.v for r in eng.table("c").filter("id = 1").collect()} == {99.0}
