@@ -139,3 +139,40 @@ def test_update_respects_check_constraints(eng, spark):
     # a valid update still lands
     eng.sql("UPDATE c SET v = 99.0 WHERE id = 1")
     assert {r.v for r in eng.table("c").filter("id = 1").collect()} == {99.0}
+
+
+def test_dml_on_versioned_table_is_one_snapshot_with_time_travel(eng, spark):
+    """Each DML statement on a versioned table publishes exactly one
+    snapshot; the pre-statement version stays queryable (time travel)."""
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id bigint, v double")
+    eng.create_table("vt", df, keys=["id"], versioned=True)
+    v0 = len(eng.history("vt"))
+    eng.sql("UPDATE vt SET v = v * 10 WHERE id = 1")
+    eng.sql("DELETE FROM vt WHERE id = 2")
+    hist = eng.history("vt")
+    assert len(hist) == v0 + 2
+    assert {r.id: r.v for r in eng.table("vt").collect()} == {1: 100.0}
+    # time travel: the state between the two statements and the original
+    versions = sorted(h["version"] for h in hist)
+    mid = {r.id: r.v for r in eng.table("vt", version=versions[-2]).collect()}
+    assert mid == {1: 100.0, 2: 20.0}
+    orig = {r.id: r.v for r in eng.table("vt", version=versions[0]).collect()}
+    assert orig == {1: 10.0, 2: 20.0}
+
+
+def test_dml_update_feeds_change_data_capture(eng, spark):
+    """An UPDATE issued as SQL shows up in the change feed between the
+    surrounding versions like any API mutation."""
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id bigint, v double")
+    eng.create_table("cd", df, keys=["id"], versioned=True)
+    vs = sorted(h["version"] for h in eng.history("cd"))
+    eng.sql("UPDATE cd SET v = 11.0 WHERE id = 1")
+    vs2 = sorted(h["version"] for h in eng.history("cd"))
+    feed = eng.changes("cd", vs[-1], vs2[-1]).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert set(by_type) == {"update"} or set(by_type) == {
+        "update_preimage",
+        "update_postimage",
+    }
