@@ -14,7 +14,12 @@ through the engine's real mutation paths:
   with ``when(p, e).otherwise(c)`` per column, all SET expressions
   evaluated against the OLD row (standard SQL: ``SET a = b, b = a``
   swaps) — and ``SET c = NULL`` works, unlike a keyed coalesce-merge
-* ``INSERT INTO t [(cols)] SELECT ...``  → ``engine.insert``
+* ``INSERT INTO t [(cols)] SELECT ...``  → ``engine.insert`` (listed
+  columns resolve case-insensitively, unlisted ones NULL-fill, values
+  cast to the table's column types; without a list the mapping is
+  positional with strict arity)
+* ``VACUUM t [RETAIN n]``                → ``engine.vacuum`` (versioned)
+* ``OPTIMIZE t [ZORDER BY (cols)]``      → ``engine.compact``
 
 Each returns a one-row ``(operation, table, n_affected)`` status frame;
 versioned tables get one atomic 'rewrite'/'append' snapshot per
@@ -37,6 +42,14 @@ _DELETE = re.compile(
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.+?)\s*;?\s*$",
     re.I | re.S,
+)
+_VACUUM = re.compile(
+    r"^\s*VACUUM\s+([A-Za-z_][\w.]*)(?:\s+RETAIN\s+(\d+))?\s*;?\s*$", re.I
+)
+_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
+    re.I,
 )
 _INSERT = re.compile(
     r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(\([^)]*\))?\s*(SELECT\b.+?)\s*;?\s*$",
@@ -220,5 +233,28 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         n = df.count()
         engine.insert(name, df)
         return _status(engine, "insert", name, n)
+
+    m = _VACUUM.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        keep = int(m.group(2)) if m.group(2) else 1
+        res = engine.vacuum(name, keep_last=keep)
+        return _status(engine, "vacuum", name, len(res.get("removed_dirs", [])))
+
+    m = _OPTIMIZE.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        zcols = (
+            [c.strip() for c in m.group(2).split(",") if c.strip()]
+            if m.group(2)
+            else None
+        )
+        n = engine.table(name).count()
+        engine.compact(name, zorder_by=zcols)
+        return _status(engine, "optimize", name, n)
 
     return None

@@ -176,3 +176,19 @@ def test_dml_update_feeds_change_data_capture(eng, spark):
         "update_preimage",
         "update_postimage",
     }
+
+
+def test_vacuum_and_optimize_statements(eng, spark, tmp_path):
+    """Delta-style maintenance statements route to vacuum/compact."""
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id bigint, v double")
+    eng.create_table("m", df, keys=["id"], versioned=True)
+    eng.sql("UPDATE m SET v = v + 1")  # second snapshot -> old dirs exist
+    st = eng.sql("VACUUM m RETAIN 1").head()
+    assert st["operation"] == "vacuum" and st["n_affected"] >= 1
+    assert {r.v for r in eng.table("m").collect()} == {2.0, 3.0}
+
+    df2 = spark.createDataFrame([(i, float(i)) for i in range(20)], "id bigint, v double")
+    eng.create_table("m2", df2, keys=["id"])
+    st2 = eng.sql("OPTIMIZE m2").head()
+    assert (st2["operation"], st2["n_affected"]) == ("optimize", 20)
+    assert eng.table("m2").count() == 20
