@@ -18,6 +18,9 @@ through the engine's real mutation paths:
   columns resolve case-insensitively, unlisted ones NULL-fill, values
   cast to the table's column types; without a list the mapping is
   positional with strict arity)
+* ``MERGE INTO t USING src|(<select>) [AS a] ON <key equalities>
+  WHEN [NOT] MATCHED [AND c] THEN DELETE | UPDATE SET * | INSERT *``
+  → ``engine.merge`` (the ON conjunction supplies the merge keys)
 * ``VACUUM t [RETAIN n]``                → ``engine.vacuum`` (versioned)
 * ``OPTIMIZE t [ZORDER BY (cols)]``      → ``engine.compact``
 
@@ -41,6 +44,16 @@ _DELETE = re.compile(
 )
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_MERGE = re.compile(
+    r"^\s*MERGE\s+INTO\s+([A-Za-z_][\w.]*)\s+USING\s+(\(.*?\)|[A-Za-z_][\w.]*)"
+    r"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_WHEN = re.compile(
+    r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+"
+    r"(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)",
     re.I | re.S,
 )
 _VACUUM = re.compile(
@@ -233,6 +246,68 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         n = df.count()
         engine.insert(name, df)
         return _status(engine, "insert", name, n)
+
+    m = _MERGE.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        src_sql, alias, on_sql, whens = m.group(2), m.group(3), m.group(4), m.group(5)
+        # the supported subset maps 1:1 onto engine.merge's semantics:
+        # ON must be a conjunction of bare column equalities (they become
+        # the merge keys), actions are DELETE / UPDATE SET * / INSERT *.
+        keys = []
+        for part in re.split(r"\s+AND\s+", on_sql, flags=re.I):
+            em = re.fullmatch(
+                r"\s*(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*=\s*"
+                r"(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*",
+                part,
+            )
+            if not em or em.group(1) != em.group(2):
+                raise ValueError(
+                    f"MERGE INTO {name}: ON supports only conjunctions of "
+                    f"same-name column equalities (got {part.strip()!r})"
+                )
+            keys.append(em.group(1))
+        matched_delete = None
+        matched_update = False
+        not_matched_insert = False
+        clauses = _WHEN.findall(whens)
+        if not clauses:
+            raise ValueError(f"MERGE INTO {name}: no WHEN clauses parsed")
+        for not_m, cond, action in clauses:
+            act = re.sub(r"\s+", " ", action.upper())
+            if not_m:
+                if act != "INSERT *" or cond:
+                    raise ValueError(
+                        "MERGE: WHEN NOT MATCHED supports only THEN INSERT *"
+                    )
+                not_matched_insert = True
+            elif act == "DELETE":
+                # evaluated over the joined row: reference source columns
+                # as n.<col> and target columns as o.<col> (merge_into)
+                matched_delete = F.expr(cond) if cond else F.lit(True)
+            elif act == "UPDATE SET *":
+                if cond:
+                    raise ValueError(
+                        "MERGE: WHEN MATCHED AND <cond> is only supported "
+                        "with THEN DELETE"
+                    )
+                matched_update = True
+        if src_sql.startswith("("):
+            src = engine.spark.sql(src_sql.strip("() \t\n"))
+        else:
+            src = engine.spark.table(src_sql)
+        n = src.count()
+        engine.merge(
+            name,
+            src,
+            keys,
+            when_matched_delete=matched_delete,
+            when_matched_update=matched_update,
+            when_not_matched_insert=not_matched_insert,
+        )
+        return _status(engine, "merge", name, n)
 
     m = _VACUUM.match(query)
     if m:

@@ -192,3 +192,41 @@ def test_vacuum_and_optimize_statements(eng, spark, tmp_path):
     st2 = eng.sql("OPTIMIZE m2").head()
     assert (st2["operation"], st2["n_affected"]) == ("optimize", 20)
     assert eng.table("m2").count() == 20
+
+
+def test_merge_into_statement(eng, spark):
+    """MERGE INTO ... USING ... ON ... WHEN clauses map onto
+    engine.merge: conditional delete, update-all, insert-missing."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id bigint, v double"
+    )
+    eng.create_table("mg", df, keys=["id"])
+    spark.createDataFrame(
+        [(1, -1.0), (2, 99.0), (9, 9.0)], "id bigint, v double"
+    ).createOrReplaceTempView("mg_src")
+    st = eng.sql(
+        "MERGE INTO mg USING mg_src AS s ON mg.id = s.id "
+        "WHEN MATCHED AND n.v < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).head()
+    assert (st["operation"], st["n_affected"]) == ("merge", 3)
+    rows = {r.id: r.v for r in eng.table("mg").collect()}
+    # id=1 deleted (source v<0), id=2 updated, id=3 untouched, id=9 inserted
+    assert rows == {2: 99.0, 3: 30.0, 9: 9.0}
+
+
+def test_merge_into_subquery_source_and_bad_on_rejected(eng, spark):
+    df = spark.createDataFrame([(1, 10.0)], "id bigint, v double")
+    eng.create_table("mg2", df, keys=["id"])
+    st = eng.sql(
+        "MERGE INTO mg2 USING (SELECT 5 AS id, 50.0 AS v) ON mg2.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).head()
+    assert st["n_affected"] == 1
+    assert eng.table("mg2").count() == 2
+    with pytest.raises(ValueError, match="column equalities"):
+        eng.sql(
+            "MERGE INTO mg2 USING (SELECT 1 AS id, 1.0 AS v) ON mg2.id > s.id "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
