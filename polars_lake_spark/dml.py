@@ -21,6 +21,8 @@ through the engine's real mutation paths:
 * ``MERGE INTO t USING src|(<select>) [AS a] ON <key equalities>
   WHEN [NOT] MATCHED [AND c] THEN DELETE | UPDATE SET * | INSERT *``
   → ``engine.merge`` (the ON conjunction supplies the merge keys)
+* ``CREATE TABLE t AS SELECT ...``       → ``engine.create_table_as``
+* ``DROP TABLE [IF EXISTS] t``           → ``engine.drop_table``
 * ``VACUUM t [RETAIN n]``                → ``engine.vacuum`` (versioned)
 * ``OPTIMIZE t [ZORDER BY (cols)]``      → ``engine.compact``
 
@@ -45,6 +47,14 @@ _DELETE = re.compile(
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+([A-Za-z_][\w.]*)\s+SET\s+(.+?)\s*;?\s*$",
     re.I | re.S,
+)
+_CTAS = re.compile(
+    r"^\s*CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s+AS\s+(SELECT\b.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_DROP = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.I,
 )
 _MERGE = re.compile(
     r"^\s*MERGE\s+INTO\s+([A-Za-z_][\w.]*)\s+USING\s+(\(.*?\)|[A-Za-z_][\w.]*)"
@@ -246,6 +256,25 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         n = df.count()
         engine.insert(name, df)
         return _status(engine, "insert", name, n)
+
+    m = _CTAS.match(query)
+    if m:
+        raw = m.group(1)
+        if _resolve(engine, raw) is not None:
+            raise ValueError(f"CREATE TABLE {raw}: table already exists")
+        engine.create_table_as(raw, m.group(2))
+        n = engine.table(raw).count()
+        return _status(engine, "create_table_as", raw, n)
+
+    m = _DROP.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            if re.match(r"^\s*DROP\s+TABLE\s+IF\s+EXISTS", query, re.I):
+                return _status(engine, "drop_table", m.group(1), 0)
+            return None  # let spark.sql surface the analyzer error
+        engine.drop_table(name)
+        return _status(engine, "drop_table", name, 1)
 
     m = _MERGE.match(query)
     if m:

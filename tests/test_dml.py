@@ -230,3 +230,16 @@ def test_merge_into_subquery_source_and_bad_on_rejected(eng, spark):
             "MERGE INTO mg2 USING (SELECT 1 AS id, 1.0 AS v) ON mg2.id > s.id "
             "WHEN NOT MATCHED THEN INSERT *"
         )
+
+
+def test_ctas_and_drop_statements(eng):
+    st = eng.sql(
+        "CREATE TABLE agg AS SELECT grp, count(*) AS n FROM t GROUP BY grp"
+    ).head()
+    assert st["operation"] == "create_table_as" and st["n_affected"] == 3
+    assert eng.sql("SELECT sum(n) AS s FROM agg").head()["s"] == 20
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE TABLE agg AS SELECT 1 AS x")
+    st2 = eng.sql("DROP TABLE agg").head()
+    assert st2["operation"] == "drop_table"
+    assert eng.sql("DROP TABLE IF EXISTS agg").head()["n_affected"] == 0
