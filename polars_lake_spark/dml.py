@@ -273,7 +273,10 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             if re.match(r"^\s*DROP\s+TABLE\s+IF\s+EXISTS", query, re.I):
                 return _status(engine, "drop_table", m.group(1), 0)
             return None  # let spark.sql surface the analyzer error
-        engine.drop_table(name)
+        # delete_files=True: SQL DROP must be durable — without it the
+        # manifest survives on disk and the table resurrects in the next
+        # engine process (review finding)
+        engine.drop_table(name, delete_files=True)
         return _status(engine, "drop_table", name, 1)
 
     m = _MERGE.match(query)
@@ -301,10 +304,21 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         matched_delete = None
         matched_update = False
         not_matched_insert = False
-        clauses = _WHEN.findall(whens)
-        if not clauses:
-            raise ValueError(f"MERGE INTO {name}: no WHEN clauses parsed")
-        for not_m, cond, action in clauses:
+        # STRICT sequential clause parse: every character of the WHEN
+        # text must be consumed, or an unsupported clause (explicit
+        # UPDATE SET col = ..., INSERT (cols) VALUES ...) would be
+        # silently dropped and the merge would do less than the user
+        # wrote (review finding).
+        rest = whens.strip()
+        while rest:
+            cm = _WHEN.match(rest)
+            if not cm:
+                raise ValueError(
+                    f"MERGE INTO {name}: cannot parse WHEN clause at "
+                    f"{rest[:60]!r}; supported actions are DELETE, "
+                    "UPDATE SET *, INSERT *"
+                )
+            not_m, cond, action = cm.group(1), cm.group(2), cm.group(3)
             act = re.sub(r"\s+", " ", action.upper())
             if not_m:
                 if act != "INSERT *" or cond:
@@ -313,9 +327,24 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     )
                 not_matched_insert = True
             elif act == "DELETE":
-                # evaluated over the joined row: reference source columns
-                # as n.<col> and target columns as o.<col> (merge_into)
-                matched_delete = F.expr(cond) if cond else F.lit(True)
+                # merge_into evaluates the condition over the joined row
+                # with internal aliases o (target) / n (source): rewrite
+                # the user's own alias / table names so the statement's
+                # natural spelling (s.v < 0, tgt.v > 9) resolves.
+                if cond:
+                    for user, internal in (
+                        (alias, "n"),
+                        (src_sql, "n"),
+                        (m.group(1), "o"),
+                        (name, "o"),
+                    ):
+                        if user and re.fullmatch(r"[A-Za-z_][\w.]*", user):
+                            cond = re.sub(
+                                rf"\b{re.escape(user)}\.", internal + ".", cond
+                            )
+                    matched_delete = F.expr(cond)
+                else:
+                    matched_delete = F.lit(True)
             elif act == "UPDATE SET *":
                 if cond:
                     raise ValueError(
@@ -323,10 +352,20 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                         "with THEN DELETE"
                     )
                 matched_update = True
+            rest = rest[cm.end() :].strip()
         if src_sql.startswith("("):
-            src = engine.spark.sql(src_sql.strip("() \t\n"))
+            # exactly ONE paren pair — strip('()') would also eat a
+            # subquery's own trailing parens (… IN (1,2)) and emit
+            # unbalanced SQL (review finding)
+            src = engine.spark.sql(src_sql[1:-1])
         else:
-            src = engine.spark.table(src_sql)
+            rsrc = _resolve(engine, src_sql)
+            # engine tables are registered under their VIEW key
+            # (schema__table) — resolve like every other reference here
+            src = engine.table(rsrc) if rsrc else engine.spark.table(src_sql)
+        # one materialization: n_affected and the merge join must see the
+        # same rows even for a non-deterministic source (INSERT's rule)
+        src = src.localCheckpoint(eager=True)
         n = src.count()
         engine.merge(
             name,
@@ -335,6 +374,11 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             when_matched_delete=matched_delete,
             when_matched_update=matched_update,
             when_not_matched_insert=not_matched_insert,
+            # SQL / Delta UPDATE SET * is last-write-wins: a NULL in the
+            # source DOES overwrite the target (the engine API's default
+            # coalesce merge is the reference's upsert semantics, not
+            # SQL's)
+            null_clobbers=True,
         )
         return _status(engine, "merge", name, n)
 
@@ -357,8 +401,18 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             if m.group(2)
             else None
         )
-        n = engine.table(name).count()
+        # n_affected = data files before compaction (a metadata walk —
+        # never a full-table scan just for the status frame)
+        import os as _os
+
+        nfiles = 0
+        try:
+            root = engine._path(name)
+            for _d, _sub, files in _os.walk(root):
+                nfiles += sum(1 for f in files if f.endswith(".parquet"))
+        except Exception:
+            nfiles = 0
         engine.compact(name, zorder_by=zcols)
-        return _status(engine, "optimize", name, n)
+        return _status(engine, "optimize", name, nfiles)
 
     return None

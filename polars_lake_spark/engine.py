@@ -651,10 +651,14 @@ class Engine:
         (``/root/reference/src/database.rs:50-56`` analog; the persistent
         catalog replaces its per-query SQLContext rebuild).
 
-        DELETE / UPDATE / INSERT INTO ... SELECT statements over engine
-        tables route through the real mutation paths (polars_lake_spark.
-        dml) and return a one-row (operation, table, n_affected) status
-        frame; everything else is vanilla Spark SQL."""
+        DML and maintenance statements over engine tables route through
+        the real mutation paths (polars_lake_spark.dml) and return a
+        one-row (operation, table, n_affected) status frame: DELETE
+        FROM, UPDATE ... SET, INSERT INTO [(cols)] SELECT, MERGE INTO
+        ... USING ... WHEN [NOT] MATCHED ..., CREATE TABLE AS SELECT,
+        DROP TABLE [IF EXISTS] (durable — removes files), VACUUM t
+        [RETAIN n], OPTIMIZE t [ZORDER BY (cols)].  Everything else is
+        vanilla Spark SQL."""
         from polars_lake_spark import dml
 
         res = dml.try_execute_dml(self, query)
@@ -864,6 +868,7 @@ class Engine:
         when_matched_delete=None,
         when_matched_update: bool = True,
         when_not_matched_insert: bool = True,
+        null_clobbers: bool = False,
     ) -> None:
         """MERGE INTO <table> USING <source> with conditional actions
         (operators/merge.py:merge_into) through the same write paths as
@@ -904,6 +909,7 @@ class Engine:
                 when_matched_delete=when_matched_delete,
                 when_matched_update=when_matched_update,
                 when_not_matched_insert=when_not_matched_insert,
+                null_clobbers=null_clobbers,
             )
             self._enforce(spec, merged)
             if spec.versioned:

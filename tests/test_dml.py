@@ -190,7 +190,8 @@ def test_vacuum_and_optimize_statements(eng, spark, tmp_path):
     df2 = spark.createDataFrame([(i, float(i)) for i in range(20)], "id bigint, v double")
     eng.create_table("m2", df2, keys=["id"])
     st2 = eng.sql("OPTIMIZE m2").head()
-    assert (st2["operation"], st2["n_affected"]) == ("optimize", 20)
+    # n_affected = data FILES before compaction (metadata walk, no scan)
+    assert st2["operation"] == "optimize" and st2["n_affected"] >= 1
     assert eng.table("m2").count() == 20
 
 
@@ -206,7 +207,7 @@ def test_merge_into_statement(eng, spark):
     ).createOrReplaceTempView("mg_src")
     st = eng.sql(
         "MERGE INTO mg USING mg_src AS s ON mg.id = s.id "
-        "WHEN MATCHED AND n.v < 0 THEN DELETE "
+        "WHEN MATCHED AND s.v < 0 THEN DELETE "
         "WHEN MATCHED THEN UPDATE SET * "
         "WHEN NOT MATCHED THEN INSERT *"
     ).head()
@@ -243,3 +244,79 @@ def test_ctas_and_drop_statements(eng):
     st2 = eng.sql("DROP TABLE agg").head()
     assert st2["operation"] == "drop_table"
     assert eng.sql("DROP TABLE IF EXISTS agg").head()["n_affected"] == 0
+
+
+def test_merge_rejects_unsupported_when_clause(eng, spark):
+    """An explicit-column UPDATE must error loudly, never be silently
+    dropped from the statement."""
+    spark.createDataFrame([(1, 1.0)], "id bigint, v double").createOrReplaceTempView(
+        "mr_src"
+    )
+    df = spark.createDataFrame([(1, 10.0)], "id bigint, v double")
+    eng.create_table("mr", df, keys=["id"])
+    with pytest.raises(ValueError, match="cannot parse WHEN clause"):
+        eng.sql(
+            "MERGE INTO mr USING mr_src ON mr.id = mr_src.id "
+            "WHEN MATCHED THEN UPDATE SET v = 5 "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
+def test_merge_update_set_star_is_last_write_wins(eng, spark):
+    """SQL/Delta UPDATE SET *: a NULL in the source overwrites the
+    target (not the engine API's coalesce default)."""
+    df = spark.createDataFrame([(1, "old")], "id bigint, s string")
+    eng.create_table("mnull", df, keys=["id"])
+    spark.createDataFrame([(1, None)], "id bigint, s string").createOrReplaceTempView(
+        "mnull_src"
+    )
+    eng.sql(
+        "MERGE INTO mnull USING mnull_src ON mnull.id = mnull_src.id "
+        "WHEN MATCHED THEN UPDATE SET *"
+    )
+    assert eng.table("mnull").head().s is None
+
+
+def test_merge_subquery_with_trailing_parens(eng, spark):
+    df = spark.createDataFrame([(1, 1.0)], "id bigint, v double")
+    eng.create_table("mp", df, keys=["id"])
+    st = eng.sql(
+        "MERGE INTO mp USING (SELECT 7 AS id, 7.0 AS v FROM range(1) "
+        "WHERE 7 IN (6, 7)) ON mp.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).head()
+    assert st["n_affected"] == 1
+    assert eng.table("mp").count() == 2
+
+
+def test_merge_using_engine_table_source(eng, spark):
+    """USING <engine table> resolves through the engine's own names,
+    including two-level ones, not just Spark catalog views."""
+    eng.create_table(
+        "mt", spark.createDataFrame([(1, 1.0)], "id bigint, v double"), keys=["id"]
+    )
+    eng.create_table(
+        "s2.src",
+        spark.createDataFrame([(2, 2.0)], "id bigint, v double"),
+        keys=["id"],
+    )
+    st = eng.sql(
+        "MERGE INTO mt USING s2.src ON mt.id = src.id "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).head()
+    assert st["n_affected"] == 1 and eng.table("mt").count() == 2
+
+
+def test_drop_table_statement_is_durable(spark, tmp_path):
+    """SQL DROP removes the manifest and files — a fresh engine over the
+    same root must not resurrect the table."""
+    from polars_lake_spark import Engine
+
+    e1 = Engine(spark, str(tmp_path))
+    e1.create_table(
+        "d", spark.createDataFrame([(1,)], "id bigint"), keys=["id"]
+    )
+    e1.sql("DROP TABLE d")
+    e2 = Engine(spark, str(tmp_path))
+    e2.load_all()
+    assert "d" not in e2.tables()
