@@ -38,6 +38,7 @@ CHECK_PRIORITY: list[str] = [
     # -- NEW r5 (latest): prefix-filter exact similarity join, BPE
     # tokenizer training, A-ES weighted sampling ----------------------
     "dedup_prefix_join",
+    "sql_dml_lifecycle",
     "bpe_train_encode_check",
     "bpe_token_consistency_check",
     "sample_weighted_aes",
@@ -98,14 +99,13 @@ CHECK_PRIORITY: list[str] = [
     "join_cobucketed",
     # -- green in r02 only; evidence 3 rounds old (18) -----------------
     "minmax_by",
+    # ------ 50-slot window boundary: the 50th entry is minmax_by (49
+    # new-or-changed-this-round entries above + minmax_by as the only
+    # r2-green in the window).  The SIXTEEN r2-greens below
+    # (select_exclude .. anti_join_parts) lead r6 with 4-round-old
+    # driver evidence — the exceptions to the ≤3-round target; all stay
+    # locally verified every session by test_oracle_parity ------------
     "select_exclude",
-    # ------ 50-slot window boundary: the 50th entry is select_exclude
-    # (48 new-or-changed-this-round entries above, then minmax_by +
-    # select_exclude as the only two r2-greens in the window).  The
-    # FIFTEEN r2-greens below (array_agg_sorted .. anti_join_parts) lead
-    # r6 with 4-round-old driver evidence — the exceptions to the
-    # ≤3-round target; all stay locally verified every session by
-    # test_oracle_parity ----------------------------------------------
     "array_agg_sorted",
     "upsert_merge",
     "insert_append",

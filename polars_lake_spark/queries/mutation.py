@@ -511,3 +511,55 @@ def sketch_rollup_lifecycle(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "sql_dml_lifecycle",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    upd AS (SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 10 = 0
+                        THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1.05
+                                  AS DOUBLE)
+                        ELSE o_totalprice END AS o_totalprice
+            FROM base),
+    del AS (SELECT * FROM upd
+            WHERE NOT coalesce(o_orderstatus = 'F' AND o_totalprice < 50000,
+                               FALSE)),
+    ins AS (SELECT * FROM del
+            UNION ALL
+            SELECT CAST(99999901 AS BIGINT), 'N', CAST(1.5 AS DOUBLE))
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM ins
+    """,
+)
+def sql_dml_lifecycle(spark, sf_dir):
+    """The SQL statement surface end to end through ``engine.sql``:
+    UPDATE (row-exact, DECIMAL-exact arithmetic so the repriced doubles
+    are bit-identical in any engine), DELETE (predicate-scoped, NULL
+    predicate keeps), INSERT INTO ... SELECT (positional, cast to table
+    types) — then the surviving contents, which DuckDB replays as pure
+    relational algebra.  This is the driver-gate evidence for the DML
+    path the 24 pytest cases cover structurally."""
+    from polars_lake_spark import Engine
+
+    eng = Engine(spark, None)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    eng.create_table("dml_orders", orders, keys=["o_orderkey"], save=False)
+    eng.sql(
+        "UPDATE dml_orders SET o_totalprice = "
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1.05 AS DOUBLE) "
+        "WHERE o_orderkey % 10 = 0"
+    )
+    eng.sql(
+        "DELETE FROM dml_orders "
+        "WHERE o_orderstatus = 'F' AND o_totalprice < 50000"
+    )
+    eng.sql(
+        "INSERT INTO dml_orders "
+        "SELECT CAST(99999901 AS BIGINT), 'N', CAST(1.5 AS DOUBLE)"
+    )
+    return eng.table("dml_orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
