@@ -320,3 +320,37 @@ def test_drop_table_statement_is_durable(spark, tmp_path):
     e2 = Engine(spark, str(tmp_path))
     e2.load_all()
     assert "d" not in e2.tables()
+
+
+# ---- parser property tests (hypothesis): the splitters must recover
+# the exact parts they were built from, whatever quoting/nesting the
+# expressions contain ------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_atom = st.one_of(
+    st.sampled_from(["a", "f(1, 2)", "x + 1", "(1, 2)", "g(h(3), 4)"]),
+    st.sampled_from(["'lit'", "'a,b'", "'x where y'", "'it\\'s'", "'(('"]),
+)
+_expr = st.lists(_atom, min_size=1, max_size=3).map(" ".join)
+
+
+@given(parts=st.lists(_expr, min_size=1, max_size=4))
+@settings(max_examples=60, deadline=None)
+def test_split_top_level_roundtrip(parts):
+    from polars_lake_spark.dml import _split_top_level
+
+    clauses = [f"c{i} = {p}" for i, p in enumerate(parts)]
+    assert _split_top_level(", ".join(clauses)) == clauses
+
+
+@given(set_parts=st.lists(_expr, min_size=1, max_size=3), where=_expr)
+@settings(max_examples=60, deadline=None)
+def test_split_where_roundtrip(set_parts, where):
+    from polars_lake_spark.dml import _split_where
+
+    set_sql = ", ".join(f"c{i} = {p}" for i, p in enumerate(set_parts))
+    got_set, got_where = _split_where(f"{set_sql} WHERE {where}")
+    assert got_set == set_sql and got_where == where
+    got_set2, got_where2 = _split_where(set_sql)
+    assert got_set2 == set_sql and got_where2 is None
