@@ -23,6 +23,8 @@ through the engine's real mutation paths:
   → ``engine.merge`` (the ON conjunction supplies the merge keys)
 * ``CREATE TABLE t AS SELECT ...``       → ``engine.create_table_as``
 * ``DROP TABLE [IF EXISTS] t``           → ``engine.drop_table``
+* ``ANALYZE TABLE t [COMPUTE STATISTICS [FOR COLUMNS c, ...]]``
+  → ``engine.analyze_table`` (stats persist in the manifest)
 * ``VACUUM t [RETAIN n]``                → ``engine.vacuum`` (versioned)
 * ``OPTIMIZE t [ZORDER BY (cols)]``      → ``engine.compact``
 
@@ -65,6 +67,11 @@ _WHEN = re.compile(
     r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+"
     r"(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)",
     re.I | re.S,
+)
+_ANALYZE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s+(.+?))?)?\s*;?\s*$",
+    re.I,
 )
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+([A-Za-z_][\w.]*)(?:\s+RETAIN\s+(\d+))?\s*;?\s*$", re.I
@@ -381,6 +388,19 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             null_clobbers=True,
         )
         return _status(engine, "merge", name, n)
+
+    m = _ANALYZE.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        cols = (
+            [c.strip() for c in m.group(2).split(",") if c.strip()]
+            if m.group(2)
+            else None
+        )
+        stats = engine.analyze_table(name, columns=cols)
+        return _status(engine, "analyze", name, int(stats.get("rows", 0)))
 
     m = _VACUUM.match(query)
     if m:

@@ -354,3 +354,9 @@ def test_split_where_roundtrip(set_parts, where):
     assert got_set == set_sql and got_where == where
     got_set2, got_where2 = _split_where(set_sql)
     assert got_set2 == set_sql and got_where2 is None
+
+
+def test_analyze_table_statement(eng):
+    st = eng.sql("ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS id, grp").head()
+    assert (st["operation"], st["n_affected"]) == ("analyze", 20)
+    assert eng.specs["t"].stats is not None
