@@ -39,6 +39,7 @@ CHECK_PRIORITY: list[str] = [
     # tokenizer training, A-ES weighted sampling ----------------------
     "dedup_prefix_join",
     "sql_dml_lifecycle",
+    "scrub_repeated_spans",
     "bpe_train_encode_check",
     "bpe_token_consistency_check",
     "sample_weighted_aes",
@@ -98,13 +99,12 @@ CHECK_PRIORITY: list[str] = [
     "similarity_ivfpq_recall",
     "join_cobucketed",
     # -- green in r02 only; evidence 3 rounds old (18) -----------------
-    "minmax_by",
-    # ------ 50-slot window boundary: the 50th entry is minmax_by (49
-    # new-or-changed-this-round entries above + minmax_by as the only
-    # r2-green in the window).  The SIXTEEN r2-greens below
-    # (select_exclude .. anti_join_parts) lead r6 with 4-round-old
-    # driver evidence — the exceptions to the ≤3-round target; all stay
+    # ------ 50-slot window boundary: the window is now EXACTLY the 50
+    # new-or-changed-this-round entries.  The SEVENTEEN r2-greens below
+    # (minmax_by .. anti_join_parts) lead r6 with 4-round-old driver
+    # evidence — the exceptions to the ≤3-round target; all stay
     # locally verified every session by test_oracle_parity ------------
+    "minmax_by",
     "select_exclude",
     "array_agg_sorted",
     "upsert_merge",

@@ -891,3 +891,64 @@ def domain_resample_temperature(spark, sf_dir):
         .filter(md5_bucket(F.col("text"), 1_000_000) < F.col("thr"))
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "scrub_repeated_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+               FROM documents),
+    ch AS (SELECT doc_id,
+                  unnest(list_transform(range(0, (len(w) + 7) // 8),
+                      i -> struct_pack(idx := i,
+                          chunk := array_to_string(w[i*8+1 : i*8+8], ' '))))
+                      AS c
+           FROM t),
+    f AS (SELECT doc_id, c.idx AS idx, c.chunk AS chunk,
+                 MIN(c.idx) OVER (PARTITION BY doc_id, c.chunk) AS first_idx
+          FROM ch),
+    kept AS (SELECT doc_id, idx, chunk FROM f WHERE idx = first_idx)
+    SELECT doc_id,
+           COUNT(*) AS n_kept,
+           md5(string_agg(chunk, ' ' ORDER BY idx)) AS scrubbed_md5
+    FROM kept GROUP BY doc_id
+    """,
+)
+def scrub_repeated_spans(spark, sf_dir):
+    """Intra-document repeated-span REMOVAL (the scrub counterpart of
+    text_repetition's measurement — boilerplate paragraphs repeated
+    inside one page are a classic crawl artifact): split each doc into
+    non-overlapping 8-word chunks, keep only each chunk's FIRST
+    occurrence, reassemble in order.  Deterministic (first-occurrence
+    rule over the chunk index), so DuckDB replays it exactly; the
+    output hashes the scrubbed text so the full reassembly is
+    value-checked.  Shape: map-side chunking, one shuffle on
+    (doc, chunk) for the first-occurrence window, order restored by
+    chunk index."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(TX.normalized(F.col("text")), " ")
+    chunks_of = lambda w: F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(w) / 8).cast("int") - 1),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.concat_ws(" ", F.slice(w, i * 8 + 1, 8)).alias("chunk"),
+        ),
+    )
+    ch = docs.select(
+        "doc_id", F.explode(D.let_bound(words, chunks_of)).alias("c")
+    ).select("doc_id", F.col("c.idx").alias("idx"), F.col("c.chunk").alias("chunk"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id", "chunk")
+    kept = (
+        ch.withColumn("first_idx", F.min("idx").over(w))
+        .filter(F.col("idx") == F.col("first_idx"))
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("idx", "chunk"))).chunk
+            ).cast("binary")
+        ).alias("scrubbed_md5"),
+    )
