@@ -102,6 +102,9 @@ HEADLINE = [
     # r5: sorted-neighborhood dedup on the distributed global rank
     # (range partitions + offset prefix-sum, no single-task sort).
     "dedup_snm",
+    # r5: intra-doc repeated-span scrubbing (map-side chunking, one
+    # (doc, chunk) shuffle for the first-occurrence window).
+    "scrub_repeated_spans",
 ]
 
 
