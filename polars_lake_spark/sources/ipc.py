@@ -126,3 +126,39 @@ def ipc_chunks(df: DataFrame, rows_per_chunk: int = 80_000):
         with pa.ipc.new_stream(sink, batch.schema) as writer:
             writer.write_batch(batch)
         yield sink.getvalue()
+
+
+def ingest_ipc_routed(engine, data: bytes) -> dict:
+    """Metadata-routed IPC ingest: the producer embeds the TARGET in the
+    Arrow schema metadata (``{"table": ..., "keys": "k1,k2"}``) and the
+    engine routes the batch itself — the workflow the reference's
+    producer.py clearly intends (it stamps ``schema.with_metadata({
+    "table": ...})``, /root/reference/producer.py:17-19) but its server
+    ignores (the raw-TCP path upserts a HARDCODED dataset,
+    /root/reference/src/main.rs:76-84).
+
+    Routing: metadata ``table`` (required) picks the engine table;
+    ``keys`` (optional, comma-separated) override the spec's merge keys;
+    a missing table is created keyed by the metadata keys.  Returns
+    ``{"table": name, "rows": n, "op": created|upserted}``.
+    """
+    with pa.ipc.open_stream(pa.BufferReader(data)) as reader:
+        table = reader.read_all()
+    meta = {
+        k.decode() if isinstance(k, bytes) else k:
+        v.decode() if isinstance(v, bytes) else v
+        for k, v in (table.schema.metadata or {}).items()
+    }
+    name = meta.get("table")
+    if not name:
+        raise ValueError(
+            "ingest_ipc_routed: the IPC schema metadata carries no "
+            "'table' key — cannot route the batch"
+        )
+    keys = [k for k in meta.get("keys", "").split(",") if k]
+    df = engine.spark.createDataFrame(table.to_pandas())
+    if name in engine.specs or name.replace("__", ".") in engine.specs:
+        engine.upsert(name, df, keys or None)
+        return {"table": name, "rows": table.num_rows, "op": "upserted"}
+    engine.create_table(name, df, keys=keys, save=engine.root is not None)
+    return {"table": name, "rows": table.num_rows, "op": "created"}

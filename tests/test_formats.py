@@ -191,3 +191,32 @@ def test_bloom_filter_cols_roundtrip(spark, sf_dir, tmp_path):
         e4.specs["vb_shallow"].bloom_filter_cols
         is not e4.specs["vb"].bloom_filter_cols
     )
+
+
+def test_ingest_ipc_routed_by_schema_metadata(spark, tmp_path):
+    """The producer stamps the target table into the Arrow schema
+    metadata; the engine routes the batch (create, then keyed upsert) —
+    the reference's producer.py workflow, which its server ignored."""
+    import pyarrow as pa
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.sources.ipc import arrow_table_to_ipc, ingest_ipc_routed
+
+    eng = Engine(spark, str(tmp_path))
+    t1 = pa.table({"k": [1, 2], "v": [10.0, 20.0]})
+    t1 = t1.replace_schema_metadata({"table": "routed", "keys": "k"})
+    r1 = ingest_ipc_routed(eng, arrow_table_to_ipc(t1))
+    assert r1 == {"table": "routed", "rows": 2, "op": "created"}
+
+    t2 = pa.table({"k": [2, 3], "v": [99.0, 30.0]})
+    t2 = t2.replace_schema_metadata({"table": "routed", "keys": "k"})
+    r2 = ingest_ipc_routed(eng, arrow_table_to_ipc(t2))
+    assert r2["op"] == "upserted"
+    rows = {r.k: r.v for r in eng.table("routed").collect()}
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0}
+
+    import pytest
+
+    bad = pa.table({"x": [1]})
+    with pytest.raises(ValueError, match="no 'table' key"):
+        ingest_ipc_routed(eng, arrow_table_to_ipc(bad))
