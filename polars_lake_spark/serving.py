@@ -186,3 +186,68 @@ def rpc(host: str, port: int, header: dict, chunks: list[bytes] = (), timeout: f
         for c in chunks:
             s.sendall(struct.pack(">I", len(c)) + c)
         return _read_response(s.makefile("rb"))
+
+
+class IpcIngestServer:
+    """The reference's SECOND server: a raw TCP listener where each
+    connection IS one Arrow IPC stream to ingest
+    (``/root/reference/src/main.rs:60-84``).  Two upgrades over the
+    reference: the target table comes from the stream's schema metadata
+    (``sources/ipc.py:ingest_ipc_routed`` — the reference hardcoded one
+    dataset and ignored the producer's metadata), and the connection is
+    only closed after the merge lands (durable-before-close; the
+    reference acked by disconnect before its upsert finished printing).
+    Thread per connection, same as SqlServer."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        outer = self
+
+        class _IngestHandler(socketserver.StreamRequestHandler):
+            def handle(self):
+                from polars_lake_spark.sources.ipc import ingest_ipc_routed
+
+                data = self.rfile.read()  # one IPC stream per connection
+                try:
+                    res = ingest_ipc_routed(outer._engine, data)
+                    payload = json.dumps(res).encode()
+                except Exception as e:  # surfaced, not swallowed
+                    payload = json.dumps({"error": str(e)[:500]}).encode()
+                try:
+                    self.wfile.write(struct.pack(">I", len(payload)) + payload)
+                except Exception:
+                    pass  # client may have disconnected without reading
+
+        self._engine = engine
+        self._srv = socketserver.ThreadingTCPServer(
+            (host, port), _IngestHandler, bind_and_activate=True
+        )
+        self._srv.daemon_threads = True
+        self._thread: threading.Thread | None = None
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self._srv.server_address  # type: ignore[return-value]
+
+    def start(self) -> "IpcIngestServer":
+        self._thread = threading.Thread(
+            target=self._srv.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+def push_ipc(host: str, port: int, data: bytes, timeout: float = 60.0) -> dict:
+    """Stream one Arrow IPC payload to an IpcIngestServer and wait for
+    the durable ack (the producer-side helper)."""
+    import socket as _socket
+
+    with _socket.create_connection((host, port), timeout=timeout) as s:
+        s.sendall(data)
+        s.shutdown(_socket.SHUT_WR)
+        f = s.makefile("rb")
+        (n,) = struct.unpack(">I", _read_exact(f, 4))
+        return json.loads(_read_exact(f, n))

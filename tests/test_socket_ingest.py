@@ -85,3 +85,35 @@ def test_socket_json_upsert(spark, tmp_path):
         assert got[i] == 0.0  # untouched
     for i in range(5, 15):
         assert got[i] == i * 1.5  # updated/inserted via socket stream
+
+
+def test_ipc_ingest_server_routes_by_metadata(spark, tmp_path):
+    """The reference's raw-TCP ingest listener (main.rs:60-84), with the
+    producer's schema-metadata routing honored and a durable ack."""
+    import pyarrow as pa
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.serving import IpcIngestServer, push_ipc
+    from polars_lake_spark.sources.ipc import arrow_table_to_ipc
+
+    eng = Engine(spark, str(tmp_path))
+    srv = IpcIngestServer(eng).start()
+    try:
+        t1 = pa.table({"k": [1, 2], "v": [1.0, 2.0]}).replace_schema_metadata(
+            {"table": "wire", "keys": "k"}
+        )
+        ack = push_ipc(*srv.address, arrow_table_to_ipc(t1))
+        assert ack == {"table": "wire", "rows": 2, "op": "created"}
+        t2 = pa.table({"k": [2], "v": [9.0]}).replace_schema_metadata(
+            {"table": "wire", "keys": "k"}
+        )
+        ack2 = push_ipc(*srv.address, arrow_table_to_ipc(t2))
+        assert ack2["op"] == "upserted"
+        # the ack is durable: the merge is already visible
+        assert {r.k: r.v for r in eng.table("wire").collect()} == {1: 1.0, 2: 9.0}
+        # errors surface in the ack, not a dropped connection
+        bad = pa.table({"x": [1]})
+        err = push_ipc(*srv.address, arrow_table_to_ipc(bad))
+        assert "error" in err and "table" in err["error"]
+    finally:
+        srv.stop()
