@@ -30,7 +30,14 @@ through the engine's real mutation paths:
 
 Each returns a one-row ``(operation, table, n_affected)`` status frame;
 versioned tables get one atomic 'rewrite'/'append' snapshot per
-statement.  Non-DML statements fall through to ``spark.sql`` untouched.
+statement.  ``n_affected`` semantics per statement: DELETE/UPDATE report
+predicate-matched target rows; INSERT and CREATE TABLE AS report rows
+written; MERGE reports SOURCE row count — NOT Delta-style rows actually
+inserted/updated/deleted (per-action splits would cost extra count jobs
+over the merge join; callers needing them should diff
+``engine.changes()`` across the statement's snapshot instead); ANALYZE
+reports table rows, VACUUM removed version dirs, OPTIMIZE data files
+before compaction.  Non-DML statements fall through to ``spark.sql`` untouched.
 Table names resolve like everywhere else: the registered name
 (``schema.table``) or its view key (``schema__table``).
 """
@@ -157,6 +164,17 @@ def _resolve(engine, name: str) -> str | None:
     return None
 
 
+def _plan_deterministic(df: DataFrame) -> bool:
+    """True when every expression in the analyzed plan is deterministic.
+    Used to decide whether DELETE/UPDATE must pin the predicate with a
+    single materialization; on any introspection failure assume the
+    worst (nondeterministic) — correctness over speed."""
+    try:
+        return bool(df._jdf.queryExecution().analyzed().deterministic())
+    except Exception:
+        return False
+
+
 def _status(engine, op: str, table: str, n: int) -> DataFrame:
     return engine.spark.createDataFrame(
         [(op, table, n)], "operation string, table string, n_affected bigint"
@@ -171,12 +189,29 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         name = _resolve(engine, m.group(1))
         if name is None:
             return None
-        t = engine.table(name)
-        # WHERE p deletes rows where p is TRUE; NULL predicate keeps.
-        pred = F.coalesce(F.expr(m.group(2)), F.lit(False)) if m.group(2) else F.lit(True)
-        n = t.filter(pred).count()
-        if n:
-            engine.overwrite(name, t.filter(~pred))
+        # Whole statement inside the table lock: the count and the
+        # rewrite must see the same table state vs concurrent writers
+        # (TOCTOU — ADVICE r5); the lock is reentrant for overwrite().
+        with engine._lock(name):
+            t = engine.table(name)
+            # WHERE p deletes rows where p is TRUE; NULL predicate keeps.
+            pred = (
+                F.coalesce(F.expr(m.group(2)), F.lit(False))
+                if m.group(2)
+                else F.lit(True)
+            )
+            doomed, kept = t.filter(pred), t.filter(~pred)
+            if not _plan_deterministic(t.select(pred)):
+                # Pin a nondeterministic predicate (e.g. rand()) once, so
+                # n_affected and the rewrite agree (INSERT/MERGE's rule).
+                marked = t.withColumn("__pl_pred", pred).localCheckpoint(
+                    eager=True
+                )
+                doomed = marked.filter(F.col("__pl_pred")).drop("__pl_pred")
+                kept = marked.filter(~F.col("__pl_pred")).drop("__pl_pred")
+            n = doomed.count()
+            if n:
+                engine.overwrite(name, kept)
         return _status(engine, "delete", name, n)
 
     m = _UPDATE.match(query)
@@ -184,30 +219,42 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         name = _resolve(engine, m.group(1))
         if name is None:
             return None
-        t = engine.table(name)
-        set_sql, where_sql = _split_where(m.group(2))
-        pred = (
-            F.coalesce(F.expr(where_sql), F.lit(False))
-            if where_sql
-            else F.lit(True)
-        )
-        assigns = {}
-        for clause in _split_top_level(set_sql):
-            col, eq, expr = clause.partition("=")
-            col = col.strip()
-            if not eq or not re.fullmatch(r"[A-Za-z_]\w*", col):
-                raise ValueError(f"cannot parse SET clause: {clause!r}")
-            if col not in t.columns:
-                raise ValueError(f"UPDATE {name}: no column {col!r}")
-            assigns[col] = F.when(pred, F.expr(expr.strip())).otherwise(F.col(col))
-        # ONE select: every SET expression sees the OLD row (SQL
-        # semantics — sequential withColumn would leak earlier updates).
-        updated = t.select(
-            *[assigns.get(c, F.col(c)).alias(c) for c in t.columns]
-        )
-        n = t.filter(pred).count()
-        if n:
-            engine.overwrite(name, updated)
+        with engine._lock(name):
+            t = engine.table(name)
+            set_sql, where_sql = _split_where(m.group(2))
+            pred = (
+                F.coalesce(F.expr(where_sql), F.lit(False))
+                if where_sql
+                else F.lit(True)
+            )
+            base, pred_col = t, pred
+            if not _plan_deterministic(t.select(pred)):
+                # Pin a nondeterministic predicate once: every SET
+                # column's when() and the n_affected count must share ONE
+                # evaluation, or updates tear across columns (ADVICE r5).
+                base = t.withColumn("__pl_pred", pred).localCheckpoint(
+                    eager=True
+                )
+                pred_col = F.col("__pl_pred")
+            assigns = {}
+            for clause in _split_top_level(set_sql):
+                col, eq, expr = clause.partition("=")
+                col = col.strip()
+                if not eq or not re.fullmatch(r"[A-Za-z_]\w*", col):
+                    raise ValueError(f"cannot parse SET clause: {clause!r}")
+                if col not in t.columns:
+                    raise ValueError(f"UPDATE {name}: no column {col!r}")
+                assigns[col] = F.when(pred_col, F.expr(expr.strip())).otherwise(
+                    F.col(col)
+                )
+            # ONE select: every SET expression sees the OLD row (SQL
+            # semantics — sequential withColumn would leak earlier updates).
+            updated = base.select(
+                *[assigns.get(c, F.col(c)).alias(c) for c in t.columns]
+            )
+            n = base.filter(pred_col).count()
+            if n:
+                engine.overwrite(name, updated)
         return _status(engine, "update", name, n)
 
     m = _INSERT.match(query)
@@ -277,9 +324,11 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
     if m:
         name = _resolve(engine, m.group(1))
         if name is None:
-            if re.match(r"^\s*DROP\s+TABLE\s+IF\s+EXISTS", query, re.I):
-                return _status(engine, "drop_table", m.group(1), 0)
-            return None  # let spark.sql surface the analyzer error
+            # Not an engine table: fall through to spark.sql for BOTH
+            # forms — IF EXISTS never errors there, and a same-named
+            # Spark-catalog table must actually be dropped rather than
+            # silently surviving a synthesized success frame (ADVICE r5).
+            return None
         # delete_files=True: SQL DROP must be durable — without it the
         # manifest survives on disk and the table resurrects in the next
         # engine process (review finding)

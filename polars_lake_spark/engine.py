@@ -164,7 +164,9 @@ class Engine:
         self.max_lazy_merges = 8
         # The reference serializes writes with a per-part Mutex
         # (/root/reference/src/dataset.rs:84-86); we serialize per table.
-        self._locks: dict[str, threading.Lock] = {}
+        # RLock, not Lock: SQL DML (dml.py) holds the table lock across
+        # its read-count-mutate sequence and the mutation re-acquires.
+        self._locks: dict[str, threading.RLock] = {}
 
     # ------------------------------------------------------------------ paths
     def _path(self, name: str) -> str:
@@ -175,8 +177,8 @@ class Engine:
             raise ValueError("Engine has no storage root (in-memory only)")
         return os.path.join(self.root, name)
 
-    def _lock(self, name: str) -> threading.Lock:
-        return self._locks.setdefault(name, threading.Lock())
+    def _lock(self, name: str) -> threading.RLock:
+        return self._locks.setdefault(name, threading.RLock())
 
     # ----------------------------------------------------------------- create
     def create_table(

@@ -47,7 +47,7 @@ _QUALITY_SQL = f"""
                 ELSE 'test' END AS split,
            lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM b
     GROUP BY 1, 2
     """,
@@ -81,8 +81,8 @@ def split_train_val_test(spark, sf_dir):
     )
     SELECT shard_id,
            COUNT(*) AS n_rows,
-           SUM(doc_id) AS id_sum,
-           SUM(pos * doc_id) AS ord_check
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS ord_check
     FROM p
     GROUP BY shard_id
     """,

@@ -197,18 +197,54 @@ class IpcIngestServer:
     dataset and ignored the producer's metadata), and the connection is
     only closed after the merge lands (durable-before-close; the
     reference acked by disconnect before its upsert finished printing).
-    Thread per connection, same as SqlServer."""
+    Thread per connection, same as SqlServer.
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+    Resource bounds (ADVICE r5): ``max_bytes`` caps the per-connection
+    payload (read in chunks, rejected with an error ack once exceeded —
+    a runaway producer can no longer pin unbounded driver memory) and
+    ``sock_timeout`` bounds a never-closing producer (the blocking read
+    raises, the handler thread exits) instead of parking a daemon thread
+    forever."""
+
+    def __init__(
+        self,
+        engine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_bytes: int = 256 * 1024 * 1024,
+        sock_timeout: float = 60.0,
+    ):
         outer = self
 
         class _IngestHandler(socketserver.StreamRequestHandler):
+            timeout = sock_timeout
+
             def handle(self):
                 from polars_lake_spark.sources.ipc import ingest_ipc_routed
 
-                data = self.rfile.read()  # one IPC stream per connection
+                self.connection.settimeout(sock_timeout)
+                # One IPC stream per connection, read in bounded chunks so
+                # an oversized payload is rejected without buffering it.
+                parts: list[bytes] = []
+                total = 0
+                too_big = False
+                while True:
+                    chunk = self.rfile.read1(1 << 20) if hasattr(
+                        self.rfile, "read1"
+                    ) else self.rfile.read(1 << 20)
+                    if not chunk:
+                        break
+                    total += len(chunk)
+                    if total > max_bytes:
+                        too_big = True
+                        break
+                    parts.append(chunk)
                 try:
-                    res = ingest_ipc_routed(outer._engine, data)
+                    if too_big:
+                        raise ValueError(
+                            f"ingest payload exceeds max_bytes={max_bytes}"
+                        )
+                    res = ingest_ipc_routed(outer._engine, b"".join(parts))
                     payload = json.dumps(res).encode()
                 except Exception as e:  # surfaced, not swallowed
                     payload = json.dumps({"error": str(e)[:500]}).encode()

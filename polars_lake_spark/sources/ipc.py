@@ -157,8 +157,12 @@ def ingest_ipc_routed(engine, data: bytes) -> dict:
         )
     keys = [k for k in meta.get("keys", "").split(",") if k]
     df = engine.spark.createDataFrame(table.to_pandas())
-    if name in engine.specs or name.replace("__", ".") in engine.specs:
-        engine.upsert(name, df, keys or None)
-        return {"table": name, "rows": table.num_rows, "op": "upserted"}
+    # Resolve view-key spellings (schema__table) to the spec name BEFORE
+    # mutating: engine.upsert/_guard_mutable index engine.specs directly,
+    # so passing the unresolved view key would always KeyError.
+    resolved = name if name in engine.specs else name.replace("__", ".")
+    if resolved in engine.specs:
+        engine.upsert(resolved, df, keys or None)
+        return {"table": resolved, "rows": table.num_rows, "op": "upserted"}
     engine.create_table(name, df, keys=keys, save=engine.root is not None)
     return {"table": name, "rows": table.num_rows, "op": "created"}

@@ -6,6 +6,7 @@ order-insensitive values (exact after in-query rounding).
 from __future__ import annotations
 
 import datetime as _dt
+import decimal
 import math
 
 from polars_lake_spark.sources.tables import TABLES
@@ -44,13 +45,19 @@ def _canon(v):
         return "[" + ",".join(_canon(x) for x in v) + "]"
     if isinstance(v, (bytes, bytearray)):
         return f"x:{bytes(v).hex()}"
-    try:  # Decimal → exact string
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return f"f:{float(v)!r}"
-    except ImportError:
-        pass
+    if isinstance(v, decimal.Decimal):
+        # Exact string, never float(): collapsing to float hides >2^53
+        # divergence AND hides HUGEINT-vs-BIGINT type splits the driver's
+        # harness treats as mismatches. Trailing zeros are stripped so
+        # DECIMAL(38,2) "1.50" == DECIMAL(12,4) "1.5000".
+        if v.is_nan():
+            return "f:nan"
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        if s in ("", "-0"):
+            s = "0"
+        return f"D:{s}"
     return f"s:{v}"
 
 
@@ -63,9 +70,14 @@ def compare(spark_df, con, oracle_sql: str) -> dict:
     """Return a diff report; 'ok' True when count+columns+values all match."""
     s_rows = spark_df.collect()
     s_cols = spark_df.columns
-    rel = con.sql(oracle_sql)
-    o_cols = rel.columns
-    o_rows = rel.fetchall()
+    # Fetch through Arrow, not fetchall(): fetchall() coerces DuckDB
+    # HUGEINT (int128, e.g. a raw SUM(BIGINT)) to Python int, which let
+    # two oracles pass locally while the driver's canonicalization
+    # hash-failed them. Arrow exports HUGEINT as decimal128(38,0), so the
+    # local mirror now sees the same type split the driver does.
+    tbl = con.sql(oracle_sql).arrow()
+    o_cols = list(tbl.column_names)
+    o_rows = [tuple(d[c] for c in o_cols) for d in tbl.to_pylist()]
 
     report = {
         "ok": False,

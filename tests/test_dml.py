@@ -243,7 +243,38 @@ def test_ctas_and_drop_statements(eng):
         eng.sql("CREATE TABLE agg AS SELECT 1 AS x")
     st2 = eng.sql("DROP TABLE agg").head()
     assert st2["operation"] == "drop_table"
-    assert eng.sql("DROP TABLE IF EXISTS agg").head()["n_affected"] == 0
+    # not an engine table anymore: IF EXISTS falls through to spark.sql
+    # (no-op, no error) instead of synthesizing a success frame
+    eng.sql("DROP TABLE IF EXISTS agg").collect()
+
+
+def test_drop_if_exists_reaches_spark_catalog(eng, spark):
+    """DROP TABLE IF EXISTS on a Spark-catalog (non-engine) table must
+    actually drop it — a synthesized success frame that leaves the table
+    standing is a lie (ADVICE r5)."""
+    spark.sql("DROP TABLE IF EXISTS cat_tbl")
+    spark.sql("CREATE TABLE cat_tbl (x INT) USING parquet")
+    assert spark.catalog.tableExists("cat_tbl")
+    eng.sql("DROP TABLE IF EXISTS cat_tbl").collect()
+    assert not spark.catalog.tableExists("cat_tbl")
+
+
+def test_delete_update_nondeterministic_predicate_consistent(eng):
+    """A rand() predicate must yield n_affected that agrees exactly with
+    the rows actually mutated, and per-column updates must not tear —
+    the predicate is pinned by one materialization (ADVICE r5)."""
+    st = eng.sql(
+        "UPDATE t SET val = -1.0, grp = 'hit' WHERE rand() < 0.5"
+    ).head()
+    rows = eng.table("t").collect()
+    hit = [r for r in rows if r.grp == "hit"]
+    # no torn rows: grp='hit' iff val=-1.0
+    assert all(r.val == -1.0 for r in hit)
+    assert all(r.val != -1.0 for r in rows if r.grp != "hit")
+    assert st["n_affected"] == len(hit)
+
+    st2 = eng.sql("DELETE FROM t WHERE rand() < 0.5").head()
+    assert eng.table("t").count() == 20 - st2["n_affected"]
 
 
 def test_merge_rejects_unsupported_when_clause(eng, spark):

@@ -220,3 +220,18 @@ def test_ingest_ipc_routed_by_schema_metadata(spark, tmp_path):
     bad = pa.table({"x": [1]})
     with pytest.raises(ValueError, match="no 'table' key"):
         ingest_ipc_routed(eng, arrow_table_to_ipc(bad))
+
+    # A producer may address a namespaced table by its VIEW-KEY spelling
+    # (schema__table); routing must resolve it to the spec name before
+    # upserting (the unresolved key used to KeyError in _guard_mutable).
+    eng.create_table(
+        "sales.routed2",
+        spark.createDataFrame([(1, 1.0)], "k int, v double"),
+        keys=["k"],
+    )
+    t3 = pa.table({"k": [1, 2], "v": [5.0, 6.0]})
+    t3 = t3.replace_schema_metadata({"table": "sales__routed2", "keys": "k"})
+    r3 = ingest_ipc_routed(eng, arrow_table_to_ipc(t3))
+    assert r3 == {"table": "sales.routed2", "rows": 2, "op": "upserted"}
+    rows3 = {r.k: r.v for r in eng.table("sales.routed2").collect()}
+    assert rows3 == {1: 5.0, 2: 6.0}

@@ -37,6 +37,27 @@ def test_oracle_match(spark, sf_dir, con, name):
     assert report["ok"], f"{name}: {report}"
 
 
+def test_oracle_no_hugeint_projection(con):
+    """Registry-wide lint: no oracle may project a HUGEINT (int128)
+    column. DuckDB widens a raw SUM/AVG over BIGINT to HUGEINT, which the
+    driver's harness canonicalizes differently from Spark's BIGINT — the
+    single root cause of the only two r5 gate fails (split_train_val_test,
+    shard_manifest). Binding the relation (no execution) exposes the
+    output types; any HUGEINT projection needs an explicit
+    CAST(... AS BIGINT) in the oracle SQL."""
+    bad = {}
+    for name in ORACLED:
+        rel = con.sql(QUERIES[name].oracle)
+        hits = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t).upper() or "INT128" in str(t).upper()
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"oracles projecting HUGEINT (cast to BIGINT): {bad}"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, sf_dir, name):
     q = QUERIES[name]

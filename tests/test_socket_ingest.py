@@ -115,5 +115,53 @@ def test_ipc_ingest_server_routes_by_metadata(spark, tmp_path):
         bad = pa.table({"x": [1]})
         err = push_ipc(*srv.address, arrow_table_to_ipc(bad))
         assert "error" in err and "table" in err["error"]
+        # view-key (schema__table) routing resolves to the spec name
+        eng.create_table(
+            "ns.wire2",
+            spark.createDataFrame([(1, 1.0)], "k int, v double"),
+            keys=["k"],
+        )
+        t3 = pa.table({"k": [2], "v": [7.0]}).replace_schema_metadata(
+            {"table": "ns__wire2", "keys": "k"}
+        )
+        ack3 = push_ipc(*srv.address, arrow_table_to_ipc(t3))
+        assert ack3 == {"table": "ns.wire2", "rows": 1, "op": "upserted"}
+        assert {r.k: r.v for r in eng.table("ns.wire2").collect()} == {
+            1: 1.0,
+            2: 7.0,
+        }
+    finally:
+        srv.stop()
+
+
+def test_ipc_ingest_server_payload_cap(spark, tmp_path):
+    """A payload beyond max_bytes is rejected with an error ack instead
+    of being buffered into driver memory (ADVICE r5)."""
+    import pyarrow as pa
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.serving import IpcIngestServer, push_ipc
+    from polars_lake_spark.sources.ipc import arrow_table_to_ipc
+
+    eng = Engine(spark, str(tmp_path))
+    srv = IpcIngestServer(eng, max_bytes=4096).start()
+    try:
+        big = pa.table(
+            {"k": list(range(5000)), "v": [float(i) for i in range(5000)]}
+        ).replace_schema_metadata({"table": "capped", "keys": "k"})
+        payload = arrow_table_to_ipc(big)
+        assert len(payload) > 4096
+        try:
+            err = push_ipc(*srv.address, payload)
+            assert "error" in err and "max_bytes" in err["error"]
+        except (ConnectionError, OSError):
+            pass  # server may reset mid-send once the cap trips — also a reject
+        assert "capped" not in eng.specs
+        # a small payload on the same server still lands
+        ok = pa.table({"k": [1], "v": [1.0]}).replace_schema_metadata(
+            {"table": "small", "keys": "k"}
+        )
+        ack = push_ipc(*srv.address, arrow_table_to_ipc(ok))
+        assert ack["op"] == "created"
     finally:
         srv.stop()
