@@ -787,6 +787,48 @@ class Engine:
                 )
             self._register(name)
 
+    def replace_partitions(self, name: str, df: DataFrame) -> None:
+        """Replace EXACTLY the partitions present in ``df`` with its rows
+        (dynamic partition overwrite), leaving every other partition
+        untouched — the surgical write primitive for partial maintenance
+        of a partitioned derived table (e.g. CDC-driven ANN index sync,
+        operators/ivf.py:ivf_sync_cdc, where only the cells a change
+        batch touches are rewritten).
+
+        Unlike ``upsert`` this can DROP rows within a touched partition
+        (tombstones), and unlike ``overwrite`` it never reads or rewrites
+        untouched partitions — at 100 TB the write cost is bounded by the
+        batch's partition fan-out, not the table size. The caller owns
+        the invariant that ``df`` holds the complete intended contents of
+        every partition it mentions."""
+        spec = self._guard_mutable(name)
+        parts = spec.physical_partitioning
+        if not parts:
+            raise ValueError(
+                f"table {name} is not partitioned; use overwrite()"
+            )
+        with self._lock(name):
+            new = self._with_layout(df, spec)
+            self._enforce(spec, new)
+            if spec.versioned:
+                # 'replace' commits touched partitions into the snapshot,
+                # carrying the untouched ones forward by reference.
+                self._write_versioned(new, spec, op="replace")
+            elif name in self._mem or self.root is None:
+                old = self.table(name)
+                touched = new.select(*parts).distinct()
+                kept = old.join(F.broadcast(touched), parts, "left_anti")
+                self._mem[name] = kept.unionByName(new).localCheckpoint(
+                    eager=True
+                )
+            else:
+                # Stage first: df may be derived from this table's own
+                # current files (read-modify-write cycle).
+                self._write(
+                    new.localCheckpoint(eager=True), spec, mode="overwrite"
+                )
+            self._register(name)
+
     def upsert(
         self,
         name: str,

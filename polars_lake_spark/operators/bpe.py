@@ -244,3 +244,32 @@ def load_merges(engine, name: str) -> list:
     merge table is vocab-bounded, thousands of rows at most)."""
     rows = engine.table(f"{name}_bpe").orderBy("rank").collect()
     return [(r["rank"], r["a"], r["b"], r["cnt"]) for r in rows]
+
+
+def bpe_pack(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list,
+    budget: int,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Tokenizer-aware sequence packing: encode with a trained merge list
+    and first-fit-decreasing pack on the REAL BPE token lengths — the
+    last-mile composition an LLM pipeline ships (whitespace-count packing
+    over- or under-fills packs by exactly the corpus' tokens-per-word
+    variance).  Returns ``(id, shard, tokens, pack_id)`` where ``tokens``
+    is the document's BPE token count.
+
+    Scale shape: the encode pass is map-side (merge list in the task
+    closure), packing adds one shuffle on ``id % n_shards`` — identical
+    cost to whitespace packing, so the tokenizer fidelity is free."""
+    enc = bpe_encode(df, text_col, merges, out_col="__bpe_toks")
+    lens = enc.select(
+        F.col(id_col), F.size("__bpe_toks").alias("bpe_tokens")
+    )
+    from polars_lake_spark.operators.sampling import pack_sequences_ffd
+
+    return pack_sequences_ffd(
+        lens, id_col, F.col("bpe_tokens"), budget=budget, n_shards=n_shards
+    )

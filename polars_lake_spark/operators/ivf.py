@@ -203,6 +203,90 @@ def ivf_add_batch(
     return assigned
 
 
+def _sync_cell_partitioned(engine, name: str, dead: DataFrame, fresh: DataFrame) -> dict:
+    """Apply a change batch to a cell_id-partitioned index table.
+
+    ``dead``  = (id, cell_id) rows whose OLD copies must leave the index
+    (deletes + update preimages, already assigned to their old cells);
+    ``fresh`` = fully-encoded replacement/new rows to land.
+
+    Only the touched cells are read and rewritten
+    (``Engine.replace_partitions`` — dynamic partition overwrite), so the
+    maintenance cost is bounded by the batch's cell fan-out, never the
+    index size.  The anti-join removes EVERY existing copy of a changed
+    id within the touched cells, which makes a replayed batch idempotent
+    (same property as incremental.MinHashIndex.add_batch).  The single
+    fallback to a full rewrite is an entirely-emptied cell — dynamic
+    overwrite cannot delete a partition it writes no rows into."""
+    dead = dead.localCheckpoint(eager=True)
+    fresh = fresh.localCheckpoint(eager=True)
+    t_dead = {r.cell_id for r in dead.select("cell_id").distinct().collect()}
+    t_fresh = {r.cell_id for r in fresh.select("cell_id").distinct().collect()}
+    touched = sorted(t_dead | t_fresh)
+    if not touched:
+        return {"touched_cells": [], "added": 0, "dropped": 0}
+    changed_ids = dead.select("id").unionByName(fresh.select("id")).distinct()
+    idx = engine.table(name).filter(F.col("cell_id").isin(touched))
+    dropped = idx.join(F.broadcast(changed_ids), "id", "left_semi").count()
+    merged = (
+        idx.join(F.broadcast(changed_ids), "id", "left_anti")
+        .unionByName(fresh)
+        .localCheckpoint(eager=True)
+    )
+    merged_cells = {
+        r.cell_id for r in merged.select("cell_id").distinct().collect()
+    }
+    emptied = [c for c in touched if c not in merged_cells]
+    if emptied:
+        rest = engine.table(name).filter(~F.col("cell_id").isin(touched))
+        engine.overwrite(name, rest.unionByName(merged))
+    else:
+        engine.replace_partitions(name, merged)
+    return {
+        "touched_cells": touched,
+        "added": fresh.count(),
+        "dropped": dropped,
+    }
+
+
+def ivf_sync_cdc(
+    engine,
+    name: str,
+    source: str,
+    from_version: int,
+    to_version: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Maintain a persisted IVF index from a versioned source table's
+    change feed (VERDICT r5 item 5): ``engine.changes(preimages=True)``
+    supplies inserts, deletes, and both update images; deletes/updates no
+    longer force a full index rebuild.
+
+    Routing: each PREIMAGE vector is assigned map-side against the
+    persisted centroids to recover the cell its old copy lives in (the
+    same broadcast argmax as ingest — no index scan), postimages/inserts
+    encode exactly like ivf_add_batch, and only the union of old+new
+    cells is rewritten (mirrors refresh_sketch_rollup's preimage
+    handling).  Idempotent under replay; probes stay partition-pruned.
+
+    Returns ``{"touched_cells": [...], "added": n, "dropped": n}``."""
+    ch = engine.changes(source, from_version, to_version, preimages=True)
+    ch = ch.localCheckpoint(eager=True)  # two filtered reads below
+    centroids = ivf_open_centroids(engine, name)
+    old_side = ch.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    )
+    new_side = ch.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    )
+    dead = ivf_index(old_side, centroids, id_col, vec_col).select(
+        "id", "cell_id"
+    )
+    fresh = ivf_index(new_side, centroids, id_col, vec_col)
+    return _sync_cell_partitioned(engine, name, dead, fresh)
+
+
 def probe_cells(
     centroids: DataFrame,
     queries: DataFrame,

@@ -479,3 +479,43 @@ def ivfpq_add_batch(
     )
     engine.insert(name, codes)
     return codes
+
+
+def ivfpq_sync_cdc(
+    engine,
+    name: str,
+    centroids: DataFrame,
+    codebooks: list,
+    source: str,
+    from_version: int,
+    to_version: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Maintain a persisted IVF-PQ code table from a versioned source's
+    change feed — the compressed analog of ivf.ivf_sync_cdc: preimages
+    locate the old copies' cells (broadcast argmax, no index scan),
+    postimages/inserts residual-encode against the EXISTING codebooks
+    exactly like ivfpq_add_batch (byte-identical codes, no retraining),
+    and only the touched cells are rewritten.  Deletes/updates no longer
+    force a rebuild; a replayed batch is idempotent."""
+    from polars_lake_spark.operators.ivf import _sync_cell_partitioned, ivf_index
+
+    ch = engine.changes(source, from_version, to_version, preimages=True)
+    ch = ch.localCheckpoint(eager=True)
+    old_side = ch.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    )
+    new_side = ch.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    )
+    dead = ivf_index(old_side, centroids, id_col, vec_col).select(
+        "id", "cell_id"
+    )
+    assigned = ivf_index(new_side, centroids, id_col, vec_col)
+    residuals = _residuals(assigned, centroids)
+    fresh = pq_encode(
+        residuals, codebooks, id_col="id", vec_col="r", normalize=False,
+        keep_cols=["cell_id"],
+    )
+    return _sync_cell_partitioned(engine, name, dead, fresh)

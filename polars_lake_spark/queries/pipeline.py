@@ -357,6 +357,86 @@ def similarity_ivf_pruned_recall(spark, sf_dir):
 
 
 @register(
+    "ann_cdc_sync_check",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS vectors_indexed,
+           CAST(0 AS BIGINT) AS violations
+    FROM embeddings
+    WHERE ((vec_id % 4 <> 3) OR (vec_id % 8 = 3)) AND vec_id % 9 <> 0
+    """,
+    doc="CDC-driven ANN index maintenance (VERDICT r5 item 5): an "
+    "upsert (updates + inserts) and a delete on a versioned vector "
+    "table flow through engine.changes into the persisted IVF index "
+    "via ivf_sync_cdc; DuckDB pins the surviving vector count and "
+    "violations asserts the synced index row-set equals a full "
+    "re-index (byte-identical, no retraining).",
+)
+def ann_cdc_sync_check(spark, sf_dir):
+    """Upsert + delete a versioned vector source, sync the persisted
+    cell-partitioned IVF index from the change feed (preimages locate
+    the old cells map-side; only touched cells rewrite), then prove the
+    synced index is EXACTLY the index a from-scratch re-encode would
+    build: symmetric exceptAll over (id, v, nrm, cell_id).  Mutation
+    arithmetic is fixed (initial = vec_id%4<>3, inserts = vec_id%8=3,
+    updates negate vec_id%10=0, deletes = vec_id%9=0) so the oracle
+    derives the final membership in pure SQL."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark.engine import Engine
+    from polars_lake_spark.operators.ivf import (
+        ivf_index,
+        ivf_sync_cdc,
+        ivf_write_index,
+        train_ivf,
+    )
+
+    root = tempfile.mkdtemp(prefix="plsq_annsync_")
+    try:
+        eng = Engine(spark, root)
+        emb = load_table(spark, sf_dir, "embeddings")
+        trained = train_ivf(emb, k=8, iters=2)
+        centroids = spark.createDataFrame(
+            [(r.cell_id, list(r.cv), float(r.cnrm)) for r in trained.collect()],
+            "cell_id int, cv array<double>, cnrm double",
+        )
+        src = emb.select("vec_id", "embedding").filter(F.col("vec_id") % 4 != 3)
+        eng.create_table("vsrc", src, keys=["vec_id"], versioned=True)
+        ivf_write_index(eng, "vidx", eng.table("vsrc"), centroids)
+        v0 = eng._snapstore("vsrc").latest_version()
+
+        batch = (
+            emb.select("vec_id", "embedding")
+            .filter((F.col("vec_id") % 10 == 0) | (F.col("vec_id") % 8 == 3))
+            .select(
+                "vec_id",
+                F.when(
+                    F.col("vec_id") % 10 == 0,
+                    F.transform("embedding", lambda x: -x),
+                )
+                .otherwise(F.col("embedding"))
+                .alias("embedding"),
+            )
+        )
+        eng.upsert("vsrc", batch)
+        eng.delete(
+            "vsrc", emb.select("vec_id").filter(F.col("vec_id") % 9 == 0)
+        )
+        ivf_sync_cdc(eng, "vidx", "vsrc", from_version=v0)
+
+        cols = ["id", "v", "nrm", "cell_id"]
+        idx = eng.table("vidx").select(*cols)
+        full = ivf_index(eng.table("vsrc"), centroids).select(*cols)
+        diff = idx.exceptAll(full).count() + full.exceptAll(idx).count()
+        n = idx.count()
+        return spark.createDataFrame(
+            [(n, diff)], "vectors_indexed bigint, violations bigint"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "text_stats",
     oracle=f"""
     WITH t AS (SELECT doc_id, text, {_NORM_SQL} AS norm FROM documents)

@@ -294,6 +294,90 @@ def bpe_train_encode_check(spark, sf_dir):
 
 
 @register(
+    "pack_sequences_bpe_check",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS docs_packed,
+           CAST(SUM(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                    w -> w <> ''))) AS BIGINT) AS words_total,
+           CAST(0 AS BIGINT) AS violations
+    FROM documents
+    """,
+    doc="Tokenizer-aware FFD packing gate: pack on REAL BPE token "
+    "lengths (operators/bpe.py bpe_pack), with DuckDB pinning the corpus "
+    "word total and violations covering exactly-once packing, budget, "
+    "the FFD half-empty bound, and per-doc token-length sanity.",
+)
+def pack_sequences_bpe_check(spark, sf_dir):
+    """Compose the trained BPE tokenizer with FFD bin packing — packing
+    budgets are spent in tokenizer tokens, not whitespace words (VERDICT
+    r5 item 4).  Checked invariants (violations must be 0):
+
+    * exactly-once: every document lands in exactly one (shard, pack);
+    * budget: no multi-doc pack exceeds the token budget;
+    * FFD bound: at most one pack per shard at or below half capacity;
+    * tokenizer sanity per doc: word_count <= bpe_tokens <= word_chars
+      (each word is at least one token; merges only ever shrink a word
+      below its character count) — ties the encoder's lengths to the
+      packing input end-to-end.
+
+    DuckDB pins docs_packed and the corpus word total (the packing
+    assignment itself is engine-replayable but not SQL-replayable —
+    same contract as pack_sequences_ffd_check)."""
+    from polars_lake_spark.operators import bpe as BP
+
+    budget = 256
+    docs = load_table(spark, sf_dir, "documents")
+    wc = BP.word_counts(docs, "text")
+    merges, _sym = BP.train_bpe(wc, n_merges=24, min_frequency=2)
+
+    norm = TX.normalized(F.col("text"))
+    words = F.filter(F.split(norm, " "), lambda w: F.length(w) > 0)
+    enc = BP.bpe_encode(docs, "text", merges).select(
+        "doc_id",
+        F.size("tokens").alias("toks"),
+        F.size(words).alias("nw"),
+        F.length(F.array_join(words, "")).alias("nchars"),
+    )
+    packed = BP.bpe_pack(
+        docs, "doc_id", "text", merges, budget=budget, n_shards=4
+    ).localCheckpoint()
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tokens").alias("total")
+    ).localCheckpoint()
+    over = per_pack.filter(
+        (F.col("n_docs") > 1) & (F.col("total") > budget)
+    ).count()
+    bound = (
+        per_pack.filter(F.col("total") * 2 <= budget)
+        .groupBy("shard")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    dup = packed.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    sane = enc.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("toks") < F.col("nw"))
+                    | (F.col("toks") > F.col("nchars")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("oob"),
+        F.sum("nw").alias("words_total"),
+    ).head()
+    return packed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_packed"),
+        F.lit(int(sane["words_total"])).cast("bigint").alias("words_total"),
+        (F.lit(over + bound + dup) + F.lit(int(sane["oob"])))
+        .cast("bigint")
+        .alias("violations"),
+    )
+
+
+@register(
     "decontaminate_semantic",
     oracle="""
     WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e

@@ -135,3 +135,58 @@ def test_ivf_add_batch_incremental(spark, emb, trained, tmp_path):
     plan = executed_plan(res)
     segs = [s.split("]")[0] for s in plan.split("PartitionFilters")[1:]]
     assert any("cell_id" in s for s in segs), segs
+
+
+def test_ivf_sync_cdc(spark, emb, trained, tmp_path):
+    """CDC-driven index maintenance: an upsert (updates + inserts) and a
+    delete on the versioned source flow through engine.changes into the
+    persisted index — byte-identical to a full re-index, no retraining,
+    and replaying the same window is idempotent."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.ivf import (
+        ivf_sync_cdc,
+        ivf_write_index,
+    )
+
+    centroids, _ = trained
+    engine = Engine(spark, str(tmp_path))
+    src = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 80)
+    engine.create_table("vecs", src, keys=["vec_id"], versioned=True)
+    ivf_write_index(engine, "cdc_idx", engine.table("vecs"), centroids)
+    v0 = engine._snapstore("vecs").latest_version()
+
+    # updates (flip sign → vectors migrate cells) + inserts (new ids)
+    batch = (
+        emb.select("vec_id", "embedding")
+        .filter((F.col("vec_id") < 10) | (F.col("vec_id").between(80, 89)))
+        .select(
+            "vec_id",
+            F.when(
+                F.col("vec_id") < 10,
+                F.transform("embedding", lambda x: -x),
+            )
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )
+    engine.upsert("vecs", batch)
+    engine.delete(
+        "vecs", spark.range(20, 30).select(F.col("id").alias("vec_id"))
+    )
+
+    res = ivf_sync_cdc(engine, "cdc_idx", "vecs", from_version=v0)
+    assert res["added"] == 20 and res["dropped"] == 20
+    assert res["touched_cells"]
+
+    def snap(df):
+        return {
+            (r.id, tuple(round(x, 9) for x in r.v), round(r.nrm, 9), r.cell_id)
+            for r in df.collect()
+        }
+
+    full = ivf_index(engine.table("vecs"), centroids)
+    assert snap(engine.table("cdc_idx")) == snap(full)
+
+    # replaying the same change window is a no-op on the index contents
+    ivf_sync_cdc(engine, "cdc_idx", "vecs", from_version=v0)
+    assert snap(engine.table("cdc_idx")) == snap(full)

@@ -169,3 +169,71 @@ def test_ivfpq_add_batch_incremental(spark, sf_dir, tmp_path):
     q = emb.filter(F.col("vec_id") == 1)
     res = ivfpq_search_pruned(engine, "pq_grow", centroids, codebooks, q, k=5, nprobe=2)
     assert res.count() == 5
+
+
+def test_ivfpq_sync_cdc(spark, sf_dir, tmp_path):
+    """CDC-driven code-table maintenance: upsert + delete on the
+    versioned vector source rewrite only the touched cells, codes stay
+    byte-identical to a full re-encode, and replay is idempotent."""
+    import pyspark.sql.functions as F
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.ivf import ivf_index
+    from polars_lake_spark.operators.pq import (
+        _residuals,
+        ivfpq_sync_cdc,
+        ivfpq_write_index,
+        pq_encode,
+        train_ivfpq,
+    )
+    from polars_lake_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, codebooks, _ = train_ivfpq(emb, k_cells=4, m=8, ksub=8, iters=1)
+    engine = Engine(spark, str(tmp_path))
+    src = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 80)
+    engine.create_table("pqvecs", src, keys=["vec_id"], versioned=True)
+
+    def encode(df):
+        assigned = ivf_index(df, centroids)
+        return pq_encode(
+            _residuals(assigned, centroids), codebooks, id_col="id",
+            vec_col="r", normalize=False, keep_cols=["cell_id"],
+        )
+
+    ivfpq_write_index(engine, "pq_cdc", encode(engine.table("pqvecs")))
+    v0 = engine._snapstore("pqvecs").latest_version()
+
+    batch = (
+        emb.select("vec_id", "embedding")
+        .filter((F.col("vec_id") < 10) | (F.col("vec_id").between(80, 89)))
+        .select(
+            "vec_id",
+            F.when(
+                F.col("vec_id") < 10,
+                F.transform("embedding", lambda x: -x),
+            )
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )
+    engine.upsert("pqvecs", batch)
+    engine.delete(
+        "pqvecs", spark.range(20, 30).select(F.col("id").alias("vec_id"))
+    )
+
+    res = ivfpq_sync_cdc(
+        engine, "pq_cdc", centroids, codebooks, "pqvecs", from_version=v0
+    )
+    assert res["added"] == 20 and res["dropped"] == 20
+
+    def snap(df):
+        return {(r.id, r.cell_id, tuple(r.codes)) for r in df.collect()}
+
+    full = encode(engine.table("pqvecs"))
+    assert snap(engine.table("pq_cdc")) == snap(full)
+
+    ivfpq_sync_cdc(
+        engine, "pq_cdc", centroids, codebooks, "pqvecs", from_version=v0
+    )
+    assert snap(engine.table("pq_cdc")) == snap(full)
