@@ -407,6 +407,18 @@ def main() -> None:
     timings.update(lifecycle_bench(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
+    # One-time train/index entries (the measured thing IS training, or an
+    # index build amortized across every later probe) broken out into
+    # their own section so the headline separates steady-state throughput
+    # from amortized setup cost. The entries ALSO stay in "queries" under
+    # their frozen names — nothing is renamed, the total is unchanged.
+    one_time_keys = [
+        "similarity_ivf_train_index",
+        "dedup_index_build",
+        "bpe_train_only",
+        "bpe_train_encode_check",
+    ]
+    one_time = {k: timings[k] for k in one_time_keys if k in timings}
     print(
         json.dumps(
             {
@@ -414,6 +426,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "one_time": one_time,
+                "steady_state_value": round(total - sum(one_time.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -27,6 +27,16 @@ through the engine's real mutation paths:
   → ``engine.analyze_table`` (stats persist in the manifest)
 * ``VACUUM t [RETAIN n]``                → ``engine.vacuum`` (versioned)
 * ``OPTIMIZE t [ZORDER BY (cols)]``      → ``engine.compact``
+* ``ALTER TABLE t ADD CONSTRAINT c CHECK (expr)`` → ``engine.add_constraint``
+* ``ALTER TABLE t DROP CONSTRAINT [IF EXISTS] c`` → ``engine.drop_constraint``
+* ``ALTER TABLE t ADD COLUMN c <type>``  → NULL-filled rewrite through
+  ``engine.overwrite`` (a plain-parquet layout cannot do the metadata-only
+  add Delta/Iceberg would; versioned tables commit it as one snapshot)
+* time travel: any ``t [FOR] VERSION AS OF n`` / ``t [FOR] TIMESTAMP AS
+  OF 'ts'`` reference to a VERSIONED engine table — in a bare SELECT or
+  inside any DML's source subquery — is rewritten to a version-pinned
+  temp view (``engine.table(name, version=...)``); TIMESTAMP resolves to
+  the latest snapshot at or before the instant (Delta semantics)
 
 Each returns a one-row ``(operation, table, n_affected)`` status frame;
 versioned tables get one atomic 'rewrite'/'append' snapshot per
@@ -91,6 +101,26 @@ _OPTIMIZE = re.compile(
 _INSERT = re.compile(
     r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(\([^)]*\))?\s*(SELECT\b.+?)\s*;?\s*$",
     re.I | re.S,
+)
+_ALTER_ADD_CONSTRAINT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ADD\s+CONSTRAINT\s+"
+    r"([A-Za-z_]\w*)\s+CHECK\s*\((.+)\)\s*;?\s*$",
+    re.I | re.S,
+)
+_ALTER_DROP_CONSTRAINT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+DROP\s+CONSTRAINT\s+"
+    r"(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+    re.I,
+)
+_ALTER_ADD_COLUMN = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ADD\s+COLUMNS?\s+\(?\s*"
+    r"([A-Za-z_]\w*)\s+([A-Za-z0-9_<>,() ]+?)\s*\)?\s*;?\s*$",
+    re.I,
+)
+_TIMETRAVEL = re.compile(
+    r"\b([A-Za-z_][\w.]*)\s+(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(\d+|'[^']*')",
+    re.I,
 )
 
 
@@ -164,6 +194,56 @@ def _resolve(engine, name: str) -> str | None:
     return None
 
 
+def _version_at_timestamp(engine, name: str, ts: str) -> int:
+    """Latest snapshot version committed at or before ``ts`` (Delta's
+    TIMESTAMP AS OF semantics). Naive timestamps are UTC — the engine
+    pins spark.sql.session.timeZone to UTC (session.py)."""
+    import datetime as dt
+
+    d = dt.datetime.fromisoformat(ts)
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=dt.timezone.utc)
+    # Compare at MICROSECOND resolution — ISO-8601 strings carry at most
+    # microseconds, so a snapshot's sub-microsecond tail must not push it
+    # past the very instant its own formatted timestamp names.
+    target_us = int(d.timestamp() * 1_000_000)
+    eligible = [
+        h["version"]
+        for h in engine._snapstore(name).history()
+        if h["ts_ns"] // 1000 <= target_us
+    ]
+    if not eligible:
+        raise ValueError(
+            f"no snapshot of {name} at or before {ts!r}"
+        )
+    return max(eligible)
+
+
+def _rewrite_time_travel(engine, query: str) -> tuple[str, bool]:
+    """Rewrite every ``t [FOR] VERSION|TIMESTAMP AS OF x`` reference to a
+    versioned engine table into a version-pinned temp view, so the AS OF
+    syntax works anywhere a table reference can appear (bare SELECTs,
+    INSERT/MERGE sources, CTAS bodies). References to unknown or
+    unversioned tables are left untouched for spark.sql to reject."""
+    changed = False
+
+    def repl(m):
+        nonlocal changed
+        name = _resolve(engine, m.group(1))
+        if name is None or not engine.specs[name].versioned:
+            return m.group(0)
+        if m.group(2).upper() == "VERSION":
+            version = int(m.group(3))
+        else:
+            version = _version_at_timestamp(engine, name, m.group(3).strip("'"))
+        view = f"{name.replace('.', '__')}__asof_v{version}"
+        engine.table(name, version=version).createOrReplaceTempView(view)
+        changed = True
+        return view
+
+    return _TIMETRAVEL.sub(repl, query), changed
+
+
 def _plan_deterministic(df: DataFrame) -> bool:
     """True when every expression in the analyzed plan is deterministic.
     Used to decide whether DELETE/UPDATE must pin the predicate with a
@@ -184,6 +264,10 @@ def _status(engine, op: str, table: str, n: int) -> DataFrame:
 def try_execute_dml(engine, query: str) -> DataFrame | None:
     """Execute ``query`` if it is a DML statement over a known engine
     table; return the status frame, or None for everything else."""
+    # Time-travel references resolve FIRST so they work both in bare
+    # SELECTs and inside DML source subqueries.
+    query, tt = _rewrite_time_travel(engine, query)
+
     m = _DELETE.match(query)
     if m:
         name = _resolve(engine, m.group(1))
@@ -484,4 +568,47 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         engine.compact(name, zorder_by=zcols)
         return _status(engine, "optimize", name, nfiles)
 
+    m = _ALTER_ADD_CONSTRAINT.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        engine.add_constraint(name, m.group(2), m.group(3).strip())
+        return _status(engine, "alter_add_constraint", name, 0)
+
+    m = _ALTER_DROP_CONSTRAINT.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        cname = m.group(3)
+        if not m.group(2) and cname not in engine.specs[name].constraints:
+            raise ValueError(
+                f"ALTER TABLE {name}: no constraint {cname!r} "
+                "(use DROP CONSTRAINT IF EXISTS)"
+            )
+        engine.drop_constraint(name, cname)
+        return _status(engine, "alter_drop_constraint", name, 0)
+
+    m = _ALTER_ADD_COLUMN.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        col, coltype = m.group(2), m.group(3).strip()
+        t = engine.table(name)
+        if col.lower() in {c.lower() for c in t.columns}:
+            raise ValueError(f"ALTER TABLE {name}: column {col!r} exists")
+        # NULL-filled rewrite: plain parquet cannot do Delta's
+        # metadata-only add (old files would lack the column and the
+        # mixed-directory scan drifts); versioned tables commit one
+        # snapshot, so the add time-travels like any other write.
+        n = t.count()
+        engine.overwrite(name, t.withColumn(col, F.lit(None).cast(coltype)))
+        return _status(engine, "alter_add_column", name, n)
+
+    if tt:
+        # a time-travel rewrite happened but no DML shape matched — run
+        # the rewritten text (e.g. a bare SELECT ... FOR VERSION AS OF)
+        return engine.spark.sql(query)
     return None

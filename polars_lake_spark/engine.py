@@ -162,6 +162,11 @@ class Engine:
         self._mem: dict[str, DataFrame] = {}  # in-memory tier (unsaved tables)
         self._pending_merges: dict[str, int] = {}
         self.max_lazy_merges = 8
+        # Row bound for the stats-driven auto-broadcast view hint
+        # (_register): conservative vs table_hinted's explicit-call 10M —
+        # the AUTOMATIC hint must never force a multi-GB broadcast on a
+        # wide table (Spark's own byte threshold defaults to 10 MB).
+        self.auto_broadcast_max_rows = 1_000_000
         # The reference serializes writes with a per-part Mutex
         # (/root/reference/src/dataset.rs:84-86); we serialize per table.
         # RLock, not Lock: SQL DML (dml.py) holds the table lock across
@@ -491,7 +496,22 @@ class Engine:
         if spec and spec.native_bucketing and name not in self._mem:
             self._recreate_native_entry(spec)  # catalog table, not a view
             return
-        self.table(name).createOrReplaceTempView(view_key(name))
+        df = self.table(name)
+        # Stats-driven auto-broadcast for the SQL path: a table whose
+        # FRESH ANALYZE row count is small registers its view
+        # broadcast-hinted, so every engine.sql star join picks the
+        # BroadcastHashJoin without a manual /*+ BROADCAST */ (the hint
+        # survives view inlining). Freshness is cleared by any mutation
+        # (_guard_mutable), so a stale ANALYZE can never force a huge
+        # broadcast; re-ANALYZE re-arms it.
+        if (
+            spec is not None
+            and spec.stats is not None
+            and spec.stats.get("fresh")
+            and spec.stats.get("rows", 2**63) <= self.auto_broadcast_max_rows
+        ):
+            df = F.broadcast(df)
+        df.createOrReplaceTempView(view_key(name))
 
     def load_table(self, name: str) -> TableSpec:
         """from_storage analog (``/root/reference/src/dataset.rs:355-409``):
@@ -686,6 +706,12 @@ class Engine:
                 f"table {name} uses native_bucketing; in-place mutation would "
                 "break the bucketBy file invariant. Recreate via create_table()."
             )
+        # Any mutation invalidates stats FRESHNESS (not the stats — they
+        # stay advisory): the auto-broadcast hint in _register only fires
+        # on fresh stats, so a table can never grow past a stale ANALYZE
+        # into a forced broadcast.
+        if spec.stats is not None:
+            spec.stats["fresh"] = False
         return spec
 
     def add_constraint(self, name: str, cname: str, expr_sql: str) -> None:
@@ -1724,12 +1750,18 @@ class Engine:
             "analyzed_version": (
                 self._snapstore(name).latest_version() if spec.versioned else None
             ),
+            # freshness arms the auto-broadcast view hint (_register);
+            # cleared by the next mutation (_guard_mutable). Manifests
+            # persist it, so a reloaded engine keeps the hint for tables
+            # not mutated since their ANALYZE.
+            "fresh": True,
             "columns": colstats,
         }
         with self._lock(name):
             spec.stats = stats
             if name not in self._mem and self.root is not None:
                 self._write_manifest(spec)
+            self._register(name)
         return stats
 
     def table_stats(self, name: str) -> dict | None:

@@ -414,15 +414,58 @@ def ivfpq_write_index(
     name: str,
     codes: DataFrame,
     versioned: bool = False,
+    centroids: DataFrame | None = None,
+    codebooks: list | None = None,
 ):
     """Persist IVF-PQ codes through the Engine layout, hive-partitioned by
     cell_id — the m-bytes-per-vector table a 100 TB deployment actually
     stores. With versioned=True each index rebuild commits a snapshot, so
     searches can pin (time-travel to) an index version while a rebuild
-    lands."""
-    return engine.create_table(
+    lands.
+
+    Passing ``centroids``/``codebooks`` persists them alongside as
+    ``{name}_centroids`` / ``{name}_codebooks`` so the index artifact is
+    SELF-CONTAINED (the ivf_write_index pattern): any later process
+    reopens the full quantizer state with ``ivfpq_open`` and can search,
+    grow (ivfpq_add_batch), or CDC-sync (ivfpq_sync_cdc) with no
+    retraining and no out-of-band state."""
+    spec = engine.create_table(
         name, codes, partition_by=["cell_id"], versioned=versioned
     )
+    if centroids is not None:
+        engine.create_table(f"{name}_centroids", centroids)
+    if codebooks is not None:
+        rows = [
+            (mi, ki, [float(x) for x in vec])
+            for mi, cb in enumerate(codebooks)
+            for ki, vec in enumerate(cb)
+        ]
+        engine.create_table(
+            f"{name}_codebooks",
+            engine.spark.createDataFrame(
+                rows, "m int, k int, vals array<double>"
+            ),
+        )
+    return spec
+
+
+def ivfpq_open(engine, name: str):
+    """Reopen a self-contained persisted IVF-PQ index →
+    ``(centroids_df, codebooks)``. Both are quantizer-sized (k_cells ×
+    dim centroids, m × ksub × d_sub codebook floats) — bounded driver
+    metadata, rebuilt as literals exactly like ivf_open_centroids so
+    downstream plans embed them instead of nesting a table scan."""
+    from polars_lake_spark.operators.ivf import ivf_open_centroids
+
+    centroids = ivf_open_centroids(engine, name)
+    rows = engine.table(f"{name}_codebooks").collect()
+    by_m: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_m.setdefault(r.m, {})[r.k] = list(r.vals)
+    codebooks = [
+        [by_m[mi][ki] for ki in sorted(by_m[mi])] for mi in sorted(by_m)
+    ]
+    return centroids, codebooks
 
 
 def ivfpq_search_pruned(

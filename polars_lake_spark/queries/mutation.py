@@ -563,3 +563,69 @@ def sql_dml_lifecycle(spark, sf_dir):
     return eng.table("dml_orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+@register(
+    "sql_timetravel_lifecycle",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_orderkey % 5 = 0),
+    upd AS (SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1.10
+                                  AS DOUBLE)
+                        ELSE o_totalprice END AS o_totalprice
+            FROM base)
+    SELECT u.o_orderkey,
+           b.o_totalprice AS price_v1,
+           u.o_totalprice AS price_now,
+           CAST(NULL AS VARCHAR) AS flag
+    FROM upd u JOIN base b USING (o_orderkey)
+    """,
+    doc="SQL time-travel + ALTER TABLE statement surface (VERDICT r5 "
+    "item 7): ADD CONSTRAINT gates the UPDATE, ADD COLUMN lands as one "
+    "snapshot, and a single SELECT self-joins the current state against "
+    "FOR VERSION AS OF 1 — DuckDB replays both states relationally.",
+)
+def sql_timetravel_lifecycle(spark, sf_dir):
+    """Versioned-table statement lifecycle end to end through
+    ``engine.sql``: ALTER TABLE ADD CONSTRAINT (validated against the
+    data, enforced by the UPDATE's rewrite), DECIMAL-exact UPDATE,
+    ALTER TABLE ADD COLUMN (NULL-filled, snapshot-committed), then one
+    SELECT joining the live table to ``FOR VERSION AS OF 1`` — proving
+    the AS OF rewrite composes inside arbitrary query text and the
+    pre-ALTER snapshot retains its original schema/prices."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_ttl_")
+    try:
+        eng = Engine(spark, root)
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .filter(F.col("o_orderkey") % 5 == 0)
+        )
+        eng.create_table("tt_orders", orders, keys=["o_orderkey"], versioned=True)
+        eng.sql(
+            "ALTER TABLE tt_orders ADD CONSTRAINT price_pos "
+            "CHECK (o_totalprice >= 0)"
+        )
+        eng.sql(
+            "UPDATE tt_orders SET o_totalprice = "
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1.10 AS DOUBLE) "
+            "WHERE o_orderkey % 7 = 0"
+        )
+        eng.sql("ALTER TABLE tt_orders ADD COLUMN flag string")
+        out = eng.sql(
+            "SELECT c.o_orderkey, o.o_totalprice AS price_v1, "
+            "c.o_totalprice AS price_now, c.flag "
+            "FROM tt_orders c JOIN tt_orders FOR VERSION AS OF 1 o "
+            "ON c.o_orderkey = o.o_orderkey"
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

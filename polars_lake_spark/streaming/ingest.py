@@ -160,3 +160,52 @@ def stream_vocab_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_ann_ingest(
+    engine,
+    index_name: str,
+    stream_df: DataFrame,
+    source: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """ANN-index-on-ingest: each micro-batch upserts into the VERSIONED
+    vector source table, then the persisted IVF index syncs from exactly
+    that batch's change feed (operators/ivf.py:ivf_sync_cdc) — updated
+    vectors are routed OUT of their old cells via the preimage
+    assignment, inserts land map-side-assigned, and only the touched
+    cells rewrite.  Probes see each batch as soon as its snapshot lands;
+    the corpus is never rescanned and the index never retrains.
+
+    Replay-safe under foreachBatch's at-least-once redelivery: the
+    keyed upsert of identical content yields an EMPTY change feed from
+    the re-read base version, so the index sync is a no-op (the same
+    idempotence argument as stream_dedup_ingest, shifted onto the
+    version diff).  Out-of-band deletes compose the same way outside
+    the stream: ``engine.delete`` + ``ivf_sync_cdc`` over the same
+    version window."""
+    from polars_lake_spark.operators.ivf import ivf_sync_cdc
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        v0 = engine._snapstore(source).latest_version()
+        engine.upsert(source, batch_df, keys=[id_col])
+        ivf_sync_cdc(
+            engine,
+            index_name,
+            source,
+            from_version=v0,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -73,6 +73,44 @@ def test_table_hinted_without_stats_is_plain(engine, spark, sf_dir):
     assert engine.table_hinted("region").count() == 5
 
 
+def test_sql_auto_broadcast_from_stats(engine, spark, sf_dir):
+    """VERDICT r5 item 6: after ANALYZE, an engine.sql star join against
+    the small analyzed dimension picks BroadcastHashJoin with NO manual
+    hint; a mutation clears freshness and disarms the hint until the
+    next ANALYZE."""
+    from polars_lake_spark.plans import executed_plan
+
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    engine.create_table("nat", nation, keys=["n_nationkey"])
+    engine.create_table("supp", supplier, keys=["s_suppkey"])
+
+    sql = (
+        "SELECT n.n_name, count(*) AS n FROM supp s "
+        "JOIN nat n ON s.s_nationkey = n.n_nationkey GROUP BY n.n_name"
+    )
+    engine.analyze_table("nat")
+    assert engine.table_stats("nat")["fresh"] is True
+    hinted = engine.sql(sql)
+    assert "BroadcastHashJoin" in executed_plan(hinted)
+    assert hinted.count() > 0
+
+    # mutation → stale stats → hint disarmed (stats stay advisory)
+    engine.insert(
+        "nat",
+        engine.table("nat")
+        .limit(1)
+        .withColumn(
+            "n_nationkey",
+            F.lit(99).cast(dict(engine.table("nat").dtypes)["n_nationkey"]),
+        ),
+    )
+    assert engine.table_stats("nat")["fresh"] is False
+    # re-ANALYZE re-arms
+    engine.analyze_table("nat")
+    assert "BroadcastHashJoin" in executed_plan(engine.sql(sql))
+
+
 def test_analyze_versioned_table_records_version(engine, spark, sf_dir):
     region = load_table(spark, sf_dir, "region")
     engine.create_table("region", region, keys=["r_regionkey"], versioned=True)

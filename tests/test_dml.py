@@ -391,3 +391,105 @@ def test_analyze_table_statement(eng):
     st = eng.sql("ANALYZE TABLE t COMPUTE STATISTICS FOR COLUMNS id, grp").head()
     assert (st["operation"], st["n_affected"]) == ("analyze", 20)
     assert eng.specs["t"].stats is not None
+
+
+def test_select_for_version_as_of(eng, spark, tmp_path):
+    """SELECT ... FOR VERSION AS OF pins a snapshot; both the FOR and
+    bare Delta spellings parse; unversioned references fall through."""
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id bigint, v double")
+    eng.create_table("tt", df, keys=["id"], versioned=True)
+    eng.sql("UPDATE tt SET v = v + 100 WHERE id = 1")
+    cur = {r.id: r.v for r in eng.sql("SELECT * FROM tt").collect()}
+    assert cur[1] == 110.0
+    old = {
+        r.id: r.v
+        for r in eng.sql("SELECT * FROM tt FOR VERSION AS OF 1").collect()
+    }
+    assert old == {1: 10.0, 2: 20.0}
+    bare = eng.sql("SELECT sum(v) AS s FROM tt VERSION AS OF 1").head()
+    assert bare["s"] == 30.0
+
+
+def test_select_timestamp_as_of(eng, spark):
+    """TIMESTAMP AS OF resolves to the latest snapshot at or before the
+    instant; an instant before the first commit errors."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "id bigint, v double")
+    eng.create_table("ts_t", df, keys=["id"], versioned=True)
+    eng.sql("UPDATE ts_t SET v = 2.0 WHERE id = 1")
+    hist = eng._snapstore("ts_t").history()
+    t1 = dt.datetime.fromtimestamp(
+        hist[0]["ts_ns"] / 1e9, tz=dt.timezone.utc
+    ).isoformat()
+    got = eng.sql(
+        f"SELECT v FROM ts_t FOR TIMESTAMP AS OF '{t1}'"
+    ).head()["v"]
+    assert got == 1.0
+    t_now = dt.datetime.now(tz=dt.timezone.utc).isoformat()
+    assert eng.sql(
+        f"SELECT v FROM ts_t FOR TIMESTAMP AS OF '{t_now}'"
+    ).head()["v"] == 2.0
+    before = dt.datetime.fromtimestamp(
+        (hist[0]["ts_ns"] - 10**9) / 1e9, tz=dt.timezone.utc
+    ).isoformat()
+    with _pytest.raises(ValueError, match="at or before"):
+        eng.sql(f"SELECT v FROM ts_t FOR TIMESTAMP AS OF '{before}'")
+
+
+def test_time_travel_inside_dml_source(eng, spark):
+    """The AS OF rewrite reaches table references inside a DML source
+    subquery (INSERT INTO ... SELECT ... FOR VERSION AS OF n)."""
+    df = spark.createDataFrame([(1, 5.0)], "id bigint, v double")
+    eng.create_table("src_v", df, keys=["id"], versioned=True)
+    eng.sql("UPDATE src_v SET v = 99.0 WHERE id = 1")
+    eng.create_table(
+        "sink_v",
+        spark.createDataFrame([], "id bigint, v double"),
+        keys=["id"],
+    )
+    st = eng.sql(
+        "INSERT INTO sink_v SELECT id, v FROM src_v FOR VERSION AS OF 1"
+    ).head()
+    assert st["n_affected"] == 1
+    assert eng.table("sink_v").head()["v"] == 5.0
+
+
+def test_alter_constraint_statements(eng, spark):
+    """ALTER TABLE ADD/DROP CONSTRAINT route to the engine's constraint
+    store: a violating insert is rejected until the constraint drops;
+    DROP without IF EXISTS on a missing name errors loudly."""
+    from polars_lake_spark.engine import ConstraintViolationError
+
+    st = eng.sql("ALTER TABLE t ADD CONSTRAINT val_pos CHECK (val >= 0)").head()
+    assert st["operation"] == "alter_add_constraint"
+    bad = spark.createDataFrame([(500, "gz", -1.0)], "id bigint, grp string, val double")
+    with pytest.raises(ConstraintViolationError):
+        eng.insert("t", bad)
+    with pytest.raises(ValueError, match="no constraint"):
+        eng.sql("ALTER TABLE t DROP CONSTRAINT nope")
+    eng.sql("ALTER TABLE t DROP CONSTRAINT IF EXISTS nope")
+    st2 = eng.sql("ALTER TABLE t DROP CONSTRAINT val_pos").head()
+    assert st2["operation"] == "alter_drop_constraint"
+    eng.insert("t", bad)  # passes now
+    assert eng.table("t").filter("val < 0").count() == 1
+
+
+def test_alter_add_column_statement(eng, spark):
+    """ALTER TABLE ADD COLUMN lands a NULL-filled typed column on every
+    existing row; adding an existing column errors; a versioned table
+    time-travels to the pre-add schema."""
+    st = eng.sql("ALTER TABLE t ADD COLUMN note string").head()
+    assert (st["operation"], st["n_affected"]) == ("alter_add_column", 20)
+    assert dict(eng.table("t").dtypes)["note"] == "string"
+    assert eng.table("t").filter(F.col("note").isNull()).count() == 20
+    with pytest.raises(ValueError, match="exists"):
+        eng.sql("ALTER TABLE t ADD COLUMN note string")
+
+    df = spark.createDataFrame([(1, 1.0)], "id bigint, v double")
+    eng.create_table("vc", df, keys=["id"], versioned=True)
+    eng.sql("ALTER TABLE vc ADD COLUMN w double")
+    assert "w" in eng.table("vc").columns
+    assert "w" not in eng.sql("SELECT * FROM vc FOR VERSION AS OF 1").columns

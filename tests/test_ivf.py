@@ -190,3 +190,51 @@ def test_ivf_sync_cdc(spark, emb, trained, tmp_path):
     # replaying the same change window is a no-op on the index contents
     ivf_sync_cdc(engine, "cdc_idx", "vecs", from_version=v0)
     assert snap(engine.table("cdc_idx")) == snap(full)
+
+
+def test_stream_ann_ingest(spark, emb, trained, tmp_path):
+    """Streaming composition: a vector stream upserts into the versioned
+    source and the persisted index syncs per micro-batch — the final
+    index equals a from-scratch re-encode of the final source state."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.ivf import ivf_write_index
+    from polars_lake_spark.streaming.ingest import stream_ann_ingest
+
+    centroids, _ = trained
+    engine = Engine(spark, str(tmp_path))
+    seed = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 50)
+    engine.create_table("svecs", seed, keys=["vec_id"], versioned=True)
+    ivf_write_index(engine, "sidx", engine.table("svecs"), centroids)
+
+    # stream = 10 updates (negated) + 10 inserts
+    batch = (
+        emb.select("vec_id", "embedding")
+        .filter((F.col("vec_id") < 10) | (F.col("vec_id").between(50, 59)))
+        .select(
+            "vec_id",
+            F.when(
+                F.col("vec_id") < 10,
+                F.transform("embedding", lambda x: -x),
+            )
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )
+    staging = str(tmp_path / "vec_stream")
+    batch.repartition(2).write.parquet(staging)
+    stream = spark.readStream.schema(batch.schema).parquet(staging)
+    q = stream_ann_ingest(
+        engine, "sidx", stream, "svecs",
+        checkpoint_dir=str(tmp_path / "ckpt_ann"),
+    )
+    q.awaitTermination(180)
+
+    def snap(df):
+        return {
+            (r.id, tuple(round(x, 9) for x in r.v), r.cell_id)
+            for r in df.select("id", "v", "cell_id").collect()
+        }
+
+    full = ivf_index(engine.table("svecs"), centroids)
+    assert engine.table("svecs").count() == 60
+    assert snap(engine.table("sidx")) == snap(full)

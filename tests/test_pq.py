@@ -171,6 +171,42 @@ def test_ivfpq_add_batch_incremental(spark, sf_dir, tmp_path):
     assert res.count() == 5
 
 
+def test_ivfpq_self_contained_index(spark, sf_dir, tmp_path):
+    """An IVF-PQ index persisted with its quantizer state reopens in a
+    fresh engine with bit-identical centroids/codebooks, and a pruned
+    search against the reopened state matches the original."""
+    import pyspark.sql.functions as F
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.pq import (
+        ivfpq_open,
+        ivfpq_search_pruned,
+        ivfpq_write_index,
+        train_ivfpq,
+    )
+    from polars_lake_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, codebooks, codes = train_ivfpq(emb, k_cells=4, m=8, ksub=8, iters=1)
+    engine = Engine(spark, str(tmp_path))
+    ivfpq_write_index(
+        engine, "pq_self", codes.localCheckpoint(eager=True),
+        centroids=centroids, codebooks=codebooks,
+    )
+
+    e2 = Engine(spark, str(tmp_path))
+    e2.load_all()
+    c2, cb2 = ivfpq_open(e2, "pq_self")
+    assert cb2 == codebooks
+    assert {(r.cell_id, tuple(r.cv), r.cnrm) for r in c2.collect()} == {
+        (r.cell_id, tuple(r.cv), r.cnrm) for r in centroids.collect()
+    }
+    q = emb.filter(F.col("vec_id") < 3)
+    a = ivfpq_search_pruned(engine, "pq_self", centroids, codebooks, q, k=5, nprobe=2)
+    b = ivfpq_search_pruned(e2, "pq_self", c2, cb2, q, k=5, nprobe=2)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
 def test_ivfpq_sync_cdc(spark, sf_dir, tmp_path):
     """CDC-driven code-table maintenance: upsert + delete on the
     versioned vector source rewrite only the touched cells, codes stay
