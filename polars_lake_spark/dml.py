@@ -596,6 +596,21 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         if name is None:
             return None
         col, coltype = m.group(2), m.group(3).strip()
+        # A top-level comma in the captured type means a multi-column ADD
+        # COLUMNS (a int, b int) — reject loudly rather than let the
+        # second column be swallowed into the first's type string.
+        # (Commas inside decimal(10,2) / map<string,int> are fine.)
+        depth = 0
+        for ch in coltype:
+            if ch in "(<":
+                depth += 1
+            elif ch in ")>":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                raise ValueError(
+                    f"ALTER TABLE {name}: one ADD COLUMN per statement "
+                    f"(got {coltype!r})"
+                )
         t = engine.table(name)
         if col.lower() in {c.lower() for c in t.columns}:
             raise ValueError(f"ALTER TABLE {name}: column {col!r} exists")

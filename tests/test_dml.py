@@ -488,6 +488,12 @@ def test_alter_add_column_statement(eng, spark):
     with pytest.raises(ValueError, match="exists"):
         eng.sql("ALTER TABLE t ADD COLUMN note string")
 
+    # complex types parse; multi-column ADD COLUMNS rejects loudly
+    eng.sql("ALTER TABLE t ADD COLUMN meta map<string,int>")
+    assert dict(eng.table("t").dtypes)["meta"] == "map<string,int>"
+    with pytest.raises(ValueError, match="one ADD COLUMN"):
+        eng.sql("ALTER TABLE t ADD COLUMNS (a int, b int)")
+
     df = spark.createDataFrame([(1, 1.0)], "id bigint, v double")
     eng.create_table("vc", df, keys=["id"], versioned=True)
     eng.sql("ALTER TABLE vc ADD COLUMN w double")
