@@ -113,9 +113,8 @@ _ALTER_DROP_CONSTRAINT = re.compile(
     re.I,
 )
 _ALTER_ADD_COLUMN = re.compile(
-    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ADD\s+COLUMNS?\s+\(?\s*"
-    r"([A-Za-z_]\w*)\s+([A-Za-z0-9_<>,() ]+?)\s*\)?\s*;?\s*$",
-    re.I,
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ADD\s+COLUMNS?\s+(.+?)\s*;?\s*$",
+    re.I | re.S,
 )
 _TIMETRAVEL = re.compile(
     r"\b([A-Za-z_][\w.]*)\s+(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
@@ -219,16 +218,43 @@ def _version_at_timestamp(engine, name: str, ts: str) -> int:
     return max(eligible)
 
 
+def _quoted_spans(s: str) -> list[tuple[int, int]]:
+    """(start, end) index ranges of string literals in ``s`` (same quote
+    semantics as _scan_top_level: both quote kinds, backslash escapes;
+    an unterminated literal runs to end-of-string)."""
+    spans, q, start, i, n = [], None, 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if q:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == q:
+                spans.append((start, i))
+                q = None
+        elif ch in "'\"":
+            q, start = ch, i
+        i += 1
+    if q:
+        spans.append((start, n))
+    return spans
+
+
 def _rewrite_time_travel(engine, query: str) -> tuple[str, bool]:
     """Rewrite every ``t [FOR] VERSION|TIMESTAMP AS OF x`` reference to a
     versioned engine table into a version-pinned temp view, so the AS OF
     syntax works anywhere a table reference can appear (bare SELECTs,
     INSERT/MERGE sources, CTAS bodies). References to unknown or
-    unversioned tables are left untouched for spark.sql to reject."""
+    unversioned tables are left untouched for spark.sql to reject, and
+    matches INSIDE string literals are never rewritten (the literal's
+    contents are data, not syntax — r6 review finding)."""
     changed = False
+    spans = _quoted_spans(query)
 
     def repl(m):
         nonlocal changed
+        if any(a <= m.start() <= b for a, b in spans):
+            return m.group(0)
         name = _resolve(engine, m.group(1))
         if name is None or not engine.specs[name].versioned:
             return m.group(0)
@@ -595,7 +621,28 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         name = _resolve(engine, m.group(1))
         if name is None:
             return None
-        col, coltype = m.group(2), m.group(3).strip()
+        body = m.group(2).strip()
+        # Strip ONE wrapping paren pair only when it encloses the whole
+        # body — "(c int)" unwraps, "c decimal(10,2)" must keep its
+        # type's own parens (a blind \(...\)? regex chopped them off and
+        # produced an unbalanced type string — r6 review finding).
+        if body.startswith("("):
+            depth = 0
+            for i, ch in enumerate(body):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        if i == len(body) - 1:
+                            body = body[1:-1].strip()
+                        break
+        cm = re.fullmatch(r"([A-Za-z_]\w*)\s+(.+)", body, re.S)
+        if not cm:
+            raise ValueError(
+                f"ALTER TABLE {name}: cannot parse ADD COLUMN {body!r}"
+            )
+        col, coltype = cm.group(1), cm.group(2).strip()
         # A top-level comma in the captured type means a multi-column ADD
         # COLUMNS (a int, b int) — reject loudly rather than let the
         # second column be swallowed into the first's type string.
@@ -611,15 +658,22 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     f"ALTER TABLE {name}: one ADD COLUMN per statement "
                     f"(got {coltype!r})"
                 )
-        t = engine.table(name)
-        if col.lower() in {c.lower() for c in t.columns}:
-            raise ValueError(f"ALTER TABLE {name}: column {col!r} exists")
-        # NULL-filled rewrite: plain parquet cannot do Delta's
-        # metadata-only add (old files would lack the column and the
-        # mixed-directory scan drifts); versioned tables commit one
-        # snapshot, so the add time-travels like any other write.
-        n = t.count()
-        engine.overwrite(name, t.withColumn(col, F.lit(None).cast(coltype)))
+        # Same read-count-overwrite TOCTOU discipline as DELETE/UPDATE:
+        # the whole sequence holds the (reentrant) table lock, or a
+        # concurrent insert between the read and the rewrite would be
+        # silently dropped (r6 review finding).
+        with engine._lock(name):
+            t = engine.table(name)
+            if col.lower() in {c.lower() for c in t.columns}:
+                raise ValueError(f"ALTER TABLE {name}: column {col!r} exists")
+            # NULL-filled rewrite: plain parquet cannot do Delta's
+            # metadata-only add (old files would lack the column and the
+            # mixed-directory scan drifts); versioned tables commit one
+            # snapshot, so the add time-travels like any other write.
+            n = t.count()
+            engine.overwrite(
+                name, t.withColumn(col, F.lit(None).cast(coltype))
+            )
         return _status(engine, "alter_add_column", name, n)
 
     if tt:
