@@ -162,11 +162,17 @@ class Engine:
         self._mem: dict[str, DataFrame] = {}  # in-memory tier (unsaved tables)
         self._pending_merges: dict[str, int] = {}
         self.max_lazy_merges = 8
-        # Row bound for the stats-driven auto-broadcast view hint
-        # (_register): conservative vs table_hinted's explicit-call 10M —
-        # the AUTOMATIC hint must never force a multi-GB broadcast on a
-        # wide table (Spark's own byte threshold defaults to 10 MB).
+        # Bounds for the stats-driven auto-broadcast view hint
+        # (_register).  A row cap alone is not enough: an explicit
+        # broadcast() hint bypasses spark.sql.autoBroadcastJoinThreshold,
+        # so 1M rows of array<double> embeddings (~6 KB/row) would force
+        # a multi-GB broadcast — driver OOM or Spark's hard 8 GB limit.
+        # analyze_table therefore estimates bytes-per-row in the same
+        # stats pass, and the hint arms only when BOTH rows and estimated
+        # total bytes are small; tables whose schema defeats the byte
+        # estimate (nested maps/structs) never auto-broadcast.
         self.auto_broadcast_max_rows = 1_000_000
+        self.auto_broadcast_max_bytes = 128 << 20
         # The reference serializes writes with a per-part Mutex
         # (/root/reference/src/dataset.rs:84-86); we serialize per table.
         # RLock, not Lock: SQL DML (dml.py) holds the table lock across
@@ -415,6 +421,13 @@ class Engine:
             # Full-table rewrite (delete/dedup must remove emptied
             # partitions, which dynamic overwrite would leave behind).
             writer = writer.option("partitionOverwriteMode", "static")
+        elif mode == "overwrite":
+            # Explicit, not inherited: replace_partitions' surgical-write
+            # contract (touch only partitions present in df) must never
+            # depend on the session conf — configure_session swallows
+            # conf.set failures, and Spark's DEFAULT is static, which
+            # would silently wipe every untouched partition (ADVICE r6).
+            writer = writer.option("partitionOverwriteMode", "dynamic")
         parts = spec.physical_partitioning
         if parts:
             writer = writer.partitionBy(*parts)
@@ -503,12 +516,18 @@ class Engine:
         # BroadcastHashJoin without a manual /*+ BROADCAST */ (the hint
         # survives view inlining). Freshness is cleared by any mutation
         # (_guard_mutable), so a stale ANALYZE can never force a huge
-        # broadcast; re-ANALYZE re-arms it.
+        # broadcast; re-ANALYZE re-arms it.  The hint requires a byte
+        # estimate: rows × est_row_bytes must fit auto_broadcast_max_bytes
+        # (a 1M-row table of 6 KB embedding arrays must NOT broadcast),
+        # and stats from before the estimate existed never arm the hint.
         if (
             spec is not None
             and spec.stats is not None
             and spec.stats.get("fresh")
             and spec.stats.get("rows", 2**63) <= self.auto_broadcast_max_rows
+            and spec.stats.get("est_row_bytes") is not None
+            and spec.stats["rows"] * spec.stats["est_row_bytes"]
+            <= self.auto_broadcast_max_bytes
         ):
             df = F.broadcast(df)
         df.createOrReplaceTempView(view_key(name))
@@ -1699,6 +1718,46 @@ class Engine:
         "tinyint", "smallint", "int", "bigint", "float", "double",
         "string", "date", "boolean",
     )
+    _FIXED_TYPE_BYTES = {
+        "boolean": 1, "tinyint": 1, "smallint": 2, "int": 4,
+        "bigint": 8, "float": 4, "double": 8, "date": 4,
+    }
+
+    @classmethod
+    def _col_bytes(cls, col: str, dtype: str):
+        """Per-row byte contribution of one column for the broadcast-size
+        estimate: ``(fixed_bytes, avg_expr)`` — exactly one is non-None,
+        or ``(None, None)`` when the type defeats estimation (nested
+        maps/structs), which disables the auto-broadcast hint for the
+        whole table rather than risk an unbounded broadcast."""
+        if dtype in cls._FIXED_TYPE_BYTES:
+            return cls._FIXED_TYPE_BYTES[dtype], None
+        if dtype.startswith("timestamp"):
+            return 8, None
+        if dtype.startswith("decimal"):
+            return 16, None
+        if dtype in ("string", "binary"):
+            return None, F.avg(F.coalesce(F.octet_length(F.col(col)), F.lit(0)))
+        if dtype.startswith("array<"):
+            elem = dtype[6:-1]
+            if elem in cls._FIXED_TYPE_BYTES:
+                w = cls._FIXED_TYPE_BYTES[elem]
+                return None, F.avg(
+                    F.coalesce(F.size(F.col(col)), F.lit(0)).cast("long") * w
+                )
+            if elem == "string":
+                return None, F.avg(
+                    F.coalesce(
+                        F.aggregate(
+                            F.col(col),
+                            F.lit(0).cast("long"),
+                            lambda a, x: a
+                            + F.coalesce(F.octet_length(x), F.lit(0)),
+                        ),
+                        F.lit(0).cast("long"),
+                    )
+                )
+        return None, None
 
     def analyze_table(self, name: str, columns: list[str] | None = None) -> dict:
         """ANALYZE TABLE COMPUTE STATISTICS FOR COLUMNS analog.
@@ -1734,6 +1793,19 @@ class Engine:
             elif dtypes[c].startswith("timestamp"):
                 aggs.append(F.min(F.col(c)).cast("string").alias(f"min__{c}"))
                 aggs.append(F.max(F.col(c)).cast("string").alias(f"max__{c}"))
+        # Bytes-per-row estimate over ALL columns (not just the analyzed
+        # subset — the broadcast decision concerns the whole row), riding
+        # in the same single aggregation pass.
+        fixed_bytes, var_byte_cols, est_ok = 0, [], True
+        for c in df.columns:
+            fb, expr = self._col_bytes(c, dtypes[c])
+            if fb is not None:
+                fixed_bytes += fb
+            elif expr is not None:
+                aggs.append(expr.alias(f"bytes__{c}"))
+                var_byte_cols.append(c)
+            else:
+                est_ok = False
         row = df.agg(*aggs).collect()[0].asDict()
         colstats = {}
         for c in cols:
@@ -1745,8 +1817,15 @@ class Engine:
                 entry["min"] = _json_scalar(row[f"min__{c}"])
                 entry["max"] = _json_scalar(row[f"max__{c}"])
             colstats[c] = entry
+        est_row_bytes = (
+            float(fixed_bytes)
+            + sum(float(row[f"bytes__{c}"] or 0.0) for c in var_byte_cols)
+            if est_ok
+            else None
+        )
         stats = {
             "rows": row["__rows"],
+            "est_row_bytes": est_row_bytes,
             "analyzed_version": (
                 self._snapstore(name).latest_version() if spec.versioned else None
             ),

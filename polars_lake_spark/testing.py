@@ -77,7 +77,13 @@ def compare(spark_df, con, oracle_sql: str) -> dict:
     # local mirror now sees the same type split the driver does.
     tbl = con.sql(oracle_sql).arrow()
     o_cols = list(tbl.column_names)
-    o_rows = [tuple(d[c] for c in o_cols) for d in tbl.to_pylist()]
+    # Rows built POSITIONALLY from the columns, never via to_pylist()
+    # dicts: duplicate column names in an oracle SELECT would collapse to
+    # one dict key and silently compare the wrong values (ADVICE r6).
+    o_rows = [
+        tuple(vals)
+        for vals in zip(*(col.to_pylist() for col in tbl.columns))
+    ]
 
     report = {
         "ok": False,

@@ -116,3 +116,63 @@ def test_analyze_versioned_table_records_version(engine, spark, sf_dir):
     engine.create_table("region", region, keys=["r_regionkey"], versioned=True)
     stats = engine.analyze_table("region")
     assert stats["analyzed_version"] == engine.table_info("region")["version"]
+
+
+def test_auto_broadcast_bounded_by_bytes(engine, spark):
+    """A small ROW COUNT must not arm the auto-broadcast hint when the
+    estimated bytes are large (ADVICE r6): an explicit broadcast() hint
+    bypasses autoBroadcastJoinThreshold, so a wide embedding table would
+    otherwise force a multi-GB broadcast.  Narrow table → hint; same
+    rows with a fat array column → no hint."""
+    from polars_lake_spark.plans import executed_plan
+
+    n = 200
+    wide = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.expr("transform(sequence(1, 64), x -> cast(x AS double))").alias(
+            "emb"
+        ),
+    )
+    engine.create_table("wide_dim", wide, keys=["k"])
+    engine.create_table(
+        "facts2",
+        spark.range(5000).select(F.col("id"), (F.col("id") % n).alias("k")),
+        keys=["id"],
+    )
+    stats = engine.analyze_table("wide_dim")
+    assert stats["est_row_bytes"] is not None
+    assert stats["est_row_bytes"] >= 64 * 8  # the array alone is 512 B
+    sql = (
+        "SELECT count(*) AS c FROM facts2 f "
+        "JOIN wide_dim d ON f.k = d.k"
+    )
+    # Disable Spark's OWN broadcast picks so BroadcastHashJoin in the
+    # executed plan can only come from the engine's view hint.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # byte bound below the table's estimated size → no hint
+        engine.auto_broadcast_max_bytes = (
+            int(stats["rows"] * stats["est_row_bytes"]) - 1
+        )
+        engine.analyze_table("wide_dim")  # re-register under the new bound
+        assert "BroadcastHashJoin" not in executed_plan(engine.sql(sql))
+        # raise the bound back above → hint arms
+        engine.auto_broadcast_max_bytes = 128 << 20
+        engine.analyze_table("wide_dim")
+        assert "BroadcastHashJoin" in executed_plan(engine.sql(sql))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_auto_broadcast_unestimable_schema_never_hints(engine, spark):
+    """Nested types defeat the byte estimate → est_row_bytes is None and
+    the automatic hint must stay off however small the table is."""
+    df = spark.range(3).select(
+        F.col("id"), F.create_map(F.lit("a"), F.col("id")).alias("m")
+    )
+    engine.create_table("mapped", df, keys=["id"])
+    stats = engine.analyze_table("mapped", columns=["id"])
+    assert stats["est_row_bytes"] is None

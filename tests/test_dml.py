@@ -499,3 +499,52 @@ def test_alter_add_column_statement(eng, spark):
     eng.sql("ALTER TABLE vc ADD COLUMN w double")
     assert "w" in eng.table("vc").columns
     assert "w" not in eng.sql("SELECT * FROM vc FOR VERSION AS OF 1").columns
+
+
+def test_alter_add_column_paren_typed(eng):
+    """decimal(10,2) — a paren-typed single column, the exact shape the
+    balanced-paren unwrap exists for: the type's own parens must survive
+    both with and without a wrapping paren pair (r6 verdict item 3b)."""
+    eng.sql("ALTER TABLE t ADD COLUMN price decimal(10,2)")
+    assert dict(eng.table("t").dtypes)["price"] == "decimal(10,2)"
+    eng.sql("ALTER TABLE t ADD COLUMNS (price2 decimal(7,3))")
+    assert dict(eng.table("t").dtypes)["price2"] == "decimal(7,3)"
+
+
+def test_time_travel_pattern_inside_string_literal(eng, spark):
+    """'... VERSION AS OF 1' INSIDE a string literal is data, not syntax
+    — the rewriter must leave it verbatim (r6 verdict item 3a; mirror of
+    test_update_where_inside_string_literal for _quoted_spans)."""
+    df = spark.createDataFrame([(1, "x")], "id bigint, s string")
+    eng.create_table("ttl", df, keys=["id"], versioned=True)
+    eng.sql("UPDATE ttl SET s = 'ttl VERSION AS OF 1' WHERE id = 1")
+    assert eng.table("ttl").head().s == "ttl VERSION AS OF 1"
+    got = eng.sql(
+        "SELECT s FROM ttl WHERE s = 'ttl VERSION AS OF 1'"
+    ).collect()
+    assert [r.s for r in got] == ["ttl VERSION AS OF 1"]
+    # and a REAL reference right next to a literal one still rewrites
+    n = eng.sql(
+        "SELECT count(*) AS n FROM ttl VERSION AS OF 1 "
+        "WHERE s != 'ttl VERSION AS OF 99'"
+    ).head()["n"]
+    assert n == 1
+
+
+@given(s=st.lists(_atom, min_size=0, max_size=6).map(" ".join))
+@settings(max_examples=120, deadline=None)
+def test_quoted_spans_agrees_with_scan_top_level(s):
+    """_quoted_spans and _scan_top_level are separate implementations of
+    the same quote scanner; their notion of 'inside a string literal'
+    must never drift (r6 verdict item 3c).  _scan_top_level only yields
+    positions at paren depth 0, so compare on paren-free inputs: every
+    index is either yielded (top-level) or inside a quoted span, never
+    both, never neither."""
+    from polars_lake_spark.dml import _quoted_spans, _scan_top_level
+
+    s = s.replace("(", "<").replace(")", ">")  # paren-free, depth stays 0
+    yielded = {i for i, _ in _scan_top_level(s)}
+    spans = _quoted_spans(s)
+    for i in range(len(s)):
+        in_span = any(a <= i <= b for a, b in spans)
+        assert (i in yielded) == (not in_span), (s, i, spans)

@@ -64,3 +64,21 @@ def test_rows_only_runs(spark, sf_dir, name):
     df = q.fn(spark, sf_dir)
     assert df.count() >= 0  # runs, stable schema
     assert len(df.columns) > 0
+
+
+def test_compare_builds_oracle_rows_positionally(spark):
+    """Duplicate column names in an oracle SELECT must keep BOTH values
+    (ADVICE r6: to_pylist() dicts collapsed them to the last, silently
+    comparing the wrong column). Spark side carries the same duplicate
+    names via two same-aliased columns."""
+    import duckdb
+
+    con2 = duckdb.connect()
+    sdf = spark.createDataFrame([(1, 2)], "a int, b int").selectExpr(
+        "a AS x", "b AS x"
+    )
+    ok = compare(sdf, con2, "SELECT 1 AS x, 2 AS x")
+    assert ok["ok"], ok
+    # and a genuine value flip in the duplicated column is CAUGHT
+    bad = compare(sdf, con2, "SELECT 2 AS x, 2 AS x")
+    assert not bad["ok"]
