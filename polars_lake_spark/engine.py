@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import threading
 from dataclasses import asdict, dataclass, field
 
@@ -41,6 +42,7 @@ from pyspark.sql import functions as F
 from polars_lake_spark.layout import (
     BUCKET_COL,
     DEFAULT_BUCKETS,
+    hive_relpath,
     layout_columns,
     with_bucket_column,
 )
@@ -338,12 +340,18 @@ class Engine:
         return SnapshotStore(self._path(name))
 
     def _write_versioned(
-        self, df: DataFrame, spec: TableSpec, op: str, meta: dict | None = None
+        self,
+        df: DataFrame,
+        spec: TableSpec,
+        op: str,
+        meta: dict | None = None,
+        drop_relpaths: list[str] | None = None,
     ):
         """One immutable write dir + one snapshot commit (snapshots.py).
         Writes never overwrite dirs a reader (or this plan's own input
         scan) may hold — no localCheckpoint staging needed.  ``meta`` is
-        recorded inside the commit manifest (atomic with the data)."""
+        recorded inside the commit manifest (atomic with the data);
+        ``drop_relpaths`` tombstones partitions out of the new mapping."""
         store = self._snapstore(spec.name)
         base = store.load() if store.versions() else None
         wname, wpath = store.new_write_dir()
@@ -353,7 +361,14 @@ class Engine:
         if parts:
             writer = writer.partitionBy(*parts)
         self._parquet_options(writer, spec).parquet(wpath)
-        snap = store.commit_write(wname, op, spec.schema_json, base=base, meta=meta)
+        snap = store.commit_write(
+            wname,
+            op,
+            spec.schema_json,
+            base=base,
+            meta=meta,
+            drop_parts=drop_relpaths,
+        )
         self._write_manifest(spec)
         return snap
 
@@ -832,7 +847,12 @@ class Engine:
                 )
             self._register(name)
 
-    def replace_partitions(self, name: str, df: DataFrame) -> None:
+    def replace_partitions(
+        self,
+        name: str,
+        df: DataFrame,
+        drop: list[dict] | None = None,
+    ) -> None:
         """Replace EXACTLY the partitions present in ``df`` with its rows
         (dynamic partition overwrite), leaving every other partition
         untouched — the surgical write primitive for partial maintenance
@@ -845,33 +865,88 @@ class Engine:
         untouched partitions — at 100 TB the write cost is bounded by the
         batch's partition fan-out, not the table size. The caller owns
         the invariant that ``df`` holds the complete intended contents of
-        every partition it mentions."""
+        every partition it mentions.
+
+        ``drop`` removes whole partitions: a list of
+        ``{partition_col: value}`` dicts naming partitions whose ENTIRE
+        contents leave the table — the case dynamic overwrite cannot
+        express (it can't delete a partition it writes no rows into).
+        Versioned tables tombstone them as a metadata-only mapping edit
+        in the same snapshot commit; plain on-disk tables delete the
+        partition directory under the table lock. Dropping a partition
+        that doesn't exist is a no-op (idempotent replay); naming one
+        that ``df`` also writes is an error."""
         spec = self._guard_mutable(name)
         parts = spec.physical_partitioning
         if not parts:
             raise ValueError(
                 f"table {name} is not partitioned; use overwrite()"
             )
+        drop = drop or []
+        for d in drop:
+            if set(d) != set(parts):
+                raise ValueError(
+                    f"drop entry {d} must name exactly the partition "
+                    f"columns {parts}"
+                )
+        drop_relpaths = [
+            hive_relpath(parts, [d[c] for c in parts]) for d in drop
+        ]
         with self._lock(name):
             new = self._with_layout(df, spec)
             self._enforce(spec, new)
+            # One bounded job (partition fan-out, never rows): the write
+            # is skipped when df carries no rows, and written partitions
+            # must be disjoint from dropped ones.
+            touched = [tuple(r) for r in new.select(*parts).distinct().collect()]
+            if drop:
+                overlap = {
+                    hive_relpath(parts, t) for t in touched
+                } & set(drop_relpaths)
+                if overlap:
+                    raise ValueError(
+                        f"partitions both written and dropped: {sorted(overlap)}"
+                    )
             if spec.versioned:
                 # 'replace' commits touched partitions into the snapshot,
-                # carrying the untouched ones forward by reference.
-                self._write_versioned(new, spec, op="replace")
+                # carrying the untouched ones forward by reference; drops
+                # are a mapping edit in the SAME atomic commit.
+                if touched:
+                    self._write_versioned(
+                        new, spec, op="replace", drop_relpaths=drop_relpaths
+                    )
+                elif drop_relpaths:
+                    store = self._snapstore(name)
+                    store.commit_drop(
+                        drop_relpaths, spec.schema_json, base=store.load()
+                    )
             elif name in self._mem or self.root is None:
                 old = self.table(name)
-                touched = new.select(*parts).distinct()
-                kept = old.join(F.broadcast(touched), parts, "left_anti")
+                gone = new.select(*parts).distinct()
+                if drop:
+                    gone = gone.unionByName(
+                        self.spark.createDataFrame(
+                            [tuple(d[c] for c in parts) for d in drop],
+                            old.select(*parts).schema,
+                        )
+                    )
+                kept = old.join(F.broadcast(gone), parts, "left_anti")
                 self._mem[name] = kept.unionByName(new).localCheckpoint(
                     eager=True
                 )
             else:
-                # Stage first: df may be derived from this table's own
-                # current files (read-modify-write cycle).
-                self._write(
-                    new.localCheckpoint(eager=True), spec, mode="overwrite"
-                )
+                if touched:
+                    # Stage first: df may be derived from this table's own
+                    # current files (read-modify-write cycle).
+                    self._write(
+                        new.localCheckpoint(eager=True), spec, mode="overwrite"
+                    )
+                for rel in drop_relpaths:
+                    pdir = os.path.join(self._path(name), rel)
+                    if os.path.isdir(pdir):
+                        shutil.rmtree(pdir)
+                if drop_relpaths:
+                    self.spark.catalog.refreshByPath(self._path(name))
             self._register(name)
 
     def upsert(

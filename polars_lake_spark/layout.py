@@ -87,3 +87,41 @@ def zorder_key(
             ).cast("long")
             key = piece if key is None else key + piece
     return key
+
+
+# --- hive partition path naming (for partition tombstones) -----------------
+
+# The characters Hive/Spark %-encode in partition dir names
+# (Hive FileUtils.escapePathName, which Spark's
+# ExternalCatalogUtils.escapePathName mirrors): ASCII control chars plus
+# the listed specials.  Anything else (including space) passes through.
+_HIVE_ESCAPE = (
+    {chr(i) for i in range(0x20)}
+    | {chr(0x7F)}
+    | set('"#%\'*/:=?\\{[]^')
+)
+
+
+def _escape_hive(s: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch for ch in s
+    )
+
+
+def hive_relpath(cols: Sequence[str], values: Sequence) -> str:
+    """The hive partition directory rel-path Spark writes for one
+    partition tuple — ``a=1/b=x%20y`` — so metadata operations (snapshot
+    partition tombstones, plain-table partition drops) can name an
+    existing directory WITHOUT scanning for it.  Must stay byte-identical
+    to Spark's own naming (tests/test_maintenance.py pins it against
+    directories Spark actually wrote, special characters included)."""
+    segs = []
+    for c, v in zip(cols, values):
+        if v is None:
+            sv = "__HIVE_DEFAULT_PARTITION__"
+        elif isinstance(v, bool):
+            sv = "true" if v else "false"
+        else:
+            sv = str(v)
+        segs.append(f"{_escape_hive(str(c))}={_escape_hive(sv)}")
+    return "/".join(segs)

@@ -215,9 +215,13 @@ def _sync_cell_partitioned(engine, name: str, dead: DataFrame, fresh: DataFrame)
     maintenance cost is bounded by the batch's cell fan-out, never the
     index size.  The anti-join removes EVERY existing copy of a changed
     id within the touched cells, which makes a replayed batch idempotent
-    (same property as incremental.MinHashIndex.add_batch).  The single
-    fallback to a full rewrite is an entirely-emptied cell — dynamic
-    overwrite cannot delete a partition it writes no rows into."""
+    (same property as incremental.MinHashIndex.add_batch).  A cell the
+    batch EMPTIES is dropped via a partition tombstone in the same
+    replace (metadata-only for versioned indexes, one directory delete
+    for plain ones) — never a full-index rewrite.  The whole
+    read-merge-write sequence holds the table lock: a concurrent
+    ivf_add_batch landing between the checkpoint and the replace would
+    otherwise be silently dropped (ADVICE r6)."""
     dead = dead.localCheckpoint(eager=True)
     fresh = fresh.localCheckpoint(eager=True)
     t_dead = {r.cell_id for r in dead.select("cell_id").distinct().collect()}
@@ -226,22 +230,21 @@ def _sync_cell_partitioned(engine, name: str, dead: DataFrame, fresh: DataFrame)
     if not touched:
         return {"touched_cells": [], "added": 0, "dropped": 0}
     changed_ids = dead.select("id").unionByName(fresh.select("id")).distinct()
-    idx = engine.table(name).filter(F.col("cell_id").isin(touched))
-    dropped = idx.join(F.broadcast(changed_ids), "id", "left_semi").count()
-    merged = (
-        idx.join(F.broadcast(changed_ids), "id", "left_anti")
-        .unionByName(fresh)
-        .localCheckpoint(eager=True)
-    )
-    merged_cells = {
-        r.cell_id for r in merged.select("cell_id").distinct().collect()
-    }
-    emptied = [c for c in touched if c not in merged_cells]
-    if emptied:
-        rest = engine.table(name).filter(~F.col("cell_id").isin(touched))
-        engine.overwrite(name, rest.unionByName(merged))
-    else:
-        engine.replace_partitions(name, merged)
+    with engine._lock(name):
+        idx = engine.table(name).filter(F.col("cell_id").isin(touched))
+        dropped = idx.join(F.broadcast(changed_ids), "id", "left_semi").count()
+        merged = (
+            idx.join(F.broadcast(changed_ids), "id", "left_anti")
+            .unionByName(fresh)
+            .localCheckpoint(eager=True)
+        )
+        merged_cells = {
+            r.cell_id for r in merged.select("cell_id").distinct().collect()
+        }
+        emptied = [c for c in touched if c not in merged_cells]
+        engine.replace_partitions(
+            name, merged, drop=[{"cell_id": c} for c in emptied]
+        )
     return {
         "touched_cells": touched,
         "added": fresh.count(),

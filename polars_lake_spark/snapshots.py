@@ -201,13 +201,18 @@ class SnapshotStore:
         *,
         base: Snapshot | None = None,
         meta: dict | None = None,
+        drop_parts: list[str] | None = None,
     ) -> Snapshot:
         """Fold a completed write dir into the next snapshot.
 
         op='create'/'rewrite': mapping = exactly the new dir's partitions.
         op='append': new dir's partitions appended to the base mapping.
         op='replace' (upsert): new dir's partitions REPLACE their base
-        entries; untouched partitions carry over.
+        entries; untouched partitions carry over.  ``drop_parts`` removes
+        partition rel-paths from the mapping entirely (partition
+        tombstones) — a METADATA-only delete, the dual of carrying
+        untouched partitions by reference: no data file moves, the
+        dropped dirs age out via vacuum like any unreferenced write dir.
         """
         new_parts = _partition_relpaths(os.path.join(self.data_path, write_name))
         if op in ("create", "rewrite"):
@@ -223,11 +228,42 @@ class SnapshotStore:
                     mapping[p] = [write_name]
             else:
                 raise ValueError(f"unknown snapshot op: {op}")
+        if drop_parts:
+            conflict = set(drop_parts) & set(new_parts)
+            if conflict:
+                raise ValueError(
+                    f"partitions both written and dropped: {sorted(conflict)}"
+                )
+            for p in drop_parts:
+                mapping.pop(p, None)
         return self.commit(
             mapping,
             op,
             schema_json,
             expected_base=base.version if base is not None else None,
+            meta=meta,
+        )
+
+    def commit_drop(
+        self,
+        drop_parts: list[str],
+        schema_json: str | None,
+        *,
+        base: Snapshot,
+        meta: dict | None = None,
+    ) -> Snapshot:
+        """Metadata-only partition removal: the next snapshot's mapping is
+        the base minus ``drop_parts`` — no write dir at all (the
+        replace-with-nothing degenerate of commit_write's drop_parts)."""
+        drops = set(drop_parts)
+        mapping = {
+            p: list(ws) for p, ws in base.mapping.items() if p not in drops
+        }
+        return self.commit(
+            mapping,
+            "replace",
+            schema_json,
+            expected_base=base.version,
             meta=meta,
         )
 

@@ -238,3 +238,70 @@ def test_stream_ann_ingest(spark, emb, trained, tmp_path):
     full = ivf_index(engine.table("svecs"), centroids)
     assert engine.table("svecs").count() == 60
     assert snap(engine.table("sidx")) == snap(full)
+
+
+def test_ivf_sync_cdc_drained_cell_is_tombstoned(spark, emb, trained, tmp_path):
+    """A delete batch that EMPTIES a cell must not fall back to a
+    full-index rewrite (r6 verdict item 2): the emptied cell's partition
+    is dropped via a tombstone, untouched cells' files are byte-for-byte
+    untouched on disk, the synced index equals a full re-index, and
+    replaying the window stays idempotent."""
+    import os
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.ivf import ivf_sync_cdc, ivf_write_index
+
+    centroids, _ = trained
+    engine = Engine(spark, str(tmp_path))
+    src = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 80)
+    engine.create_table("dvecs", src, keys=["vec_id"], versioned=True)
+    ivf_write_index(engine, "didx", engine.table("dvecs"), centroids)
+    v0 = engine._snapstore("dvecs").latest_version()
+
+    # pick a populated cell and delete EVERY source row assigned to it
+    cells = {
+        r.cell_id: r.n
+        for r in engine.table("didx").groupBy("cell_id").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    victim = min(cells, key=cells.get)
+    doomed = engine.table("didx").filter(
+        F.col("cell_id") == victim
+    ).select(F.col("id").alias("vec_id"))
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+    untouched = sorted(set(cells) - {victim})[0]
+
+    root = engine._path("didx")
+    before = sorted(
+        (f, os.stat(os.path.join(root, f"cell_id={untouched}", f)).st_mtime_ns)
+        for f in os.listdir(os.path.join(root, f"cell_id={untouched}"))
+        if f.endswith(".parquet")
+    )
+
+    engine.delete("dvecs", doomed)
+    res = ivf_sync_cdc(engine, "didx", "dvecs", from_version=v0)
+    assert res["dropped"] == n_doomed and res["added"] == 0
+    assert res["touched_cells"] == [victim]
+
+    # the emptied cell's partition directory is GONE, not rewritten empty
+    assert not os.path.exists(os.path.join(root, f"cell_id={victim}"))
+    # untouched cells were never rewritten (same files, same mtimes)
+    after = sorted(
+        (f, os.stat(os.path.join(root, f"cell_id={untouched}", f)).st_mtime_ns)
+        for f in os.listdir(os.path.join(root, f"cell_id={untouched}"))
+        if f.endswith(".parquet")
+    )
+    assert after == before
+
+    def snap(df):
+        return {
+            (r.id, tuple(round(x, 9) for x in r.v), r.cell_id)
+            for r in df.select("id", "v", "cell_id").collect()
+        }
+
+    full = ivf_index(engine.table("dvecs"), centroids)
+    assert snap(engine.table("didx")) == snap(full)
+    # replay: the same window applies cleanly to the already-synced index
+    ivf_sync_cdc(engine, "didx", "dvecs", from_version=v0)
+    assert snap(engine.table("didx")) == snap(full)

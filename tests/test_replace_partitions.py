@@ -1,0 +1,150 @@
+"""replace_partitions: dynamic partition overwrite + partition tombstones.
+
+The surgical-write primitive must (a) rewrite exactly the partitions
+present in df, (b) DROP whole partitions it writes no rows into — the case
+dynamic overwrite cannot express — as a metadata-only snapshot edit for
+versioned tables and a directory delete for plain ones, and (c) never read
+or rewrite untouched partitions (the 100 TB contract).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_lake_spark import Engine
+from polars_lake_spark.layout import hive_relpath
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(rows, "p int, id bigint, v double")
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, str(tmp_path))
+
+
+def _seed(spark, eng, name, **kw):
+    df = _mkdf(
+        spark, [(p, p * 100 + i, float(i)) for p in range(4) for i in range(5)]
+    )
+    eng.create_table(name, df, partition_by=["p"], **kw)
+    return df
+
+
+def _files_of(root, rel):
+    d = os.path.join(root, rel)
+    return sorted(
+        (f, os.stat(os.path.join(d, f)).st_mtime_ns)
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+
+
+def test_hive_relpath_matches_spark_naming(spark, tmp_path):
+    """hive_relpath must reproduce the exact directory names Spark writes
+    — special characters, bools, and NULL included — or tombstones would
+    silently miss their target partitions."""
+    vals = ["plain", "a b", "x:y", "p%q", "c=d", "it's", "s/ash", None]
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "k string, id int"
+    )
+    out = str(tmp_path / "hive")
+    df.write.partitionBy("k").parquet(out)
+    on_disk = {d for d in os.listdir(out) if d.startswith("k=")}
+    computed = {hive_relpath(["k"], [v]) for v in vals}
+    assert computed == on_disk
+
+    bdf = spark.createDataFrame([(True, 1), (False, 2)], "b boolean, id int")
+    bout = str(tmp_path / "hiveb")
+    bdf.write.partitionBy("b").parquet(bout)
+    assert {hive_relpath(["b"], [True]), hive_relpath(["b"], [False])} == {
+        d for d in os.listdir(bout) if d.startswith("b=")
+    }
+
+
+def test_replace_and_drop_plain_table(spark, eng, tmp_path):
+    _seed(spark, eng, "t")
+    root = eng._path("t")
+    untouched_before = _files_of(root, "p=0")
+
+    repl = _mkdf(spark, [(1, 999, 9.9)])
+    eng.replace_partitions("t", repl, drop=[{"p": 2}])
+
+    got = {(r.p, r.id) for r in eng.table("t").collect()}
+    assert {p for p, _ in got} == {0, 1, 3}
+    assert (1, 999) in got and sum(1 for p, _ in got if p == 1) == 1
+    # dropped partition dir is gone; untouched partition files untouched
+    assert not os.path.exists(os.path.join(root, "p=2"))
+    assert _files_of(root, "p=0") == untouched_before
+    # idempotent replay: dropping a missing partition is a no-op
+    eng.replace_partitions("t", repl, drop=[{"p": 2}])
+    assert {p for p, _ in {(r.p, r.id) for r in eng.table("t").collect()}} == {
+        0, 1, 3,
+    }
+
+
+def test_drop_only_no_rows_plain(spark, eng):
+    _seed(spark, eng, "t2")
+    empty = _mkdf(spark, []).limit(0)
+    eng.replace_partitions("t2", empty, drop=[{"p": 0}, {"p": 3}])
+    assert {r.p for r in eng.table("t2").select("p").distinct().collect()} == {
+        1, 2,
+    }
+
+
+def test_replace_and_drop_versioned_is_metadata_only(spark, eng):
+    """Versioned path: the drop is a mapping edit in the same commit —
+    untouched partitions keep referencing their ORIGINAL write dirs
+    (nothing rewritten), and time travel still sees the dropped data."""
+    _seed(spark, eng, "vt", versioned=True)
+    store = eng._snapstore("vt")
+    v1 = store.load()
+    repl = _mkdf(spark, [(1, 999, 9.9)])
+    eng.replace_partitions("vt", repl, drop=[{"p": 2}])
+
+    v2 = store.load()
+    assert "p=2" in v1.mapping and "p=2" not in v2.mapping
+    assert v2.mapping["p=0"] == v1.mapping["p=0"]  # carried by reference
+    assert v2.mapping["p=1"] != v1.mapping["p=1"]  # replaced
+    assert {r.p for r in eng.table("vt").select("p").distinct().collect()} == {
+        0, 1, 3,
+    }
+    # snapshot isolation: the pre-drop version still reads partition 2
+    old = eng.table("vt", version=v1.version)
+    assert old.filter(F.col("p") == 2).count() == 5
+
+    # metadata-only drop (no rows at all in df)
+    empty = _mkdf(spark, []).limit(0)
+    eng.replace_partitions("vt", empty, drop=[{"p": 3}])
+    v3 = store.load()
+    assert "p=3" not in v3.mapping and v3.mapping["p=0"] == v1.mapping["p=0"]
+
+
+def test_write_drop_conflict_rejected(spark, eng):
+    _seed(spark, eng, "t3")
+    repl = _mkdf(spark, [(1, 999, 9.9)])
+    with pytest.raises(ValueError, match="both written and dropped"):
+        eng.replace_partitions("t3", repl, drop=[{"p": 1}])
+    _seed(spark, eng, "vt3", versioned=True)
+    with pytest.raises(ValueError, match="both written and dropped"):
+        eng.replace_partitions("vt3", repl, drop=[{"p": 1}])
+
+
+def test_drop_requires_exact_partition_columns(spark, eng):
+    _seed(spark, eng, "t4")
+    empty = _mkdf(spark, []).limit(0)
+    with pytest.raises(ValueError, match="partition columns"):
+        eng.replace_partitions("t4", empty, drop=[{"id": 1}])
+
+
+def test_replace_and_drop_in_memory(spark, eng):
+    df = _mkdf(
+        spark, [(p, p * 100 + i, float(i)) for p in range(3) for i in range(2)]
+    )
+    eng.create_table("mem", df, partition_by=["p"], save=False)
+    repl = _mkdf(spark, [(0, 7, 7.0)])
+    eng.replace_partitions("mem", repl, drop=[{"p": 2}])
+    got = {(r.p, r.id) for r in eng.table("mem").collect()}
+    assert got == {(0, 7), (1, 100), (1, 101)}
