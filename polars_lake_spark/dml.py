@@ -32,6 +32,18 @@ through the engine's real mutation paths:
 * ``ALTER TABLE t ADD COLUMN c <type>``  → NULL-filled rewrite through
   ``engine.overwrite`` (a plain-parquet layout cannot do the metadata-only
   add Delta/Iceberg would; versioned tables commit it as one snapshot)
+* ``ALTER TABLE t DROP COLUMN c`` / ``DROP COLUMNS (a, b)`` → rewrite
+  without the columns; layout (partition/bucket) columns, upsert keys,
+  and constraint-referenced columns are refused
+* ``ALTER TABLE t RENAME COLUMN a TO b`` → rewrite; upsert keys rename
+  along, layout columns are refused
+* ``INSERT OVERWRITE [TABLE] t [(cols)] SELECT ...`` →
+  ``engine.overwrite`` (atomic full replacement; same column-list /
+  NULL-fill / cast rules as INSERT INTO)
+* ``SHOW TABLES`` → one row per engine table (name, format, versioned,
+  partitioning, in-memory flag)
+* ``DESCRIBE [TABLE] t`` → (col_name, data_type, comment) with
+  partition/bucket/key columns flagged; non-engine names fall through
 * time travel: any ``t [FOR] VERSION AS OF n`` / ``t [FOR] TIMESTAMP AS
   OF 'ts'`` reference to a VERSIONED engine table — in a bare SELECT or
   inside any DML's source subquery — is rewritten to a version-pinned
@@ -115,6 +127,25 @@ _ALTER_DROP_CONSTRAINT = re.compile(
 _ALTER_ADD_COLUMN = re.compile(
     r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ADD\s+COLUMNS?\s+(.+?)\s*;?\s*$",
     re.I | re.S,
+)
+_ALTER_DROP_COLUMN = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+DROP\s+COLUMNS?\s+"
+    r"(?:\(\s*(.+?)\s*\)|([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*))\s*;?\s*$",
+    re.I,
+)
+_ALTER_RENAME_COLUMN = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+RENAME\s+COLUMN\s+"
+    r"([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*;?\s*$",
+    re.I,
+)
+_INSERT_OVERWRITE = re.compile(
+    r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*"
+    r"(\([^)]*\))?\s*(SELECT\b.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.I)
+_DESCRIBE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*;?\s*$", re.I
 )
 _TIMETRAVEL = re.compile(
     r"\b([A-Za-z_][\w.]*)\s+(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
@@ -287,6 +318,84 @@ def _status(engine, op: str, table: str, n: int) -> DataFrame:
     )
 
 
+def _guard_layout_columns(
+    spec, cols, verb: str, keys_ok: bool = False
+) -> None:
+    """Refuse column DDL that would break the table's physical layout or
+    its recorded semantics: partition/bucket columns name directories and
+    routing (old snapshots' paths would stop matching the spec), upsert
+    keys define row identity (unless the operation renames them
+    consistently), and CHECK constraints hold SQL text that would dangle.
+    """
+    layout = set(spec.partition_by) | set(spec.bucket_by)
+    bad = sorted(c for c in cols if c in layout)
+    if bad:
+        raise ValueError(
+            f"ALTER TABLE {spec.name}: cannot {verb} layout "
+            f"(partition/bucket) columns {bad}"
+        )
+    if not keys_ok:
+        badk = sorted(c for c in cols if c in spec.keys)
+        if badk:
+            raise ValueError(
+                f"ALTER TABLE {spec.name}: cannot {verb} upsert key "
+                f"columns {badk}"
+            )
+    for cname, expr in spec.constraints.items():
+        hit = sorted(
+            c for c in cols if re.search(rf"\b{re.escape(c)}\b", expr)
+        )
+        if hit:
+            raise ValueError(
+                f"ALTER TABLE {spec.name}: columns {hit} are referenced "
+                f"by constraint {cname!r} ({expr}); drop the constraint "
+                "first"
+            )
+
+
+def _insert_frame(
+    engine, name: str, stmt: str, col_list: str | None, select_sql: str
+) -> DataFrame:
+    """Resolve an INSERT source SELECT against the target table's schema
+    (shared by INSERT INTO and INSERT OVERWRITE): listed columns resolve
+    case-insensitively with unknowns rejected, unlisted columns NULL-fill
+    (a narrower append must not clobber the recorded schema), positional
+    mapping requires exact arity, every column casts to the TABLE's type
+    (or the written parquet would carry narrower physical types that
+    later scans of the mixed directory reject), and the result is
+    materialized ONCE so the reported count and the write agree even for
+    a non-deterministic SELECT."""
+    df = engine.spark.sql(select_sql)
+    tschema = engine.table(name).schema
+    canon = {f.name.lower(): f.name for f in tschema.fields}
+    if col_list:
+        cols = [c.strip() for c in col_list.strip("()").split(",")]
+        unknown = [c for c in cols if c.lower() not in canon]
+        if unknown:
+            raise ValueError(f"{stmt} {name}: no columns {unknown}")
+        if len(cols) != len(df.columns):
+            raise ValueError(
+                f"{stmt} {name}: {len(cols)} listed columns but "
+                f"the SELECT produces {len(df.columns)}"
+            )
+        listed = [canon[c.lower()] for c in cols]
+        df = df.toDF(*listed)
+        for f in tschema.fields:
+            if f.name not in listed:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    else:
+        if len(df.columns) != len(tschema.fields):
+            raise ValueError(
+                f"{stmt} {name}: table has {len(tschema.fields)} "
+                f"columns but the SELECT produces {len(df.columns)}"
+            )
+        df = df.toDF(*[f.name for f in tschema.fields])
+    df = df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tschema.fields]
+    )
+    return df.localCheckpoint(eager=True)
+
+
 def try_execute_dml(engine, query: str) -> DataFrame | None:
     """Execute ``query`` if it is a DML statement over a known engine
     table; return the status frame, or None for everything else."""
@@ -372,54 +481,26 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         name = _resolve(engine, m.group(1))
         if name is None:
             return None
-        df = engine.spark.sql(m.group(3))
-        tschema = engine.table(name).schema
-        canon = {f.name.lower(): f.name for f in tschema.fields}
-        if m.group(2):
-            cols = [c.strip() for c in m.group(2).strip("()").split(",")]
-            # resolve listed names CASE-INSENSITIVELY against the table
-            # (Spark's resolution default) and reject unknowns — a
-            # case-mismatched name must not NULL-clobber the real
-            # column, and an unknown name must not silently drop data.
-            unknown = [c for c in cols if c.lower() not in canon]
-            if unknown:
-                raise ValueError(f"INSERT INTO {name}: no columns {unknown}")
-            if len(cols) != len(df.columns):
-                raise ValueError(
-                    f"INSERT INTO {name}: {len(cols)} listed columns but "
-                    f"the SELECT produces {len(df.columns)}"
-                )
-            listed = [canon[c.lower()] for c in cols]
-            df = df.toDF(*listed)
-            # SQL semantics: unlisted table columns are NULL-filled —
-            # and without this a narrower-schema append would clobber
-            # the table's recorded schema (review finding).
-            for f in tschema.fields:
-                if f.name not in listed:
-                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-        else:
-            # no column list: positional, and the arity must match — a
-            # narrower SELECT would otherwise append narrower-schema
-            # files and clobber the recorded schema.
-            if len(df.columns) != len(tschema.fields):
-                raise ValueError(
-                    f"INSERT INTO {name}: table has {len(tschema.fields)} "
-                    f"columns but the SELECT produces {len(df.columns)}"
-                )
-            df = df.toDF(*[f.name for f in tschema.fields])
-        # SQL implicit cast on insert: the SELECT's literal/expression
-        # types (e.g. INT 900 into a BIGINT column) land as the TABLE's
-        # types, or the appended parquet would carry narrower physical
-        # types that later scans of the mixed directory reject.
-        df = df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tschema.fields]
-        )
-        # one materialization: the count and the insert must agree even
-        # for a non-deterministic SELECT, and the source scans once.
-        df = df.localCheckpoint(eager=True)
+        df = _insert_frame(engine, name, "INSERT INTO", m.group(2), m.group(3))
         n = df.count()
         engine.insert(name, df)
         return _status(engine, "insert", name, n)
+
+    m = _INSERT_OVERWRITE.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        df = _insert_frame(
+            engine, name, "INSERT OVERWRITE", m.group(2), m.group(3)
+        )
+        n = df.count()
+        # Atomic full replacement (engine.overwrite): versioned tables
+        # publish one 'rewrite' snapshot; plain tables stage via
+        # localCheckpoint so a self-referential SELECT reads the OLD
+        # state. Same column-list/NULL-fill/cast semantics as INSERT.
+        engine.overwrite(name, df)
+        return _status(engine, "insert_overwrite", name, n)
 
     m = _CTAS.match(query)
     if m:
@@ -675,6 +756,97 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                 name, t.withColumn(col, F.lit(None).cast(coltype))
             )
         return _status(engine, "alter_add_column", name, n)
+
+    m = _ALTER_DROP_COLUMN.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        cols = [
+            c.strip() for c in (m.group(2) or m.group(3)).split(",") if c.strip()
+        ]
+        spec = engine.specs[name]
+        with engine._lock(name):
+            t = engine.table(name)
+            have = {c.lower(): c for c in t.columns}
+            missing = [c for c in cols if c.lower() not in have]
+            if missing:
+                raise ValueError(
+                    f"ALTER TABLE {name}: no columns {missing}"
+                )
+            doomed = {have[c.lower()] for c in cols}
+            _guard_layout_columns(spec, doomed, "DROP COLUMN")
+            if len(doomed) == len(t.columns):
+                raise ValueError(
+                    f"ALTER TABLE {name}: cannot drop every column"
+                )
+            n = t.count()
+            engine.overwrite(name, t.drop(*doomed))
+        return _status(engine, "alter_drop_column", name, n)
+
+    m = _ALTER_RENAME_COLUMN.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        old_c, new_c = m.group(2), m.group(3)
+        spec = engine.specs[name]
+        with engine._lock(name):
+            t = engine.table(name)
+            have = {c.lower(): c for c in t.columns}
+            if old_c.lower() not in have:
+                raise ValueError(f"ALTER TABLE {name}: no column {old_c!r}")
+            if new_c.lower() in have:
+                raise ValueError(f"ALTER TABLE {name}: column {new_c!r} exists")
+            old_c = have[old_c.lower()]
+            _guard_layout_columns(spec, {old_c}, "RENAME COLUMN", keys_ok=True)
+            n = t.count()
+            # keys may rename with the column (row identity is unchanged);
+            # layout columns may not (old snapshots' dir names would stop
+            # matching the spec — guarded above).
+            spec.keys = [new_c if k == old_c else k for k in spec.keys]
+            if old_c in spec.bloom_filter_cols:
+                spec.bloom_filter_cols[new_c] = spec.bloom_filter_cols.pop(old_c)
+            engine.overwrite(name, t.withColumnRenamed(old_c, new_c))
+        return _status(engine, "alter_rename_column", name, n)
+
+    if _SHOW_TABLES.match(query):
+        rows = [
+            (
+                n,
+                s.format,
+                bool(s.versioned),
+                ",".join(s.partition_by),
+                bool(n in engine._mem),
+            )
+            for n, s in sorted(engine.specs.items())
+        ]
+        return engine.spark.createDataFrame(
+            rows,
+            "tableName string, format string, versioned boolean, "
+            "partitionedBy string, isTemporary boolean",
+        )
+
+    m = _DESCRIBE.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None  # not an engine table — let spark.sql describe it
+        spec = engine.specs[name]
+        marks = {}
+        for c in spec.partition_by:
+            marks[c] = "partition column"
+        for c in spec.bucket_by:
+            marks[c] = marks.get(c, "") or "bucket source column"
+        for c in spec.keys:
+            marks[c] = (marks.get(c, "") + " key").strip()
+        rows = [
+            (c, dt, marks.get(c))
+            for c, dt in engine.table(name).dtypes
+        ]
+        return engine.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string"
+        )
 
     if tt:
         # a time-travel rewrite happened but no DML shape matched — run

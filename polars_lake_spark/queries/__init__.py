@@ -28,75 +28,29 @@ REGISTRY: dict[str, Query] = {}
 # which get a fresh correctness row each round.  This list is a VERIFICATION
 # ROTATION, strictly oldest-evidence-first — queries added or changed
 # this round always lead, so nothing ships unverified:
-#   the r6 window (50) = 2 oracle-fixed (the only r5 reds) + 3 NEW +
-#   1 changed + the 17 r2-greens (oldest evidence in the registry) +
-#   27 oldest r3-greens.  The remaining r3-greens lead r7.  Every
-#   deferred query is still verified every session by
+#   the r7 window (50) = 1 NEW + 3 changed + the 19 r3-greens (oldest
+#   driver evidence in the registry after r6 refreshed everything
+#   r2-era) + the 27 oldest r4-greens (r4 gate order).  The remaining
+#   21 r4-greens lead r8; after r8's window the oldest evidence
+#   anywhere will be r5.  The full list now covers EVERY registered
+#   query, evidence-ordered, so future rotations are a pure reshuffle.
+#   Every deferred query is still verified every session by
 #   tests/test_oracle_parity.py (the local mirror of the gate over all
 #   oracled queries — green at sf0.001 AND sf0.1 as of r6).
 CHECK_PRIORITY: list[str] = [
-    # ================= r6 window (first 50) ===========================
-    # -- fixed this round: the only two r5 reds (oracle SUM(BIGINT) →
-    # DuckDB HUGEINT; final projections now CAST ... AS BIGINT) --------
-    "split_train_val_test",
-    "shard_manifest",
-    # -- NEW r6: tokenizer-aware FFD packing, CDC-driven ANN index
-    # maintenance, SQL time-travel + ALTER TABLE lifecycle -------------
-    "pack_sequences_bpe_check",
+    # ================= r7 window (first 50) ===========================
+    # -- NEW r7: column-DDL + INSERT OVERWRITE statement lifecycle -----
+    "sql_ddl_lifecycle",
+    # -- changed r7: ANN CDC sync now tombstones emptied cells (no
+    # full-rewrite fallback) and runs under the table lock; the INSERT
+    # statement path was refactored into _insert_frame shared with
+    # INSERT OVERWRITE ---------------------------------------------------
     "ann_cdc_sync_check",
-    "sql_timetravel_lifecycle",
-    # -- changed r6: DML statements now run inside the table lock with
-    # nondeterministic predicates pinned by one materialization --------
     "sql_dml_lifecycle",
-    # -- r2-greens: 4-round-old driver evidence, oldest in the registry
+    "sql_timetravel_lifecycle",
+    # -- r3-greens: 4-round-old driver evidence, oldest in the registry
     # (still locally verified every session by test_oracle_parity) -----
-    "minmax_by",
-    "select_exclude",
-    "array_agg_sorted",
-    "upsert_merge",
-    "insert_append",
-    "delete_anti",
-    "dedup_keyed",
-    "schema_evolution_union",
-    "audit_columns",
-    "time_travel_upsert",
-    "cdc_changes",
-    "merge_into_conditional",
-    "point_filter",
-    "star_join_revenue",
-    "top_customers",
-    "semi_join_suppliers",
-    "anti_join_parts",
-    # -- r3-greens (oldest-first in r3 gate order), filling the window -
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_class",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_promotion_suppliers",
-    "q21_latest_shipper",
-    "q22_idle_customers",
-    "json_extraction",
-    "distinct_orderby_offset",
-    "predicates_having",
-    "approx_distinct",
-    "unnest_explode",
-    "pivot_status",
-    # ------ 50-slot window boundary ------------------------------------
-    # -- r7 front-runners: the remaining r3-greens (3-round-old) --------
+
     "events_hourly_rollup",
     "events_sessionize",
     "events_tumbling_window",
@@ -116,7 +70,61 @@ CHECK_PRIORITY: list[str] = [
     "histogram_totals",
     "text_pii_scrub",
     "data_quality_report",
-    # -- r4/r5-greens (freshest driver evidence, r5 gate order) ---------
+    # -- r4-greens (r4 gate order), filling the window to 50 -----------
+
+    "skew_collect_set",
+    "domain_resample",
+    "events_funnel",
+    "similarity_pq",
+    "similarity_ivfpq",
+    "set_operations",
+    "agg_stats",
+    "string_functions",
+    "case_coalesce",
+    "array_functions",
+    "array_numeric",
+    "temporal_functions",
+    "window_functions",
+    "rollup_revenue",
+    "cube_flags",
+    "cte_subquery",
+    "cast_try_cast",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "similarity_ivf",
+    "text_stats",
+    "text_quality_filter",
+    # ------ 50-slot window boundary ------------------------------------
+    # -- r8 front-runners: the remaining r4-greens (oldest evidence) ----
+
+    "text_lang_id",
+    "token_count",
+    "doc_fingerprint",
+    "multimodal_binary_meta",
+    "multimodal_image_features",
+    "correlated_subquery",
+    "grouping_sets",
+    "asof_join_events",
+    "range_join_events",
+    "corpus_pipeline",
+    "dedup_clusters",
+    "sample_hash",
+    "sample_stratified",
+    "pack_sequences",
+    "text_tfidf_top_terms",
+    "text_pmi_bigrams",
+    "decontaminate_overlap",
+    "text_repetition",
+    "math_functions",
+    "string_functions2",
+    "temporal_arithmetic",
+    # -- r5-greens (r5 gate order) --------------------------------------
+
     "dedup_prefix_join",
     "scrub_repeated_spans",
     "bpe_train_encode_check",
@@ -164,6 +172,55 @@ CHECK_PRIORITY: list[str] = [
     "similarity_pq_recall",
     "similarity_ivfpq_recall",
     "join_cobucketed",
+    # -- r6-greens (freshest driver evidence, r6 gate order) ------------
+
+    "split_train_val_test",
+    "shard_manifest",
+    "pack_sequences_bpe_check",
+    "minmax_by",
+    "select_exclude",
+    "array_agg_sorted",
+    "upsert_merge",
+    "insert_append",
+    "delete_anti",
+    "dedup_keyed",
+    "schema_evolution_union",
+    "audit_columns",
+    "time_travel_upsert",
+    "cdc_changes",
+    "merge_into_conditional",
+    "point_filter",
+    "star_join_revenue",
+    "top_customers",
+    "semi_join_suppliers",
+    "anti_join_parts",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_class",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_promotion_suppliers",
+    "q21_latest_shipper",
+    "q22_idle_customers",
+    "json_extraction",
+    "distinct_orderby_offset",
+    "predicates_having",
+    "approx_distinct",
+    "unnest_explode",
+    "pivot_status",
 ]
 
 

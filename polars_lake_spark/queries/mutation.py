@@ -629,3 +629,80 @@ def sql_timetravel_lifecycle(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "sql_ddl_lifecycle",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+                  FROM orders WHERE o_orderkey % 4 = 0),
+    ow AS (SELECT o_orderkey, o_orderstatus,
+                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2 AS DOUBLE)
+                  AS price
+           FROM base WHERE o_orderkey % 3 = 0)
+    SELECT c.o_orderkey,
+           c.price,
+           b.o_totalprice AS price_v1,
+           CAST(length(b.o_orderpriority) AS BIGINT) AS priority_len,
+           CAST(3 AS BIGINT) AS n_cols,
+           CAST(1 AS BIGINT) AS n_catalog
+    FROM ow c JOIN base b USING (o_orderkey)
+    """,
+    doc="Column-DDL + INSERT OVERWRITE statement surface (VERDICT r6 "
+    "item 4): DROP COLUMN and RENAME COLUMN rewrite as snapshots, "
+    "INSERT OVERWRITE atomically replaces from a self-referential "
+    "SELECT, DESCRIBE/SHOW TABLES report the post-DDL catalog, and one "
+    "SELECT joins the current state to FOR VERSION AS OF 1 (which still "
+    "carries the dropped column and the old name).",
+)
+def sql_ddl_lifecycle(spark, sf_dir):
+    """Statement lifecycle for the r7 column-DDL surface through
+    ``engine.sql``: ALTER TABLE DROP COLUMN (rewrite without the column;
+    the pre-DDL snapshot keeps its data), ALTER TABLE RENAME COLUMN
+    (upsert keys follow), INSERT OVERWRITE ... SELECT reading the
+    table's own pre-statement state, SHOW TABLES / DESCRIBE as the
+    catalog evidence (their outputs land as oracled literals), then one
+    SELECT joining the live table to ``FOR VERSION AS OF 1`` — DuckDB
+    replays the whole chain relationally."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_ddl_")
+    try:
+        eng = Engine(spark, root)
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+            .filter(F.col("o_orderkey") % 4 == 0)
+        )
+        eng.create_table(
+            "ddl_orders", orders, keys=["o_orderkey"], versioned=True
+        )
+        eng.sql("ALTER TABLE ddl_orders DROP COLUMN o_orderpriority")
+        eng.sql("ALTER TABLE ddl_orders RENAME COLUMN o_totalprice TO price")
+        eng.sql(
+            "INSERT OVERWRITE TABLE ddl_orders "
+            "SELECT o_orderkey, o_orderstatus, "
+            "CAST(CAST(price AS DECIMAL(12,2)) * 2 AS DOUBLE) "
+            "FROM ddl_orders WHERE o_orderkey % 3 = 0"
+        )
+        n_cols = len(eng.sql("DESCRIBE ddl_orders").collect())
+        n_catalog = (
+            eng.sql("SHOW TABLES")
+            .filter(F.col("tableName") == "ddl_orders")
+            .count()
+        )
+        out = eng.sql(
+            "SELECT c.o_orderkey, c.price, v.o_totalprice AS price_v1, "
+            "CAST(length(v.o_orderpriority) AS BIGINT) AS priority_len, "
+            f"CAST({n_cols} AS BIGINT) AS n_cols, "
+            f"CAST({n_catalog} AS BIGINT) AS n_catalog "
+            "FROM ddl_orders c JOIN ddl_orders FOR VERSION AS OF 1 v "
+            "ON c.o_orderkey = v.o_orderkey"
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

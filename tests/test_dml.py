@@ -548,3 +548,103 @@ def test_quoted_spans_agrees_with_scan_top_level(s):
     for i in range(len(s)):
         in_span = any(a <= i <= b for a, b in spans)
         assert (i in yielded) == (not in_span), (s, i, spans)
+
+
+def test_alter_drop_column_statement(eng, spark):
+    """DROP COLUMN rewrites without the column; layout/key/constraint
+    columns are refused; the (a, b) list form drops several at once."""
+    eng.sql("ALTER TABLE t ADD COLUMN extra string")
+    eng.sql("ALTER TABLE t ADD COLUMN extra2 int")
+    st = eng.sql("ALTER TABLE t DROP COLUMN extra").head()
+    assert (st["operation"], st["n_affected"]) == ("alter_drop_column", 20)
+    assert "extra" not in eng.table("t").columns
+    with pytest.raises(ValueError, match="upsert key"):
+        eng.sql("ALTER TABLE t DROP COLUMN id")
+    eng.sql("ALTER TABLE t ADD CONSTRAINT vpos CHECK (val >= 0)")
+    with pytest.raises(ValueError, match="constraint"):
+        eng.sql("ALTER TABLE t DROP COLUMN val")
+    eng.sql("ALTER TABLE t DROP CONSTRAINT vpos")
+    eng.sql("ALTER TABLE t DROP COLUMNS (extra2, val)")
+    assert set(eng.table("t").columns) == {"id", "grp"}
+
+    # layout columns are refused on a partitioned table
+    df = spark.createDataFrame([(1, "a", 1.0)], "id bigint, p string, v double")
+    eng.create_table("pt", df, partition_by=["p"], keys=["id"])
+    with pytest.raises(ValueError, match="layout"):
+        eng.sql("ALTER TABLE pt DROP COLUMN p")
+
+
+def test_alter_rename_column_statement(eng, spark):
+    """RENAME COLUMN rewrites under the new name; upsert keys follow the
+    rename (a later keyed upsert works on the new name); renaming onto an
+    existing name or a layout column is refused; a versioned table
+    time-travels to the old name."""
+    st = eng.sql("ALTER TABLE t RENAME COLUMN val TO score").head()
+    assert (st["operation"], st["n_affected"]) == ("alter_rename_column", 20)
+    assert "score" in eng.table("t").columns and "val" not in eng.table("t").columns
+    with pytest.raises(ValueError, match="exists"):
+        eng.sql("ALTER TABLE t RENAME COLUMN score TO grp")
+    with pytest.raises(ValueError, match="no column"):
+        eng.sql("ALTER TABLE t RENAME COLUMN nope TO x")
+
+    # key rename carries into the spec; keyed upsert uses the new key
+    eng.sql("ALTER TABLE t RENAME COLUMN id TO rid")
+    assert eng.specs["t"].keys == ["rid"]
+    up = spark.createDataFrame([(0, "gX", 123.0)], "rid bigint, grp string, score double")
+    eng.upsert("t", up)
+    assert eng.table("t").filter("rid = 0").head().grp == "gX"
+    assert eng.table("t").count() == 20
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "id bigint, p string, v double")
+    eng.create_table("ptr", df, partition_by=["p"], keys=["id"])
+    with pytest.raises(ValueError, match="layout"):
+        eng.sql("ALTER TABLE ptr RENAME COLUMN p TO q")
+
+    vdf = spark.createDataFrame([(1, 5.0)], "id bigint, v double")
+    eng.create_table("vr", vdf, keys=["id"], versioned=True)
+    eng.sql("ALTER TABLE vr RENAME COLUMN v TO w")
+    assert "w" in eng.table("vr").columns
+    assert "v" in eng.sql("SELECT * FROM vr FOR VERSION AS OF 1").columns
+
+
+def test_insert_overwrite_statement(eng, spark):
+    """INSERT OVERWRITE replaces the FULL table contents atomically —
+    including from a self-referential SELECT reading the old state — with
+    INSERT INTO's column-list and cast semantics."""
+    st = eng.sql(
+        "INSERT OVERWRITE TABLE t SELECT id, grp, val FROM t WHERE id < 5"
+    ).head()
+    assert (st["operation"], st["n_affected"]) == ("insert_overwrite", 5)
+    assert eng.table("t").count() == 5
+    # column-list form NULL-fills unlisted columns; TABLE keyword optional
+    st2 = eng.sql("INSERT OVERWRITE t (id, grp) SELECT 77, 'gz'").head()
+    assert st2["n_affected"] == 1
+    row = eng.table("t").head()
+    assert (row.id, row.grp, row.val) == (77, "gz", None)
+    # versioned: one snapshot, old state time-travels
+    vdf = spark.createDataFrame([(1, "a")], "id bigint, s string")
+    eng.create_table("vo", vdf, keys=["id"], versioned=True)
+    eng.sql("INSERT OVERWRITE vo SELECT 2, 'b'")
+    assert [r.s for r in eng.table("vo").collect()] == ["b"]
+    assert [
+        r.s for r in eng.sql("SELECT * FROM vo FOR VERSION AS OF 1").collect()
+    ] == ["a"]
+
+
+def test_show_tables_and_describe(eng, spark):
+    tables = {r.tableName: r for r in eng.sql("SHOW TABLES").collect()}
+    assert "t" in tables and tables["t"].format == "parquet"
+    df = spark.createDataFrame([(1, "a", 1.0)], "id bigint, p string, v double")
+    eng.create_table("dsc", df, partition_by=["p"], keys=["id"], versioned=True)
+    tables = {r.tableName: r for r in eng.sql("SHOW TABLES").collect()}
+    assert tables["dsc"].versioned is True
+    assert tables["dsc"].partitionedBy == "p"
+
+    desc = {r.col_name: (r.data_type, r.comment) for r in eng.sql("DESCRIBE dsc").collect()}
+    assert desc["p"] == ("string", "partition column")
+    assert desc["id"] == ("bigint", "key")
+    assert desc["v"][0] == "double" and desc["v"][1] is None
+    # DESCRIBE of a non-engine name falls through to spark.sql
+    spark.range(3).createOrReplaceTempView("plainview")
+    out = eng.sql("DESCRIBE plainview")
+    assert "col_name" in out.columns
