@@ -105,6 +105,10 @@ HEADLINE = [
     # r5: intra-doc repeated-span scrubbing (map-side chunking, one
     # (doc, chunk) shuffle for the first-occurrence window).
     "scrub_repeated_spans",
+    # r7: the end-to-end curation composition (exact dedup -> MinHash
+    # dedup -> decontaminate -> quality-sample -> BPE pack -> shard) —
+    # the "whole pipeline" number an LLM-data user actually runs.
+    "curation_lifecycle_check",
 ]
 
 
@@ -419,6 +423,10 @@ def main() -> None:
         "bpe_train_encode_check",
     ]
     one_time = {k: timings[k] for k in one_time_keys if k in timings}
+    steady = round(total - sum(one_time.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query line first (68+ entries — for local analysis and
+    # BENCH_r{N} diffing when the whole stdout is kept)...
     print(
         json.dumps(
             {
@@ -427,8 +435,52 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "one_time": one_time,
-                "steady_state_value": round(total - sum(one_time.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "steady_state_value": steady,
+                "sf": sf_val,
+            }
+        )
+    )
+    # ...then a compact FINAL line carrying the headline entries, because
+    # the driver records only the last ~2 KB of stdout and parses the
+    # last complete JSON line in it: the full line outgrew that window at
+    # r5 (68 entries ≈ 2.6 KB), so BENCH_r05/r06 recorded a truncated
+    # tail and a null parse (VERDICT r6 item 5). Same contract keys
+    # (metric/value/unit/queries/sf); "queries" here is the headline
+    # subset, totals are identical to the full line's.
+    headline_keys = [
+        "q1_pricing_summary",
+        "point_filter",
+        "star_join_revenue",
+        "top_customers",
+        "agg_stats",
+        "window_functions",
+        "upsert_merge",
+        "delete_anti",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_prefix_join",
+        "dedup_clusters",
+        "similarity_ivf",
+        "graph_pagerank",
+        "exact_percentiles_windowed",
+        "bpe_encode_docs",
+        "sketch_rollup_lifecycle",
+        "lifecycle_bulk_upsert",
+        "lifecycle_point_queries_x10",
+    ]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": {
+                    k: timings[k] for k in headline_keys if k in timings
+                },
+                "n_queries": len(timings),
+                "one_time_total": round(sum(one_time.values()), 3),
+                "steady_state_value": steady,
+                "sf": sf_val,
             }
         )
     )

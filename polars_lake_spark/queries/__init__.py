@@ -39,7 +39,9 @@ REGISTRY: dict[str, Query] = {}
 #   oracled queries — green at sf0.001 AND sf0.1 as of r6).
 CHECK_PRIORITY: list[str] = [
     # ================= r7 window (first 50) ===========================
-    # -- NEW r7: column-DDL + INSERT OVERWRITE statement lifecycle -----
+    # -- NEW r7: end-to-end curation lifecycle composition; column-DDL
+    # + INSERT OVERWRITE statement lifecycle ----------------------------
+    "curation_lifecycle_check",
     "sql_ddl_lifecycle",
     # -- changed r7: ANN CDC sync now tombstones emptied cells (no
     # full-rewrite fallback) and runs under the table lock; the INSERT
@@ -98,10 +100,10 @@ CHECK_PRIORITY: list[str] = [
     "similarity_ann_lsh",
     "similarity_ivf",
     "text_stats",
-    "text_quality_filter",
     # ------ 50-slot window boundary ------------------------------------
     # -- r8 front-runners: the remaining r4-greens (oldest evidence) ----
 
+    "text_quality_filter",
     "text_lang_id",
     "token_count",
     "doc_fingerprint",

@@ -477,3 +477,165 @@ def bpe_token_consistency_check(spark, sf_dir):
         .cast("bigint")
         .alias("violations"),
     )
+
+
+@register(
+    "curation_lifecycle_check",
+    oracle=f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, text, md5({_NORM_SQL}) AS fp FROM documents),
+    keep1 AS (SELECT fp, MIN(doc_id) AS doc_id FROM d GROUP BY fp),
+    s1 AS (SELECT d.doc_id, d.text, d.fp FROM d
+           JOIN keep1 k ON d.fp = k.fp AND d.doc_id = k.doc_id),
+    ws AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM s1),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+           FROM ws WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+               FROM sh a JOIN sh b
+                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    pairs AS (SELECT d1, d2 FROM common
+              JOIN sizes x ON d1 = x.doc_id
+              JOIN sizes y ON d2 = y.doc_id
+              WHERE c * 1.0 / (x.n + y.n - c) >= 0.8),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION SELECT d2, d1 FROM pairs),
+    reach(a, b) AS (SELECT a, b FROM edges
+                    UNION
+                    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cid FROM reach GROUP BY a),
+    dropped AS (SELECT doc_id FROM comp WHERE cid <> doc_id),
+    s2 AS (SELECT * FROM s1
+           WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+    bench AS (SELECT DISTINCT fp FROM d WHERE doc_id % 50 = 0),
+    s3 AS (SELECT * FROM s2
+           WHERE doc_id % 50 <> 0 AND fp NOT IN (SELECT fp FROM bench)),
+    s4 AS (SELECT doc_id, text FROM s3
+           WHERE CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 10000
+                 < ({_QUALITY_SQL}) * 10000),
+    sd AS (SELECT doc_id,
+                  md5('cur' || CAST(doc_id AS VARCHAR)) AS h,
+                  CAST('0x' || substr(md5('cur' || CAST(doc_id AS VARCHAR)),
+                       1, 8) AS BIGINT) % 8 AS shard_id
+           FROM s4),
+    p AS (SELECT doc_id, shard_id,
+                 ROW_NUMBER() OVER (PARTITION BY shard_id
+                                    ORDER BY h, doc_id) - 1 AS pos
+          FROM sd)
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_input,
+           CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_neardup,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_clean,
+           CAST((SELECT COUNT(*) FROM s4) AS BIGINT) AS n_sampled,
+           CAST((SELECT SUM((shard_id + 1) * doc_id) FROM p) AS BIGINT)
+               AS shard_check,
+           CAST((SELECT SUM(pos * doc_id) FROM p) AS BIGINT) AS ord_check,
+           CAST(0 AS BIGINT) AS violations
+    """,
+    doc="End-to-end curation lifecycle (VERDICT r6 item 7): exact dedup "
+    "→ MinHash near-dup dedup → exact decontamination → quality-weighted "
+    "sampling → tokenizer-aware FFD packing → deterministic sharding, "
+    "composed as ONE query whose stage counts, shard membership, and "
+    "in-shard order DuckDB replays value-exactly; packing invariants "
+    "(exactly-once over the survivors, budget, FFD bound) ride in "
+    "`violations`.",
+)
+def curation_lifecycle_check(spark, sf_dir):
+    """The 'does the pipeline hold together' proof: each stage is an
+    already-oracled operator (dedup_exact, dedup_minhash_lsh /
+    dedup_survivors, decontaminate_exact, quality_weighted_sample,
+    pack_sequences_bpe_check, shard_manifest); this query chains them so
+    the COMPOSITION is driver-gated — monotone survivor counts, the
+    sampled set's shard membership and full in-shard permutation, and
+    exactly-once packing of exactly the survivors.
+
+    Scale shape is inherited from the stages: fingerprint dedup is one
+    md5-keyed shuffle, LSH pairs are banded (never all-pairs), the
+    dropped/benchmark sets broadcast, sampling is a map-side hash
+    filter, packing shuffles once on shard id, sharding is map-side."""
+    from polars_lake_spark.operators import bpe as BP
+    from polars_lake_spark.operators import dedup as D
+    from polars_lake_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_input = docs.count()
+
+    # 1. exact dedup: canonical min-id survivor per normalized fingerprint
+    fp = F.md5(TX.normalized(F.col("text")).cast("binary"))
+    wfp = docs.select("doc_id", "text", fp.alias("fp"))
+    groups = D.exact_dedup_groups(docs, "doc_id", "text").select(
+        F.col("fingerprint").alias("fp"), F.col("keeper_id").alias("doc_id")
+    )
+    s1 = wfp.join(groups, ["fp", "doc_id"], "left_semi").localCheckpoint()
+    n_exact = s1.count()
+
+    # 2. near-dup dedup: banded MinHash pairs → components → keep min id
+    pairs = D.minhash_lsh_pairs(
+        s1, "doc_id", "text", n=3, num_perm=128, bands=32, threshold=0.8
+    )
+    comps = connected_components(pairs, "d1", "d2")
+    dropped = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    s2 = s1.join(F.broadcast(dropped), "doc_id", "left_anti")
+    n_neardup = s2.count()
+
+    # 3. exact decontamination vs the held-out benchmark (doc_id%50==0)
+    bench = wfp.filter(F.col("doc_id") % 50 == 0).select("fp").distinct()
+    s3 = s2.filter(F.col("doc_id") % 50 != 0).join(
+        F.broadcast(bench), "fp", "left_anti"
+    )
+
+    # 4. quality-weighted sampling (content-hash draw, no RNG)
+    s4 = SA.weighted_hash_sample(
+        s3, "text", TX.quality_score(F.col("text"))
+    ).localCheckpoint()
+    n_clean, n_sampled = s3.count(), s4.count()
+
+    # 5. tokenizer-aware FFD packing of exactly the survivors
+    budget = 256
+    merges, _sym = BP.train_bpe(
+        BP.word_counts(s4, "text"), n_merges=24, min_frequency=2
+    )
+    packed = BP.bpe_pack(
+        s4, "doc_id", "text", merges, budget=budget, n_shards=4
+    ).localCheckpoint()
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tokens").alias("total")
+    ).localCheckpoint()
+    over = per_pack.filter(
+        (F.col("n_docs") > 1) & (F.col("total") > budget)
+    ).count()
+    bound = (
+        per_pack.filter(F.col("total") * 2 <= budget)
+        .groupBy("shard")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    dup = packed.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    missing = s4.join(packed.select("doc_id"), "doc_id", "left_anti").count()
+    extra = packed.join(s4.select("doc_id"), "doc_id", "left_anti").count()
+
+    # 6. deterministic shard layout of the sampled set
+    sh = SP.shard_assign(s4, "doc_id", num_shards=8, seed="cur")
+    checks = sh.agg(
+        F.sum((F.col("shard_id") + 1) * F.col("doc_id"))
+        .cast("bigint")
+        .alias("shard_check"),
+        F.sum(F.col("pos") * F.col("doc_id")).cast("bigint").alias("ord_check"),
+    ).head()
+
+    return spark.createDataFrame(
+        [(
+            n_input, n_exact, n_neardup, n_clean, n_sampled,
+            int(checks["shard_check"]), int(checks["ord_check"]),
+            over + bound + dup + missing + extra,
+        )],
+        "n_input bigint, n_exact bigint, n_neardup bigint, n_clean bigint, "
+        "n_sampled bigint, shard_check bigint, ord_check bigint, "
+        "violations bigint",
+    )
