@@ -5,15 +5,21 @@ Vanilla Spark SQL cannot mutate parquet-backed views, so
 This shim recognizes the three DML statement shapes and routes them
 through the engine's real mutation paths:
 
-* ``DELETE FROM t [WHERE p]``            → row-exact ``engine.overwrite``
-  with the kept slice (NOT key-based ``engine.delete`` — with non-unique
-  keys a key anti-join deletes every row SHARING a doomed row's key;
-  caught live against the TPC-H lineitem fixture, 600 predicate matches
-  but 896 rows gone)
-* ``UPDATE t SET c = e, ... [WHERE p]``  → row-exact ``engine.overwrite``
-  with ``when(p, e).otherwise(c)`` per column, all SET expressions
+* ``DELETE FROM t [WHERE p]``            → row-exact rewrite of the kept
+  slice (NOT key-based ``engine.delete`` — with non-unique keys a key
+  anti-join deletes every row SHARING a doomed row's key; caught live
+  against the TPC-H lineitem fixture, 600 predicate matches but 896 rows
+  gone). Partitioned tables rewrite ONLY the partitions holding matched
+  rows (``engine.replace_where``: literal-predicate partition pruning,
+  emptied partitions tombstoned); unpartitioned fall back to
+  ``engine.overwrite``
+* ``UPDATE t SET c = e, ... [WHERE p]``  → row-exact rewrite with
+  ``when(p, e).otherwise(c)`` per column, all SET expressions
   evaluated against the OLD row (standard SQL: ``SET a = b, b = a``
-  swaps) — and ``SET c = NULL`` works, unlike a keyed coalesce-merge
+  swaps) — and ``SET c = NULL`` works, unlike a keyed coalesce-merge.
+  Partition-scoped like DELETE when no SET column is a layout
+  (partition/bucket) column; otherwise a full overwrite (rows may
+  migrate partitions)
 * ``INSERT INTO t [(cols)] SELECT ...``  → ``engine.insert`` (listed
   columns resolve case-insensitively, unlisted ones NULL-fill, values
   cast to the table's column types; without a list the mapping is
@@ -428,9 +434,26 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                 )
                 doomed = marked.filter(F.col("__pl_pred")).drop("__pl_pred")
                 kept = marked.filter(~F.col("__pl_pred")).drop("__pl_pred")
-            n = doomed.count()
-            if n:
-                engine.overwrite(name, kept)
+            parts = engine.specs[name].physical_partitioning
+            if parts:
+                # Partition-scoped delete: ONE aggregation gives both the
+                # matched-row count and the touched partitions, then
+                # replace_where rewrites only those (emptied ones are
+                # tombstoned) — never a full-table rewrite.
+                grp = doomed.groupBy(*parts).agg(
+                    F.count(F.lit(1)).alias("__pl_n")
+                ).collect()
+                n = sum(r["__pl_n"] for r in grp)
+                if n:
+                    engine.replace_where(
+                        name,
+                        kept,
+                        touched=[{c: r[c] for c in parts} for r in grp],
+                    )
+            else:
+                n = doomed.count()
+                if n:
+                    engine.overwrite(name, kept)
         return _status(engine, "delete", name, n)
 
     m = _UPDATE.match(query)
@@ -471,9 +494,30 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             updated = base.select(
                 *[assigns.get(c, F.col(c)).alias(c) for c in t.columns]
             )
-            n = base.filter(pred_col).count()
-            if n:
-                engine.overwrite(name, updated)
+            spec = engine.specs[name]
+            parts = spec.physical_partitioning
+            layout_cols = set(spec.partition_by) | set(spec.bucket_by)
+            if parts and not (set(assigns) & layout_cols):
+                # Partition-scoped update: SET doesn't touch any layout
+                # column, so no row migrates partitions — rewrite only
+                # the partitions holding matched rows (one aggregation
+                # for count + touched, same as DELETE). A SET on a
+                # partition/bucket column falls through to the full
+                # overwrite below (rows may move between partitions).
+                grp = base.filter(pred_col).groupBy(*parts).agg(
+                    F.count(F.lit(1)).alias("__pl_n")
+                ).collect()
+                n = sum(r["__pl_n"] for r in grp)
+                if n:
+                    engine.replace_where(
+                        name,
+                        updated,
+                        touched=[{c: r[c] for c in parts} for r in grp],
+                    )
+            else:
+                n = base.filter(pred_col).count()
+                if n:
+                    engine.overwrite(name, updated)
         return _status(engine, "update", name, n)
 
     m = _INSERT.match(query)
@@ -803,11 +847,20 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             n = t.count()
             # keys may rename with the column (row identity is unchanged);
             # layout columns may not (old snapshots' dir names would stop
-            # matching the spec — guarded above).
+            # matching the spec — guarded above). Bloom sizing renames
+            # BEFORE the write (the written frame carries the new name);
+            # if the write then fails, both spec edits roll back so the
+            # manifest never drifts from the data.
+            old_keys = list(spec.keys)
+            old_blooms = dict(spec.bloom_filter_cols)
             spec.keys = [new_c if k == old_c else k for k in spec.keys]
             if old_c in spec.bloom_filter_cols:
                 spec.bloom_filter_cols[new_c] = spec.bloom_filter_cols.pop(old_c)
-            engine.overwrite(name, t.withColumnRenamed(old_c, new_c))
+            try:
+                engine.overwrite(name, t.withColumnRenamed(old_c, new_c))
+            except Exception:
+                spec.keys, spec.bloom_filter_cols = old_keys, old_blooms
+                raise
         return _status(engine, "alter_rename_column", name, n)
 
     if _SHOW_TABLES.match(query):

@@ -921,6 +921,8 @@ class Engine:
                         drop_relpaths, spec.schema_json, base=store.load()
                     )
             elif name in self._mem or self.root is None:
+                from functools import reduce as _reduce
+
                 old = self.table(name)
                 gone = new.select(*parts).distinct()
                 if drop:
@@ -930,7 +932,20 @@ class Engine:
                             old.select(*parts).schema,
                         )
                     )
-                kept = old.join(F.broadcast(gone), parts, "left_anti")
+                # eqNullSafe, not an equi-join on names: a NULL partition
+                # value must still match its own partition (plain `=`
+                # never matches NULL, which would duplicate NULL-partition
+                # rows on replace). Aliased — new may derive from old's
+                # own plan (self-join ambiguity).
+                o, g = old.alias("__rp_o"), F.broadcast(gone.alias("__rp_g"))
+                cond = _reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(f"__rp_o.{c}").eqNullSafe(F.col(f"__rp_g.{c}"))
+                        for c in parts
+                    ],
+                )
+                kept = o.join(g, cond, "left_anti")
                 self._mem[name] = kept.unionByName(new).localCheckpoint(
                     eager=True
                 )
@@ -948,6 +963,67 @@ class Engine:
                 if drop_relpaths:
                     self.spark.catalog.refreshByPath(self._path(name))
             self._register(name)
+
+    def replace_where(
+        self,
+        name: str,
+        new_rows: DataFrame,
+        changed: DataFrame | None = None,
+        *,
+        touched: list[dict] | None = None,
+    ) -> None:
+        """Partition-scoped rewrite — the DELETE/UPDATE write path that
+        does NOT rewrite the whole table: ``changed`` (or a pre-collected
+        ``touched`` partition-tuple list) locates the partitions the
+        mutation touches; ``new_rows`` is the table's complete intended
+        contents, of which only the touched slice is read (LITERAL
+        partition predicate via _prune_to_touched, so the scan prunes)
+        and rewritten; partitions the change empties are tombstoned.
+
+        At 100 TB: DELETE FROM t WHERE day = X reads and writes one
+        partition, not the table — previously every predicate delete was
+        a full static-overwrite rewrite. Falls back to ``overwrite`` for
+        unpartitioned tables. The caller must pin nondeterministic
+        frames first (dml.py does) and must not change partition/bucket
+        columns in ``new_rows`` (rows would migrate partitions — that
+        case needs the full overwrite)."""
+        spec = self._guard_mutable(name)
+        parts = spec.physical_partitioning
+        if not parts:
+            self.overwrite(name, new_rows)
+            return
+        with self._lock(name):
+            if touched is None:
+                if changed is None:
+                    raise ValueError("replace_where needs changed or touched")
+                touched = [
+                    {c: r[c] for c in parts}
+                    for r in changed.select(*parts).distinct().collect()
+                ]
+            if not touched:
+                return
+            for d in touched:
+                if set(d) != set(parts):
+                    raise ValueError(
+                        f"touched entry {d} must name exactly the "
+                        f"partition columns {parts}"
+                    )
+            tdf = self.spark.createDataFrame(
+                [tuple(d[c] for c in parts) for d in touched],
+                new_rows.select(*parts).schema,
+            )
+            merged = self._prune_to_touched(
+                new_rows, tdf, parts
+            ).localCheckpoint(eager=True)
+            present = {
+                tuple(r[c] for c in parts)
+                for r in merged.select(*parts).distinct().collect()
+            }
+            emptied = [
+                d for d in touched
+                if tuple(d[c] for c in parts) not in present
+            ]
+            self.replace_partitions(name, merged, drop=emptied)
 
     def upsert(
         self,
@@ -1160,14 +1236,28 @@ class Engine:
             self._register(dst)
 
     def delete(self, name: str, deletes: DataFrame, keys: list[str] | None = None) -> None:
-        """Delete by key — anti join (reference TODO /root/reference/src/main.rs:31)."""
+        """Delete by key — anti join (reference TODO /root/reference/src/main.rs:31).
+
+        Partitioned tables take the partition-scoped path: the doomed
+        rows (a semi join on the delete keys) locate the touched
+        partitions, and ``replace_where`` rewrites only those — a keyed
+        delete against a day-partitioned 100 TB table costs the touched
+        days, not a full static-overwrite rewrite."""
         spec = self._guard_mutable(name)
         keys = list(keys or spec.keys)
         if not keys:
             raise ValueError(f"no delete keys for table {name}")
         with self._lock(name):
-            remaining = M.delete_keys(self.table(name), deletes, keys)
-            if spec.versioned:
+            t = self.table(name)
+            remaining = M.delete_keys(t, deletes, keys)
+            if spec.physical_partitioning:
+                doomed = t.join(
+                    F.broadcast(deletes.select(*keys).distinct()),
+                    keys,
+                    "left_semi",
+                )
+                self.replace_where(name, remaining, doomed)
+            elif spec.versioned:
                 self._write_versioned(remaining, spec, op="rewrite")
             elif name in self._mem or self.root is None:
                 self._mem[name] = remaining

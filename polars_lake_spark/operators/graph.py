@@ -248,13 +248,20 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    prev = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.id)
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("component").alias("nmin"))
         )
+        # Lineage TRUNCATED per round (eager localCheckpoint), exactly
+        # like _two_star_components: each round references `labels`
+        # twice (the neighbor_min join and the left join), so a persist
+        # alone — which caches DATA but not the analyzed PLAN — doubles
+        # the plan tree every round. Measured: 6.9 GB of Catalyst
+        # TreeNodes by round 7 on an ELEVEN-edge graph, OOMing an 8 GB
+        # driver (the r7 full-suite failure). Old checkpoint blocks are
+        # reaped by the ContextCleaner as rounds drop their references.
         updated = (
             labels.join(neighbor_min, "id", "left")
             .select(
@@ -266,11 +273,8 @@ def connected_components(
                     "__chg"
                 ),
             )
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        changed = updated.filter(F.col("__chg")).limit(1).count()  # materialize
-        if prev is not None:
-            prev.unpersist()
-        prev = updated
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("__chg")).limit(1).count()
         labels = updated.drop("__chg")
         if changed == 0:
             break
@@ -279,19 +283,14 @@ def connected_components(
         # mid-propagation look plausible). A graph deeper than max_iter
         # is exactly the long-chain shape the diameter-independent
         # algorithm exists for — say so.
-        if prev is not None:
-            prev.unpersist()
         edges.unpersist()
         raise RuntimeError(
             f"label_prop did not converge within {max_iter} rounds; "
             "this graph is deeper than the near-dup assumption — rerun "
             "with algorithm='two_star' (O(log^2 n) rounds)"
         )
-    result = labels.localCheckpoint(eager=True)
-    if prev is not None:
-        prev.unpersist()
     edges.unpersist()
-    return result
+    return labels
 
 
 def pagerank(

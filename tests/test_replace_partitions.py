@@ -148,3 +148,108 @@ def test_replace_and_drop_in_memory(spark, eng):
     eng.replace_partitions("mem", repl, drop=[{"p": 2}])
     got = {(r.p, r.id) for r in eng.table("mem").collect()}
     assert got == {(0, 7), (1, 100), (1, 101)}
+
+
+# --- partition-scoped DML (replace_where) -----------------------------------
+
+
+def test_sql_delete_partitioned_rewrites_only_touched(spark, eng):
+    """DELETE on a partitioned table rewrites only the partitions holding
+    matched rows: untouched partition files are byte-for-byte untouched,
+    a fully-deleted partition's directory is tombstoned away, and the
+    surviving rows are row-exact."""
+    _seed(spark, eng, "sd")
+    root = eng._path("sd")
+    before = _files_of(root, "p=3")
+
+    # p=2 fully deleted; p=1 partially; p=0 and p=3 untouched
+    st = eng.sql("DELETE FROM sd WHERE p = 2 OR (p = 1 AND id < 103)").head()
+    assert (st["operation"], st["n_affected"]) == ("delete", 8)
+    got = {(r.p, r.id) for r in eng.table("sd").collect()}
+    assert {p for p, _ in got} == {0, 1, 3}
+    assert sum(1 for p, _ in got if p == 1) == 2
+    assert not os.path.exists(os.path.join(root, "p=2"))
+    assert _files_of(root, "p=3") == before
+
+
+def test_sql_delete_partitioned_versioned_carries_untouched(spark, eng):
+    _seed(spark, eng, "sdv", versioned=True)
+    store = eng._snapstore("sdv")
+    v1 = store.load()
+    st = eng.sql("DELETE FROM sdv WHERE p = 2 OR (p = 1 AND id < 103)").head()
+    assert st["n_affected"] == 8
+    v2 = store.load()
+    assert v2.mapping["p=0"] == v1.mapping["p=0"]  # by reference
+    assert v2.mapping["p=3"] == v1.mapping["p=3"]
+    assert v2.mapping["p=1"] != v1.mapping["p=1"]  # rewritten
+    assert "p=2" not in v2.mapping  # tombstoned
+    # pre-delete version still reads everything
+    assert eng.table("sdv", version=v1.version).count() == 20
+    assert eng.table("sdv").count() == 12
+
+
+def test_sql_update_partitioned_rewrites_only_touched(spark, eng):
+    _seed(spark, eng, "su")
+    root = eng._path("su")
+    before = _files_of(root, "p=0")
+    st = eng.sql("UPDATE su SET v = v + 100 WHERE p = 2").head()
+    assert (st["operation"], st["n_affected"]) == ("update", 5)
+    rows = {(r.p, r.id): r.v for r in eng.table("su").collect()}
+    assert rows[(2, 200)] == 100.0 and rows[(2, 204)] == 104.0
+    assert rows[(0, 0)] == 0.0  # untouched values
+    assert len(rows) == 20
+    assert _files_of(root, "p=0") == before  # untouched files
+
+
+def test_sql_update_on_partition_column_migrates_rows(spark, eng):
+    """SET on a partition column falls back to the full overwrite — the
+    row must actually MOVE to its new partition directory."""
+    _seed(spark, eng, "sm")
+    st = eng.sql("UPDATE sm SET p = 9 WHERE p = 1").head()
+    assert st["n_affected"] == 5
+    got = {r.p for r in eng.table("sm").select("p").distinct().collect()}
+    assert got == {0, 2, 3, 9}
+    assert eng.table("sm").filter("p = 9").count() == 5
+    root = eng._path("sm")
+    assert not os.path.exists(os.path.join(root, "p=1"))
+
+
+def test_engine_delete_keyed_partitioned_scoped(spark, eng):
+    _seed(spark, eng, "kd")
+    eng.specs["kd"].keys = ["id"]
+    root = eng._path("kd")
+    before = _files_of(root, "p=0")
+    # delete every row of p=2 plus two rows of p=3, by key
+    doomed = spark.createDataFrame(
+        [(i,) for i in (200, 201, 202, 203, 204, 300, 301)], "id bigint"
+    )
+    eng.delete("kd", doomed)
+    got = {(r.p, r.id) for r in eng.table("kd").collect()}
+    assert {p for p, _ in got} == {0, 1, 3}
+    assert sum(1 for p, _ in got if p == 3) == 3
+    assert not os.path.exists(os.path.join(root, "p=2"))
+    assert _files_of(root, "p=0") == before
+
+
+def test_replace_where_null_partition_in_memory(spark, eng):
+    """NULL partition values must match themselves (eqNullSafe) in the
+    in-memory replace path — a plain equi-join would keep the old
+    NULL-partition rows and duplicate them."""
+    df = spark.createDataFrame(
+        [(None, 1, 1.0), (None, 2, 2.0), (5, 3, 3.0)],
+        "p int, id bigint, v double",
+    )
+    eng.create_table("nm", df, partition_by=["p"], save=False)
+    repl = spark.createDataFrame([(None, 9, 9.0)], "p int, id bigint, v double")
+    eng.replace_partitions("nm", repl)
+    got = {(r.p, r.id) for r in eng.table("nm").collect()}
+    assert got == {(None, 9), (5, 3)}
+
+
+def test_sql_delete_partitioned_nondeterministic_predicate(spark, eng):
+    """The rand() pin still holds on the partition-scoped path: count,
+    touched partitions, and the rewrite all see ONE evaluation."""
+    _seed(spark, eng, "nd")
+    st = eng.sql("DELETE FROM nd WHERE rand() < 0.5").head()
+    n = st["n_affected"]
+    assert eng.table("nd").count() == 20 - n
