@@ -188,6 +188,14 @@ def lifecycle_bench(spark, sf_dir: str) -> dict[str, float]:
             list(pool.map(point, keys))
         out["lifecycle_point_queries_20threads"] = round(time.perf_counter() - t0, 3)
         df.unpersist()
+
+        # r7: partition-scoped DELETE — the statement matches one
+        # l_returnflag partition, so replace_where rewrites only that
+        # slice (previously a full static-overwrite rewrite; compare
+        # against lifecycle_bulk_upsert's full-width write cost).
+        t0 = time.perf_counter()
+        e2.sql("DELETE FROM li WHERE l_returnflag = 'R' AND l_quantity < 5")
+        out["lifecycle_scoped_delete"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
