@@ -346,14 +346,29 @@ class Engine:
         op: str,
         meta: dict | None = None,
         drop_relpaths: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ):
         """One immutable write dir + one snapshot commit (snapshots.py).
         Writes never overwrite dirs a reader (or this plan's own input
         scan) may hold — no localCheckpoint staging needed.  ``meta`` is
         recorded inside the commit manifest (atomic with the data);
-        ``drop_relpaths`` tombstones partitions out of the new mapping."""
+        ``drop_relpaths`` tombstones partitions out of the new mapping.
+
+        ``txn=(app, version)`` records an idempotent-writer watermark
+        (Delta's txnAppId/txnVersion analog) ATOMICALLY with the data:
+        every versioned commit carries the per-app watermark map forward
+        in ``meta["txn"]``, so a replayed batch is detectable from the
+        LATEST snapshot alone — no history walk. ``restore`` rolls
+        watermarks back with the data they describe (a restored state
+        legitimately needs its later batches re-applied)."""
         store = self._snapstore(spec.name)
         base = store.load() if store.versions() else None
+        wm = dict((base.meta or {}).get("txn", {})) if base else {}
+        if txn is not None:
+            app, ver = txn
+            wm[str(app)] = max(int(ver), wm.get(str(app), int(ver)))
+        if wm:
+            meta = {**(meta or {}), "txn": wm}
         wname, wpath = store.new_write_dir()
         spec.schema_json = df.schema.json()
         writer = df.write.mode("overwrite")
@@ -796,16 +811,58 @@ class Engine:
                 )
         return df
 
-    def insert(self, name: str, df: DataFrame, *, save: bool = True) -> None:
+    def txn_version(self, name: str, app: str) -> int | None:
+        """Highest transaction version recorded for idempotent writer
+        ``app`` on versioned table ``name`` (Delta's txnVersion analog),
+        read from the LATEST snapshot's watermark map — every versioned
+        commit carries the map forward, so no history walk. None before
+        the app's first tracked write."""
+        store = self._snapstore(name)
+        if not store.versions():
+            return None
+        v = ((store.load().meta or {}).get("txn", {})).get(str(app))
+        return int(v) if v is not None else None
+
+    def _txn_skip(self, name: str, spec: TableSpec, txn) -> bool:
+        """True when ``txn=(app, version)`` was already applied — the
+        exactly-once guard for replayed micro-batches. Must be called
+        INSIDE the table lock so check-then-write is atomic."""
+        if txn is None:
+            return False
+        if not spec.versioned:
+            raise ValueError(
+                f"txn requires a versioned table; {name} is not versioned"
+            )
+        app, ver = txn
+        seen = self.txn_version(name, app)
+        return seen is not None and int(ver) <= seen
+
+    def insert(
+        self,
+        name: str,
+        df: DataFrame,
+        *,
+        save: bool = True,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
         """Append (``/root/reference/src/dataset.rs:271-295``): the shuffle
         on partition columns replaces the reference's HashMap routing of
-        rows to parts."""
+        rows to parts.
+
+        ``txn=(app, version)`` makes the append IDEMPOTENT on a
+        versioned table: a replayed batch whose version is at or below
+        the app's recorded watermark is skipped — exactly-once appends
+        under foreachBatch replay, which a plain append cannot give
+        (replays duplicate rows; upsert only masks that for keyed data).
+        """
         spec = self._guard_mutable(name)
         with self._lock(name):
+            if self._txn_skip(name, spec, txn):
+                return
             df = self._with_layout(df.select(*[c for c in df.columns]), spec)
             self._enforce(spec, df)
             if spec.versioned:
-                self._write_versioned(df, spec, op="append")
+                self._write_versioned(df, spec, op="append", txn=txn)
             elif save and name not in self._mem:
                 self._write(df, spec, mode="append")
             else:
@@ -816,10 +873,16 @@ class Engine:
                 self._bump_pending(name)
             self._register(name)
 
-    def overwrite(self, name: str, df: DataFrame) -> None:
+    def overwrite(
+        self,
+        name: str,
+        df: DataFrame,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
         """INSERT OVERWRITE TABLE analog: atomically replace the table's
         FULL contents (unlike ``upsert``, which merges by key and cannot
-        drop rows absent from the source).
+        drop rows absent from the source).  ``txn`` as in ``insert``.
 
         Versioned tables publish one 'rewrite' snapshot — new state and
         old state never mix, readers pinned to a prior version are
@@ -832,10 +895,12 @@ class Engine:
         incremental heavy-hitters sketch (operators/heavy.py)."""
         spec = self._guard_mutable(name)
         with self._lock(name):
+            if self._txn_skip(name, spec, txn):
+                return
             new = self._with_layout(df, spec)
             self._enforce(spec, new)
             if spec.versioned:
-                self._write_versioned(new, spec, op="rewrite")
+                self._write_versioned(new, spec, op="rewrite", txn=txn)
             elif name in self._mem or self.root is None:
                 self._mem[name] = new.localCheckpoint(eager=True)
             else:
@@ -1034,6 +1099,7 @@ class Engine:
         save: bool = True,
         evolve: bool = False,
         audit: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> None:
         """Keyed merge with reference coalesce semantics (operators/merge.py).
 
@@ -1045,12 +1111,17 @@ class Engine:
         /root/reference/src/dataset.rs:306-317): partition/bucket columns
         must be stable under updates (i.e. functions of the key), else a
         row could migrate partitions and leave its old copy behind.
+
+        ``txn=(app, version)`` (versioned tables): skip the merge when
+        the app's watermark already covers ``version`` — see ``insert``.
         """
         spec = self._guard_mutable(name)
         keys = list(keys or spec.keys)
         if not keys:
             raise ValueError(f"no upsert keys for table {name}")
         with self._lock(name):
+            if self._txn_skip(name, spec, txn):
+                return
             new = self._with_layout(df, spec)
             old = self.table(name)
             if spec.versioned:
@@ -1068,7 +1139,7 @@ class Engine:
                 # No localCheckpoint staging: the write lands in a FRESH
                 # immutable dir, so the plan's input scans are never
                 # overwritten mid-query (the snapshot-isolation win).
-                self._write_versioned(merged, spec, op=op)
+                self._write_versioned(merged, spec, op=op, txn=txn)
             elif save and name not in self._mem:
                 parts = spec.physical_partitioning
                 if parts:

@@ -28,10 +28,10 @@ REGISTRY: dict[str, Query] = {}
 # which get a fresh correctness row each round.  This list is a VERIFICATION
 # ROTATION, strictly oldest-evidence-first — queries added or changed
 # this round always lead, so nothing ships unverified:
-#   the r7 window (50) = 3 NEW + 3 changed + the 19 r3-greens (oldest
+#   the r7 window (50) = 4 NEW + 3 changed + the 19 r3-greens (oldest
 #   driver evidence in the registry after r6 refreshed everything
-#   r2-era) + the 25 oldest r4-greens (r4 gate order).  The remaining
-#   23 r4-greens lead r8; after r8's window the oldest evidence
+#   r2-era) + the 24 oldest r4-greens (r4 gate order).  The remaining
+#   24 r4-greens lead r8; after r8's window the oldest evidence
 #   anywhere will be r5.  The full list now covers EVERY registered
 #   query, evidence-ordered, so future rotations are a pure reshuffle.
 #   Every deferred query is still verified every session by
@@ -44,6 +44,7 @@ CHECK_PRIORITY: list[str] = [
     "curation_lifecycle_check",
     "sql_ddl_lifecycle",
     "sql_dml_partitioned_lifecycle",
+    "exactly_once_ingest_check",
     # -- changed r7: ANN CDC sync now tombstones emptied cells (no
     # full-rewrite fallback) and runs under the table lock; the INSERT
     # statement path was refactored into _insert_frame shared with
@@ -99,10 +100,10 @@ CHECK_PRIORITY: list[str] = [
     "dedup_embedding_cosine",
     "similarity_topk",
     "similarity_ann_lsh",
-    "similarity_ivf",
     # ------ 50-slot window boundary ------------------------------------
     # -- r8 front-runners: the remaining r4-greens (oldest evidence) ----
 
+    "similarity_ivf",
     "text_stats",
     "text_quality_filter",
     "text_lang_id",

@@ -782,3 +782,66 @@ def sql_dml_partitioned_lifecycle(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "exactly_once_ingest_check",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_orderkey % 11 = 0),
+    b1 AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice
+           FROM base WHERE o_orderkey % 2 = 0),
+    b2 AS (SELECT o_orderkey + 200000000 AS o_orderkey, o_totalprice
+           FROM base WHERE o_orderkey % 2 = 1)
+    SELECT o_orderkey, o_totalprice FROM base
+    UNION ALL SELECT * FROM b1
+    UNION ALL SELECT * FROM b2
+    """,
+    doc="Exactly-once ingest gate (r7): idempotent-writer transaction "
+    "watermarks (Delta txnAppId/txnVersion analog) — batch 1, an "
+    "unrelated write, batch 2, then FULL REPLAYS of both batches, which "
+    "the engine skips off the watermark riding in the latest snapshot. "
+    "DuckDB replays the exactly-once application relationally.",
+)
+def exactly_once_ingest_check(spark, sf_dir):
+    """Appends are the ingest mode foreachBatch replay genuinely
+    corrupts (a re-run epoch duplicates rows). Apply two append batches
+    with ``txn=('loader', n)``, interleave an untracked upsert (the
+    watermark must carry across unrelated commits), then replay BOTH
+    batches — each must be a no-op, leaving exactly base ∪ b1 ∪ b2 for
+    DuckDB to pin value-exactly."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_txn_")
+    try:
+        eng = Engine(spark, root)
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .filter(F.col("o_orderkey") % 11 == 0)
+            .localCheckpoint(eager=True)
+        )
+        b1 = base.filter(F.col("o_orderkey") % 2 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_totalprice",
+        )
+        b2 = base.filter(F.col("o_orderkey") % 2 == 1).select(
+            (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+            "o_totalprice",
+        )
+        eng.create_table("eo", base, keys=["o_orderkey"], versioned=True)
+        eng.insert("eo", b1, txn=("loader", 1))
+        # unrelated writer commits in between; watermark must survive it
+        eng.upsert("eo", base.limit(1))
+        eng.insert("eo", b2, txn=("loader", 2))
+        # crash-replay of both epochs: skipped via the snapshot watermark
+        eng.insert("eo", b1, txn=("loader", 1))
+        eng.insert("eo", b2, txn=("loader", 2))
+        out = eng.table("eo").select("o_orderkey", "o_totalprice")
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

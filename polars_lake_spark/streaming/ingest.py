@@ -78,15 +78,57 @@ def stream_upsert(
     keys: list[str] | None = None,
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    txn_app: str | None = None,
 ):
     """foreachBatch → keyed merge. Each micro-batch is merged with the
     reference's coalesce semantics; the checkpoint gives exactly-once
-    batch tracking across restarts."""
+    batch tracking across restarts.
+
+    ``txn_app`` (versioned targets) additionally records the epoch id as
+    the app's transaction watermark INSIDE the commit, closing the
+    checkpoint gap: if the process dies between the merge landing and
+    the streaming checkpoint advancing, the replayed epoch is skipped by
+    the engine itself (upsert replay is idempotent for keyed data, but
+    the watermark also keeps the version history replay-clean)."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        engine.upsert(table, batch_df, keys)
+        engine.upsert(
+            table,
+            batch_df,
+            keys,
+            txn=(txn_app, batch_id) if txn_app else None,
+        )
 
     writer = stream_df.writeStream.foreachBatch(merge_batch).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_append(
+    engine,
+    table: str,
+    stream_df: DataFrame,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    txn_app: str = "stream_append",
+):
+    """foreachBatch → EXACTLY-ONCE append into a versioned table.
+
+    A plain append is the one ingest mode foreachBatch replay genuinely
+    corrupts — a re-run epoch duplicates its rows (upsert merely
+    re-merges). The epoch id is recorded as a transaction watermark
+    atomically with the data (``Engine.insert(txn=...)``), so a replayed
+    epoch — crash after commit but before the streaming checkpoint
+    advanced — is a no-op. This is Delta's txnAppId/txnVersion idempotent
+    sink pattern on the engine's own snapshot layer."""
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        engine.insert(table, batch_df, txn=(txn_app, batch_id))
+
+    writer = stream_df.writeStream.foreachBatch(append_batch).outputMode("append")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     if available_now:
