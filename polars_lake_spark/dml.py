@@ -50,6 +50,9 @@ through the engine's real mutation paths:
   partitioning, in-memory flag)
 * ``DESCRIBE [TABLE] t`` → (col_name, data_type, comment) with
   partition/bucket/key columns flagged; non-engine names fall through
+* ``DESCRIBE HISTORY t`` → one row per snapshot (version, operation,
+  timestamp, n_partitions) — Delta's DESCRIBE HISTORY analog
+* ``RESTORE [TABLE] t TO VERSION AS OF n`` → ``engine.restore``
 * time travel: any ``t [FOR] VERSION AS OF n`` / ``t [FOR] TIMESTAMP AS
   OF 'ts'`` reference to a VERSIONED engine table — in a bare SELECT or
   inside any DML's source subquery — is rewritten to a version-pinned
@@ -150,8 +153,16 @@ _INSERT_OVERWRITE = re.compile(
     re.I | re.S,
 )
 _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.I)
+_DESCRIBE_HISTORY = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+HISTORY\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I
+)
 _DESCRIBE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*;?\s*$", re.I
+)
+_RESTORE = re.compile(
+    r"^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s+TO\s+VERSION\s+"
+    r"AS\s+OF\s+(\d+)\s*;?\s*$",
+    re.I,
 )
 _TIMETRAVEL = re.compile(
     r"\b([A-Za-z_][\w.]*)\s+(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
@@ -879,6 +890,39 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             "tableName string, format string, versioned boolean, "
             "partitionedBy string, isTemporary boolean",
         )
+
+    m = _DESCRIBE_HISTORY.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        rows = [
+            (
+                h["version"],
+                h["op"],
+                h["ts_ns"] // 1000,  # µs — Spark timestamps carry no ns
+                h["n_partitions"],
+            )
+            for h in engine.history(name)
+        ]
+        return engine.spark.createDataFrame(
+            rows,
+            "version bigint, operation string, ts_us bigint, "
+            "n_partitions bigint",
+        ).selectExpr(
+            "version",
+            "operation",
+            "timestamp_micros(ts_us) AS timestamp",
+            "n_partitions",
+        )
+
+    m = _RESTORE.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        engine.restore(name, int(m.group(2)))
+        return _status(engine, "restore", name, 0)
 
     m = _DESCRIBE.match(query)
     if m:

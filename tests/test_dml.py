@@ -648,3 +648,21 @@ def test_show_tables_and_describe(eng, spark):
     spark.range(3).createOrReplaceTempView("plainview")
     out = eng.sql("DESCRIBE plainview")
     assert "col_name" in out.columns
+
+
+def test_describe_history_and_restore_statements(eng, spark):
+    df = spark.createDataFrame([(1, 1.0)], "id bigint, v double")
+    eng.create_table("h", df, keys=["id"], versioned=True)
+    eng.sql("UPDATE h SET v = 2.0 WHERE id = 1")
+    hist = eng.sql("DESCRIBE HISTORY h").collect()
+    assert [r.version for r in hist] == [1, 2]
+    assert hist[0].operation == "create"
+    assert hist[1].timestamp >= hist[0].timestamp
+    st = eng.sql("RESTORE TABLE h TO VERSION AS OF 1").head()
+    assert st["operation"] == "restore"
+    assert eng.table("h").head().v == 1.0
+    # restore is itself a new audited version
+    assert len(eng.sql("DESCRIBE HISTORY h").collect()) == 3
+    # non-engine name falls through (and errors in spark.sql)
+    with pytest.raises(Exception):
+        eng.sql("DESCRIBE HISTORY no_such").collect()

@@ -287,3 +287,21 @@ def test_bloom_semi_join_prefilter_is_map_side(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row bitmap
     assert "LeftSemi" in plan
+
+
+def test_replace_where_scan_partition_prunes(spark, sf_dir, tmp_path):
+    """The partition-scoped DML rewrite must PRUNE its read: the kept
+    slice restricted via _prune_to_touched compiles to a literal
+    PartitionFilters entry at the scan — a semi join would scan every
+    partition just to rewrite one (the 100 TB point of replace_where)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    engine = Engine(spark, str(tmp_path))
+    engine.create_table("liw", li, partition_by=["l_returnflag"])
+    t = engine.table("liw")
+    kept = t.filter(~((F.col("l_returnflag") == "R") & (F.col("l_quantity") < 5)))
+    touched = spark.createDataFrame([("R",)], "l_returnflag string")
+    pruned = engine._prune_to_touched(kept, touched, ["l_returnflag"])
+    plan = plan_of(pruned)
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "l_returnflag" in seg and seg.strip(": [") != ""

