@@ -27,7 +27,10 @@ through the engine's real mutation paths:
 * ``MERGE INTO t USING src|(<select>) [AS a] ON <key equalities>
   WHEN [NOT] MATCHED [AND c] THEN DELETE | UPDATE SET * | INSERT *``
   → ``engine.merge`` (the ON conjunction supplies the merge keys)
-* ``CREATE TABLE t AS SELECT ...``       → ``engine.create_table_as``
+* ``CREATE [VERSIONED] TABLE t [PARTITIONED BY (cols)] AS SELECT
+  ...`` → ``engine.create_table_as``
+* ``SHOW PARTITIONS t`` → partition rel-paths, METADATA-only
+  (snapshot mapping keys / directory names — never a data scan)
 * ``DROP TABLE [IF EXISTS] t``           → ``engine.drop_table``
 * ``ANALYZE TABLE t [COMPUTE STATISTICS [FOR COLUMNS c, ...]]``
   → ``engine.analyze_table`` (stats persist in the manifest)
@@ -89,8 +92,13 @@ _UPDATE = re.compile(
     re.I | re.S,
 )
 _CTAS = re.compile(
-    r"^\s*CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s+AS\s+(SELECT\b.+?)\s*;?\s*$",
+    r"^\s*CREATE\s+(VERSIONED\s+)?TABLE\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?"
+    r"\s+AS\s+(SELECT\b.+?)\s*;?\s*$",
     re.I | re.S,
+)
+_SHOW_PARTITIONS = re.compile(
+    r"^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I
 )
 _DROP = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
@@ -559,12 +567,59 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
 
     m = _CTAS.match(query)
     if m:
-        raw = m.group(1)
+        raw = m.group(2)
         if _resolve(engine, raw) is not None:
             raise ValueError(f"CREATE TABLE {raw}: table already exists")
-        engine.create_table_as(raw, m.group(2))
+        kwargs = {}
+        if m.group(1):
+            kwargs["versioned"] = True
+        if m.group(3):
+            kwargs["partition_by"] = [
+                c.strip() for c in m.group(3).split(",") if c.strip()
+            ]
+        engine.create_table_as(raw, m.group(4), **kwargs)
         n = engine.table(raw).count()
         return _status(engine, "create_table_as", raw, n)
+
+    m = _SHOW_PARTITIONS.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None  # let spark.sql answer for catalog tables
+        spec = engine.specs[name]
+        parts = spec.physical_partitioning
+        if not parts:
+            raise ValueError(f"SHOW PARTITIONS {name}: not a partitioned table")
+        # METADATA-only at 100 TB: versioned tables read the snapshot
+        # mapping keys, on-disk tables walk directory names — never a
+        # data scan. In-memory tables have no dirs; one distinct job.
+        if spec.versioned:
+            rels = sorted(
+                p for p in engine._snapstore(name).load().mapping if p
+            )
+        elif name not in engine._mem and engine.root is not None:
+            import os as _os
+
+            from polars_lake_spark.layout import hive_relpath as _hr
+
+            root = engine._path(name)
+            rels = set()
+            for cur, _dirs, files in _os.walk(root):
+                if any(f.endswith(".parquet") for f in files):
+                    rel = _os.path.relpath(cur, root).replace(_os.sep, "/")
+                    if rel != ".":
+                        rels.add(rel)
+            rels = sorted(rels)
+        else:
+            from polars_lake_spark.layout import hive_relpath as _hr
+
+            rels = sorted(
+                _hr(parts, [r[c] for c in parts])
+                for r in engine.table(name).select(*parts).distinct().collect()
+            )
+        return engine.spark.createDataFrame(
+            [(p,) for p in rels], "partition string"
+        )
 
     m = _DROP.match(query)
     if m:

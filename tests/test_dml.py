@@ -666,3 +666,30 @@ def test_describe_history_and_restore_statements(eng, spark):
     # non-engine name falls through (and errors in spark.sql)
     with pytest.raises(Exception):
         eng.sql("DESCRIBE HISTORY no_such").collect()
+
+
+def test_ctas_partitioned_versioned_and_show_partitions(eng, spark):
+    st = eng.sql(
+        "CREATE VERSIONED TABLE tp PARTITIONED BY (grp) "
+        "AS SELECT id, grp, val FROM t"
+    ).head()
+    assert (st["operation"], st["n_affected"]) == ("create_table_as", 20)
+    spec = eng.specs["tp"]
+    assert spec.versioned and spec.partition_by == ["grp"]
+    # versioned: SHOW PARTITIONS reads the snapshot mapping (no scan)
+    got = [r.partition for r in eng.sql("SHOW PARTITIONS tp").collect()]
+    assert got == ["grp=g0", "grp=g1", "grp=g2"]
+    # partition pruning works on the CTAS table
+    assert eng.sql("SELECT count(*) AS n FROM tp WHERE grp = 'g0'").head()["n"] == 7
+
+    # plain partitioned: directory walk
+    eng.sql("CREATE TABLE tp2 PARTITIONED BY (grp) AS SELECT * FROM t")
+    got2 = [r.partition for r in eng.sql("SHOW PARTITIONS tp2").collect()]
+    assert got2 == ["grp=g0", "grp=g1", "grp=g2"]
+    # a DELETE emptying one partition drops it from the listing
+    eng.sql("DELETE FROM tp2 WHERE grp = 'g1'")
+    got3 = [r.partition for r in eng.sql("SHOW PARTITIONS tp2").collect()]
+    assert got3 == ["grp=g0", "grp=g2"]
+
+    with pytest.raises(ValueError, match="not a partitioned"):
+        eng.sql("SHOW PARTITIONS t")
