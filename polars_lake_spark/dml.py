@@ -83,6 +83,8 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from polars_lake_spark.layout import BUCKET_COL as _BUCKET_COL
+
 _DELETE = re.compile(
     r"^\s*DELETE\s+FROM\s+([A-Za-z_][\w.]*)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
     re.I | re.S,
@@ -353,6 +355,8 @@ def _guard_layout_columns(
     consistently), and CHECK constraints hold SQL text that would dangle.
     """
     layout = set(spec.partition_by) | set(spec.bucket_by)
+    if spec.bucket_by:
+        layout.add(_BUCKET_COL)  # the derived physical bucket column
     bad = sorted(c for c in cols if c in layout)
     if bad:
         raise ValueError(
@@ -367,8 +371,12 @@ def _guard_layout_columns(
                 f"columns {badk}"
             )
     for cname, expr in spec.constraints.items():
+        # case-INSENSITIVE: Spark resolves constraint column references
+        # case-insensitively, so 'CHECK (VAL >= 0)' guards column 'val' —
+        # a case-sensitive scan would let the drop orphan the constraint
+        # and brick every later write (r7 review finding)
         hit = sorted(
-            c for c in cols if re.search(rf"\b{re.escape(c)}\b", expr)
+            c for c in cols if re.search(rf"\b{re.escape(c)}\b", expr, re.I)
         )
         if hit:
             raise ValueError(
@@ -515,7 +523,18 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             )
             spec = engine.specs[name]
             parts = spec.physical_partitioning
-            layout_cols = set(spec.partition_by) | set(spec.bucket_by)
+            if spec.bucket_by and _BUCKET_COL in assigns:
+                # the derived bucket column is recomputed from its source
+                # columns on every write — a direct SET would be silently
+                # ignored (full-overwrite path) or, worse, desync the
+                # scoped path's touched-partition math (r7 review finding)
+                raise ValueError(
+                    f"UPDATE {name}: {_BUCKET_COL!r} is derived from "
+                    f"{spec.bucket_by}; SET its source columns instead"
+                )
+            layout_cols = (
+                set(spec.partition_by) | set(spec.bucket_by) | {_BUCKET_COL}
+            )
             if parts and not (set(assigns) & layout_cols):
                 # Partition-scoped update: SET doesn't touch any layout
                 # column, so no row migrates partitions — rewrite only
@@ -598,18 +617,10 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                 p for p in engine._snapstore(name).load().mapping if p
             )
         elif name not in engine._mem and engine.root is not None:
-            import os as _os
+            # same walk the snapshot layer uses — one naming authority
+            from polars_lake_spark.snapshots import _partition_relpaths
 
-            from polars_lake_spark.layout import hive_relpath as _hr
-
-            root = engine._path(name)
-            rels = set()
-            for cur, _dirs, files in _os.walk(root):
-                if any(f.endswith(".parquet") for f in files):
-                    rel = _os.path.relpath(cur, root).replace(_os.sep, "/")
-                    if rel != ".":
-                        rels.add(rel)
-            rels = sorted(rels)
+            rels = [p for p in _partition_relpaths(engine._path(name)) if p]
         else:
             from polars_lake_spark.layout import hive_relpath as _hr
 
@@ -891,7 +902,30 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     f"ALTER TABLE {name}: cannot drop every column"
                 )
             n = t.count()
-            engine.overwrite(name, t.drop(*doomed))
+            # spec hygiene: dropped columns must leave bloom sizing and
+            # persisted column stats too, or the manifest carries phantom
+            # entries that mis-size a later re-added column's bloom
+            # filter (r7 review finding). Rolled back on a failed write,
+            # same discipline as RENAME.
+            old_blooms = dict(spec.bloom_filter_cols)
+            old_stats = spec.stats
+            for c in doomed:
+                spec.bloom_filter_cols.pop(c, None)
+            if spec.stats and spec.stats.get("columns"):
+                spec.stats = {
+                    **spec.stats,
+                    "columns": {
+                        k: v
+                        for k, v in spec.stats["columns"].items()
+                        if k not in doomed
+                    },
+                }
+            try:
+                engine.overwrite(name, t.drop(*doomed))
+            except Exception:
+                spec.bloom_filter_cols = old_blooms
+                spec.stats = old_stats
+                raise
         return _status(engine, "alter_drop_column", name, n)
 
     m = _ALTER_RENAME_COLUMN.match(query)
@@ -919,13 +953,19 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             # manifest never drifts from the data.
             old_keys = list(spec.keys)
             old_blooms = dict(spec.bloom_filter_cols)
+            old_stats = spec.stats
             spec.keys = [new_c if k == old_c else k for k in spec.keys]
             if old_c in spec.bloom_filter_cols:
                 spec.bloom_filter_cols[new_c] = spec.bloom_filter_cols.pop(old_c)
+            if spec.stats and old_c in (spec.stats.get("columns") or {}):
+                cols_stats = dict(spec.stats["columns"])
+                cols_stats[new_c] = cols_stats.pop(old_c)
+                spec.stats = {**spec.stats, "columns": cols_stats}
             try:
                 engine.overwrite(name, t.withColumnRenamed(old_c, new_c))
             except Exception:
                 spec.keys, spec.bloom_filter_cols = old_keys, old_blooms
+                spec.stats = old_stats
                 raise
         return _status(engine, "alter_rename_column", name, n)
 

@@ -989,14 +989,12 @@ class Engine:
                 from functools import reduce as _reduce
 
                 old = self.table(name)
-                gone = new.select(*parts).distinct()
-                if drop:
-                    gone = gone.unionByName(
-                        self.spark.createDataFrame(
-                            [tuple(d[c] for c in parts) for d in drop],
-                            old.select(*parts).schema,
-                        )
-                    )
+                # reuse the already-collected touched tuples — no second
+                # distinct job over new (r7 review finding)
+                gone = self.spark.createDataFrame(
+                    touched + [tuple(d[c] for c in parts) for d in drop],
+                    old.select(*parts).schema,
+                )
                 # eqNullSafe, not an equi-join on names: a NULL partition
                 # value must still match its own partition (plain `=`
                 # never matches NULL, which would duplicate NULL-partition
@@ -1077,9 +1075,13 @@ class Engine:
                 [tuple(d[c] for c in parts) for d in touched],
                 new_rows.select(*parts).schema,
             )
-            merged = self._prune_to_touched(
-                new_rows, tdf, parts
-            ).localCheckpoint(eager=True)
+            # No checkpoint here: replace_partitions stages the plain
+            # on-disk path itself and the versioned path writes into a
+            # fresh immutable dir — a checkpoint here would materialize
+            # the touched slice into executor storage TWICE per statement
+            # (r7 review finding). The pruned scan recomputes instead,
+            # bounded by the touched partitions.
+            merged = self._prune_to_touched(new_rows, tdf, parts)
             present = {
                 tuple(r[c] for c in parts)
                 for r in merged.select(*parts).distinct().collect()
@@ -1378,8 +1380,23 @@ class Engine:
             self.MAX_LITERAL_PARTITION_TUPLES + 1
         ).collect()
         if len(tuples) > self.MAX_LITERAL_PARTITION_TUPLES:
-            touched = new.select(*parts).distinct()
-            return old.join(F.broadcast(touched), on=parts, how="left_semi")
+            # NULL-SAFE like the literal branch below: a name-based equi
+            # semi join never matches a NULL partition value, which would
+            # silently drop the NULL partition from the merge slice — and
+            # under replace_where the partition would then be tombstoned
+            # with its surviving rows (r7 review finding).
+            o = old.alias("__pt_o")
+            touched = F.broadcast(
+                new.select(*parts).distinct().alias("__pt_t")
+            )
+            cond = _reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__pt_o.{c}").eqNullSafe(F.col(f"__pt_t.{c}"))
+                    for c in parts
+                ],
+            )
+            return o.join(touched, cond, "left_semi")
         pred = _reduce(
             lambda a, b: a | b,
             [

@@ -28,6 +28,33 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 
+def _checkpoint_tracked(df: DataFrame):
+    """``localCheckpoint(eager=True)`` plus the RDD id of the block set
+    backing it, so iterative loops can FREE a superseded round's blocks
+    deterministically (``_free_checkpoint``) instead of waiting for
+    Python GC → py4j detach → JVM GC → ContextCleaner — a chain that can
+    leave many rounds' label sets resident at once on a long propagation
+    (r7 review finding). The id is recovered by diffing the persistent-RDD
+    map around the checkpoint; if the diff is not exactly one id (another
+    thread persisted concurrently), attribution is skipped and that round
+    is left to the GC path — never free a block we can't attribute."""
+    sc = df.sparkSession.sparkContext
+    before = {int(i) for i in sc._jsc.getPersistentRDDs().keySet()}
+    out = df.localCheckpoint(eager=True)
+    after = {int(i) for i in sc._jsc.getPersistentRDDs().keySet()}
+    new_ids = after - before
+    return out, (next(iter(new_ids)) if len(new_ids) == 1 else None)
+
+
+def _free_checkpoint(df: DataFrame, rdd_id: int | None) -> None:
+    """Drop a superseded checkpoint's blocks (async, non-blocking)."""
+    if rdd_id is None:
+        return
+    jr = df.sparkSession.sparkContext._jsc.getPersistentRDDs().get(rdd_id)
+    if jr is not None:
+        jr.unpersist(False)
+
+
 def _two_star_components(
     edges: DataFrame, max_iter: int, n_edges: int | None = None
 ) -> DataFrame:
@@ -58,7 +85,7 @@ def _two_star_components(
             1, min(edges.rdd.getNumPartitions(), n_edges // 1_000_000 + 1)
         )
         cur = cur.repartition(width, "a")
-    cur = cur.localCheckpoint(eager=True)
+    cur, prev_ckpt_id = _checkpoint_tracked(cur)
     prev_fp = None
     for _ in range(max_iter):
         # -- large-star: m(u) over the FULL neighborhood ----------------
@@ -89,8 +116,11 @@ def _two_star_components(
             .select("e.a", "e.b")
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        small, ckpt_id = _checkpoint_tracked(small)
+        # this round is materialized — free the superseded round's blocks
+        _free_checkpoint(small, prev_ckpt_id)
+        prev_ckpt_id = ckpt_id
         fp = small.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal(38,0) sums: hash fingerprints can't hit ANSI long
@@ -248,6 +278,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
+    prev_ckpt_id = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.id)
@@ -262,7 +293,7 @@ def connected_components(
         # TreeNodes by round 7 on an ELEVEN-edge graph, OOMing an 8 GB
         # driver (the r7 full-suite failure). Old checkpoint blocks are
         # reaped by the ContextCleaner as rounds drop their references.
-        updated = (
+        updated, ckpt_id = _checkpoint_tracked(
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
@@ -273,8 +304,12 @@ def connected_components(
                     "__chg"
                 ),
             )
-        ).localCheckpoint(eager=True)
+        )
         changed = updated.filter(F.col("__chg")).limit(1).count()
+        # the new round is materialized — the previous round's blocks are
+        # dead weight; free them now rather than at GC time
+        _free_checkpoint(updated, prev_ckpt_id)
+        prev_ckpt_id = ckpt_id
         labels = updated.drop("__chg")
         if changed == 0:
             break

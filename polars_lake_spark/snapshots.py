@@ -254,11 +254,20 @@ class SnapshotStore:
     ) -> Snapshot:
         """Metadata-only partition removal: the next snapshot's mapping is
         the base minus ``drop_parts`` — no write dir at all (the
-        replace-with-nothing degenerate of commit_write's drop_parts)."""
+        replace-with-nothing degenerate of commit_write's drop_parts).
+
+        The base's transaction-watermark map (``meta["txn"]``) is carried
+        forward like every other commit does via _write_versioned: the
+        exactly-once guard reads ONLY the latest snapshot, so a drop-only
+        commit that dropped the map would let a replayed ingest batch
+        re-apply (r7 review finding)."""
         drops = set(drop_parts)
         mapping = {
             p: list(ws) for p, ws in base.mapping.items() if p not in drops
         }
+        wm = (base.meta or {}).get("txn")
+        if wm:
+            meta = {**(meta or {}), "txn": dict(wm)}
         return self.commit(
             mapping,
             "replace",

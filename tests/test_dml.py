@@ -693,3 +693,49 @@ def test_ctas_partitioned_versioned_and_show_partitions(eng, spark):
 
     with pytest.raises(ValueError, match="not a partitioned"):
         eng.sql("SHOW PARTITIONS t")
+
+
+def test_update_set_derived_bucket_column_rejected(eng, spark):
+    """SET on the derived bucket_id must be refused, and bucket DDL
+    guards cover it too (r7 review finding: the scoped-update path would
+    otherwise silently drop the matched rows)."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id bigint, v double"
+    )
+    eng.create_table("bt", df, bucket_by=["id"], n_buckets=4, keys=["id"])
+    with pytest.raises(ValueError, match="derived"):
+        eng.sql("UPDATE bt SET bucket_id = 3 WHERE id = 1")
+    with pytest.raises(ValueError, match="layout"):
+        eng.sql("ALTER TABLE bt RENAME COLUMN bucket_id TO b2")
+    with pytest.raises(ValueError, match="layout"):
+        eng.sql("ALTER TABLE bt DROP COLUMN bucket_id")
+    # updates to ordinary columns still work and stay row-exact
+    eng.sql("UPDATE bt SET v = v + 1 WHERE id = 1")
+    assert eng.table("bt").filter("id = 1").head().v == 2.0
+    assert eng.table("bt").count() == 10
+
+
+def test_drop_column_guard_case_insensitive_constraint(eng, spark):
+    df = spark.createDataFrame([(1, 5.0)], "id bigint, val double")
+    eng.create_table("cc", df, keys=["id"])
+    eng.sql("ALTER TABLE cc ADD CONSTRAINT vp CHECK (VAL >= 0)")
+    with pytest.raises(ValueError, match="constraint"):
+        eng.sql("ALTER TABLE cc DROP COLUMN val")
+
+
+def test_drop_column_clears_bloom_and_stats(eng, spark):
+    df = spark.createDataFrame(
+        [(i, "x%d" % i, float(i)) for i in range(50)],
+        "id bigint, tag string, v double",
+    )
+    eng.create_table("bs", df, keys=["id"], bloom_filter_cols={"tag": 1000})
+    eng.analyze_table("bs")
+    assert "tag" in eng.specs["bs"].bloom_filter_cols
+    eng.sql("ALTER TABLE bs DROP COLUMN tag")
+    assert "tag" not in eng.specs["bs"].bloom_filter_cols
+    assert "tag" not in (eng.specs["bs"].stats or {}).get("columns", {})
+    # rename migrates the stats entry
+    eng.analyze_table("bs")
+    eng.sql("ALTER TABLE bs RENAME COLUMN v TO w")
+    cols = (eng.specs["bs"].stats or {}).get("columns", {})
+    assert "w" in cols and "v" not in cols

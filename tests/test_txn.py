@@ -110,3 +110,24 @@ def test_stream_append_exactly_once(spark, eng, tmp_path):
     )
     q2.awaitTermination(120)
     assert eng.table("t").count() == 4  # no duplicates
+
+
+def test_drop_only_commit_preserves_watermark(spark, eng, tmp_path):
+    """A metadata-only partition-drop commit must carry the txn map
+    forward (r7 review finding): otherwise a drained-partition DELETE
+    right before a crash would let the replayed ingest batch re-apply."""
+    e2 = Engine(spark, str(tmp_path / "wm"))
+    df = spark.createDataFrame(
+        [(0, 1, "a"), (1, 2, "b")], "p int, id bigint, s string"
+    )
+    e2.create_table("pt", df, partition_by=["p"], keys=["id"], versioned=True)
+    batch = spark.createDataFrame([(0, 3, "c")], "p int, id bigint, s string")
+    e2.insert("pt", batch, txn=("loader", 7))
+    assert e2.txn_version("pt", "loader") == 7
+    # drop-only commit (no rows written)
+    empty = spark.createDataFrame([], "p int, id bigint, s string")
+    e2.replace_partitions("pt", empty, drop=[{"p": 1}])
+    assert e2.txn_version("pt", "loader") == 7
+    n = e2.table("pt").count()
+    e2.insert("pt", batch, txn=("loader", 7))  # replay: still skipped
+    assert e2.table("pt").count() == n
