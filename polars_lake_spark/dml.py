@@ -35,7 +35,13 @@ through the engine's real mutation paths:
 * ``ANALYZE TABLE t [COMPUTE STATISTICS [FOR COLUMNS c, ...]]``
   → ``engine.analyze_table`` (stats persist in the manifest)
 * ``VACUUM t [RETAIN n]``                → ``engine.vacuum`` (versioned)
-* ``OPTIMIZE t [ZORDER BY (cols)]``      → ``engine.compact``
+* ``OPTIMIZE t [WHERE pred] [ZORDER BY (cols)]`` → ``engine.compact``
+  (WHERE scopes compaction to the partitions holding matching rows —
+  Delta's OPTIMIZE WHERE; untouched partitions never read/rewritten)
+* ``TRUNCATE TABLE t`` → schema-preserving empty rewrite (versioned:
+  one snapshot; pre-truncate state time-travels)
+* ``COPY INTO t FROM 'path' [FILEFORMAT = parquet|csv|json]`` →
+  by-name load with NULL-fill + implicit cast → ``engine.insert``
 * ``ALTER TABLE t ADD CONSTRAINT c CHECK (expr)`` → ``engine.add_constraint``
 * ``ALTER TABLE t DROP CONSTRAINT [IF EXISTS] c`` → ``engine.drop_constraint``
 * ``ALTER TABLE t ADD COLUMN c <type>``  → NULL-filled rewrite through
@@ -126,7 +132,16 @@ _VACUUM = re.compile(
 )
 _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+([A-Za-z_][\w.]*)"
+    r"(?:\s+WHERE\s+(.+?))?"
     r"(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
+    re.I | re.S,
+)
+_TRUNCATE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I
+)
+_COPY_INTO = re.compile(
+    r"^\s*COPY\s+INTO\s+([A-Za-z_][\w.]*)\s+FROM\s+'([^']+)'"
+    r"(?:\s+FILEFORMAT\s*=\s*([A-Za-z_]+))?\s*;?\s*$",
     re.I,
 )
 _INSERT = re.compile(
@@ -777,9 +792,10 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         name = _resolve(engine, m.group(1))
         if name is None:
             return None
+        where = m.group(2).strip() if m.group(2) else None
         zcols = (
-            [c.strip() for c in m.group(2).split(",") if c.strip()]
-            if m.group(2)
+            [c.strip() for c in m.group(3).split(",") if c.strip()]
+            if m.group(3)
             else None
         )
         # n_affected = data files before compaction (a metadata walk —
@@ -793,8 +809,62 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                 nfiles += sum(1 for f in files if f.endswith(".parquet"))
         except Exception:
             nfiles = 0
-        engine.compact(name, zorder_by=zcols)
+        engine.compact(name, zorder_by=zcols, where=where)
         return _status(engine, "optimize", name, nfiles)
+
+    m = _TRUNCATE.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        with engine._lock(name):
+            t = engine.table(name)
+            n = t.count()
+            # schema-preserving empty rewrite; versioned tables commit
+            # one snapshot, so the pre-truncate state time-travels
+            engine.overwrite(name, t.limit(0))
+        return _status(engine, "truncate", name, n)
+
+    m = _COPY_INTO.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        path, fmt = m.group(2), (m.group(3) or "parquet").lower()
+        reader = engine.spark.read
+        if fmt == "parquet":
+            src = reader.parquet(path)
+        elif fmt == "csv":
+            src = reader.option("header", "true").csv(path)
+        elif fmt == "json":
+            src = reader.json(path)
+        else:
+            raise ValueError(f"COPY INTO {name}: unsupported FILEFORMAT {fmt!r}")
+        tschema = engine.table(name).schema
+        canon = {f.name.lower(): f.name for f in tschema.fields}
+        missing = [
+            f.name for f in tschema.fields if f.name.lower() not in
+            {c.lower() for c in src.columns}
+        ]
+        extra = [c for c in src.columns if c.lower() not in canon]
+        if extra:
+            raise ValueError(
+                f"COPY INTO {name}: source columns {extra} not in the table"
+            )
+        # by-NAME mapping (files carry their own column order), missing
+        # table columns NULL-fill, everything casts to the table's types
+        df = src
+        for c in list(src.columns):
+            df = df.withColumnRenamed(c, canon[c.lower()])
+        for f in tschema.fields:
+            if f.name in missing:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        df = df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tschema.fields]
+        ).localCheckpoint(eager=True)
+        n = df.count()
+        engine.insert(name, df)
+        return _status(engine, "copy_into", name, n)
 
     m = _ALTER_ADD_CONSTRAINT.match(query)
     if m:

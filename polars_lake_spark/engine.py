@@ -1441,6 +1441,7 @@ class Engine:
         name: str,
         n_files: int | None = None,
         zorder_by: list[str] | None = None,
+        where: str | None = None,
     ) -> None:
         """Small-file compaction: rewrite the table so each partition
         directory holds one file (or ``n_files`` for unpartitioned
@@ -1453,11 +1454,38 @@ class Engine:
         OPTIMIZE ZORDER BY analog): range-partitioned and sorted by the
         key, so every output file carries narrow min/max ranges on ALL
         listed columns and Parquet file/row-group skipping applies to
-        predicates on any of them."""
+        predicates on any of them.
+
+        ``where`` (partitioned tables) scopes the compaction to the
+        partitions holding rows matching the predicate — Delta's
+        ``OPTIMIZE ... WHERE``: at 100 TB you compact yesterday's
+        partition after streaming ingest fragments it, never the table.
+        The rewrite goes through ``replace_partitions`` so untouched
+        partitions are never read or rewritten."""
         spec = self._guard_mutable(name)
         with self._lock(name):
             df = self.table(name)
             parts = spec.physical_partitioning
+            scoped = where is not None
+            if scoped:
+                if not parts:
+                    raise ValueError(
+                        f"compact(where=...) requires a partitioned table; "
+                        f"{name} is not partitioned"
+                    )
+                touched = [
+                    tuple(r)
+                    for r in df.filter(F.expr(where))
+                    .select(*parts)
+                    .distinct()
+                    .collect()
+                ]
+                if not touched:
+                    return
+                tdf = self.spark.createDataFrame(
+                    touched, df.select(*parts).schema
+                )
+                df = self._prune_to_touched(df, tdf, parts)
             if zorder_by:
                 from polars_lake_spark.layout import zorder_key
 
@@ -1477,7 +1505,11 @@ class Engine:
                 df = df.repartition(*[F.col(c) for c in parts])
             else:
                 df = df.coalesce(n_files or 1)
-            if spec.versioned:
+            if scoped:
+                # only the matched partitions rewrite; everything else is
+                # carried by reference (versioned) or left on disk (plain)
+                self.replace_partitions(name, df)
+            elif spec.versioned:
                 # Compaction folds every partition's dir list back to one
                 # write dir; old dirs stay until vacuum().
                 self._write_versioned(df, spec, op="rewrite")

@@ -739,3 +739,67 @@ def test_drop_column_clears_bloom_and_stats(eng, spark):
     eng.sql("ALTER TABLE bs RENAME COLUMN v TO w")
     cols = (eng.specs["bs"].stats or {}).get("columns", {})
     assert "w" in cols and "v" not in cols
+
+
+def test_optimize_where_scoped_compaction(eng, spark):
+    """OPTIMIZE ... WHERE compacts only the partitions holding matching
+    rows: the untouched partition's files are byte-for-byte untouched,
+    the touched one folds to one file per dir."""
+    import os
+
+    df = spark.createDataFrame(
+        [(p, i, float(i)) for p in range(2) for i in range(6)],
+        "p int, id bigint, v double",
+    )
+    eng.create_table("oc", df, partition_by=["p"], keys=["id"])
+    # fragment both partitions with appends
+    for i in range(3):
+        eng.insert("oc", spark.createDataFrame(
+            [(0, 100 + i, 1.0), (1, 200 + i, 1.0)], "p int, id bigint, v double"
+        ))
+    root = eng._path("oc")
+    files = lambda rel: sorted(
+        (f, os.stat(os.path.join(root, rel, f)).st_mtime_ns)
+        for f in os.listdir(os.path.join(root, rel)) if f.endswith(".parquet")
+    )
+    assert len(files("p=0")) >= 4 and len(files("p=1")) >= 4
+    before_p1 = files("p=1")
+    n_rows = eng.table("oc").count()
+    st = eng.sql("OPTIMIZE oc WHERE p = 0").head()
+    assert st["operation"] == "optimize"
+    assert len(files("p=0")) == 1           # compacted
+    assert files("p=1") == before_p1        # untouched
+    assert eng.table("oc").count() == n_rows
+
+
+def test_truncate_table_statement(eng, spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+    eng.create_table("tr", df, keys=["id"], versioned=True)
+    st = eng.sql("TRUNCATE TABLE tr").head()
+    assert (st["operation"], st["n_affected"]) == ("truncate", 2)
+    assert eng.table("tr").count() == 0
+    assert eng.table("tr").columns == ["id", "s"]  # schema preserved
+    # pre-truncate state time-travels; inserts still work after
+    assert eng.sql("SELECT count(*) AS n FROM tr FOR VERSION AS OF 1").head()["n"] == 2
+    eng.insert("tr", spark.createDataFrame([(3, "c")], "id bigint, s string"))
+    assert eng.table("tr").count() == 1
+
+
+def test_copy_into_statement(eng, spark, tmp_path):
+    src = spark.createDataFrame(
+        [("gz", 500), ("gz", 501)], "grp string, id int"  # reordered + narrower
+    )
+    p = str(tmp_path / "copy_src")
+    src.write.parquet(p)
+    st = eng.sql(f"COPY INTO t FROM '{p}'").head()
+    assert (st["operation"], st["n_affected"]) == ("copy_into", 2)
+    rows = eng.table("t").filter("grp = 'gz'").collect()
+    assert {r.id for r in rows} == {500, 501}
+    assert all(r.val is None for r in rows)  # NULL-filled
+    assert dict(eng.table("t").dtypes)["id"] == "bigint"  # cast to table type
+    # unknown source column rejected
+    bad = spark.createDataFrame([(1, "x")], "id int, nope string")
+    pb = str(tmp_path / "copy_bad")
+    bad.write.parquet(pb)
+    with pytest.raises(ValueError, match="not in the table"):
+        eng.sql(f"COPY INTO t FROM '{pb}'")
