@@ -798,18 +798,10 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             if m.group(3)
             else None
         )
-        # n_affected = data files before compaction (a metadata walk —
-        # never a full-table scan just for the status frame)
-        import os as _os
-
-        nfiles = 0
-        try:
-            root = engine._path(name)
-            for _d, _sub, files in _os.walk(root):
-                nfiles += sum(1 for f in files if f.endswith(".parquet"))
-        except Exception:
-            nfiles = 0
-        engine.compact(name, zorder_by=zcols, where=where)
+        # n_affected = data files the compaction actually replaced,
+        # counted over its scope (WHERE-touched partitions only) from
+        # metadata — compact() does the counting since it owns the scope.
+        nfiles = engine.compact(name, zorder_by=zcols, where=where)
         return _status(engine, "optimize", name, nfiles)
 
     m = _TRUNCATE.match(query)
@@ -819,7 +811,11 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             return None
         with engine._lock(name):
             t = engine.table(name)
-            n = t.count()
+            # row count from parquet footers (driver-side metadata) —
+            # a full count() job under the table lock otherwise
+            n = engine.meta_row_count(name)
+            if n is None:
+                n = t.count()
             # schema-preserving empty rewrite; versioned tables commit
             # one snapshot, so the pre-truncate state time-travels
             engine.overwrite(name, t.limit(0))

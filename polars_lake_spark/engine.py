@@ -337,7 +337,11 @@ class Engine:
     def _snapstore(self, name: str):
         from polars_lake_spark.snapshots import SnapshotStore
 
-        return SnapshotStore(self._path(name))
+        spec = self.specs.get(name)
+        return SnapshotStore(
+            self._path(name),
+            partition_cols=spec.physical_partitioning if spec else None,
+        )
 
     def _write_versioned(
         self,
@@ -516,7 +520,30 @@ class Engine:
             return self.spark.table(name)
         path = self._path(name)
         if spec.format == "parquet":
-            return self.spark.read.parquet(path)
+            try:
+                return self.spark.read.parquet(path)
+            except Exception as e:
+                # A plain partitioned table can legally hold ZERO data
+                # files (TRUNCATE overwrites with no rows — partitionBy
+                # writes no dirs; a DELETE emptying every partition
+                # rmtree's them all).  Schema inference then fails and,
+                # without this fallback, the table is unreadable until
+                # the next append.  Only an empty directory falls back —
+                # a genuine read error over existing files re-raises.
+                if spec.schema_json and not any(
+                    f.endswith(".parquet")
+                    for _d, _s, fs in os.walk(path)
+                    for f in fs
+                ):
+                    from polars_lake_spark.snapshots import _empty_read_schema
+
+                    return self.spark.createDataFrame(
+                        [],
+                        _empty_read_schema(
+                            spec.schema_json, spec.physical_partitioning
+                        ),
+                    )
+                raise e
         # Text formats: pin the manifest schema (covers partition columns
         # too) so dtypes round-trip exactly.
         reader = self.spark.read
@@ -954,8 +981,10 @@ class Engine:
                     f"drop entry {d} must name exactly the partition "
                     f"columns {parts}"
                 )
+        part_dtypes = self._partition_dtypes(name, parts)
         drop_relpaths = [
-            hive_relpath(parts, [d[c] for c in parts]) for d in drop
+            hive_relpath(parts, [d[c] for c in parts], part_dtypes)
+            for d in drop
         ]
         with self._lock(name):
             new = self._with_layout(df, spec)
@@ -966,7 +995,7 @@ class Engine:
             touched = [tuple(r) for r in new.select(*parts).distinct().collect()]
             if drop:
                 overlap = {
-                    hive_relpath(parts, t) for t in touched
+                    hive_relpath(parts, t, part_dtypes) for t in touched
                 } & set(drop_relpaths)
                 if overlap:
                     raise ValueError(
@@ -1023,6 +1052,19 @@ class Engine:
                     pdir = os.path.join(self._path(name), rel)
                     if os.path.isdir(pdir):
                         shutil.rmtree(pdir)
+                    else:
+                        # Legal on idempotent replay (already dropped), but
+                        # also the symptom of a naming divergence between
+                        # hive_relpath and what Spark actually wrote — in
+                        # which case the "dropped" rows would silently
+                        # survive (ADVICE r7). Surface it.
+                        import warnings
+
+                        warnings.warn(
+                            f"replace_partitions({name}): drop relpath "
+                            f"{rel!r} names no existing directory — no-op "
+                            "(replay, or partition-value naming mismatch)"
+                        )
                 if drop_relpaths:
                     self.spark.catalog.refreshByPath(self._path(name))
             self._register(name)
@@ -1367,6 +1409,82 @@ class Engine:
     # correctly).
     MAX_LITERAL_PARTITION_TUPLES = 1000
 
+    def _data_files(self, name: str, relpaths: set[str] | None = None) -> list[str]:
+        """Paths of the table's LIVE parquet data files, optionally scoped
+        to a set of hive partition relpaths — driver-side metadata only
+        (snapshot mapping for versioned tables, a directory walk for
+        plain), never a Spark job. Empty for in-memory tables."""
+        spec = self.specs.get(name)
+        if spec is None or self.root is None or name in self._mem:
+            return []
+        out: list[str] = []
+        if spec.versioned:
+            store = self._snapstore(name)
+            snap = store.load()
+            for ppath, wdirs in snap.mapping.items():
+                if relpaths is not None and ppath not in relpaths:
+                    continue
+                for w in wdirs:
+                    d = os.path.join(store.data_path, w, ppath) if ppath else os.path.join(store.data_path, w)
+                    if os.path.isdir(d):
+                        out += [
+                            os.path.join(d, f)
+                            for f in os.listdir(d)
+                            if f.endswith(".parquet")
+                        ]
+            return out
+        base = self._path(name)
+        roots = (
+            [base]
+            if relpaths is None
+            else [os.path.join(base, r) for r in relpaths]
+        )
+        for r in roots:
+            for cur, _s, fs in os.walk(r):
+                out += [
+                    os.path.join(cur, f) for f in fs if f.endswith(".parquet")
+                ]
+        return out
+
+    def meta_row_count(self, name: str) -> int | None:
+        """Exact row count from parquet FOOTERS (pyarrow, driver-side) —
+        no Spark job, no executor round-trip; the count a status frame
+        wants while holding the table lock. None when the table has no
+        footer-countable files (in-memory, non-parquet)."""
+        spec = self.specs.get(name)
+        if (
+            spec is None
+            or self.root is None
+            or name in self._mem
+            or spec.format != "parquet"
+        ):
+            return None
+        try:
+            import pyarrow.parquet as pq
+
+            return sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in self._data_files(name)
+            )
+        except Exception:
+            return None
+
+    def _partition_dtypes(self, name: str, parts: list[str]) -> list[str] | None:
+        """Spark dtype strings for the partition columns (hive_relpath
+        needs them to render single-precision floats with Java
+        Float.toString digits). None when the schema isn't on hand."""
+        spec = self.specs.get(name)
+        if spec is None or not spec.schema_json:
+            return None
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(spec.schema_json))
+        by_name = {f.name.lower(): f.dataType.simpleString() for f in schema.fields}
+        try:
+            return [by_name[c.lower()] for c in parts]
+        except KeyError:
+            return None
+
     def _prune_to_touched(self, old: DataFrame, new: DataFrame, parts: list[str]) -> DataFrame:
         """Restrict the old side of a merge to the partitions the incoming
         batch touches, as a LITERAL predicate so it becomes static
@@ -1442,7 +1560,7 @@ class Engine:
         n_files: int | None = None,
         zorder_by: list[str] | None = None,
         where: str | None = None,
-    ) -> None:
+    ) -> int:
         """Small-file compaction: rewrite the table so each partition
         directory holds one file (or ``n_files`` for unpartitioned
         tables). The long-lived-table hygiene operator the reference's
@@ -1461,12 +1579,19 @@ class Engine:
         ``OPTIMIZE ... WHERE``: at 100 TB you compact yesterday's
         partition after streaming ingest fragments it, never the table.
         The rewrite goes through ``replace_partitions`` so untouched
-        partitions are never read or rewritten."""
+        partitions are never read or rewritten.
+
+        Returns the number of data files the compaction replaced (counted
+        over its SCOPE before the rewrite, from metadata — the snapshot
+        mapping or a directory walk, never a scan) so OPTIMIZE's status
+        row reports the work actually done, not the whole table's file
+        count (ADVICE r7)."""
         spec = self._guard_mutable(name)
         with self._lock(name):
             df = self.table(name)
             parts = spec.physical_partitioning
             scoped = where is not None
+            scope_relpaths: set[str] | None = None
             if scoped:
                 if not parts:
                     raise ValueError(
@@ -1481,11 +1606,16 @@ class Engine:
                     .collect()
                 ]
                 if not touched:
-                    return
+                    return 0
+                part_dtypes = self._partition_dtypes(name, parts)
+                scope_relpaths = {
+                    hive_relpath(parts, t, part_dtypes) for t in touched
+                }
                 tdf = self.spark.createDataFrame(
                     touched, df.select(*parts).schema
                 )
                 df = self._prune_to_touched(df, tdf, parts)
+            n_before = len(self._data_files(name, scope_relpaths))
             if zorder_by:
                 from polars_lake_spark.layout import zorder_key
 
@@ -1521,6 +1651,7 @@ class Engine:
                     static_overwrite=True,
                 )
             self._register(name)
+            return n_before
 
     # ------------------------------------------------------ snapshot surface
     def history(self, name: str) -> list[dict]:

@@ -108,19 +108,77 @@ def _escape_hive(s: str) -> str:
     )
 
 
-def hive_relpath(cols: Sequence[str], values: Sequence) -> str:
+def _java_float_str(v: float, single: bool = False) -> str:
+    """Java ``Double.toString`` / ``Float.toString`` rendering — the
+    string Spark embeds in hive partition dir names for float-typed
+    partition values.  Python's ``str()`` diverges (``0.000781`` vs Java
+    ``7.81E-4``, ``1e-07`` vs ``1.0E-7``), which made tombstone/drop
+    relpaths silent no-ops on float partitions (ADVICE r7).  Java uses
+    decimal notation for 1e-3 <= |v| < 1e7 and ``d.dddEn`` scientific
+    otherwise, always with at least one fractional digit, shortest
+    round-trip digits, uppercase E, no '+' on positive exponents."""
+    import math
+    from decimal import Decimal
+
+    f = float(v)
+    if math.isnan(f):
+        return "NaN"
+    if math.isinf(f):
+        return "Infinity" if f > 0 else "-Infinity"
+    neg = math.copysign(1.0, f) < 0
+    a = abs(f)
+    if single:
+        # shortest SINGLE-precision digits (the collected Python float is
+        # the widened double — its repr would print the excess digits)
+        import numpy as np
+
+        s = str(np.float32(a))
+    else:
+        s = repr(a)
+    if a == 0.0:
+        return "-0.0" if neg else "0.0"
+    if 1e-3 <= a < 1e7:
+        # shortest reprs are already fixed-notation in this range
+        if "." not in s:
+            s += ".0"
+        return ("-" + s) if neg else s
+    d = Decimal(s).normalize()
+    _sign, digits, exp = d.as_tuple()
+    dig = "".join(map(str, digits))
+    ex = exp + len(dig) - 1
+    mant = dig[0] + "." + (dig[1:] or "0")
+    return f"{'-' if neg else ''}{mant}E{ex}"
+
+
+def hive_relpath(
+    cols: Sequence[str],
+    values: Sequence,
+    dtypes: Sequence[str] | None = None,
+) -> str:
     """The hive partition directory rel-path Spark writes for one
     partition tuple — ``a=1/b=x%20y`` — so metadata operations (snapshot
     partition tombstones, plain-table partition drops) can name an
     existing directory WITHOUT scanning for it.  Must stay byte-identical
     to Spark's own naming (tests/test_maintenance.py pins it against
-    directories Spark actually wrote, special characters included)."""
+    directories Spark actually wrote, special characters included;
+    tests/test_replace_partitions.py extends the pin to float/double/
+    decimal/date/timestamp partition values).
+
+    ``dtypes`` (optional, parallel to ``cols``): Spark dtype strings —
+    only consulted to render single-precision ``float`` columns with
+    Java ``Float.toString`` digits; every other type's ``str()`` already
+    matches Spark's naming (decimal keeps scale, date/timestamp are ISO,
+    the ``:`` escapes)."""
     segs = []
-    for c, v in zip(cols, values):
+    for i, (c, v) in enumerate(zip(cols, values)):
         if v is None:
             sv = "__HIVE_DEFAULT_PARTITION__"
         elif isinstance(v, bool):
             sv = "true" if v else "false"
+        elif isinstance(v, float):
+            sv = _java_float_str(
+                v, single=(dtypes is not None and dtypes[i] == "float")
+            )
         else:
             sv = str(v)
         segs.append(f"{_escape_hive(str(c))}={_escape_hive(sv)}")

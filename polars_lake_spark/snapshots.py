@@ -90,13 +90,31 @@ def _partition_relpaths(write_dir: str) -> list[str]:
     return sorted("" if p == "." else p for p in found)
 
 
+def _empty_read_schema(schema_json: str, partition_cols: list[str]):
+    """Schema for a schema-pinned EMPTY read, reordered the way a real
+    partitioned scan comes back: data columns in write order, then the
+    hive partition columns (basePath reads append them at the end)."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    pset = {c.lower() for c in partition_cols}
+    data = [f for f in schema.fields if f.name.lower() not in pset]
+    by_name = {f.name.lower(): f for f in schema.fields}
+    tail = [by_name[c.lower()] for c in partition_cols if c.lower() in by_name]
+    return StructType(data + tail)
+
+
 class SnapshotStore:
     """Snapshot bookkeeping for one versioned table directory."""
 
-    def __init__(self, table_path: str):
+    def __init__(self, table_path: str, partition_cols: list[str] | None = None):
         self.table_path = table_path
         self.snap_path = os.path.join(table_path, SNAP_DIR)
         self.data_path = os.path.join(table_path, DATA_DIR)
+        # Only used by the empty-mapping read fallback, to put partition
+        # columns last — matching the column order of a non-empty scan
+        # (basePath reads append hive partition columns at the end).
+        self.partition_cols = partition_cols or []
 
     # ------------------------------------------------------------- inventory
     def versions(self) -> list[int]:
@@ -291,6 +309,15 @@ class SnapshotStore:
             for w in wdirs:
                 by_wdir.setdefault(w, []).append(ppath)
         if not by_wdir:
+            # A legal EMPTY table state: TRUNCATE commits mapping={} and a
+            # DELETE that empties every partition tombstones them all.  The
+            # schema rides in every snapshot commit, so the empty table
+            # reads back schema-pinned (raising here bricked the table
+            # until the next append — every table()/_register failed).
+            if snap.schema_json:
+                return spark.createDataFrame(
+                    [], _empty_read_schema(snap.schema_json, self.partition_cols)
+                )
             raise ValueError(f"version {snap.version} maps no data")
         scans = []
         for wdir in sorted(by_wdir):

@@ -764,9 +764,12 @@ def test_optimize_where_scoped_compaction(eng, spark):
     )
     assert len(files("p=0")) >= 4 and len(files("p=1")) >= 4
     before_p1 = files("p=1")
+    n_p0_before = len(files("p=0"))
     n_rows = eng.table("oc").count()
     st = eng.sql("OPTIMIZE oc WHERE p = 0").head()
     assert st["operation"] == "optimize"
+    # n_affected = files replaced in the SCOPE, not the whole table
+    assert st["n_affected"] == n_p0_before
     assert len(files("p=0")) == 1           # compacted
     assert files("p=1") == before_p1        # untouched
     assert eng.table("oc").count() == n_rows
@@ -783,6 +786,73 @@ def test_truncate_table_statement(eng, spark):
     assert eng.sql("SELECT count(*) AS n FROM tr FOR VERSION AS OF 1").head()["n"] == 2
     eng.insert("tr", spark.createDataFrame([(3, "c")], "id bigint, s string"))
     assert eng.table("tr").count() == 1
+
+
+def test_truncate_partitioned_versioned_empty_state(eng, spark):
+    """Emptying a partitioned VERSIONED table is a legal state (ADVICE r7):
+    TRUNCATE commits mapping={} and reads must come back empty and
+    schema-pinned, not raise, until the next append repairs it."""
+    df = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d2")], "id bigint, s string, day string"
+    )
+    eng.create_table("trpv", df, keys=["id"], partition_by=["day"], versioned=True)
+    st = eng.sql("TRUNCATE TABLE trpv").head()
+    assert (st["operation"], st["n_affected"]) == ("truncate", 2)
+    t = eng.table("trpv")
+    assert t.count() == 0
+    # partition column last, like a real partitioned scan
+    assert t.columns == ["id", "s", "day"]
+    assert eng.sql("SELECT * FROM trpv").count() == 0
+    # pre-truncate state still time-travels
+    assert eng.sql("SELECT count(*) AS n FROM trpv FOR VERSION AS OF 1").head()["n"] == 2
+    eng.insert(
+        "trpv",
+        spark.createDataFrame([(3, "c", "d1")], "id bigint, s string, day string"),
+    )
+    assert eng.table("trpv").count() == 1
+
+
+def test_delete_all_rows_partitioned_versioned(eng, spark):
+    """A DELETE matching every row tombstones every partition — the table
+    must stay readable (empty), not raise 'maps no data'."""
+    df = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d2")], "id bigint, s string, day string"
+    )
+    eng.create_table("dav", df, keys=["id"], partition_by=["day"], versioned=True)
+    st = eng.sql("DELETE FROM dav WHERE id < 100").head()
+    assert (st["operation"], st["n_affected"]) == ("delete", 2)
+    assert eng.table("dav").count() == 0
+    assert eng.table("dav").columns == ["id", "s", "day"]
+    eng.insert(
+        "dav",
+        spark.createDataFrame([(9, "z", "d3")], "id bigint, s string, day string"),
+    )
+    assert eng.table("dav").count() == 1
+
+
+def test_truncate_and_delete_all_partitioned_plain(eng, spark):
+    """Plain on-disk partitioned table with ZERO parquet files left
+    (TRUNCATE writes no partition dirs; drop-all rmtree's them) must read
+    back empty and schema-pinned, and appends must repair it."""
+    df = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d2")], "id bigint, s string, day string"
+    )
+    eng.create_table("trpp", df, keys=["id"], partition_by=["day"])
+    st = eng.sql("TRUNCATE TABLE trpp").head()
+    assert (st["operation"], st["n_affected"]) == ("truncate", 2)
+    t = eng.table("trpp")
+    assert t.count() == 0
+    assert t.columns == ["id", "s", "day"]
+    eng.insert(
+        "trpp",
+        spark.createDataFrame([(3, "c", "d1")], "id bigint, s string, day string"),
+    )
+    assert eng.table("trpp").count() == 1
+    # now empty it via predicate DELETE (all partitions dropped)
+    st = eng.sql("DELETE FROM trpp WHERE id > 0").head()
+    assert st["n_affected"] == 1
+    assert eng.table("trpp").count() == 0
+    assert eng.sql("SELECT * FROM trpp").count() == 0
 
 
 def test_copy_into_statement(eng, spark, tmp_path):

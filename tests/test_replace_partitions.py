@@ -64,6 +64,68 @@ def test_hive_relpath_matches_spark_naming(spark, tmp_path):
     }
 
 
+def test_hive_relpath_numeric_temporal_naming(spark, tmp_path):
+    """Extend the naming pin to float/double/decimal/date/timestamp
+    partition values (ADVICE r7): Java's Double.toString uses scientific
+    notation where Python's str() does not — a divergence here makes a
+    tombstone/drop a silent no-op and the partition's rows resurrect."""
+    import datetime
+    import decimal
+
+    def pinned(sch, rows, dtypes):
+        df = spark.createDataFrame(rows, sch)
+        out = str(tmp_path / sch.split()[1].replace("(", "_").replace(",", "_").replace(")", ""))
+        df.write.partitionBy("k").parquet(out)
+        on_disk = {d for d in os.listdir(out) if d.startswith("k=")}
+        computed = {hive_relpath(["k"], [r[0]], dtypes) for r in rows}
+        assert computed == on_disk, f"{sch}: {computed} != {on_disk}"
+
+    pinned(
+        "k double, id int",
+        [(1.5, 1), (2.0, 2), (0.000781, 3), (1e-7, 4),
+         (1234567890.123, 5), (float("nan"), 6), (-0.25, 7), (1e7, 8),
+         (9999999.5, 9), (0.001, 10)],
+        ["double"],
+    )
+    pinned("k float, id int", [(1.5, 1), (0.1, 2), (7.81e-4, 3)], ["float"])
+    pinned(
+        "k decimal(10,3), id int",
+        [(decimal.Decimal("1.500"), 1), (decimal.Decimal("0.001"), 2)],
+        ["decimal(10,3)"],
+    )
+    pinned("k date, id int", [(datetime.date(2024, 1, 5), 1)], ["date"])
+    pinned(
+        "k timestamp, id int",
+        [(datetime.datetime(2024, 1, 5, 10, 30, 0), 1),
+         (datetime.datetime(2024, 1, 5, 10, 30, 0, 123456), 2)],
+        ["timestamp"],
+    )
+
+
+def test_drop_float_partition_and_noop_warning(spark, eng):
+    """A drop on a DOUBLE-partitioned plain table must hit the real
+    directory (Java-style dir name), and a drop naming a nonexistent
+    partition warns instead of silently no-opping."""
+    import warnings
+
+    df = spark.createDataFrame(
+        [(0.000781, 1), (1.5, 2)], "k double, id int"
+    )
+    eng.create_table("fp", df, partition_by=["k"])
+    root = eng._path("fp")
+    assert os.path.isdir(os.path.join(root, "k=7.81E-4"))
+    empty = spark.createDataFrame([], "k double, id int")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the real drop must NOT warn
+        eng.replace_partitions("fp", empty, drop=[{"k": 0.000781}])
+    assert not os.path.exists(os.path.join(root, "k=7.81E-4"))
+    assert {r.k for r in eng.table("fp").collect()} == {1.5}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        eng.replace_partitions("fp", empty, drop=[{"k": 123.25}])
+    assert any("names no existing directory" in str(x.message) for x in w)
+
+
 def test_replace_and_drop_plain_table(spark, eng, tmp_path):
     _seed(spark, eng, "t")
     root = eng._path("t")
