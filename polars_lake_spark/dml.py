@@ -84,6 +84,8 @@ Table names resolve like everywhere else: the registered name
 
 from __future__ import annotations
 
+import hashlib
+import os
 import re
 
 from pyspark.sql import DataFrame
@@ -141,7 +143,7 @@ _TRUNCATE = re.compile(
 )
 _COPY_INTO = re.compile(
     r"^\s*COPY\s+INTO\s+([A-Za-z_][\w.]*)\s+FROM\s+'([^']+)'"
-    r"(?:\s+FILEFORMAT\s*=\s*([A-Za-z_]+))?\s*;?\s*$",
+    r"(?:\s+FILEFORMAT\s*=\s*([A-Za-z_]+))?(?:\s+(FORCE))?\s*;?\s*$",
     re.I,
 )
 _INSERT = re.compile(
@@ -352,6 +354,35 @@ def _plan_deterministic(df: DataFrame) -> bool:
         return bool(df._jdf.queryExecution().analyzed().deterministic())
     except Exception:
         return False
+
+
+def _copy_source_files(path: str, fmt: str) -> list[str]:
+    """Data files a COPY INTO load covers: the file itself, or a
+    recursive walk of the directory skipping hidden/metadata entries
+    (``_SUCCESS``, ``.crc``). Parquet loads only ``.parquet`` files;
+    csv/json take every visible file (Spark's own directory-read rule)."""
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for cur, dirs, fs in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for f in fs:
+            if f.startswith((".", "_")):
+                continue
+            if fmt == "parquet" and not f.endswith(".parquet"):
+                continue
+            out.append(os.path.join(cur, f))
+    return sorted(out)
+
+
+def _copy_file_digest(path: str) -> str:
+    """A source file's load identity: path + size + mtime — an
+    overwritten file (same path, new content) is a NEW load, a retried
+    script re-listing the same files is not. 20 hex chars keeps the
+    per-file log entry bounded."""
+    st = os.stat(path)
+    key = f"{os.path.abspath(path)}|{st.st_size}|{st.st_mtime_ns}"
+    return hashlib.md5(key.encode()).hexdigest()[:20]
 
 
 def _status(engine, op: str, table: str, n: int) -> DataFrame:
@@ -827,39 +858,70 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         if name is None:
             return None
         path, fmt = m.group(2), (m.group(3) or "parquet").lower()
-        reader = engine.spark.read
-        if fmt == "parquet":
-            src = reader.parquet(path)
-        elif fmt == "csv":
-            src = reader.option("header", "true").csv(path)
-        elif fmt == "json":
-            src = reader.json(path)
-        else:
+        force = m.group(4) is not None
+        if fmt not in ("parquet", "csv", "json"):
             raise ValueError(f"COPY INTO {name}: unsupported FILEFORMAT {fmt!r}")
-        tschema = engine.table(name).schema
-        canon = {f.name.lower(): f.name for f in tschema.fields}
-        missing = [
-            f.name for f in tschema.fields if f.name.lower() not in
-            {c.lower() for c in src.columns}
-        ]
-        extra = [c for c in src.columns if c.lower() not in canon]
-        if extra:
-            raise ValueError(
-                f"COPY INTO {name}: source columns {extra} not in the table"
-            )
-        # by-NAME mapping (files carry their own column order), missing
-        # table columns NULL-fill, everything casts to the table's types
-        df = src
-        for c in list(src.columns):
-            df = df.withColumnRenamed(c, canon[c.lower()])
-        for f in tschema.fields:
-            if f.name in missing:
-                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-        df = df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tschema.fields]
-        ).localCheckpoint(eager=True)
-        n = df.count()
-        engine.insert(name, df)
+        spec = engine.specs[name]
+        with engine._lock(name):
+            # Exactly-once loads (Delta COPY INTO semantics): each source
+            # file's identity (path+size+mtime digest) is checked against
+            # the table's loaded-file log — a replayed loader script
+            # re-loads NOTHING, a partially-new directory loads only the
+            # new files, FORCE overrides. The log rides in the snapshot
+            # commit for versioned tables (atomic with the data) and in
+            # the manifest for plain ones.
+            files = _copy_source_files(path, fmt)
+            if not files:
+                raise ValueError(f"COPY INTO {name}: no {fmt} files under {path!r}")
+            digests = {_copy_file_digest(f): f for f in files}
+            if not force:
+                seen = engine.copy_loaded(name)
+                digests = {d: f for d, f in digests.items() if d not in seen}
+            if not digests:
+                return _status(engine, "copy_into", name, 0)
+            load = sorted(digests.values())
+            reader = engine.spark.read
+            if os.path.isdir(path):
+                # hive-partitioned source dirs: explicit file lists still
+                # parse k=v path segments into partition columns
+                reader = reader.option("basePath", path)
+            if fmt == "parquet":
+                src = reader.parquet(*load)
+            elif fmt == "csv":
+                src = reader.option("header", "true").csv(load)
+            else:
+                src = reader.json(load)
+            tschema = engine.table(name).schema
+            canon = {f.name.lower(): f.name for f in tschema.fields}
+            missing = [
+                f.name for f in tschema.fields if f.name.lower() not in
+                {c.lower() for c in src.columns}
+            ]
+            extra = [c for c in src.columns if c.lower() not in canon]
+            if extra:
+                raise ValueError(
+                    f"COPY INTO {name}: source columns {extra} not in the table"
+                )
+            # by-NAME mapping (files carry their own column order), missing
+            # table columns NULL-fill, everything casts to the table's types
+            df = src
+            for c in list(src.columns):
+                df = df.withColumnRenamed(c, canon[c.lower()])
+            for f in tschema.fields:
+                if f.name in missing:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tschema.fields]
+            ).localCheckpoint(eager=True)
+            n = df.count()
+            engine.insert(name, df, meta={"copy_files": digests})
+            if not spec.versioned:
+                # plain tables: log in the manifest, written AFTER the
+                # data lands (crash between the two duplicates on replay
+                # rather than losing the batch)
+                spec.copy_files.update(digests)
+                if engine.root is not None and name not in engine._mem:
+                    engine._write_manifest(spec)
         return _status(engine, "copy_into", name, n)
 
     m = _ALTER_ADD_CONSTRAINT.match(query)

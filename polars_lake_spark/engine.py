@@ -148,6 +148,14 @@ class TableSpec:
     # pruning, which only covers the layout keys. create_table() measures
     # ndv from the initial data when given a plain column list.
     bloom_filter_cols: dict[str, int] = field(default_factory=dict)
+    # COPY INTO loaded-file log for PLAIN (unversioned) tables:
+    # digest(path|size|mtime) -> source path. Replayed loads skip files
+    # already in the log (exactly-once ingest for retried loader
+    # scripts). Versioned tables keep this log in the snapshot commit
+    # meta instead, atomic with the data; here it is best-effort
+    # (manifest written after the data lands — a crash between the two
+    # re-loads on replay, duplicating rather than losing).
+    copy_files: dict[str, str] = field(default_factory=dict)
 
     @property
     def physical_partitioning(self) -> list[str]:
@@ -373,6 +381,13 @@ class Engine:
             wm[str(app)] = max(int(ver), wm.get(str(app), int(ver)))
         if wm:
             meta = {**(meta or {}), "txn": wm}
+        # COPY INTO loaded-file log rides in every commit the same way:
+        # base entries carry forward, this commit's new loads merge over.
+        cf = dict((base.meta or {}).get("copy_files", {})) if base else {}
+        if meta and meta.get("copy_files"):
+            cf.update(meta["copy_files"])
+        if cf:
+            meta = {**(meta or {}), "copy_files": cf}
         wname, wpath = store.new_write_dir()
         spec.schema_json = df.schema.json()
         writer = df.write.mode("overwrite")
@@ -871,6 +886,7 @@ class Engine:
         *,
         save: bool = True,
         txn: tuple[str, int] | None = None,
+        meta: dict | None = None,
     ) -> None:
         """Append (``/root/reference/src/dataset.rs:271-295``): the shuffle
         on partition columns replaces the reference's HashMap routing of
@@ -881,6 +897,11 @@ class Engine:
         the app's recorded watermark is skipped — exactly-once appends
         under foreachBatch replay, which a plain append cannot give
         (replays duplicate rows; upsert only masks that for keyed data).
+
+        ``meta`` rides in the snapshot commit (versioned tables) — the
+        COPY INTO handler records its loaded-file log here so the log is
+        atomic with the data it describes. Ignored for plain tables
+        (their log lives in the manifest; the caller updates it).
         """
         spec = self._guard_mutable(name)
         with self._lock(name):
@@ -889,7 +910,7 @@ class Engine:
             df = self._with_layout(df.select(*[c for c in df.columns]), spec)
             self._enforce(spec, df)
             if spec.versioned:
-                self._write_versioned(df, spec, op="append", txn=txn)
+                self._write_versioned(df, spec, op="append", txn=txn, meta=meta)
             elif save and name not in self._mem:
                 self._write(df, spec, mode="append")
             else:
@@ -1468,6 +1489,19 @@ class Engine:
             )
         except Exception:
             return None
+
+    def copy_loaded(self, name: str) -> dict[str, str]:
+        """The table's COPY INTO loaded-file log (digest -> source path):
+        from the LATEST snapshot's commit meta for versioned tables
+        (atomic with the data, rolls back with restore), from the
+        manifest for plain tables."""
+        spec = self.specs[name]
+        if spec.versioned:
+            store = self._snapstore(name)
+            if not store.versions():
+                return {}
+            return dict((store.load().meta or {}).get("copy_files", {}))
+        return dict(spec.copy_files or {})
 
     def _partition_dtypes(self, name: str, parts: list[str]) -> list[str] | None:
         """Spark dtype strings for the partition columns (hive_relpath

@@ -28,82 +28,23 @@ REGISTRY: dict[str, Query] = {}
 # which get a fresh correctness row each round.  This list is a VERIFICATION
 # ROTATION, strictly oldest-evidence-first — queries added or changed
 # this round always lead, so nothing ships unverified:
-#   the r7 window (50) = 4 NEW + 3 changed + the 19 r3-greens (oldest
-#   driver evidence in the registry after r6 refreshed everything
-#   r2-era) + the 24 oldest r4-greens (r4 gate order).  The remaining
-#   24 r4-greens lead r8; after r8's window the oldest evidence
-#   anywhere will be r5.  The full list now covers EVERY registered
-#   query, evidence-ordered, so future rotations are a pure reshuffle.
-#   Every deferred query is still verified every session by
-#   tests/test_oracle_parity.py (the local mirror of the gate over all
-#   oracled queries — green at sf0.001 AND sf0.1 as of r6).
+#   the r8 window (50) = NEW r8 entries + the 24 remaining r4-greens
+#   (oldest driver evidence) + the oracled recall companions of the two
+#   rows-only PQ entries (which can never earn better than "ran" from
+#   the driver and now sit past the window) + the oldest r5-greens.
+#   After r8's gate the oldest evidence anywhere is r5.  The list covers
+#   EVERY registered query, evidence-ordered, so future rotations are a
+#   pure reshuffle.  Every deferred query is still verified every
+#   session by tests/test_oracle_parity.py (the local mirror of the gate
+#   over all oracled queries — green at sf0.001 AND sf0.1 as of r7).
 CHECK_PRIORITY: list[str] = [
-    # ================= r7 window (first 50) ===========================
-    # -- NEW r7: end-to-end curation lifecycle composition; column-DDL
-    # + INSERT OVERWRITE statement lifecycle ----------------------------
-    "curation_lifecycle_check",
-    "sql_ddl_lifecycle",
-    "sql_dml_partitioned_lifecycle",
-    "exactly_once_ingest_check",
-    # -- changed r7: ANN CDC sync now tombstones emptied cells (no
-    # full-rewrite fallback) and runs under the table lock; the INSERT
-    # statement path was refactored into _insert_frame shared with
-    # INSERT OVERWRITE ---------------------------------------------------
-    "ann_cdc_sync_check",
-    "sql_dml_lifecycle",
-    "sql_timetravel_lifecycle",
-    # -- r3-greens: 4-round-old driver evidence, oldest in the registry
-    # (still locally verified every session by test_oracle_parity) -----
+    # ================= r8 window (first 50) ===========================
+    # -- NEW r8: COPY INTO exactly-once loaded-file log ------------------
+    "copy_into_idempotence_check",
+    # -- r4-greens: the oldest-evidence rows in the registry (minus the
+    # rows-only similarity_ivf, replaced by its oracled recall
+    # companions below) --------------------------------------------------
 
-    "events_hourly_rollup",
-    "events_sessionize",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_retention_cohorts",
-    "exact_percentiles",
-    "exact_percentiles_windowed",
-    "window_range_frames",
-    "skew_count_distinct",
-    "chunk_documents",
-    "embedding_quantize",
-    "domain_mix_weights",
-    "dedup_survivors",
-    "boilerplate_chunks",
-    "events_gap_fill",
-    "histogram_totals",
-    "text_pii_scrub",
-    "data_quality_report",
-    # -- r4-greens (r4 gate order), filling the window to 50 -----------
-
-    "skew_collect_set",
-    "domain_resample",
-    "events_funnel",
-    "similarity_pq",
-    "similarity_ivfpq",
-    "set_operations",
-    "agg_stats",
-    "string_functions",
-    "case_coalesce",
-    "array_functions",
-    "array_numeric",
-    "temporal_functions",
-    "window_functions",
-    "rollup_revenue",
-    "cube_flags",
-    "cte_subquery",
-    "cast_try_cast",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "similarity_topk",
-    "similarity_ann_lsh",
-    # ------ 50-slot window boundary ------------------------------------
-    # -- r8 front-runners: the remaining r4-greens (oldest evidence) ----
-
-    "similarity_ivf",
     "text_stats",
     "text_quality_filter",
     "text_lang_id",
@@ -127,7 +68,15 @@ CHECK_PRIORITY: list[str] = [
     "math_functions",
     "string_functions2",
     "temporal_arithmetic",
-    # -- r5-greens (r5 gate order) --------------------------------------
+    # -- oracled recall companions of the rows-only PQ entries (r5
+    # evidence; the rows-only similarity_pq/similarity_ivfpq can never
+    # earn better than "ran" from the driver and sit past the window,
+    # where their run is still exercised by test_oracle_parity) --------
+    "similarity_pq_recall",
+    "similarity_ivfpq_recall",
+    "similarity_ivf_recall",
+    "similarity_ivf_pruned_recall",
+    # -- oldest r5-greens (r5 gate order), filling the window to 50 ----
 
     "dedup_prefix_join",
     "scrub_repeated_spans",
@@ -151,6 +100,9 @@ CHECK_PRIORITY: list[str] = [
     "heavy_hitters_incremental_check",
     "skew_hot_keys",
     "events_ewma",
+    # ------ 50-slot window boundary ------------------------------------
+    # -- r9 front-runners: remaining r5-greens (r5 gate order) ----------
+
     "events_anomaly_zscore",
     "sketch_rollup_lifecycle",
     "dedup_incremental_winnow",
@@ -168,14 +120,15 @@ CHECK_PRIORITY: list[str] = [
     "approx_distinct_check",
     "q1_pricing_summary",
     "text_unigram_logprob",
-    "similarity_ivf_recall",
-    "similarity_ivf_pruned_recall",
     "multimodal_pixel_decode",
     "multimodal_audio_decode",
     "multimodal_video_frames",
-    "similarity_pq_recall",
-    "similarity_ivfpq_recall",
     "join_cobucketed",
+    # rows-only by design (err: no_oracle) — driver evidence can never
+    # improve on "ran, 50 rows"; kept out of the gate window on purpose
+    "similarity_ivf",
+    "similarity_pq",
+    "similarity_ivfpq",
     # -- r6-greens (freshest driver evidence, r6 gate order) ------------
 
     "split_train_val_test",
@@ -225,6 +178,56 @@ CHECK_PRIORITY: list[str] = [
     "approx_distinct",
     "unnest_explode",
     "pivot_status",
+    # -- r7-greens (freshest driver evidence, r7 gate order) ------------
+
+    "curation_lifecycle_check",
+    "sql_ddl_lifecycle",
+    "sql_dml_partitioned_lifecycle",
+    "exactly_once_ingest_check",
+    "ann_cdc_sync_check",
+    "sql_dml_lifecycle",
+    "sql_timetravel_lifecycle",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_session_window",
+    "events_retention_cohorts",
+    "exact_percentiles",
+    "exact_percentiles_windowed",
+    "window_range_frames",
+    "skew_count_distinct",
+    "chunk_documents",
+    "embedding_quantize",
+    "domain_mix_weights",
+    "dedup_survivors",
+    "boilerplate_chunks",
+    "events_gap_fill",
+    "histogram_totals",
+    "text_pii_scrub",
+    "data_quality_report",
+    "skew_collect_set",
+    "domain_resample",
+    "events_funnel",
+    "set_operations",
+    "agg_stats",
+    "string_functions",
+    "case_coalesce",
+    "array_functions",
+    "array_numeric",
+    "temporal_functions",
+    "window_functions",
+    "rollup_revenue",
+    "cube_flags",
+    "cte_subquery",
+    "cast_try_cast",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "similarity_ann_lsh",
 ]
 
 

@@ -845,3 +845,69 @@ def exactly_once_ingest_check(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "copy_into_idempotence_check",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_orderkey % 13 = 0),
+    b1 AS (SELECT o_orderkey + 300000000 AS o_orderkey, o_totalprice
+           FROM base WHERE o_orderkey % 2 = 0),
+    b2 AS (SELECT o_orderkey + 400000000 AS o_orderkey, o_totalprice
+           FROM base WHERE o_orderkey % 2 = 1)
+    SELECT o_orderkey, o_totalprice FROM base
+    UNION ALL SELECT * FROM b1
+    UNION ALL SELECT * FROM b2
+    """,
+    doc="COPY INTO exactly-once gate (r8): loaded source files are "
+    "logged (path+size+mtime digest) in the snapshot commit meta, so a "
+    "REPLAYED COPY INTO loads nothing and a directory that gained new "
+    "files since the last load loads ONLY those. DuckDB replays the "
+    "exactly-once application relationally: each file batch lands once.",
+)
+def copy_into_idempotence_check(spark, sf_dir):
+    """The single most common ingest failure mode is a RETRIED loader
+    script re-running ``COPY INTO t FROM dir``: without a loaded-file
+    log it duplicates every row. Load batch 1, replay it (must no-op),
+    append batch 2's files to the SAME directory, copy again (must load
+    only batch 2), replay once more (no-op) — the final table is exactly
+    base ∪ b1 ∪ b2."""
+    import os
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_ci_")
+    try:
+        eng = Engine(spark, root)
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .filter(F.col("o_orderkey") % 13 == 0)
+            .localCheckpoint(eager=True)
+        )
+        b1 = base.filter(F.col("o_orderkey") % 2 == 0).select(
+            (F.col("o_orderkey") + 300000000).alias("o_orderkey"),
+            "o_totalprice",
+        )
+        b2 = base.filter(F.col("o_orderkey") % 2 == 1).select(
+            (F.col("o_orderkey") + 400000000).alias("o_orderkey"),
+            "o_totalprice",
+        )
+        eng.create_table("ct", base, keys=["o_orderkey"], versioned=True)
+        src = os.path.join(root, "landing")
+        b1.write.parquet(src)
+        eng.sql(f"COPY INTO ct FROM '{src}'")
+        # loader crash-retry: the replay must load NOTHING
+        eng.sql(f"COPY INTO ct FROM '{src}'")
+        # the landing dir gains batch 2's files; only those load
+        b2.write.mode("append").parquet(src)
+        eng.sql(f"COPY INTO ct FROM '{src}'")
+        eng.sql(f"COPY INTO ct FROM '{src}'")
+        out = eng.table("ct").select("o_orderkey", "o_totalprice")
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -274,18 +274,20 @@ class SnapshotStore:
         the base minus ``drop_parts`` — no write dir at all (the
         replace-with-nothing degenerate of commit_write's drop_parts).
 
-        The base's transaction-watermark map (``meta["txn"]``) is carried
-        forward like every other commit does via _write_versioned: the
-        exactly-once guard reads ONLY the latest snapshot, so a drop-only
-        commit that dropped the map would let a replayed ingest batch
-        re-apply (r7 review finding)."""
+        The base's transaction-watermark map (``meta["txn"]``) and COPY
+        INTO loaded-file log (``meta["copy_files"]``) are carried forward
+        like every other commit does via _write_versioned: the
+        exactly-once guards read ONLY the latest snapshot, so a drop-only
+        commit that dropped either map would let a replayed ingest batch
+        or a replayed COPY INTO re-apply (r7 review finding)."""
         drops = set(drop_parts)
         mapping = {
             p: list(ws) for p, ws in base.mapping.items() if p not in drops
         }
-        wm = (base.meta or {}).get("txn")
-        if wm:
-            meta = {**(meta or {}), "txn": dict(wm)}
+        for key in ("txn", "copy_files"):
+            carried = (base.meta or {}).get(key)
+            if carried:
+                meta = {**(meta or {}), key: dict(carried)}
         return self.commit(
             mapping,
             "replace",

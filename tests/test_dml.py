@@ -873,3 +873,75 @@ def test_copy_into_statement(eng, spark, tmp_path):
     bad.write.parquet(pb)
     with pytest.raises(ValueError, match="not in the table"):
         eng.sql(f"COPY INTO t FROM '{pb}'")
+
+
+def test_copy_into_idempotent_replay_versioned(eng, spark, tmp_path):
+    """A replayed COPY INTO is a NO-OP (the single most common ingest
+    failure mode is a retried loader script): loaded files are logged in
+    the snapshot commit meta, new files in the same directory still
+    load, and FORCE overrides the log."""
+    df = spark.createDataFrame([(1, "a")], "id bigint, s string")
+    eng.create_table("ci", df, keys=["id"], versioned=True)
+    src = spark.createDataFrame([(10, "x"), (11, "y")], "id bigint, s string")
+    p = str(tmp_path / "ci_src")
+    src.write.parquet(p)
+
+    st = eng.sql(f"COPY INTO ci FROM '{p}'").head()
+    assert st["n_affected"] == 2 and eng.table("ci").count() == 3
+    # replay: nothing loads, nothing duplicates
+    st = eng.sql(f"COPY INTO ci FROM '{p}'").head()
+    assert st["n_affected"] == 0 and eng.table("ci").count() == 3
+    # a NEW file appearing in the same directory loads alone
+    extra = spark.createDataFrame([(12, "z")], "id bigint, s string")
+    extra.coalesce(1).write.mode("append").parquet(p)
+    st = eng.sql(f"COPY INTO ci FROM '{p}'").head()
+    assert st["n_affected"] == 1 and eng.table("ci").count() == 4
+    # FORCE re-loads everything (duplicates, by request)
+    st = eng.sql(f"COPY INTO ci FROM '{p}' FORCE").head()
+    assert st["n_affected"] == 3 and eng.table("ci").count() == 7
+
+
+def test_copy_into_replay_plain_table_survives_reload(spark, tmp_path):
+    """Plain (unversioned) tables keep the loaded-file log in the
+    manifest: the replay guard survives a fresh Engine over the same
+    root."""
+    from polars_lake_spark import Engine
+
+    root = str(tmp_path / "root")
+    eng = Engine(spark, root)
+    eng.create_table(
+        "cp", spark.createDataFrame([(1, "a")], "id bigint, s string"), keys=["id"]
+    )
+    src = spark.createDataFrame([(10, "x")], "id bigint, s string")
+    p = str(tmp_path / "cp_src")
+    src.write.parquet(p)
+    assert eng.sql(f"COPY INTO cp FROM '{p}'").head()["n_affected"] == 1
+    assert eng.sql(f"COPY INTO cp FROM '{p}'").head()["n_affected"] == 0
+
+    eng2 = Engine(spark, root)
+    eng2.load_all()
+    assert eng2.sql(f"COPY INTO cp FROM '{p}'").head()["n_affected"] == 0
+    assert eng2.table("cp").count() == 2
+
+
+def test_copy_into_modified_file_reloads(eng, spark, tmp_path):
+    """Overwriting a source file (same path, new size/mtime) is a NEW
+    load — the identity is path+size+mtime, not path alone."""
+    import glob
+
+    eng.create_table(
+        "cm",
+        spark.createDataFrame([(0, "seed")], "id bigint, s string"),
+        keys=["id"],
+        versioned=True,
+    )
+    p = str(tmp_path / "cm_src")
+    spark.createDataFrame([(1, "v1")], "id bigint, s string").coalesce(1).write.parquet(p)
+    assert eng.sql(f"COPY INTO cm FROM '{p}'").head()["n_affected"] == 1
+    # rewrite the directory with different contents
+    spark.createDataFrame(
+        [(2, "v2"), (3, "v2")], "id bigint, s string"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    assert glob.glob(p + "/*.parquet")
+    assert eng.sql(f"COPY INTO cm FROM '{p}'").head()["n_affected"] == 2
+    assert {r.s for r in eng.table("cm").collect()} == {"seed", "v1", "v2"}
