@@ -150,6 +150,16 @@ _INSERT = re.compile(
     r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(\([^)]*\))?\s*(SELECT\b.+?)\s*;?\s*$",
     re.I | re.S,
 )
+_INSERT_VALUES = re.compile(
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.]*)\s*(\([^)]*\))?\s*"
+    r"VALUES\s+(.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_CREATE_TABLE = re.compile(
+    r"^\s*CREATE\s+(VERSIONED\s+)?TABLE\s+([A-Za-z_][\w.]*)\s*"
+    r"\((.+?)\)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
+    re.I | re.S,
+)
 _ALTER_ADD_CONSTRAINT = re.compile(
     r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ADD\s+CONSTRAINT\s+"
     r"([A-Za-z_]\w*)\s+CHECK\s*\((.+)\)\s*;?\s*$",
@@ -487,6 +497,11 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         name = _resolve(engine, m.group(1))
         if name is None:
             return None
+        if engine.specs[name].deletion_vectors:
+            # merge-on-read: commit an O(deleted-rows) sidecar instead of
+            # rewriting touched partitions (lock taken inside)
+            n = engine.delete_where_dv(name, m.group(2) or "true")
+            return _status(engine, "delete", name, n)
         # Whole statement inside the table lock: the count and the
         # rewrite must see the same table state vs concurrent writers
         # (TOCTOU — ADVICE r5); the lock is reentrant for overwrite().
@@ -537,6 +552,41 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         with engine._lock(name):
             t = engine.table(name)
             set_sql, where_sql = _split_where(m.group(2))
+            pairs = []
+            for clause in _split_top_level(set_sql):
+                col, eq, expr = clause.partition("=")
+                col = col.strip()
+                if not eq or not re.fullmatch(r"[A-Za-z_]\w*", col):
+                    raise ValueError(f"cannot parse SET clause: {clause!r}")
+                if col not in t.columns:
+                    raise ValueError(f"UPDATE {name}: no column {col!r}")
+                pairs.append((col, expr.strip()))
+            spec = engine.specs[name]
+            parts = spec.physical_partitioning
+            set_cols = {c for c, _ in pairs}
+            if spec.bucket_by and _BUCKET_COL in set_cols:
+                # the derived bucket column is recomputed from its source
+                # columns on every write — a direct SET would be silently
+                # ignored (full-overwrite path) or, worse, desync the
+                # scoped path's touched-partition math (r7 review finding)
+                raise ValueError(
+                    f"UPDATE {name}: {_BUCKET_COL!r} is derived from "
+                    f"{spec.bucket_by}; SET its source columns instead"
+                )
+            layout_cols = (
+                set(spec.partition_by) | set(spec.bucket_by) | {_BUCKET_COL}
+            )
+            if spec.deletion_vectors and not (set_cols & layout_cols):
+                # merge-on-read UPDATE: DV the matched rows + append the
+                # updated ones in one atomic commit — O(matched rows),
+                # no partition rewrite. Layout-column SETs fall through
+                # to the rewrite path (rows migrate partitions).
+                n = engine.update_where_dv(
+                    name,
+                    where_sql or "true",
+                    {c: F.expr(e) for c, e in pairs},
+                )
+                return _status(engine, "update", name, n)
             pred = (
                 F.coalesce(F.expr(where_sql), F.lit(False))
                 if where_sql
@@ -551,35 +601,14 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     eager=True
                 )
                 pred_col = F.col("__pl_pred")
-            assigns = {}
-            for clause in _split_top_level(set_sql):
-                col, eq, expr = clause.partition("=")
-                col = col.strip()
-                if not eq or not re.fullmatch(r"[A-Za-z_]\w*", col):
-                    raise ValueError(f"cannot parse SET clause: {clause!r}")
-                if col not in t.columns:
-                    raise ValueError(f"UPDATE {name}: no column {col!r}")
-                assigns[col] = F.when(pred_col, F.expr(expr.strip())).otherwise(
-                    F.col(col)
-                )
+            assigns = {
+                col: F.when(pred_col, F.expr(expr)).otherwise(F.col(col))
+                for col, expr in pairs
+            }
             # ONE select: every SET expression sees the OLD row (SQL
             # semantics — sequential withColumn would leak earlier updates).
             updated = base.select(
                 *[assigns.get(c, F.col(c)).alias(c) for c in t.columns]
-            )
-            spec = engine.specs[name]
-            parts = spec.physical_partitioning
-            if spec.bucket_by and _BUCKET_COL in assigns:
-                # the derived bucket column is recomputed from its source
-                # columns on every write — a direct SET would be silently
-                # ignored (full-overwrite path) or, worse, desync the
-                # scoped path's touched-partition math (r7 review finding)
-                raise ValueError(
-                    f"UPDATE {name}: {_BUCKET_COL!r} is derived from "
-                    f"{spec.bucket_by}; SET its source columns instead"
-                )
-            layout_cols = (
-                set(spec.partition_by) | set(spec.bucket_by) | {_BUCKET_COL}
             )
             if parts and not (set(assigns) & layout_cols):
                 # Partition-scoped update: SET doesn't touch any layout
@@ -610,6 +639,26 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         if name is None:
             return None
         df = _insert_frame(engine, name, "INSERT INTO", m.group(2), m.group(3))
+        n = df.count()
+        engine.insert(name, df)
+        return _status(engine, "insert", name, n)
+
+    m = _INSERT_VALUES.match(query)
+    if m:
+        # INSERT INTO t [(cols)] VALUES (...), (...) — the first statement
+        # a new user types. Spark SQL evaluates the VALUES rows directly;
+        # the frame then takes _insert_frame's full column-list /
+        # NULL-fill / cast-to-table-types treatment, same as a SELECT.
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        df = _insert_frame(
+            engine,
+            name,
+            "INSERT INTO",
+            m.group(2),
+            f"SELECT * FROM VALUES {m.group(3)}",
+        )
         n = df.count()
         engine.insert(name, df)
         return _status(engine, "insert", name, n)
@@ -645,6 +694,27 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         engine.create_table_as(raw, m.group(4), **kwargs)
         n = engine.table(raw).count()
         return _status(engine, "create_table_as", raw, n)
+
+    m = _CREATE_TABLE.match(query)
+    if m:
+        # Literal CREATE [VERSIONED] TABLE t (col type, ...) [PARTITIONED
+        # BY (c)] — an EMPTY typed table through create_table (the other
+        # statement a first-time user types before any data exists). The
+        # column-defs text is a Spark DDL schema string, so types parse
+        # exactly as Spark would (decimal scales, nested types, NOT NULL).
+        raw = m.group(2)
+        if _resolve(engine, raw) is not None:
+            raise ValueError(f"CREATE TABLE {raw}: table already exists")
+        empty = engine.spark.createDataFrame([], m.group(3))
+        kwargs = {}
+        if m.group(1):
+            kwargs["versioned"] = True
+        if m.group(4):
+            kwargs["partition_by"] = [
+                c.strip() for c in m.group(4).split(",") if c.strip()
+            ]
+        engine.create_table(raw, empty, **kwargs)
+        return _status(engine, "create_table", raw, 0)
 
     m = _SHOW_PARTITIONS.match(query)
     if m:

@@ -36,7 +36,7 @@ import shutil
 import threading
 from dataclasses import asdict, dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polars_lake_spark.layout import (
@@ -148,6 +148,13 @@ class TableSpec:
     # pruning, which only covers the layout keys. create_table() measures
     # ndv from the initial data when given a plain column list.
     bloom_filter_cols: dict[str, int] = field(default_factory=dict)
+    # Merge-on-read DELETE (Delta deletion-vector analog): predicate
+    # deletes commit an O(deleted-rows) sidecar of (file, row_index)
+    # refs that reads anti-join out, instead of rewriting every touched
+    # partition. Opt-in because every read of a DV-carrying snapshot
+    # pays the (broadcast, map-side) anti-join; compaction folds DVs in.
+    # Versioned parquet tables only.
+    deletion_vectors: bool = False
     # COPY INTO loaded-file log for PLAIN (unversioned) tables:
     # digest(path|size|mtime) -> source path. Replayed loads skip files
     # already in the log (exactly-once ingest for retried loader
@@ -218,6 +225,7 @@ class Engine:
         versioned: bool = False,
         constraints: dict[str, str] | None = None,
         bloom_filter_cols: list[str] | dict[str, int] | None = None,
+        deletion_vectors: bool = False,
     ) -> TableSpec:
         """CreateTable (``/root/reference/src/server.rs:92-135`` analog).
 
@@ -264,6 +272,7 @@ class Engine:
             bloom_filter_cols=self._resolve_bloom_cols(
                 df, bloom_filter_cols, format
             ),
+            deletion_vectors=deletion_vectors,
         )
         # Cheap parameter validation FIRST — _enforce below runs a full
         # aggregation job over df, which must not precede (or mask) an
@@ -272,6 +281,11 @@ class Engine:
             raise ValueError(
                 "versioned tables require save=True, format='parquet', "
                 "and no native_bucketing"
+            )
+        if deletion_vectors and not versioned:
+            raise ValueError(
+                "deletion_vectors requires a versioned table (the DV "
+                "sidecar rides in the snapshot commit)"
             )
         if native_bucketing and (
             not spec.bucket_by or spec.partition_by or not save
@@ -388,6 +402,17 @@ class Engine:
             cf.update(meta["copy_files"])
         if cf:
             meta = {**(meta or {}), "copy_files": cf}
+        # Deletion vectors: live through appends and partition replaces
+        # (write dirs are immutable and never reused, so a stale ref can
+        # never match a new file), but a FULL rewrite rebuilds the table
+        # from a DV-applied read — its commit must clear them or the
+        # folded-in deletes would be "deleted" twice forever.  A caller
+        # that already merged/extended the list (DV-backed UPDATE commits
+        # its sidecar and the appended rows atomically) wins.
+        if base and op not in ("create", "rewrite") and not (meta or {}).get("dv"):
+            dv = (base.meta or {}).get("dv")
+            if dv:
+                meta = {**(meta or {}), "dv": list(dv)}
         wname, wpath = store.new_write_dir()
         spec.schema_json = df.schema.json()
         writer = df.write.mode("overwrite")
@@ -694,6 +719,7 @@ class Engine:
         with self._lock(name):
             src = self._path(name)
             home = os.path.join(self.root, name)
+            old_path = src
             if dest_root is None:
                 if not spec.root_override:
                     return spec  # already home
@@ -714,6 +740,12 @@ class Engine:
                 with open(os.path.join(home, POINTER), "w") as f:
                     json.dump({"root_override": dest_root}, f)
             self._write_manifest(spec)
+            if spec.versioned:
+                # deletion-vector refs record ABSOLUTE file paths; the
+                # move invalidated them (a read would silently resurrect
+                # the deleted rows). Rewrite the sidecars' path prefix —
+                # O(deleted rows), driver-side pyarrow, no Spark job.
+                self._rewrite_dv_prefix(name, old_path, self._path(name))
             if spec.native_bucketing:
                 # the catalog entry pins the OLD path in its LOCATION —
                 # drop it so _register recreates it at the new root
@@ -721,6 +753,53 @@ class Engine:
             self.spark.catalog.refreshByPath(self._path(name))
             self._register(name)
         return spec
+
+    def _rewrite_dv_prefix(self, name: str, old_path: str, new_path: str) -> None:
+        """Point deletion-vector refs at a table's NEW location after an
+        offload/recall move: every retained snapshot's DV sidecar files
+        get their ``file:<old>/...`` prefixes swapped for the new root.
+        Sidecars are O(deleted rows) — small by design — so this is a
+        driver-side pyarrow rewrite, atomic per file via tmp+rename."""
+        if old_path == new_path:
+            return
+        store = self._snapstore(name)
+        dv_dirs: set[str] = set()
+        for v in store.versions():
+            dv_dirs.update((store.load(v).meta or {}).get("dv", []))
+        if not dv_dirs:
+            return
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        old_pre = "file:" + os.path.abspath(old_path)
+        new_pre = "file:" + os.path.abspath(new_path)
+        for d in dv_dirs:
+            ddir = os.path.join(store.data_path, d)
+            if not os.path.isdir(ddir):
+                continue
+            for f in os.listdir(ddir):
+                if not f.endswith(".parquet"):
+                    continue
+                fp = os.path.join(ddir, f)
+                tbl = pq.read_table(fp)
+                col = tbl.column("file_path")
+                fixed = pc.replace_substring_regex(
+                    col, "^" + re.escape(old_pre), new_pre
+                )
+                tbl = tbl.set_column(
+                    tbl.schema.get_field_index("file_path"),
+                    pa.field("file_path", col.type),
+                    fixed,
+                )
+                tmp = fp + ".tmp"
+                pq.write_table(tbl, tmp)
+                os.replace(tmp, fp)
+                # Spark's local FS keeps checksum sidecars; a stale one
+                # fails the next read of the rewritten file
+                crc = os.path.join(ddir, "." + f + ".crc")
+                if os.path.isfile(crc):
+                    os.remove(crc)
 
     def _shallow_clone_dependents(self, name: str) -> list[str]:
         """Sibling tables in this engine root whose RETAINED snapshots
@@ -1339,6 +1418,7 @@ class Engine:
                 versioned=True,
                 constraints=dict(sspec.constraints),
                 bloom_filter_cols=dict(sspec.bloom_filter_cols),
+                deletion_vectors=sspec.deletion_vectors,
             )
             return
         from dataclasses import replace as _dc_replace
@@ -1355,7 +1435,17 @@ class Engine:
                 p: [os.path.join(rel, w).replace(os.sep, "/") for w in ws]
                 for p, ws in snap.mapping.items()
             }
-            dst_store.commit(mapping, "clone", snap.schema_json)
+            # the source's deletion vectors apply to the referenced files
+            # — a clone without them would resurrect the deleted rows
+            meta = None
+            dv = (snap.meta or {}).get("dv")
+            if dv:
+                meta = {
+                    "dv": [
+                        os.path.join(rel, d).replace(os.sep, "/") for d in dv
+                    ]
+                }
+            dst_store.commit(mapping, "clone", snap.schema_json, meta=meta)
             dspec = _dc_replace(
                 sspec,
                 name=dst,
@@ -1405,6 +1495,155 @@ class Engine:
                     static_overwrite=True,
                 )
             self._register(name)
+
+    def delete_where_dv(self, name: str, predicate: str) -> int:
+        """Merge-on-read predicate DELETE (Delta deletion-vector analog)
+        for ``deletion_vectors=True`` tables: instead of rewriting every
+        partition holding a match (``replace_where`` — O(touched
+        partitions), potentially the whole table for one row per
+        partition), commit an O(deleted-rows) SIDECAR of the matched
+        rows' physical identities (file, row_index) and let reads
+        anti-join it out (snapshots.read: DV side broadcast, map-side
+        anti-join, partition pruning intact below it).
+
+        At 100 TB: ``DELETE WHERE user_id = k`` on a date-partitioned
+        table costs one predicate scan (bloom/row-group skipping
+        applies) plus a write of the matched refs — untouched data files
+        are never rewritten (tests assert byte-identical mtimes).
+
+        Folding: a full ``compact()``/OPTIMIZE rewrites from the
+        DV-applied read and its 'rewrite' commit clears the DV list.
+        Time travel and RESTORE see each version's own DV state (the
+        list rides in commit meta); CDC ``changes()`` diffs DV-applied
+        reads, so DV deletes surface as ordinary ``delete`` rows; clones
+        carry the DVs (shallow ones by reference).
+
+        Returns the number of rows deleted. Zero-match deletes commit
+        nothing."""
+        spec = self._guard_mutable(name)
+        if not (spec.versioned and spec.deletion_vectors):
+            raise ValueError(
+                f"table {name} does not have deletion_vectors enabled; "
+                "use delete()/SQL DELETE (partition-scoped rewrite)"
+            )
+        from polars_lake_spark.snapshots import (
+            DV_FILE_COL,
+            DV_POS_COL,
+            carried_meta,
+        )
+
+        with self._lock(name):
+            store = self._snapstore(name)
+            base = store.load()
+            live = store.read(self.spark, with_row_refs=True)
+            # NULL predicate keeps the row, like the rewrite path
+            refs = live.filter(
+                F.coalesce(F.expr(predicate), F.lit(False))
+            ).select(
+                F.col(DV_FILE_COL).alias("file_path"),
+                F.col(DV_POS_COL).alias("row_index"),
+            )
+            wname, wpath = store.new_write_dir()
+            refs.write.parquet(wpath)
+            # count from the written footers — the write already ran the
+            # job; no second scan, and n is pinned to what actually landed
+            import pyarrow.parquet as pq
+
+            n = sum(
+                pq.ParquetFile(os.path.join(wpath, f)).metadata.num_rows
+                for f in os.listdir(wpath)
+                if f.endswith(".parquet")
+            )
+            if n == 0:
+                shutil.rmtree(wpath, ignore_errors=True)
+                return 0
+            meta = carried_meta(
+                base.meta,
+                {"dv": list((base.meta or {}).get("dv", [])) + [wname]},
+            )
+            store.commit(
+                base.mapping,
+                "delete_dv",
+                base.schema_json,
+                expected_base=base.version,
+                meta=meta,
+            )
+            self._register(name)
+            return n
+
+    def update_where_dv(
+        self, name: str, predicate: str, assigns: dict[str, Column]
+    ) -> int:
+        """Merge-on-read predicate UPDATE for ``deletion_vectors`` tables:
+        the matched rows' physical refs go into a DV sidecar (the old
+        rows vanish from reads) and the updated rows APPEND — both in ONE
+        atomic snapshot commit, so readers never see the delete without
+        the re-insert.  Cost is O(matched rows) written, never a
+        partition rewrite.  ``assigns`` maps column name -> replacement
+        Column; unlisted columns carry the old value.  The caller must
+        not assign layout columns (rows would migrate partitions — that
+        case needs the rewrite path; dml.py guards it)."""
+        spec = self._guard_mutable(name)
+        if not (spec.versioned and spec.deletion_vectors):
+            raise ValueError(
+                f"table {name} does not have deletion_vectors enabled"
+            )
+        from polars_lake_spark.snapshots import (
+            DV_FILE_COL,
+            DV_POS_COL,
+            carried_meta,
+        )
+
+        with self._lock(name):
+            store = self._snapstore(name)
+            base = store.load()
+            live = store.read(self.spark, with_row_refs=True)
+            pred = F.coalesce(F.expr(predicate), F.lit(False))
+            matched = live.filter(pred)
+            try:
+                det = bool(
+                    live.select(pred)._jdf.queryExecution().analyzed().deterministic()
+                )
+            except Exception:
+                det = False
+            if not det:
+                # pin ONE evaluation: refs and the re-appended rows must
+                # describe the same matched set
+                matched = matched.localCheckpoint(eager=True)
+            refs = matched.select(
+                F.col(DV_FILE_COL).alias("file_path"),
+                F.col(DV_POS_COL).alias("row_index"),
+            )
+            dvname, dvpath = store.new_write_dir()
+            refs.write.parquet(dvpath)
+            import pyarrow.parquet as pq
+
+            n = sum(
+                pq.ParquetFile(os.path.join(dvpath, f)).metadata.num_rows
+                for f in os.listdir(dvpath)
+                if f.endswith(".parquet")
+            )
+            if n == 0:
+                shutil.rmtree(dvpath, ignore_errors=True)
+                return 0
+            cols = [
+                c for c in live.columns if c not in (DV_FILE_COL, DV_POS_COL)
+            ]
+            new_rows = matched.select(
+                *[assigns.get(c, F.col(c)).alias(c) for c in cols]
+            )
+            self._enforce(spec, new_rows)
+            self._write_versioned(
+                new_rows,
+                spec,
+                op="append",
+                meta=carried_meta(
+                    base.meta,
+                    {"dv": list((base.meta or {}).get("dv", [])) + [dvname]},
+                ),
+            )
+            self._register(name)
+            return n
 
     def drop_duplicates(self, name: str, keys: list[str] | None = None) -> None:
         """Dedup in place (reference TODO /root/reference/src/main.rs:32)."""

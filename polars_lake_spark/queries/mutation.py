@@ -848,6 +848,96 @@ def exactly_once_ingest_check(spark, sf_dir):
 
 
 @register(
+    "sparse_delete_dv_check",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey,
+               substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0),
+    d1 AS (SELECT * FROM base WHERE NOT (o_custkey % 10 = 3)),
+    u AS (SELECT o_orderkey, o_custkey, month,
+                 CASE WHEN o_custkey % 10 = 4 THEN o_totalprice + 5.0
+                      ELSE o_totalprice END AS o_totalprice
+          FROM d1),
+    d2 AS (SELECT * FROM u WHERE NOT (o_orderkey % 1000 = 1)),
+    app AS (SELECT o_orderkey + 500000000 AS o_orderkey, o_custkey, month,
+                   o_totalprice
+            FROM base WHERE o_orderkey % 3 = 0)
+    SELECT o_orderkey, o_custkey, month, o_totalprice FROM d2
+    UNION ALL SELECT * FROM app
+    """,
+    doc="Deletion-vector gate (r8): merge-on-read DELETE/UPDATE on a "
+    "month-partitioned versioned table — sparse predicate DML commits "
+    "O(mutated rows) sidecars instead of rewriting every touched "
+    "partition (data files asserted byte-identical in "
+    "tests/test_deletion_vectors.py; the broadcast anti-join + intact "
+    "partition pruning is plan-gated there). DuckDB replays the "
+    "delete→update→delete→append lifecycle relationally.",
+)
+def sparse_delete_dv_check(spark, sf_dir):
+    """The r7 verdict's #1 scale gap: ``DELETE WHERE user_id = k`` on a
+    date-partitioned table rewrote every partition holding a match.
+    With deletion vectors the same statement commits an O(deleted-rows)
+    (file, row_index) sidecar; reads anti-join it out below intact
+    partition pruning. The lifecycle here composes two sparse DELETEs, a
+    merge-on-read UPDATE (DV old rows + append new, one atomic commit),
+    and a plain append — the final state is value-exact vs DuckDB
+    (``+ 5.0`` is the same IEEE double op in both engines)."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_dv_")
+    try:
+        eng = Engine(spark, root)
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 7 == 0)
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
+                    "month"
+                ),
+                "o_totalprice",
+            )
+            .localCheckpoint(eager=True)
+        )
+        eng.create_table(
+            "dvt",
+            base,
+            partition_by=["month"],
+            keys=["o_orderkey"],
+            versioned=True,
+            deletion_vectors=True,
+        )
+        eng.sql("DELETE FROM dvt WHERE o_custkey % 10 = 3")
+        eng.sql(
+            "UPDATE dvt SET o_totalprice = o_totalprice + 5.0 "
+            "WHERE o_custkey % 10 = 4"
+        )
+        eng.sql("DELETE FROM dvt WHERE o_orderkey % 1000 = 1")
+        eng.insert(
+            "dvt",
+            base.filter(F.col("o_orderkey") % 3 == 0).select(
+                (F.col("o_orderkey") + 500000000).alias("o_orderkey"),
+                "o_custkey",
+                "month",
+                "o_totalprice",
+            ),
+        )
+        out = eng.table("dvt").select(
+            "o_orderkey", "o_custkey", "month", "o_totalprice"
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "copy_into_idempotence_check",
     oracle="""
     WITH base AS (SELECT o_orderkey, o_totalprice FROM orders

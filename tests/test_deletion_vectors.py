@@ -1,0 +1,215 @@
+"""Merge-on-read DELETE/UPDATE via deletion vectors (Delta DV analog):
+predicate DML on a ``deletion_vectors=True`` versioned table commits an
+O(mutated-rows) sidecar of (file, row_index) refs instead of rewriting
+every touched partition; reads anti-join the broadcast DV below which
+partition pruning still applies; compaction folds DVs in."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_lake_spark import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, str(tmp_path))
+
+
+def _seed(spark, eng, name, n=30, **kw):
+    df = spark.createDataFrame(
+        [(i, i % 5, float(i), "d%d" % (i % 3)) for i in range(n)],
+        "id bigint, user bigint, v double, day string",
+    )
+    eng.create_table(
+        name, df, partition_by=["day"], keys=["id"], versioned=True,
+        deletion_vectors=True, **kw
+    )
+    return df
+
+
+def _data_files(eng, name):
+    return {
+        f: os.stat(f).st_mtime_ns
+        for f in glob.glob(eng._path(name) + "/data/**/*.parquet", recursive=True)
+    }
+
+
+def test_dv_delete_sparse_no_rewrite(spark, eng):
+    """A sparse key-delete touches every partition's rows but rewrites
+    NO data file — the one remaining scale-weak write path of r7."""
+    _seed(spark, eng, "t")
+    before = _data_files(eng, "t")
+    st = eng.sql("DELETE FROM t WHERE user = 2").head()
+    assert (st["operation"], st["n_affected"]) == ("delete", 6)
+    assert eng.table("t").count() == 24
+    assert eng.table("t").filter("user = 2").count() == 0
+    # every pre-existing data file is byte-untouched; only the DV
+    # sidecar is new
+    after = {f: os.stat(f).st_mtime_ns for f in before}
+    assert before == after
+    # time travel sees the pre-delete state
+    assert eng.table("t", version=1).count() == 30
+    # empty-match delete commits nothing
+    v = eng._snapstore("t").latest_version()
+    st = eng.sql("DELETE FROM t WHERE user = 99").head()
+    assert st["n_affected"] == 0
+    assert eng._snapstore("t").latest_version() == v
+
+
+def test_dv_requires_versioned(spark, eng):
+    df = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(ValueError, match="deletion_vectors requires"):
+        eng.create_table("bad", df, deletion_vectors=True)
+
+
+def test_dv_read_plan_broadcast_anti_and_pruning(spark, eng):
+    """The DV apply must be a BROADCAST anti-join (O(deleted rows) sent
+    to executors, map-side apply) and must NOT break partition pruning
+    on the base scans below it."""
+    _seed(spark, eng, "t")
+    eng.sql("DELETE FROM t WHERE user = 2")
+    plan = (
+        eng.table("t")
+        .filter("day = 'd1'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # every BASE-table scan (not the DV sidecar's own scan, whose
+    # ReadSchema is the file_path/row_index pair) prunes to day=d1
+    base_scans = [
+        l
+        for l in plan.splitlines()
+        if "FileScan parquet" in l
+        and "file_path:string,row_index:bigint" not in l
+    ]
+    assert base_scans and all(
+        "PartitionFilters" in l and "d1" in l for l in base_scans
+    )
+
+
+def test_dv_update_merge_on_read(spark, eng):
+    """UPDATE on a DV table appends the updated rows and DVs the old
+    ones in ONE commit; SET expressions all see the OLD row."""
+    _seed(spark, eng, "t")
+    files = _data_files(eng, "t")
+    st = eng.sql("UPDATE t SET v = v + 100, user = user * 10 WHERE id < 3").head()
+    assert (st["operation"], st["n_affected"]) == ("update", 3)
+    got = {r.id: (r.user, r.v) for r in eng.table("t").filter("id < 3").collect()}
+    assert got == {0: (0, 100.0), 1: (10, 101.0), 2: (20, 102.0)}
+    assert eng.table("t").count() == 30
+    # pre-existing files untouched (the append landed in a new dir)
+    assert {f: os.stat(f).st_mtime_ns for f in files} == files
+    # exactly one commit for the whole update
+    assert eng._snapstore("t").load().op == "append"
+    # a layout-column SET falls back to the rewrite path and clears DVs
+    st = eng.sql("UPDATE t SET day = 'd9' WHERE id = 5").head()
+    assert st["n_affected"] == 1
+    assert eng.table("t").filter("day = 'd9'").count() == 1
+    assert eng.table("t").count() == 30
+
+
+def test_dv_compact_folds_and_vacuum_keeps_live_dvs(spark, eng):
+    _seed(spark, eng, "t")
+    eng.sql("DELETE FROM t WHERE user = 2")
+    store = eng._snapstore("t")
+    assert (store.load().meta or {}).get("dv")
+    # vacuum keeping the DV-carrying head must NOT delete the sidecar
+    eng.vacuum("t", keep_last=1)
+    assert eng.table("t").count() == 24
+    assert eng.table("t").filter("user = 2").count() == 0
+    # compaction folds the DVs into rewritten files and clears the list
+    eng.compact("t")
+    assert not (store.load().meta or {}).get("dv")
+    assert eng.table("t").count() == 24
+    assert eng.table("t").filter("user = 2").count() == 0
+
+
+def test_dv_restore_and_cdc(spark, eng):
+    _seed(spark, eng, "t")
+    eng.sql("DELETE FROM t WHERE user = 2")  # v2
+    eng.insert(
+        "t",
+        eng.spark.createDataFrame(
+            [(100, 7, 1.0, "d0")], "id bigint, user bigint, v double, day string"
+        ),
+    )  # v3
+    # CDC: the DV delete surfaces as ordinary delete rows
+    ch = eng.changes("t", 1, 2)
+    assert ch.filter("_change_type = 'delete'").count() == 6
+    # restore to v1 resurrects the rows (DV state rolls back with meta)
+    eng.restore("t", 1)
+    assert eng.table("t").count() == 30
+    assert eng.table("t").filter("user = 2").count() == 6
+
+
+def test_dv_txn_watermark_carried_across_dv_commits(spark, eng):
+    """An exactly-once txn watermark committed before a DV delete must
+    survive it (delete_dv commits carry meta like every other commit)."""
+    _seed(spark, eng, "t")
+    batch = eng.spark.createDataFrame(
+        [(200, 1, 2.0, "d0")], "id bigint, user bigint, v double, day string"
+    )
+    eng.insert("t", batch, txn=("loader", 1))
+    assert eng.table("t").count() == 31
+    eng.sql("DELETE FROM t WHERE user = 2")
+    # replay of the tracked batch must still be skipped
+    eng.insert("t", batch, txn=("loader", 1))
+    assert eng.table("t").filter("id = 200").count() == 1
+
+
+def test_dv_upsert_composes(spark, eng):
+    """Upsert after a DV delete: the deleted rows stay deleted, the
+    upsert's partition rewrite folds its slice, untouched partitions
+    keep answering through their DVs."""
+    _seed(spark, eng, "t")
+    eng.sql("DELETE FROM t WHERE user = 2")
+    up = eng.spark.createDataFrame(
+        [(3, 3, 999.0, "d0")], "id bigint, user bigint, v double, day string"
+    )
+    eng.upsert("t", up)
+    t = eng.table("t")
+    assert t.count() == 24
+    assert t.filter("user = 2").count() == 0
+    assert t.filter("id = 3").head().v == 999.0
+
+
+def test_dv_clones(spark, eng):
+    """Both clone modes must carry the deletion state — a clone that
+    dropped the DVs would resurrect deleted rows."""
+    _seed(spark, eng, "t")
+    eng.sql("DELETE FROM t WHERE user = 2")
+    eng.clone("t", "shallow_c", shallow=True)
+    assert eng.table("shallow_c").count() == 24
+    assert eng.table("shallow_c").filter("user = 2").count() == 0
+    eng.clone("t", "deep_c", shallow=False)
+    assert eng.table("deep_c").count() == 24
+    assert eng.table("deep_c").filter("user = 2").count() == 0
+    assert eng.specs["deep_c"].deletion_vectors
+    # the clone diverges independently
+    eng.sql("DELETE FROM shallow_c WHERE user = 3")
+    assert eng.table("shallow_c").count() == 18
+    assert eng.table("t").count() == 24
+
+
+def test_dv_offload_rewrites_refs(spark, eng, tmp_path):
+    """Offload moves the table directory; the DV refs' absolute file
+    paths must be rewritten or deleted rows resurrect at the new root."""
+    _seed(spark, eng, "t")
+    eng.sql("DELETE FROM t WHERE user = 2")
+    cold = str(tmp_path / "cold_tier")
+    eng.offload_table("t", cold)
+    assert eng.table("t").count() == 24
+    assert eng.table("t").filter("user = 2").count() == 0
+    # further DV DML at the offloaded location
+    st = eng.sql("DELETE FROM t WHERE user = 3").head()
+    assert st["n_affected"] == 6
+    assert eng.table("t").count() == 18
+    # recall home
+    eng.offload_table("t", None)
+    assert eng.table("t").count() == 18
+    assert eng.table("t").filter("user in (2, 3)").count() == 0

@@ -788,6 +788,53 @@ def test_truncate_table_statement(eng, spark):
     assert eng.table("tr").count() == 1
 
 
+def test_insert_values_statement(eng, spark):
+    """INSERT INTO t VALUES — the first statement a new user types;
+    routes through _insert_frame so column lists NULL-fill and every
+    value casts to the table's types."""
+    st = eng.sql("INSERT INTO t VALUES (100, 'g9', 5.5), (101, 'g9', 6.5)").head()
+    assert (st["operation"], st["n_affected"]) == ("insert", 2)
+    rows = {r.id: r.val for r in eng.table("t").filter("grp = 'g9'").collect()}
+    assert rows == {100: 5.5, 101: 6.5}
+    # column list: reordered subset, unlisted column NULL-fills
+    st = eng.sql("INSERT INTO t (val, id) VALUES (7.5, 102)").head()
+    assert st["n_affected"] == 1
+    r = eng.table("t").filter("id = 102").head()
+    assert (r.val, r.grp) == (7.5, None)
+    # int literal casts to the table's bigint
+    assert dict(eng.table("t").dtypes)["id"] == "bigint"
+    with pytest.raises(ValueError, match="no columns"):
+        eng.sql("INSERT INTO t (nope) VALUES (1)")
+    with pytest.raises(ValueError, match="columns"):
+        eng.sql("INSERT INTO t VALUES (1, 'x')")  # arity mismatch
+
+
+def test_create_table_literal_statement(eng, spark):
+    """Literal CREATE TABLE t (col type, ...): an empty typed table a
+    user then INSERTs into — previously only CTAS parsed."""
+    st = eng.sql("CREATE TABLE ct (a BIGINT, b STRING, c DECIMAL(10,2))").head()
+    assert (st["operation"], st["n_affected"]) == ("create_table", 0)
+    assert eng.table("ct").count() == 0
+    assert dict(eng.table("ct").dtypes) == {
+        "a": "bigint", "b": "string", "c": "decimal(10,2)"
+    }
+    eng.sql("INSERT INTO ct VALUES (1, 'x', 2.50)")
+    assert eng.sql("SELECT a, b, CAST(c AS STRING) AS c FROM ct").collect()[0][:] == (
+        1, "x", "2.50"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE TABLE ct (a INT)")
+    # versioned + partitioned empty table: v1 is the empty state
+    eng.sql(
+        "CREATE VERSIONED TABLE cvp (id BIGINT, day STRING) PARTITIONED BY (day)"
+    )
+    assert eng.table("cvp").count() == 0
+    eng.sql("INSERT INTO cvp VALUES (1, 'd1'), (2, 'd2')")
+    assert eng.table("cvp").count() == 2
+    assert eng.table("cvp", version=1).count() == 0
+    assert eng.specs["cvp"].versioned and eng.specs["cvp"].partition_by == ["day"]
+
+
 def test_truncate_partitioned_versioned_empty_state(eng, spark):
     """Emptying a partitioned VERSIONED table is a legal state (ADVICE r7):
     TRUNCATE commits mapping={} and reads must come back empty and
