@@ -160,6 +160,11 @@ _CREATE_TABLE = re.compile(
     r"\((.+?)\)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
     re.I | re.S,
 )
+_SET_TBLPROPERTIES = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+SET\s+TBLPROPERTIES\s*"
+    r"\(\s*'([\w.]+)'\s*=\s*'(\w+)'\s*\)\s*;?\s*$",
+    re.I,
+)
 _ALTER_ADD_CONSTRAINT = re.compile(
     r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ADD\s+CONSTRAINT\s+"
     r"([A-Za-z_]\w*)\s+CHECK\s*\((.+)\)\s*;?\s*$",
@@ -993,6 +998,40 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                 if engine.root is not None and name not in engine._mem:
                     engine._write_manifest(spec)
         return _status(engine, "copy_into", name, n)
+
+    m = _SET_TBLPROPERTIES.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None  # let spark.sql handle catalog tables
+        prop, val = m.group(2).lower(), m.group(3).lower()
+        if prop not in ("deletion_vectors", "delta.enabledeletionvectors"):
+            raise ValueError(
+                f"ALTER TABLE {name}: unsupported table property {prop!r} "
+                "(supported: 'deletion_vectors')"
+            )
+        if val not in ("true", "false"):
+            raise ValueError(f"ALTER TABLE {name}: {prop} must be true/false")
+        enable = val == "true"
+        spec = engine.specs[name]
+        with engine._lock(name):
+            if enable and not spec.versioned:
+                raise ValueError(
+                    f"ALTER TABLE {name}: deletion_vectors requires a "
+                    "versioned table"
+                )
+            if not enable and spec.versioned:
+                store = engine._snapstore(name)
+                if store.versions() and (store.load().meta or {}).get("dv"):
+                    raise ValueError(
+                        f"ALTER TABLE {name}: live deletion vectors exist; "
+                        "run OPTIMIZE (full compaction folds them in) "
+                        "before disabling"
+                    )
+            spec.deletion_vectors = enable
+            if engine.root is not None and name not in engine._mem:
+                engine._write_manifest(spec)
+        return _status(engine, "set_tblproperties", name, int(enable))
 
     m = _ALTER_ADD_CONSTRAINT.match(query)
     if m:

@@ -413,6 +413,9 @@ class Engine:
             dv = (base.meta or {}).get("dv")
             if dv:
                 meta = {**(meta or {}), "dv": list(dv)}
+                n_dv = (base.meta or {}).get("dv_rows")
+                if n_dv:
+                    meta["dv_rows"] = n_dv
         wname, wpath = store.new_write_dir()
         spec.schema_json = df.schema.json()
         writer = df.write.mode("overwrite")
@@ -1445,6 +1448,9 @@ class Engine:
                         os.path.join(rel, d).replace(os.sep, "/") for d in dv
                     ]
                 }
+                n_dv = (snap.meta or {}).get("dv_rows")
+                if n_dv:
+                    meta["dv_rows"] = n_dv
             dst_store.commit(mapping, "clone", snap.schema_json, meta=meta)
             dspec = _dc_replace(
                 sspec,
@@ -1468,11 +1474,33 @@ class Engine:
         rows (a semi join on the delete keys) locate the touched
         partitions, and ``replace_where`` rewrites only those — a keyed
         delete against a day-partitioned 100 TB table costs the touched
-        days, not a full static-overwrite rewrite."""
+        days, not a full static-overwrite rewrite.
+
+        ``deletion_vectors`` tables take the merge-on-read path instead:
+        the matched rows' physical refs commit as an O(matched) sidecar
+        and NO data file is rewritten (delete_where_dv, with the key
+        match as the predicate source)."""
         spec = self._guard_mutable(name)
         keys = list(keys or spec.keys)
         if not keys:
             raise ValueError(f"no delete keys for table {name}")
+        if spec.deletion_vectors:
+            from polars_lake_spark.snapshots import DV_FILE_COL, DV_POS_COL
+
+            with self._lock(name):
+                store = self._snapstore(name)
+                base = store.load()
+                live = store.read(self.spark, with_row_refs=True)
+                refs = live.join(
+                    F.broadcast(deletes.select(*keys).distinct()),
+                    keys,
+                    "left_semi",
+                ).select(
+                    F.col(DV_FILE_COL).alias("file_path"),
+                    F.col(DV_POS_COL).alias("row_index"),
+                )
+                self._commit_dv_refs(name, store, base, refs)
+            return
         with self._lock(name):
             t = self.table(name)
             remaining = M.delete_keys(t, deletes, keys)
@@ -1526,11 +1554,7 @@ class Engine:
                 f"table {name} does not have deletion_vectors enabled; "
                 "use delete()/SQL DELETE (partition-scoped rewrite)"
             )
-        from polars_lake_spark.snapshots import (
-            DV_FILE_COL,
-            DV_POS_COL,
-            carried_meta,
-        )
+        from polars_lake_spark.snapshots import DV_FILE_COL, DV_POS_COL
 
         with self._lock(name):
             store = self._snapstore(name)
@@ -1543,33 +1567,50 @@ class Engine:
                 F.col(DV_FILE_COL).alias("file_path"),
                 F.col(DV_POS_COL).alias("row_index"),
             )
-            wname, wpath = store.new_write_dir()
-            refs.write.parquet(wpath)
-            # count from the written footers — the write already ran the
-            # job; no second scan, and n is pinned to what actually landed
-            import pyarrow.parquet as pq
+            return self._commit_dv_refs(name, store, base, refs)
 
-            n = sum(
-                pq.ParquetFile(os.path.join(wpath, f)).metadata.num_rows
-                for f in os.listdir(wpath)
-                if f.endswith(".parquet")
-            )
-            if n == 0:
-                shutil.rmtree(wpath, ignore_errors=True)
-                return 0
-            meta = carried_meta(
+    def _write_dv_sidecar(self, store, refs: DataFrame) -> tuple[str, int]:
+        """Write (file_path, row_index) refs into a fresh sidecar dir;
+        return (dir name, rows written). The count comes from the written
+        parquet FOOTERS — the write already ran the job, so n is pinned
+        to what actually landed even for a nondeterministic source."""
+        wname, wpath = store.new_write_dir()
+        refs.write.parquet(wpath)
+        import pyarrow.parquet as pq
+
+        n = sum(
+            pq.ParquetFile(os.path.join(wpath, f)).metadata.num_rows
+            for f in os.listdir(wpath)
+            if f.endswith(".parquet")
+        )
+        if n == 0:
+            shutil.rmtree(wpath, ignore_errors=True)
+        return wname, n
+
+    def _commit_dv_refs(self, name: str, store, base, refs: DataFrame) -> int:
+        """Commit a deletion-vector sidecar as a metadata-only snapshot
+        (mapping unchanged, DV list extended, carried meta intact).
+        Zero-match refs commit nothing. Caller holds the table lock."""
+        from polars_lake_spark.snapshots import carried_meta
+
+        wname, n = self._write_dv_sidecar(store, refs)
+        if n == 0:
+            return 0
+        store.commit(
+            base.mapping,
+            "delete_dv",
+            base.schema_json,
+            expected_base=base.version,
+            meta=carried_meta(
                 base.meta,
-                {"dv": list((base.meta or {}).get("dv", [])) + [wname]},
-            )
-            store.commit(
-                base.mapping,
-                "delete_dv",
-                base.schema_json,
-                expected_base=base.version,
-                meta=meta,
-            )
-            self._register(name)
-            return n
+                {
+                    "dv": list((base.meta or {}).get("dv", [])) + [wname],
+                    "dv_rows": int((base.meta or {}).get("dv_rows", 0)) + n,
+                },
+            ),
+        )
+        self._register(name)
+        return n
 
     def update_where_dv(
         self, name: str, predicate: str, assigns: dict[str, Column]
@@ -1614,17 +1655,8 @@ class Engine:
                 F.col(DV_FILE_COL).alias("file_path"),
                 F.col(DV_POS_COL).alias("row_index"),
             )
-            dvname, dvpath = store.new_write_dir()
-            refs.write.parquet(dvpath)
-            import pyarrow.parquet as pq
-
-            n = sum(
-                pq.ParquetFile(os.path.join(dvpath, f)).metadata.num_rows
-                for f in os.listdir(dvpath)
-                if f.endswith(".parquet")
-            )
+            dvname, n = self._write_dv_sidecar(store, refs)
             if n == 0:
-                shutil.rmtree(dvpath, ignore_errors=True)
                 return 0
             cols = [
                 c for c in live.columns if c not in (DV_FILE_COL, DV_POS_COL)
@@ -1639,7 +1671,12 @@ class Engine:
                 op="append",
                 meta=carried_meta(
                     base.meta,
-                    {"dv": list((base.meta or {}).get("dv", [])) + [dvname]},
+                    {
+                        "dv": list((base.meta or {}).get("dv", []))
+                        + [dvname],
+                        "dv_rows": int((base.meta or {}).get("dv_rows", 0))
+                        + n,
+                    },
                 ),
             )
             self._register(name)
@@ -1720,6 +1757,14 @@ class Engine:
         ):
             return None
         try:
+            if spec.versioned:
+                store = self._snapstore(name)
+                if (store.load().meta or {}).get("dv"):
+                    # base footers still count DV-deleted rows, and the
+                    # sidecar may hold STALE refs (files later rewritten
+                    # out of the mapping) — neither sum nor difference is
+                    # exact; let the caller fall back to a real count
+                    return None
             import pyarrow.parquet as pq
 
             return sum(

@@ -62,6 +62,12 @@ DATA_DIR = "data"
 # the row identity that needs no table keys, exactly Delta's DV model.
 DV_FILE_COL = "__dv_file"
 DV_POS_COL = "__dv_pos"
+# Above this many accumulated DV refs the read-side anti-join stops
+# forcing a broadcast (an explicit hint bypasses Spark's size limit —
+# ~120 B/ref means 5M refs is already ~600 MB on the driver) and lets
+# AQE pick the join strategy instead. The commit side counts refs into
+# meta["dv_rows"] so this decision is metadata-only at read time.
+DV_BROADCAST_MAX_ROWS = 5_000_000
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -99,17 +105,19 @@ def _partition_relpaths(write_dir: str) -> list[str]:
 def carried_meta(base_meta: dict | None, meta: dict | None = None) -> dict | None:
     """Commit meta with the ALWAYS-CARRIED keys filled from the base:
     per-app txn watermarks, the COPY INTO loaded-file log, and the
-    deletion-vector dir list all describe table state that must survive
-    unrelated commits — a commit that dropped any of them would replay
-    ingest batches, reload files, or resurrect deleted rows.  Keys the
-    caller already set in ``meta`` win (the caller merged/extended)."""
-    for key in ("txn", "copy_files", "dv"):
+    deletion-vector dir list (and its ref count) all describe table
+    state that must survive unrelated commits — a commit that dropped
+    any of them would replay ingest batches, reload files, or resurrect
+    deleted rows.  Keys the caller already set in ``meta`` win (the
+    caller merged/extended)."""
+    for key in ("txn", "copy_files", "dv", "dv_rows"):
         carried = (base_meta or {}).get(key)
         if carried and key not in (meta or {}):
-            meta = {
-                **(meta or {}),
-                key: list(carried) if key == "dv" else dict(carried),
-            }
+            if isinstance(carried, dict):
+                carried = dict(carried)
+            elif isinstance(carried, list):
+                carried = list(carried)
+            meta = {**(meta or {}), key: carried}
     return meta
 
 
@@ -307,7 +315,7 @@ class SnapshotStore:
         mapping = {
             p: list(ws) for p, ws in base.mapping.items() if p not in drops
         }
-        meta = carried_meta(base.meta, meta)
+        meta = carried_meta(base.meta, meta)  # txn/copy_files/dv[_rows]
         return self.commit(
             mapping,
             "replace",
@@ -400,8 +408,15 @@ class SnapshotStore:
         )
         if dv_dirs:
             dv = self.dv_scan(spark, dv_dirs).alias("__dv")
+            # broadcast while the ref set is driver-safe (the common
+            # case — DVs are folded by compaction long before this);
+            # past the cap let AQE pick the strategy rather than force
+            # an oversized broadcast through the hint
+            n_dv = (snap.meta or {}).get("dv_rows")
+            if n_dv is None or n_dv <= DV_BROADCAST_MAX_ROWS:
+                dv = F.broadcast(dv)
             out = out.alias("__t").join(
-                F.broadcast(dv),
+                dv,
                 (F.col(f"__t.{DV_FILE_COL}") == F.col("__dv.file_path"))
                 & (F.col(f"__t.{DV_POS_COL}") == F.col("__dv.row_index")),
                 "left_anti",

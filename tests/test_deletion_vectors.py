@@ -178,6 +178,48 @@ def test_dv_upsert_composes(spark, eng):
     assert t.filter("id = 3").head().v == 999.0
 
 
+def test_dv_rows_accounting_and_oversize_fallback(spark, eng, monkeypatch):
+    """Commits track the accumulated DV ref count (meta['dv_rows']) so
+    the read side can decide broadcast-vs-AQE from metadata alone; past
+    the cap the read stays CORRECT without forcing the broadcast hint."""
+    _seed(spark, eng, "t")
+    eng.sql("DELETE FROM t WHERE user = 2")
+    store = eng._snapstore("t")
+    assert store.load().meta["dv_rows"] == 6
+    eng.sql("UPDATE t SET v = v + 1 WHERE user = 3")  # 6 more refs
+    assert store.load().meta["dv_rows"] == 12
+    import polars_lake_spark.snapshots as S
+
+    monkeypatch.setattr(S, "DV_BROADCAST_MAX_ROWS", 2)
+    t = eng.table("t")
+    assert t.count() == 24
+    assert t.filter("user = 2").count() == 0
+    assert {r.v for r in t.filter("user = 3").collect()} == {
+        4.0, 9.0, 14.0, 19.0, 24.0, 29.0
+    }
+
+
+def test_dv_keyed_delete_and_truncate_count(spark, eng):
+    """engine.delete (keyed) on a DV table routes merge-on-read too —
+    no data file rewritten — and TRUNCATE's metadata row count must not
+    include the DV-deleted rows (footers still carry them: the count
+    falls back to a real DV-applied count)."""
+    _seed(spark, eng, "t")
+    files = _data_files(eng, "t")
+    dels = spark.createDataFrame([(0,), (7,), (999,)], "id bigint")
+    eng.delete("t", dels)
+    assert eng.table("t").count() == 28
+    assert eng.table("t").filter("id in (0, 7)").count() == 0
+    assert {f: os.stat(f).st_mtime_ns for f in files} == files
+    # no-match keyed delete commits nothing
+    v = eng._snapstore("t").latest_version()
+    eng.delete("t", spark.createDataFrame([(999,)], "id bigint"))
+    assert eng._snapstore("t").latest_version() == v
+    st = eng.sql("TRUNCATE TABLE t").head()
+    assert st["n_affected"] == 28  # not 30: DV'd rows are already gone
+    assert eng.table("t").count() == 0
+
+
 def test_dv_clones(spark, eng):
     """Both clone modes must carry the deletion state — a clone that
     dropped the DVs would resurrect deleted rows."""
@@ -194,6 +236,40 @@ def test_dv_clones(spark, eng):
     eng.sql("DELETE FROM shallow_c WHERE user = 3")
     assert eng.table("shallow_c").count() == 18
     assert eng.table("t").count() == 24
+
+
+def test_set_tblproperties_enables_dv_on_existing_table(spark, eng):
+    """The migration path: an EXISTING versioned table flips to
+    merge-on-read DML via ALTER TABLE SET TBLPROPERTIES; disabling is
+    refused while live DVs exist (OPTIMIZE folds them first)."""
+    df = spark.createDataFrame(
+        [(i, i % 5, "d%d" % (i % 3)) for i in range(30)],
+        "id bigint, user bigint, day string",
+    )
+    eng.create_table("tp", df, partition_by=["day"], keys=["id"], versioned=True)
+    st = eng.sql(
+        "ALTER TABLE tp SET TBLPROPERTIES ('deletion_vectors' = 'true')"
+    ).head()
+    assert (st["operation"], st["n_affected"]) == ("set_tblproperties", 1)
+    files = _data_files(eng, "tp")
+    eng.sql("DELETE FROM tp WHERE user = 2")
+    assert eng.table("tp").count() == 24
+    assert {f: os.stat(f).st_mtime_ns for f in files} == files  # DV path
+    # flag survives a fresh engine over the same root
+    eng2 = Engine(eng.spark, eng.root)
+    eng2.load_all()
+    assert eng2.specs["tp"].deletion_vectors
+    with pytest.raises(ValueError, match="live deletion vectors"):
+        eng.sql("ALTER TABLE tp SET TBLPROPERTIES ('deletion_vectors' = 'false')")
+    eng.sql("OPTIMIZE tp")  # folds DVs
+    eng.sql("ALTER TABLE tp SET TBLPROPERTIES ('deletion_vectors' = 'false')")
+    assert not eng.specs["tp"].deletion_vectors
+    # plain tables can't enable
+    eng.create_table("plainp", df, keys=["id"])
+    with pytest.raises(ValueError, match="requires a versioned"):
+        eng.sql("ALTER TABLE plainp SET TBLPROPERTIES ('deletion_vectors' = 'true')")
+    with pytest.raises(ValueError, match="unsupported table property"):
+        eng.sql("ALTER TABLE tp SET TBLPROPERTIES ('nope' = 'true')")
 
 
 def test_dv_offload_rewrites_refs(spark, eng, tmp_path):
