@@ -1540,7 +1540,12 @@ class Engine:
         are never rewritten (tests assert byte-identical mtimes).
 
         Folding: a full ``compact()``/OPTIMIZE rewrites from the
-        DV-applied read and its 'rewrite' commit clears the DV list.
+        DV-applied read and its 'rewrite' commit clears the DV list.  A
+        SCOPED compact (OPTIMIZE ... WHERE) folds the touched
+        partitions' deletes into their rewrite but leaves the refs in
+        the list — stale refs are harmless (their files left the
+        mapping; nothing scans them) and ``dv_rows`` becomes a
+        conservative overestimate until a full OPTIMIZE clears it.
         Time travel and RESTORE see each version's own DV state (the
         list rides in commit meta); CDC ``changes()`` diffs DV-applied
         reads, so DV deletes surface as ordinary ``delete`` rows; clones

@@ -272,6 +272,46 @@ def test_set_tblproperties_enables_dv_on_existing_table(spark, eng):
         eng.sql("ALTER TABLE tp SET TBLPROPERTIES ('nope' = 'true')")
 
 
+def test_dv_concurrent_deletes_serialize(spark, eng):
+    """Two threads issuing DV deletes on the same table: the per-table
+    lock serializes the read-refs-commit sequences, so both land, the
+    versions chain, and dv_rows sums exactly."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _seed(spark, eng, "t", n=60)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(lambda u=u: eng.sql(f"DELETE FROM t WHERE user = {u}").head())
+            for u in (1, 2)
+        ]
+        results = [f.result() for f in futs]
+    assert sorted(r["n_affected"] for r in results) == [12, 12]
+    assert eng.table("t").count() == 36
+    assert eng._snapstore("t").load().meta["dv_rows"] == 24
+
+
+def test_dv_with_schema_evolution(spark, eng):
+    """Order matters both ways: a column add AFTER a DV delete is a
+    full NULL-filled rewrite, which folds the DVs in (list cleared);
+    a DV delete AFTER the evolution spans old- and new-schema rows."""
+    _seed(spark, eng, "t")
+    eng.sql("DELETE FROM t WHERE user = 2")
+    store = eng._snapstore("t")
+    assert (store.load().meta or {}).get("dv")
+    eng.sql("ALTER TABLE t ADD COLUMN note STRING")
+    # the rewrite folded the deletes — no DV left, rows still gone
+    assert not (store.load().meta or {}).get("dv")
+    assert eng.table("t").count() == 24
+    assert eng.table("t").filter("user = 2").count() == 0
+    # new-schema DML keeps working merge-on-read
+    eng.sql("UPDATE t SET note = 'kept' WHERE user = 3")
+    assert (store.load().meta or {}).get("dv")
+    assert eng.table("t").filter("note = 'kept'").count() == 6
+    eng.sql("DELETE FROM t WHERE note = 'kept'")
+    assert eng.table("t").count() == 18
+    assert eng.table("t").filter("user = 3").count() == 0
+
+
 def test_dv_offload_rewrites_refs(spark, eng, tmp_path):
     """Offload moves the table directory; the DV refs' absolute file
     paths must be rewritten or deleted rows resurrect at the new root."""
