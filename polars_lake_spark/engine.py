@@ -1344,6 +1344,24 @@ class Engine:
         keys = list(keys or spec.keys)
         if not keys:
             raise ValueError(f"no merge keys for table {name}")
+        if spec.deletion_vectors:
+            # merge-on-read MERGE: matched delete/update rows become DV
+            # refs, updated+inserted rows append — ONE atomic commit,
+            # cost O(source + matched), target-only rows never read or
+            # rewritten. Partition-MOVING updates are safe here (the old
+            # physical row leaves by ref wherever it lives), which the
+            # rewrite path cannot offer.
+            self._merge_dv(
+                name,
+                spec,
+                source,
+                keys,
+                when_matched_delete=when_matched_delete,
+                when_matched_update=when_matched_update,
+                when_not_matched_insert=when_not_matched_insert,
+                null_clobbers=null_clobbers,
+            )
+            return
         with self._lock(name):
             new = self._with_layout(source, spec)
             old = self.table(name)
@@ -1573,6 +1591,126 @@ class Engine:
                 F.col(DV_POS_COL).alias("row_index"),
             )
             return self._commit_dv_refs(name, store, base, refs)
+
+    def _merge_dv(
+        self,
+        name: str,
+        spec: TableSpec,
+        source: DataFrame,
+        keys: list[str],
+        *,
+        when_matched_delete,
+        when_matched_update: bool,
+        when_not_matched_insert: bool,
+        null_clobbers: bool,
+    ) -> None:
+        """MERGE INTO for deletion-vector tables, merge-on-read: one
+        RIGHT-outer join of the DV-applied target against the source
+        (target-only rows never appear — they stay by mapping reference),
+        matched delete/update rows' physical refs go to a DV sidecar,
+        and the updated + inserted rows append; sidecar and append
+        publish in ONE snapshot commit.  Matched-row detection uses the
+        ref column (never NULL for a real target row), so NULL-keyed
+        rows merge correctly where a key-based presence test would
+        misread them.  Column semantics mirror operators/merge.merge_into
+        exactly: keys coalesce, update columns are last-write-wins under
+        ``null_clobbers`` else coalesce(new, old), target-only columns
+        keep old values (NULL for inserts)."""
+        from polars_lake_spark.snapshots import (
+            DV_FILE_COL,
+            DV_POS_COL,
+            carried_meta,
+        )
+
+        with self._lock(name):
+            store = self._snapstore(name)
+            base = store.load()
+            live = store.read(self.spark, with_row_refs=True)
+            new = self._with_layout(source, spec)
+            old_cols = [
+                c for c in live.columns if c not in (DV_FILE_COL, DV_POS_COL)
+            ]
+            new_cols = set(new.columns)
+            o, n = live.alias("o"), new.alias("n")
+            joined = o.join(
+                n,
+                [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys],
+                "right_outer",
+            )
+            matched = F.col(f"o.{DV_FILE_COL}").isNotNull()
+            delc = (
+                matched & F.coalesce(when_matched_delete, F.lit(False))
+                if when_matched_delete is not None
+                else F.lit(False)
+            )
+            updc = (matched & ~delc) if when_matched_update else F.lit(False)
+            insc = (~matched) if when_not_matched_insert else F.lit(False)
+            try:
+                det = bool(
+                    joined._jdf.queryExecution().analyzed().deterministic()
+                )
+            except Exception:
+                det = False
+            if not det:
+                # refs and appends must describe the SAME matched rows
+                joined = joined.localCheckpoint(eager=True)
+            refs = joined.filter(delc | updc).select(
+                F.col(f"o.{DV_FILE_COL}").alias("file_path"),
+                F.col(f"o.{DV_POS_COL}").alias("row_index"),
+            )
+            select = []
+            for c in old_cols:
+                if c in keys:
+                    select.append(
+                        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+                    )
+                elif c in new_cols:
+                    if null_clobbers:
+                        # n side is always present under right_outer
+                        select.append(F.col(f"n.{c}").alias(c))
+                    else:
+                        select.append(
+                            F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+                        )
+                else:
+                    select.append(F.col(f"o.{c}").alias(c))
+            appends = joined.filter(updc | insc).select(*select)
+            if spec.bucket_by:
+                # recompute the derived bucket from the MERGED values —
+                # under coalesce semantics a NULL source cell keeps the
+                # old value, so the source-side bucket_id may be stale
+                from polars_lake_spark.layout import BUCKET_COL
+
+                appends = self._with_layout(appends.drop(BUCKET_COL), spec)
+                appends = appends.select(*old_cols)
+            self._enforce(spec, appends)
+            dvname, nrefs = self._write_dv_sidecar(store, refs)
+            appends = appends.localCheckpoint(eager=True)
+            n_app = appends.count()
+            if nrefs == 0 and n_app == 0:
+                return
+            meta = None
+            if nrefs:
+                meta = carried_meta(
+                    base.meta,
+                    {
+                        "dv": list((base.meta or {}).get("dv", []))
+                        + [dvname],
+                        "dv_rows": int((base.meta or {}).get("dv_rows", 0))
+                        + nrefs,
+                    },
+                )
+            if n_app:
+                self._write_versioned(appends, spec, op="append", meta=meta)
+            else:
+                store.commit(
+                    base.mapping,
+                    "delete_dv",
+                    base.schema_json,
+                    expected_base=base.version,
+                    meta=meta or carried_meta(base.meta, None),
+                )
+            self._register(name)
 
     def _write_dv_sidecar(self, store, refs: DataFrame) -> tuple[str, int]:
         """Write (file_path, row_index) refs into a fresh sidecar dir;

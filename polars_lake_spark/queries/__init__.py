@@ -39,9 +39,10 @@ REGISTRY: dict[str, Query] = {}
 #   over all oracled queries — green at sf0.001 AND sf0.1 as of r7).
 CHECK_PRIORITY: list[str] = [
     # ================= r8 window (first 50) ===========================
-    # -- NEW r8: deletion vectors (merge-on-read DELETE/UPDATE); COPY
-    # INTO exactly-once loaded-file log ----------------------------------
+    # -- NEW r8: deletion vectors (merge-on-read DELETE/UPDATE/MERGE);
+    # COPY INTO exactly-once loaded-file log -----------------------------
     "sparse_delete_dv_check",
+    "merge_dv_check",
     "copy_into_idempotence_check",
     # -- r4-greens: the oldest-evidence rows in the registry (minus the
     # rows-only similarity_ivf, replaced by its oracled recall
@@ -100,10 +101,10 @@ CHECK_PRIORITY: list[str] = [
     "approx_percentile_check",
     "hll_union_check",
     "heavy_hitters_incremental_check",
-    "skew_hot_keys",
     # ------ 50-slot window boundary ------------------------------------
     # -- r9 front-runners: remaining r5-greens (r5 gate order) ----------
 
+    "skew_hot_keys",
     "events_ewma",
     "events_anomaly_zscore",
     "sketch_rollup_lifecycle",

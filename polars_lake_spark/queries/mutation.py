@@ -938,6 +938,116 @@ def sparse_delete_dv_check(spark, sf_dir):
 
 
 @register(
+    "merge_dv_check",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_custkey,
+               substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+               o_totalprice
+        FROM orders WHERE o_orderkey % 17 = 0),
+    d1 AS (SELECT * FROM base WHERE NOT (o_custkey % 10 = 6)),
+    src AS (
+        SELECT k, o_custkey, month,
+               CASE WHEN k % 5 = 0 THEN -1.0
+                    ELSE o_totalprice + 7.0 END AS o_totalprice
+        FROM base WHERE k % 3 = 0 OR k % 5 = 0
+        UNION ALL
+        SELECT k + 600000000, o_custkey, month, o_totalprice
+        FROM base WHERE k % 2 = 0),
+    kept AS (SELECT t.* FROM d1 t LEFT JOIN src s ON t.k = s.k
+             WHERE s.k IS NULL),
+    upd AS (SELECT s.* FROM src s JOIN d1 t ON s.k = t.k
+            WHERE s.o_totalprice >= 0),
+    ins AS (SELECT s.* FROM src s LEFT JOIN d1 t ON s.k = t.k
+            WHERE t.k IS NULL)
+    SELECT k AS o_orderkey, o_custkey, month, o_totalprice FROM kept
+    UNION ALL SELECT k, o_custkey, month, o_totalprice FROM upd
+    UNION ALL SELECT k, o_custkey, month, o_totalprice FROM ins
+    """,
+    doc="Merge-on-read MERGE INTO gate (r8): on a deletion-vector table "
+    "the statement's matched delete/update rows leave by REF and the "
+    "updated+inserted rows append, in ONE commit — no partition "
+    "rewrite. Composes on top of a prior DV DELETE, so keys that DV "
+    "removed earlier legitimately RE-INSERT through WHEN NOT MATCHED "
+    "(the re-inserted-key story). DuckDB replays kept/updated/inserted "
+    "relationally.",
+)
+def merge_dv_check(spark, sf_dir):
+    """SQL MERGE with all three clause kinds (conditional DELETE,
+    UPDATE SET * last-write-wins, INSERT *) against a month-partitioned
+    deletion-vector table that already carries a DV delete: matched
+    negative-priced source rows delete by ref, the rest update by
+    ref+append, unmatched source rows insert — including keys the
+    earlier DV delete removed, which MERGE sees as NOT MATCHED and
+    re-inserts. Arithmetic is ``+ 7.0`` / literal ``-1.0`` so both
+    engines produce bit-identical doubles."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_mdv_")
+    try:
+        eng = Engine(spark, root)
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 17 == 0)
+            .select(
+                F.col("o_orderkey"),
+                "o_custkey",
+                F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias(
+                    "month"
+                ),
+                "o_totalprice",
+            )
+            .localCheckpoint(eager=True)
+        )
+        eng.create_table(
+            "dvt",
+            base,
+            partition_by=["month"],
+            keys=["o_orderkey"],
+            versioned=True,
+            deletion_vectors=True,
+        )
+        eng.sql("DELETE FROM dvt WHERE o_custkey % 10 = 6")
+        k = F.col("o_orderkey")
+        src = (
+            base.filter((k % 3 == 0) | (k % 5 == 0))
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "month",
+                F.when(k % 5 == 0, F.lit(-1.0))
+                .otherwise(F.col("o_totalprice") + 7.0)
+                .alias("o_totalprice"),
+            )
+            .unionByName(
+                base.filter(k % 2 == 0).select(
+                    (k + 600000000).alias("o_orderkey"),
+                    "o_custkey",
+                    "month",
+                    "o_totalprice",
+                )
+            )
+        )
+        eng.create_table("msrc", src.localCheckpoint(eager=True), save=False)
+        eng.sql(
+            "MERGE INTO dvt USING msrc AS s ON o_orderkey = o_orderkey "
+            "WHEN MATCHED AND s.o_totalprice < 0 THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        out = eng.table("dvt").select(
+            "o_orderkey", "o_custkey", "month", "o_totalprice"
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "copy_into_idempotence_check",
     oracle="""
     WITH base AS (SELECT o_orderkey, o_totalprice FROM orders

@@ -312,6 +312,84 @@ def test_dv_with_schema_evolution(spark, eng):
     assert eng.table("t").filter("user = 3").count() == 0
 
 
+def test_dv_merge_into_matches_rewrite_semantics(spark, eng):
+    """MERGE INTO on a DV table (merge-on-read: refs + appends in one
+    commit) must produce exactly the rows the rewrite-path merge
+    produces on an identical non-DV table — while leaving every
+    pre-existing data file byte-untouched."""
+    rows = [(i, i % 5, float(i), "d%d" % (i % 3)) for i in range(30)]
+    schema = "id bigint, user bigint, v double, day string"
+    df = spark.createDataFrame(rows, schema)
+    eng.create_table(
+        "mdv", df, partition_by=["day"], keys=["id"], versioned=True,
+        deletion_vectors=True,
+    )
+    eng.create_table(
+        "mrw", df, partition_by=["day"], keys=["id"], versioned=True,
+    )
+    # source: updates (ids 0..9, v*10), a delete trigger (v negative),
+    # and brand-new keys
+    src = spark.createDataFrame(
+        [(i, i % 5, float(i) * 10, "d%d" % (i % 3)) for i in range(10)]
+        + [(5, 0, -1.0, "d2"), (100, 9, 1.0, "d0"), (101, 9, 2.0, "d2")],
+        schema,
+    ).filter("id != 5 or v < 0")  # one row per key
+    files = _data_files(eng, "mdv")
+    for t in ("mdv", "mrw"):
+        eng.merge(
+            t, src, ["id"],
+            when_matched_delete=F.col("n.v") < 0,
+            null_clobbers=True,
+        )
+    got = {tuple(r) for r in eng.table("mdv").collect()}
+    want = {tuple(r) for r in eng.table("mrw").collect()}
+    assert got == want and len(got) == 31  # 30 - 1 deleted + 2 inserted
+    assert {f: os.stat(f).st_mtime_ns for f in files} == files
+    # exactly ONE commit for the whole merge
+    assert eng._snapstore("mdv").load().op == "append"
+
+
+def test_dv_merge_partition_moving_update(spark, eng):
+    """A source row that changes the partition column: the rewrite merge
+    documents this as unsupported (the old copy would strand); the DV
+    merge handles it — the old physical row leaves by ref, the new one
+    appends in its new partition."""
+    df = spark.createDataFrame(
+        [(1, 1.0, "d0"), (2, 2.0, "d1")], "id bigint, v double, day string"
+    )
+    eng.create_table(
+        "pm", df, partition_by=["day"], keys=["id"], versioned=True,
+        deletion_vectors=True,
+    )
+    src = spark.createDataFrame([(1, 5.0, "d9")], "id bigint, v double, day string")
+    eng.merge("pm", src, ["id"], null_clobbers=True)
+    got = {(r.id, r.v, r.day) for r in eng.table("pm").collect()}
+    assert got == {(1, 5.0, "d9"), (2, 2.0, "d1")}
+
+
+def test_dv_merge_delete_only_and_noop(spark, eng):
+    """A delete-only merge (no updates, no inserts) commits a
+    metadata-only DV snapshot; a no-match merge commits nothing."""
+    _seed(spark, eng, "t")
+    src = spark.createDataFrame([(0,), (7,), (999,)], "id bigint")
+    eng.merge(
+        "t", src, ["id"],
+        when_matched_delete=F.lit(True),
+        when_matched_update=False,
+        when_not_matched_insert=False,
+    )
+    assert eng.table("t").count() == 28
+    assert eng._snapstore("t").load().op == "delete_dv"
+    v = eng._snapstore("t").latest_version()
+    eng.merge(
+        "t", spark.createDataFrame([(999,)], "id bigint"), ["id"],
+        when_matched_delete=F.lit(True),
+        when_matched_update=False,
+        when_not_matched_insert=False,
+    )
+    assert eng._snapstore("t").latest_version() == v
+
+
 def test_dv_offload_rewrites_refs(spark, eng, tmp_path):
     """Offload moves the table directory; the DV refs' absolute file
     paths must be rewritten or deleted rows resurrect at the new root."""
