@@ -993,8 +993,13 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             if not spec.versioned:
                 # plain tables: log in the manifest, written AFTER the
                 # data lands (crash between the two duplicates on replay
-                # rather than losing the batch)
+                # rather than losing the batch); same bounded horizon as
+                # the snapshot-side log
                 spec.copy_files.update(digests)
+                if len(spec.copy_files) > engine.COPY_LOG_MAX:
+                    spec.copy_files = dict(
+                        list(spec.copy_files.items())[-engine.COPY_LOG_MAX:]
+                    )
                 if engine.root is not None and name not in engine._mem:
                     engine._write_manifest(spec)
         return _status(engine, "copy_into", name, n)

@@ -190,6 +190,12 @@ class Engine:
         # estimate (nested maps/structs) never auto-broadcast.
         self.auto_broadcast_max_rows = 1_000_000
         self.auto_broadcast_max_bytes = 128 << 20
+        # COPY INTO loaded-file log ceiling: every snapshot manifest (and
+        # the plain-table manifest) carries the log, so it must not grow
+        # with table lifetime. Oldest entries evict past the cap; a
+        # replayed file older than the horizon re-loads (at-least-once
+        # beyond the cap — Delta's log-retention trade-off).
+        self.COPY_LOG_MAX = 100_000
         # The reference serializes writes with a per-part Mutex
         # (/root/reference/src/dataset.rs:84-86); we serialize per table.
         # RLock, not Lock: SQL DML (dml.py) holds the table lock across
@@ -397,9 +403,16 @@ class Engine:
             meta = {**(meta or {}), "txn": wm}
         # COPY INTO loaded-file log rides in every commit the same way:
         # base entries carry forward, this commit's new loads merge over.
+        # Bounded: past COPY_LOG_MAX the OLDEST entries evict (dict
+        # insertion order survives the JSON round-trip), so the log — and
+        # with it every snapshot manifest — has a hard size ceiling;
+        # replaying a file older than the horizon re-loads it
+        # (at-least-once beyond the cap, Delta's log-retention trade).
         cf = dict((base.meta or {}).get("copy_files", {})) if base else {}
         if meta and meta.get("copy_files"):
             cf.update(meta["copy_files"])
+        if len(cf) > self.COPY_LOG_MAX:
+            cf = dict(list(cf.items())[-self.COPY_LOG_MAX:])
         if cf:
             meta = {**(meta or {}), "copy_files": cf}
         # Deletion vectors: live through appends and partition replaces
@@ -564,7 +577,13 @@ class Engine:
         path = self._path(name)
         if spec.format == "parquet":
             try:
-                return self.spark.read.parquet(path)
+                from polars_lake_spark.snapshots import pin_partition_types
+
+                return pin_partition_types(
+                    self.spark.read.parquet(path),
+                    spec.physical_partitioning,
+                    spec.schema_json,
+                )
             except Exception as e:
                 # A plain partitioned table can legally hold ZERO data
                 # files (TRUNCATE overwrites with no rows — partitionBy

@@ -121,6 +121,38 @@ def carried_meta(base_meta: dict | None, meta: dict | None = None) -> dict | Non
     return meta
 
 
+def pin_partition_types(
+    df: DataFrame, partition_cols: list[str], schema_json: str | None
+) -> DataFrame:
+    """Cast hive-INFERRED partition columns back to the table's recorded
+    types where they drifted.  The killer case: a partition whose only
+    value is NULL reads back as ``__HIVE_DEFAULT_PARTITION__`` and Spark
+    infers the column as VOID — any later rewrite of the table then
+    fails with INVALID_PARTITION_COLUMN_DATA_TYPE (found by the
+    replace_where hypothesis suite).  Matching types cast nothing, so
+    partition pruning on the normal path is untouched."""
+    if not partition_cols or not schema_json:
+        return df
+    from pyspark.sql.types import StructType
+
+    want = {
+        f.name.lower(): f.dataType
+        for f in StructType.fromJson(json.loads(schema_json)).fields
+    }
+    pset = {p.lower() for p in partition_cols}
+    have = dict(df.dtypes)
+    fixes = {}
+    for c in df.columns:
+        cl = c.lower()
+        if (
+            cl in pset
+            and cl in want
+            and have[c] != want[cl].simpleString()
+        ):
+            fixes[c] = F.col(c).cast(want[cl])
+    return df.withColumns(fixes) if fixes else df
+
+
 def _empty_read_schema(schema_json: str, partition_cols: list[str]):
     """Schema for a schema-pinned EMPTY read, reordered the way a real
     partitioned scan comes back: data columns in write order, then the
@@ -406,6 +438,7 @@ class SnapshotStore:
         out = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), scans
         )
+        out = pin_partition_types(out, self.partition_cols, snap.schema_json)
         if dv_dirs:
             dv = self.dv_scan(spark, dv_dirs).alias("__dv")
             # broadcast while the ref set is driver-safe (the common

@@ -971,6 +971,32 @@ def test_copy_into_replay_plain_table_survives_reload(spark, tmp_path):
     assert eng2.table("cp").count() == 2
 
 
+def test_copy_into_log_horizon_evicts_oldest(eng, spark, tmp_path):
+    """The loaded-file log is BOUNDED: past COPY_LOG_MAX the oldest
+    entries evict, so snapshot manifests never grow with table lifetime;
+    a replay of a file older than the horizon re-loads (at-least-once
+    beyond the cap, by design)."""
+    eng.COPY_LOG_MAX = 2
+    eng.create_table(
+        "ch", spark.createDataFrame([(0, "s")], "id bigint, s string"),
+        keys=["id"], versioned=True,
+    )
+    paths = []
+    for i in range(1, 4):
+        p = str(tmp_path / f"ch_src{i}")
+        spark.createDataFrame([(i * 10, "x")], "id bigint, s string").coalesce(
+            1
+        ).write.parquet(p)
+        paths.append(p)
+        assert eng.sql(f"COPY INTO ch FROM '{p}'").head()["n_affected"] == 1
+    assert len(eng.copy_loaded("ch")) == 2  # capped
+    # newest two still replay as no-ops
+    assert eng.sql(f"COPY INTO ch FROM '{paths[2]}'").head()["n_affected"] == 0
+    assert eng.sql(f"COPY INTO ch FROM '{paths[1]}'").head()["n_affected"] == 0
+    # the evicted oldest re-loads (documented at-least-once beyond cap)
+    assert eng.sql(f"COPY INTO ch FROM '{paths[0]}'").head()["n_affected"] == 1
+
+
 def test_copy_into_modified_file_reloads(eng, spark, tmp_path):
     """Overwriting a source file (same path, new size/mtime) is a NEW
     load — the identity is path+size+mtime, not path alone."""

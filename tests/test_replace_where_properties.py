@@ -69,6 +69,25 @@ def sess(spark):
     return spark
 
 
+@pytest.mark.parametrize("versioned", [False, True])
+def test_all_null_partition_delete(spark, tmp_path, versioned):
+    """Deterministic pin of the hypothesis find: a table whose ONLY
+    partition value is NULL reads back with the partition column
+    inferred as VOID (every dir is __HIVE_DEFAULT_PARTITION__), and the
+    scoped-delete rewrite then failed with
+    INVALID_PARTITION_COLUMN_DATA_TYPE. Reads now pin partition column
+    types from the recorded schema."""
+    eng = Engine(spark, str(tmp_path))
+    df = spark.createDataFrame([(0, None, 0), (1, None, 0)], "id int, p int, v int")
+    eng.create_table("t", df, partition_by=["p"], keys=["id"], versioned=versioned)
+    assert dict(eng.table("t").dtypes)["p"] == "int"  # not void
+    st = eng.sql("DELETE FROM t WHERE id % 2 = 0").head()
+    assert st["n_affected"] == 1
+    assert {(r.id, r.p) for r in eng.table("t").collect()} == {(1, None)}
+    eng.insert("t", spark.createDataFrame([(9, 1, 1)], "id int, p int, v int"))
+    assert eng.table("t").count() == 2
+
+
 @given(
     rows=st.lists(row_st, min_size=0, max_size=14, unique_by=lambda r: r[0]),
     pred=pred_st,
