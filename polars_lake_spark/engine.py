@@ -1731,6 +1731,110 @@ class Engine:
                 )
             self._register(name)
 
+    def compact_dvs(self, name: str) -> int:
+        """Consolidate a DV table's sidecar dirs into ONE, pruning STALE
+        refs on the way — the maintenance move between deletes and a full
+        OPTIMIZE. Every DV delete/update/merge adds a sidecar dir; reads
+        union them all, so a long run of small deletes grows the read's
+        union fan-out, and refs whose files later left the mapping
+        (their partitions were rewritten by upsert/scoped compaction)
+        inflate ``dv_rows`` past the live count — eventually switching
+        the anti-join off broadcast for no reason.
+
+        Metadata discipline: the consolidated refs land in a NEW sidecar
+        dir and only the NEW commit's list points to it — earlier
+        snapshots keep reading their original (immutable) sidecars, so
+        time travel is unaffected and vacuum ages the old dirs out with
+        their snapshots. Stale-pruning is conservative: a ref is dropped
+        only when it provably points into THIS table's data dir at a
+        write dir no longer in the live mapping; foreign refs (shallow
+        clones) are kept verbatim.
+
+        Returns the number of live refs after consolidation. No-op (and
+        no commit) when the table carries zero or one sidecar and
+        nothing would be pruned."""
+        spec = self._guard_mutable(name)
+        if not spec.versioned:
+            raise ValueError(f"table {name} is not versioned")
+        from polars_lake_spark.snapshots import carried_meta
+
+        with self._lock(name):
+            store = self._snapstore(name)
+            base = store.load()
+            dv = list((base.meta or {}).get("dv", []))
+            if not dv:
+                return 0
+            n_before = int((base.meta or {}).get("dv_rows", 0))
+            refs = store.dv_scan(self.spark, dv)
+            # Provably-stale refs: inside OUR data dir at a (write dir,
+            # partition relpath) the live mapping no longer references —
+            # a partition rewrite replaces that pair while the write dir
+            # itself stays live through its OTHER partitions, so the
+            # check must be pair-granular. Foreign refs (shallow clones,
+            # NULL extraction) are kept verbatim.
+            prefix = "file:" + os.path.abspath(store.data_path) + "/"
+            live_pairs = [
+                (w, p)
+                for p, ws in base.mapping.items()
+                for w in ws
+                if ".." not in w
+            ]
+            live_df = (
+                self.spark.createDataFrame(
+                    live_pairs, "__lw string, __lp string"
+                )
+                if live_pairs
+                else self.spark.createDataFrame([], "__lw string, __lp string")
+            )
+            rel = F.expr(f"substr(file_path, {len(prefix) + 1})")
+            inner = F.regexp_replace(rel, r"^[^/]+/", "")
+            refs = refs.withColumns(
+                {
+                    "__w": F.when(
+                        F.col("file_path").startswith(prefix),
+                        F.split(rel, "/")[0],
+                    ),
+                    "__p": F.when(
+                        F.col("file_path").startswith(prefix),
+                        F.when(
+                            inner.contains("/"),
+                            F.regexp_replace(inner, r"/[^/]*$", ""),
+                        ).otherwise(F.lit("")),
+                    ),
+                }
+            )
+            refs = (
+                refs.join(
+                    F.broadcast(live_df),
+                    (F.col("__w") == F.col("__lw"))
+                    & (F.col("__p") == F.col("__lp")),
+                    "left_outer",
+                )
+                .filter(F.col("__w").isNull() | F.col("__lw").isNotNull())
+                .select("file_path", "row_index")
+            )
+            wname, n = self._write_dv_sidecar(store, refs)
+            if len(dv) <= 1 and n == n_before:
+                # nothing to consolidate or prune; drop the staging dir
+                if n:
+                    shutil.rmtree(
+                        os.path.join(store.data_path, wname),
+                        ignore_errors=True,
+                    )
+                return n
+            store.commit(
+                base.mapping,
+                "dv_compact",
+                base.schema_json,
+                expected_base=base.version,
+                meta=carried_meta(
+                    base.meta,
+                    {"dv": [wname] if n else [], "dv_rows": n},
+                ),
+            )
+            self._register(name)
+            return n
+
     def _write_dv_sidecar(self, store, refs: DataFrame) -> tuple[str, int]:
         """Write (file_path, row_index) refs into a fresh sidecar dir;
         return (dir name, rows written). The count comes from the written
@@ -2119,6 +2223,11 @@ class Engine:
                 # only the matched partitions rewrite; everything else is
                 # carried by reference (versioned) or left on disk (plain)
                 self.replace_partitions(name, df)
+                if spec.versioned and spec.deletion_vectors:
+                    # the rewrite just staled every DV ref into the
+                    # touched partitions — consolidate + prune so reads
+                    # union ONE sidecar and dv_rows tracks live refs
+                    self.compact_dvs(name)
             elif spec.versioned:
                 # Compaction folds every partition's dir list back to one
                 # write dir; old dirs stay until vacuum().

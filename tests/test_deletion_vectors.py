@@ -390,6 +390,58 @@ def test_dv_merge_delete_only_and_noop(spark, eng):
     assert eng._snapstore("t").latest_version() == v
 
 
+def test_compact_dvs_consolidates_and_prunes(spark, eng):
+    """A run of small deletes accumulates sidecar dirs and partition
+    rewrites stale some refs; compact_dvs folds everything into ONE new
+    sidecar holding only live refs — while earlier snapshots keep their
+    original sidecars (time travel unaffected)."""
+    _seed(spark, eng, "t")
+    for i in (0, 1, 2):
+        eng.sql(f"DELETE FROM t WHERE id = {i}")
+    store = eng._snapstore("t")
+    meta = store.load().meta
+    assert len(meta["dv"]) == 3 and meta["dv_rows"] == 3
+    v_deleted = store.latest_version()
+    # rewrite partition d0 (id 0's home) → its ref goes stale
+    eng.upsert(
+        "t",
+        spark.createDataFrame(
+            [(3, 3, 999.0, "d0")], "id bigint, user bigint, v double, day string"
+        ),
+    )
+    n = eng.compact_dvs("t")
+    meta = store.load().meta
+    assert n == 2 and meta["dv_rows"] == 2 and len(meta["dv"]) == 1
+    t = eng.table("t")
+    assert t.count() == 27
+    assert t.filter("id in (0, 1, 2)").count() == 0
+    assert t.filter("id = 3").head().v == 999.0
+    # earlier snapshots still read through their ORIGINAL sidecars
+    assert eng.table("t", version=v_deleted).count() == 27
+    assert eng.table("t", version=1).count() == 30
+    # already consolidated: no new commit
+    v = store.latest_version()
+    assert eng.compact_dvs("t") == 2
+    assert store.latest_version() == v
+
+
+def test_scoped_optimize_consolidates_dvs(spark, eng):
+    """OPTIMIZE ... WHERE on a DV table folds the touched partitions'
+    deletes into the rewrite AND consolidates/prunes the sidecars, so
+    dv_rows tracks live refs again."""
+    _seed(spark, eng, "t")
+    eng.sql("DELETE FROM t WHERE id = 0")   # d0
+    eng.sql("DELETE FROM t WHERE id = 1")   # d1
+    st = eng.sql("OPTIMIZE t WHERE day = 'd0'").head()
+    assert st["operation"] == "optimize"
+    store = eng._snapstore("t")
+    meta = store.load().meta
+    # d0's ref was folded by the rewrite and pruned; only d1's survives
+    assert meta["dv_rows"] == 1 and len(meta["dv"]) == 1
+    assert eng.table("t").count() == 28
+    assert eng.table("t").filter("id in (0, 1)").count() == 0
+
+
 def test_dv_offload_rewrites_refs(spark, eng, tmp_path):
     """Offload moves the table directory; the DV refs' absolute file
     paths must be rewritten or deleted rows resurrect at the new root."""
