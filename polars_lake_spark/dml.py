@@ -160,6 +160,11 @@ _CREATE_TABLE = re.compile(
     r"\((.+?)\)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
     re.I | re.S,
 )
+_REORG = re.compile(
+    r"^\s*REORG\s+TABLE\s+([A-Za-z_][\w.]*)\s+APPLY\s*\(\s*PURGE\s*\)"
+    r"\s*;?\s*$",
+    re.I,
+)
 _SET_TBLPROPERTIES = re.compile(
     r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+SET\s+TBLPROPERTIES\s*"
     r"\(\s*'([\w.]+)'\s*=\s*'(\w+)'\s*\)\s*;?\s*$",
@@ -1003,6 +1008,20 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                 if engine.root is not None and name not in engine._mem:
                     engine._write_manifest(spec)
         return _status(engine, "copy_into", name, n)
+
+    m = _REORG.match(query)
+    if m:
+        # Delta's REORG TABLE ... APPLY (PURGE): materialize deletion
+        # vectors into the data files — a full compaction rewrite from
+        # the DV-applied read; its 'rewrite' commit clears the DV list.
+        # (Difference from Delta noted: PURGE there rewrites only files
+        # carrying DVs; here the whole table compacts, which also folds
+        # small files — the rewrite is the point of the statement.)
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        nfiles = engine.compact(name)
+        return _status(engine, "reorg", name, nfiles)
 
     m = _SET_TBLPROPERTIES.match(query)
     if m:

@@ -442,6 +442,25 @@ def test_scoped_optimize_consolidates_dvs(spark, eng):
     assert eng.table("t").filter("id in (0, 1)").count() == 0
 
 
+def test_reorg_apply_purge_folds_dvs(spark, eng):
+    """REORG TABLE t APPLY (PURGE) — the Delta statement for
+    materializing deletion vectors into the data files: after it, no DV
+    remains, the deleted rows are physically gone, and reads stop paying
+    the anti-join."""
+    _seed(spark, eng, "t")
+    eng.sql("DELETE FROM t WHERE user = 2")
+    store = eng._snapstore("t")
+    assert (store.load().meta or {}).get("dv")
+    st = eng.sql("REORG TABLE t APPLY (PURGE)").head()
+    assert st["operation"] == "reorg" and st["n_affected"] >= 1
+    assert not (store.load().meta or {}).get("dv")
+    assert eng.table("t").count() == 24
+    assert eng.table("t").filter("user = 2").count() == 0
+    # no anti-join left in the read plan
+    plan = eng.table("t")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan
+
+
 def test_dv_offload_rewrites_refs(spark, eng, tmp_path):
     """Offload moves the table directory; the DV refs' absolute file
     paths must be rewritten or deleted rows resurrect at the new root."""
