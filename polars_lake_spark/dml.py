@@ -365,6 +365,29 @@ def _rewrite_time_travel(engine, query: str) -> tuple[str, bool]:
     return _TIMETRAVEL.sub(repl, query), changed
 
 
+_PRED_KEYWORDS = frozenset(
+    "and or not in is null true false between like".split()
+)
+
+
+def _partition_only_predicate(pred: str, parts: list[str]) -> bool:
+    """True when every identifier in ``pred`` is a partition column (or
+    a boolean-predicate keyword) — i.e. the delete is partition-aligned
+    and a partition tombstone beats a deletion-vector sidecar. String
+    literals are masked first; any unrecognized identifier (an ordinary
+    column, a function call) conservatively returns False, keeping the
+    row-level path."""
+    if not parts:
+        return False
+    masked = list(pred)
+    for a, b in _quoted_spans(pred):
+        for i in range(a, min(b + 1, len(pred))):
+            masked[i] = " "
+    idents = re.findall(r"[A-Za-z_]\w*", "".join(masked))
+    allowed = _PRED_KEYWORDS | {p.lower() for p in parts}
+    return all(i.lower() in allowed for i in idents)
+
+
 def _plan_deterministic(df: DataFrame) -> bool:
     """True when every expression in the analyzed plan is deterministic.
     Used to decide whether DELETE/UPDATE must pin the predicate with a
@@ -488,7 +511,15 @@ def _insert_frame(
                 f"{stmt} {name}: table has {len(tschema.fields)} "
                 f"columns but the SELECT produces {len(df.columns)}"
             )
-        df = df.toDF(*[f.name for f in tschema.fields])
+        # Positional mapping follows the USER-DECLARED column order, not
+        # read-back schema order: a hive scan returns partition columns
+        # LAST, so mapping against tschema silently swapped values into
+        # the wrong columns for any table whose partition column is not
+        # declared last (ADVICE r8 high — CREATE TABLE pm2 (id, p, v)
+        # PARTITIONED BY (p); INSERT VALUES (1,7,100) stored v=7,p=100).
+        df = df.toDF(
+            *[f.name for f in engine.specs[name].declared_order(tschema)]
+        )
     df = df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tschema.fields]
     )
@@ -508,10 +539,29 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         if name is None:
             return None
         if engine.specs[name].deletion_vectors:
-            # merge-on-read: commit an O(deleted-rows) sidecar instead of
-            # rewriting touched partitions (lock taken inside)
-            n = engine.delete_where_dv(name, m.group(2) or "true")
-            return _status(engine, "delete", name, n)
+            # Only genuinely ROW-level predicates pay the sidecar: a
+            # DELETE with no predicate — or one touching only partition
+            # columns — would materialize a (file,row_index) ref for
+            # EVERY doomed row and make every later read anti-join the
+            # full row set (ADVICE r8). Whole-table deletes take one
+            # empty 'rewrite' commit (which also clears live DVs);
+            # partition-only predicates fall through to the tombstone
+            # path below (its commit carries live DVs forward — refs in
+            # UNtouched partitions must survive).
+            if not m.group(2):
+                with engine._lock(name):
+                    t = engine.table(name)
+                    n = t.count()
+                    if n:
+                        engine.overwrite(name, t.limit(0))
+                return _status(engine, "delete", name, n)
+            if not _partition_only_predicate(
+                m.group(2), engine.specs[name].physical_partitioning
+            ):
+                # merge-on-read: commit an O(deleted-rows) sidecar
+                # instead of rewriting touched partitions (lock inside)
+                n = engine.delete_where_dv(name, m.group(2))
+                return _status(engine, "delete", name, n)
         # Whole statement inside the table lock: the count and the
         # rewrite must see the same table state vs concurrent writers
         # (TOCTOU — ADVICE r5); the lock is reentrant for overwrite().
@@ -1000,6 +1050,11 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                 # data lands (crash between the two duplicates on replay
                 # rather than losing the batch); same bounded horizon as
                 # the snapshot-side log
+                # pop-before-insert so a FORCE re-load moves its entry to
+                # the END of the eviction order (LRU-by-load, ADVICE r8 —
+                # matches the snapshot-side merge in _write_versioned)
+                for k in digests:
+                    spec.copy_files.pop(k, None)
                 spec.copy_files.update(digests)
                 if len(spec.copy_files) > engine.COPY_LOG_MAX:
                     spec.copy_files = dict(
@@ -1215,7 +1270,15 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             old_keys = list(spec.keys)
             old_blooms = dict(spec.bloom_filter_cols)
             old_stats = spec.stats
+            old_declared = list(spec.declared_columns)
             spec.keys = [new_c if k == old_c else k for k in spec.keys]
+            # declared order must follow the rename too, or the column
+            # falls OUT of the declaration and declared_order() moves it
+            # to the end — silently changing positional INSERT mapping.
+            spec.declared_columns = [
+                new_c if c.lower() == old_c.lower() else c
+                for c in spec.declared_columns
+            ]
             if old_c in spec.bloom_filter_cols:
                 spec.bloom_filter_cols[new_c] = spec.bloom_filter_cols.pop(old_c)
             if spec.stats and old_c in (spec.stats.get("columns") or {}):
@@ -1227,6 +1290,7 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             except Exception:
                 spec.keys, spec.bloom_filter_cols = old_keys, old_blooms
                 spec.stats = old_stats
+                spec.declared_columns = old_declared
                 raise
         return _status(engine, "alter_rename_column", name, n)
 

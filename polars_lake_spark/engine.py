@@ -148,6 +148,17 @@ class TableSpec:
     # pruning, which only covers the layout keys. create_table() measures
     # ndv from the initial data when given a plain column list.
     bloom_filter_cols: dict[str, int] = field(default_factory=dict)
+    # User-DECLARED column order, recorded once at create_table. A hive
+    # read-back reorders partition columns LAST, so "the table's schema
+    # order" is not the order the user declared in CREATE TABLE
+    # (col defs, PARTITIONED BY p) — and a positional INSERT INTO ...
+    # VALUES mapped against read-back order silently swaps columns
+    # whenever a partition column is not declared last (ADVICE r8,
+    # high). Positional statement mapping goes through declared_order()
+    # instead; empty for pre-existing manifests (falls back to schema
+    # order, the old behavior). Columns added later by evolution /
+    # ALTER ADD COLUMN append at the end (Delta's rule).
+    declared_columns: list[str] = field(default_factory=list)
     # Merge-on-read DELETE (Delta deletion-vector analog): predicate
     # deletes commit an O(deleted-rows) sidecar of (file, row_index)
     # refs that reads anti-join out, instead of rewriting every touched
@@ -167,6 +178,25 @@ class TableSpec:
     @property
     def physical_partitioning(self) -> list[str]:
         return layout_columns(self.partition_by, self.bucket_by)
+
+    def declared_order(self, tschema) -> list:
+        """``tschema``'s fields re-ordered to the user-declared column
+        order. Columns the declaration doesn't know (added later by
+        schema evolution) keep their relative schema order at the END;
+        declared names no longer present (dropped) are skipped; an empty
+        declaration (pre-existing manifest) returns schema order
+        unchanged. This is the one order positional statements may map
+        against — read-back schema order moves partition columns last."""
+        if not self.declared_columns:
+            return list(tschema.fields)
+        by_lower = {f.name.lower(): f for f in tschema.fields}
+        out = []
+        for c in self.declared_columns:
+            f = by_lower.pop(c.lower(), None)
+            if f is not None:
+                out.append(f)
+        out.extend(f for f in tschema.fields if f.name.lower() in by_lower)
+        return out
 
 
 class Engine:
@@ -279,6 +309,9 @@ class Engine:
                 df, bloom_filter_cols, format
             ),
             deletion_vectors=deletion_vectors,
+            # Captured BEFORE _with_layout (the derived bucket_id is not
+            # a user column): the order positional INSERTs map against.
+            declared_columns=list(df.columns),
         )
         # Cheap parameter validation FIRST — _enforce below runs a full
         # aggregation job over df, which must not precede (or mask) an
@@ -410,6 +443,14 @@ class Engine:
         # (at-least-once beyond the cap, Delta's log-retention trade).
         cf = dict((base.meta or {}).get("copy_files", {})) if base else {}
         if meta and meta.get("copy_files"):
+            # Eviction order is dict insertion order, but update() on an
+            # existing digest (FORCE re-load) keeps its ORIGINAL slot —
+            # evicting by FIRST-load time, so a frequently re-verified
+            # file could fall off the horizon before a stale one. Pop
+            # before re-insert: re-loaded entries move to the end
+            # (LRU-by-load, ADVICE r8).
+            for k in meta["copy_files"]:
+                cf.pop(k, None)
             cf.update(meta["copy_files"])
         if len(cf) > self.COPY_LOG_MAX:
             cf = dict(list(cf.items())[-self.COPY_LOG_MAX:])

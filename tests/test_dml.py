@@ -1018,3 +1018,79 @@ def test_copy_into_modified_file_reloads(eng, spark, tmp_path):
     assert glob.glob(p + "/*.parquet")
     assert eng.sql(f"COPY INTO cm FROM '{p}'").head()["n_affected"] == 2
     assert {r.s for r in eng.table("cm").collect()} == {"seed", "v1", "v2"}
+
+
+def test_positional_insert_declared_order(eng, spark):
+    """ADVICE r8 high: positional INSERT maps against the DECLARED
+    column order, not hive read-back order (partition columns last) —
+    a partition column declared mid-schema silently swapped values
+    (id, p, v) VALUES (1, 7, 100) into v=7, p=100 before."""
+    eng.sql(
+        "CREATE TABLE pm2 (id BIGINT, p BIGINT, v BIGINT) PARTITIONED BY (p)"
+    )
+    eng.sql("INSERT INTO pm2 VALUES (1, 7, 100)")
+    r = eng.table("pm2").head()
+    assert (r.id, r.p, r.v) == (1, 7, 100)
+    # positional SELECT takes the same mapping
+    eng.sql("INSERT INTO pm2 SELECT 2, 8, 200")
+    rows = {x.id: (x.p, x.v) for x in eng.table("pm2").collect()}
+    assert rows == {1: (7, 100), 2: (8, 200)}
+    # INSERT OVERWRITE shares _insert_frame
+    eng.sql("INSERT OVERWRITE pm2 SELECT 3, 9, 300")
+    r = eng.table("pm2").head()
+    assert (r.id, r.p, r.v) == (3, 9, 300)
+    # RENAME keeps the declared slot (not pushed to the end)
+    eng.sql("ALTER TABLE pm2 RENAME COLUMN v TO w")
+    eng.sql("INSERT INTO pm2 VALUES (4, 10, 400)")
+    r = eng.table("pm2").filter("id = 4").head()
+    assert (r.p, r.w) == (10, 400)
+    # an evolved column appends at the END of the positional order
+    eng.sql("ALTER TABLE pm2 ADD COLUMN z STRING")
+    eng.sql("INSERT INTO pm2 VALUES (5, 11, 500, 'zz')")
+    r = eng.table("pm2").filter("id = 5").head()
+    assert (r.p, r.w, r.z) == (11, 500, "zz")
+
+
+def test_positional_insert_declared_order_versioned_api(eng, spark):
+    """The engine-API create path records declared order too (versioned,
+    partition column mid-schema)."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.0)], "id bigint, day string, v double"
+    )
+    eng.create_table("pm3", df, partition_by=["day"], versioned=True,
+                     keys=["id"])
+    eng.sql("INSERT INTO pm3 VALUES (2, 'b', 2.0)")
+    rows = {x.id: (x.day, x.v) for x in eng.table("pm3").collect()}
+    assert rows == {1: ("a", 1.0), 2: ("b", 2.0)}
+    # legacy manifests without a declaration fall back to schema order
+    eng.specs["pm3"].declared_columns = []
+    sch = eng.table("pm3").schema
+    assert [f.name for f in eng.specs["pm3"].declared_order(sch)] == [
+        f.name for f in sch.fields
+    ]
+
+
+def test_copy_into_log_lru_on_reload(eng, spark, tmp_path):
+    """ADVICE r8: a FORCE re-load moves the file's log entry to the END
+    of the eviction order — the horizon evicts by most-recent load, so a
+    frequently re-verified file never falls off before a stale one."""
+    eng.COPY_LOG_MAX = 2
+    eng.create_table(
+        "cl", spark.createDataFrame([(0, "s")], "id bigint, s string"),
+        keys=["id"], versioned=True,
+    )
+    paths = []
+    for i in range(1, 4):
+        p = str(tmp_path / f"cl_src{i}")
+        spark.createDataFrame(
+            [(i * 10, "x")], "id bigint, s string"
+        ).coalesce(1).write.parquet(p)
+        paths.append(p)
+    eng.sql(f"COPY INTO cl FROM '{paths[0]}'")
+    eng.sql(f"COPY INTO cl FROM '{paths[1]}'")
+    # re-verify file 0: moves it to the end of the eviction order
+    eng.sql(f"COPY INTO cl FROM '{paths[0]}' FORCE")
+    # loading file 2 evicts file 1 (the stale one), NOT file 0
+    eng.sql(f"COPY INTO cl FROM '{paths[2]}'")
+    assert eng.sql(f"COPY INTO cl FROM '{paths[0]}'").head()["n_affected"] == 0
+    assert eng.sql(f"COPY INTO cl FROM '{paths[1]}'").head()["n_affected"] == 1
