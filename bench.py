@@ -109,6 +109,9 @@ HEADLINE = [
     # dedup -> decontaminate -> quality-sample -> BPE pack -> shard) —
     # the "whole pipeline" number an LLM-data user actually runs.
     "curation_lifecycle_check",
+    # r9: zone-map file skipping gate (build two range-clustered writes,
+    # prune a BETWEEN on the non-layout key, verify pruned == full).
+    "scan_file_skipping_check",
 ]
 
 
@@ -223,6 +226,34 @@ def lifecycle_bench(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.perf_counter()
         e2.sql(f"DELETE FROM odv WHERE o_custkey = {k}")
         out["lifecycle_dv_sparse_delete"] = round(time.perf_counter() - t0, 3)
+
+        # r9: zone-map file skipping — ten point lookups on the
+        # NON-layout l_orderkey against a range-clustered versioned
+        # table: the per-write-dir parquet-footer zone maps prune to
+        # O(1) files per probe before Spark plans a task (contrast
+        # lifecycle_point_queries, whose pruning rides the bucket
+        # layout key).
+        e2.create_table(
+            "lzm",
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+            )
+            .repartitionByRange(16, "l_orderkey"),
+            versioned=True,
+        )
+        zks = [
+            r.l_orderkey
+            for r in e2.table("lzm")
+            .select("l_orderkey")
+            .distinct()
+            .limit(10)
+            .collect()
+        ]
+        t0 = time.perf_counter()
+        for zk in zks:
+            e2.scan_where("lzm", f"l_orderkey = {zk}").count()
+        out["lifecycle_zonemap_scan_x10"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -525,6 +556,9 @@ def main() -> None:
         "lifecycle_scoped_delete",
         "lifecycle_dv_sparse_delete",
         "curation_lifecycle_check",
+        # appended r9
+        "lifecycle_zonemap_scan_x10",
+        "scan_file_skipping_check",
     ]
     print(
         json.dumps(

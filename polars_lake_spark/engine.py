@@ -159,6 +159,16 @@ class TableSpec:
     # order, the old behavior). Columns added later by evolution /
     # ALTER ADD COLUMN append at the end (Delta's rule).
     declared_columns: list[str] = field(default_factory=list)
+    # File-level data skipping (Delta data-skipping analog, on by
+    # default for versioned parquet tables): every versioned write folds
+    # the new files' parquet FOOTER min/max/null stats into a
+    # _zonemap.json sidecar inside the immutable write dir, and
+    # Engine.scan_where prunes files whose ranges cannot satisfy the
+    # predicate — driver-side metadata, before Spark plans a task.
+    # Complement to partition pruning (layout keys) and bloom filters
+    # (point predicates): zone maps cover RANGE predicates on non-layout
+    # columns, and OPTIMIZE ZORDER BY makes their ranges tight.
+    zone_maps: bool = True
     # Merge-on-read DELETE (Delta deletion-vector analog): predicate
     # deletes commit an O(deleted-rows) sidecar of (file, row_index)
     # refs that reads anti-join out, instead of rewriting every touched
@@ -262,6 +272,7 @@ class Engine:
         constraints: dict[str, str] | None = None,
         bloom_filter_cols: list[str] | dict[str, int] | None = None,
         deletion_vectors: bool = False,
+        zone_maps: bool = True,
     ) -> TableSpec:
         """CreateTable (``/root/reference/src/server.rs:92-135`` analog).
 
@@ -309,6 +320,7 @@ class Engine:
                 df, bloom_filter_cols, format
             ),
             deletion_vectors=deletion_vectors,
+            zone_maps=zone_maps,
             # Captured BEFORE _with_layout (the derived bucket_id is not
             # a user column): the order positional INSERTs map against.
             declared_columns=list(df.columns),
@@ -477,6 +489,22 @@ class Engine:
         if parts:
             writer = writer.partitionBy(*parts)
         self._parquet_options(writer, spec).parquet(wpath)
+        if spec.zone_maps:
+            # Fold the new files' footer stats into the dir's zone-map
+            # sidecar BEFORE the commit publishes it (the dir is
+            # immutable afterwards). Footer-metadata only — never a data
+            # scan; distributed past 64 files. Best-effort: a stats
+            # failure must never fail the write (reads just fall back to
+            # unpruned dir scans for this dir).
+            try:
+                from polars_lake_spark.zonemaps import (
+                    collect_zonemap,
+                    write_zonemap,
+                )
+
+                write_zonemap(wpath, collect_zonemap(wpath, spark=self.spark))
+            except Exception:
+                pass
         snap = store.commit_write(
             wname,
             op,
@@ -663,6 +691,39 @@ class Engine:
 
             return read_ipc_dir(self.spark, path)
         raise ValueError(f"unsupported format: {spec.format}")
+
+    def scan_where(
+        self, name: str, predicate: str, version: int | None = None
+    ) -> DataFrame:
+        """Predicate scan with FILE-level data skipping (Delta
+        data-skipping analog): on a versioned table, the predicate's
+        simple conjuncts are checked against each file's zone-map
+        min/max (zonemaps.py) and files whose ranges cannot match are
+        never handed to Spark at all — at 100 TB a selective range
+        predicate on a NON-layout column (where partition pruning is
+        blind) plans orders of magnitude fewer input splits.  The FULL
+        predicate is always re-applied as a residual filter, so the
+        result is exactly ``table(name, version).filter(predicate)``
+        regardless of what pruned; correctness never depends on stats.
+        ``self.last_scan_report`` records files_total/files_kept for
+        observability.  Unversioned/in-memory tables just filter."""
+        if name not in self.specs and name not in self._mem:
+            self.load_table(name)
+        spec = self.specs.get(name)
+        self.last_scan_report = {"files_total": 0, "files_kept": 0}
+        if name in self._mem or spec is None or not spec.versioned:
+            return self.table(name, version).filter(predicate)
+        from polars_lake_spark.zonemaps import parse_conjuncts
+
+        conj = parse_conjuncts(predicate)
+        self.last_scan_report["conjuncts"] = len(conj)
+        df = self._snapstore(name).read(
+            self.spark,
+            version,
+            prune=conj or None,
+            report=self.last_scan_report,
+        )
+        return df.filter(predicate)
 
     def _register(self, name: str) -> None:
         spec = self.specs.get(name)

@@ -1,0 +1,156 @@
+"""Lexical + hybrid retrieval over a document corpus: BM25 scoring and
+reciprocal-rank fusion (RRF) — the retrieval side of a training-data /
+RAG pipeline (mine-by-query, hard-negative selection, hybrid search).
+
+100 TB shape:
+
+* BM25 never shuffles the token stream: tokens are filtered to the QUERY
+  terms map-side right after the explode, so the grouped state is
+  O(|terms| × matching docs); document length is computed per row
+  (``size(words)``) without any shuffle, and the corpus stats (N, avgdl)
+  are one scalar aggregate.  Term document-frequencies are a tiny
+  aggregate over the filtered postings, broadcast back.
+* RRF is pure integer arithmetic over the input rankings' (id, rank)
+  pairs — ``floor(1e9 / (k + rank))`` summed per id — so fused scores
+  are BIT-IDENTICAL across engines and layouts (no float summation
+  order), and ties break on id.
+
+The reference has no retrieval operators at all (it is a SQL/dataset
+server, ``/root/reference/src/server.rs``); this is beyond-reference
+surface for the LLM-data-pipeline tier.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_lake_spark.functions import text as TX
+
+RRF_SCALE = 1_000_000_000
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 for a bag-of-words query.
+
+    Uses the Lucene idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    (never negative) and the standard tf saturation
+    ``tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.  Scores are ROUNDED
+    before ranking and ties break on the id, so the ranking is
+    engine-independent (per-doc float sums over ≤|terms| values differ
+    only in the last ulp between engines; the 1e-4 grid absorbs it).
+
+    Returns (doc_id, bm25, rank) with rank 1..k.
+    """
+    if not terms:
+        raise ValueError("bm25_topk: empty query")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        TX.words(F.col(text_col)).alias("__ws"),
+    ).withColumn("dl", F.size("__ws"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("__ws").alias("w"))
+        .filter(F.col("w").isin(list(terms)))
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    per_doc = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * norm), round_dp).alias("bm25"))
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "bm25", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def cosine_rank(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Top-``k`` ids by cosine similarity to a literal query vector —
+    brute force with the query broadcast as a literal array (map-side
+    dot product via ``aggregate``), one global top-k.  Rounded-then-
+    ranked like bm25_topk.  Returns (doc_id, cos_sim, rank)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    v = F.col(vec_col).cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, q, lambda a, c: a * c),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vn = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = F.round(dot / (vn * F.lit(qn)), round_dp)
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    return (
+        emb.select(F.col(id_col).alias("doc_id"), cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 60, topk: int | None = None
+) -> DataFrame:
+    """Reciprocal-rank fusion: ``score(id) = Σ_r floor(1e9 / (k +
+    rank_r(id)))`` over every ranking that contains the id.  Inputs are
+    (doc_id, ..., rank) frames; output is (doc_id, rrf_score, n_lists)
+    ordered by (score desc, id).  Integer arithmetic throughout — fused
+    scores are bit-identical across engines/layouts."""
+    contribs = [
+        r.select(
+            "doc_id",
+            (F.lit(RRF_SCALE) / (F.lit(k) + F.col("rank")))
+            .cast("bigint")
+            .alias("c"),
+        )
+        for r in rankings
+    ]
+    allc = reduce(lambda a, b: a.unionByName(b), contribs)
+    fused = allc.groupBy("doc_id").agg(
+        F.sum("c").alias("rrf_score"), F.count(F.lit(1)).alias("n_lists")
+    )
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    fused = fused.withColumn("fused_rank", F.row_number().over(w))
+    if topk is not None:
+        fused = fused.filter(F.col("fused_rank") <= topk)
+    return fused.select(
+        "doc_id",
+        "rrf_score",
+        "n_lists",
+        F.col("fused_rank").cast("bigint").alias("fused_rank"),
+    )

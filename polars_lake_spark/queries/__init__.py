@@ -38,9 +38,11 @@ REGISTRY: dict[str, Query] = {}
 #   session by tests/test_oracle_parity.py (the local mirror of the gate
 #   over all oracled queries — green at sf0.001 AND sf0.1 as of r7).
 CHECK_PRIORITY: list[str] = [
-    # ================= r8 window (first 50) ===========================
-    # -- NEW r8: deletion vectors (merge-on-read DELETE/UPDATE/MERGE);
-    # COPY INTO exactly-once loaded-file log -----------------------------
+    # ================= r9 window (first 50) ===========================
+    # -- NEW r9: file-level data skipping (zone maps) -------------------
+    "scan_file_skipping_check",
+    # -- r8 gates (still fresh; DV/COPY INTO behavior was extended by
+    # the r9 ADVICE fixes, so they stay in the window) -------------------
     "sparse_delete_dv_check",
     "merge_dv_check",
     "copy_into_idempotence_check",

@@ -1111,3 +1111,105 @@ def copy_into_idempotence_check(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "scan_file_skipping_check",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag
+        FROM lineitem),
+    t AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT l_orderkey + 500000000, l_quantity, l_extendedprice,
+               l_returnflag
+        FROM base WHERE l_orderkey % 2 = 0),
+    hit AS (SELECT * FROM t WHERE l_orderkey BETWEEN 100 AND 3000)
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+           CAST(0 AS BIGINT) AS violations
+    FROM hit GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="File-level data skipping gate (r9): a range predicate on a "
+    "NON-layout column scans only the files whose zone-map (parquet "
+    "footer min/max, _zonemap.json per write dir) can satisfy it — "
+    "violations pins BOTH that the pruned result equals the plain "
+    "filter row-for-row AND that pruning actually dropped files. "
+    "DuckDB replays the filtered aggregate relationally.",
+)
+def scan_file_skipping_check(spark, sf_dir):
+    """Zone-map data skipping end-to-end (the Delta data-skipping
+    analog, zonemaps.py): a versioned table is built from two
+    range-clustered writes (16 files with tight l_orderkey ranges; the
+    second batch's keys are shifted far outside the probe range), then
+    ``scan_where`` answers a BETWEEN on the non-layout key.  The gate
+    aggregates the PRUNED scan and folds two invariants into
+    ``violations``: pruned ≡ unpruned filter (correctness never depends
+    on stats) and files_kept < files_total (the skipping actually
+    happened — on this layout the shifted batch's files must all
+    prune)."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_zm_")
+    try:
+        eng = Engine(spark, root)
+        base = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+            )
+            .localCheckpoint(eager=True)
+        )
+        eng.create_table(
+            "lz", base.repartitionByRange(8, "l_orderkey"), versioned=True
+        )
+        eng.insert(
+            "lz",
+            base.filter(F.col("l_orderkey") % 2 == 0)
+            .select(
+                (F.col("l_orderkey") + 500000000).alias("l_orderkey"),
+                "l_quantity",
+                "l_extendedprice",
+                "l_returnflag",
+            )
+            .repartitionByRange(8, "l_orderkey"),
+        )
+        pred = "l_orderkey BETWEEN 100 AND 3000"
+
+        def agg(df):
+            return df.groupBy("l_returnflag").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+
+        pruned = agg(eng.scan_where("lz", pred))
+        rep = dict(eng.last_scan_report)
+        prows = sorted(tuple(r) for r in pruned.collect())
+        frows = sorted(
+            tuple(r) for r in agg(eng.table("lz").filter(pred)).collect()
+        )
+        viol = 0
+        if prows != frows:
+            viol += 1
+        if not (0 < rep.get("files_kept", 0) < rep.get("files_total", 0)):
+            viol += 1
+        out = pruned.withColumn(
+            "violations", F.lit(viol).cast("bigint")
+        ).orderBy("l_returnflag")
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -363,6 +363,8 @@ class SnapshotStore:
         version: int | None = None,
         *,
         with_row_refs: bool = False,
+        prune: list | None = None,
+        report: dict | None = None,
     ) -> DataFrame:
         """The table at a version, as one DataFrame.
 
@@ -370,6 +372,16 @@ class SnapshotStore:
         partition values parse), unioned by name with missing columns
         allowed — write dirs from before a schema evolution contribute
         NULLs for later columns, exactly like the unversioned read path.
+
+        ``prune`` (parsed zone-map conjuncts, see zonemaps.py) enables
+        FILE-level data skipping: write dirs carrying a ``_zonemap.json``
+        sidecar contribute only the files whose recorded min/max ranges
+        can satisfy every conjunct — a driver-side metadata decision
+        before Spark plans a single task.  Pruning is conservative (a
+        dir without a sidecar, a column without stats, an unknown type
+        all keep their files) and the caller re-applies the full
+        predicate, so correctness never depends on it.  ``report``
+        (mutated in place) receives files_total/files_kept counts.
 
         Deletion vectors (merge-on-read DELETE): when the snapshot's
         ``meta["dv"]`` names sidecar dirs of (file_path, row_index)
@@ -390,38 +402,76 @@ class SnapshotStore:
         for ppath, wdirs in snap.mapping.items():
             for w in wdirs:
                 by_wdir.setdefault(w, []).append(ppath)
-        if not by_wdir:
-            # A legal EMPTY table state: TRUNCATE commits mapping={} and a
-            # DELETE that empties every partition tombstones them all.  The
-            # schema rides in every snapshot commit, so the empty table
-            # reads back schema-pinned (raising here bricked the table
-            # until the next append — every table()/_register failed).
-            if snap.schema_json:
-                schema = _empty_read_schema(
-                    snap.schema_json, self.partition_cols
-                )
-                if with_row_refs:
-                    from pyspark.sql.types import (
-                        LongType,
-                        StringType,
-                        StructField,
-                        StructType,
-                    )
 
-                    schema = StructType(
-                        list(schema.fields)
-                        + [
-                            StructField(DV_FILE_COL, StringType()),
-                            StructField(DV_POS_COL, LongType()),
-                        ]
-                    )
-                return spark.createDataFrame([], schema)
-            raise ValueError(f"version {snap.version} maps no data")
+        def _empty_frame():
+            # A legal EMPTY table state: TRUNCATE commits mapping={}, a
+            # DELETE that empties every partition tombstones them all,
+            # and a pruned scan may skip every file.  The schema rides
+            # in every snapshot commit, so the empty table reads back
+            # schema-pinned (raising here bricked the table until the
+            # next append — every table()/_register failed).
+            if not snap.schema_json:
+                raise ValueError(f"version {snap.version} maps no data")
+            schema = _empty_read_schema(snap.schema_json, self.partition_cols)
+            if with_row_refs:
+                from pyspark.sql.types import (
+                    LongType,
+                    StringType,
+                    StructField,
+                    StructType,
+                )
+
+                schema = StructType(
+                    list(schema.fields)
+                    + [
+                        StructField(DV_FILE_COL, StringType()),
+                        StructField(DV_POS_COL, LongType()),
+                    ]
+                )
+            return spark.createDataFrame([], schema)
+
+        if not by_wdir:
+            return _empty_frame()
         scans = []
         for wdir in sorted(by_wdir):
             base = os.path.join(self.data_path, wdir)
             ppaths = by_wdir[wdir]
-            if ppaths == [""]:
+            kept_files: list[str] | None = None
+            if prune:
+                from polars_lake_spark.zonemaps import (
+                    file_survives,
+                    load_zonemap,
+                )
+
+                zm = load_zonemap(base)
+                if zm is not None:
+                    pset = set(ppaths)
+                    cand = [
+                        rel
+                        for rel in zm["files"]
+                        if os.path.dirname(rel) in pset
+                    ]
+                    kept_files = [
+                        rel
+                        for rel in cand
+                        if file_survives(zm["files"][rel], prune)
+                    ]
+                    if report is not None:
+                        report["files_total"] = (
+                            report.get("files_total", 0) + len(cand)
+                        )
+                        report["files_kept"] = (
+                            report.get("files_kept", 0) + len(kept_files)
+                        )
+                    if not kept_files:
+                        continue  # whole write dir skipped
+                    if len(kept_files) == len(cand):
+                        kept_files = None  # nothing pruned: dir scan
+            if kept_files is not None:
+                scan = spark.read.option("basePath", base).parquet(
+                    *[os.path.join(base, rel) for rel in kept_files]
+                )
+            elif ppaths == [""]:
                 scan = spark.read.parquet(base)
             else:
                 scan = spark.read.option("basePath", base).parquet(
@@ -435,6 +485,8 @@ class SnapshotStore:
                     }
                 )
             scans.append(scan)
+        if not scans:
+            return _empty_frame()
         out = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), scans
         )

@@ -1,0 +1,449 @@
+"""File-level data skipping (zone maps): the Delta/Iceberg data-skipping
+tier, built on public parquet footer metadata.
+
+Partition pruning only covers the layout keys; at 100 TB most selective
+predicates hit NON-layout columns (an orderkey point lookup, a price
+range, a timestamp window), where every file of every surviving partition
+must otherwise be opened.  Parquet footers already carry per-row-group
+min/max/null statistics, so at COMMIT time we fold them into one
+per-write-dir ``_zonemap.json`` sidecar (file → column → [lo, hi,
+nulls]), and at SCAN time a driver-side metadata pass drops every file
+whose recorded range cannot satisfy the predicate — before Spark plans a
+single task.
+
+Design:
+
+* The sidecar lives INSIDE the immutable write dir, so it inherits every
+  snapshot property for free: time travel reads the stats that describe
+  exactly that version's files, vacuum deletes stats with their dir,
+  clones carry them, and a reader can never see stats newer than its
+  data.  (Leading-underscore files are invisible to Spark's directory
+  scans.)
+* Stats collection is footer-only — never a data scan.  Small write dirs
+  read footers on the driver; past ``DISTRIBUTE_THRESHOLD`` files the
+  footer reads fan out as one Spark job over the file list and only the
+  O(files) stat rows return (the same shape Delta uses: stats computed
+  at write, metadata-only thereafter).
+* Pruning is CONSERVATIVE by construction: an unparseable predicate, an
+  unrecognized conjunct, a column without stats, or a type the encoder
+  doesn't know all keep the file.  The caller re-applies the full
+  predicate as a residual filter, so correctness never depends on the
+  pruning decision — only IO does.  (Parquet may truncate long string
+  min/max to prefix bounds; those remain valid bounds, so prefix-range
+  pruning stays sound.)
+
+The reference engine has no file-level statistics at all — its manifest
+records only partition/bucket columns (``/root/reference/src/
+dataset.rs:337-358``); this module is beyond-reference scale surface.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import re
+from decimal import Decimal
+
+ZONEMAP = "_zonemap.json"
+# Stat at most this many columns per table (Delta's dataSkippingNumIndexedCols
+# default is 32): wide tables would otherwise bloat the sidecar and the
+# driver-side prune loop for columns nobody filters on.
+MAX_ZONE_COLS = 32
+# Above this many files the footer reads run as one Spark job instead of a
+# driver loop (each footer read is ~1 IO; a 1000-executor write can land
+# tens of thousands of files).
+DISTRIBUTE_THRESHOLD = 64
+
+
+# --------------------------------------------------------------- encoding
+def _encode(v):
+    """JSON-safe typed encoding of a footer min/max value; None when the
+    type is not order-comparable across the JSON round-trip (those
+    columns simply don't prune)."""
+    if isinstance(v, bool):
+        return ["b", bool(v)]
+    if isinstance(v, int):
+        return ["i", v]
+    if isinstance(v, float):
+        return ["f", v]
+    if isinstance(v, str):
+        return ["s", v]
+    if isinstance(v, Decimal):
+        return ["dec", str(v)]
+    if isinstance(v, datetime.datetime):
+        return ["t", v.isoformat()]
+    if isinstance(v, datetime.date):
+        return ["d", v.isoformat()]
+    return None
+
+
+def _decode(e):
+    t, v = e
+    if t == "dec":
+        return t, Decimal(v)
+    if t == "t":
+        return t, datetime.datetime.fromisoformat(v)
+    if t == "d":
+        return t, datetime.date.fromisoformat(v)
+    return t, v
+
+
+def _coerce(tag, decoded, lit):
+    """Coerce a predicate literal into the stat value's domain for
+    comparison; None when the literal can't live there (no pruning)."""
+    try:
+        if tag in ("i", "f"):
+            if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+                return lit  # int/float inter-compare exactly in Python
+            return None
+        if tag == "s":
+            return lit if isinstance(lit, str) else None
+        if tag == "dec":
+            if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+                return Decimal(str(lit))
+            if isinstance(lit, str):
+                return Decimal(lit)
+            return None
+        if tag == "d":
+            if isinstance(lit, str):
+                return datetime.date.fromisoformat(lit)
+            return None
+        if tag == "t":
+            if isinstance(lit, str):
+                return datetime.datetime.fromisoformat(lit)
+            return None
+        if tag == "b":
+            return lit if isinstance(lit, bool) else None
+    except (ValueError, ArithmeticError):
+        return None
+    return None
+
+
+# ------------------------------------------------------------- collection
+def _file_stats(path: str, max_cols: int = MAX_ZONE_COLS) -> dict:
+    """One parquet file's zone-map entry from its FOOTER: row count plus,
+    per top-level primitive column, [min, max, null_count] folded over
+    row groups.  A column any row group lacks trustworthy min/max for is
+    dropped for the whole file (absent stats never prune)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    cols: dict[str, list] = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        for ci in range(md.num_columns):
+            cm = rgm.column(ci)
+            name = cm.path_in_schema
+            if "." in name or name in bad:
+                continue  # nested leaf — not a top-level column
+            st = cm.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                cols.pop(name, None)
+                continue
+            lo, hi = _encode(st.min), _encode(st.max)
+            if lo is None or hi is None:
+                bad.add(name)
+                cols.pop(name, None)
+                continue
+            nulls = st.null_count if st.has_null_count else None
+            cur = cols.get(name)
+            if cur is None:
+                cols[name] = [lo, hi, nulls]
+            else:
+                if _decode(lo)[1] < _decode(cur[0])[1]:
+                    cur[0] = lo
+                if _decode(hi)[1] > _decode(cur[1])[1]:
+                    cur[1] = hi
+                cur[2] = (
+                    None if (cur[2] is None or nulls is None) else cur[2] + nulls
+                )
+    if len(cols) > max_cols:
+        cols = dict(sorted(cols.items())[:max_cols])
+    return {"rows": md.num_rows, "cols": cols}
+
+
+def _parquet_relpaths(write_dir: str) -> list[str]:
+    out = []
+    for cur, _dirs, files in os.walk(write_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(
+                    os.path.relpath(os.path.join(cur, f), write_dir).replace(
+                        os.sep, "/"
+                    )
+                )
+    return sorted(out)
+
+
+def collect_zonemap(write_dir: str, spark=None) -> dict:
+    """Zone map for every parquet file under ``write_dir`` —
+    footer-metadata only.  Distributes the footer reads as one Spark job
+    past DISTRIBUTE_THRESHOLD files; only the O(files) stat entries
+    come back to the driver."""
+    rels = _parquet_relpaths(write_dir)
+    if spark is not None and len(rels) > DISTRIBUTE_THRESHOLD:
+        sc = spark.sparkContext
+        base = write_dir
+
+        def _read(rel):
+            return rel, _file_stats(os.path.join(base, rel))
+
+        pairs = sc.parallelize(rels, max(1, len(rels) // 32)).map(_read).collect()
+        files = dict(pairs)
+    else:
+        files = {rel: _file_stats(os.path.join(write_dir, rel)) for rel in rels}
+    return {"files": files}
+
+
+def write_zonemap(write_dir: str, zm: dict) -> None:
+    tmp = os.path.join(write_dir, f".{ZONEMAP}.tmp{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(zm, f)
+    os.replace(tmp, os.path.join(write_dir, ZONEMAP))
+
+
+def load_zonemap(write_dir: str) -> dict | None:
+    path = os.path.join(write_dir, ZONEMAP)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+# ----------------------------------------------------------------- pruning
+_OPS = ("<=", ">=", "!=", "<>", "=", "<", ">")
+_IDENT = r"`?([A-Za-z_]\w*)`?"
+_NUM = r"-?\d+(?:\.\d+)?(?:[eE]-?\d+)?"
+
+
+def _literal(tok: str):
+    """Parse one SQL literal token → (ok, value)."""
+    tok = tok.strip()
+    m = re.fullmatch(r"'((?:[^']|'')*)'", tok, re.S)
+    if m:
+        return True, m.group(1).replace("''", "'")
+    m = re.fullmatch(r'"((?:[^"]|"")*)"', tok, re.S)
+    if m:
+        return True, m.group(1).replace('""', '"')
+    if re.fullmatch(_NUM, tok):
+        return True, float(tok) if re.search(r"[.eE]", tok) else int(tok)
+    low = tok.lower()
+    if low == "true":
+        return True, True
+    if low == "false":
+        return True, False
+    m = re.fullmatch(r"(?:DATE|TIMESTAMP)\s*'([^']*)'", tok, re.I)
+    if m:
+        return True, m.group(1)
+    return False, None
+
+
+def _split_top_and(pred: str) -> list[str]:
+    """Split on top-level AND, quote/paren-aware, keeping BETWEEN's AND
+    attached to its conjunct."""
+    parts, buf, depth, q, i, n = [], [], 0, None, 0, len(pred)
+    pending_between = False
+    while i < n:
+        ch = pred[i]
+        if q:
+            if ch == "\\":
+                buf.append(pred[i : i + 2])
+                i += 2
+                continue
+            if ch == q:
+                q = None
+            buf.append(ch)
+            i += 1
+            continue
+        if ch in "'\"":
+            q = ch
+            buf.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0:
+            m = re.match(r"\bBETWEEN\b", pred[i:], re.I)
+            if m and (i == 0 or not pred[i - 1].isalnum()):
+                pending_between = True
+            m = re.match(r"\bAND\b", pred[i:], re.I)
+            if m and (i == 0 or not pred[i - 1].isalnum()):
+                if pending_between:
+                    pending_between = False
+                else:
+                    parts.append("".join(buf))
+                    buf = []
+                    i += 3
+                    continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def parse_conjuncts(pred: str) -> list[tuple]:
+    """Extract the prunable conjuncts of ``pred``.  Each is one of
+    ``(col, op, lit)`` with op in =,!=,<,<=,>,>=; ``(col, 'in', [lits])``;
+    ``(col, 'between', lo, hi)``; ``(col, 'isnull')``; ``(col,
+    'notnull')``.  Conjuncts that don't match these shapes are simply
+    dropped (they prune nothing; the residual filter still applies
+    them).  An OR anywhere outside parens makes the whole predicate
+    non-conjunctive → no pruning."""
+    # Top-level OR makes the predicate non-conjunctive → no pruning.
+    # String literals mask first (an OR inside quotes is data), then
+    # paren groups collapse iteratively so only TOP-level ORs remain.
+    s, q, i, out_chars = pred, None, 0, []
+    while i < len(s):
+        ch = s[i]
+        if q:
+            if ch == "\\":
+                out_chars.append("  ")
+                i += 2
+                continue
+            if ch == q:
+                q = None
+            out_chars.append(" ")
+        elif ch in "'\"":
+            q = ch
+            out_chars.append(" ")
+        else:
+            out_chars.append(ch)
+        i += 1
+    s = "".join(out_chars)
+    while re.search(r"\([^()]*\)", s):
+        s = re.sub(r"\([^()]*\)", " ", s)
+    if re.search(r"\bOR\b", s, re.I):
+        return []
+    out = []
+    for part in _split_top_and(pred):
+        part = part.strip()
+        while part.startswith("(") and part.endswith(")"):
+            inner = part[1:-1].strip()
+            if not inner or inner.count("(") != inner.count(")"):
+                break
+            part = inner
+        m = re.fullmatch(
+            rf"{_IDENT}\s+IS\s+NOT\s+NULL", part, re.I
+        )
+        if m:
+            out.append((m.group(1).lower(), "notnull"))
+            continue
+        m = re.fullmatch(rf"{_IDENT}\s+IS\s+NULL", part, re.I)
+        if m:
+            out.append((m.group(1).lower(), "isnull"))
+            continue
+        m = re.fullmatch(
+            rf"{_IDENT}\s+BETWEEN\s+(\S+)\s+AND\s+(\S+)", part, re.I
+        )
+        if m:
+            ok1, lo = _literal(m.group(2))
+            ok2, hi = _literal(m.group(3))
+            if ok1 and ok2:
+                out.append((m.group(1).lower(), "between", lo, hi))
+            continue
+        m = re.fullmatch(rf"{_IDENT}\s+IN\s*\((.*)\)", part, re.I | re.S)
+        if m:
+            lits = []
+            ok_all = True
+            for tok in m.group(2).split(","):
+                ok, v = _literal(tok)
+                if not ok:
+                    ok_all = False
+                    break
+                lits.append(v)
+            if ok_all and lits:
+                out.append((m.group(1).lower(), "in", lits))
+            continue
+        for op in _OPS:
+            # col OP lit
+            m = re.fullmatch(
+                rf"{_IDENT}\s*{re.escape(op)}\s*(.+)", part, re.S
+            )
+            if m:
+                ok, v = _literal(m.group(2))
+                if ok:
+                    out.append(
+                        (m.group(1).lower(), "!=" if op == "<>" else op, v)
+                    )
+                break
+            # lit OP col (flip)
+            m = re.fullmatch(
+                rf"(.+?)\s*{re.escape(op)}\s*{_IDENT}", part, re.S
+            )
+            if m:
+                ok, v = _literal(m.group(1))
+                if ok:
+                    flip = {
+                        "<": ">", ">": "<", "<=": ">=", ">=": "<=",
+                        "=": "=", "!=": "!=", "<>": "!=",
+                    }[op]
+                    out.append((m.group(2).lower(), flip, v))
+                break
+    return out
+
+
+def _range_may_match(lo, hi, op, lit) -> bool:
+    if op == "=":
+        return lo <= lit <= hi
+    if op == "!=":
+        return not (lo == hi == lit)
+    if op == "<":
+        return lo < lit
+    if op == "<=":
+        return lo <= lit
+    if op == ">":
+        return hi > lit
+    if op == ">=":
+        return hi >= lit
+    raise AssertionError(op)
+
+
+def file_survives(fstats: dict, conjuncts: list[tuple]) -> bool:
+    """False only when the file's recorded ranges PROVE no row can
+    satisfy every conjunct.  Missing stats for a column keep the file."""
+    cols = {k.lower(): v for k, v in (fstats.get("cols") or {}).items()}
+    rows = fstats.get("rows")
+    for c in conjuncts:
+        name, kind = c[0], c[1]
+        ent = cols.get(name)
+        if kind == "isnull":
+            if ent is not None and ent[2] == 0:
+                return False
+            continue
+        if kind == "notnull":
+            if ent is not None and rows is not None and ent[2] == rows:
+                return False
+            continue
+        if ent is None:
+            continue
+        (tlo, lo), (thi, hi) = _decode(ent[0]), _decode(ent[1])
+        if tlo != thi:
+            continue
+        if kind == "between":
+            a, b = _coerce(tlo, lo, c[2]), _coerce(tlo, lo, c[3])
+            if a is None or b is None:
+                continue
+            if hi < a or lo > b:
+                return False
+            continue
+        if kind == "in":
+            vals = [_coerce(tlo, lo, v) for v in c[2]]
+            if any(v is None for v in vals):
+                continue
+            if not any(lo <= v <= hi for v in vals):
+                return False
+            continue
+        lit = _coerce(tlo, lo, c[2])
+        if lit is None:
+            continue
+        try:
+            if not _range_may_match(lo, hi, kind, lit):
+                return False
+        except TypeError:
+            continue
+    return True

@@ -1,0 +1,246 @@
+"""File-level data skipping (zone maps): parquet-footer min/max stats per
+write dir, pruned at scan time by Engine.scan_where. Correctness must
+NEVER depend on pruning (residual filter always applies); these tests pin
+both the equivalence and that pruning actually happens (inputFiles)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_lake_spark import Engine
+from polars_lake_spark import zonemaps as Z
+
+
+# ----------------------------------------------------------- parser units
+def test_parse_conjuncts_shapes():
+    assert Z.parse_conjuncts("a = 5") == [("a", "=", 5)]
+    assert Z.parse_conjuncts("5 = a") == [("a", "=", 5)]
+    assert Z.parse_conjuncts("a < 5 AND b >= 'x'") == [
+        ("a", "<", 5),
+        ("b", ">=", "x"),
+    ]
+    assert Z.parse_conjuncts("10 > a") == [("a", "<", 10)]
+    assert Z.parse_conjuncts("a <> 3") == [("a", "!=", 3)]
+    assert Z.parse_conjuncts("a BETWEEN 1 AND 3 AND b = 2") == [
+        ("a", "between", 1, 3),
+        ("b", "=", 2),
+    ]
+    assert Z.parse_conjuncts("a IN (1, 2, 3)") == [("a", "in", [1, 2, 3])]
+    assert Z.parse_conjuncts("a IS NULL AND b IS NOT NULL") == [
+        ("a", "isnull"),
+        ("b", "notnull"),
+    ]
+    # unsupported conjuncts drop silently; supported ones survive
+    assert Z.parse_conjuncts("a % 7 = 3 AND b = 2") == [("b", "=", 2)]
+    assert Z.parse_conjuncts("lower(a) = 'x' AND b < 4") == [("b", "<", 4)]
+    # string literal containing AND must not split
+    assert Z.parse_conjuncts("a = 'x AND y'") == [("a", "=", "x AND y")]
+    # escaped quote inside the literal
+    assert Z.parse_conjuncts("a = 'it''s' AND b = 1") == [
+        ("a", "=", "it's"),
+        ("b", "=", 1),
+    ]
+
+
+def test_parse_conjuncts_or_disables_pruning():
+    assert Z.parse_conjuncts("a = 5 OR b = 2") == []
+    assert Z.parse_conjuncts("a = 5 AND (b = 2 OR c = 3)") == [("a", "=", 5)]
+    # an OR only inside a string literal is not an OR
+    assert Z.parse_conjuncts("a = 'x OR y'") == [("a", "=", "x OR y")]
+
+
+def test_file_survives_ranges():
+    fs = {
+        "rows": 10,
+        "cols": {"a": [["i", 5], ["i", 9], 0], "s": [["s", "m"], ["s", "p"], 2]},
+    }
+    assert Z.file_survives(fs, [("a", "=", 7)])
+    assert not Z.file_survives(fs, [("a", "=", 4)])
+    assert not Z.file_survives(fs, [("a", "=", 10)])
+    assert Z.file_survives(fs, [("a", "=", 5)])  # inclusive boundaries
+    assert Z.file_survives(fs, [("a", "=", 9)])
+    assert not Z.file_survives(fs, [("a", "<", 5)])
+    assert Z.file_survives(fs, [("a", "<=", 5)])
+    assert not Z.file_survives(fs, [("a", ">", 9)])
+    assert Z.file_survives(fs, [("a", ">=", 9)])
+    assert not Z.file_survives(fs, [("a", "between", 10, 20)])
+    assert Z.file_survives(fs, [("a", "between", 9, 20)])
+    assert not Z.file_survives(fs, [("a", "in", [1, 4, 11])])
+    assert Z.file_survives(fs, [("a", "in", [1, 6])])
+    assert not Z.file_survives(fs, [("s", "=", "q")])
+    assert Z.file_survives(fs, [("s", "=", "n")])
+    # nulls: a has none → IS NULL prunes; s has 2 → survives
+    assert not Z.file_survives(fs, [("a", "isnull")])
+    assert Z.file_survives(fs, [("s", "isnull")])
+    assert Z.file_survives(fs, [("a", "notnull")])
+    # all-null column: notnull prunes
+    fs2 = {"rows": 4, "cols": {"a": [["i", 0], ["i", 0], 4]}}
+    assert not Z.file_survives(fs2, [("a", "notnull")])
+    # != prunes only a constant file
+    fs3 = {"rows": 4, "cols": {"a": [["i", 3], ["i", 3], 0]}}
+    assert not Z.file_survives(fs3, [("a", "!=", 3)])
+    assert Z.file_survives(fs, [("a", "!=", 7)])
+    # unknown column / type-mismatched literal keep the file
+    assert Z.file_survives(fs, [("zz", "=", 1)])
+    assert Z.file_survives(fs, [("a", "=", "not-a-number")])
+
+
+# --------------------------------------------------------------- fixtures
+@pytest.fixture()
+def eng(spark, tmp_path):
+    return Engine(spark, str(tmp_path))
+
+
+def _seed(spark, eng, name, **kw):
+    """Two range-clustered appends → 8 files with tight id ranges."""
+    def batch(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id",
+            "id * 2 AS v",
+            "concat('s', lpad(CAST(id AS STRING), 5, '0')) AS s",
+            "DATE_ADD(DATE'2024-01-01', CAST(id / 100 AS INT)) AS d",
+        ).repartitionByRange(4, "id")
+
+    eng.create_table(name, batch(0, 1000), keys=["id"], versioned=True, **kw)
+    eng.insert(name, batch(1000, 2000))
+
+
+# ------------------------------------------------------------- end to end
+def test_scan_where_prunes_and_matches(spark, eng):
+    _seed(spark, eng, "z")
+    assert len(glob.glob(eng._path("z") + "/data/*/_zonemap.json")) == 2
+    out = eng.scan_where("z", "id = 1500")
+    assert eng.last_scan_report["files_total"] == 8
+    assert eng.last_scan_report["files_kept"] == 1
+    assert len(out.inputFiles()) == 1  # the plan really reads one file
+    assert [(r.id, r.v) for r in out.collect()] == [(1500, 3000)]
+    # range on a derived column
+    out = eng.scan_where("z", "v >= 3900 AND v < 3910")
+    assert eng.last_scan_report["files_kept"] == 1
+    assert sorted(r.id for r in out.collect()) == [1950, 1951, 1952, 1953, 1954]
+    # strings and dates prune too
+    out = eng.scan_where("z", "s = 's00042'")
+    assert eng.last_scan_report["files_kept"] == 1 and out.count() == 1
+    out = eng.scan_where("z", "d = DATE'2024-01-16'")
+    assert eng.last_scan_report["files_kept"] == 1
+    assert out.count() == 100
+    # nothing matches → schema-pinned empty frame, zero files planned
+    out = eng.scan_where("z", "id = 999999")
+    assert eng.last_scan_report["files_kept"] == 0
+    assert out.count() == 0 and out.columns == ["id", "v", "s", "d"]
+    # unparseable predicate: no pruning, still correct
+    a = sorted(r.id for r in eng.scan_where("z", "id % 17 = 3").collect())
+    b = sorted(r.id for r in eng.table("z").filter("id % 17 = 3").collect())
+    assert a == b and len(a) > 0
+
+
+def test_scan_where_residual_filter_is_authoritative(spark, eng):
+    """Every conjunct prunes conservatively, but the RESULT must equal a
+    plain filter for mixed parseable/unparseable predicates."""
+    _seed(spark, eng, "z")
+    for pred in [
+        "id >= 777 AND id % 2 = 1",
+        "v BETWEEN 100 AND 120 AND s > 's00055'",
+        "id IN (3, 1503, 4000)",
+        "s LIKE 's0000%' AND id < 50",
+    ]:
+        got = sorted(tuple(r) for r in eng.scan_where("z", pred).collect())
+        want = sorted(
+            tuple(r) for r in eng.table("z").filter(pred).collect()
+        )
+        assert got == want, pred
+
+
+def test_scan_where_with_partitions_and_time_travel(spark, eng):
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(300)],
+        "id bigint, day bigint, v double",
+    ).repartitionByRange(3, "id")
+    eng.create_table(
+        "pt", df, partition_by=["day"], keys=["id"], versioned=True
+    )
+    v1_max = eng.table("pt").agg(F.max("id")).head()[0]
+    eng.insert(
+        "pt",
+        spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(300, 600)],
+            "id bigint, day bigint, v double",
+        ).repartitionByRange(3, "id"),
+    )
+    out = eng.scan_where("pt", "id = 450")
+    assert eng.last_scan_report["files_kept"] < eng.last_scan_report["files_total"]
+    assert [r.day for r in out.collect()] == [0]
+    # time travel prunes against THAT version's files
+    old = eng.scan_where("pt", "id = 450", version=1)
+    assert old.count() == 0 and v1_max == 299
+    assert eng.scan_where("pt", "id = 299", version=1).count() == 1
+
+
+def test_scan_where_respects_deletion_vectors(spark, eng):
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(200)],
+        "id bigint, day bigint, v double",
+    )
+    eng.create_table(
+        "dz", df, partition_by=["day"], keys=["id"], versioned=True,
+        deletion_vectors=True,
+    )
+    eng.sql("DELETE FROM dz WHERE id = 42")
+    out = eng.scan_where("dz", "id BETWEEN 40 AND 44")
+    assert sorted(r.id for r in out.collect()) == [40, 41, 43, 44]
+
+
+def test_scan_where_after_compaction_and_evolution(spark, eng):
+    _seed(spark, eng, "z")
+    eng.sql("ALTER TABLE z ADD COLUMN note STRING")
+    # the evolved rewrite wrote ONE new dir with a fresh zonemap
+    out = eng.scan_where("z", "id = 77")
+    assert eng.last_scan_report["files_kept"] >= 1
+    r = out.head()
+    assert (r.id, r.note) == (77, None)
+    # pruning on the evolved column: no stats say anything useful, but
+    # correctness holds
+    eng.sql("UPDATE z SET note = 'hot' WHERE id = 77")
+    assert eng.scan_where("z", "note = 'hot'").count() == 1
+    eng.compact("z")
+    out = eng.scan_where("z", "id = 1500")
+    assert eng.last_scan_report["files_kept"] >= 1
+    assert out.head().id == 1500
+
+
+def test_zone_maps_opt_out(spark, eng):
+    df = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    eng.create_table("nz", df, keys=["id"], versioned=True, zone_maps=False)
+    assert not glob.glob(eng._path("nz") + "/data/*/_zonemap.json")
+    out = eng.scan_where("nz", "id = 5")
+    assert out.count() == 1  # falls back to the unpruned scan
+
+
+def test_zonemap_distributed_collection_matches_driver(spark, eng, monkeypatch):
+    import polars_lake_spark.zonemaps as ZM
+
+    df = spark.range(0, 500).selectExpr("id", "id * 3 AS w").repartitionByRange(
+        6, "id"
+    )
+    eng.create_table("dd", df, keys=["id"], versioned=True)
+    wdir = glob.glob(eng._path("dd") + "/data/w*")[0]
+    driver = ZM.collect_zonemap(wdir)  # spark=None → driver path
+    monkeypatch.setattr(ZM, "DISTRIBUTE_THRESHOLD", 1)
+    dist = ZM.collect_zonemap(wdir, spark=spark)
+    assert driver == dist
+
+
+def test_zonemap_vacuum_and_unversioned_fallback(spark, eng):
+    _seed(spark, eng, "z")
+    eng.sql("UPDATE z SET v = v + 1 WHERE id = 3")
+    eng.vacuum("z", keep_last=1)
+    # dirs referenced by the latest snapshot keep their zonemaps
+    live = glob.glob(eng._path("z") + "/data/*/_zonemap.json")
+    assert live
+    out = eng.scan_where("z", "id = 3")
+    assert out.head().v == 7.0
+    # unversioned tables: scan_where is just filter
+    eng.create_table("u", spark.range(10).selectExpr("id"), keys=["id"])
+    assert eng.scan_where("u", "id = 4").count() == 1
