@@ -112,6 +112,10 @@ HEADLINE = [
     # r9: zone-map file skipping gate (build two range-clustered writes,
     # prune a BETWEEN on the non-layout key, verify pruned == full).
     "scan_file_skipping_check",
+    # r9: retrieval — BM25 (token stream filtered to query terms before
+    # any shuffle) and the BM25+cosine hybrid fused by integer-exact RRF.
+    "bm25_retrieval",
+    "hybrid_retrieval_rrf",
 ]
 
 
@@ -559,6 +563,7 @@ def main() -> None:
         # appended r9
         "lifecycle_zonemap_scan_x10",
         "scan_file_skipping_check",
+        "hybrid_retrieval_rrf",
     ]
     print(
         json.dumps(

@@ -132,11 +132,11 @@ def rrf_fuse(
     ordered by (score desc, id).  Integer arithmetic throughout — fused
     scores are bit-identical across engines/layouts."""
     contribs = [
+        # integer division (div / //), never float-then-floor: the
+        # quotient is exact in both engines by construction
         r.select(
             "doc_id",
-            (F.lit(RRF_SCALE) / (F.lit(k) + F.col("rank")))
-            .cast("bigint")
-            .alias("c"),
+            F.expr(f"{RRF_SCALE} div ({int(k)} + rank)").alias("c"),
         )
         for r in rankings
     ]

@@ -39,8 +39,11 @@ REGISTRY: dict[str, Query] = {}
 #   over all oracled queries — green at sf0.001 AND sf0.1 as of r7).
 CHECK_PRIORITY: list[str] = [
     # ================= r9 window (first 50) ===========================
-    # -- NEW r9: file-level data skipping (zone maps) -------------------
+    # -- NEW r9: file-level data skipping (zone maps); BM25 + hybrid
+    # RRF retrieval -----------------------------------------------------
     "scan_file_skipping_check",
+    "bm25_retrieval",
+    "hybrid_retrieval_rrf",
     # -- r8 gates (still fresh; DV/COPY INTO behavior was extended by
     # the r9 ADVICE fixes, so they stay in the window) -------------------
     "sparse_delete_dv_check",
@@ -100,11 +103,12 @@ CHECK_PRIORITY: list[str] = [
     "dedup_clusters_twostar",
     "token_heavy_hitters",
     "heavy_hitters_check",
+    # ------ 50-slot window boundary ------------------------------------
+    # -- r10 front-runners: the three r5-greens the r9 additions pushed
+    # past the boundary, then the remaining r5-greens (r5 gate order) ---
     "approx_percentile_check",
     "hll_union_check",
     "heavy_hitters_incremental_check",
-    # ------ 50-slot window boundary ------------------------------------
-    # -- r9 front-runners: remaining r5-greens (r5 gate order) ----------
 
     "skew_hot_keys",
     "events_ewma",

@@ -1133,3 +1133,102 @@ def dedup_snm(spark, sf_dir):
         docs, "doc_id", "text", window=10, n=3, threshold=0.8
     )
     return pairs.select("d1", "d2", F.round("jaccard", 8).alias("jaccard"))
+
+
+_BM25_TERMS = ("merge", "vector", "stream", "filter")
+_BM25_SQL = """
+    WITH d AS (SELECT doc_id, string_split({norm}, ' ') AS ws FROM documents),
+    dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dd),
+    toks AS (SELECT doc_id, dl, unnest(ws) AS w FROM dd),
+    tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM toks
+           WHERE w IN ('merge', 'vector', 'stream', 'filter')
+           GROUP BY doc_id, dl, w),
+    dfreq AS (SELECT w, COUNT(*) AS dfreq FROM tf GROUP BY w),
+    sc AS (SELECT doc_id,
+             ROUND(SUM(LN(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+                   * tf * 2.2
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+               AS bm25
+           FROM tf JOIN dfreq USING (w) CROSS JOIN stats
+           GROUP BY doc_id)
+    SELECT doc_id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS rank
+    FROM sc
+    QUALIFY ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) <= {k}
+""".replace("{norm}", _NORM_SQL)
+
+
+@register(
+    "bm25_retrieval",
+    oracle=_BM25_SQL.replace("{k}", "10"),
+    doc="BM25 lexical retrieval (Lucene idf variant) — tokens filter to "
+    "the query terms map-side before any shuffle, corpus stats are one "
+    "scalar agg; scores round before ranking (ties break on doc_id) so "
+    "the top-k is engine-independent.",
+)
+def bm25_retrieval(spark, sf_dir):
+    """Top-10 documents by BM25 for a fixed bag-of-words query (see
+    operators/retrieval.py:bm25_topk for the 100 TB shape: the token
+    stream never shuffles — only (doc, term) counts for the |terms|
+    query terms do)."""
+    from polars_lake_spark.operators import retrieval as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    return R.bm25_topk(docs, "doc_id", "text", list(_BM25_TERMS), k=10)
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    oracle="""
+    WITH lex AS ({bm25}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 7),
+    sem0 AS (SELECT vec_id AS doc_id,
+               ROUND(list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 4)
+                 AS cos_sim
+             FROM embeddings WHERE vec_id <> 7),
+    sem AS (SELECT doc_id,
+              CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id)
+                   AS BIGINT) AS rank
+            FROM sem0
+            QUALIFY ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) <= 20),
+    c AS (SELECT doc_id, 1000000000 // (60 + rank) AS c FROM lex
+          UNION ALL
+          SELECT doc_id, 1000000000 // (60 + rank) AS c FROM sem),
+    f AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score,
+                 CAST(COUNT(*) AS BIGINT) AS n_lists
+          FROM c GROUP BY doc_id)
+    SELECT doc_id, rrf_score, n_lists,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS BIGINT) AS fused_rank
+    FROM f
+    QUALIFY ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) <= 10
+    """.replace("{bm25}", _BM25_SQL.replace("{k}", "20")),
+    doc="Hybrid retrieval: BM25 top-20 fused with embedding-cosine "
+    "top-20 by reciprocal-rank fusion — RRF contributions are exact "
+    "integer division (1e9 // (60 + rank)), so fused scores are "
+    "bit-identical across engines and layouts.",
+)
+def hybrid_retrieval_rrf(spark, sf_dir):
+    """The standard hybrid-search composition: a lexical ranking
+    (BM25) and a semantic ranking (cosine vs a fixed query embedding,
+    vec_id 7 — the document/embedding tables share the 0..N id space)
+    fused by RRF. Both input rankings round-then-rank with doc_id
+    tiebreaks; the fusion itself is pure integer arithmetic, so the
+    gate pins the whole hybrid pipeline value-exactly."""
+    from polars_lake_spark.operators import retrieval as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
+    ]
+    lex = R.bm25_topk(docs, "doc_id", "text", list(_BM25_TERMS), k=20)
+    sem = R.cosine_rank(
+        emb.filter(F.col("vec_id") != 7), "vec_id", "embedding", qv, k=20
+    )
+    return R.rrf_fuse([lex, sem], k=60, topk=10)

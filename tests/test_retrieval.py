@@ -1,0 +1,119 @@
+"""BM25 / cosine ranking / reciprocal-rank fusion (operators/retrieval.py):
+Python-model equivalence, determinism under re-partitioning, and the
+map-side-filter plan shape (the token stream must never shuffle)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_lake_spark.operators import retrieval as R
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "merge sort merge join merge"),
+        (2, "vector stream vector"),
+        (3, "filter scan filter stream filter merge"),
+        (4, "hash join group agg"),
+        (5, "stream stream stream stream stream"),
+        (6, "merge"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _bm25_model(rows, terms, k1=1.2, b=0.75):
+    toks = {i: t.split() for i, t in rows}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    dfreq = {
+        t: sum(1 for w in toks.values() if t in w) for t in terms
+    }
+    out = {}
+    for i, w in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = w.count(t)
+            if not tf or not dfreq[t]:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(w) / avgdl)
+            )
+        if s:
+            out[i] = round(s, 4)
+    return out
+
+
+def test_bm25_matches_python_model(spark, docs):
+    terms = ["merge", "stream", "filter"]
+    got = {
+        r.doc_id: r.bm25
+        for r in R.bm25_topk(docs, "doc_id", "text", terms, k=10).collect()
+    }
+    want = _bm25_model(
+        [(r.doc_id, r.text) for r in docs.collect()], terms
+    )
+    assert got == pytest.approx(want, abs=1e-4)
+    # layout independence
+    got7 = {
+        r.doc_id: r.bm25
+        for r in R.bm25_topk(
+            docs.repartition(7), "doc_id", "text", terms, k=10
+        ).collect()
+    }
+    assert got7 == got
+    with pytest.raises(ValueError, match="empty query"):
+        R.bm25_topk(docs, "doc_id", "text", [])
+
+
+def test_bm25_filter_below_first_exchange(spark, docs):
+    """The 100 TB shape: the query-term filter must sit BELOW the first
+    Exchange — the full token stream never shuffles."""
+    plan = R.bm25_topk(
+        docs, "doc_id", "text", ["merge", "stream"], k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    first_exchange = plan.find("Exchange")
+    filt = plan.find("merge")  # the isin literal appears in the Filter
+    assert first_exchange != -1 and filt != -1
+    # the literal filter must appear deeper in the tree (later in the
+    # printout) than the first exchange above it
+    assert filt > first_exchange
+
+
+def test_cosine_rank_matches_model(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.8, 0.6, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    q = [1.0, 0.0, 0.0]
+    got = [
+        (r.doc_id, r.cos_sim, r.rank)
+        for r in R.cosine_rank(emb, "vec_id", "embedding", q, k=3).collect()
+    ]
+    assert got == [(1, 1.0, 1), (2, 0.8, 2), (3, 0.0, 3)]
+
+
+def test_rrf_fuse_integer_exact(spark):
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id bigint, rank bigint"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id bigint, rank bigint"
+    )
+    got = {
+        r.doc_id: (r.rrf_score, r.n_lists, r.fused_rank)
+        for r in R.rrf_fuse([a, b], k=60).collect()
+    }
+    s = lambda rk: 1_000_000_000 // (60 + rk)
+    assert got[20] == (s(2) + s(1), 2, 1)
+    assert got[10] == (s(1), 1, 2)
+    assert got[40] == (s(2), 1, 3)
+    assert got[30] == (s(3), 1, 4)
+    # topk cut
+    top2 = R.rrf_fuse([a, b], k=60, topk=2)
+    assert [r.doc_id for r in top2.collect()] == [20, 10]
