@@ -980,7 +980,82 @@ class Engine:
         res = dml.try_execute_dml(self, query)
         if res is not None:
             return res
+        fast = self._try_zonemap_select(query)
+        if fast is not None:
+            return fast
         return self.spark.sql(query)
+
+    _ZM_SELECT = re.compile(
+        r"^\s*SELECT\s+(.+?)\s+FROM\s+([A-Za-z_][\w.]*)\s+WHERE\s+(.+?)"
+        r"\s*;?\s*$",
+        re.I | re.S,
+    )
+    _ZM_BAIL = re.compile(
+        r"\b(JOIN|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|OFFSET|UNION"
+        r"|INTERSECT|EXCEPT|OVER|WINDOW|QUALIFY|DISTINCT|VERSION|TIMESTAMP"
+        r")\b|\(\s*SELECT",
+        re.I,
+    )
+    _zm_view_seq = 0
+
+    def _try_zonemap_select(self, query: str) -> DataFrame | None:
+        """SQL fast-path for zone-map file skipping: a plain
+        single-table ``SELECT <list> FROM t WHERE <pred>`` over a
+        versioned engine table routes through :meth:`scan_where`, so the
+        predicate's prunable conjuncts drop files before Spark plans the
+        scan.  STRICTLY conservative: any join/group/order/limit/window/
+        set-op/subquery/time-travel shape, a table alias, or a
+        table-qualified select list falls through to vanilla
+        ``spark.sql`` (the regex requires WHERE to directly follow the
+        bare table name).  Semantics are identical by construction — the
+        pre-filtered scan replaces FROM+WHERE and the untouched select
+        list evaluates over it."""
+        # Match against a QUOTE-MASKED copy (string literals blanked,
+        # length preserved) so a keyword inside a literal can neither
+        # trigger the bail nor mis-slice the clauses; spans index the
+        # original text.
+        masked, q, i = list(query), None, 0
+        while i < len(query):
+            ch = query[i]
+            if q:
+                if ch == "\\":
+                    masked[i] = masked[min(i + 1, len(query) - 1)] = " "
+                    i += 2
+                    continue
+                if ch == q:
+                    q = None
+                masked[i] = " "
+            elif ch in "'\"":
+                q, masked[i] = ch, " "
+            i += 1
+        masked = "".join(masked)
+        m = self._ZM_SELECT.match(masked)
+        if m is None or self._ZM_BAIL.search(masked):
+            return None
+        sel = query[m.start(1) : m.end(1)]
+        raw = query[m.start(2) : m.end(2)]
+        pred = query[m.start(3) : m.end(3)]
+        from polars_lake_spark import dml
+
+        name = dml._resolve(self, raw)
+        if name is None or name in self._mem:
+            return None
+        spec = self.specs[name]
+        if not (spec.versioned and spec.zone_maps):
+            return None
+        # a select list qualifying columns with the table name would not
+        # resolve against the staging view — bail
+        if re.search(rf"\b{re.escape(raw)}\s*\.", sel):
+            return None
+        from polars_lake_spark.zonemaps import parse_conjuncts
+
+        if not parse_conjuncts(pred):
+            return None  # nothing prunable; vanilla path is identical
+        df = self.scan_where(name, pred)
+        Engine._zm_view_seq += 1
+        tmp = f"__zm_scan_{Engine._zm_view_seq}"
+        df.createOrReplaceTempView(tmp)
+        return self.spark.sql(f"SELECT {sel} FROM {tmp}")
 
     def sqls(self, queries: list[str]) -> list[DataFrame]:
         """Batched execution (``/root/reference/src/database.rs:58-63``):
@@ -1700,10 +1775,20 @@ class Engine:
             )
         from polars_lake_spark.snapshots import DV_FILE_COL, DV_POS_COL
 
+        from polars_lake_spark.zonemaps import parse_conjuncts
+
         with self._lock(name):
             store = self._snapstore(name)
             base = store.load()
-            live = store.read(self.spark, with_row_refs=True)
+            # Zone maps accelerate the DML scan too: a file whose
+            # min/max PROVE no row matches the predicate can contribute
+            # no refs, so pruning it is exactly sound for the delete —
+            # the ref scan costs O(files that may match), not O(table).
+            live = store.read(
+                self.spark,
+                with_row_refs=True,
+                prune=parse_conjuncts(predicate) or None,
+            )
             # NULL predicate keeps the row, like the rewrite path
             refs = live.filter(
                 F.coalesce(F.expr(predicate), F.lit(False))
@@ -2003,10 +2088,18 @@ class Engine:
             carried_meta,
         )
 
+        from polars_lake_spark.zonemaps import parse_conjuncts
+
         with self._lock(name):
             store = self._snapstore(name)
             base = store.load()
-            live = store.read(self.spark, with_row_refs=True)
+            # same zone-map acceleration as delete_where_dv: files whose
+            # ranges prove no match contribute neither refs nor new rows
+            live = store.read(
+                self.spark,
+                with_row_refs=True,
+                prune=parse_conjuncts(predicate) or None,
+            )
             pred = F.coalesce(F.expr(predicate), F.lit(False))
             matched = live.filter(pred)
             try:

@@ -424,24 +424,26 @@ def file_survives(fstats: dict, conjuncts: list[tuple]) -> bool:
         (tlo, lo), (thi, hi) = _decode(ent[0]), _decode(ent[1])
         if tlo != thi:
             continue
-        if kind == "between":
-            a, b = _coerce(tlo, lo, c[2]), _coerce(tlo, lo, c[3])
-            if a is None or b is None:
-                continue
-            if hi < a or lo > b:
-                return False
-            continue
-        if kind == "in":
-            vals = [_coerce(tlo, lo, v) for v in c[2]]
-            if any(v is None for v in vals):
-                continue
-            if not any(lo <= v <= hi for v in vals):
-                return False
-            continue
-        lit = _coerce(tlo, lo, c[2])
-        if lit is None:
-            continue
+        # any comparison that raises (e.g. tz-aware stats vs a naive
+        # literal) conservatively keeps the file
         try:
+            if kind == "between":
+                a, b = _coerce(tlo, lo, c[2]), _coerce(tlo, lo, c[3])
+                if a is None or b is None:
+                    continue
+                if hi < a or lo > b:
+                    return False
+                continue
+            if kind == "in":
+                vals = [_coerce(tlo, lo, v) for v in c[2]]
+                if any(v is None for v in vals):
+                    continue
+                if not any(lo <= v <= hi for v in vals):
+                    return False
+                continue
+            lit = _coerce(tlo, lo, c[2])
+            if lit is None:
+                continue
             if not _range_may_match(lo, hi, kind, lit):
                 return False
         except TypeError:

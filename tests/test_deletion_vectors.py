@@ -509,3 +509,37 @@ def test_dv_whole_table_and_partition_deletes_route_metadata(spark, eng):
     assert st["n_affected"] == 18  # 20 - 2 DV'd (user=2 in d0: ids 12, 27)
     assert not (store.load().meta or {}).get("dv")
     assert eng.table("t").count() == 0
+
+
+def test_dv_dml_scan_prunes_files(spark, eng, monkeypatch):
+    """Zone maps accelerate DV DML: the DELETE/UPDATE ref-computation
+    scan skips files whose ranges prove no match — observed via a
+    file_survives spy — and the result is still exact."""
+    import polars_lake_spark.zonemaps as ZM
+
+    df = spark.range(0, 2000).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v"
+    ).repartitionByRange(8, "id")
+    eng.create_table(
+        "zd", df, keys=["id"], versioned=True, deletion_vectors=True
+    )
+    calls = {"n": 0, "kept": 0}
+    orig = ZM.file_survives
+
+    def spy(fs, conj):
+        r = orig(fs, conj)
+        calls["n"] += 1
+        calls["kept"] += int(r)
+        return r
+
+    monkeypatch.setattr(ZM, "file_survives", spy)
+    st = eng.sql("DELETE FROM zd WHERE id = 1234").head()
+    assert st["n_affected"] == 1
+    assert calls["n"] == 8 and calls["kept"] == 1  # 7 files never scanned
+    assert eng.table("zd").count() == 1999
+    calls.update(n=0, kept=0)
+    st = eng.sql("UPDATE zd SET v = -1.0 WHERE id BETWEEN 10 AND 12").head()
+    assert st["n_affected"] == 3
+    assert calls["n"] == 8 and calls["kept"] == 1
+    assert eng.table("zd").filter("v = -1.0").count() == 3
+    assert eng.table("zd").count() == 1999

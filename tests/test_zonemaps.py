@@ -244,3 +244,50 @@ def test_zonemap_vacuum_and_unversioned_fallback(spark, eng):
     # unversioned tables: scan_where is just filter
     eng.create_table("u", spark.range(10).selectExpr("id"), keys=["id"])
     assert eng.scan_where("u", "id = 4").count() == 1
+
+
+def test_sql_select_fast_path(spark, eng):
+    """A plain single-table SELECT ... WHERE over a versioned table
+    routes through scan_where (files pruned) with identical semantics;
+    anything more complex falls through to vanilla spark.sql."""
+    _seed(spark, eng, "z")
+    r = eng.sql("SELECT id, v FROM z WHERE id = 1500").collect()
+    assert [(x.id, x.v) for x in r] == [(1500, 3000)]
+    assert eng.last_scan_report == {
+        "files_total": 8, "files_kept": 1, "conjuncts": 1,
+    }
+    # aggregates in the select list still work over the pruned scan
+    assert (
+        eng.sql("SELECT count(*) AS n FROM z WHERE v BETWEEN 100 AND 198")
+        .head().n == 50
+    )
+    assert eng.last_scan_report["files_kept"] == 1
+    # a keyword inside a string literal neither bails nor mis-slices
+    s = eng.sql(
+        "SELECT concat(s, ' FROM x WHERE id = 1') AS c FROM z WHERE id = 7"
+    ).head().c
+    assert s == "s00007 FROM x WHERE id = 1"
+    # bail shapes fall through to vanilla SQL (and stay correct)
+    eng.last_scan_report = None
+    assert (
+        eng.sql("SELECT count(*) AS n FROM z WHERE id < 10 GROUP BY s IS NULL")
+        .head().n == 10
+    )
+    assert (
+        eng.sql("SELECT id FROM z WHERE id IN (SELECT id FROM z WHERE id = 3)")
+        .head().id == 3
+    )
+    assert eng.last_scan_report is None  # scan_where never ran
+    # table-qualified select list bails (would not resolve on the view)
+    assert eng.sql("SELECT z.id FROM z WHERE id = 9").head().id == 9
+    # unprunable predicate: vanilla path, same answer
+    assert eng.sql("SELECT count(*) AS n FROM z WHERE id % 500 = 1").head().n == 4
+
+
+def test_sql_fast_path_sees_latest_version(spark, eng):
+    """The fast-path must read the CURRENT snapshot like the registered
+    view does — a write between two identical SELECTs shows up."""
+    _seed(spark, eng, "z")
+    assert eng.sql("SELECT v FROM z WHERE id = 3").head().v == 6
+    eng.sql("UPDATE z SET v = 999 WHERE id = 3")
+    assert eng.sql("SELECT v FROM z WHERE id = 3").head().v == 999
