@@ -231,6 +231,15 @@ def lifecycle_bench(spark, sf_dir: str) -> dict[str, float]:
         e2.sql(f"DELETE FROM odv WHERE o_custkey = {k}")
         out["lifecycle_dv_sparse_delete"] = round(time.perf_counter() - t0, 3)
 
+        # r9: what reads PAY while DVs are live — the broadcast anti-join
+        # above the scans (folded away by the next OPTIMIZE). Compare
+        # against lifecycle_materialize-style full reads.
+        t0 = time.perf_counter()
+        e2.table("odv").groupBy("month").agg(
+            F.sum("o_totalprice").alias("s")
+        ).write.format("noop").mode("overwrite").save()
+        out["lifecycle_dv_read_overhead"] = round(time.perf_counter() - t0, 3)
+
         # r9: zone-map file skipping — ten point lookups on the
         # NON-layout l_orderkey against a range-clustered versioned
         # table: the per-write-dir parquet-footer zone maps prune to
@@ -564,6 +573,7 @@ def main() -> None:
         "lifecycle_zonemap_scan_x10",
         "scan_file_skipping_check",
         "hybrid_retrieval_rrf",
+        "lifecycle_dv_read_overhead",
     ]
     print(
         json.dumps(

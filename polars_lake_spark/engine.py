@@ -29,6 +29,7 @@ failure mode mirroring ``/root/reference/src/dataset.rs:141-145``).
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import re
@@ -996,7 +997,9 @@ class Engine:
         r")\b|\(\s*SELECT",
         re.I,
     )
-    _zm_view_seq = 0
+    # thread-safe staging-view namer (next() on itertools.count is
+    # atomic) — concurrent fast-path SELECTs must never share a view
+    _zm_view_seq = itertools.count(1)
 
     def _try_zonemap_select(self, query: str) -> DataFrame | None:
         """SQL fast-path for zone-map file skipping: a plain
@@ -1052,8 +1055,7 @@ class Engine:
         if not parse_conjuncts(pred):
             return None  # nothing prunable; vanilla path is identical
         df = self.scan_where(name, pred)
-        Engine._zm_view_seq += 1
-        tmp = f"__zm_scan_{Engine._zm_view_seq}"
+        tmp = f"__zm_scan_{next(Engine._zm_view_seq)}"
         df.createOrReplaceTempView(tmp)
         return self.spark.sql(f"SELECT {sel} FROM {tmp}")
 

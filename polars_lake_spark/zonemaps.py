@@ -66,6 +66,11 @@ def _encode(v):
     if isinstance(v, int):
         return ["i", v]
     if isinstance(v, float):
+        # A NaN endpoint (parquet-mr orders NaN largest, so any file
+        # containing NaN gets max=NaN) poisons every range comparison —
+        # drop the column's stats for that file (always kept).
+        if v != v:
+            return None
         return ["f", v]
     if isinstance(v, str):
         return ["s", v]
@@ -423,6 +428,15 @@ def file_survives(fstats: dict, conjuncts: list[tuple]) -> bool:
             continue
         (tlo, lo), (thi, hi) = _decode(ent[0]), _decode(ent[1])
         if tlo != thi:
+            continue
+        # Float/double NaN soundness: parquet min/max statistics ignore
+        # NaN, but Spark orders NaN LARGER than every value and NaN=NaN.
+        # A file [3, NaN] may carry min=max=3, yet its NaN row satisfies
+        # "v > 100" and "v != 3" — so on float stats only the shapes a
+        # NaN row can never satisfy may prune: =, IN, BETWEEN (both
+        # sides bounded above), <, <=.  (isnull/notnull are unaffected —
+        # NaN is not NULL and null_count still counts it as non-null.)
+        if tlo == "f" and kind in (">", ">=", "!="):
             continue
         # any comparison that raises (e.g. tz-aware stats vs a naive
         # literal) conservatively keeps the file

@@ -291,3 +291,60 @@ def test_sql_fast_path_sees_latest_version(spark, eng):
     assert eng.sql("SELECT v FROM z WHERE id = 3").head().v == 6
     eng.sql("UPDATE z SET v = 999 WHERE id = 3")
     assert eng.sql("SELECT v FROM z WHERE id = 3").head().v == 999
+
+
+def test_zorder_compact_improves_pruning(spark, eng):
+    """OPTIMIZE ZORDER and zone maps compose: interleaved writes leave
+    every file's id range wide (pruning keeps everything); a z-ordered
+    compaction narrows per-file ranges, and the SAME predicate then
+    skips most files."""
+    df = spark.range(0, 4000).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v"
+    ).repartition(8)  # hash layout: every file spans ~the full id range
+    eng.create_table("zo", df, keys=["id"], versioned=True)
+    eng.scan_where("zo", "id BETWEEN 100 AND 120").count()
+    before = dict(eng.last_scan_report)
+    assert before["files_kept"] == before["files_total"] == 8
+    eng.compact("zo", n_files=8, zorder_by=["id"])
+    out = eng.scan_where("zo", "id BETWEEN 100 AND 120")
+    after = dict(eng.last_scan_report)
+    assert after["files_total"] == 8
+    assert after["files_kept"] <= 2
+    assert out.count() == 21
+
+
+def test_float_nan_pruning_soundness():
+    """Spark orders NaN larger than everything and NaN=NaN, but parquet
+    min/max stats ignore NaN — so on float stats only NaN-proof shapes
+    may prune. A file [3.0, NaN] with min=max=3 must survive v > 100
+    and v != 3 (its NaN row matches both), while =, <, BETWEEN, IN may
+    still prune."""
+    fs = {"rows": 2, "cols": {"v": [["f", 3.0], ["f", 3.0], 0]}}
+    assert Z.file_survives(fs, [("v", ">", 100)])
+    assert Z.file_survives(fs, [("v", ">=", 100)])
+    assert Z.file_survives(fs, [("v", "!=", 3)])
+    assert not Z.file_survives(fs, [("v", "=", 100)])
+    assert not Z.file_survives(fs, [("v", "<", 3)])
+    assert not Z.file_survives(fs, [("v", "between", 100, 200)])
+    assert not Z.file_survives(fs, [("v", "in", [1, 2])])
+    # integer stats keep the full shape set (no NaN in the domain)
+    fi = {"rows": 2, "cols": {"v": [["i", 3], ["i", 3], 0]}}
+    assert not Z.file_survives(fi, [("v", ">", 100)])
+    assert not Z.file_survives(fi, [("v", "!=", 3)])
+
+
+def test_float_nan_end_to_end(spark, eng):
+    """A NaN row physically in a pruned-candidate file must survive
+    scan_where for every predicate shape."""
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, float("nan")), (4, 500.0)],
+        "id bigint, v double",
+    ).repartitionByRange(2, "id")
+    eng.create_table("nan_t", df, keys=["id"], versioned=True)
+    for pred in ["v > 100", "v != 2.0", "v >= 1.5", "v = 500.0",
+                 "v < 1.5", "v BETWEEN 0 AND 3"]:
+        got = sorted(r.id for r in eng.scan_where("nan_t", pred).collect())
+        want = sorted(
+            r.id for r in eng.table("nan_t").filter(pred).collect()
+        )
+        assert got == want, pred
