@@ -170,6 +170,17 @@ class TableSpec:
     # (point predicates): zone maps cover RANGE predicates on non-layout
     # columns, and OPTIMIZE ZORDER BY makes their ranges tight.
     zone_maps: bool = True
+    # Clustered writes (Delta liquid-clustering-lite / OPTIMIZED WRITE
+    # analog): every versioned write range-partitions and sorts on these
+    # columns before landing, so each file carries a NARROW min/max
+    # range on them and zone-map skipping is tight from ingest — no
+    # OPTIMIZE ZORDER needed for the single-column case. The trade is
+    # one range exchange per write (documented; appends that are already
+    # clustered pay ~nothing, AQE coalesces the output). Complement to
+    # partition_by (coarse layout keys) — cluster_by suits high-NDV
+    # range-queried columns (timestamps, ids) that would explode a
+    # partition layout.
+    cluster_by: list[str] = field(default_factory=list)
     # Merge-on-read DELETE (Delta deletion-vector analog): predicate
     # deletes commit an O(deleted-rows) sidecar of (file, row_index)
     # refs that reads anti-join out, instead of rewriting every touched
@@ -274,6 +285,7 @@ class Engine:
         bloom_filter_cols: list[str] | dict[str, int] | None = None,
         deletion_vectors: bool = False,
         zone_maps: bool = True,
+        cluster_by: list[str] | None = None,
     ) -> TableSpec:
         """CreateTable (``/root/reference/src/server.rs:92-135`` analog).
 
@@ -322,6 +334,7 @@ class Engine:
             ),
             deletion_vectors=deletion_vectors,
             zone_maps=zone_maps,
+            cluster_by=list(cluster_by or []),
             # Captured BEFORE _with_layout (the derived bucket_id is not
             # a user column): the order positional INSERTs map against.
             declared_columns=list(df.columns),
@@ -339,6 +352,21 @@ class Engine:
                 "deletion_vectors requires a versioned table (the DV "
                 "sidecar rides in the snapshot commit)"
             )
+        if spec.cluster_by:
+            if not versioned:
+                raise ValueError(
+                    "cluster_by requires a versioned table (clustered "
+                    "writes exist to keep the zone-map sidecars tight)"
+                )
+            missing = [c for c in spec.cluster_by if c not in df.columns]
+            if missing:
+                raise ValueError(f"cluster_by columns {missing} not in data")
+            overlap = set(spec.cluster_by) & set(spec.physical_partitioning)
+            if overlap:
+                raise ValueError(
+                    f"cluster_by columns {sorted(overlap)} are already "
+                    "layout (partition/bucket) columns"
+                )
         if native_bucketing and (
             not spec.bucket_by or spec.partition_by or not save
         ):
@@ -484,6 +512,15 @@ class Engine:
                 if n_dv:
                     meta["dv_rows"] = n_dv
         wname, wpath = store.new_write_dir()
+        if spec.cluster_by and all(c in df.columns for c in spec.cluster_by):
+            # Clustered write: one range exchange + in-partition sort so
+            # every landed file carries a narrow min/max on the cluster
+            # key — zone maps are tight from INGEST, not only after an
+            # OPTIMIZE ZORDER. (Column check: schema evolution may write
+            # a frame from before a cluster column existed.)
+            df = df.repartitionByRange(
+                *[F.col(c) for c in spec.cluster_by]
+            ).sortWithinPartitions(*spec.cluster_by)
         spec.schema_json = df.schema.json()
         writer = df.write.mode("overwrite")
         parts = spec.physical_partitioning
@@ -725,6 +762,64 @@ class Engine:
             report=self.last_scan_report,
         )
         return df.filter(predicate)
+
+    def zonemap_stats(self, name: str, version: int | None = None) -> dict:
+        """Clustering-quality report from zone-map METADATA alone — the
+        100 TB ops question "would a point/range predicate on column c
+        actually skip files, or do I need to cluster?" answered without
+        scanning a byte.  For every numeric/date/timestamp column with
+        stats, reports the file count and ``expected_keep_fraction``:
+        the mean fraction of files a uniformly-random point predicate
+        over the column's global span would keep (≈1/files on a
+        perfectly clustered column, ≈1.0 on a hash-scattered one).
+        Columns above ~3× the perfect fraction are candidates for
+        ``cluster_by`` / ``OPTIMIZE ZORDER BY``."""
+        spec = self.specs[name]
+        if not spec.versioned:
+            raise ValueError(f"table {name} is not versioned")
+        from polars_lake_spark.zonemaps import _decode, load_zonemap
+
+        store = self._snapstore(name)
+        snap = store.load(version)
+        by_wdir: dict[str, set] = {}
+        for p, ws in snap.mapping.items():
+            for w in ws:
+                by_wdir.setdefault(w, set()).add(p)
+        ranges: dict[str, list[tuple[float, float]]] = {}
+        n_files = 0
+        for w, pset in by_wdir.items():
+            zm = load_zonemap(os.path.join(store.data_path, w))
+            if zm is None:
+                continue
+            for rel, fs in zm["files"].items():
+                if os.path.dirname(rel) not in pset:
+                    continue
+                n_files += 1
+                for col, ent in (fs.get("cols") or {}).items():
+                    (tlo, lo), (_thi, hi) = _decode(ent[0]), _decode(ent[1])
+                    if tlo in ("i", "f", "dec"):
+                        lo, hi = float(lo), float(hi)
+                    elif tlo == "d":
+                        lo, hi = float(lo.toordinal()), float(hi.toordinal())
+                    elif tlo == "t":
+                        lo, hi = lo.timestamp(), hi.timestamp()
+                    else:
+                        continue
+                    ranges.setdefault(col, []).append((lo, hi))
+        out: dict[str, dict] = {}
+        for col, rs in ranges.items():
+            span = max(h for _l, h in rs) - min(lo for lo, _h in rs)
+            n = len(rs)
+            if span <= 0:
+                frac = 1.0  # every file holds the same single value
+            else:
+                frac = sum(h - lo for lo, h in rs) / (span * n)
+            out[col] = {
+                "files": n,
+                "expected_keep_fraction": round(max(frac, 1.0 / n), 4),
+                "perfect": round(1.0 / n, 4),
+            }
+        return {"files": n_files, "columns": out}
 
     def _register(self, name: str) -> None:
         spec = self.specs.get(name)
@@ -1638,7 +1733,15 @@ class Engine:
                 constraints=dict(sspec.constraints),
                 bloom_filter_cols=dict(sspec.bloom_filter_cols),
                 deletion_vectors=sspec.deletion_vectors,
+                zone_maps=sspec.zone_maps,
+                cluster_by=list(sspec.cluster_by),
             )
+            # create_table captured declared order from the READ-BACK
+            # frame (partition columns last); the clone must keep the
+            # source's user-declared order or positional INSERTs into
+            # it would map differently than into the source
+            self.specs[dst].declared_columns = list(sspec.declared_columns)
+            self._write_manifest(self.specs[dst])
             return
         from dataclasses import replace as _dc_replace
 
@@ -1678,6 +1781,9 @@ class Engine:
                 # every mutable container must be copied, or spec state
                 # leaks between clone and source (the 73e0733 bug class)
                 bloom_filter_cols=dict(sspec.bloom_filter_cols),
+                declared_columns=list(sspec.declared_columns),
+                cluster_by=list(sspec.cluster_by),
+                copy_files=dict(sspec.copy_files),
             )
             self.specs[dst] = dspec
             self._write_manifest(dspec)

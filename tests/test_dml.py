@@ -1094,3 +1094,22 @@ def test_copy_into_log_lru_on_reload(eng, spark, tmp_path):
     eng.sql(f"COPY INTO cl FROM '{paths[2]}'")
     assert eng.sql(f"COPY INTO cl FROM '{paths[0]}'").head()["n_affected"] == 0
     assert eng.sql(f"COPY INTO cl FROM '{paths[1]}'").head()["n_affected"] == 1
+
+
+def test_clone_preserves_declared_order(eng, spark):
+    """Both clone modes must keep the SOURCE's user-declared column
+    order — a deep clone's create_table sees the read-back frame
+    (partition columns last), so positional INSERTs into the clone
+    would otherwise map differently than into the source."""
+    eng.sql(
+        "CREATE VERSIONED TABLE po (id BIGINT, p BIGINT, v BIGINT) "
+        "PARTITIONED BY (p)"
+    )
+    eng.sql("INSERT INTO po VALUES (1, 7, 100)")
+    for dst, shallow in (("po_s", True), ("po_d", False)):
+        eng.clone("po", dst, shallow=shallow)
+        assert eng.specs[dst].declared_columns == ["id", "p", "v"]
+        assert eng.specs[dst].declared_columns is not eng.specs["po"].declared_columns
+        eng.sql(f"INSERT INTO {dst} VALUES (2, 8, 200)")
+        rows = {r.id: (r.p, r.v) for r in eng.table(dst).collect()}
+        assert rows == {1: (7, 100), 2: (8, 200)}, dst

@@ -348,3 +348,48 @@ def test_float_nan_end_to_end(spark, eng):
             r.id for r in eng.table("nan_t").filter(pred).collect()
         )
         assert got == want, pred
+
+
+def test_cluster_by_keeps_zonemaps_tight_on_ingest(spark, eng):
+    """cluster_by range-partitions + sorts every versioned write, so
+    point/range predicates skip files from INGEST — no OPTIMIZE ZORDER
+    needed. Appends cluster independently; the advisor sees the
+    difference vs a hash-scattered table."""
+    def batch(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v"
+        ).repartition(8)  # deliberately scattered input
+
+    # tiny test writes coalesce to ONE range partition under AQE (the
+    # right behavior at real scale); hold coalescing off so each write
+    # lands several files with disjoint ranges
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        eng.create_table(
+            "cl", batch(0, 2000), keys=["id"], versioned=True,
+            cluster_by=["id"],
+        )
+        eng.insert("cl", batch(2000, 4000))
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    out = eng.scan_where("cl", "id BETWEEN 100 AND 120")
+    rep = dict(eng.last_scan_report)
+    assert rep["files_kept"] <= 2 < rep["files_total"]
+    assert out.count() == 21
+    # rows all present and correct despite the re-layout
+    assert eng.table("cl").count() == 4000
+    assert eng.scan_where("cl", "id = 3999").head().v == 3999.0
+    # advisor: the clustered column reads near-perfect, vs a
+    # hash-layout control table that keeps ~everything
+    st = eng.zonemap_stats("cl")["columns"]["id"]
+    assert st["expected_keep_fraction"] <= 3 * st["perfect"]
+    eng.create_table("hz", batch(0, 2000), keys=["id"], versioned=True)
+    hs = eng.zonemap_stats("hz")["columns"]["id"]
+    assert hs["expected_keep_fraction"] > 0.5
+    # validation
+    with pytest.raises(ValueError, match="not in data"):
+        eng.create_table(
+            "bad1", batch(0, 10), versioned=True, cluster_by=["nope"]
+        )
+    with pytest.raises(ValueError, match="versioned"):
+        eng.create_table("bad2", batch(0, 10), cluster_by=["id"])
