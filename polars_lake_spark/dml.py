@@ -27,8 +27,10 @@ through the engine's real mutation paths:
 * ``MERGE INTO t USING src|(<select>) [AS a] ON <key equalities>
   WHEN [NOT] MATCHED [AND c] THEN DELETE | UPDATE SET * | INSERT *``
   → ``engine.merge`` (the ON conjunction supplies the merge keys)
-* ``CREATE [VERSIONED] TABLE t [PARTITIONED BY (cols)] AS SELECT
-  ...`` → ``engine.create_table_as``
+* ``CREATE [VERSIONED] TABLE t [PARTITIONED BY (cols)] [CLUSTER BY
+  (cols)] AS SELECT ...`` → ``engine.create_table_as`` (CLUSTER BY =
+  clustered writes: every versioned write range-partitions + sorts on
+  the key so zone maps stay tight from ingest)
 * ``SHOW PARTITIONS t`` → partition rel-paths, METADATA-only
   (snapshot mapping keys / directory names — never a data scan)
 * ``DROP TABLE [IF EXISTS] t``           → ``engine.drop_table``
@@ -104,6 +106,7 @@ _UPDATE = re.compile(
 _CTAS = re.compile(
     r"^\s*CREATE\s+(VERSIONED\s+)?TABLE\s+([A-Za-z_][\w.]*)"
     r"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?"
+    r"(?:\s+CLUSTER\s+BY\s*\(([^)]*)\))?"
     r"\s+AS\s+(SELECT\b.+?)\s*;?\s*$",
     re.I | re.S,
 )
@@ -157,7 +160,8 @@ _INSERT_VALUES = re.compile(
 )
 _CREATE_TABLE = re.compile(
     r"^\s*CREATE\s+(VERSIONED\s+)?TABLE\s+([A-Za-z_][\w.]*)\s*"
-    r"\((.+?)\)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
+    r"\((.+?)\)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?"
+    r"(?:\s+CLUSTER\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
     re.I | re.S,
 )
 _REORG = re.compile(
@@ -751,7 +755,13 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             kwargs["partition_by"] = [
                 c.strip() for c in m.group(3).split(",") if c.strip()
             ]
-        engine.create_table_as(raw, m.group(4), **kwargs)
+        if m.group(4):
+            # CLUSTER BY (cols): clustered writes (zone-map tightness
+            # from ingest) — requires VERSIONED
+            kwargs["cluster_by"] = [
+                c.strip() for c in m.group(4).split(",") if c.strip()
+            ]
+        engine.create_table_as(raw, m.group(5), **kwargs)
         n = engine.table(raw).count()
         return _status(engine, "create_table_as", raw, n)
 
@@ -772,6 +782,10 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         if m.group(4):
             kwargs["partition_by"] = [
                 c.strip() for c in m.group(4).split(",") if c.strip()
+            ]
+        if m.group(5):
+            kwargs["cluster_by"] = [
+                c.strip() for c in m.group(5).split(",") if c.strip()
             ]
         engine.create_table(raw, empty, **kwargs)
         return _status(engine, "create_table", raw, 0)

@@ -1113,3 +1113,21 @@ def test_clone_preserves_declared_order(eng, spark):
         eng.sql(f"INSERT INTO {dst} VALUES (2, 8, 200)")
         rows = {r.id: (r.p, r.v) for r in eng.table(dst).collect()}
         assert rows == {1: (7, 100), 2: (8, 200)}, dst
+
+
+def test_create_table_cluster_by(eng, spark):
+    """CLUSTER BY in both CREATE forms routes to clustered writes."""
+    eng.sql(
+        "CREATE VERSIONED TABLE cbt (id BIGINT, v DOUBLE) CLUSTER BY (id)"
+    )
+    assert eng.specs["cbt"].cluster_by == ["id"]
+    eng.sql("INSERT INTO cbt SELECT id, CAST(id AS DOUBLE) FROM range(100)")
+    assert eng.table("cbt").count() == 100
+    eng.sql(
+        "CREATE VERSIONED TABLE cbt2 CLUSTER BY (id) AS "
+        "SELECT id, CAST(id AS DOUBLE) AS v FROM range(50)"
+    )
+    assert eng.specs["cbt2"].cluster_by == ["id"]
+    assert eng.table("cbt2").count() == 50
+    with pytest.raises(ValueError, match="versioned"):
+        eng.sql("CREATE TABLE cbt3 (id BIGINT) CLUSTER BY (id)")
