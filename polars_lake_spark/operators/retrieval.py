@@ -82,12 +82,21 @@ def bm25_topk(
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * norm), round_dp).alias("bm25"))
     )
-    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", "bm25", F.col("rank").cast("bigint").alias("rank"))
-    )
+    return _ranked_topk(per_doc, "bm25", k)
+
+
+def _ranked_topk(scored: DataFrame, score_col: str, k: int) -> DataFrame:
+    """(doc_id, score, rank 1..k) from a scored frame — scale shape:
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject (per-
+    partition partial top-k merged on the driver), so the global sort
+    never funnels every scored row through one task; the rank window
+    then runs over at most k rows.  Ties break on doc_id in the sort
+    AND the window, so ranks are deterministic."""
+    top = scored.orderBy(F.desc(score_col), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc(score_col), F.asc("doc_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select("doc_id", score_col, "rank")
 
 
 def cosine_rank(
@@ -114,12 +123,10 @@ def cosine_rank(
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     cos = F.round(dot / (vn * F.lit(qn)), round_dp)
-    w = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
-    return (
-        emb.select(F.col(id_col).alias("doc_id"), cos.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("doc_id", "cos_sim", F.col("rank").cast("bigint").alias("rank"))
+    return _ranked_topk(
+        emb.select(F.col(id_col).alias("doc_id"), cos.alias("cos_sim")),
+        "cos_sim",
+        k,
     )
 
 
@@ -144,13 +151,13 @@ def rrf_fuse(
     fused = allc.groupBy("doc_id").agg(
         F.sum("c").alias("rrf_score"), F.count(F.lit(1)).alias("n_lists")
     )
-    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
-    fused = fused.withColumn("fused_rank", F.row_number().over(w))
     if topk is not None:
-        fused = fused.filter(F.col("fused_rank") <= topk)
-    return fused.select(
-        "doc_id",
-        "rrf_score",
-        "n_lists",
-        F.col("fused_rank").cast("bigint").alias("fused_rank"),
-    )
+        # TakeOrderedAndProject (distributed partial top-k), never a
+        # global unpartitioned window over every fused id
+        fused = fused.orderBy(
+            F.desc("rrf_score"), F.asc("doc_id")
+        ).limit(topk)
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return fused.withColumn(
+        "fused_rank", F.row_number().over(w).cast("bigint")
+    ).select("doc_id", "rrf_score", "n_lists", "fused_rank")

@@ -117,3 +117,13 @@ def test_rrf_fuse_integer_exact(spark):
     # topk cut
     top2 = R.rrf_fuse([a, b], k=60, topk=2)
     assert [r.doc_id for r in top2.collect()] == [20, 10]
+
+
+def test_topk_is_take_ordered_not_global_window(spark, docs):
+    """The global top-k must compile to TakeOrderedAndProject (per-
+    partition partial top-k), never an unpartitioned row_number window
+    over every scored row."""
+    plan = R.bm25_topk(
+        docs, "doc_id", "text", ["merge"], k=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
