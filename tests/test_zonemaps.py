@@ -393,3 +393,36 @@ def test_cluster_by_keeps_zonemaps_tight_on_ingest(spark, eng):
         )
     with pytest.raises(ValueError, match="versioned"):
         eng.create_table("bad2", batch(0, 10), cluster_by=["id"])
+
+
+def test_streaming_ingest_writes_zonemaps(spark, eng, tmp_path):
+    """stream_append lands through the same versioned write path, so
+    streaming-ingested tables carry zone maps and scan_where prunes —
+    and on a cluster_by table the micro-batches cluster themselves."""
+    from polars_lake_spark.streaming.ingest import stream_append
+
+    eng.create_table(
+        "st",
+        spark.range(0, 1000).selectExpr("id", "id * 2 AS v")
+        .repartitionByRange(2, "id"),
+        keys=["id"], versioned=True, cluster_by=["v"],
+    )
+    staging = str(tmp_path / "src")
+    spark.range(1000, 2000).selectExpr("id", "id * 2 AS v").repartition(
+        1
+    ).write.parquet(staging)
+    stream = spark.readStream.schema("id bigint, v bigint").parquet(staging)
+    q = stream_append(
+        eng, "st", stream,
+        checkpoint_dir=str(tmp_path / "ck"), txn_app="zm_loader",
+    )
+    q.awaitTermination(120)
+    assert eng.table("st").count() == 2000
+    # every write dir (initial + micro-batch) carries a zonemap sidecar
+    wdirs = glob.glob(eng._path("st") + "/data/w*")
+    zms = glob.glob(eng._path("st") + "/data/w*/_zonemap.json")
+    assert len(wdirs) == len(zms) >= 2
+    out = eng.scan_where("st", "id = 1500")
+    rep = dict(eng.last_scan_report)
+    assert rep["files_kept"] < rep["files_total"]
+    assert out.head().v == 3000
