@@ -113,9 +113,11 @@ HEADLINE = [
     # prune a BETWEEN on the non-layout key, verify pruned == full).
     "scan_file_skipping_check",
     # r9: retrieval — BM25 (token stream filtered to query terms before
-    # any shuffle) and the BM25+cosine hybrid fused by integer-exact RRF.
+    # any shuffle), the BM25+cosine hybrid fused by integer-exact RRF,
+    # and map-side best-snippet extraction (one aggregate HOF per row).
     "bm25_retrieval",
     "hybrid_retrieval_rrf",
+    "retrieval_snippets",
 ]
 
 

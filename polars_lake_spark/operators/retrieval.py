@@ -161,3 +161,85 @@ def rrf_fuse(
     return fused.withColumn(
         "fused_rank", F.row_number().over(w).cast("bigint")
     ).select("doc_id", "rrf_score", "n_lists", "fused_rank")
+
+
+def best_snippet(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    window: int = 32,
+    stride: int = 16,
+) -> DataFrame:
+    """Per-document best snippet for a bag-of-words query: the
+    ``window``-word span (at ``stride`` offsets) containing the most
+    query-term occurrences — the passage-extraction step between
+    retrieval and an LLM context window.
+
+    100 TB shape: ENTIRELY map-side — the candidate windows are scored
+    and reduced inside ONE ``aggregate`` HOF per row (no explode, no
+    shuffle, no per-doc window function), so cost is O(tokens) per doc
+    and output is one row per matching doc.  Ties prefer the EARLIEST
+    window (strict-greater fold).  All outputs are integers/strings —
+    bit-identical across engines.
+
+    Returns (doc_id, start, hits, snippet) for docs with ≥1 hit.
+    """
+    from polars_lake_spark.operators.dedup import let_bound
+
+    tarr = F.array(*[F.lit(t) for t in terms])
+
+    def best(ws):
+        starts = F.sequence(
+            F.lit(0),
+            F.greatest(F.lit(0), F.size(ws) - 1),
+            F.lit(stride),
+        )
+        def step(acc, s):
+            h = F.size(
+                F.filter(
+                    F.slice(ws, s + 1, window),
+                    lambda w: F.array_contains(tarr, w),
+                )
+            ).cast("int")
+            # bind h once (let_bound): HOF lambdas get no subexpression
+            # elimination, so referencing the filter twice would score
+            # every window twice
+            return let_bound(
+                h,
+                lambda hv: F.when(
+                    hv > acc["hits"],
+                    F.struct(
+                        hv.alias("hits"), s.cast("int").alias("start")
+                    ),
+                ).otherwise(acc),
+            )
+
+        return F.aggregate(
+            starts,
+            F.struct(
+                F.lit(-1).cast("int").alias("hits"),
+                F.lit(0).cast("int").alias("start"),
+            ),
+            step,
+        )
+
+    # Both levels of reuse are let-bound (HOF lambdas get no
+    # subexpression elimination): the words array feeding the fold, and
+    # the per-window hit count inside it.
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        TX.words(F.col(text_col)).alias("__ws"),
+    ).select(
+        "doc_id",
+        "__ws",
+        let_bound(F.col("__ws"), best).alias("__b"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("__b.start").cast("bigint").alias("start"),
+        F.col("__b.hits").cast("bigint").alias("hits"),
+        F.array_join(
+            F.slice(F.col("__ws"), F.col("__b.start") + 1, window), " "
+        ).alias("snippet"),
+    ).filter(F.col("hits") >= 1)

@@ -44,6 +44,7 @@ CHECK_PRIORITY: list[str] = [
     "scan_file_skipping_check",
     "bm25_retrieval",
     "hybrid_retrieval_rrf",
+    "retrieval_snippets",
     # -- r8 gates (still fresh; DV/COPY INTO behavior was extended by
     # the r9 ADVICE fixes, so they stay in the window) -------------------
     "sparse_delete_dv_check",
@@ -102,10 +103,10 @@ CHECK_PRIORITY: list[str] = [
     "histogram_equidepth",
     "dedup_clusters_twostar",
     "token_heavy_hitters",
-    "heavy_hitters_check",
     # ------ 50-slot window boundary ------------------------------------
-    # -- r10 front-runners: the three r5-greens the r9 additions pushed
+    # -- r10 front-runners: the four r5-greens the r9 additions pushed
     # past the boundary, then the remaining r5-greens (r5 gate order) ---
+    "heavy_hitters_check",
     "approx_percentile_check",
     "hll_union_check",
     "heavy_hitters_incremental_check",

@@ -1232,3 +1232,45 @@ def hybrid_retrieval_rrf(spark, sf_dir):
         emb.filter(F.col("vec_id") != 7), "vec_id", "embedding", qv, k=20
     )
     return R.rrf_fuse([lex, sem], k=60, topk=10)
+
+
+@register(
+    "retrieval_snippets",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split({norm}, ' ') AS ws
+               FROM documents),
+    st AS (SELECT doc_id, ws,
+                  UNNEST(range(0, GREATEST(len(ws), 1), 16)) AS s
+           FROM d),
+    sc AS (SELECT doc_id, s,
+             len(list_filter(list_slice(ws, s + 1, s + 32),
+                 w -> w IN ('merge', 'vector', 'stream', 'filter')))
+               AS hits,
+             array_to_string(list_slice(ws, s + 1, s + 32), ' ')
+               AS snippet
+           FROM st)
+    SELECT doc_id, start, hits, snippet FROM (
+        SELECT doc_id, CAST(s AS BIGINT) AS start,
+               CAST(hits AS BIGINT) AS hits, snippet,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, s) AS rn
+        FROM sc)
+    WHERE rn = 1 AND hits >= 1
+    """.replace("{norm}", _NORM_SQL),
+    doc="Best-snippet extraction (passage ranking): the 32-word window "
+    "with the most query-term hits per doc, scored and reduced inside "
+    "ONE aggregate HOF per row — zero shuffle, zero explode; integer "
+    "hits + deterministic strings, earliest window wins ties.",
+)
+def retrieval_snippets(spark, sf_dir):
+    """The passage-extraction step between retrieval and an LLM context
+    window (operators/retrieval.py:best_snippet): entirely map-side —
+    candidate windows fold to the best one inside a single higher-order
+    aggregate per row; both the words array and each window's hit count
+    are let-bound (HOF lambdas get no subexpression elimination)."""
+    from polars_lake_spark.operators import retrieval as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    return R.best_snippet(
+        docs, "doc_id", "text", list(_BM25_TERMS), window=32, stride=16
+    )

@@ -127,3 +127,35 @@ def test_topk_is_take_ordered_not_global_window(spark, docs):
         docs, "doc_id", "text", ["merge"], k=3
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_best_snippet_model(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c merge d e f g h i j k l m n o p q r s t u v w "
+                "x y z merge merge stream a b c d"),
+            (2, "nothing here at all"),
+            (3, "merge"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: (r.start, r.hits, r.snippet)
+        for r in R.best_snippet(
+            docs, "doc_id", "text", ["merge", "stream"], window=8, stride=4
+        ).collect()
+    }
+    # doc 1: windows at 0,4,...,32; the window at 24 covers words 25-32
+    # ("x y z merge merge stream a b") with 3 hits — the max
+    assert rows[1] == (24, 3, "x y z merge merge stream a b")
+    assert rows[3] == (0, 1, "merge")
+    assert 2 not in rows  # zero hits filtered
+    # earliest window wins ties: two equal single-hit windows
+    tie = spark.createDataFrame(
+        [(9, "merge a b c d e f g h i j k l m n o merge")],
+        "doc_id bigint, text string",
+    )
+    r = R.best_snippet(
+        tie, "doc_id", "text", ["merge"], window=4, stride=16
+    ).head()
+    assert (r.start, r.hits) == (0, 1)
