@@ -118,6 +118,7 @@ HEADLINE = [
     "bm25_retrieval",
     "hybrid_retrieval_rrf",
     "retrieval_snippets",
+    "hard_negative_mining",
 ]
 
 

@@ -28,15 +28,15 @@ REGISTRY: dict[str, Query] = {}
 # which get a fresh correctness row each round.  This list is a VERIFICATION
 # ROTATION, strictly oldest-evidence-first — queries added or changed
 # this round always lead, so nothing ships unverified:
-#   the r8 window (50) = NEW r8 entries + the 24 remaining r4-greens
-#   (oldest driver evidence) + the oracled recall companions of the two
-#   rows-only PQ entries (which can never earn better than "ran" from
-#   the driver and now sit past the window) + the oldest r5-greens.
-#   After r8's gate the oldest evidence anywhere is r5.  The list covers
-#   EVERY registered query, evidence-ordered, so future rotations are a
-#   pure reshuffle.  Every deferred query is still verified every
-#   session by tests/test_oracle_parity.py (the local mirror of the gate
-#   over all oracled queries — green at sf0.001 AND sf0.1 as of r7).
+#   the r9 window (50) = 5 NEW r9 entries (zone maps + the retrieval
+#   tier) + the 3 r8 gates (their DV/COPY INTO behavior was extended by
+#   the r9 ADVICE fixes) + the r8-refreshed r4-green block + the recall
+#   companions of the rows-only PQ entries + the oldest r5-greens up to
+#   the boundary; the five r5-greens the r9 additions displaced lead
+#   r10.  The list covers EVERY registered query, evidence-ordered, so
+#   future rotations are a pure reshuffle.  Every deferred query is
+#   still verified every session by tests/test_oracle_parity.py (the
+#   local mirror of the gate — green at sf0.001 AND sf0.1 as of r9).
 CHECK_PRIORITY: list[str] = [
     # ================= r9 window (first 50) ===========================
     # -- NEW r9: file-level data skipping (zone maps); BM25 + hybrid
@@ -45,6 +45,7 @@ CHECK_PRIORITY: list[str] = [
     "bm25_retrieval",
     "hybrid_retrieval_rrf",
     "retrieval_snippets",
+    "hard_negative_mining",
     # -- r8 gates (still fresh; DV/COPY INTO behavior was extended by
     # the r9 ADVICE fixes, so they stay in the window) -------------------
     "sparse_delete_dv_check",
@@ -102,10 +103,10 @@ CHECK_PRIORITY: list[str] = [
     "join_cardinality_probe",
     "histogram_equidepth",
     "dedup_clusters_twostar",
-    "token_heavy_hitters",
     # ------ 50-slot window boundary ------------------------------------
-    # -- r10 front-runners: the four r5-greens the r9 additions pushed
+    # -- r10 front-runners: the five r5-greens the r9 additions pushed
     # past the boundary, then the remaining r5-greens (r5 gate order) ---
+    "token_heavy_hitters",
     "heavy_hitters_check",
     "approx_percentile_check",
     "hll_union_check",

@@ -1274,3 +1274,53 @@ def retrieval_snippets(spark, sf_dir):
     return R.best_snippet(
         docs, "doc_id", "text", list(_BM25_TERMS), window=32, stride=16
     )
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+    WITH lex AS ({bm25}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 7),
+    sem0 AS (SELECT vec_id AS doc_id,
+               ROUND(list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 4)
+                 AS cos_sim
+             FROM embeddings WHERE vec_id <> 7),
+    sem AS (SELECT doc_id FROM sem0
+            QUALIFY ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id)
+                    <= 20)
+    SELECT l.doc_id, l.bm25, l.rank AS lex_rank
+    FROM lex l LEFT JOIN sem s ON l.doc_id = s.doc_id
+    WHERE s.doc_id IS NULL
+    ORDER BY l.rank
+    """.replace("{bm25}", _BM25_SQL.replace("{k}", "20")),
+    doc="Hard-negative mining for contrastive training: documents the "
+    "LEXICAL ranking retrieves (BM25 top-20) that the SEMANTIC ranking "
+    "rejects (not in cosine top-20) — lexically-plausible, "
+    "semantically-far negatives. One broadcast anti-join of two "
+    "bounded top-k sets.",
+)
+def hard_negative_mining(spark, sf_dir):
+    """The standard hard-negative recipe: BM25-relevant docs that the
+    embedding ranking places outside its top-k — the negatives that
+    actually teach a contrastive model (random negatives are too easy).
+    Composes bm25_topk and cosine_rank; both sides are ≤k rows, so the
+    anti-join broadcasts."""
+    from polars_lake_spark.operators import retrieval as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
+    ]
+    lex = R.bm25_topk(docs, "doc_id", "text", list(_BM25_TERMS), k=20)
+    sem = R.cosine_rank(
+        emb.filter(F.col("vec_id") != 7), "vec_id", "embedding", qv, k=20
+    )
+    return (
+        lex.join(F.broadcast(sem.select("doc_id")), "doc_id", "left_anti")
+        .select("doc_id", "bm25", F.col("rank").alias("lex_rank"))
+        .orderBy("lex_rank")
+    )
