@@ -1369,6 +1369,8 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             marks[c] = "partition column"
         for c in spec.bucket_by:
             marks[c] = marks.get(c, "") or "bucket source column"
+        for c in spec.cluster_by:
+            marks[c] = marks.get(c, "") or "cluster column"
         for c in spec.keys:
             marks[c] = (marks.get(c, "") + " key").strip()
         rows = [

@@ -1131,3 +1131,9 @@ def test_create_table_cluster_by(eng, spark):
     assert eng.table("cbt2").count() == 50
     with pytest.raises(ValueError, match="versioned"):
         eng.sql("CREATE TABLE cbt3 (id BIGINT) CLUSTER BY (id)")
+
+
+def test_describe_flags_cluster_columns(eng, spark):
+    eng.sql("CREATE VERSIONED TABLE dcb (id BIGINT, v DOUBLE) CLUSTER BY (v)")
+    rows = {r.col_name: r.comment for r in eng.sql("DESCRIBE dcb").collect()}
+    assert rows["v"] == "cluster column" and rows["id"] is None
