@@ -119,6 +119,7 @@ HEADLINE = [
     "hybrid_retrieval_rrf",
     "retrieval_snippets",
     "hard_negative_mining",
+    "bm25_batch_retrieval",
 ]
 
 

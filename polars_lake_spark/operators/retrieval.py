@@ -243,3 +243,77 @@ def best_snippet(
             F.slice(F.col("__ws"), F.col("__b.start") + 1, window), " "
         ).alias("snippet"),
     ).filter(F.col("hits") >= 1)
+
+
+def bm25_batch_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    qid_col: str,
+    terms_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Top-``k`` documents per query for a whole TABLE of bag-of-words
+    queries — the mining shape an actual pipeline runs (thousands of
+    queries against the corpus in one pass), where per-query
+    ``bm25_topk`` calls would rescan the corpus per query.
+
+    100 TB shape: the corpus token stream is filtered ONCE by a
+    broadcast semi-join against the union of all query terms (never
+    shuffled raw); per-(doc, term) counts and per-term document
+    frequencies are shared across every query that uses the term; the
+    (query, term) pairs join in broadcast; and the per-query top-k runs
+    through skew.topk_per_group (two-stage: per-partition candidates →
+    window over ≤k·partitions rows), so a hot query never funnels its
+    full match set through one task.
+
+    Scores follow bm25_topk exactly (same idf/saturation, rounded
+    before ranking, doc_id tiebreak).  Returns (qid, doc_id, bm25,
+    rank)."""
+    from polars_lake_spark.operators.skew import topk_per_group
+
+    qterms = (
+        queries.select(
+            F.col(qid_col).alias("qid"),
+            F.explode(F.col(terms_col)).alias("w"),
+        )
+        .distinct()
+    )
+    vocab = qterms.select("w").distinct()
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        TX.words(F.col(text_col)).alias("__ws"),
+    ).withColumn("dl", F.size("__ws"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("__ws").alias("w"))
+        .join(F.broadcast(vocab), "w", "left_semi")
+        .groupBy("doc_id", "dl", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "w")
+        .join(F.broadcast(dfreq), "w")
+        .join(F.broadcast(stats))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(idf * norm), round_dp).alias("bm25"))
+    )
+    top = topk_per_group(scored, ["qid"], "bm25", "doc_id", k)
+    w = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select("qid", "doc_id", "bm25", "rank")

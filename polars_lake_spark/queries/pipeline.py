@@ -1324,3 +1324,61 @@ def hard_negative_mining(spark, sf_dir):
         .select("doc_id", "bm25", F.col("rank").alias("lex_rank"))
         .orderBy("lex_rank")
     )
+
+
+@register(
+    "bm25_batch_retrieval",
+    oracle="""
+    WITH q AS (SELECT * FROM (VALUES
+            (1, ['merge', 'vector']),
+            (2, ['stream', 'filter', 'scan']),
+            (3, ['slow'])) AS t(qid, terms)),
+    qt AS (SELECT DISTINCT qid, unnest(terms) AS w FROM q),
+    d AS (SELECT doc_id, string_split({norm}, ' ') AS ws FROM documents),
+    dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dd),
+    toks AS (SELECT doc_id, dl, unnest(ws) AS w FROM dd),
+    tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM toks
+           WHERE w IN (SELECT DISTINCT w FROM qt)
+           GROUP BY doc_id, dl, w),
+    dfreq AS (SELECT w, COUNT(*) AS dfreq FROM tf GROUP BY w),
+    sc AS (SELECT qid, doc_id,
+             ROUND(SUM(LN(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+                   * tf * 2.2
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+               AS bm25
+           FROM tf JOIN qt USING (w) JOIN dfreq USING (w)
+           CROSS JOIN stats
+           GROUP BY qid, doc_id)
+    SELECT qid, doc_id, bm25, rank FROM (
+        SELECT qid, doc_id, bm25,
+               CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank
+        FROM sc)
+    WHERE rank <= 5
+    """.replace("{norm}", _NORM_SQL),
+    doc="Batch BM25 mining — a TABLE of queries scored against the "
+    "corpus in ONE pass: the token stream filters once by a broadcast "
+    "semi-join on the union vocabulary, per-term stats are shared "
+    "across queries, and the per-query top-k runs two-stage "
+    "(skew.topk_per_group) so a hot query never funnels its matches "
+    "through one task.",
+)
+def bm25_batch_retrieval(spark, sf_dir):
+    """The mining shape a real pipeline runs — thousands of queries vs
+    the corpus in one pass (operators/retrieval.py:bm25_batch_topk);
+    per-query bm25_topk calls would rescan the corpus per query."""
+    from polars_lake_spark.operators import retrieval as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [
+            (1, ["merge", "vector"]),
+            (2, ["stream", "filter", "scan"]),
+            (3, ["slow"]),
+        ],
+        "qid bigint, terms array<string>",
+    )
+    return R.bm25_batch_topk(
+        docs, "doc_id", "text", queries, "qid", "terms", k=5
+    )

@@ -159,3 +159,25 @@ def test_best_snippet_model(spark):
         tie, "doc_id", "text", ["merge"], window=4, stride=16
     ).head()
     assert (r.start, r.hits) == (0, 1)
+
+
+def test_bm25_batch_equals_per_query(spark, docs):
+    """bm25_batch_topk must score each query exactly like a standalone
+    bm25_topk call (shared stats, same idf/saturation/rounding)."""
+    queries = spark.createDataFrame(
+        [(1, ["merge", "stream"]), (2, ["filter"]), (3, ["zzz_absent"])],
+        "qid bigint, terms array<string>",
+    )
+    batch = R.bm25_batch_topk(
+        docs, "doc_id", "text", queries, "qid", "terms", k=10
+    )
+    got = {
+        (r.qid, r.doc_id): (r.bm25, r.rank) for r in batch.collect()
+    }
+    for qid, terms in [(1, ["merge", "stream"]), (2, ["filter"])]:
+        solo = {
+            (qid, r.doc_id): (r.bm25, r.rank)
+            for r in R.bm25_topk(docs, "doc_id", "text", terms, k=10).collect()
+        }
+        assert {k: v for k, v in got.items() if k[0] == qid} == solo
+    assert not any(q == 3 for q, _ in got)  # absent term → no rows
