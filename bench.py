@@ -120,6 +120,9 @@ HEADLINE = [
     "retrieval_snippets",
     "hard_negative_mining",
     "bm25_batch_retrieval",
+    # r9: persisted BM25 index probe lifecycle (create -> add_batch ->
+    # replay no-op -> zone-map-skipped postings probe).
+    "bm25_index_probe_check",
 ]
 
 

@@ -28,11 +28,11 @@ REGISTRY: dict[str, Query] = {}
 # which get a fresh correctness row each round.  This list is a VERIFICATION
 # ROTATION, strictly oldest-evidence-first — queries added or changed
 # this round always lead, so nothing ships unverified:
-#   the r9 window (50) = 6 NEW r9 entries (zone maps + the retrieval
+#   the r9 window (50) = 7 NEW r9 entries (zone maps + the retrieval
 #   tier) + the 3 r8 gates (their DV/COPY INTO behavior was extended by
 #   the r9 ADVICE fixes) + the r8-refreshed r4-green block + the recall
 #   companions of the rows-only PQ entries + the oldest r5-greens up to
-#   the boundary; the six r5-greens the r9 additions displaced lead
+#   the boundary; the seven r5-greens the r9 additions displaced lead
 #   r10.  The list covers EVERY registered query, evidence-ordered, so
 #   future rotations are a pure reshuffle.  Every deferred query is
 #   still verified every session by tests/test_oracle_parity.py (the
@@ -47,6 +47,7 @@ CHECK_PRIORITY: list[str] = [
     "retrieval_snippets",
     "hard_negative_mining",
     "bm25_batch_retrieval",
+    "bm25_index_probe_check",
     # -- r8 gates (still fresh; DV/COPY INTO behavior was extended by
     # the r9 ADVICE fixes, so they stay in the window) -------------------
     "sparse_delete_dv_check",
@@ -102,10 +103,10 @@ CHECK_PRIORITY: list[str] = [
     "dedup_snm",
     "domain_resample_temperature",
     "join_cardinality_probe",
-    "histogram_equidepth",
     # ------ 50-slot window boundary ------------------------------------
-    # -- r10 front-runners: the six r5-greens the r9 additions pushed
+    # -- r10 front-runners: the seven r5-greens the r9 additions pushed
     # past the boundary, then the remaining r5-greens (r5 gate order) ---
+    "histogram_equidepth",
     "dedup_clusters_twostar",
     "token_heavy_hitters",
     "heavy_hitters_check",

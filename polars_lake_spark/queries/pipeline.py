@@ -1382,3 +1382,89 @@ def bm25_batch_retrieval(spark, sf_dir):
     return R.bm25_batch_topk(
         docs, "doc_id", "text", queries, "qid", "terms", k=5
     )
+
+
+@register(
+    "bm25_index_probe_check",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 2 = 0),
+    d AS (SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                 'g')), ' ') AS ws
+          FROM corpus),
+    dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dd),
+    toks AS (SELECT doc_id, dl, unnest(ws) AS w FROM dd),
+    tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM toks
+           WHERE w IN ('merge', 'vector', 'stream', 'filter')
+           GROUP BY doc_id, dl, w),
+    dfreq AS (SELECT w, COUNT(*) AS dfreq FROM tf GROUP BY w),
+    sc AS (SELECT doc_id,
+             ROUND(SUM(LN(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+                   * tf * 2.2
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+               AS bm25
+           FROM tf JOIN dfreq USING (w) CROSS JOIN stats
+           GROUP BY doc_id)
+    SELECT doc_id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS rank,
+           CAST(0 AS BIGINT) AS violations
+    FROM sc
+    QUALIFY ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) <= 10
+    """,
+    doc="Persisted BM25 index gate: create → add_batch (shifted ids) → "
+    "replayed add_batch (must index nothing) → probe. The probe reads "
+    "the postings table through zone-map term skipping (postings are "
+    "cluster_by=['w']); violations pins replay==0 AND that the probe "
+    "actually skipped files. DuckDB replays BM25 over the union corpus.",
+)
+def bm25_index_probe_check(spark, sf_dir):
+    """The serving-index lifecycle (operators/bm25_index.py): corpus-scan
+    BM25 becomes an O(query-term postings) probe against a persisted
+    term-clustered postings table — zone maps prune the probe's file
+    list driver-side. add_batch is O(batch) (broadcast anti-join on
+    known ids) and replay-safe."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.bm25_index import BM25Index
+
+    root = tempfile.mkdtemp(prefix="plsq_bmi_")
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old_coalesce = spark.conf.get(coalesce_key, "true")
+    try:
+        eng = Engine(spark, root)
+        docs = load_table(spark, sf_dir, "documents").localCheckpoint(
+            eager=True
+        )
+        # several files per write (AQE would coalesce the tiny test
+        # corpus to one range partition, leaving nothing to skip)
+        spark.conf.set(coalesce_key, "false")
+        idx = BM25Index(eng, "d")
+        idx.create(docs)
+        shifted = docs.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        added = idx.add_batch(shifted)
+        replay = idx.add_batch(shifted)  # must index NOTHING
+        top = idx.topk(list(_BM25_TERMS), k=10)
+        rows = top.collect()
+        rep = dict(eng.last_scan_report)
+        viol = 0
+        if replay != 0 or added == 0:
+            viol += 1
+        if not (0 < rep.get("files_kept", 0) < rep.get("files_total", 0)):
+            viol += 1
+        out = spark.createDataFrame(rows, top.schema).withColumn(
+            "violations", F.lit(viol).cast("bigint")
+        )
+        rows2, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows2, schema)
+    finally:
+        spark.conf.set(coalesce_key, old_coalesce)
+        shutil.rmtree(root, ignore_errors=True)

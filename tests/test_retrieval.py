@@ -181,3 +181,57 @@ def test_bm25_batch_equals_per_query(spark, docs):
         }
         assert {k: v for k, v in got.items() if k[0] == qid} == solo
     assert not any(q == 3 for q, _ in got)  # absent term → no rows
+
+
+def test_bm25_index_probe_matches_scan(spark, docs, tmp_path):
+    """The persisted-index probe must score exactly like the corpus-scan
+    bm25_topk, and a replayed add_batch must index nothing."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.bm25_index import BM25Index
+
+    eng = Engine(spark, str(tmp_path))
+    idx = BM25Index(eng, "d")
+    idx.create(docs)
+    terms = ["merge", "stream", "filter"]
+    got = [tuple(r) for r in idx.topk(terms, k=10).collect()]
+    want = [
+        tuple(r)
+        for r in R.bm25_topk(docs, "doc_id", "text", terms, k=10).collect()
+    ]
+    assert got == want
+    # add_batch: new ids index once; replays and known ids are dropped
+    more = spark.createDataFrame(
+        [(100, "merge merge stream"), (1, "already indexed")],
+        "doc_id bigint, text string",
+    )
+    assert idx.add_batch(more) == 1
+    assert idx.add_batch(more) == 0
+    got2 = {r.doc_id: r.bm25 for r in idx.topk(terms, k=10).collect()}
+    assert 100 in got2
+    # reopen from storage
+    idx2 = BM25Index.open(eng, "d")
+    assert [tuple(r) for r in idx2.topk(terms, k=10).collect()] == [
+        tuple(r) for r in idx.topk(terms, k=10).collect()
+    ]
+    with pytest.raises(ValueError, match="empty query"):
+        idx.topk([])
+
+
+def test_bm25_index_probe_skips_files(spark, docs, tmp_path):
+    """The probe goes through scan_where: with several term-clustered
+    postings files, a one-term query keeps a strict subset."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.bm25_index import BM25Index
+
+    eng = Engine(spark, str(tmp_path))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        idx = BM25Index(eng, "d")
+        idx.create(docs)
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+    idx.topk(["merge"], k=3).collect()
+    rep = dict(eng.last_scan_report)
+    assert 0 < rep["files_kept"] < rep["files_total"]
