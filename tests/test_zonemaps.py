@@ -278,7 +278,8 @@ def test_sql_select_fast_path(spark, eng):
         .head().id == 3
     )
     assert eng.last_scan_report is None  # scan_where never ran
-    # table-qualified select list bails (would not resolve on the view)
+    # table-qualified select list resolves via the aliased staging view
+    # (stays on the fast path since ADVICE r9)
     assert eng.sql("SELECT z.id FROM z WHERE id = 9").head().id == 9
     # unprunable predicate: vanilla path, same answer
     assert eng.sql("SELECT count(*) AS n FROM z WHERE id % 500 = 1").head().n == 4
@@ -426,3 +427,124 @@ def test_streaming_ingest_writes_zonemaps(spark, eng, tmp_path):
     rep = dict(eng.last_scan_report)
     assert rep["files_kept"] < rep["files_total"]
     assert out.head().v == 3000
+
+
+# --------------------------------------------- ADVICE r9 fast-path fixes
+def test_sql_fast_path_qualified_and_clause_shapes(spark, eng):
+    """Queries vanilla spark.sql resolves must keep working through
+    engine.sql (ADVICE r9): case-variant table qualifiers resolve via
+    the aliased staging view (and still prune); SORT BY / DISTRIBUTE BY
+    / CLUSTER BY swallowed into the predicate span bail to vanilla."""
+    _seed(spark, eng, "z")
+    # case-variant qualifier in the select list — fast path, pruned
+    r = eng.sql("SELECT Z.id, z.v FROM z WHERE id = 1500").collect()
+    assert [(x.id, x.v) for x in r] == [(1500, 3000)]
+    assert eng.last_scan_report["files_kept"] == 1
+    # qualifier in the PREDICATE with >=1 prunable conjunct — the
+    # qualified conjunct is unparseable (prunes nothing), v>0 prunes,
+    # and the full predicate resolves over the alias
+    r = eng.sql("SELECT id FROM z WHERE z.id = 1500 AND v > 2999").collect()
+    assert [x.id for x in r] == [1500]
+    assert eng.last_scan_report["files_kept"] <= 4
+    # SORT BY / DISTRIBUTE BY / CLUSTER BY after WHERE: bail, correct
+    r = eng.sql("SELECT id FROM z WHERE id < 5 AND v >= 0 SORT BY id").collect()
+    assert sorted(x.id for x in r) == [0, 1, 2, 3, 4]
+    assert eng.sql("SELECT id FROM z WHERE id = 3 DISTRIBUTE BY id").head().id == 3
+    assert eng.sql("SELECT id FROM z WHERE id = 3 CLUSTER BY id").head().id == 3
+
+
+def test_sql_fast_path_drops_staging_views(spark, eng):
+    """Staging views are dropped as soon as the plan is built — no
+    catalog leak over a long session, and the returned DataFrame still
+    executes after the drop (spark.sql analyzes eagerly)."""
+    _seed(spark, eng, "z")
+    for _ in range(3):
+        assert eng.sql("SELECT v FROM z WHERE id = 1").head().v == 2
+    leaked = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("__zm_scan_")
+    ]
+    assert leaked == []
+
+
+def test_last_scan_report_is_per_thread(spark, eng):
+    """Concurrent scan_where calls must not race each other's
+    observability counters (ADVICE r9): the report is thread-local."""
+    import threading
+
+    _seed(spark, eng, "z")
+    eng.scan_where("z", "id = 1500").collect()
+    main_report = eng.last_scan_report
+    seen = []
+
+    def worker():
+        eng.scan_where("z", "id >= 0").collect()
+        seen.append(dict(eng.last_scan_report))
+
+    th = threading.Thread(target=worker)
+    th.start()
+    th.join()
+    assert seen[0]["files_kept"] == 8  # the worker saw ITS OWN scan
+    assert eng.last_scan_report is main_report  # ours untouched
+    assert main_report["files_kept"] == 1
+
+
+def test_zonemap_collection_failure_warns_and_degrades(spark, eng, monkeypatch):
+    """A sidecar collection failure must degrade LOUDLY (VERDICT r9):
+    one RuntimeWarning per table, a running count in table_info, and
+    scans stay correct — just unpruned for the statless write dir."""
+    import polars_lake_spark.zonemaps as Zm
+
+    def boom(*a, **k):
+        raise RuntimeError("footer exploded")
+
+    monkeypatch.setattr(Zm, "collect_zonemap", boom)
+    df = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    with pytest.warns(RuntimeWarning, match="zone-map collection failed"):
+        eng.create_table("zerr", df, keys=["id"], versioned=True)
+    # second failing write counts but does not re-warn
+    with warnings_none():
+        eng.insert("zerr", spark.range(100, 200).selectExpr("id", "id * 2 AS v"))
+    assert eng.table_info("zerr")["zonemap_errors"] == 2
+    out = eng.scan_where("zerr", "id = 50")
+    rep = eng.last_scan_report
+    assert rep["files_kept"] == rep["files_total"]  # conservative full scan
+    assert out.head().v == 100
+    assert eng.table("zerr").count() == 200
+
+
+class warnings_none:
+    """Context manager asserting NO RuntimeWarning is raised inside."""
+
+    def __enter__(self):
+        import warnings as W
+
+        self._cm = W.catch_warnings(record=True)
+        self._log = self._cm.__enter__()
+        import warnings as W2
+
+        W2.simplefilter("always")
+        return self
+
+    def __exit__(self, *exc):
+        self._cm.__exit__(*exc)
+        bad = [w for w in self._log if issubclass(w.category, RuntimeWarning)]
+        assert not bad, f"unexpected RuntimeWarning(s): {bad}"
+        return False
+
+
+def test_zone_cols_cap_by_schema_position(tmp_path):
+    """The MAX_ZONE_COLS cap keeps the FIRST columns by schema position
+    (Delta's dataSkippingNumIndexedCols semantics), not alphabetical
+    name order (ADVICE r9) — a frequently-filtered early column late in
+    the alphabet must still prune."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names = ["z_lead", "y", "x", "w", "v", "a", "b"]
+    t = pa.table({n: [1, 2] for n in names})
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(t, p)
+    st = Z._file_stats(p, max_cols=5)
+    assert list(st["cols"]) == ["z_lead", "y", "x", "w", "v"]
