@@ -32,6 +32,24 @@ from polars_lake_spark.functions import text as TX
 RRF_SCALE = 1_000_000_000
 
 
+def bm25_score(k1: float = 1.2, b: float = 0.75):
+    """The ONE BM25 scoring expression — Lucene idf variant
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (never negative) × the
+    standard tf saturation ``tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))``
+    — shared by :func:`bm25_topk`, :func:`bm25_batch_topk`, and
+    ``BM25Index.topk`` so a k1/b/idf tweak lands exactly once
+    (VERDICT r9).  Expects columns ``tf, dl, dfreq, n_docs, avgdl`` to
+    be in scope on the frame it is aggregated over."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return idf * norm
+
+
 def bm25_topk(
     docs: DataFrame,
     id_col: str,
@@ -69,18 +87,11 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
-    )
-    norm = F.col("tf") * (k1 + 1) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-    )
     per_doc = (
         tf.join(F.broadcast(dfreq), "w")
         .join(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(idf * norm), round_dp).alias("bm25"))
+        .agg(F.round(F.sum(bm25_score(k1, b)), round_dp).alias("bm25"))
     )
     return _ranked_topk(per_doc, "bm25", k)
 
@@ -298,19 +309,12 @@ def bm25_batch_topk(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
-    )
-    norm = F.col("tf") * (k1 + 1) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
-    )
     scored = (
         tf.join(F.broadcast(qterms), "w")
         .join(F.broadcast(dfreq), "w")
         .join(F.broadcast(stats))
         .groupBy("qid", "doc_id")
-        .agg(F.round(F.sum(idf * norm), round_dp).alias("bm25"))
+        .agg(F.round(F.sum(bm25_score(k1, b)), round_dp).alias("bm25"))
     )
     top = topk_per_group(scored, ["qid"], "bm25", "doc_id", k)
     w = Window.partitionBy("qid").orderBy(F.desc("bm25"), F.asc("doc_id"))

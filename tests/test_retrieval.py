@@ -235,3 +235,86 @@ def test_bm25_index_probe_skips_files(spark, docs, tmp_path):
     idx.topk(["merge"], k=3).collect()
     rep = dict(eng.last_scan_report)
     assert 0 < rep["files_kept"] < rep["files_total"]
+
+
+def test_bm25_add_batch_plan_never_shuffles_corpus(spark, docs, tmp_path):
+    """VERDICT r9: add_batch's dedup probe must stream the corpus
+    (postings) scan MAP-SIDE against the broadcast batch ids — no
+    sort-merge/shuffled join anywhere, no exchange between the semi-join
+    and the corpus scan, and column pruning down to doc_id alone.  The
+    only hash exchange allowed is the distinct over the ≤batch hit set
+    ABOVE the semi-join."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.bm25_index import BM25Index
+
+    eng = Engine(spark, str(tmp_path))
+    idx = BM25Index(eng, "d")
+    idx.create(docs)
+    batch = spark.createDataFrame(
+        [(500, "merge x"), (1, "known")], "doc_id bigint, text string"
+    )
+    fresh = idx._fresh_batch(batch)
+    assert fresh.count() == 1  # known id dropped, new id kept
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    lines = plan.splitlines()
+    i_semi = next(i for i, l in enumerate(lines) if "LeftSemi" in l)
+    # the first scan below the semi-join is its STREAMED child — the
+    # postings corpus (the broadcast build side prints after it)
+    i_scan = next(
+        i for i, l in enumerate(lines) if i > i_semi and "FileScan" in l
+    )
+    # ... with nothing but the null filter between them (no exchange)
+    between = lines[i_semi + 1 : i_scan]
+    assert not any("Exchange" in l for l in between), between
+    # column pruning reached the footer: only doc_id is read
+    assert "FileScan parquet [doc_id" in lines[i_scan]
+    # the anti-join also builds on the (small) broadcast side
+    assert any("LeftAnti, BuildRight" in l for l in lines)
+
+
+def test_bm25_add_batch_repairs_crash_window(spark, docs, tmp_path):
+    """ADVICE r9: a crash between the doclens insert and the postings
+    insert must not make the batch permanently unsearchable — the next
+    add_batch of the same ids re-lands the postings WITHOUT duplicating
+    the doclens rows, and the repaired index scores exactly like one
+    built from scratch."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.bm25_index import BM25Index
+
+    eng = Engine(spark, str(tmp_path / "a"))
+    idx = BM25Index(eng, "d")
+    idx.create(docs)
+    batch = spark.createDataFrame(
+        [(200, "merge crashdoc crashdoc")], "doc_id bigint, text string"
+    )
+    orig_insert, state = eng.insert, {"crashed": False}
+
+    def crashing(name, df, **kw):
+        if name == "d_bm25_postings" and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("crash before postings insert")
+        return orig_insert(name, df, **kw)
+
+    eng.insert = crashing
+    with pytest.raises(RuntimeError, match="crash before postings"):
+        idx.add_batch(batch)
+    eng.insert = orig_insert
+    # the crash window: doclens landed, postings didn't
+    assert eng.table("d_bm25_doclens").filter("doc_id = 200").count() == 1
+    assert eng.table("d_bm25_postings").filter("doc_id = 200").count() == 0
+    # replay repairs — counted as (re)indexed, doclens not duplicated
+    assert idx.add_batch(batch) == 1
+    assert eng.table("d_bm25_doclens").filter("doc_id = 200").count() == 1
+    assert eng.table("d_bm25_postings").filter("doc_id = 200").count() == 2
+    assert 200 in {r.doc_id for r in idx.topk(["crashdoc"], k=3).collect()}
+    # a second replay is a clean no-op
+    assert idx.add_batch(batch) == 0
+    # repaired index ≡ from-scratch index over the same corpus
+    eng2 = Engine(spark, str(tmp_path / "b"))
+    idx2 = BM25Index(eng2, "d2")
+    idx2.create(docs.unionByName(batch))
+    terms = ["merge", "crashdoc", "stream"]
+    assert [tuple(r) for r in idx.topk(terms, k=10).collect()] == [
+        tuple(r) for r in idx2.topk(terms, k=10).collect()
+    ]
