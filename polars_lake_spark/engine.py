@@ -1962,6 +1962,39 @@ class Engine:
             )
             return self._commit_dv_refs(name, store, base, refs)
 
+    def delete_keys_dv(
+        self, name: str, keys_df: DataFrame, key_cols: list[str]
+    ) -> int:
+        """Merge-on-read KEYED delete for ``deletion_vectors`` tables:
+        remove EVERY row whose key tuple appears in ``keys_df`` — the
+        change-feed-maintenance shape (a CDC batch hands you doomed ids
+        as a FRAME, not a literal predicate, and an IN-list of 100k ids
+        is no predicate at all).  The table scans map-side against the
+        BROADCAST key frame (left-semi — bounded by the batch), the
+        matched rows' physical refs go into an O(matched) sidecar, and
+        untouched files are never rewritten.  Unlike :meth:`delete`
+        (key-based rewrite), matching every row sharing a key is the
+        POINT here — an index table holds many rows per doc id.
+        Returns rows deleted; zero matches commit nothing."""
+        spec = self._guard_mutable(name)
+        if not (spec.versioned and spec.deletion_vectors):
+            raise ValueError(
+                f"table {name} does not have deletion_vectors enabled; "
+                "use delete() (key-based rewrite)"
+            )
+        from polars_lake_spark.snapshots import DV_FILE_COL, DV_POS_COL
+
+        keys = keys_df.select(*key_cols).distinct()
+        with self._lock(name):
+            store = self._snapstore(name)
+            base = store.load()
+            live = store.read(self.spark, with_row_refs=True)
+            refs = live.join(F.broadcast(keys), key_cols, "left_semi").select(
+                F.col(DV_FILE_COL).alias("file_path"),
+                F.col(DV_POS_COL).alias("row_index"),
+            )
+            return self._commit_dv_refs(name, store, base, refs)
+
     def _merge_dv(
         self,
         name: str,

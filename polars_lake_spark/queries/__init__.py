@@ -38,7 +38,10 @@ REGISTRY: dict[str, Query] = {}
 #   still verified every session by tests/test_oracle_parity.py (the
 #   local mirror of the gate — green at sf0.001 AND sf0.1 as of r9).
 CHECK_PRIORITY: list[str] = [
-    # ================= r9 window (first 50) ===========================
+    # ================= r10 window (first 50) ==========================
+    # -- NEW r10: BM25 index CDC maintenance ---------------------------
+    "bm25_index_cdc_sync_check",
+    # ================= r9 window ======================================
     # -- NEW r9: file-level data skipping (zone maps); BM25 + hybrid
     # RRF retrieval -----------------------------------------------------
     "scan_file_skipping_check",

@@ -1468,3 +1468,115 @@ def bm25_index_probe_check(spark, sf_dir):
     finally:
         spark.conf.set(coalesce_key, old_coalesce)
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "bm25_index_cdc_sync_check",
+    oracle="""
+    WITH kept AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 1 THEN text || ' merge stream'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 3),
+    ins AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            WHERE doc_id % 3 = 0),
+    corpus AS (SELECT * FROM kept UNION ALL SELECT * FROM ins),
+    d AS (SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                 'g')), ' ') AS ws
+          FROM corpus),
+    dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dd),
+    toks AS (SELECT doc_id, dl, unnest(ws) AS w FROM dd),
+    tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM toks
+           WHERE w IN ('merge', 'vector', 'stream', 'filter')
+           GROUP BY doc_id, dl, w),
+    dfreq AS (SELECT w, COUNT(*) AS dfreq FROM tf GROUP BY w),
+    sc AS (SELECT doc_id,
+             ROUND(SUM(LN(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+                   * tf * 2.2
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+               AS bm25
+           FROM tf JOIN dfreq USING (w) CROSS JOIN stats
+           GROUP BY doc_id)
+    SELECT doc_id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS rank,
+           CAST(0 AS BIGINT) AS violations
+    FROM sc
+    QUALIFY ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) <= 10
+    """,
+    doc="BM25 index CDC maintenance gate (VERDICT r9): seed index → "
+    "corpus DELETE + upsert (updates + inserts) → sync_cdc consumes the "
+    "change feed (O(changed) DV sidecars, no index rewrite) → replayed "
+    "sync (idempotent in effect) → probe. violations pins replay-probe "
+    "equality, doclens ≡ corpus count, a stable changed count, and that "
+    "the probe still skips postings files. DuckDB replays BM25 over the "
+    "mutated corpus — the probe is right only if stale postings left "
+    "and n_docs/df/avgdl track the final corpus exactly.",
+)
+def bm25_index_cdc_sync_check(spark, sf_dir):
+    """Index maintenance from the corpus change feed
+    (operators/bm25_index.py sync_cdc): deleted/updated docs' postings
+    and doclens rows leave via frame-keyed deletion vectors
+    (Engine.delete_keys_dv — the index scans map-side against the
+    broadcast changed-id set), postimages re-add through add_batch.
+    Without it a corpus delete silently inflates n_docs/df and
+    mis-scores every probe."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.bm25_index import BM25Index
+
+    root = tempfile.mkdtemp(prefix="plsq_bmc_")
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old_coalesce = spark.conf.get(coalesce_key, "true")
+    try:
+        eng = Engine(spark, root)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)
+        )
+        eng.create_table("corpus", docs, keys=["doc_id"], versioned=True)
+        # several postings files per write (AQE would coalesce the tiny
+        # test corpus to one range partition, leaving nothing to skip)
+        spark.conf.set(coalesce_key, "false")
+        idx = BM25Index(eng, "d")
+        idx.create(eng.table("corpus"))
+        v0 = eng.table_info("corpus")["version"]
+        eng.sql("DELETE FROM corpus WHERE doc_id % 7 = 3")
+        updates = eng.table("corpus").filter("doc_id % 5 = 1").select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" merge stream")).alias("text"),
+        )
+        inserts = docs.filter("doc_id % 3 = 0").select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        eng.upsert("corpus", updates.unionByName(inserts))
+        stats = idx.sync_cdc("corpus", v0)
+        probe1 = [
+            tuple(r) for r in idx.topk(list(_BM25_TERMS), k=10).collect()
+        ]
+        rep = dict(eng.last_scan_report)
+        stats2 = idx.sync_cdc("corpus", v0)  # replayed feed
+        top = idx.topk(list(_BM25_TERMS), k=10)
+        rows = top.collect()
+        viol = 0
+        if [tuple(r) for r in rows] != probe1:
+            viol += 1  # replay changed the probe
+        if stats["changed"] == 0 or stats2["changed"] != stats["changed"]:
+            viol += 1
+        if eng.table("d_bm25_doclens").count() != eng.table("corpus").count():
+            viol += 1
+        if not (0 < rep.get("files_kept", 0) < rep.get("files_total", 0)):
+            viol += 1
+        out = spark.createDataFrame(rows, top.schema).withColumn(
+            "violations", F.lit(viol).cast("bigint")
+        )
+        rows2, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows2, schema)
+    finally:
+        spark.conf.set(coalesce_key, old_coalesce)
+        shutil.rmtree(root, ignore_errors=True)

@@ -543,3 +543,37 @@ def test_dv_dml_scan_prunes_files(spark, eng, monkeypatch):
     assert calls["n"] == 8 and calls["kept"] == 1
     assert eng.table("zd").filter("v = -1.0").count() == 3
     assert eng.table("zd").count() == 1999
+
+
+def test_delete_keys_dv_frame_keyed(spark, eng):
+    """delete_keys_dv removes EVERY row whose key appears in the frame
+    (merge-on-read, O(matched) sidecar) — the CDC-maintenance shape
+    where doomed ids arrive as a frame, not a literal predicate."""
+    import glob
+    import os
+
+    rows = [(i % 5, i, f"p{i}") for i in range(50)]  # 10 rows per key
+    df = spark.createDataFrame(rows, "k bigint, seq bigint, s string")
+    eng.create_table(
+        "kd", df, versioned=True, deletion_vectors=True
+    )
+    files = sorted(glob.glob(eng._path("kd") + "/data/w*/**/*.parquet",
+                             recursive=True))
+    mt = {f: os.path.getmtime(f) for f in files}
+    doomed = spark.createDataFrame([(1,), (3,), (99,)], "k bigint")
+    n = eng.delete_keys_dv("kd", doomed, ["k"])
+    assert n == 20  # 10 rows per present key; absent key matches nothing
+    assert eng.table("kd").filter("k IN (1, 3)").count() == 0
+    assert eng.table("kd").count() == 30
+    # merge-on-read: no data file was rewritten
+    assert {f: os.path.getmtime(f) for f in files} == mt
+    # zero-match frame commits nothing
+    v = eng.table_info("kd")["version"]
+    assert eng.delete_keys_dv(
+        "kd", spark.createDataFrame([(42,)], "k bigint"), ["k"]
+    ) == 0
+    assert eng.table_info("kd")["version"] == v
+    # non-DV tables refuse
+    eng.create_table("kd2", df, versioned=True)
+    with pytest.raises(ValueError, match="deletion_vectors"):
+        eng.delete_keys_dv("kd2", doomed, ["k"])

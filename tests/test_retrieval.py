@@ -318,3 +318,53 @@ def test_bm25_add_batch_repairs_crash_window(spark, docs, tmp_path):
     assert [tuple(r) for r in idx.topk(terms, k=10).collect()] == [
         tuple(r) for r in idx2.topk(terms, k=10).collect()
     ]
+
+
+def test_bm25_sync_cdc_matches_fresh_index(spark, docs, tmp_path):
+    """VERDICT r9: the index must track corpus deletes/updates/inserts
+    through the change feed — probe after sync ≡ a from-scratch index
+    over the mutated corpus (n_docs/df corrected, stale postings gone),
+    O(changed docs) sidecars only, and a replayed sync is a no-op in
+    effect."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.bm25_index import BM25Index
+
+    eng = Engine(spark, str(tmp_path / "a"))
+    eng.create_table("corpus", docs, keys=["doc_id"], versioned=True)
+    idx = BM25Index(eng, "d")
+    idx.create(eng.table("corpus"))
+    v0 = eng.table_info("corpus")["version"]
+    # mutate the corpus: delete 5, update 1 (new terms), insert 7
+    eng.sql("DELETE FROM corpus WHERE doc_id = 5")
+    eng.upsert(
+        "corpus",
+        spark.createDataFrame(
+            [(1, "vector vector stream"), (7, "merge filter merge")],
+            "doc_id bigint, text string",
+        ),
+    )
+    stats = idx.sync_cdc("corpus", v0)
+    assert stats["changed"] == 3 and stats["reindexed"] == 2
+    assert stats["deleted_postings"] > 0 and stats["deleted_doclens"] == 2
+    # doclens tracks the corpus exactly (n_docs/avgdl correct)
+    assert (
+        eng.table("d_bm25_doclens").count()
+        == eng.table("corpus").count()
+    )
+    terms = ["merge", "stream", "vector", "filter"]
+    got = [tuple(r) for r in idx.topk(terms, k=10).collect()]
+    assert 5 not in {t[0] for t in got}  # deleted doc gone
+    assert 7 in {t[0] for t in got}      # inserted doc searchable
+    # ≡ from-scratch index over the mutated corpus (scores exact)
+    eng2 = Engine(spark, str(tmp_path / "b"))
+    idx2 = BM25Index(eng2, "d2")
+    idx2.create(eng.table("corpus"))
+    want = [tuple(r) for r in idx2.topk(terms, k=10).collect()]
+    assert got == want
+    # replayed sync: same feed, same final state, probe unchanged
+    stats2 = idx.sync_cdc("corpus", v0)
+    assert stats2["changed"] == 3
+    assert [tuple(r) for r in idx.topk(terms, k=10).collect()] == want
+    # empty feed (nothing changed since HEAD) is a true no-op
+    v_now = eng.table_info("corpus")["version"]
+    assert idx.sync_cdc("corpus", v_now)["changed"] == 0
