@@ -555,7 +555,12 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             if not m.group(2):
                 with engine._lock(name):
                     t = engine.table(name)
-                    n = t.count()
+                    # live count from footers minus live DV refs — no
+                    # full scan under the lock (VERDICT r9); TRUNCATE
+                    # uses the same metadata path below
+                    n = engine.meta_row_count(name)
+                    if n is None:
+                        n = t.count()
                     if n:
                         engine.overwrite(name, t.limit(0))
                 return _status(engine, "delete", name, n)
