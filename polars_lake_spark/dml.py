@@ -339,19 +339,21 @@ def _quoted_spans(s: str) -> list[tuple[int, int]]:
     return spans
 
 
-def _rewrite_time_travel(engine, query: str) -> tuple[str, bool]:
+def _rewrite_time_travel(engine, query: str) -> tuple[str, dict]:
     """Rewrite every ``t [FOR] VERSION|TIMESTAMP AS OF x`` reference to a
     versioned engine table into a version-pinned temp view, so the AS OF
     syntax works anywhere a table reference can appear (bare SELECTs,
     INSERT/MERGE sources, CTAS bodies). References to unknown or
     unversioned tables are left untouched for spark.sql to reject, and
     matches INSIDE string literals are never rewritten (the literal's
-    contents are data, not syntax — r6 review finding)."""
-    changed = False
+    contents are data, not syntax — r6 review finding).  Returns the
+    rewritten text plus ``{view_name: (table, version)}`` so the
+    zone-map SELECT fast-path can prune against the PINNED version's
+    sidecars (empty dict = nothing rewritten)."""
+    views: dict[str, tuple[str, int]] = {}
     spans = _quoted_spans(query)
 
     def repl(m):
-        nonlocal changed
         if any(a <= m.start() <= b for a, b in spans):
             return m.group(0)
         name = _resolve(engine, m.group(1))
@@ -363,10 +365,10 @@ def _rewrite_time_travel(engine, query: str) -> tuple[str, bool]:
             version = _version_at_timestamp(engine, name, m.group(3).strip("'"))
         view = f"{name.replace('.', '__')}__asof_v{version}"
         engine.table(name, version=version).createOrReplaceTempView(view)
-        changed = True
+        views[view] = (name, version)
         return view
 
-    return _TIMETRAVEL.sub(repl, query), changed
+    return _TIMETRAVEL.sub(repl, query), views
 
 
 _PRED_KEYWORDS = frozenset(
@@ -1387,7 +1389,12 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         )
 
     if tt:
-        # a time-travel rewrite happened but no DML shape matched — run
-        # the rewritten text (e.g. a bare SELECT ... FOR VERSION AS OF)
+        # a time-travel rewrite happened but no DML shape matched — a
+        # plain pinned SELECT still deserves zone-map file skipping
+        # against the PINNED version's sidecars (VERDICT r9); anything
+        # the fast path bails on runs the rewritten text vanilla
+        fast = engine._try_zonemap_select(query, asof=tt)
+        if fast is not None:
+            return fast
         return engine.spark.sql(query)
     return None

@@ -1137,7 +1137,9 @@ class Engine:
     # atomic) — concurrent fast-path SELECTs must never share a view
     _zm_view_seq = itertools.count(1)
 
-    def _try_zonemap_select(self, query: str) -> DataFrame | None:
+    def _try_zonemap_select(
+        self, query: str, asof: dict[str, tuple[str, int]] | None = None
+    ) -> DataFrame | None:
         """SQL fast-path for zone-map file skipping: a plain
         single-table ``SELECT <list> FROM t WHERE <pred>`` over a
         versioned engine table routes through :meth:`scan_where`, so the
@@ -1181,7 +1183,14 @@ class Engine:
         pred = query[m.start(3) : m.end(3)]
         from polars_lake_spark import dml
 
-        name = dml._resolve(self, raw)
+        version: int | None = None
+        if asof and raw in asof:
+            # a time-travel reference already rewritten to a pinned view
+            # (dml._rewrite_time_travel): prune against THAT version's
+            # sidecars — they describe exactly its files
+            name, version = asof[raw]
+        else:
+            name = dml._resolve(self, raw)
         if name is None or name in self._mem:
             return None
         spec = self.specs[name]
@@ -1200,7 +1209,7 @@ class Engine:
 
         if not parse_conjuncts(pred):
             return None  # nothing prunable; vanilla path is identical
-        df = self._scan_pruned(name, pred)
+        df = self._scan_pruned(name, pred, version=version)
         tmp = f"__zm_scan_{next(Engine._zm_view_seq)}"
         df.createOrReplaceTempView(tmp)
         try:

@@ -39,8 +39,10 @@ REGISTRY: dict[str, Query] = {}
 #   local mirror of the gate — green at sf0.001 AND sf0.1 as of r9).
 CHECK_PRIORITY: list[str] = [
     # ================= r10 window (first 50) ==========================
-    # -- NEW r10: BM25 index CDC maintenance ---------------------------
+    # -- NEW r10: BM25 index CDC maintenance; zone-map skipping under
+    # time-travel SQL ---------------------------------------------------
     "bm25_index_cdc_sync_check",
+    "sql_timetravel_skipping_check",
     # ================= r9 window ======================================
     # -- NEW r9: file-level data skipping (zone maps); BM25 + hybrid
     # RRF retrieval -----------------------------------------------------

@@ -1213,3 +1213,136 @@ def scan_file_skipping_check(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "sql_timetravel_skipping_check",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_quantity, l_extendedprice, l_returnflag
+        FROM lineitem),
+    t AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT l_orderkey + 500000000, l_quantity, l_extendedprice,
+               l_returnflag
+        FROM base WHERE l_orderkey % 2 = 0),
+    hit AS (SELECT * FROM t
+            WHERE l_orderkey BETWEEN
+                  (SELECT MAX(l_orderkey) // 20 FROM base) AND
+                  (SELECT MAX(l_orderkey) // 10 FROM base))
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price,
+           CAST(0 AS BIGINT) AS violations
+    FROM hit GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Time-travel + data-skipping composition gate (VERDICT r9 item "
+    "5): SELECT ... FROM t VERSION AS OF n WHERE ... routes through the "
+    "zone-map fast path against the PINNED version's sidecars. The "
+    "head is mutated AFTER the pin, so DuckDB's replay of the v2 state "
+    "is right only if the pinned read excluded the mutation; violations "
+    "additionally pins files-skipped at BOTH pinned versions and that "
+    "the head diverged.",
+)
+def sql_timetravel_skipping_check(spark, sf_dir):
+    """Zone-map file skipping under time-travel SQL: v1 = one
+    range-clustered write, v2 = a shifted second write, v3 = an UPDATE
+    inside the probe range.  Pinned SELECTs at v1 and v2 go through
+    ``engine.sql`` (dml rewrites AS OF to a pinned view; the fast path
+    prunes with that version's sidecars — engine.py
+    _try_zonemap_select(asof=)).  The returned aggregate is the PINNED
+    v2 state; the oracle recomputes it from the raw table, which the
+    post-pin UPDATE would corrupt if the pin leaked."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_ttz_")
+    try:
+        eng = Engine(spark, root)
+        base = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+            )
+            .localCheckpoint(eager=True)
+        )
+        eng.create_table(
+            "ttz", base.repartitionByRange(8, "l_orderkey"), versioned=True
+        )
+        eng.insert(
+            "ttz",
+            base.filter(F.col("l_orderkey") % 2 == 0)
+            .select(
+                (F.col("l_orderkey") + 500000000).alias("l_orderkey"),
+                "l_quantity",
+                "l_extendedprice",
+                "l_returnflag",
+            )
+            .repartitionByRange(8, "l_orderkey"),
+        )
+        # probe a ~1/20 key slice at ANY scale (a fixed literal range
+        # covers every file at small SF and nothing prunes)
+        mx = base.agg(F.max("l_orderkey")).head()[0]
+        sel = "l_orderkey, l_quantity, l_extendedprice, l_returnflag"
+        pred = f"l_orderkey BETWEEN {mx // 20} AND {mx // 10}"
+        # v3: mutate INSIDE the probe range — pinned reads must not see it
+        eng.sql(f"UPDATE ttz SET l_quantity = l_quantity + 100 WHERE {pred}")
+        eng.last_scan_report = {}
+        v1 = eng.sql(
+            f"SELECT {sel} FROM ttz VERSION AS OF 1 WHERE {pred}"
+        ).localCheckpoint(eager=True)
+        rep1 = dict(eng.last_scan_report)
+        eng.last_scan_report = {}
+        v2 = eng.sql(
+            f"SELECT {sel} FROM ttz VERSION AS OF 2 WHERE {pred}"
+        ).localCheckpoint(eager=True)
+        rep2 = dict(eng.last_scan_report)
+
+        def agg(df):
+            return df.groupBy("l_returnflag").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+
+        viol = 0
+        # both pinned reads actually skipped files
+        for rep in (rep1, rep2):
+            if not (0 < rep.get("files_kept", 0) < rep.get("files_total", 1)):
+                viol += 1
+        # both pinned reads see exactly the unshifted in-range rows (the
+        # shifted batch sits outside the probe range BY DESIGN — that is
+        # what makes its files skippable at v2)
+        n_base = base.filter(pred).count()
+        if v1.count() != n_base or v2.count() != n_base:
+            viol += 1
+        # the head UPDATE diverged from the pinned state
+        head_qty = (
+            eng.sql(f"SELECT {sel} FROM ttz WHERE {pred}")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+            .head()[0]
+        )
+        v2_qty = v2.agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        ).head()[0]
+        if not (head_qty > v2_qty):
+            viol += 1
+        out = (
+            agg(v2)
+            .withColumn("violations", F.lit(viol).cast("bigint"))
+            .orderBy("l_returnflag")
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

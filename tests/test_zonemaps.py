@@ -548,3 +548,47 @@ def test_zone_cols_cap_by_schema_position(tmp_path):
     pq.write_table(t, p)
     st = Z._file_stats(p, max_cols=5)
     assert list(st["cols"]) == ["z_lead", "y", "x", "w", "v"]
+
+
+def test_sql_fast_path_time_travel_prunes_pinned_version(spark, eng):
+    """VERDICT r9: `SELECT ... FROM t VERSION AS OF n WHERE ...` routes
+    through the zone-map fast path against the PINNED version's
+    sidecars — correct pinned rows, and files actually skipped."""
+    _seed(spark, eng, "z")  # v1 = 4 files (0..1000), v2 = 8 files
+    eng.last_scan_report = {}
+    r = eng.sql("SELECT id, v FROM z VERSION AS OF 1 WHERE id = 500")
+    assert [(x.id, x.v) for x in r.collect()] == [(500, 1000)]
+    rep = dict(eng.last_scan_report)
+    assert rep == {"files_total": 4, "files_kept": 1, "conjuncts": 1}
+    # a key that only exists at v2 is absent from the pinned read
+    assert (
+        eng.sql("SELECT id FROM z VERSION AS OF 1 WHERE id = 1500").count()
+        == 0
+    )
+    assert eng.last_scan_report["files_total"] == 4
+    # HEAD query still plans against all 8 files
+    eng.sql("SELECT id FROM z WHERE id = 500").collect()
+    assert eng.last_scan_report["files_total"] == 8
+    # mutate HEAD: the pinned version still reads the old value, pruned
+    eng.sql("UPDATE z SET v = -1 WHERE id = 500")
+    eng.last_scan_report = {}
+    assert (
+        eng.sql("SELECT v FROM z VERSION AS OF 1 WHERE id = 500").head().v
+        == 1000
+    )
+    assert eng.last_scan_report["files_kept"] == 1
+    assert eng.sql("SELECT v FROM z WHERE id = 500").head().v == -1
+    # TIMESTAMP AS OF resolves to a version and prunes the same way;
+    # a bail shape (GROUP BY) with AS OF still runs vanilla, correct
+    hist = eng.sql("DESCRIBE HISTORY z").collect()
+    ts = max(r.timestamp for r in hist if r.version == 1)
+    eng.last_scan_report = {}
+    got = eng.sql(
+        f"SELECT v FROM z TIMESTAMP AS OF '{ts}' WHERE id = 500"
+    ).head().v
+    assert got == 1000 and eng.last_scan_report["files_kept"] == 1
+    n = eng.sql(
+        "SELECT count(*) AS n FROM z VERSION AS OF 1 "
+        "WHERE id < 100 GROUP BY id % 2"
+    ).count()
+    assert n == 2
