@@ -161,8 +161,20 @@ _INSERT_VALUES = re.compile(
 _CREATE_TABLE = re.compile(
     r"^\s*CREATE\s+(VERSIONED\s+)?TABLE\s+([A-Za-z_][\w.]*)\s*"
     r"\((.+?)\)(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?"
-    r"(?:\s+CLUSTER\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
+    r"(?:\s+CLUSTER\s+BY\s*\(([^)]*)\))?"
+    r"(?:\s+TBLPROPERTIES\s*\((.+)\))?\s*;?\s*$",
     re.I | re.S,
+)
+_TBLPROP_PAIR = re.compile(r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'")
+# spec fields SHOW CREATE TABLE serializes into TBLPROPERTIES and the
+# literal CREATE statement maps back to create_table kwargs — keeping
+# SHOW CREATE TABLE a true round-trip
+_CREATE_PROPS = frozenset(
+    "keys bucket_by n_buckets deletion_vectors zone_maps compression "
+    "format".split()
+)
+_SHOW_CREATE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I
 )
 _REORG = re.compile(
     r"^\s*REORG\s+TABLE\s+([A-Za-z_][\w.]*)\s+APPLY\s*\(\s*PURGE\s*\)"
@@ -794,6 +806,31 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             kwargs["cluster_by"] = [
                 c.strip() for c in m.group(5).split(",") if c.strip()
             ]
+        if m.group(6):
+            # TBLPROPERTIES pairs: the engine spec fields SHOW CREATE
+            # TABLE emits (round-trip), plus 'constraint.<name>' entries
+            constraints = {}
+            for k, v in _TBLPROP_PAIR.findall(m.group(6)):
+                k, v = k.replace("''", "'"), v.replace("''", "'")
+                lk = k.lower()
+                if lk.startswith("constraint."):
+                    constraints[k[len("constraint."):]] = v
+                elif lk in ("keys", "bucket_by"):
+                    kwargs[lk] = [c.strip() for c in v.split(",")]
+                elif lk == "n_buckets":
+                    kwargs[lk] = int(v)
+                elif lk in ("deletion_vectors", "zone_maps"):
+                    kwargs[lk] = v.lower() == "true"
+                elif lk in ("compression", "format"):
+                    kwargs[lk] = v
+                else:
+                    raise ValueError(
+                        f"CREATE TABLE {raw}: unsupported table property "
+                        f"{k!r} (supported: {sorted(_CREATE_PROPS)} and "
+                        "'constraint.<name>')"
+                    )
+            if constraints:
+                kwargs["constraints"] = constraints
         engine.create_table(raw, empty, **kwargs)
         return _status(engine, "create_table", raw, 0)
 
@@ -1364,6 +1401,56 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             return None
         engine.restore(name, int(m.group(2)))
         return _status(engine, "restore", name, 0)
+
+    m = _SHOW_CREATE.match(query)
+    if m:
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None  # not an engine table — let spark.sql handle it
+        spec = engine.specs[name]
+        from polars_lake_spark.layout import BUCKET_COL
+
+        # bucket_id is DERIVED on write (recomputed by _with_layout) —
+        # emitting it would make the round-tripped CREATE declare it
+        fields = [
+            f
+            for f in spec.declared_order(engine.table(name).schema)
+            if not (spec.bucket_by and f.name == BUCKET_COL)
+        ]
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}" for f in fields
+        )
+        head = "CREATE VERSIONED TABLE" if spec.versioned else "CREATE TABLE"
+        stmt = f"{head} {name} (\n  {cols}\n)"
+        if spec.partition_by:
+            stmt += f"\nPARTITIONED BY ({', '.join(spec.partition_by)})"
+        if spec.cluster_by:
+            stmt += f"\nCLUSTER BY ({', '.join(spec.cluster_by)})"
+        props: dict[str, str] = {}
+        if spec.keys:
+            props["keys"] = ",".join(spec.keys)
+        if spec.bucket_by:
+            props["bucket_by"] = ",".join(spec.bucket_by)
+            props["n_buckets"] = str(spec.n_buckets)
+        if spec.deletion_vectors:
+            props["deletion_vectors"] = "true"
+        if not spec.zone_maps:
+            props["zone_maps"] = "false"
+        if spec.compression != "snappy":
+            props["compression"] = spec.compression
+        if spec.format != "parquet":
+            props["format"] = spec.format
+        for cname, expr in (spec.constraints or {}).items():
+            props[f"constraint.{cname}"] = expr
+        if props:
+            pairs = ", ".join(
+                f"'{k}'='{v.replace(chr(39), chr(39) * 2)}'"
+                for k, v in props.items()
+            )
+            stmt += f"\nTBLPROPERTIES ({pairs})"
+        return engine.spark.createDataFrame(
+            [(stmt,)], "createtab_stmt string"
+        )
 
     m = _DESCRIBE.match(query)
     if m:

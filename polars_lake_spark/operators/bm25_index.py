@@ -236,6 +236,18 @@ class BM25Index:
             "reindexed": n_add,
         }
 
+    def optimize(self) -> None:
+        """Index maintenance after many add_batch/sync_cdc rounds: a
+        full compaction of both tables folds accumulated deletion
+        vectors in (reads lose the anti-join) and rewrites the postings
+        as ONE term-clustered write (``cluster_by`` re-applies on every
+        versioned rewrite), so probes return to ~one surviving file per
+        term instead of one per historical batch.  Probe results are
+        unchanged by construction (compaction rewrites the DV-applied
+        read)."""
+        self.engine.compact(self._t_postings)
+        self.engine.compact(self._t_doclens)
+
     def topk(
         self,
         terms: list[str],

@@ -251,3 +251,48 @@ def stream_ann_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_bm25_ingest(
+    engine,
+    index_name: str,
+    stream_df: DataFrame,
+    source: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Search-index-on-ingest: each micro-batch upserts into the
+    VERSIONED corpus table, then the persisted BM25 index syncs from
+    exactly that batch's change feed
+    (operators/bm25_index.py:BM25Index.sync_cdc) — updated docs' old
+    postings leave via frame-keyed deletion vectors, inserts tokenize
+    map-side and append term-clustered.  Probes see each batch as soon
+    as its snapshot lands; the corpus is never re-tokenized.
+
+    Replay-safe under foreachBatch's at-least-once redelivery, by the
+    same version-diff argument as stream_ann_ingest: re-upserting
+    identical content yields an EMPTY change feed from the re-read base
+    version, so the index sync is a no-op.  Out-of-band corpus deletes
+    compose outside the stream: ``engine.sql('DELETE ...')`` +
+    ``sync_cdc`` over the same version window."""
+    from polars_lake_spark.operators.bm25_index import BM25Index
+
+    index = BM25Index.open(engine, index_name)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        v0 = engine._snapstore(source).latest_version()
+        engine.upsert(source, batch_df, keys=[id_col])
+        index.sync_cdc(
+            source, from_version=v0, id_col=id_col, text_col=text_col
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1137,3 +1137,64 @@ def test_describe_flags_cluster_columns(eng, spark):
     eng.sql("CREATE VERSIONED TABLE dcb (id BIGINT, v DOUBLE) CLUSTER BY (v)")
     rows = {r.col_name: r.comment for r in eng.sql("DESCRIBE dcb").collect()}
     assert rows["v"] == "cluster column" and rows["id"] is None
+
+
+def test_show_create_table_roundtrip(spark, tmp_path):
+    """SHOW CREATE TABLE emits a statement the literal CREATE parser
+    accepts verbatim, reconstructing the full spec (declared column
+    order, partitioning, clustering, keys/buckets/DV/constraints via
+    TBLPROPERTIES) in a second engine."""
+    from polars_lake_spark import Engine
+
+    eng = Engine(spark, str(tmp_path / "a"))
+    df = spark.createDataFrame(
+        [(1, 1, 1.5, "x")], "id bigint, p int, price double, s string"
+    )
+    eng.create_table(
+        "t1",
+        df,
+        partition_by=["p"],
+        keys=["id"],
+        versioned=True,
+        deletion_vectors=True,
+        cluster_by=["price"],
+        constraints={"price_pos": "price >= 0"},
+    )
+    stmt = eng.sql("SHOW CREATE TABLE t1").head().createtab_stmt
+    assert stmt.startswith("CREATE VERSIONED TABLE t1")
+    assert "PARTITIONED BY (p)" in stmt and "CLUSTER BY (price)" in stmt
+    assert "'deletion_vectors'='true'" in stmt
+    assert "'constraint.price_pos'='price >= 0'" in stmt
+    # declared order survives the hive read-back (p is NOT last)
+    assert stmt.index("id BIGINT") < stmt.index("p INT") < stmt.index(
+        "price DOUBLE"
+    ) < stmt.index("s STRING")
+    eng2 = Engine(spark, str(tmp_path / "b"))
+    eng2.sql(stmt)
+    s1, s2 = eng.specs["t1"], eng2.specs["t1"]
+    for attr in (
+        "partition_by", "cluster_by", "keys", "versioned",
+        "deletion_vectors", "constraints", "declared_columns",
+    ):
+        assert getattr(s1, attr) == getattr(s2, attr), attr
+    # the reconstructed table accepts data and enforces the constraint
+    eng2.insert("t1", df)
+    assert eng2.table("t1").count() == 1
+    with pytest.raises(Exception, match="price_pos"):
+        eng2.insert(
+            "t1",
+            spark.createDataFrame(
+                [(2, 1, -5.0, "y")], "id bigint, p int, price double, s string"
+            ),
+        )
+    # bucketed plain table: derived bucket_id never leaks into the DDL
+    eng.create_table("t2", df, bucket_by=["id"], n_buckets=4, keys=["id"])
+    stmt2 = eng.sql("SHOW CREATE TABLE t2").head().createtab_stmt
+    assert "bucket_id" not in stmt2
+    assert "'bucket_by'='id'" in stmt2 and "'n_buckets'='4'" in stmt2
+    eng2.sql(stmt2)
+    assert eng2.specs["t2"].bucket_by == ["id"]
+    assert eng2.specs["t2"].n_buckets == 4
+    # unknown property in a literal CREATE is rejected loudly
+    with pytest.raises(ValueError, match="unsupported table property"):
+        eng2.sql("CREATE TABLE t3 (a INT) TBLPROPERTIES ('nope'='1')")

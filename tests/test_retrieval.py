@@ -368,3 +368,49 @@ def test_bm25_sync_cdc_matches_fresh_index(spark, docs, tmp_path):
     # empty feed (nothing changed since HEAD) is a true no-op
     v_now = eng.table_info("corpus")["version"]
     assert idx.sync_cdc("corpus", v_now)["changed"] == 0
+
+
+def test_stream_bm25_ingest_and_optimize(spark, docs, tmp_path):
+    """Streaming composition: a document stream upserts into the
+    versioned corpus and the BM25 index syncs per micro-batch — probes
+    equal a from-scratch index over the final corpus; optimize() then
+    folds the accumulated DVs and re-clusters the postings without
+    changing any probe."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.bm25_index import BM25Index
+    from polars_lake_spark.streaming.ingest import stream_bm25_ingest
+
+    eng = Engine(spark, str(tmp_path / "a"))
+    eng.create_table("corpus", docs, keys=["doc_id"], versioned=True)
+    idx = BM25Index(eng, "d")
+    idx.create(eng.table("corpus"))
+    # stream = 1 update (doc 1 gets new terms) + 2 inserts
+    batch = spark.createDataFrame(
+        [
+            (1, "vector vector stream"),
+            (20, "merge filter merge"),
+            (21, "stream stream filter"),
+        ],
+        "doc_id bigint, text string",
+    )
+    staging = str(tmp_path / "doc_stream")
+    batch.repartition(2).write.parquet(staging)
+    stream = spark.readStream.schema(batch.schema).parquet(staging)
+    q = stream_bm25_ingest(
+        eng, "d", stream, "corpus",
+        checkpoint_dir=str(tmp_path / "ckpt_bm25"),
+    )
+    q.awaitTermination(180)
+    assert eng.table("corpus").count() == 8
+    terms = ["merge", "stream", "vector", "filter"]
+    eng2 = Engine(spark, str(tmp_path / "b"))
+    fresh = BM25Index(eng2, "d2")
+    fresh.create(eng.table("corpus"))
+    want = [tuple(r) for r in fresh.topk(terms, k=10).collect()]
+    assert [tuple(r) for r in idx.topk(terms, k=10).collect()] == want
+    # maintenance: DVs fold away, probes unchanged
+    store = eng._snapstore("d_bm25_postings")
+    assert (store.load().meta or {}).get("dv")  # sync left DVs behind
+    idx.optimize()
+    assert not (store.load().meta or {}).get("dv")
+    assert [tuple(r) for r in idx.topk(terms, k=10).collect()] == want
