@@ -321,3 +321,83 @@ def bm25_batch_topk(
     return top.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).select("qid", "doc_id", "bm25", "rank")
+
+
+def retrieval_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Standard ranked-retrieval evaluation of a run table — the loop
+    that tunes every retrieval stack (BM25 params, hybrid weights, ANN
+    recall budgets) needs MRR/recall/nDCG computed the same way on every
+    engine.
+
+    Inputs: ``run`` = (qid, doc_id, rank 1..k) — what the retriever
+    returned; ``qrels`` = (qid, doc_id, rel) graded relevance, rel >= 1
+    (unjudged pairs simply absent).  Returns one row per qid PRESENT IN
+    THE RUN:
+
+    * ``rr_e9`` — reciprocal rank as an EXACT integer
+      (``1e9 // first-relevant-rank``, 0 if nothing relevant was
+      retrieved); MRR = avg(rr_e9)/1e9, bit-identical across engines.
+    * ``n_rel_ret`` / ``n_rel`` — relevant retrieved within k / total
+      judged relevant; ``recall_e6 = 1e6·n_rel_ret // n_rel`` (integer
+      division — exact, the Spark CAST-truncates-DuckDB-rounds trap
+      never applies).
+    * ``ndcg`` — graded nDCG@k, gains ``2^rel − 1``, log2 discount,
+      ideal ranking from the query's top-k rels; ROUNDED before output
+      (sums of ≤k doubles differ only in the last ulp between engines).
+
+    100 TB shape: the run is ≤k·|Q| rows by construction, so the qrels
+    join broadcasts the run side; the ideal ranking windows over qrels
+    partitioned per query; everything else is keyed aggregation."""
+    r = run.filter(F.col("rank") <= k).select("qid", "doc_id", "rank")
+    q = qrels.filter(F.col("rel") > 0).select("qid", "doc_id", "rel")
+    j = r.join(q, ["qid", "doc_id"], "left").withColumn(
+        "rel", F.coalesce(F.col("rel"), F.lit(0))
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rank") + 1)
+    per_q = j.groupBy("qid").agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("rel") > 0, F.expr("1000000000 div rank")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("rr_e9"),
+        F.count(F.when(F.col("rel") > 0, 1)).alias("n_rel_ret"),
+        F.sum(F.when(F.col("rel") > 0, gain).otherwise(0.0)).alias("__dcg"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("doc_id"))
+    ideal = (
+        q.withColumn("pos", F.row_number().over(w))
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_rel"),
+            F.sum(
+                F.when(
+                    F.col("pos") <= k,
+                    (F.pow(F.lit(2.0), F.col("rel")) - 1)
+                    / F.log2(F.col("pos") + 1),
+                ).otherwise(0.0)
+            ).alias("__idcg"),
+        )
+    )
+    return (
+        per_q.join(ideal, "qid")
+        .select(
+            "qid",
+            "rr_e9",
+            F.col("n_rel_ret").cast("bigint").alias("n_rel_ret"),
+            F.col("n_rel").cast("bigint").alias("n_rel"),
+            F.expr("1000000 * n_rel_ret div n_rel")
+            .cast("bigint")
+            .alias("recall_e6"),
+            F.round(F.col("__dcg") / F.col("__idcg"), round_dp).alias("ndcg"),
+        )
+    )

@@ -1580,3 +1580,107 @@ def bm25_index_cdc_sync_check(spark, sf_dir):
     finally:
         spark.conf.set(coalesce_key, old_coalesce)
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "retrieval_eval_metrics",
+    oracle="""
+    WITH q AS (SELECT * FROM (VALUES
+            (1, ['merge', 'vector']),
+            (2, ['stream', 'filter', 'scan']),
+            (3, ['slow'])) AS t(qid, terms)),
+    qt AS (SELECT DISTINCT qid, unnest(terms) AS w FROM q),
+    d AS (SELECT doc_id, string_split({norm}, ' ') AS ws FROM documents),
+    dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dd),
+    toks AS (SELECT doc_id, dl, unnest(ws) AS w FROM dd),
+    tf AS (SELECT doc_id, dl, w, COUNT(*) AS tf FROM toks
+           WHERE w IN (SELECT DISTINCT w FROM qt)
+           GROUP BY doc_id, dl, w),
+    dfreq AS (SELECT w, COUNT(*) AS dfreq FROM tf GROUP BY w),
+    sc AS (SELECT qid, doc_id,
+             ROUND(SUM(LN(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+                   * tf * 2.2
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+               AS bm25
+           FROM tf JOIN qt USING (w) JOIN dfreq USING (w)
+           CROSS JOIN stats
+           GROUP BY qid, doc_id),
+    run AS (SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY bm25 DESC, doc_id) AS rank
+        FROM sc) WHERE rank <= 10),
+    qr AS (SELECT qid, doc_id, rel FROM (
+        SELECT qs.qid, doc_id,
+               CASE WHEN (doc_id + qs.qid) % 7 = 0 THEN 2
+                    WHEN (doc_id + qs.qid) % 3 = 0 THEN 1
+                    ELSE 0 END AS rel
+        FROM documents CROSS JOIN (SELECT qid FROM q) qs) WHERE rel > 0),
+    j AS (SELECT r.qid, r.rank, COALESCE(qr.rel, 0) AS rel
+          FROM run r LEFT JOIN qr ON r.qid = qr.qid
+                                 AND r.doc_id = qr.doc_id),
+    perq AS (SELECT qid,
+               CAST(COALESCE(MAX(CASE WHEN rel > 0
+                                 THEN 1000000000 // rank END), 0)
+                    AS BIGINT) AS rr_e9,
+               CAST(COUNT(*) FILTER (rel > 0) AS BIGINT) AS n_rel_ret,
+               SUM(CASE WHEN rel > 0
+                        THEN (POWER(2, rel) - 1) / LOG2(rank + 1)
+                        ELSE 0 END) AS dcg
+             FROM j GROUP BY qid),
+    ideal AS (SELECT qid,
+                CAST(COUNT(*) AS BIGINT) AS n_rel,
+                SUM(CASE WHEN pos <= 10
+                         THEN (POWER(2, rel) - 1) / LOG2(pos + 1)
+                         ELSE 0 END) AS idcg
+              FROM (SELECT qid, rel, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY rel DESC, doc_id) AS pos
+                    FROM qr)
+              GROUP BY qid)
+    SELECT p.qid, p.rr_e9, p.n_rel_ret, i.n_rel,
+           CAST(1000000 * p.n_rel_ret // i.n_rel AS BIGINT) AS recall_e6,
+           ROUND(p.dcg / i.idcg, 6) AS ndcg
+    FROM perq p JOIN ideal i USING (qid)
+    ORDER BY p.qid
+    """.replace("{norm}", _NORM_SQL),
+    doc="Ranked-retrieval evaluation (operators/retrieval.py:"
+    "retrieval_metrics): MRR as exact integers (1e9 // first-relevant "
+    "rank), exact recall counts + integer-division recall_e6, graded "
+    "nDCG@10 (2^rel−1 gains, log2 discount, ideal from qrels) rounded "
+    "before output. The run is a REAL bm25_batch_topk pass; qrels are "
+    "deterministic ((doc_id+qid) mod rules) so DuckDB replays run AND "
+    "metrics end to end.",
+)
+def retrieval_eval_metrics(spark, sf_dir):
+    """The tuning loop for every retrieval stack: score a batch BM25
+    run against graded qrels — MRR/recall integer-exact across engines,
+    nDCG rounded.  The run side is ≤k·|Q| rows, so the qrels join
+    broadcasts it; the ideal ranking windows per query."""
+    from polars_lake_spark.operators import retrieval as R
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [
+            (1, ["merge", "vector"]),
+            (2, ["stream", "filter", "scan"]),
+            (3, ["slow"]),
+        ],
+        "qid bigint, terms array<string>",
+    )
+    run = R.bm25_batch_topk(
+        docs, "doc_id", "text", queries, "qid", "terms", k=10
+    )
+    qrels = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(queries.select("qid")))
+        .withColumn(
+            "rel",
+            F.when((F.col("doc_id") + F.col("qid")) % 7 == 0, F.lit(2))
+            .when((F.col("doc_id") + F.col("qid")) % 3 == 0, F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+        .filter(F.col("rel") > 0)
+    )
+    return R.retrieval_metrics(run, qrels, k=10).orderBy("qid")

@@ -414,3 +414,34 @@ def test_stream_bm25_ingest_and_optimize(spark, docs, tmp_path):
     idx.optimize()
     assert not (store.load().meta or {}).get("dv")
     assert [tuple(r) for r in idx.topk(terms, k=10).collect()] == want
+
+
+def test_retrieval_metrics_model(spark):
+    """retrieval_metrics vs a hand-computed model: exact-integer RR and
+    recall, graded nDCG@k with log2 discount and ideal from qrels."""
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3), (2, 40, 1), (2, 50, 2)],
+        "qid bigint, doc_id bigint, rank bigint",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 20, 2), (1, 30, 1), (1, 99, 3), (2, 77, 1)],
+        "qid bigint, doc_id bigint, rel bigint",
+    )
+    got = {
+        r.qid: (r.rr_e9, r.n_rel_ret, r.n_rel, r.recall_e6, r.ndcg)
+        for r in R.retrieval_metrics(run, qrels, k=3).collect()
+    }
+    dcg = 3 / math.log2(3) + 1 / math.log2(4)
+    idcg = 7 / math.log2(2) + 3 / math.log2(3) + 1 / math.log2(4)
+    assert got[1] == (
+        500_000_000, 2, 3, 666_666, round(dcg / idcg, 6)
+    )
+    assert got[2] == (0, 0, 1, 0, 0.0)
+    # layout independence
+    got7 = {
+        r.qid: (r.rr_e9, r.n_rel_ret, r.n_rel, r.recall_e6, r.ndcg)
+        for r in R.retrieval_metrics(
+            run.repartition(7), qrels.repartition(5), k=3
+        ).collect()
+    }
+    assert got7 == got
