@@ -1116,10 +1116,45 @@ class Engine:
         res = dml.try_execute_dml(self, query)
         if res is not None:
             return res
+        fast = self._try_meta_count(query)
+        if fast is not None:
+            return fast
         fast = self._try_zonemap_select(query)
         if fast is not None:
             return fast
         return self.spark.sql(query)
+
+    _META_COUNT = re.compile(
+        r"^\s*SELECT\s+COUNT\s*\(\s*(?:\*|1)\s*\)\s*(?:AS\s+(\w+))?"
+        r"\s+FROM\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+        re.I,
+    )
+
+    def _try_meta_count(self, query: str) -> DataFrame | None:
+        """Metadata-only ``SELECT COUNT(*) FROM t``: the count comes
+        from parquet footers (minus live DV refs — :meth:`meta_row_count`
+        is DV-aware), so the most common dashboard query never scans a
+        byte of data — at 100 TB a full-table count is a cluster-wide
+        job; this is a driver-side footer walk.  Strictly conservative:
+        any WHERE/alias-less-complexity beyond the exact shape, an
+        unknown or in-memory table, or a table without countable footers
+        falls through to the vanilla plan.  The output column is named
+        ``count(1)`` exactly like Spark's own plan (or the AS alias)."""
+        m = self._META_COUNT.match(query)
+        if m is None:
+            return None
+        from polars_lake_spark import dml
+
+        name = dml._resolve(self, m.group(2))
+        if name is None or name in self._mem:
+            return None
+        n = self.meta_row_count(name)
+        if n is None:
+            return None
+        alias = m.group(1) or "count(1)"
+        return self.spark.createDataFrame([(int(n),)], "cnt bigint").select(
+            F.col("cnt").alias(alias)
+        )
 
     _ZM_SELECT = re.compile(
         r"^\s*SELECT\s+(.+?)\s+FROM\s+([A-Za-z_][\w.]*)\s+WHERE\s+(.+?)"
@@ -2456,6 +2491,52 @@ class Engine:
             return total - n_refs
         except Exception:
             return None
+
+    def fragmentation_report(self, name: str) -> dict:
+        """Maintenance advisor from METADATA alone — the 100 TB ops
+        question "does this table need an OPTIMIZE?" answered without
+        scanning a byte: live file count and size histogram (driver-side
+        stat calls), write-dir fan-out, live DV sidecar count and ref
+        total, and a recommendation.  A table accumulating small files
+        (ingest micro-batches), many write dirs (every commit adds one),
+        or many DV sidecars (every sparse delete adds one) pays at scan
+        time: more splits to plan, more footers to read, a wider DV
+        union to anti-join.  ``recommend`` is 'compact' when >50% of
+        files are under ``small_bytes`` or write dirs exceed 16,
+        'compact_dvs' when sidecars exceed 4, else 'ok'."""
+        spec = self.specs[name]
+        small_bytes = 16 << 20
+        files = self._data_files(name)
+        sizes = [os.path.getsize(f) for f in files]
+        out = {
+            "table": name,
+            "files": len(files),
+            "bytes_total": sum(sizes),
+            "avg_file_bytes": (sum(sizes) // len(sizes)) if sizes else 0,
+            "small_files": sum(1 for s in sizes if s < small_bytes),
+            "write_dirs": None,
+            "dv_sidecars": 0,
+            "dv_rows": 0,
+        }
+        if spec.versioned:
+            store = self._snapstore(name)
+            snap = store.load()
+            out["write_dirs"] = len(
+                {w for ws in snap.mapping.values() for w in ws}
+            )
+            dv = (snap.meta or {}).get("dv") or []
+            out["dv_sidecars"] = len(dv)
+            out["dv_rows"] = int((snap.meta or {}).get("dv_rows", 0))
+        if out["dv_sidecars"] > 4:
+            out["recommend"] = "compact_dvs"
+        elif out["files"] and (
+            out["small_files"] * 2 > out["files"]
+            or (out["write_dirs"] or 0) > 16
+        ):
+            out["recommend"] = "compact"
+        else:
+            out["recommend"] = "ok"
+        return out
 
     def copy_loaded(self, name: str) -> dict[str, str]:
         """The table's COPY INTO loaded-file log (digest -> source path):

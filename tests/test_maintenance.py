@@ -261,3 +261,66 @@ def test_check_constraint_null_passes(spark, tmp_path):
     # upserting the same NULL row back must also pass
     engine.upsert("nc", df.filter(F.col("amount").isNull()))
     assert engine.table("nc").count() == 2
+
+
+def test_meta_count_fast_path(spark, tmp_path):
+    """SELECT COUNT(*) FROM t answers from parquet footers (DV-aware) —
+    name and value identical to the vanilla plan, no table scan."""
+    from polars_lake_spark import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(100)], "id bigint, p bigint"
+    )
+    eng.create_table("mc", df, keys=["id"], versioned=True,
+                     deletion_vectors=True)
+    out = eng.sql("SELECT COUNT(*) FROM mc")
+    assert out.columns == ["count(1)"] and out.head()[0] == 100
+    # Spark's own plan would name it the same way
+    assert spark.sql("SELECT COUNT(*) FROM mc").columns == out.columns
+    assert eng.sql("SELECT count(1) AS n FROM mc").head().n == 100
+    # DV-aware: sparse delete changes the metadata count
+    eng.delete_where_dv("mc", "id < 10")
+    assert eng.sql("SELECT COUNT(*) FROM mc").head()[0] == 90
+    # the fast path never launched a scan stage: plan is a LocalTableScan
+    plan = (
+        eng.sql("SELECT COUNT(*) FROM mc")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FileScan" not in plan
+    # WHERE and other shapes fall through to vanilla (and stay correct)
+    assert eng.sql("SELECT COUNT(*) FROM mc WHERE id >= 50").head()[0] == 50
+    # in-memory tables fall through
+    eng.create_table("mem", df, save=False)
+    assert eng.sql("SELECT COUNT(*) FROM mem").head()[0] == 100
+
+
+def test_fragmentation_report(spark, tmp_path):
+    """Metadata-only maintenance advisor: small-file and DV-sidecar
+    accumulation is visible without a scan, and the recommendation
+    clears after the suggested maintenance."""
+    from polars_lake_spark import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id bigint, v double"
+    )
+    eng.create_table("fr", df, keys=["id"], versioned=True,
+                     deletion_vectors=True)
+    r0 = eng.fragmentation_report("fr")
+    assert r0["files"] > 0 and r0["bytes_total"] > 0
+    assert r0["small_files"] == r0["files"]  # tiny test files
+    assert r0["recommend"] == "compact"
+    # 5 sparse deletes -> 5 sidecars -> compact_dvs takes priority
+    for i in range(5):
+        eng.delete_where_dv("fr", f"id = {i}")
+    r1 = eng.fragmentation_report("fr")
+    assert r1["dv_sidecars"] == 5 and r1["dv_rows"] == 5
+    assert r1["recommend"] == "compact_dvs"
+    eng.compact_dvs("fr")
+    r2 = eng.fragmentation_report("fr")
+    assert r2["dv_sidecars"] == 1 and r2["recommend"] == "compact"
+    # unversioned tables report files only
+    eng.create_table("fr2", df)
+    r3 = eng.fragmentation_report("fr2")
+    assert r3["write_dirs"] is None and r3["dv_sidecars"] == 0
