@@ -123,6 +123,13 @@ HEADLINE = [
     # r9: persisted BM25 index probe lifecycle (create -> add_batch ->
     # replay no-op -> zone-map-skipped postings probe).
     "bm25_index_probe_check",
+    # r10: BM25 index CDC maintenance lifecycle (corpus delete + upsert
+    # -> frame-keyed DV sync -> replay -> probe); zone-map skipping
+    # under time-travel SQL; ranked-retrieval eval metrics over a real
+    # batch-BM25 run.
+    "bm25_index_cdc_sync_check",
+    "sql_timetravel_skipping_check",
+    "retrieval_eval_metrics",
 ]
 
 
@@ -581,6 +588,9 @@ def main() -> None:
         "scan_file_skipping_check",
         "hybrid_retrieval_rrf",
         "lifecycle_dv_read_overhead",
+        # appended r10
+        "bm25_index_cdc_sync_check",
+        "retrieval_eval_metrics",
     ]
     print(
         json.dumps(

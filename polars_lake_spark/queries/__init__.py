@@ -40,11 +40,10 @@ REGISTRY: dict[str, Query] = {}
 CHECK_PRIORITY: list[str] = [
     # ================= r10 window (first 50) ==========================
     # -- NEW r10: BM25 index CDC maintenance; zone-map skipping under
-    # time-travel SQL; retrieval eval metrics; document chunking --------
+    # time-travel SQL; retrieval eval metrics ---------------------------
     "bm25_index_cdc_sync_check",
     "sql_timetravel_skipping_check",
     "retrieval_eval_metrics",
-    "chunk_documents",
     # ================= r9 window ======================================
     # -- NEW r9: file-level data skipping (zone maps); BM25 + hybrid
     # RRF retrieval -----------------------------------------------------

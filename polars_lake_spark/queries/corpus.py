@@ -952,39 +952,3 @@ def scrub_repeated_spans(spark, sf_dir):
             ).cast("binary")
         ).alias("scrubbed_md5"),
     )
-
-
-@register(
-    "chunk_documents",
-    oracle=f"""
-    WITH d AS (SELECT doc_id,
-                 list_filter(string_split({_NORM_SQL}, ' '),
-                             w -> w <> '') AS ws
-               FROM documents),
-    dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d WHERE len(ws) > 0),
-    st AS (SELECT doc_id, dl, ws,
-                  unnest(generate_series(0, GREATEST(dl - 5, 0), 12)) AS s
-           FROM dd)
-    SELECT doc_id,
-           CAST(s // 12 AS BIGINT) AS chunk_id,
-           CAST(s AS BIGINT) AS start_word,
-           CAST(len(list_slice(ws, s + 1, s + 16)) AS BIGINT) AS n_words,
-           array_to_string(list_slice(ws, s + 1, s + 16), ' ') AS chunk
-    FROM st
-    """,
-    doc="Overlapping word-window chunking (operators/chunking.py) — the "
-    "pre-embedding / context-packing step of a RAG or training "
-    "pipeline. Entirely map-side (sequence → transform slices → "
-    "posexplode); start generation stops once a chunk reaches the "
-    "document end, so no chunk is fully contained in its predecessor. "
-    "DuckDB replays every chunk boundary and text verbatim.",
-)
-def chunk_documents_q(spark, sf_dir):
-    """Chunk the documents corpus into 16-word windows overlapping by 4
-    (stride 12) — deterministic ids/boundaries/text, no shuffle."""
-    from polars_lake_spark.operators.chunking import chunk_documents
-
-    docs = load_table(spark, sf_dir, "documents")
-    return chunk_documents(
-        docs, "doc_id", "text", chunk_size=16, overlap=4
-    )

@@ -85,45 +85,3 @@ def test_chunk_null_words_yields_one_empty_chunk(spark):
     assert set(by_doc) == {1, 2}  # the NULL-text doc is not dropped
     assert by_doc[2].chunk_text == "" and by_doc[2].chunk_id == 0
 
-
-def test_chunk_documents_model(spark):
-    """chunk_documents vs hand-computed windows: stride coverage, short
-    tail, no redundant fully-contained tail chunk, empty docs dropped."""
-    from polars_lake_spark.operators.chunking import chunk_documents
-
-    docs = spark.createDataFrame(
-        [
-            (1, " ".join(f"w{i}" for i in range(10))),  # dl=10
-            (2, "a b c"),                                # dl=3 (< chunk)
-            (3, "   "),                                  # empty after trim
-        ],
-        "doc_id bigint, text string",
-    )
-    rows = sorted(
-        (r.doc_id, r.chunk_id, r.start_word, r.n_words, r.chunk)
-        for r in chunk_documents(
-            docs, chunk_size=4, overlap=1, text_col="text"
-        ).collect()
-    )
-    # doc 1: stride 3, starts emitted while s < dl - overlap = 9
-    # -> 0,3,6 (a start at 9 would be fully inside the chunk at 6)
-    assert rows == [
-        (1, 0, 0, 4, "w0 w1 w2 w3"),
-        (1, 1, 3, 4, "w3 w4 w5 w6"),
-        (1, 2, 6, 4, "w6 w7 w8 w9"),
-        (2, 0, 0, 3, "a b c"),
-    ]
-    # exact-boundary doc: dl = stride*k + overlap leaves no tail
-    one = spark.createDataFrame(
-        [(9, " ".join(f"w{i}" for i in range(7)))],  # dl=7=3*2+1
-        "doc_id bigint, text string",
-    )
-    got = [
-        (r.start_word, r.n_words)
-        for r in chunk_documents(
-            one, chunk_size=4, overlap=1
-        ).orderBy("chunk_id").collect()
-    ]
-    assert got == [(0, 4), (3, 4)]
-    with pytest.raises(ValueError, match="overlap"):
-        chunk_documents(docs, chunk_size=4, overlap=4)
