@@ -181,6 +181,14 @@ _REORG = re.compile(
     r"\s*;?\s*$",
     re.I,
 )
+_CONVERT = re.compile(
+    r"^\s*CONVERT\s+TO\s+VERSIONED\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I
+)
+_ALTER_CLUSTER = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+CLUSTER\s+BY\s+"
+    r"(?:\(([^)]*)\)|(NONE))\s*;?\s*$",
+    re.I,
+)
 _SET_TBLPROPERTIES = re.compile(
     r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+SET\s+TBLPROPERTIES\s*"
     r"\(\s*'([\w.]+)'\s*=\s*'(\w+)'\s*\)\s*;?\s*$",
@@ -1135,6 +1143,32 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             return None
         nfiles = engine.compact(name)
         return _status(engine, "reorg", name, nfiles)
+
+    m = _CONVERT.match(query)
+    if m:
+        # CONVERT TO DELTA analog: adopt a plain parquet table into the
+        # snapshot layer by MOVING its files into write dir 1 (no data
+        # rewrite — the only affordable migration at 100 TB).
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        engine.convert_to_versioned(name)
+        return _status(engine, "convert_to_versioned", name, 0)
+
+    m = _ALTER_CLUSTER.match(query)
+    if m:
+        # Liquid-clustering re-declaration: future writes cluster on the
+        # new key; OPTIMIZE rewrites the existing files clustered.
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        cols = (
+            []
+            if m.group(3)
+            else [c.strip() for c in m.group(2).split(",") if c.strip()]
+        )
+        engine.set_cluster_by(name, cols)
+        return _status(engine, "alter_cluster_by", name, 0)
 
     m = _SET_TBLPROPERTIES.match(query)
     if m:

@@ -2492,6 +2492,101 @@ class Engine:
         except Exception:
             return None
 
+    def convert_to_versioned(self, name: str) -> None:
+        """CONVERT TO DELTA analog: adopt a plain on-disk parquet table
+        into the snapshot layer IN PLACE — the data files are MOVED
+        (os.rename, no rewrite, no copy) into the first immutable write
+        dir and committed as version 1.  From then on the table has
+        snapshot isolation, time travel, atomic DML, zone maps (the
+        adopted dir's footer stats are collected during the convert),
+        and deletion-vector eligibility (enable via ALTER TABLE SET
+        TBLPROPERTIES).  At 100 TB this is the only affordable
+        migration: a rewrite-based convert would cost a full table pass.
+        Refuses in-memory / non-parquet / native-bucketed / already-
+        versioned tables."""
+        spec = self._guard_mutable(name)
+        if spec.versioned:
+            raise ValueError(f"table {name} is already versioned")
+        if self.root is None or name in self._mem:
+            raise ValueError(
+                f"convert_to_versioned: {name} is not an on-disk table"
+            )
+        if spec.format != "parquet":
+            raise ValueError(
+                "convert_to_versioned: only parquet tables convert in "
+                f"place (table {name} is {spec.format})"
+            )
+        from polars_lake_spark.snapshots import DATA_DIR, SNAP_DIR
+
+        with self._lock(name):
+            schema_json = self.table(name).schema.json()
+            tpath = self._path(name)
+            spec.versioned = True
+            store = self._snapstore(name)
+            wname, wpath = store.new_write_dir()
+            os.makedirs(wpath, exist_ok=True)
+            for e in os.listdir(tpath):
+                # keep table metadata in place; move only data entries
+                # (hive dirs are col=..., part files are part-...; all
+                # _-/.- prefixed names are writer metadata)
+                if e in (DATA_DIR, SNAP_DIR, MANIFEST) or e.startswith(
+                    ("_", ".")
+                ):
+                    continue
+                os.rename(os.path.join(tpath, e), os.path.join(wpath, e))
+            if spec.zone_maps:
+                try:
+                    from polars_lake_spark.zonemaps import (
+                        collect_zonemap,
+                        write_zonemap,
+                    )
+
+                    write_zonemap(
+                        wpath, collect_zonemap(wpath, spark=self.spark)
+                    )
+                except Exception as e:
+                    self.zonemap_errors[name] = (
+                        self.zonemap_errors.get(name, 0) + 1
+                    )
+                    warnings.warn(
+                        f"zone-map collection failed while converting "
+                        f"{name!r}: {e!r}",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+            spec.schema_json = schema_json
+            store.commit_write(wname, "create", schema_json)
+            self._write_manifest(spec)
+            self._register(name)
+
+    def set_cluster_by(self, name: str, cluster_by: list[str]) -> None:
+        """ALTER TABLE ... CLUSTER BY analog (Delta liquid-clustering
+        re-declaration): future writes range-partition + sort on the new
+        key so their zone maps are tight from ingest; existing files are
+        untouched until the next OPTIMIZE rewrites them clustered.  Pass
+        an empty list for CLUSTER BY NONE."""
+        spec = self._guard_mutable(name)
+        cluster_by = list(cluster_by or [])
+        if cluster_by:
+            if not spec.versioned:
+                raise ValueError(
+                    "cluster_by requires a versioned table (clustered "
+                    "writes are snapshot commits)"
+                )
+            cols = self.table(name).columns
+            missing = [c for c in cluster_by if c not in cols]
+            if missing:
+                raise ValueError(f"cluster_by columns {missing} not in data")
+            overlap = set(cluster_by) & set(spec.physical_partitioning)
+            if overlap:
+                raise ValueError(
+                    f"cluster_by columns {sorted(overlap)} are already "
+                    "layout columns"
+                )
+        spec.cluster_by = cluster_by
+        if self.root is not None and name not in self._mem:
+            self._write_manifest(spec)
+
     def fragmentation_report(self, name: str) -> dict:
         """Maintenance advisor from METADATA alone — the 100 TB ops
         question "does this table need an OPTIMIZE?" answered without

@@ -44,74 +44,18 @@ CHECK_PRIORITY: list[str] = [
     "bm25_index_cdc_sync_check",
     "sql_timetravel_skipping_check",
     "retrieval_eval_metrics",
-    # ================= r9 window ======================================
-    # -- NEW r9: file-level data skipping (zone maps); BM25 + hybrid
-    # RRF retrieval -----------------------------------------------------
+    # -- CHANGED r10: add_batch O(batch) rewrite + DV index tables; the
+    # scan_where/fast-path refactor; the shared bm25_score helper -------
+    "bm25_index_probe_check",
     "scan_file_skipping_check",
     "bm25_retrieval",
+    "bm25_batch_retrieval",
     "hybrid_retrieval_rrf",
     "retrieval_snippets",
     "hard_negative_mining",
-    "bm25_batch_retrieval",
-    "bm25_index_probe_check",
-    # -- r8 gates (still fresh; DV/COPY INTO behavior was extended by
-    # the r9 ADVICE fixes, so they stay in the window) -------------------
-    "sparse_delete_dv_check",
-    "merge_dv_check",
-    "copy_into_idempotence_check",
-    # -- r4-greens: the oldest-evidence rows in the registry (minus the
-    # rows-only similarity_ivf, replaced by its oracled recall
-    # companions below) --------------------------------------------------
-
-    "text_stats",
-    "text_quality_filter",
-    "text_lang_id",
-    "token_count",
-    "doc_fingerprint",
-    "multimodal_binary_meta",
-    "multimodal_image_features",
-    "correlated_subquery",
-    "grouping_sets",
-    "asof_join_events",
-    "range_join_events",
-    "corpus_pipeline",
-    "dedup_clusters",
-    "sample_hash",
-    "sample_stratified",
-    "pack_sequences",
-    "text_tfidf_top_terms",
-    "text_pmi_bigrams",
-    "decontaminate_overlap",
-    "text_repetition",
-    "math_functions",
-    "string_functions2",
-    "temporal_arithmetic",
-    # -- oracled recall companions of the rows-only PQ entries (r5
-    # evidence; the rows-only similarity_pq/similarity_ivfpq can never
-    # earn better than "ran" from the driver and sit past the window,
-    # where their run is still exercised by test_oracle_parity) --------
-    "similarity_pq_recall",
-    "similarity_ivfpq_recall",
-    "similarity_ivf_recall",
-    "similarity_ivf_pruned_recall",
-    # -- oldest r5-greens (r5 gate order), filling the window to 50 ----
-
-    "dedup_prefix_join",
-    "scrub_repeated_spans",
-    "bpe_train_encode_check",
-    "bpe_token_consistency_check",
-    "sample_weighted_aes",
-    "decontaminate_semantic",
-    "graph_pagerank",
-    "text_bigram_logprob",
-    "bloom_semi_join",
-    "topk_per_group_twostage",
-    "dedup_snm",
-    "domain_resample_temperature",
-    "join_cardinality_probe",
-    # ------ 50-slot window boundary ------------------------------------
-    # -- r10 front-runners: the seven r5-greens the r9 additions pushed
-    # past the boundary, then the remaining r5-greens (r5 gate order) ---
+    # -- oldest driver evidence first (not in the r9 window; the seven
+    # r5-greens lead, then r6/r7-era rows; rows-only entries excluded
+    # so every window slot stays oracled) -------------------------------
     "histogram_equidepth",
     "dedup_clusters_twostar",
     "token_heavy_hitters",
@@ -119,7 +63,6 @@ CHECK_PRIORITY: list[str] = [
     "approx_percentile_check",
     "hll_union_check",
     "heavy_hitters_incremental_check",
-
     "skew_hot_keys",
     "events_ewma",
     "events_anomaly_zscore",
@@ -143,13 +86,6 @@ CHECK_PRIORITY: list[str] = [
     "multimodal_audio_decode",
     "multimodal_video_frames",
     "join_cobucketed",
-    # rows-only by design (err: no_oracle) — driver evidence can never
-    # improve on "ran, 50 rows"; kept out of the gate window on purpose
-    "similarity_ivf",
-    "similarity_pq",
-    "similarity_ivfpq",
-    # -- r6-greens (freshest driver evidence, r6 gate order) ------------
-
     "split_train_val_test",
     "shard_manifest",
     "pack_sequences_bpe_check",
@@ -160,6 +96,12 @@ CHECK_PRIORITY: list[str] = [
     "insert_append",
     "delete_anti",
     "dedup_keyed",
+    # ------ 50-slot window boundary ------------------------------------
+    # -- remaining stale-evidence rows (rows-only entries among them),
+    # then everything re-verified by the r9 gate (freshest last) --------
+    "similarity_ivf",
+    "similarity_pq",
+    "similarity_ivfpq",
     "schema_evolution_union",
     "audit_columns",
     "time_travel_upsert",
@@ -197,8 +139,6 @@ CHECK_PRIORITY: list[str] = [
     "approx_distinct",
     "unnest_explode",
     "pivot_status",
-    # -- r7-greens (freshest driver evidence, r7 gate order) ------------
-
     "curation_lifecycle_check",
     "sql_ddl_lifecycle",
     "sql_dml_partitioned_lifecycle",
@@ -247,6 +187,49 @@ CHECK_PRIORITY: list[str] = [
     "dedup_embedding_cosine",
     "similarity_topk",
     "similarity_ann_lsh",
+    "sparse_delete_dv_check",
+    "merge_dv_check",
+    "copy_into_idempotence_check",
+    "text_stats",
+    "text_quality_filter",
+    "text_lang_id",
+    "token_count",
+    "doc_fingerprint",
+    "multimodal_binary_meta",
+    "multimodal_image_features",
+    "correlated_subquery",
+    "grouping_sets",
+    "asof_join_events",
+    "range_join_events",
+    "corpus_pipeline",
+    "dedup_clusters",
+    "sample_hash",
+    "sample_stratified",
+    "pack_sequences",
+    "text_tfidf_top_terms",
+    "text_pmi_bigrams",
+    "decontaminate_overlap",
+    "text_repetition",
+    "math_functions",
+    "string_functions2",
+    "temporal_arithmetic",
+    "similarity_pq_recall",
+    "similarity_ivfpq_recall",
+    "similarity_ivf_recall",
+    "similarity_ivf_pruned_recall",
+    "dedup_prefix_join",
+    "scrub_repeated_spans",
+    "bpe_train_encode_check",
+    "bpe_token_consistency_check",
+    "sample_weighted_aes",
+    "decontaminate_semantic",
+    "graph_pagerank",
+    "text_bigram_logprob",
+    "bloom_semi_join",
+    "topk_per_group_twostage",
+    "dedup_snm",
+    "domain_resample_temperature",
+    "join_cardinality_probe",
 ]
 
 

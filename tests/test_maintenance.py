@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from polars_lake_spark import Engine
@@ -324,3 +326,100 @@ def test_fragmentation_report(spark, tmp_path):
     eng.create_table("fr2", df)
     r3 = eng.fragmentation_report("fr2")
     assert r3["write_dirs"] is None and r3["dv_sidecars"] == 0
+
+
+def test_convert_to_versioned_in_place(spark, tmp_path):
+    """CONVERT TO VERSIONED adopts a plain parquet table into the
+    snapshot layer by MOVING files (no rewrite): same bytes on disk,
+    version 1 time-travels, zone maps collected for the adopted dir,
+    and the converted table takes snapshot DML + deletion vectors."""
+    import glob
+    import os
+
+    from polars_lake_spark import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    df = spark.range(0, 1000).selectExpr(
+        "id", "id * 2 AS v", "CAST(id % 3 AS BIGINT) AS p"
+    )
+    eng.create_table(
+        "ct",
+        df.repartitionByRange(4, "id"),
+        partition_by=["p"],
+        keys=["id"],
+    )
+    before = {
+        os.path.relpath(f, eng._path("ct")): os.path.getmtime(f)
+        for f in glob.glob(eng._path("ct") + "/**/*.parquet", recursive=True)
+    }
+    eng.sql("CONVERT TO VERSIONED ct")
+    spec = eng.specs["ct"]
+    assert spec.versioned
+    assert eng.table_info("ct")["version"] == 1
+    assert eng.table("ct").count() == 1000
+    # files moved under data/w000001, byte-identical (mtimes preserved)
+    after = {
+        os.path.relpath(f, eng._path("ct") + "/data/w000001"):
+            os.path.getmtime(f)
+        for f in glob.glob(
+            eng._path("ct") + "/data/w000001/**/*.parquet", recursive=True
+        )
+    }
+    assert after == before and len(after) > 0
+    # zone maps were collected for the adopted dir
+    assert os.path.isfile(
+        eng._path("ct") + "/data/w000001/_zonemap.json"
+    )
+    out = eng.scan_where("ct", "id = 500")
+    assert [r.v for r in out.collect()] == [1000]
+    assert eng.last_scan_report["files_kept"] < eng.last_scan_report["files_total"]
+    # snapshot DML + time travel from here on
+    eng.sql("UPDATE ct SET v = -1 WHERE id = 500")
+    assert eng.table("ct", version=1).filter("id = 500").head().v == 1000
+    eng.sql("ALTER TABLE ct SET TBLPROPERTIES ('deletion_vectors'='true')")
+    assert eng.delete_where_dv("ct", "id < 10") == 10
+    assert eng.table("ct").count() == 990
+    # a fresh engine loads the converted table
+    eng2 = Engine(spark, str(tmp_path))
+    eng2.load_all()
+    assert eng2.specs["ct"].versioned and eng2.table("ct").count() == 990
+    with pytest.raises(ValueError, match="already versioned"):
+        eng.convert_to_versioned("ct")
+    eng.create_table("mem", df, save=False)
+    with pytest.raises(ValueError, match="on-disk"):
+        eng.convert_to_versioned("mem")
+
+
+def test_alter_table_cluster_by(spark, tmp_path):
+    """ALTER TABLE ... CLUSTER BY re-declares the clustering key: the
+    NEXT write range-clusters on it (tight zone maps from ingest);
+    CLUSTER BY NONE resets; layout overlap and unknown columns refuse."""
+    from polars_lake_spark import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    spark.conf.set(coalesce_key, "false")
+    try:
+        df = spark.range(0, 2000).selectExpr("id", "id * 2 AS v")
+        eng.create_table("cl", df.repartition(8), keys=["id"], versioned=True)
+        eng.sql("ALTER TABLE cl CLUSTER BY (v)")
+        assert eng.specs["cl"].cluster_by == ["v"]
+        eng.insert(
+            "cl",
+            spark.range(2000, 4000).selectExpr("id", "id * 2 AS v")
+            .repartition(8),
+        )
+        # the clustered second write prunes on v; the hash-scattered
+        # first write keeps all its files (conservative)
+        eng.scan_where("cl", "v BETWEEN 4000 AND 4100").collect()
+        rep = dict(eng.last_scan_report)
+        assert rep["files_kept"] < rep["files_total"]
+        eng.sql("ALTER TABLE cl CLUSTER BY NONE")
+        assert eng.specs["cl"].cluster_by == []
+        with pytest.raises(ValueError, match="not in data"):
+            eng.sql("ALTER TABLE cl CLUSTER BY (nope)")
+        eng.create_table("plain", df)
+        with pytest.raises(ValueError, match="versioned"):
+            eng.sql("ALTER TABLE plain CLUSTER BY (v)")
+    finally:
+        spark.conf.set(coalesce_key, "true")
