@@ -23,7 +23,8 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 # The reference's buffer threshold (/root/reference/src/server.rs:55).
 DEFAULT_FLUSH_ROWS = 10_000_000
@@ -289,6 +290,79 @@ def stream_bm25_ingest(
         index.sync_cdc(
             source, from_version=v0, id_col=id_col, text_col=text_col
         )
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_apply_changes(
+    engine,
+    table: str,
+    stream_df: DataFrame,
+    op_col: str = "_op",
+    sequence_by: str | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """APPLY CHANGES INTO analog (Delta DLT): a CDC stream tagged with an
+    op column ('delete' vs anything else = upsert) applies per
+    micro-batch against the keyed target table.
+
+    Within a batch, ``sequence_by`` names the ordering column (commit
+    LSN, event time): only each key's LATEST row applies, so a
+    delete-then-reinsert of the same key inside one batch lands as the
+    reinsert, never order-dependent.  Without it, a key carrying both a
+    delete and an upsert in the same batch is ambiguous and raises.
+
+    Upserts merge on the table's keys (replays re-merge, idempotent);
+    deletes remove EVERY row with a doomed key — an O(matched) deletion-
+    vector sidecar on ``deletion_vectors`` tables
+    (:meth:`Engine.delete_keys_dv`), a keyed anti-join rewrite
+    otherwise.  Deletes of absent keys no-op, so foreachBatch's
+    at-least-once redelivery is safe end to end."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spec = engine.specs[table]
+        keys = list(spec.keys)
+        if not keys:
+            raise ValueError(f"stream_apply_changes: {table} has no keys")
+        b = batch_df
+        if sequence_by is not None:
+            w = Window.partitionBy(*keys).orderBy(F.desc(sequence_by))
+            b = (
+                b.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        b = b.localCheckpoint(eager=True)  # split below reads it twice
+        is_del = F.lower(F.col(op_col)) == "delete"
+        ups = b.filter(~is_del).drop(op_col)
+        dels = b.filter(is_del).select(*keys)
+        if sequence_by is None:
+            both = dels.join(
+                ups.select(*keys), keys, "inner"
+            ).limit(1)
+            if both.head(1):
+                raise ValueError(
+                    "stream_apply_changes: a key carries both a delete "
+                    "and an upsert in one batch; pass sequence_by to "
+                    "resolve ordering"
+                )
+        if sequence_by is not None:
+            ups = ups.drop(sequence_by)
+        if ups.head(1):
+            engine.upsert(table, ups)
+        if dels.head(1):
+            if spec.deletion_vectors:
+                engine.delete_keys_dv(table, dels, keys)
+            else:
+                engine.delete(table, dels, keys)
 
     writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
     if checkpoint_dir:
