@@ -131,6 +131,9 @@ HEADLINE = [
     # bm25_index_probe_check.)
     "sql_timetravel_skipping_check",
     "retrieval_eval_metrics",
+    # r10: metadata COUNT — full-match files answered from footers,
+    # boundary files scanned (the selective-dashboard-count shape).
+    "count_where_skipping_check",
 ]
 
 
@@ -592,6 +595,7 @@ def main() -> None:
         # appended r10
         "sql_timetravel_skipping_check",
         "retrieval_eval_metrics",
+        "count_where_skipping_check",
     ]
     print(
         json.dumps(

@@ -803,6 +803,56 @@ class Engine:
             report=report,
         )
 
+    def count_where(
+        self, name: str, predicate: str, version: int | None = None
+    ) -> int:
+        """Selective COUNT answered mostly from zone-map METADATA: files
+        whose recorded ranges prove EVERY row matches contribute their
+        footer row counts without being read; only BOUNDARY files —
+        ranges straddling the predicate — scan with the residual filter.
+        On a clustered table at 100 TB, ``COUNT(*) WHERE key BETWEEN …``
+        reads a handful of edge files instead of the whole key slice.
+
+        Exactness guards (each falls back to a zone-map-PRUNED
+        scan-and-count, still exact, never wrong):
+
+        * the whole predicate must parse into conjuncts
+          (``parse_conjuncts_exact`` — a dropped conjunct could
+          over-count a "full" file);
+        * live deletion vectors disable the metadata path (footer counts
+          include DV-deleted rows; the scan path anti-joins them);
+        * unversioned / in-memory / zone-map-less tables just count.
+
+        ``last_scan_report`` additionally records
+        ``full_match_files``/``full_match_rows``."""
+        if name not in self.specs and name not in self._mem:
+            self.load_table(name)
+        spec = self.specs.get(name)
+        if name in self._mem or spec is None or not spec.versioned:
+            return self.table(name, version).filter(predicate).count()
+        from polars_lake_spark.zonemaps import parse_conjuncts_exact
+
+        conj = parse_conjuncts_exact(predicate)
+        store = self._snapstore(name)
+        snap = store.load(version)
+        if conj is None or (snap.meta or {}).get("dv"):
+            return self.scan_where(name, predicate, version).count()
+        report = {"files_total": 0, "files_kept": 0}
+        full = {"rows": 0, "files": 0}
+        df = store.read(
+            self.spark,
+            version,
+            prune=conj,
+            report=report,
+            count_full=full,
+        )
+        n = full["rows"] + df.filter(predicate).count()
+        report["conjuncts"] = len(conj)
+        report["full_match_files"] = full["files"]
+        report["full_match_rows"] = full["rows"]
+        self.last_scan_report = report
+        return n
+
     def zonemap_stats(self, name: str, version: int | None = None) -> dict:
         """Clustering-quality report from zone-map METADATA alone — the
         100 TB ops question "would a point/range predicate on column c
@@ -1240,6 +1290,20 @@ class Engine:
             rf"\b{re.escape(raw)}\s*\.", masked, re.I
         ):
             return None
+        # SELECT COUNT(*) ... WHERE: answer full-match files from footer
+        # metadata and scan only the boundary (count_where) — unless the
+        # predicate carries table qualifiers (count_where's residual
+        # filter has no alias in scope; the staging-view path below
+        # handles those, still pruned)
+        mc = re.fullmatch(
+            r"\s*COUNT\s*\(\s*(?:\*|1)\s*\)\s*(?:AS\s+(\w+))?\s*", sel, re.I
+        )
+        if mc and not re.search(rf"\b{re.escape(alias)}\s*\.", masked, re.I):
+            n = self.count_where(name, pred, version=version)
+            cname = mc.group(1) or "count(1)"
+            return self.spark.createDataFrame(
+                [(int(n),)], "cnt bigint"
+            ).select(F.col("cnt").alias(cname))
         from polars_lake_spark.zonemaps import parse_conjuncts
 
         if not parse_conjuncts(pred):

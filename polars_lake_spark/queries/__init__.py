@@ -40,10 +40,11 @@ REGISTRY: dict[str, Query] = {}
 CHECK_PRIORITY: list[str] = [
     # ================= r10 window (first 50) ==========================
     # -- NEW r10: BM25 index CDC maintenance; zone-map skipping under
-    # time-travel SQL; retrieval eval metrics ---------------------------
+    # time-travel SQL; retrieval eval metrics; metadata COUNT ------------
     "bm25_index_cdc_sync_check",
     "sql_timetravel_skipping_check",
     "retrieval_eval_metrics",
+    "count_where_skipping_check",
     # -- CHANGED r10: add_batch O(batch) rewrite + DV index tables; the
     # scan_where/fast-path refactor; the shared bm25_score helper -------
     "bm25_index_probe_check",
@@ -95,8 +96,8 @@ CHECK_PRIORITY: list[str] = [
     "upsert_merge",
     "insert_append",
     "delete_anti",
-    "dedup_keyed",
     # ------ 50-slot window boundary ------------------------------------
+    "dedup_keyed",
     # -- remaining stale-evidence rows (rows-only entries among them),
     # then everything re-verified by the r9 gate (freshest last) --------
     "similarity_ivf",

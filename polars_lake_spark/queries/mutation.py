@@ -1346,3 +1346,74 @@ def sql_timetravel_skipping_check(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "count_where_skipping_check",
+    oracle="""
+    WITH base AS (SELECT l_orderkey FROM lineitem),
+    t AS (
+        SELECT l_orderkey FROM base
+        UNION ALL
+        SELECT l_orderkey + 500000000 FROM base WHERE l_orderkey % 2 = 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS violations
+    FROM t
+    WHERE l_orderkey BETWEEN
+          (SELECT MAX(l_orderkey) // 20 FROM base) AND
+          (SELECT MAX(l_orderkey) // 2 FROM base)
+    """,
+    doc="Metadata COUNT gate (r10): SELECT COUNT(*) WHERE over a "
+    "clustered versioned table answers FULL-MATCH files from parquet "
+    "footer row counts (zonemaps.file_all_match — range fully inside "
+    "the predicate, zero nulls) and scans only the boundary files. "
+    "violations pins the count ≡ a plain filter count AND that "
+    "full-match files actually fired AND that the boundary scan kept "
+    "fewer files than survived pruning. DuckDB replays the count "
+    "relationally.",
+)
+def count_where_skipping_check(spark, sf_dir):
+    """The 100 TB dashboard shape: a selective range COUNT on a
+    clustered key reads a handful of edge files — interior files
+    contribute their footer row counts without a single task
+    (Engine.count_where; SQL fast path inside engine.sql)."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_cw_")
+    try:
+        eng = Engine(spark, root)
+        base = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey")
+            .localCheckpoint(eager=True)
+        )
+        eng.create_table(
+            "cwz", base.repartitionByRange(8, "l_orderkey"), versioned=True
+        )
+        eng.insert(
+            "cwz",
+            base.filter(F.col("l_orderkey") % 2 == 0)
+            .select((F.col("l_orderkey") + 500000000).alias("l_orderkey"))
+            .repartitionByRange(8, "l_orderkey"),
+        )
+        mx = base.agg(F.max("l_orderkey")).head()[0]
+        pred = f"l_orderkey BETWEEN {mx // 20} AND {mx // 2}"
+        eng.last_scan_report = {}
+        n = eng.sql(f"SELECT COUNT(*) FROM cwz WHERE {pred}").head()[0]
+        rep = dict(eng.last_scan_report)
+        viol = 0
+        if n != eng.table("cwz").filter(pred).count():
+            viol += 1  # the metadata count must be EXACT
+        if rep.get("full_match_files", 0) < 1:
+            viol += 1  # interior files must come from footers
+        scanned = rep.get("files_kept", 0) - rep.get("full_match_files", 0)
+        if not (0 <= scanned < rep.get("files_kept", 1)):
+            viol += 1  # the boundary scan is a strict subset
+        return spark.createDataFrame(
+            [(int(n), viol)], "n_rows bigint, violations bigint"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

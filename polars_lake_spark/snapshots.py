@@ -365,6 +365,7 @@ class SnapshotStore:
         with_row_refs: bool = False,
         prune: list | None = None,
         report: dict | None = None,
+        count_full: dict | None = None,
     ) -> DataFrame:
         """The table at a version, as one DataFrame.
 
@@ -394,6 +395,14 @@ class SnapshotStore:
         ``with_row_refs=True`` keeps each LIVE row's physical identity
         as two extra columns (DV_FILE_COL, DV_POS_COL) — the DELETE path
         uses this to record exactly the matched rows' refs.
+
+        ``count_full`` (mutated in place) switches the prune pass into
+        COUNT mode: files whose stats prove EVERY row matches the
+        conjuncts (zonemaps.file_all_match) are EXCLUDED from the scan
+        and their footer row counts accumulate into
+        ``count_full["rows"]``/``["files"]`` — the returned frame scans
+        only the BOUNDARY files.  Callers own the exactness argument
+        (whole predicate captured, no live DVs — Engine.count_where).
         """
         snap = self.load(version)
         dv_dirs = list((snap.meta or {}).get("dv", []))
@@ -439,6 +448,7 @@ class SnapshotStore:
             kept_files: list[str] | None = None
             if prune:
                 from polars_lake_spark.zonemaps import (
+                    file_all_match,
                     file_survives,
                     load_zonemap,
                 )
@@ -463,9 +473,25 @@ class SnapshotStore:
                         report["files_kept"] = (
                             report.get("files_kept", 0) + len(kept_files)
                         )
+                    if count_full is not None:
+                        # COUNT mode: full-match files never scan — their
+                        # footer row counts are the answer
+                        boundary = []
+                        for rel in kept_files:
+                            n = file_all_match(zm["files"][rel], prune)
+                            if n is None:
+                                boundary.append(rel)
+                            else:
+                                count_full["rows"] = (
+                                    count_full.get("rows", 0) + n
+                                )
+                                count_full["files"] = (
+                                    count_full.get("files", 0) + 1
+                                )
+                        kept_files = boundary
                     if not kept_files:
                         continue  # whole write dir skipped
-                    if len(kept_files) == len(cand):
+                    if count_full is None and len(kept_files) == len(cand):
                         kept_files = None  # nothing pruned: dir scan
             if kept_files is not None:
                 scan = spark.read.option("basePath", base).parquet(

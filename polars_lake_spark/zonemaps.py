@@ -469,3 +469,94 @@ def file_survives(fstats: dict, conjuncts: list[tuple]) -> bool:
         except TypeError:
             continue
     return True
+
+
+def parse_conjuncts_exact(pred: str) -> list[tuple] | None:
+    """``parse_conjuncts``, but only when EVERY top-level conjunct
+    parsed.  Pruning can afford to drop unsupported conjuncts (the
+    residual filter re-applies them); an ALL-MATCH certificate cannot —
+    counting a file's rows as matching requires the whole predicate
+    captured.  None = incomplete capture (caller must scan)."""
+    conj = parse_conjuncts(pred)
+    if not conj:
+        return None
+    parts = [p for p in _split_top_and(pred) if p.strip()]
+    return conj if len(conj) == len(parts) else None
+
+
+def file_all_match(fstats: dict, conjuncts: list[tuple]) -> int | None:
+    """The file's row count when its recorded stats PROVE every row
+    satisfies every conjunct — the dual of :func:`file_survives`
+    (range fully INSIDE the predicate instead of disjoint from it).
+    None = undecided; the caller scans the file.
+
+    Soundness notes mirrored from file_survives:
+
+    * Truncated string min/max are OUTER bounds (recorded lo ≤ actual
+      lo, recorded hi ≥ actual hi), so recorded-inside-predicate still
+      implies actual-inside-predicate.
+    * Value predicates are never satisfied by NULL rows, so any
+      recorded nulls (or an unknown null count) defeats all-match.
+    * Float stats certify only the NaN-proof shapes (=, IN, BETWEEN,
+      <, <=) — same rule as pruning, so a foreign sidecar whose writer
+      kept stats on a NaN-bearing file can never over-count.
+    """
+    cols = {k.lower(): v for k, v in (fstats.get("cols") or {}).items()}
+    rows = fstats.get("rows")
+    if rows is None:
+        return None
+    if rows == 0:
+        return 0
+    for c in conjuncts:
+        name, kind = c[0], c[1]
+        ent = cols.get(name)
+        if ent is None:
+            return None
+        nulls = ent[2]
+        if kind == "notnull":
+            if nulls == 0:
+                continue
+            return None
+        if kind == "isnull":
+            if nulls is not None and nulls == rows:
+                continue
+            return None
+        if nulls != 0:  # unknown (None) or any nulls: not all rows match
+            return None
+        (tlo, lo), (thi, hi) = _decode(ent[0]), _decode(ent[1])
+        if tlo != thi:
+            return None
+        if tlo == "f" and kind in (">", ">=", "!="):
+            return None
+        try:
+            if kind == "between":
+                a, b = _coerce(tlo, lo, c[2]), _coerce(tlo, lo, c[3])
+                if a is None or b is None:
+                    return None
+                if a <= lo and hi <= b:
+                    continue
+                return None
+            if kind == "in":
+                vals = [_coerce(tlo, lo, v) for v in c[2]]
+                if any(v is None for v in vals):
+                    return None
+                if lo == hi and any(v == lo for v in vals):
+                    continue
+                return None
+            lit = _coerce(tlo, lo, c[2])
+            if lit is None:
+                return None
+            ok = {
+                "=": lo == hi == lit,
+                "!=": hi < lit or lo > lit,
+                "<": hi < lit,
+                "<=": hi <= lit,
+                ">": lo > lit,
+                ">=": lo >= lit,
+            }[kind]
+            if ok:
+                continue
+            return None
+        except TypeError:
+            return None
+    return rows

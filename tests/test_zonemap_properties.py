@@ -84,3 +84,20 @@ def test_scan_where_equals_filter(zeng, pred):
         for r in zeng.table("pz").filter(pred).collect()
     )
     assert got == want, pred
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=pred_st)
+def test_count_where_equals_filter_count(zeng, pred):
+    """count_where must be EXACT for every generated predicate — full-
+    match certificates (file_all_match) can only ever move rows from
+    the boundary scan into the metadata tally, never change the
+    answer. NaN/NULL/duplicate-boundary rows included."""
+    assert (
+        zeng.count_where("pz", pred)
+        == zeng.table("pz").filter(pred).count()
+    )

@@ -592,3 +592,65 @@ def test_sql_fast_path_time_travel_prunes_pinned_version(spark, eng):
         "WHERE id < 100 GROUP BY id % 2"
     ).count()
     assert n == 2
+
+
+def test_count_where_metadata_full_match(spark, eng):
+    """Selective COUNT answers full-match files from footers and scans
+    only the boundary; the SQL fast path routes through it."""
+    _seed(spark, eng, "z")
+    pred = "id BETWEEN 100 AND 1900"
+    want = eng.table("z").filter(pred).count()
+    assert eng.count_where("z", pred) == want == 1801
+    rep = dict(eng.last_scan_report)
+    assert rep["full_match_files"] >= 4  # interior files never scanned
+    assert rep["full_match_rows"] > 0
+    assert rep["files_kept"] <= 8
+    # SQL fast path: same answer, Spark's column name, report updated
+    out = eng.sql(f"SELECT COUNT(*) FROM z WHERE {pred}")
+    assert out.columns == ["count(1)"] and out.head()[0] == want
+    assert eng.sql(
+        f"SELECT COUNT(1) AS n FROM z WHERE {pred}"
+    ).head().n == want
+    # point count: one full or boundary file, exact either way
+    assert eng.sql("SELECT COUNT(*) FROM z WHERE id = 1500").head()[0] == 1
+    # unparseable extra conjunct -> falls back to pruned scan, exact
+    assert (
+        eng.count_where("z", f"{pred} AND id % 2 = 0")
+        == eng.table("z").filter(f"{pred} AND id % 2 = 0").count()
+    )
+    # a predicate selecting NOTHING: zero, zero files scanned
+    assert eng.count_where("z", "id = 999999") == 0
+    # time travel counts the pinned version
+    assert eng.count_where("z", "id >= 0", version=1) == 1000
+    assert (
+        eng.sql("SELECT COUNT(*) FROM z VERSION AS OF 1 WHERE id >= 0")
+        .head()[0] == 1000
+    )
+
+
+def test_count_where_dv_and_nulls_exact(spark, eng):
+    """Exactness guards: live DVs force the scan path (footer counts
+    include deleted rows); NULL-bearing columns never full-match a
+    value predicate."""
+    df = spark.createDataFrame(
+        [(i, None if i % 10 == 0 else i * 2) for i in range(1000)],
+        "id bigint, v bigint",
+    )
+    eng.create_table(
+        "cw",
+        df.repartitionByRange(4, "id"),
+        keys=["id"],
+        versioned=True,
+        deletion_vectors=True,
+    )
+    # NULLs in v: a v-range can never fully match (nulls recorded)
+    pred = "v BETWEEN 0 AND 4000"
+    assert eng.count_where("cw", pred) == eng.table("cw").filter(pred).count()
+    assert eng.last_scan_report.get("full_match_files", 0) == 0
+    # id has no nulls: full match fires
+    assert eng.count_where("cw", "id >= 0") == 1000
+    assert eng.last_scan_report["full_match_files"] >= 1
+    # DV delete: metadata path disabled, count stays exact
+    eng.delete_where_dv("cw", "id < 100")
+    assert eng.count_where("cw", "id >= 0") == 900
+    assert eng.sql("SELECT COUNT(*) FROM cw WHERE id >= 0").head()[0] == 900
