@@ -133,7 +133,9 @@ _ANALYZE = re.compile(
     re.I,
 )
 _VACUUM = re.compile(
-    r"^\s*VACUUM\s+([A-Za-z_][\w.]*)(?:\s+RETAIN\s+(\d+))?\s*;?\s*$", re.I
+    r"^\s*VACUUM\s+([A-Za-z_][\w.]*)(?:\s+RETAIN\s+(\d+))?"
+    r"(?:\s+(DRY\s+RUN))?\s*;?\s*$",
+    re.I,
 )
 _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+([A-Za-z_][\w.]*)"
@@ -1011,8 +1013,14 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         if name is None:
             return None
         keep = int(m.group(2)) if m.group(2) else 1
-        res = engine.vacuum(name, keep_last=keep)
-        return _status(engine, "vacuum", name, len(res.get("removed_dirs", [])))
+        dry = m.group(3) is not None
+        res = engine.vacuum(name, keep_last=keep, dry_run=dry)
+        return _status(
+            engine,
+            "vacuum_dry_run" if dry else "vacuum",
+            name,
+            len(res.get("removed_dirs", [])),
+        )
 
     m = _OPTIMIZE.match(query)
     if m:

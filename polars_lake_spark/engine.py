@@ -853,6 +853,118 @@ class Engine:
         self.last_scan_report = report
         return n
 
+    def minmax_meta(
+        self, name: str, col: str, version: int | None = None
+    ) -> tuple | None:
+        """Exact global ``(min, max)`` of a column from zone-map
+        METADATA alone — None whenever metadata cannot PROVE the
+        extremes, in which case the caller scans:
+
+        * every live file must carry a stats entry for the column (a
+          statless file — no sidecar, NaN-poisoned float stats, an
+          all-NULL file — could hold the extreme);
+        * no live deletion vectors (a DV-deleted row could BE the
+          recorded extreme);
+        * never strings (parquet may truncate long string min/max into
+          OUTER bounds — sound for pruning, wrong as an exact extreme).
+
+        MIN/MAX ignore NULLs, so recorded endpoints are exactly the
+        non-null extremes.  At 100 TB this answers the second-most
+        common dashboard query as a driver-side sidecar walk."""
+        spec = self.specs.get(name)
+        if (
+            spec is None
+            or name in self._mem
+            or not (spec.versioned and spec.zone_maps)
+        ):
+            return None
+        from polars_lake_spark.zonemaps import _decode, load_zonemap
+
+        store = self._snapstore(name)
+        snap = store.load(version)
+        if (snap.meta or {}).get("dv"):
+            return None
+        cl = col.lower()
+        by_wdir: dict[str, set] = {}
+        for p, ws in snap.mapping.items():
+            for w in ws:
+                by_wdir.setdefault(w, set()).add(p)
+        lo = hi = None
+        seen = False
+        for w, pset in by_wdir.items():
+            zm = load_zonemap(os.path.join(store.data_path, w))
+            if zm is None:
+                return None
+            for rel, fs in zm["files"].items():
+                if os.path.dirname(rel) not in pset:
+                    continue
+                if fs.get("rows") == 0:
+                    continue
+                ent = {
+                    k.lower(): v for k, v in (fs.get("cols") or {}).items()
+                }.get(cl)
+                if ent is None:
+                    return None
+                (tlo, flo), (thi, fhi) = _decode(ent[0]), _decode(ent[1])
+                if tlo != thi or tlo == "s":
+                    return None
+                if not seen or flo < lo:
+                    lo = flo
+                if not seen or fhi > hi:
+                    hi = fhi
+                seen = True
+        return (lo, hi) if seen else None
+
+    _META_MINMAX = re.compile(
+        r"^\s*SELECT\s+(MIN|MAX)\s*\(\s*([A-Za-z_]\w*)\s*\)\s*"
+        r"(?:AS\s+(\w+)\s*)?"
+        r"(?:,\s*(MIN|MAX)\s*\(\s*([A-Za-z_]\w*)\s*\)\s*(?:AS\s+(\w+)\s*)?)?"
+        r"FROM\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+        re.I,
+    )
+
+    def _try_meta_minmax(self, query: str) -> DataFrame | None:
+        """``SELECT MIN(c)[, MAX(d)] FROM t`` from sidecar metadata
+        (see :meth:`minmax_meta`); falls through whenever exactness
+        isn't provable.  Output columns named like Spark's own plan
+        (``min(c)``/``max(c)``) or the AS aliases, cast to the table's
+        column types."""
+        m = self._META_MINMAX.match(query)
+        if m is None:
+            return None
+        from polars_lake_spark import dml
+
+        name = dml._resolve(self, m.group(7))
+        if name is None or name in self._mem:
+            return None
+        spec = self.specs.get(name)
+        if spec is None or not (spec.versioned and spec.zone_maps):
+            return None
+        aggs = [(m.group(1), m.group(2), m.group(3))]
+        if m.group(4):
+            aggs.append((m.group(4), m.group(5), m.group(6)))
+        dtypes = dict(self.table(name).dtypes)
+        cache: dict[str, tuple | None] = {}
+        cols = []
+        try:
+            for fn, col, alias in aggs:
+                key = next(
+                    (c for c in dtypes if c.lower() == col.lower()), None
+                )
+                if key is None:
+                    return None
+                if key not in cache:
+                    cache[key] = self.minmax_meta(name, key)
+                mm = cache[key]
+                if mm is None:
+                    return None
+                val = mm[0] if fn.upper() == "MIN" else mm[1]
+                cname = alias or f"{fn.lower()}({key})"
+                cols.append(F.lit(val).cast(dtypes[key]).alias(cname))
+            return self.spark.range(1).select(*cols)
+        except Exception:
+            return None  # conservative: the vanilla plan is always right
+
     def zonemap_stats(self, name: str, version: int | None = None) -> dict:
         """Clustering-quality report from zone-map METADATA alone — the
         100 TB ops question "would a point/range predicate on column c
@@ -1169,6 +1281,9 @@ class Engine:
         fast = self._try_meta_count(query)
         if fast is not None:
             return fast
+        fast = self._try_meta_minmax(query)
+        if fast is not None:
+            return fast
         fast = self._try_zonemap_select(query)
         if fast is not None:
             return fast
@@ -1206,9 +1321,15 @@ class Engine:
             F.col("cnt").alias(alias)
         )
 
+    # The FROM/WHERE keywords are captured as groups so clause slices
+    # can be cut BETWEEN the delimiters on the ORIGINAL text: the
+    # non-greedy clause groups match against the quote-MASKED copy,
+    # where a trailing string literal reads as blank space — slicing by
+    # their spans truncated "grp = 'g0'" to "grp =" (r10 count fast
+    # path surfaced it; the old path bailed on the unparseable rump).
     _ZM_SELECT = re.compile(
-        r"^\s*SELECT\s+(.+?)\s+FROM\s+([A-Za-z_][\w.]*)\s+WHERE\s+(.+?)"
-        r"\s*;?\s*$",
+        r"^\s*(SELECT)\s+(.+?)\s+(FROM)\s+([A-Za-z_][\w.]*)\s+(WHERE)\s+"
+        r"(.+?)\s*;?\s*$",
         re.I | re.S,
     )
     _ZM_BAIL = re.compile(
@@ -1263,9 +1384,11 @@ class Engine:
         m = self._ZM_SELECT.match(masked)
         if m is None or self._ZM_BAIL.search(masked):
             return None
-        sel = query[m.start(1) : m.end(1)]
-        raw = query[m.start(2) : m.end(2)]
-        pred = query[m.start(3) : m.end(3)]
+        sel = query[m.end(1) : m.start(3)].strip()
+        raw = query[m.start(4) : m.end(4)]
+        pred = query[m.end(5) :].strip()
+        if pred.endswith(";"):
+            pred = pred[:-1].rstrip()
         from polars_lake_spark import dml
 
         version: int | None = None
@@ -2915,13 +3038,16 @@ class Engine:
             self._snapstore(name).restore(version)
             self._register(name)
 
-    def vacuum(self, name: str, keep_last: int = 1) -> dict:
+    def vacuum(
+        self, name: str, keep_last: int = 1, dry_run: bool = False
+    ) -> dict:
         """Delete write dirs unreferenced by the newest ``keep_last``
-        snapshots (and the expired snapshot manifests)."""
+        snapshots (and the expired snapshot manifests); ``dry_run``
+        only reports them."""
         if not self.specs[name].versioned:
             raise ValueError(f"table {name} is not versioned")
         with self._lock(name):
-            return self._snapstore(name).vacuum(keep_last)
+            return self._snapstore(name).vacuum(keep_last, dry_run=dry_run)
 
     def changes(
         self,

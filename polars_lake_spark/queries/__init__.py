@@ -45,6 +45,7 @@ CHECK_PRIORITY: list[str] = [
     "sql_timetravel_skipping_check",
     "retrieval_eval_metrics",
     "count_where_skipping_check",
+    "minmax_meta_check",
     # -- CHANGED r10: add_batch O(batch) rewrite + DV index tables; the
     # scan_where/fast-path refactor; the shared bm25_score helper -------
     "bm25_index_probe_check",
@@ -95,8 +96,8 @@ CHECK_PRIORITY: list[str] = [
     "array_agg_sorted",
     "upsert_merge",
     "insert_append",
-    "delete_anti",
     # ------ 50-slot window boundary ------------------------------------
+    "delete_anti",
     "dedup_keyed",
     # -- remaining stale-evidence rows (rows-only entries among them),
     # then everything re-verified by the r9 gate (freshest last) --------

@@ -1417,3 +1417,91 @@ def count_where_skipping_check(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "minmax_meta_check",
+    oracle="""
+    WITH base AS (SELECT l_orderkey, l_extendedprice FROM lineitem),
+    t AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT l_orderkey + 500000000, l_extendedprice
+        FROM base WHERE l_orderkey % 2 = 0)
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           CAST(0 AS BIGINT) AS violations
+    FROM t
+    """,
+    doc="Metadata MIN/MAX gate (r10): SELECT MIN(c), MAX(c) FROM t "
+    "answers from the zone-map sidecars when every live file carries "
+    "stats (no DVs, never strings — truncated bounds are outer). "
+    "violations pins that the plan contains NO FileScan (pure "
+    "LocalTableScan) and that the values equal a real aggregate. "
+    "DuckDB replays the aggregate relationally.",
+)
+def minmax_meta_check(spark, sf_dir):
+    """The second-most common dashboard query as a driver-side sidecar
+    walk (Engine.minmax_meta; SQL fast path inside engine.sql)."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_mm_")
+    try:
+        eng = Engine(spark, root)
+        base = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .localCheckpoint(eager=True)
+        )
+        eng.create_table(
+            "mmz", base.repartitionByRange(8, "l_orderkey"), versioned=True
+        )
+        eng.insert(
+            "mmz",
+            base.filter(F.col("l_orderkey") % 2 == 0)
+            .select(
+                (F.col("l_orderkey") + 500000000).alias("l_orderkey"),
+                "l_extendedprice",
+            )
+            .repartitionByRange(8, "l_orderkey"),
+        )
+        out = eng.sql(
+            "SELECT MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key "
+            "FROM mmz"
+        )
+        out2 = eng.sql(
+            "SELECT MIN(l_extendedprice) AS min_price, "
+            "MAX(l_extendedprice) AS max_price FROM mmz"
+        )
+        viol = 0
+        for df in (out, out2):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if "FileScan" in plan:
+                viol += 1  # must be answered from metadata alone
+        r1, r2 = out.head(), out2.head()
+        real = eng.table("mmz").agg(
+            F.min("l_orderkey"), F.max("l_orderkey"),
+            F.min("l_extendedprice"), F.max("l_extendedprice"),
+        ).head()
+        if (r1.min_key, r1.max_key, r2.min_price, r2.max_price) != tuple(real):
+            viol += 1
+        return spark.createDataFrame(
+            [
+                (
+                    int(r1.min_key),
+                    int(r1.max_key),
+                    float(r2.min_price),
+                    float(r2.max_price),
+                    viol,
+                )
+            ],
+            "min_key bigint, max_key bigint, min_price double, "
+            "max_price double, violations bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

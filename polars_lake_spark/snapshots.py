@@ -563,10 +563,13 @@ class SnapshotStore:
             meta=past.meta,
         )
 
-    def vacuum(self, keep_last: int = 1) -> dict:
+    def vacuum(self, keep_last: int = 1, dry_run: bool = False) -> dict:
         """Drop snapshots older than the newest ``keep_last`` and delete
         write dirs no retained snapshot references.  Readers of retained
-        versions are unaffected (their dirs survive by definition)."""
+        versions are unaffected (their dirs survive by definition).
+        ``dry_run`` reports what WOULD be removed without touching disk
+        (Delta's VACUUM DRY RUN) — the safety check before destroying
+        time-travel history."""
         vs = self.versions()
         keep = set(vs[-keep_last:]) if keep_last > 0 else set(vs)
         referenced: set[str] = set()
@@ -581,11 +584,13 @@ class SnapshotStore:
         if os.path.isdir(self.data_path):
             for d in sorted(os.listdir(self.data_path)):
                 if d.startswith("w") and d not in referenced:
-                    shutil.rmtree(os.path.join(self.data_path, d))
+                    if not dry_run:
+                        shutil.rmtree(os.path.join(self.data_path, d))
                     removed_dirs.append(d)
         removed_versions = []
         for v in vs:
             if v not in keep:
-                os.remove(os.path.join(self.snap_path, f"v{v:06d}.json"))
+                if not dry_run:
+                    os.remove(os.path.join(self.snap_path, f"v{v:06d}.json"))
                 removed_versions.append(v)
         return {"removed_dirs": removed_dirs, "removed_versions": removed_versions}

@@ -423,3 +423,70 @@ def test_alter_table_cluster_by(spark, tmp_path):
             eng.sql("ALTER TABLE plain CLUSTER BY (v)")
     finally:
         spark.conf.set(coalesce_key, "true")
+
+
+def test_vacuum_dry_run(spark, tmp_path):
+    """VACUUM ... DRY RUN reports removable dirs/versions without
+    touching disk; the real vacuum then removes exactly those."""
+    import glob
+
+    from polars_lake_spark import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    df = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    eng.create_table("vd", df, keys=["id"], versioned=True)
+    eng.overwrite("vd", df.selectExpr("id", "v + 1 AS v"))
+    eng.overwrite("vd", df.selectExpr("id", "v + 2 AS v"))
+    dirs_before = sorted(glob.glob(eng._path("vd") + "/data/w*"))
+    st = eng.sql("VACUUM vd RETAIN 1 DRY RUN").head()
+    assert st.operation == "vacuum_dry_run" and st.n_affected == 2
+    # nothing was deleted; time travel still works
+    assert sorted(glob.glob(eng._path("vd") + "/data/w*")) == dirs_before
+    assert eng.table("vd", version=1).filter("id = 0").head().v == 0
+    # the real vacuum removes exactly what the dry run reported
+    st2 = eng.sql("VACUUM vd RETAIN 1").head()
+    assert st2.operation == "vacuum" and st2.n_affected == 2
+    assert len(glob.glob(eng._path("vd") + "/data/w*")) == 1
+
+
+def test_minmax_meta_fast_path(spark, tmp_path):
+    """SELECT MIN(c), MAX(c) FROM t answers from sidecar metadata when
+    exactness is provable — and falls back (correctly) on strings,
+    NaN-poisoned floats, and live deletion vectors."""
+    from polars_lake_spark import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    rows = [(i, float(i) * 1.5, f"s{i:04d}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, v double, s string")
+    eng.create_table(
+        "mm", df.repartitionByRange(4, "id"), keys=["id"], versioned=True,
+        deletion_vectors=True,
+    )
+    assert eng.minmax_meta("mm", "id") == (0, 999)
+    assert eng.minmax_meta("mm", "v") == (0.0, 1498.5)
+    assert eng.minmax_meta("mm", "s") is None  # strings never metadata
+    out = eng.sql("SELECT MIN(id), MAX(id) FROM mm")
+    assert out.columns == ["min(id)", "max(id)"]
+    assert tuple(out.head()) == (0, 999)
+    assert out.columns == spark.sql("SELECT MIN(id), MAX(id) FROM mm").columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan
+    assert eng.sql("SELECT MAX(v) AS hi FROM mm").head().hi == 1498.5
+    # mixed columns in one statement
+    r = eng.sql("SELECT MIN(v), MAX(id) FROM mm").head()
+    assert (r[0], r[1]) == (0.0, 999)
+    # strings fall back to the vanilla plan, still correct
+    assert eng.sql("SELECT MIN(s) FROM mm").head()[0] == "s0000"
+    # a NaN row poisons that file's float stats -> metadata refuses
+    eng.insert(
+        "mm",
+        spark.createDataFrame(
+            [(5000, float("nan"), "x")], "id bigint, v double, s string"
+        ),
+    )
+    assert eng.minmax_meta("mm", "v") is None
+    assert eng.minmax_meta("mm", "id") == (0, 5000)  # id stats intact
+    # live DVs disable the metadata path (the extreme may be deleted)
+    eng.delete_where_dv("mm", "id = 5000")
+    assert eng.minmax_meta("mm", "id") is None
+    assert eng.sql("SELECT MAX(id) FROM mm").head()[0] == 999  # vanilla

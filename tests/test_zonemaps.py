@@ -654,3 +654,31 @@ def test_count_where_dv_and_nulls_exact(spark, eng):
     eng.delete_where_dv("cw", "id < 100")
     assert eng.count_where("cw", "id >= 0") == 900
     assert eng.sql("SELECT COUNT(*) FROM cw WHERE id >= 0").head()[0] == 900
+
+
+def test_sql_fast_path_trailing_string_literal(spark, eng):
+    """Clause slices cut BETWEEN delimiter keywords on the original
+    text: a predicate ENDING in a string literal used to truncate
+    ("s = 's00042'" -> "s =") because the masked literal read as
+    trailing whitespace (r10 regression)."""
+    _seed(spark, eng, "z")
+    r = eng.sql("SELECT id FROM z WHERE s = 's00042'")
+    assert [x.id for x in r.collect()] == [42]
+    assert eng.last_scan_report["files_kept"] == 1
+    # multi-conjunct predicate ending in a literal
+    r = eng.sql("SELECT id FROM z WHERE id < 100 AND s = 's00042'").collect()
+    assert [x.id for x in r] == [42]
+    # metadata COUNT with a trailing literal and a trailing semicolon
+    assert (
+        eng.sql("SELECT COUNT(*) FROM z WHERE s <= 's00099';").head()[0]
+        == 100
+    )
+    # select list that is ONLY a literal still slices correctly
+    assert eng.sql("SELECT 'x' FROM z WHERE id = 3").head()[0] == "x"
+    # partition-column predicate on a partitioned table (the CTAS shape
+    # that surfaced the bug: no footer stats for partition columns)
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(30)], "id bigint, grp string"
+    )
+    eng.create_table("pq", df, partition_by=["grp"], versioned=True)
+    assert eng.sql("SELECT COUNT(*) FROM pq WHERE grp = 'g0'").head()[0] == 10
