@@ -229,6 +229,9 @@ _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.I)
 _DESCRIBE_HISTORY = re.compile(
     r"^\s*DESC(?:RIBE)?\s+HISTORY\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I
 )
+_DESCRIBE_DETAIL = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+DETAIL\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I
+)
 _DESCRIBE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*;?\s*$", re.I
 )
@@ -1492,6 +1495,40 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             stmt += f"\nTBLPROPERTIES ({pairs})"
         return engine.spark.createDataFrame(
             [(stmt,)], "createtab_stmt string"
+        )
+
+    m = _DESCRIBE_DETAIL.match(query)
+    if m:
+        # Delta's DESCRIBE DETAIL: one row of physical-layout facts, all
+        # from METADATA (fragmentation_report + the spec/snapshot) — no
+        # scan. The numbers an operator reads before deciding on
+        # OPTIMIZE / compact_dvs / CONVERT.
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        spec = engine.specs[name]
+        fr = engine.fragmentation_report(name)
+        return engine.spark.createDataFrame(
+            [
+                (
+                    name,
+                    spec.format,
+                    spec.versioned,
+                    fr["files"],
+                    fr["bytes_total"],
+                    fr["small_files"],
+                    fr["write_dirs"],
+                    fr["dv_sidecars"],
+                    fr["dv_rows"],
+                    ",".join(spec.partition_by) or None,
+                    ",".join(spec.cluster_by) or None,
+                    fr["recommend"],
+                )
+            ],
+            "name string, format string, versioned boolean, num_files "
+            "bigint, size_bytes bigint, small_files bigint, write_dirs "
+            "bigint, dv_sidecars bigint, dv_rows bigint, partition_by "
+            "string, cluster_by string, recommend string",
         )
 
     m = _DESCRIBE.match(query)

@@ -490,3 +490,27 @@ def test_minmax_meta_fast_path(spark, tmp_path):
     eng.delete_where_dv("mm", "id = 5000")
     assert eng.minmax_meta("mm", "id") is None
     assert eng.sql("SELECT MAX(id) FROM mm").head()[0] == 999  # vanilla
+
+
+def test_describe_detail(spark, tmp_path):
+    """DESCRIBE DETAIL: one metadata-only row of physical-layout facts
+    (Delta parity) wired to fragmentation_report."""
+    from polars_lake_spark import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    df = spark.range(0, 200).selectExpr("id", "id * 2 AS v")
+    eng.create_table(
+        "dd", df, keys=["id"], versioned=True, deletion_vectors=True,
+        cluster_by=["v"],
+    )
+    eng.delete_where_dv("dd", "id < 5")
+    r = eng.sql("DESCRIBE DETAIL dd").head()
+    assert r.name == "dd" and r.versioned and r.format == "parquet"
+    assert r.num_files > 0 and r.size_bytes > 0
+    assert r.dv_sidecars == 1 and r.dv_rows == 5
+    assert r.cluster_by == "v" and r.partition_by is None
+    assert r.recommend in ("ok", "compact", "compact_dvs")
+    # unknown tables fall through to spark.sql's error
+    import pytest as _pt
+    with _pt.raises(Exception):
+        eng.sql("DESCRIBE DETAIL nope").collect()
