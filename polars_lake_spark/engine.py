@@ -2708,19 +2708,29 @@ class Engine:
         with self._lock(name):
             schema_json = self.table(name).schema.json()
             tpath = self._path(name)
-            spec.versioned = True
             store = self._snapstore(name)
             wname, wpath = store.new_write_dir()
             os.makedirs(wpath, exist_ok=True)
-            for e in os.listdir(tpath):
-                # keep table metadata in place; move only data entries
-                # (hive dirs are col=..., part files are part-...; all
-                # _-/.- prefixed names are writer metadata)
-                if e in (DATA_DIR, SNAP_DIR, MANIFEST) or e.startswith(
-                    ("_", ".")
-                ):
-                    continue
-                os.rename(os.path.join(tpath, e), os.path.join(wpath, e))
+            moved: list[str] = []
+            try:
+                for e in os.listdir(tpath):
+                    # keep table metadata in place; move only data
+                    # entries (hive dirs are col=..., part files are
+                    # part-...; _-/.- prefixed names are writer metadata)
+                    if e in (DATA_DIR, SNAP_DIR, MANIFEST) or e.startswith(
+                        ("_", ".")
+                    ):
+                        continue
+                    os.rename(os.path.join(tpath, e), os.path.join(wpath, e))
+                    moved.append(e)
+            except BaseException:
+                # roll the completed renames back — the table must stay
+                # a readable PLAIN table if the adoption can't finish
+                for e in moved:
+                    os.rename(os.path.join(wpath, e), os.path.join(tpath, e))
+                shutil.rmtree(wpath, ignore_errors=True)
+                raise
+            spec.versioned = True
             if spec.zone_maps:
                 try:
                     from polars_lake_spark.zonemaps import (
