@@ -134,6 +134,9 @@ HEADLINE = [
     # r10: metadata COUNT — full-match files answered from footers,
     # boundary files scanned (the selective-dashboard-count shape).
     "count_where_skipping_check",
+    # r10: quality expectations (drop/track) applied across the write
+    # paths — the quarantine-on-ingest lifecycle.
+    "expectations_lifecycle_check",
 ]
 
 
@@ -596,6 +599,7 @@ def main() -> None:
         "sql_timetravel_skipping_check",
         "retrieval_eval_metrics",
         "count_where_skipping_check",
+        "expectations_lifecycle_check",
     ]
     print(
         json.dumps(

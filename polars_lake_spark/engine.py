@@ -37,6 +37,7 @@ import shutil
 import threading
 import warnings
 from dataclasses import asdict, dataclass, field
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,6 +55,23 @@ from polars_lake_spark.session import configure_session
 # Leading underscore: Spark's file index treats "_"-prefixed files as
 # metadata (like _SUCCESS) and skips them when scanning the table dir.
 MANIFEST = "_manifest.json"
+
+
+def _validate_expectations(expectations: dict | None) -> dict:
+    """Normalize/validate {name: {"expr": sql, "action": "drop"|"track"}}
+    (a plain {name: sql} shorthand means action="track")."""
+    out: dict[str, dict] = {}
+    for name, e in (expectations or {}).items():
+        if isinstance(e, str):
+            e = {"expr": e, "action": "track"}
+        action = e.get("action", "track")
+        if action not in ("drop", "track") or not e.get("expr"):
+            raise ValueError(
+                f"expectation {name!r}: need an 'expr' and action "
+                f"'drop'|'track', got {e!r}"
+            )
+        out[name] = {"expr": e["expr"], "action": action}
+    return out
 # Breadcrumb left in the engine root when a table is offloaded to another
 # storage root (S3 cold tier): {"root_override": "<root>"}.
 POINTER = "_pointer.json"
@@ -129,6 +147,14 @@ class TableSpec:
     # name -> SQL boolean expression, enforced on every write's touched
     # slice before it lands (engine._enforce).
     constraints: dict[str, str] = field(default_factory=dict)
+    # Quality EXPECTATIONS (Delta Live Tables expect_or_drop/expect
+    # analog): name -> {"expr": sql_bool, "action": "drop"|"track"}.
+    # Unlike constraints (all-or-nothing fail), 'drop' quietly filters
+    # violating rows out of every write and 'track' only counts them —
+    # the quarantine-on-ingest semantics a 100 TB crawl pipeline needs
+    # (one malformed document must not fail a 10⁹-row batch). Violation
+    # counts surface per write in engine.last_expectation_report.
+    expectations: dict[str, dict] = field(default_factory=dict)
     # Storage-root override (reference S3-offload TODO, main.rs:35 /
     # proto/db.proto:29): when set, this table's directory lives under
     # this root instead of the engine root — e.g. an s3a://bucket/prefix
@@ -259,6 +285,7 @@ class Engine:
         # per-table count of zone-map sidecar collection failures
         # (best-effort stats must degrade LOUDLY, VERDICT r9).
         self._scan_tls = threading.local()
+        self._exp_tls = threading.local()
         self.zonemap_errors: dict[str, int] = {}
 
     @property
@@ -299,6 +326,7 @@ class Engine:
         native_bucketing: bool = False,
         versioned: bool = False,
         constraints: dict[str, str] | None = None,
+        expectations: dict[str, dict] | None = None,
         bloom_filter_cols: list[str] | dict[str, int] | None = None,
         deletion_vectors: bool = False,
         zone_maps: bool = True,
@@ -346,6 +374,7 @@ class Engine:
             native_bucketing=native_bucketing,
             versioned=versioned,
             constraints=dict(constraints or {}),
+            expectations=_validate_expectations(expectations),
             bloom_filter_cols=self._resolve_bloom_cols(
                 df, bloom_filter_cols, format
             ),
@@ -391,8 +420,8 @@ class Engine:
                 "native_bucketing requires bucket_by, save=True, and no "
                 "partition_by (use the derived bucket_id layout instead)"
             )
-        if spec.constraints:
-            self._enforce(spec, df)
+        if spec.constraints or spec.expectations:
+            df = self._enforce(spec, df)
         if versioned:
             self.specs[name] = spec
             self._write_versioned(self._with_layout(df, spec), spec, op="create")
@@ -1483,6 +1512,31 @@ class Engine:
         if self.root is not None and name not in self._mem:
             self._write_manifest(spec)
 
+    def add_expectation(
+        self, name: str, ename: str, expr_sql: str, action: str = "track"
+    ) -> None:
+        """Delta Live Tables expect/expect_or_drop analog: a SQL boolean
+        quality rule applied to every subsequent write's touched slice.
+        ``action='track'`` only counts violations (surfaced per write in
+        ``last_expectation_report``); ``action='drop'`` also filters the
+        violating rows OUT of the write — quarantine-on-ingest, where a
+        malformed row must not fail (or land in) a 10⁹-row batch.
+        Unlike add_constraint, existing data is NOT validated — an
+        expectation governs what may LAND from now on."""
+        spec = self.specs[name]
+        spec.expectations = {
+            **spec.expectations,
+            **_validate_expectations({ename: {"expr": expr_sql, "action": action}}),
+        }
+        if self.root is not None and name not in self._mem:
+            self._write_manifest(spec)
+
+    def drop_expectation(self, name: str, ename: str) -> None:
+        spec = self.specs[name]
+        spec.expectations.pop(ename, None)
+        if self.root is not None and name not in self._mem:
+            self._write_manifest(spec)
+
     def drop_constraint(self, name: str, cname: str) -> None:
         spec = self.specs[name]
         spec.constraints.pop(cname, None)
@@ -1491,21 +1545,31 @@ class Engine:
 
     def _enforce(self, spec: TableSpec, df: DataFrame) -> DataFrame:
         """Validate a to-be-written frame against the table's CHECK
-        constraints. SQL CHECK semantics: a NULL-evaluating expression
-        PASSES (same rule add_constraint applies to existing data). All
-        constraints are counted in ONE aggregation job over the touched
-        slice — cost bounded by batch size on the pruned paths. Raises
-        before anything lands — writes stay all-or-nothing."""
-        if not spec.constraints:
+        constraints and apply its quality EXPECTATIONS. SQL CHECK
+        semantics throughout: a NULL-evaluating expression PASSES (same
+        rule add_constraint applies to existing data). Constraint AND
+        expectation violations are counted in ONE aggregation job over
+        the touched slice — cost bounded by batch size on the pruned
+        paths. Constraints raise before anything lands (all-or-nothing);
+        'drop' expectations filter their violating rows OUT of the
+        returned frame; 'track' expectations only count. Per-write
+        counts land in ``self.last_expectation_report``."""
+        if not spec.constraints and not spec.expectations:
             return df
         names = list(spec.constraints)
+        enames = list(spec.expectations)
+        viol = lambda expr: F.count_if(  # noqa: E731
+            ~F.coalesce(F.expr(expr), F.lit(True))
+        )
         counts = df.agg(
             *[
-                F.count_if(
-                    ~F.coalesce(F.expr(spec.constraints[c]), F.lit(True))
-                ).alias(f"c{i}")
+                viol(spec.constraints[c]).alias(f"c{i}")
                 for i, c in enumerate(names)
-            ]
+            ],
+            *[
+                viol(spec.expectations[e]["expr"]).alias(f"e{i}")
+                for i, e in enumerate(enames)
+            ],
         ).first()
         for i, cname in enumerate(names):
             if counts[f"c{i}"]:
@@ -1513,7 +1577,45 @@ class Engine:
                     f"write to {spec.name} violates constraint {cname} "
                     f"({spec.constraints[cname]}): {counts[f'c{i}']} row(s)"
                 )
+        if enames:
+            report = {
+                "table": spec.name,
+                "violations": {
+                    e: int(counts[f"e{i}"]) for i, e in enumerate(enames)
+                },
+                "dropped": 0,
+            }
+            drop_exprs = [
+                spec.expectations[e]["expr"]
+                for i, e in enumerate(enames)
+                if spec.expectations[e].get("action") == "drop"
+                and counts[f"e{i}"]
+            ]
+            if drop_exprs:
+                keep = reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.coalesce(F.expr(x), F.lit(True))
+                        for x in drop_exprs
+                    ],
+                )
+                df = df.filter(keep)
+                report["dropped"] = sum(
+                    int(counts[f"e{i}"])
+                    for i, e in enumerate(enames)
+                    if spec.expectations[e].get("action") == "drop"
+                )
+            self._exp_tls.report = report
         return df
+
+    @property
+    def last_expectation_report(self) -> dict:
+        """Per-write expectation violation counts of this THREAD's most
+        recent write to an expectations-bearing table: ``{"table", ...
+        "violations": {name: n}, "dropped": n}`` (observability only;
+        'dropped' sums DISTINCT drop-rule counts — a row violating two
+        drop rules is counted under each)."""
+        return getattr(self._exp_tls, "report", {})
 
     def txn_version(self, name: str, app: str) -> int | None:
         """Highest transaction version recorded for idempotent writer
@@ -1570,7 +1672,7 @@ class Engine:
             if self._txn_skip(name, spec, txn):
                 return
             df = self._with_layout(df.select(*[c for c in df.columns]), spec)
-            self._enforce(spec, df)
+            df = self._enforce(spec, df)
             if spec.versioned:
                 self._write_versioned(df, spec, op="append", txn=txn, meta=meta)
             elif save and name not in self._mem:
@@ -1608,7 +1710,7 @@ class Engine:
             if self._txn_skip(name, spec, txn):
                 return
             new = self._with_layout(df, spec)
-            self._enforce(spec, new)
+            new = self._enforce(spec, new)
             if spec.versioned:
                 self._write_versioned(new, spec, op="rewrite", txn=txn)
             elif name in self._mem or self.root is None:
@@ -1671,7 +1773,7 @@ class Engine:
         ]
         with self._lock(name):
             new = self._with_layout(df, spec)
-            self._enforce(spec, new)
+            new = self._enforce(spec, new)
             # One bounded job (partition fan-out, never rows): the write
             # is skipped when df carries no rows, and written partitions
             # must be disjoint from dropped ones.
@@ -1862,7 +1964,7 @@ class Engine:
                     op = "rewrite"
                 if audit:
                     merged = M.with_audit_columns(merged, created=False)
-                self._enforce(spec, merged)
+                merged = self._enforce(spec, merged)
                 # No localCheckpoint staging: the write lands in a FRESH
                 # immutable dir, so the plan's input scans are never
                 # overwritten mid-query (the snapshot-isolation win).
@@ -1874,7 +1976,7 @@ class Engine:
                     merged = M.upsert(old_slice, new, keys, evolve=evolve)
                     if audit:
                         merged = M.with_audit_columns(merged, created=False)
-                    self._enforce(spec, merged)
+                    merged = self._enforce(spec, merged)
                     # Cut the read→overwrite cycle on the same path. (On a
                     # real cluster this would be a staging-dir write + swap;
                     # localCheckpoint keeps the touched slice only.)
@@ -1885,14 +1987,14 @@ class Engine:
                     merged = M.upsert(old, new, keys, evolve=evolve)
                     if audit:
                         merged = M.with_audit_columns(merged, created=False)
-                    self._enforce(spec, merged)
+                    merged = self._enforce(spec, merged)
                     # Unpartitioned: stage then swap (can't overwrite input in place).
                     self._write(merged.localCheckpoint(eager=True), spec, "overwrite")
             else:
                 merged = M.upsert(old, new, keys, evolve=evolve)
                 if audit:
                     merged = M.with_audit_columns(merged, created=False)
-                self._enforce(spec, merged)
+                merged = self._enforce(spec, merged)
                 self._mem[name] = merged
                 self._bump_pending(name)
             self._register(name)
@@ -1967,7 +2069,7 @@ class Engine:
                 when_not_matched_insert=when_not_matched_insert,
                 null_clobbers=null_clobbers,
             )
-            self._enforce(spec, merged)
+            merged = self._enforce(spec, merged)
             if spec.versioned:
                 self._write_versioned(
                     merged, spec, op="replace" if prune else "rewrite"
@@ -2317,7 +2419,7 @@ class Engine:
 
                 appends = self._with_layout(appends.drop(BUCKET_COL), spec)
                 appends = appends.select(*old_cols)
-            self._enforce(spec, appends)
+            appends = self._enforce(spec, appends)
             dvname, nrefs = self._write_dv_sidecar(store, refs)
             appends = appends.localCheckpoint(eager=True)
             n_app = appends.count()
@@ -2553,7 +2655,7 @@ class Engine:
             new_rows = matched.select(
                 *[assigns.get(c, F.col(c)).alias(c) for c in cols]
             )
-            self._enforce(spec, new_rows)
+            new_rows = self._enforce(spec, new_rows)
             self._write_versioned(
                 new_rows,
                 spec,

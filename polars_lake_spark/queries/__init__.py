@@ -46,6 +46,7 @@ CHECK_PRIORITY: list[str] = [
     "retrieval_eval_metrics",
     "count_where_skipping_check",
     "minmax_meta_check",
+    "expectations_lifecycle_check",
     # -- CHANGED r10: add_batch O(batch) rewrite + DV index tables; the
     # scan_where/fast-path refactor; the shared bm25_score helper -------
     "bm25_index_probe_check",
@@ -95,8 +96,8 @@ CHECK_PRIORITY: list[str] = [
     "select_exclude",
     "array_agg_sorted",
     "upsert_merge",
-    "insert_append",
     # ------ 50-slot window boundary ------------------------------------
+    "insert_append",
     "delete_anti",
     "dedup_keyed",
     # -- remaining stale-evidence rows (rows-only entries among them),

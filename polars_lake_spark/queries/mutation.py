@@ -1505,3 +1505,101 @@ def minmax_meta_check(spark, sf_dir):
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "expectations_lifecycle_check",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_returnflag, l_quantity, l_discount
+        FROM lineitem),
+    batch AS (
+        SELECT l_orderkey + 500000000 AS l_orderkey, l_returnflag,
+               l_quantity, l_discount
+        FROM base WHERE l_orderkey % 3 = 0),
+    landed AS (
+        SELECT * FROM base WHERE l_quantity <= 45
+        UNION ALL
+        SELECT * FROM batch WHERE l_quantity <= 45)
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+           CAST(0 AS BIGINT) AS violations
+    FROM landed GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Quality-expectations gate (r10, DLT expect_or_drop analog): a "
+    "versioned table created with a 'drop' rule (l_quantity <= 45) and "
+    "a 'track' rule (l_discount <= 0.05) quarantines violating rows on "
+    "CREATE and on INSERT — DuckDB replays the landed state (wrong if "
+    "a dirty row slipped in OR a clean row was over-dropped); "
+    "violations pins the per-write counts against independently "
+    "recomputed filter counts.",
+)
+def expectations_lifecycle_check(spark, sf_dir):
+    """Quarantine-on-ingest (engine._enforce expectations tier): drop
+    rules filter violating rows out of every write path, track rules
+    count them — one aggregation job per write, no extra passes."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_exp_")
+    try:
+        eng = Engine(spark, root)
+        base = (
+            load_table(spark, sf_dir, "lineitem")
+            .select(
+                "l_orderkey", "l_returnflag", "l_quantity", "l_discount"
+            )
+            .localCheckpoint(eager=True)
+        )
+        rules = {
+            "qty_cap": {"expr": "l_quantity <= 45", "action": "drop"},
+            "disc_low": {"expr": "l_discount <= 0.05", "action": "track"},
+        }
+        eng.create_table(
+            "exz", base, keys=["l_orderkey"], versioned=True,
+            expectations=rules,
+        )
+        rep0 = dict(eng.last_expectation_report)
+        batch = base.filter(F.col("l_orderkey") % 3 == 0).select(
+            (F.col("l_orderkey") + 500000000).alias("l_orderkey"),
+            "l_returnflag",
+            "l_quantity",
+            "l_discount",
+        ).localCheckpoint(eager=True)
+        eng.insert("exz", batch)
+        rep1 = dict(eng.last_expectation_report)
+        viol = 0
+        if rep0.get("violations", {}).get("qty_cap") != base.filter(
+            "l_quantity > 45"
+        ).count():
+            viol += 1
+        if rep1.get("violations", {}).get("qty_cap") != batch.filter(
+            "l_quantity > 45"
+        ).count():
+            viol += 1
+        if rep1.get("violations", {}).get("disc_low") != batch.filter(
+            "l_discount > 0.05"
+        ).count():
+            viol += 1
+        if rep1.get("dropped") != rep1.get("violations", {}).get("qty_cap"):
+            viol += 1
+        out = (
+            eng.table("exz")
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .withColumn("violations", F.lit(viol).cast("bigint"))
+            .orderBy("l_returnflag")
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

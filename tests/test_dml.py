@@ -1198,3 +1198,72 @@ def test_show_create_table_roundtrip(spark, tmp_path):
     # unknown property in a literal CREATE is rejected loudly
     with pytest.raises(ValueError, match="unsupported table property"):
         eng2.sql("CREATE TABLE t3 (a INT) TBLPROPERTIES ('nope'='1')")
+
+
+def test_expectations_drop_and_track(spark, tmp_path):
+    """DLT-style expectations: 'drop' filters violating rows out of
+    every write (quarantine-on-ingest), 'track' only counts; both
+    surface per-write counts; constraints still fail atomically; the
+    rules persist through the manifest."""
+    from polars_lake_spark import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, 10.0, "en"), (2, -5.0, "en"), (3, 7.0, None)],
+        "id bigint, score double, lang string",
+    )
+    eng.create_table(
+        "ex",
+        df,
+        keys=["id"],
+        versioned=True,
+        expectations={
+            "score_pos": {"expr": "score >= 0", "action": "drop"},
+            "lang_known": {"expr": "lang IS NOT NULL", "action": "track"},
+        },
+    )
+    # the dirty row (score -5) never landed; the NULL-lang row did
+    # (track) — and NULL-evaluating exprs PASS (CHECK semantics): the
+    # NULL lang row violates lang_known (IS NOT NULL is FALSE, not NULL)
+    got = {r.id for r in eng.table("ex").collect()}
+    assert got == {1, 3}
+    rep = eng.last_expectation_report
+    assert rep["violations"] == {"score_pos": 1, "lang_known": 1}
+    assert rep["dropped"] == 1
+    # every write path applies them: insert + upsert
+    eng.insert(
+        "ex",
+        spark.createDataFrame(
+            [(4, -1.0, "de"), (5, 2.0, "fr")],
+            "id bigint, score double, lang string",
+        ),
+    )
+    assert {r.id for r in eng.table("ex").collect()} == {1, 3, 5}
+    assert eng.last_expectation_report["violations"]["score_pos"] == 1
+    eng.upsert(
+        "ex",
+        spark.createDataFrame(
+            [(5, -9.0, "fr"), (6, 1.0, "it")],
+            "id bigint, score double, lang string",
+        ),
+    )
+    t = {r.id: r.score for r in eng.table("ex").collect()}
+    assert 6 in t and t.get(5) != -9.0  # merged row with bad score dropped
+    # rules persist: a fresh engine enforces them
+    eng2 = Engine(spark, str(tmp_path))
+    eng2.load_all()
+    assert eng2.specs["ex"].expectations["score_pos"]["action"] == "drop"
+    eng2.insert(
+        "ex",
+        spark.createDataFrame(
+            [(7, -3.0, "en")], "id bigint, score double, lang string"
+        ),
+    )
+    assert eng2.table("ex").filter("id = 7").count() == 0
+    # add_expectation after the fact + invalid action refused
+    eng.add_expectation("ex", "id_small", "id < 1000", action="drop")
+    assert eng.specs["ex"].expectations["id_small"]["action"] == "drop"
+    with pytest.raises(ValueError, match="drop"):
+        eng.add_expectation("ex", "bad", "id > 0", action="quarantine")
+    eng.drop_expectation("ex", "id_small")
+    assert "id_small" not in eng.specs["ex"].expectations
