@@ -826,7 +826,21 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             for k, v in _TBLPROP_PAIR.findall(m.group(6)):
                 k, v = k.replace("''", "'"), v.replace("''", "'")
                 lk = k.lower()
-                if lk.startswith("constraint."):
+                if lk.startswith("expectation."):
+                    # 'expectation.<name>.<drop|track>' = '<expr>'
+                    body = k[len("expectation."):]
+                    ename, _, action = body.rpartition(".")
+                    if not ename or action.lower() not in ("drop", "track"):
+                        raise ValueError(
+                            f"CREATE TABLE {raw}: expectation property "
+                            f"{k!r} must be "
+                            "'expectation.<name>.<drop|track>'"
+                        )
+                    kwargs.setdefault("expectations", {})[ename] = {
+                        "expr": v,
+                        "action": action.lower(),
+                    }
+                elif lk.startswith("constraint."):
                     constraints[k[len("constraint."):]] = v
                 elif lk in ("keys", "bucket_by"):
                     kwargs[lk] = [c.strip() for c in v.split(",")]
@@ -1487,6 +1501,8 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             props["format"] = spec.format
         for cname, expr in (spec.constraints or {}).items():
             props[f"constraint.{cname}"] = expr
+        for ename, e in (spec.expectations or {}).items():
+            props[f"expectation.{ename}.{e['action']}"] = e["expr"]
         if props:
             pairs = ", ".join(
                 f"'{k}'='{v.replace(chr(39), chr(39) * 2)}'"

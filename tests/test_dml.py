@@ -1159,6 +1159,7 @@ def test_show_create_table_roundtrip(spark, tmp_path):
         deletion_vectors=True,
         cluster_by=["price"],
         constraints={"price_pos": "price >= 0"},
+        expectations={"s_known": {"expr": "s IS NOT NULL", "action": "drop"}},
     )
     stmt = eng.sql("SHOW CREATE TABLE t1").head().createtab_stmt
     assert stmt.startswith("CREATE VERSIONED TABLE t1")
@@ -1175,6 +1176,7 @@ def test_show_create_table_roundtrip(spark, tmp_path):
     for attr in (
         "partition_by", "cluster_by", "keys", "versioned",
         "deletion_vectors", "constraints", "declared_columns",
+        "expectations",
     ):
         assert getattr(s1, attr) == getattr(s2, attr), attr
     # the reconstructed table accepts data and enforces the constraint
