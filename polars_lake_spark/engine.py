@@ -895,7 +895,13 @@ class Engine:
         * no live deletion vectors (a DV-deleted row could BE the
           recorded extreme);
         * never strings (parquet may truncate long string min/max into
-          OUTER bounds — sound for pruning, wrong as an exact extreme).
+          OUTER bounds — sound for pruning, wrong as an exact extreme);
+        * floats only from sidecars stamped ``fnanproof`` (collected
+          r11+): a spec-compliant foreign writer records ignore-NaN
+          stats, so MAX(fcol) over a [3.0, NaN] file would answer 3.0
+          where Spark's MAX — NaN orders largest — returns NaN.  The
+          stamp certifies every float entry came from a provably
+          NaN-free file (zonemaps._file_stats).
 
         MIN/MAX ignore NULLs, so recorded endpoints are exactly the
         non-null extremes.  At 100 TB this answers the second-most
@@ -924,6 +930,7 @@ class Engine:
             zm = load_zonemap(os.path.join(store.data_path, w))
             if zm is None:
                 return None
+            nanproof = bool(zm.get("fnanproof"))
             for rel, fs in zm["files"].items():
                 if os.path.dirname(rel) not in pset:
                     continue
@@ -936,6 +943,8 @@ class Engine:
                     return None
                 (tlo, flo), (thi, fhi) = _decode(ent[0]), _decode(ent[1])
                 if tlo != thi or tlo == "s":
+                    return None
+                if tlo == "f" and not nanproof:
                     return None
                 if not seen or flo < lo:
                     lo = flo

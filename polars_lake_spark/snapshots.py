@@ -477,8 +477,11 @@ class SnapshotStore:
                         # COUNT mode: full-match files never scan — their
                         # footer row counts are the answer
                         boundary = []
+                        nanproof = bool(zm.get("fnanproof"))
                         for rel in kept_files:
-                            n = file_all_match(zm["files"][rel], prune)
+                            n = file_all_match(
+                                zm["files"][rel], prune, fnanproof=nanproof
+                            )
                             if n is None:
                                 boundary.append(rel)
                             else:

@@ -130,10 +130,22 @@ def _file_stats(path: str, max_cols: int = MAX_ZONE_COLS) -> dict:
     """One parquet file's zone-map entry from its FOOTER: row count plus,
     per top-level primitive column, [min, max, null_count] folded over
     row groups.  A column any row group lacks trustworthy min/max for is
-    dropped for the whole file (absent stats never prune)."""
+    dropped for the whole file (absent stats never prune).
+
+    Float/double stats are kept ONLY for parquet-mr-written files
+    (``created_by``): parquet-mr propagates NaN into the recorded max
+    (NaN orders largest), so a float entry that SURVIVES the
+    NaN-endpoint drop below is provably from a NaN-free file.  A
+    spec-compliant foreign writer instead IGNORES NaN when computing
+    stats — a file [3.0, NaN] records min=max=3 — which is still sound
+    for disjointness pruning (a NaN row can never satisfy the float
+    shapes we prune on) but silently wrong for all-match certification
+    and exact MIN/MAX, so foreign float stats are dropped outright
+    (reachable via convert_to_versioned-adopted parquet; ADVICE r10)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
+    float_trust = (md.created_by or "").startswith("parquet-mr")
     cols: dict[str, list] = {}
     bad: set[str] = set()
     for rg in range(md.num_row_groups):
@@ -150,6 +162,10 @@ def _file_stats(path: str, max_cols: int = MAX_ZONE_COLS) -> dict:
                 continue
             lo, hi = _encode(st.min), _encode(st.max)
             if lo is None or hi is None:
+                bad.add(name)
+                cols.pop(name, None)
+                continue
+            if (lo[0] == "f" or hi[0] == "f") and not float_trust:
                 bad.add(name)
                 cols.pop(name, None)
                 continue
@@ -206,7 +222,12 @@ def collect_zonemap(write_dir: str, spark=None) -> dict:
         files = dict(pairs)
     else:
         files = {rel: _file_stats(os.path.join(write_dir, rel)) for rel in rels}
-    return {"files": files}
+    # Every 'f' entry in this sidecar is from a provably NaN-free file
+    # (_file_stats drops foreign-writer float stats and NaN endpoints),
+    # so exact-answer consumers (file_all_match's =/IN/BETWEEN/</<= and
+    # minmax_meta's float extremes) may trust it.  Sidecars WITHOUT this
+    # marker (pre-r11, hand-written) get the conservative float rules.
+    return {"files": files, "fnanproof": True}
 
 
 def write_zonemap(write_dir: str, zm: dict) -> None:
@@ -484,22 +505,29 @@ def parse_conjuncts_exact(pred: str) -> list[tuple] | None:
     return conj if len(conj) == len(parts) else None
 
 
-def file_all_match(fstats: dict, conjuncts: list[tuple]) -> int | None:
+def file_all_match(
+    fstats: dict, conjuncts: list[tuple], *, fnanproof: bool = False
+) -> int | None:
     """The file's row count when its recorded stats PROVE every row
     satisfies every conjunct — the dual of :func:`file_survives`
     (range fully INSIDE the predicate instead of disjoint from it).
     None = undecided; the caller scans the file.
 
-    Soundness notes mirrored from file_survives:
+    Soundness notes, MIRROR-imaged from file_survives:
 
     * Truncated string min/max are OUTER bounds (recorded lo ≤ actual
       lo, recorded hi ≥ actual hi), so recorded-inside-predicate still
       implies actual-inside-predicate.
     * Value predicates are never satisfied by NULL rows, so any
       recorded nulls (or an unknown null count) defeats all-match.
-    * Float stats certify only the NaN-proof shapes (=, IN, BETWEEN,
-      <, <=) — same rule as pruning, so a foreign sidecar whose writer
-      kept stats on a NaN-bearing file can never over-count.
+    * Float stats: a spec-compliant writer IGNORES NaN when recording
+      min/max, so a hidden NaN row may lurk above the recorded max.
+      Spark orders NaN largest, so such a row ALWAYS satisfies >, >=,
+      != and ALWAYS fails =, IN, BETWEEN, <, <= — the certifiable set
+      is exactly the INVERSE of file_survives' prunable set.  Only a
+      sidecar that PROVES its float stats NaN-free (``fnanproof=True``,
+      stamped by collect_zonemap since r11) may certify the failing
+      shapes too.
     """
     cols = {k.lower(): v for k, v in (fstats.get("cols") or {}).items()}
     rows = fstats.get("rows")
@@ -526,7 +554,11 @@ def file_all_match(fstats: dict, conjuncts: list[tuple]) -> int | None:
         (tlo, lo), (thi, hi) = _decode(ent[0]), _decode(ent[1])
         if tlo != thi:
             return None
-        if tlo == "f" and kind in (">", ">=", "!="):
+        if (
+            tlo == "f"
+            and not fnanproof
+            and kind not in (">", ">=", "!=")
+        ):
             return None
         try:
             if kind == "between":

@@ -682,3 +682,138 @@ def test_sql_fast_path_trailing_string_literal(spark, eng):
     )
     eng.create_table("pq", df, partition_by=["grp"], versioned=True)
     assert eng.sql("SELECT COUNT(*) FROM pq WHERE grp = 'g0'").head()[0] == 10
+
+
+# ----------------------------------------------- float NaN (ADVICE r10)
+def test_file_all_match_float_nan_mirror_rule():
+    """A spec-compliant foreign writer records ignore-NaN float stats
+    (pyarrow: [3.0, NaN] -> min=max=3), so a hidden NaN row may lurk
+    above the recorded max. Spark orders NaN largest: such a row ALWAYS
+    satisfies >, >=, != and ALWAYS fails =, IN, BETWEEN, <, <= — so
+    without NaN-proof evidence all-match may certify only the former
+    (the exact INVERSE of file_survives' float pruning rule; the r10
+    code had it backwards)."""
+    fs = {"rows": 5, "cols": {"v": [["f", 3.0], ["f", 3.0], 0]}}
+    nan_fails = [
+        [("v", "=", 3.0)],
+        [("v", "in", [3.0, 4.0])],
+        [("v", "between", 1.0, 10.0)],
+        [("v", "<", 10.0)],
+        [("v", "<=", 10.0)],
+    ]
+    nan_satisfies = [
+        [("v", ">", 1.0)],
+        [("v", ">=", 3.0)],
+        [("v", "!=", 7.0)],
+    ]
+    for conj in nan_fails:
+        assert Z.file_all_match(fs, conj) is None, conj
+        assert Z.file_all_match(fs, conj, fnanproof=True) == 5, conj
+    for conj in nan_satisfies:
+        assert Z.file_all_match(fs, conj) == 5, conj
+        assert Z.file_all_match(fs, conj, fnanproof=True) == 5, conj
+    # integers are unaffected by the float rule
+    fi = {"rows": 4, "cols": {"k": [["i", 2], ["i", 2], 0]}}
+    assert Z.file_all_match(fi, [("k", "=", 2)]) == 4
+
+
+def test_foreign_float_stats_dropped_at_collection(tmp_path):
+    """_file_stats keeps float stats only for parquet-mr files (whose
+    NaN-poisoned endpoints the collector already drops, so survivors
+    are provably NaN-free); a pyarrow file's ignore-NaN float stats
+    are dropped outright."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fp = str(tmp_path / "foreign.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "v": pa.array([3.0, float("nan")], pa.float64()),
+            }
+        ),
+        fp,
+    )
+    st = pq.ParquetFile(fp).metadata.row_group(0).column(1).statistics
+    assert st.has_min_max and st.min == 3.0 == st.max  # the threat is real
+    fs = Z._file_stats(fp)
+    assert "k" in fs["cols"] and "v" not in fs["cols"]
+
+
+def test_convert_adopted_foreign_nan_file_stays_exact(spark, eng):
+    """The end-to-end ADVICE scenario: a convert_to_versioned-adopted
+    dir containing a foreign parquet file whose ignore-NaN stats hide a
+    NaN. MAX(v) must come back NaN (Spark orders NaN largest) and a
+    selective COUNT must never count the NaN row as matching."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k bigint, v double"
+    )
+    eng.create_table("adopt", df.repartition(2), versioned=False)
+    part = sorted(glob.glob(eng._path("adopt") + "/part-*.parquet"))[0]
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1000, 1001], pa.int64()),
+                "v": pa.array([3.0, float("nan")], pa.float64()),
+            }
+        ),
+        part,
+    )
+    crc = os.path.join(os.path.dirname(part), "." + os.path.basename(part) + ".crc")
+    if os.path.isfile(crc):
+        os.remove(crc)
+    eng.convert_to_versioned("adopt")
+    mx = eng.sql("SELECT MAX(v) AS mx FROM adopt").head().mx
+    assert math.isnan(mx)
+    pred = "v <= 1000000.0"
+    assert eng.count_where("adopt", pred) == eng.table("adopt").filter(pred).count()
+
+
+def test_doctored_sidecar_without_nanproof_not_trusted(spark, eng):
+    """Defense in depth for pre-r11 / hand-written sidecars: float
+    stats in a sidecar WITHOUT the fnanproof stamp must neither certify
+    all-match on NaN-failing shapes (count_where would over-count) nor
+    answer exact MIN/MAX (MAX would hide the NaN)."""
+    import json as J
+    import math
+
+    rows = [(i, float(i)) for i in range(100)] + [(100, float("nan"))]
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    eng.create_table("doc", df.coalesce(1), versioned=True)
+    [zpath] = glob.glob(eng._path("doc") + "/data/*/_zonemap.json")
+    with open(zpath) as f:
+        zm = J.load(f)
+    # claim clean ignore-NaN float stats over the NaN-bearing file and
+    # strip the NaN-proof stamp (what a foreign/legacy sidecar looks like)
+    for fs in zm["files"].values():
+        fs["cols"]["v"] = [["f", 0.0], ["f", 99.0], 0]
+    zm.pop("fnanproof", None)
+    with open(zpath, "w") as f:
+        J.dump(zm, f)
+    pred = "v <= 99.0"
+    want = eng.table("doc").filter(pred).count()
+    assert want == 100  # the NaN row fails the predicate
+    assert eng.count_where("doc", pred) == want
+    assert eng.last_scan_report.get("full_match_files", 0) == 0
+    assert eng.minmax_meta("doc", "v") is None
+    assert math.isnan(eng.sql("SELECT MAX(v) AS mx FROM doc").head().mx)
+
+
+def test_engine_float_minmax_still_metadata_only(spark, eng):
+    """The fnanproof stamp keeps NaN-free float extremes answerable
+    from sidecars alone (the minmax_meta_check gate shape)."""
+    df = spark.createDataFrame(
+        [(i, float(i) * 1.5) for i in range(200)], "k bigint, v double"
+    )
+    eng.create_table("fm", df.repartitionByRange(3, "k"), versioned=True)
+    out = eng.sql("SELECT MIN(v) AS lo, MAX(v) AS hi FROM fm")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan
+    r = out.head()
+    assert (r.lo, r.hi) == (0.0, 199 * 1.5)
