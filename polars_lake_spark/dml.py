@@ -589,7 +589,7 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     if n is None:
                         n = t.count()
                     if n:
-                        engine.overwrite(name, t.limit(0))
+                        engine.overwrite(name, t.limit(0), allow_drop=False)
                 return _status(engine, "delete", name, n)
             if not _partition_only_predicate(
                 m.group(2), engine.specs[name].physical_partitioning
@@ -637,7 +637,7 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             else:
                 n = doomed.count()
                 if n:
-                    engine.overwrite(name, kept)
+                    engine.overwrite(name, kept, allow_drop=False)
         return _status(engine, "delete", name, n)
 
     m = _UPDATE.match(query)
@@ -726,7 +726,7 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             else:
                 n = base.filter(pred_col).count()
                 if n:
-                    engine.overwrite(name, updated)
+                    engine.overwrite(name, updated, allow_drop=False)
         return _status(engine, "update", name, n)
 
     m = _INSERT.match(query)
@@ -1070,7 +1070,7 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                 n = t.count()
             # schema-preserving empty rewrite; versioned tables commit
             # one snapshot, so the pre-truncate state time-travels
-            engine.overwrite(name, t.limit(0))
+            engine.overwrite(name, t.limit(0), allow_drop=False)
         return _status(engine, "truncate", name, n)
 
     m = _COPY_INTO.match(query)
@@ -1307,7 +1307,9 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             # snapshot, so the add time-travels like any other write.
             n = t.count()
             engine.overwrite(
-                name, t.withColumn(col, F.lit(None).cast(coltype))
+                name,
+                t.withColumn(col, F.lit(None).cast(coltype)),
+                allow_drop=False,
             )
         return _status(engine, "alter_add_column", name, n)
 
@@ -1354,7 +1356,7 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     },
                 }
             try:
-                engine.overwrite(name, t.drop(*doomed))
+                engine.overwrite(name, t.drop(*doomed), allow_drop=False)
             except Exception:
                 spec.bloom_filter_cols = old_blooms
                 spec.stats = old_stats
@@ -1403,7 +1405,11 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                 cols_stats[new_c] = cols_stats.pop(old_c)
                 spec.stats = {**spec.stats, "columns": cols_stats}
             try:
-                engine.overwrite(name, t.withColumnRenamed(old_c, new_c))
+                engine.overwrite(
+                    name,
+                    t.withColumnRenamed(old_c, new_c),
+                    allow_drop=False,
+                )
             except Exception:
                 spec.keys, spec.bloom_filter_cols = old_keys, old_blooms
                 spec.stats = old_stats

@@ -1552,19 +1552,145 @@ class Engine:
         if self.root is not None and name not in self._mem:
             self._write_manifest(spec)
 
-    def _enforce(self, spec: TableSpec, df: DataFrame) -> DataFrame:
+    @staticmethod
+    def _pin_if_nondeterministic(df: DataFrame) -> DataFrame:
+        """localCheckpoint a frame whose analyzed plan is
+        NON-deterministic (rand() filters, uuid(), nondeterministic
+        UDFs) so that every later consumer — a violation-count
+        aggregation, a drop filter, the write itself — sees the SAME
+        rows.  Without the pin a CHECK constraint can pass while
+        violating rows land, and 'drop' expectations can drop different
+        rows than were counted (the two jobs re-evaluate the plan).
+        Same probe the DV merge path uses; deterministic frames pay
+        nothing."""
+        try:
+            det = bool(df._jdf.queryExecution().analyzed().deterministic())
+        except Exception:
+            det = False
+        return df if det else df.localCheckpoint(eager=True)
+
+    def _check_constraints(self, spec: TableSpec, df: DataFrame) -> DataFrame:
+        """CHECK constraints only, over the slice that will LAND (for
+        merge-style writes that's the merged slice — a coalesce merge
+        can produce a violating row from two individually-passing
+        halves).  Raises before anything lands; returns the (possibly
+        determinism-pinned) frame the caller must write."""
+        if not spec.constraints:
+            return df
+        df = self._pin_if_nondeterministic(df)
+        names = list(spec.constraints)
+        counts = df.agg(
+            *[
+                F.count_if(
+                    ~F.coalesce(F.expr(spec.constraints[c]), F.lit(True))
+                ).alias(f"c{i}")
+                for i, c in enumerate(names)
+            ]
+        ).first()
+        for i, cname in enumerate(names):
+            if counts[f"c{i}"]:
+                raise ConstraintViolationError(
+                    f"write to {spec.name} violates constraint {cname} "
+                    f"({spec.constraints[cname]}): {counts[f'c{i}']} row(s)"
+                )
+        return df
+
+    def _apply_expectations(
+        self,
+        spec: TableSpec,
+        df: DataFrame,
+        *,
+        full_schema=None,
+    ) -> DataFrame:
+        """Quality expectations over the INCOMING batch of a merge-style
+        write, BEFORE it merges with pre-existing rows: add_expectation's
+        contract is "governs what may LAND from now on", so a drop rule
+        added after data landed must quarantine only incoming rows — the
+        r10 code applied drops to the whole merged/rewritten slice, so a
+        later upsert touching a partition silently deleted OLD violating
+        rows in it (ADVICE r10).  A quarantined change row is dropped
+        WHOLE: it neither inserts, updates, nor (on DV merges) deletes
+        its match.
+
+        ``full_schema``: the target table's schema; columns the batch
+        lacks (schema-subset upserts) evaluate as NULL — NULL-evaluating
+        expressions PASS, matching SQL CHECK semantics and the fact that
+        the landed value for such a column comes from the already-
+        validated old row."""
+        if not spec.expectations:
+            return df
+        df = self._pin_if_nondeterministic(df)
+        out_cols = list(df.columns)
+        have = {c.lower() for c in out_cols}
+        if full_schema is not None:
+            for f in full_schema.fields:
+                if f.name.lower() not in have:
+                    df = df.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+        enames = list(spec.expectations)
+        counts = df.agg(
+            *[
+                F.count_if(
+                    ~F.coalesce(
+                        F.expr(spec.expectations[e]["expr"]), F.lit(True)
+                    )
+                ).alias(f"e{i}")
+                for i, e in enumerate(enames)
+            ]
+        ).first()
+        report = {
+            "table": spec.name,
+            "violations": {
+                e: int(counts[f"e{i}"]) for i, e in enumerate(enames)
+            },
+            "dropped": 0,
+        }
+        drop_exprs = [
+            spec.expectations[e]["expr"]
+            for i, e in enumerate(enames)
+            if spec.expectations[e].get("action") == "drop"
+            and counts[f"e{i}"]
+        ]
+        if drop_exprs:
+            keep = reduce(
+                lambda a, b: a & b,
+                [F.coalesce(F.expr(x), F.lit(True)) for x in drop_exprs],
+            )
+            df = df.filter(keep)
+            report["dropped"] = sum(
+                int(counts[f"e{i}"])
+                for i, e in enumerate(enames)
+                if spec.expectations[e].get("action") == "drop"
+            )
+        self._exp_tls.report = report
+        return df.select(*out_cols)
+
+    def _enforce(
+        self, spec: TableSpec, df: DataFrame, *, allow_drop: bool = True
+    ) -> DataFrame:
         """Validate a to-be-written frame against the table's CHECK
-        constraints and apply its quality EXPECTATIONS. SQL CHECK
-        semantics throughout: a NULL-evaluating expression PASSES (same
-        rule add_constraint applies to existing data). Constraint AND
-        expectation violations are counted in ONE aggregation job over
-        the touched slice — cost bounded by batch size on the pruned
-        paths. Constraints raise before anything lands (all-or-nothing);
-        'drop' expectations filter their violating rows OUT of the
-        returned frame; 'track' expectations only count. Per-write
-        counts land in ``self.last_expectation_report``."""
+        constraints and apply its quality EXPECTATIONS — for write paths
+        where the WHOLE frame is incoming (append, overwrite, create,
+        replace_partitions).  Merge-style paths instead split the work:
+        _apply_expectations on the incoming batch before the merge,
+        _check_constraints on the merged slice after.
+
+        SQL CHECK semantics throughout: a NULL-evaluating expression
+        PASSES (same rule add_constraint applies to existing data).
+        Constraint AND expectation violations are counted in ONE
+        aggregation job; non-deterministic frames are pinned first so
+        counted rows ≡ written rows. Constraints raise before anything
+        lands (all-or-nothing); 'drop' expectations filter their
+        violating rows OUT of the returned frame; 'track' expectations
+        only count.  ``allow_drop=False`` (predicate-UPDATE rewrites:
+        there IS no incoming batch, and dropping a rewritten row whose
+        old copy already left by ref would silently lose it) counts
+        drop-rule violations without filtering.  Per-write counts land
+        in ``self.last_expectation_report``."""
         if not spec.constraints and not spec.expectations:
             return df
+        df = self._pin_if_nondeterministic(df)
         names = list(spec.constraints)
         enames = list(spec.expectations)
         viol = lambda expr: F.count_if(  # noqa: E731
@@ -1599,7 +1725,7 @@ class Engine:
                 for i, e in enumerate(enames)
                 if spec.expectations[e].get("action") == "drop"
                 and counts[f"e{i}"]
-            ]
+            ] if allow_drop else []
             if drop_exprs:
                 keep = reduce(
                     lambda a, b: a & b,
@@ -1700,6 +1826,7 @@ class Engine:
         df: DataFrame,
         *,
         txn: tuple[str, int] | None = None,
+        allow_drop: bool = True,
     ) -> None:
         """INSERT OVERWRITE TABLE analog: atomically replace the table's
         FULL contents (unlike ``upsert``, which merges by key and cannot
@@ -1713,13 +1840,19 @@ class Engine:
         tables stage via localCheckpoint then static-overwrite (emptied
         partitions are removed, same as ``delete``). The primary consumer
         is small derived state replaced wholesale per batch — e.g. the
-        incremental heavy-hitters sketch (operators/heavy.py)."""
+        incremental heavy-hitters sketch (operators/heavy.py).
+
+        ``allow_drop=False`` (DELETE/UPDATE/DDL rewrite paths, where
+        ``df`` is the table's own surviving rows, not an incoming batch):
+        'drop' expectations count violations but never filter — a drop
+        rule added after data landed must not silently delete old rows
+        during a rewrite."""
         spec = self._guard_mutable(name)
         with self._lock(name):
             if self._txn_skip(name, spec, txn):
                 return
             new = self._with_layout(df, spec)
-            new = self._enforce(spec, new)
+            new = self._enforce(spec, new, allow_drop=allow_drop)
             if spec.versioned:
                 self._write_versioned(new, spec, op="rewrite", txn=txn)
             elif name in self._mem or self.root is None:
@@ -1738,6 +1871,8 @@ class Engine:
         name: str,
         df: DataFrame,
         drop: list[dict] | None = None,
+        *,
+        allow_drop: bool = True,
     ) -> None:
         """Replace EXACTLY the partitions present in ``df`` with its rows
         (dynamic partition overwrite), leaving every other partition
@@ -1761,7 +1896,11 @@ class Engine:
         in the same snapshot commit; plain on-disk tables delete the
         partition directory under the table lock. Dropping a partition
         that doesn't exist is a no-op (idempotent replay); naming one
-        that ``df`` also writes is an error."""
+        that ``df`` also writes is an error.
+
+        ``allow_drop=False`` as in ``overwrite``: rewrite paths
+        (replace_where, scoped compaction) pass carried-over rows, which
+        'drop' expectations must never re-quarantine."""
         spec = self._guard_mutable(name)
         parts = spec.physical_partitioning
         if not parts:
@@ -1782,7 +1921,7 @@ class Engine:
         ]
         with self._lock(name):
             new = self._with_layout(df, spec)
-            new = self._enforce(spec, new)
+            new = self._enforce(spec, new, allow_drop=allow_drop)
             # One bounded job (partition fan-out, never rows): the write
             # is skipped when df carries no rows, and written partitions
             # must be disjoint from dropped ones.
@@ -1889,7 +2028,7 @@ class Engine:
         spec = self._guard_mutable(name)
         parts = spec.physical_partitioning
         if not parts:
-            self.overwrite(name, new_rows)
+            self.overwrite(name, new_rows, allow_drop=False)
             return
         with self._lock(name):
             if touched is None:
@@ -1926,7 +2065,9 @@ class Engine:
                 d for d in touched
                 if tuple(d[c] for c in parts) not in present
             ]
-            self.replace_partitions(name, merged, drop=emptied)
+            self.replace_partitions(
+                name, merged, drop=emptied, allow_drop=False
+            )
 
     def upsert(
         self,
@@ -1962,6 +2103,11 @@ class Engine:
                 return
             new = self._with_layout(df, spec)
             old = self.table(name)
+            # expectations quarantine INCOMING rows only, before the
+            # merge — carried-over old rows are never re-judged;
+            # constraints run on the merged slice below (a coalesce
+            # merge can violate where both halves individually pass)
+            new = self._apply_expectations(spec, new, full_schema=old.schema)
             if spec.versioned:
                 parts = spec.physical_partitioning
                 if parts:
@@ -1973,7 +2119,7 @@ class Engine:
                     op = "rewrite"
                 if audit:
                     merged = M.with_audit_columns(merged, created=False)
-                merged = self._enforce(spec, merged)
+                merged = self._check_constraints(spec, merged)
                 # No localCheckpoint staging: the write lands in a FRESH
                 # immutable dir, so the plan's input scans are never
                 # overwritten mid-query (the snapshot-isolation win).
@@ -1985,7 +2131,7 @@ class Engine:
                     merged = M.upsert(old_slice, new, keys, evolve=evolve)
                     if audit:
                         merged = M.with_audit_columns(merged, created=False)
-                    merged = self._enforce(spec, merged)
+                    merged = self._check_constraints(spec, merged)
                     # Cut the read→overwrite cycle on the same path. (On a
                     # real cluster this would be a staging-dir write + swap;
                     # localCheckpoint keeps the touched slice only.)
@@ -1996,14 +2142,14 @@ class Engine:
                     merged = M.upsert(old, new, keys, evolve=evolve)
                     if audit:
                         merged = M.with_audit_columns(merged, created=False)
-                    merged = self._enforce(spec, merged)
+                    merged = self._check_constraints(spec, merged)
                     # Unpartitioned: stage then swap (can't overwrite input in place).
                     self._write(merged.localCheckpoint(eager=True), spec, "overwrite")
             else:
                 merged = M.upsert(old, new, keys, evolve=evolve)
                 if audit:
                     merged = M.with_audit_columns(merged, created=False)
-                merged = self._enforce(spec, merged)
+                merged = self._check_constraints(spec, merged)
                 self._mem[name] = merged
                 self._bump_pending(name)
             self._register(name)
@@ -2056,6 +2202,10 @@ class Engine:
         with self._lock(name):
             new = self._with_layout(source, spec)
             old = self.table(name)
+            # expectations quarantine INCOMING change rows only — a
+            # violating source row neither updates, inserts, nor deletes
+            # its match; constraints run on the merged slice below
+            new = self._apply_expectations(spec, new, full_schema=old.schema)
             parts = spec.physical_partitioning
             # Pruning is only sound when the write path replaces JUST the
             # touched partitions (versioned replace / dynamic partition
@@ -2078,7 +2228,7 @@ class Engine:
                 when_not_matched_insert=when_not_matched_insert,
                 null_clobbers=null_clobbers,
             )
-            merged = self._enforce(spec, merged)
+            merged = self._check_constraints(spec, merged)
             if spec.versioned:
                 self._write_versioned(
                     merged, spec, op="replace" if prune else "rewrite"
@@ -2375,6 +2525,14 @@ class Engine:
             old_cols = [
                 c for c in live.columns if c not in (DV_FILE_COL, DV_POS_COL)
             ]
+            # expectations quarantine INCOMING change rows BEFORE the
+            # join: a violating change must neither ref (delete) its
+            # match nor append — enforcing on `appends` instead would
+            # drop the updated copy of a row whose old copy already left
+            # by ref, silently losing the row
+            new = self._apply_expectations(
+                spec, new, full_schema=live.select(*old_cols).schema
+            )
             new_cols = set(new.columns)
             o, n = live.alias("o"), new.alias("n")
             joined = o.join(
@@ -2428,7 +2586,7 @@ class Engine:
 
                 appends = self._with_layout(appends.drop(BUCKET_COL), spec)
                 appends = appends.select(*old_cols)
-            appends = self._enforce(spec, appends)
+            appends = self._check_constraints(spec, appends)
             dvname, nrefs = self._write_dv_sidecar(store, refs)
             appends = appends.localCheckpoint(eager=True)
             n_app = appends.count()
@@ -2664,7 +2822,10 @@ class Engine:
             new_rows = matched.select(
                 *[assigns.get(c, F.col(c)).alias(c) for c in cols]
             )
-            new_rows = self._enforce(spec, new_rows)
+            # no incoming batch here: count expectation violations but
+            # never drop (the old copy already left by ref — dropping
+            # the rewritten row would silently lose it)
+            new_rows = self._enforce(spec, new_rows, allow_drop=False)
             self._write_versioned(
                 new_rows,
                 spec,
@@ -2823,6 +2984,8 @@ class Engine:
             wname, wpath = store.new_write_dir()
             os.makedirs(wpath, exist_ok=True)
             moved: list[str] = []
+            old_schema_json = spec.schema_json
+            pre_versions = set(store.versions())
             try:
                 for e in os.listdir(tpath):
                     # keep table metadata in place; move only data
@@ -2834,37 +2997,66 @@ class Engine:
                         continue
                     os.rename(os.path.join(tpath, e), os.path.join(wpath, e))
                     moved.append(e)
-            except BaseException:
-                # roll the completed renames back — the table must stay
-                # a readable PLAIN table if the adoption can't finish
-                for e in moved:
-                    os.rename(os.path.join(wpath, e), os.path.join(tpath, e))
-                shutil.rmtree(wpath, ignore_errors=True)
-                raise
-            spec.versioned = True
-            if spec.zone_maps:
-                try:
-                    from polars_lake_spark.zonemaps import (
-                        collect_zonemap,
-                        write_zonemap,
-                    )
+                spec.versioned = True
+                if spec.zone_maps:
+                    try:
+                        from polars_lake_spark.zonemaps import (
+                            collect_zonemap,
+                            write_zonemap,
+                        )
 
-                    write_zonemap(
-                        wpath, collect_zonemap(wpath, spark=self.spark)
-                    )
-                except Exception as e:
-                    self.zonemap_errors[name] = (
-                        self.zonemap_errors.get(name, 0) + 1
-                    )
-                    warnings.warn(
-                        f"zone-map collection failed while converting "
-                        f"{name!r}: {e!r}",
-                        RuntimeWarning,
-                        stacklevel=2,
-                    )
-            spec.schema_json = schema_json
-            store.commit_write(wname, "create", schema_json)
-            self._write_manifest(spec)
+                        write_zonemap(
+                            wpath, collect_zonemap(wpath, spark=self.spark)
+                        )
+                    except Exception as e:
+                        self.zonemap_errors[name] = (
+                            self.zonemap_errors.get(name, 0) + 1
+                        )
+                        warnings.warn(
+                            f"zone-map collection failed while converting "
+                            f"{name!r}: {e!r}",
+                            RuntimeWarning,
+                            stacklevel=2,
+                        )
+                spec.schema_json = schema_json
+                store.commit_write(wname, "create", schema_json)
+                self._write_manifest(spec)
+            except BaseException:
+                # Roll the WHOLE adoption back — not just the renames.
+                # A failure after the move (commit_write, the manifest
+                # write) would otherwise leave the data under the
+                # snapshot dir while the on-disk manifest still says
+                # versioned=False: a restart reads the plain path and the
+                # table comes back EMPTY, with the in-memory spec
+                # half-flipped (ADVICE r10).  The table must come back as
+                # the same readable PLAIN table, in memory AND on disk.
+                spec.versioned = False
+                spec.schema_json = old_schema_json
+                restored = True
+                for e in moved:
+                    try:
+                        os.rename(
+                            os.path.join(wpath, e), os.path.join(tpath, e)
+                        )
+                    except OSError:
+                        restored = False
+                for v in set(store.versions()) - pre_versions:
+                    try:
+                        os.remove(
+                            os.path.join(store.snap_path, f"v{v:06d}.json")
+                        )
+                    except OSError:
+                        pass
+                if restored:
+                    # never rmtree a dir still holding un-restored data
+                    shutil.rmtree(wpath, ignore_errors=True)
+                try:
+                    # re-write the plain manifest in case the failure was
+                    # a partial manifest write
+                    self._write_manifest(spec)
+                except Exception:
+                    pass
+                raise
             self._register(name)
 
     def set_cluster_by(self, name: str, cluster_by: list[str]) -> None:
@@ -3123,7 +3315,7 @@ class Engine:
             if scoped:
                 # only the matched partitions rewrite; everything else is
                 # carried by reference (versioned) or left on disk (plain)
-                self.replace_partitions(name, df)
+                self.replace_partitions(name, df, allow_drop=False)
                 if spec.versioned and spec.deletion_vectors:
                     # the rewrite just staled every DV ref into the
                     # touched partitions — consolidate + prune so reads

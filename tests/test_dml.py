@@ -1269,3 +1269,158 @@ def test_expectations_drop_and_track(spark, tmp_path):
         eng.add_expectation("ex", "bad", "id > 0", action="quarantine")
     eng.drop_expectation("ex", "id_small")
     assert "id_small" not in eng.specs["ex"].expectations
+
+
+def test_drop_expectation_spares_preexisting_rows(spark, tmp_path):
+    """add_expectation's contract is 'governs what may LAND from now
+    on': a drop rule added AFTER data landed quarantines only INCOMING
+    rows — upsert/merge/UPDATE/DELETE rewrites must never silently
+    delete old violating rows they carry (ADVICE r10)."""
+    from polars_lake_spark import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, 5 if i < 5 else 1) for i in range(10)], "id bigint, v bigint"
+    )
+    eng.create_table("hist", df, keys=["id"], versioned=True)
+    eng.add_expectation("hist", "no_five", "v != 5", action="drop")
+    # upsert: incoming violating row quarantined, old v=5 rows intact
+    eng.upsert(
+        "hist",
+        spark.createDataFrame([(100, 5), (101, 7)], "id bigint, v bigint"),
+    )
+    t = {r.id: r.v for r in eng.table("hist").collect()}
+    assert set(t) == set(range(10)) | {101}
+    assert t[0] == 5 and t[3] == 5  # historical violators survive
+    rep = eng.last_expectation_report
+    assert rep["violations"]["no_five"] == 1 and rep["dropped"] == 1
+    # merge: a violating change row is quarantined whole
+    eng.merge(
+        "hist",
+        spark.createDataFrame([(102, 5), (103, 2)], "id bigint, v bigint"),
+    )
+    t = {r.id: r.v for r in eng.table("hist").collect()}
+    assert 103 in t and 102 not in t and t[0] == 5
+    # UPDATE rewrite: a row updated INTO violation lands (counted, never
+    # dropped — there is no incoming batch to quarantine)
+    eng.sql("UPDATE hist SET v = 5 WHERE id = 7")
+    t = {r.id: r.v for r in eng.table("hist").collect()}
+    assert t[7] == 5
+    # DELETE rewrite: survivors (including old violators) are never
+    # re-quarantined
+    eng.sql("DELETE FROM hist WHERE id = 9")
+    t = {r.id: r.v for r in eng.table("hist").collect()}
+    assert 9 not in t and t[0] == 5 and t[7] == 5
+    # TRUNCATE-like column DDL rewrites carry violators too
+    eng.sql("ALTER TABLE hist ADD COLUMN note STRING")
+    assert {r.id: r.v for r in eng.table("hist").collect()}[0] == 5
+
+
+def test_dv_merge_and_update_never_vanish_rows(spark, tmp_path):
+    """Deletion-vector tables: a violating MERGE change row must be
+    quarantined WHOLE (its match is neither deleted nor updated) — the
+    r10 code enforced on the appends slice AFTER refs were recorded, so
+    the old copy left by ref and the updated copy was dropped: the row
+    vanished. update_where_dv likewise must land (and count) a
+    violating rewritten row, never drop it."""
+    from pyspark.sql import functions as F
+
+    from polars_lake_spark import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    eng.create_table(
+        "dvx",
+        spark.createDataFrame(
+            [(1, 1.0), (2, 2.0)], "id bigint, v double"
+        ),
+        keys=["id"],
+        versioned=True,
+        deletion_vectors=True,
+    )
+    eng.add_expectation("dvx", "v_pos", "v >= 0", action="drop")
+    eng.merge(
+        "dvx",
+        spark.createDataFrame(
+            [(1, -5.0), (3, 3.0)], "id bigint, v double"
+        ),
+    )
+    t = {r.id: r.v for r in eng.table("dvx").collect()}
+    assert t == {1: 1.0, 2: 2.0, 3: 3.0}  # row 1 kept its OLD value
+    assert eng.last_expectation_report["dropped"] == 1
+    # merge-delete: a violating change row must not delete its match
+    eng.merge(
+        "dvx",
+        spark.createDataFrame([(2, -1.0)], "id bigint, v double"),
+        when_matched_delete=F.lit(True),
+    )
+    assert {r.id for r in eng.table("dvx").collect()} == {1, 2, 3}
+    # update_where_dv: rewritten row lands despite violating (counted)
+    n = eng.update_where_dv("dvx", "id = 2", {"v": F.lit(-9.0)})
+    assert n == 1
+    t = {r.id: r.v for r in eng.table("dvx").collect()}
+    assert t[2] == -9.0
+    assert eng.last_expectation_report["violations"]["v_pos"] == 1
+    assert eng.last_expectation_report["dropped"] == 0
+
+
+def test_enforce_pins_nondeterministic_frames(spark, tmp_path):
+    """Non-deterministic frames (rand() filters/columns) are pinned
+    (localCheckpoint) before the violation-count aggregation, so
+    counted rows ≡ written rows: landed + dropped always equals the
+    batch size, and a passing CHECK constraint means NO violating row
+    landed (VERDICT r10 #1 — without the pin the write re-evaluates
+    the plan and the two row sets drift)."""
+    from pyspark.sql import functions as F
+
+    from polars_lake_spark import Engine
+
+    eng = Engine(spark, str(tmp_path))
+    eng.create_table(
+        "nd",
+        spark.createDataFrame([(0, True)], "id bigint, keep boolean"),
+        keys=["id"],
+        versioned=True,
+        expectations={"keep_it": {"expr": "keep", "action": "drop"}},
+    )
+    for i in range(3):
+        n0 = eng.table("nd").count()
+        batch = spark.range(1 + i * 4000, 1 + (i + 1) * 4000).select(
+            "id", (F.rand() < 0.5).alias("keep")
+        )
+        eng.insert("nd", batch)
+        landed = eng.table("nd").count() - n0
+        rep = eng.last_expectation_report
+        assert landed + rep["dropped"] == 4000
+        assert rep["violations"]["keep_it"] == rep["dropped"]
+    # upsert path (_apply_expectations on the incoming batch): same
+    # agreement under a nondeterministic batch with disjoint keys
+    n0 = eng.table("nd").count()
+    batch = spark.range(100000, 104000).select(
+        "id", (F.rand() < 0.5).alias("keep")
+    )
+    eng.upsert("nd", batch)
+    landed = eng.table("nd").count() - n0
+    assert landed + eng.last_expectation_report["dropped"] == 4000
+    # CHECK constraint + rand(): any write that PASSES must have landed
+    # zero violating rows (the count and the write see the same pin)
+    from polars_lake_spark.engine import ConstraintViolationError
+
+    eng.create_table(
+        "ndc",
+        spark.createDataFrame([(0, 1)], "id bigint, v bigint"),
+        keys=["id"],
+        versioned=True,
+    )
+    eng.add_constraint("ndc", "v_small", "v < 100")
+    for i in range(5):
+        batch = spark.range(1 + i * 200, 1 + (i + 1) * 200).select(
+            "id",
+            F.when(F.rand() < 0.02, F.lit(200))
+            .otherwise(F.lit(1))
+            .alias("v"),
+        )
+        try:
+            eng.insert("ndc", batch)
+        except ConstraintViolationError:
+            pass
+        assert eng.table("ndc").filter("v >= 100").count() == 0

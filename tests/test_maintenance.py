@@ -514,3 +514,65 @@ def test_describe_detail(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(Exception):
         eng.sql("DESCRIBE DETAIL nope").collect()
+
+
+def test_convert_to_versioned_rolls_back_late_failures(spark, tmp_path):
+    """A failure AFTER the file moves (snapshot commit, manifest write)
+    must also roll the adoption back: the files return to the plain
+    path, no snapshot survives, the in-memory spec is un-flipped, and a
+    FRESH engine still reads the full plain table (ADVICE r10 — the
+    half-converted state read back EMPTY after a restart)."""
+    import glob
+    import os
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.snapshots import SnapshotStore
+
+    eng = Engine(spark, str(tmp_path))
+    df = spark.range(0, 500).selectExpr("id", "id * 2 AS v")
+    eng.create_table("cv", df.repartition(3), keys=["id"])
+    files_before = sorted(
+        os.path.relpath(f, eng._path("cv"))
+        for f in glob.glob(eng._path("cv") + "/*.parquet")
+    )
+    for fail_at in ("commit_write", "_write_manifest"):
+        if fail_at == "commit_write":
+            orig = SnapshotStore.commit_write
+
+            def boom(self, *a, **k):
+                raise RuntimeError("injected commit failure")
+
+            SnapshotStore.commit_write = boom
+        else:
+            orig = Engine._write_manifest
+
+            def boom(self, spec):
+                raise RuntimeError("injected manifest failure")
+
+            Engine._write_manifest = boom
+        try:
+            with pytest.raises(RuntimeError, match="injected"):
+                eng.convert_to_versioned("cv")
+        finally:
+            if fail_at == "commit_write":
+                SnapshotStore.commit_write = orig
+            else:
+                Engine._write_manifest = orig
+        spec = eng.specs["cv"]
+        assert not spec.versioned
+        assert sorted(
+            os.path.relpath(f, eng._path("cv"))
+            for f in glob.glob(eng._path("cv") + "/*.parquet")
+        ) == files_before
+        assert eng._snapstore("cv").versions() == []
+        assert eng.table("cv").count() == 500
+        # the restart view: a fresh engine reads the intact plain table
+        eng2 = Engine(spark, str(tmp_path))
+        eng2.load_all()
+        assert not eng2.specs["cv"].versioned
+        assert eng2.table("cv").count() == 500
+    # the rolled-back table is still convertible, and the retry works
+    eng.convert_to_versioned("cv")
+    assert eng.specs["cv"].versioned
+    assert eng.table_info("cv")["version"] == 1
+    assert eng.table("cv").count() == 500
