@@ -337,7 +337,11 @@ def retrieval_metrics(
     Inputs: ``run`` = (qid, doc_id, rank 1..k) — what the retriever
     returned; ``qrels`` = (qid, doc_id, rel) graded relevance, rel >= 1
     (unjudged pairs simply absent).  Returns one row per qid PRESENT IN
-    THE RUN:
+    THE RUN — including qids with zero judged-relevant docs, which come
+    back with ``rr_e9 = 0``, ``n_rel_ret = 0``, ``n_rel = 0`` and NULL
+    ``recall_e6`` / ``ndcg`` (their denominators are undefined, and a
+    caller averaging the output must decide, not have the rows silently
+    vanish):
 
     * ``rr_e9`` — reciprocal rank as an EXACT integer
       (``1e9 // first-relevant-rank``, 0 if nothing relevant was
@@ -350,12 +354,17 @@ def retrieval_metrics(
       ideal ranking from the query's top-k rels; ROUNDED before output
       (sums of ≤k doubles differ only in the last ulp between engines).
 
-    100 TB shape: the run is ≤k·|Q| rows by construction, so the qrels
-    join broadcasts the run side; the ideal ranking windows over qrels
+    100 TB shape: ``qrels`` — the human-judgment side, bounded by what
+    assessors can label — BROADCASTS into the run (pinned with an
+    explicit hint and a plan test).  The run is the side that grows:
+    k·|Q| rows, and |Q| can be millions of mined queries in a batch
+    eval, so it is streamed, never built — and it is the PRESERVED side
+    of the outer join, which Spark cannot broadcast anyway (BHJ
+    LeftOuter only builds right).  The ideal ranking windows over qrels
     partitioned per query; everything else is keyed aggregation."""
     r = run.filter(F.col("rank") <= k).select("qid", "doc_id", "rank")
     q = qrels.filter(F.col("rel") > 0).select("qid", "doc_id", "rel")
-    j = r.join(q, ["qid", "doc_id"], "left").withColumn(
+    j = r.join(F.broadcast(q), ["qid", "doc_id"], "left").withColumn(
         "rel", F.coalesce(F.col("rel"), F.lit(0))
     )
     gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rank") + 1)
@@ -389,12 +398,16 @@ def retrieval_metrics(
         )
     )
     return (
-        per_q.join(ideal, "qid")
+        per_q.join(ideal, "qid", "left")
         .select(
             "qid",
             "rr_e9",
             F.col("n_rel_ret").cast("bigint").alias("n_rel_ret"),
-            F.col("n_rel").cast("bigint").alias("n_rel"),
+            F.coalesce(F.col("n_rel"), F.lit(0))
+            .cast("bigint")
+            .alias("n_rel"),
+            # `div NULL` is NULL in both Spark and DuckDB; n_rel from a
+            # matched ideal row is always >= 1, so `div 0` never fires.
             F.expr("1000000 * n_rel_ret div n_rel")
             .cast("bigint")
             .alias("recall_e6"),

@@ -1639,10 +1639,11 @@ def bm25_index_cdc_sync_check(spark, sf_dir):
                                 ORDER BY rel DESC, doc_id) AS pos
                     FROM qr)
               GROUP BY qid)
-    SELECT p.qid, p.rr_e9, p.n_rel_ret, i.n_rel,
+    SELECT p.qid, p.rr_e9, p.n_rel_ret,
+           CAST(COALESCE(i.n_rel, 0) AS BIGINT) AS n_rel,
            CAST(1000000 * p.n_rel_ret // i.n_rel AS BIGINT) AS recall_e6,
            ROUND(p.dcg / i.idcg, 6) AS ndcg
-    FROM perq p JOIN ideal i USING (qid)
+    FROM perq p LEFT JOIN ideal i USING (qid)
     ORDER BY p.qid
     """.replace("{norm}", _NORM_SQL),
     doc="Ranked-retrieval evaluation (operators/retrieval.py:"
@@ -1656,8 +1657,9 @@ def bm25_index_cdc_sync_check(spark, sf_dir):
 def retrieval_eval_metrics(spark, sf_dir):
     """The tuning loop for every retrieval stack: score a batch BM25
     run against graded qrels — MRR/recall integer-exact across engines,
-    nDCG rounded.  The run side is ≤k·|Q| rows, so the qrels join
-    broadcasts it; the ideal ranking windows per query."""
+    nDCG rounded.  qrels (the bounded human-judgment side) broadcasts
+    into the run — the run is k·|Q| rows and |Q| can be millions in a
+    batch eval, so it streams; the ideal ranking windows per query."""
     from polars_lake_spark.operators import retrieval as R
 
     docs = load_table(spark, sf_dir, "documents")

@@ -445,3 +445,62 @@ def test_retrieval_metrics_model(spark):
         ).collect()
     }
     assert got7 == got
+
+
+def test_retrieval_metrics_unjudged_qid_kept(spark):
+    """ADVICE r10: a qid present in the run but with ZERO judged-
+    relevant docs must still come back — rr_e9=0, n_rel_ret=0, n_rel=0,
+    recall_e6/ndcg NULL (undefined denominators surfaced, not rows
+    silently dropped from the caller's average)."""
+    run = spark.createDataFrame(
+        [(1, 10, 1), (9, 70, 1), (9, 71, 2)],
+        "qid bigint, doc_id bigint, rank bigint",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 1)], "qid bigint, doc_id bigint, rel bigint"
+    )
+    got = {
+        r.qid: (r.rr_e9, r.n_rel_ret, r.n_rel, r.recall_e6, r.ndcg)
+        for r in R.retrieval_metrics(run, qrels, k=3).collect()
+    }
+    assert set(got) == {1, 9}
+    assert got[1] == (1_000_000_000, 1, 1, 1_000_000, 1.0)
+    assert got[9] == (0, 0, 0, None, None)
+
+
+def test_retrieval_metrics_broadcasts_qrels_not_run(spark):
+    """VERDICT r10 #2: the stated plan must be the real one.  qrels —
+    the bounded human-judgment side — is the broadcast build of the
+    rel join; the run (k·|Q| rows, |Q| can be millions) streams through
+    with NO exchange between its source and the join.  BHJ LeftOuter
+    only supports BuildRight, so broadcasting the preserved run side is
+    impossible by construction — the docstring now says so."""
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (2, 40, 1)],
+        "qid bigint, doc_id bigint, rank bigint",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 20, 2), (2, 77, 1)], "qid bigint, doc_id bigint, rel bigint"
+    )
+    plan = (
+        R.retrieval_metrics(run, qrels, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    i_join = next(
+        i
+        for i, l in enumerate(lines)
+        if "BroadcastHashJoin" in l and "LeftOuter" in l
+    )
+    assert "BuildRight" in lines[i_join]
+    # the streamed (run) child prints first under the join; nothing but
+    # narrow ops may sit between it and its scan — no Exchange
+    i_build = next(
+        i
+        for i, l in enumerate(lines)
+        if i > i_join and "BroadcastExchange" in l
+    )
+    streamed = lines[i_join + 1 : i_build]
+    assert not any("Exchange" in l for l in streamed), streamed
