@@ -11,11 +11,15 @@ the query terms), never O(corpus).
 Tables (versioned engine tables — snapshot isolation, time travel and
 exactly-once txn watermarks for free):
 
-* ``{name}_bm25_postings`` — (w, doc_id, tf, dl), ``cluster_by=["w"]``:
-  every write range-partitions + sorts on the term, so each landed file
-  carries a narrow term range and a probe's ``w IN (...)`` keeps ~one
-  file per term per write.  ``dl`` rides denormalized so scoring needs
-  no join.
+* ``{name}_bm25_postings`` — (w, doc_id, tf, dl, pos),
+  ``cluster_by=["w"]``: every write range-partitions + sorts on the
+  term, so each landed file carries a narrow term range and a probe's
+  ``w IN (...)`` keeps ~one file per term per write.  ``dl`` rides
+  denormalized so scoring needs no join; ``pos`` is the term's sorted
+  1-based token positions (the Lucene positions-postings layout), which
+  makes PHRASE queries a position-arithmetic intersection over the SAME
+  pruned probe — the array is a nested leaf, so the term zone maps and
+  every bag-of-words plan are untouched by its presence.
 * ``{name}_bm25_doclens`` — (doc_id, dl): the corpus stats source
   (N, avgdl must cover ALL docs, including those without query terms).
 
@@ -56,11 +60,16 @@ def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         TX.words(F.col(text_col)).alias("__ws"),
     ).withColumn("dl", F.size("__ws"))
     return (
-        base.select("doc_id", "dl", F.explode("__ws").alias("w"))
+        base.select(
+            "doc_id", "dl", F.posexplode("__ws").alias("__p", "w")
+        )
         .filter(F.col("w") != "")
         .groupBy("w", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .select("w", "doc_id", "tf", "dl")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list(F.col("__p") + 1)).alias("pos"),
+        )
+        .select("w", "doc_id", "tf", "dl", "pos")
     )
 
 
@@ -273,6 +282,81 @@ class BM25Index:
         dfreq = probe.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
         scored = (
             probe.join(F.broadcast(dfreq), "w")
+            .join(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(bm25_score(k1, b)), round_dp).alias("bm25"))
+        )
+        return _ranked_topk(scored, "bm25", k)
+
+    def phrase_topk(
+        self,
+        phrase: list[str],
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        round_dp: int = 4,
+    ) -> DataFrame:
+        """Top-``k`` docs containing the EXACT consecutive phrase —
+        the positional-postings query bag-of-words BM25 cannot express
+        (``[merge, stream]`` must not match a doc with the words apart).
+
+        Probe shape is IDENTICAL to :meth:`topk`: ``scan_where`` keeps
+        only the files whose term zone-map range covers a phrase term,
+        so cost stays O(postings of the phrase's terms), never
+        O(corpus).  The phrase match is position arithmetic over those
+        probed rows: each posting's positions are normalized by the
+        term's slot in the phrase (``start = pos − slot``), and a doc
+        has an occurrence at ``start`` iff ALL slots produced it —
+        overlapping occurrences count, per Lucene's PhraseQuery.  The
+        only shuffle after the probe is the per-doc grouping of that
+        already-query-bounded set.
+
+        Scoring treats the phrase as ONE pseudo-term (Lucene exact
+        PhraseQuery semantics): tf = occurrence count, df = number of
+        docs with ≥1 occurrence, same Lucene idf × saturation as
+        :func:`~polars_lake_spark.operators.retrieval.bm25_score`."""
+        if not phrase:
+            raise ValueError("BM25Index.phrase_topk: empty phrase")
+        eng = self.engine
+        m = len(phrase)
+        quoted = ", ".join(
+            "'" + t.replace("'", "''") + "'" for t in dict.fromkeys(phrase)
+        )
+        probe = eng.scan_where(self._t_postings, f"w IN ({quoted})")
+        slots = probe.sparkSession.createDataFrame(
+            list(enumerate(phrase)), "slot int, w string"
+        )
+        # distinct (doc, slot, start) rows, then an all-slots-present
+        # count: a start every slot produced is one phrase occurrence
+        starts = (
+            probe.join(F.broadcast(slots), "w")
+            .select(
+                "doc_id",
+                "dl",
+                "slot",
+                F.explode("pos").alias("__p"),
+            )
+            .select(
+                "doc_id",
+                "dl",
+                "slot",
+                (F.col("__p") - F.col("slot")).alias("start"),
+            )
+            .distinct()
+        )
+        tfq = (
+            starts.groupBy("doc_id", "dl", "start")
+            .agg(F.count(F.lit(1)).alias("__ns"))
+            .filter(F.col("__ns") == m)
+            .groupBy("doc_id", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dfq = tfq.agg(F.count(F.lit(1)).alias("dfreq"))
+        stats = eng.table(self._t_doclens).agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        )
+        scored = (
+            tfq.join(F.broadcast(dfq))
             .join(F.broadcast(stats))
             .groupBy("doc_id")
             .agg(F.round(F.sum(bm25_score(k1, b)), round_dp).alias("bm25"))

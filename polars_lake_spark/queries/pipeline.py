@@ -1471,6 +1471,84 @@ def bm25_index_probe_check(spark, sf_dir):
 
 
 @register(
+    "bm25_phrase_check",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split({norm}, ' ') AS ws
+               FROM documents),
+    dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dd),
+    toks AS (SELECT doc_id, dl, unnest(ws) AS w,
+                    generate_subscripts(ws, 1) AS p
+             FROM dd),
+    slots AS (SELECT * FROM (VALUES (0, 'merge'), (1, 'stream')) s(slot, w)),
+    e AS (SELECT DISTINCT doc_id, dl, slot, p - slot AS start
+          FROM toks JOIN slots USING (w)),
+    occ AS (SELECT doc_id, dl, start FROM e
+            GROUP BY doc_id, dl, start HAVING COUNT(*) = 2),
+    tfq AS (SELECT doc_id, dl, COUNT(*) AS tf FROM occ GROUP BY doc_id, dl),
+    dfq AS (SELECT COUNT(*) AS dfreq FROM tfq),
+    sc AS (SELECT doc_id,
+             ROUND(LN(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+                   * tf * 2.2
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4)
+               AS bm25
+           FROM tfq CROSS JOIN dfq CROSS JOIN stats)
+    SELECT doc_id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS rank,
+           CAST(0 AS BIGINT) AS violations
+    FROM sc
+    QUALIFY ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) <= 10
+    """.replace("{norm}", _NORM_SQL),
+    doc="Positional phrase query against the persisted BM25 index "
+    "(bm25_index.py:phrase_topk): postings carry per-term 1-based "
+    "position arrays, a phrase match is the consecutive-position "
+    "intersection (start = pos − slot present for EVERY slot; overlaps "
+    "count), scored as one pseudo-term (tf = occurrences, df = matched "
+    "docs, Lucene idf × saturation). The probe is the same zone-map "
+    "pruned w IN (...) scan as bag-of-words topk — violations pins that "
+    "files were actually skipped. DuckDB replays the match relationally "
+    "via generate_subscripts.",
+)
+def bm25_phrase_check(spark, sf_dir):
+    """Exact consecutive-phrase retrieval — the query bag-of-words BM25
+    cannot express — as a positional-postings probe: O(phrase-term
+    postings) scan (zone-map pruned), position arithmetic + per-doc
+    grouping only on that query-bounded set."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.bm25_index import BM25Index
+
+    root = tempfile.mkdtemp(prefix="plsq_bmp_")
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old_coalesce = spark.conf.get(coalesce_key, "true")
+    try:
+        eng = Engine(spark, root)
+        docs = load_table(spark, sf_dir, "documents").localCheckpoint(
+            eager=True
+        )
+        spark.conf.set(coalesce_key, "false")
+        idx = BM25Index(eng, "d")
+        idx.create(docs)
+        top = idx.phrase_topk(["merge", "stream"], k=10)
+        rows = top.collect()
+        rep = dict(eng.last_scan_report)
+        viol = 0
+        if not (0 < rep.get("files_kept", 0) < rep.get("files_total", 0)):
+            viol += 1
+        out = spark.createDataFrame(rows, top.schema).withColumn(
+            "violations", F.lit(viol).cast("bigint")
+        )
+        rows2, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows2, schema)
+    finally:
+        spark.conf.set(coalesce_key, old_coalesce)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "bm25_index_cdc_sync_check",
     oracle="""
     WITH kept AS (

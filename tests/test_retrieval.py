@@ -504,3 +504,96 @@ def test_retrieval_metrics_broadcasts_qrels_not_run(spark):
     )
     streamed = lines[i_join + 1 : i_build]
     assert not any("Exchange" in l for l in streamed), streamed
+
+
+def _phrase_model(rows, phrase, k1=1.2, b=0.75):
+    """Naive phrase-BM25: phrase tf = consecutive-occurrence count
+    (overlaps allowed), phrase df = docs with >=1 occurrence, Lucene
+    idf x saturation — the model phrase_topk must reproduce."""
+    toks = {i: t.split() for i, t in rows}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    m = len(phrase)
+    tfq = {}
+    for i, w in toks.items():
+        c = sum(
+            1
+            for s in range(len(w) - m + 1)
+            if w[s : s + m] == phrase
+        )
+        if c:
+            tfq[i] = c
+    dfq = len(tfq)
+    out = {}
+    for i, tf in tfq.items():
+        idf = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+        dl = len(toks[i])
+        out[i] = round(
+            idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 4
+        )
+    return out
+
+
+def test_bm25_phrase_matches_python_model(spark, docs, tmp_path):
+    """phrase_topk vs a naive scan model: exact consecutive matches
+    only (docs with the words apart or reversed must NOT rank),
+    overlapping occurrences counted, duplicate-word phrases handled."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.bm25_index import BM25Index
+
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    eng = Engine(spark, str(tmp_path))
+    idx = BM25Index(eng, "d")
+    idx.create(docs)
+    for phrase in (
+        ["merge", "join"],       # doc 1 only (has "merge join")
+        ["stream", "stream"],    # overlapping: doc 5 has tf=4, doc 2 tf=0
+        ["filter", "scan"],      # doc 3; doc 3 also has "scan filter"
+        ["vector", "stream", "vector"],
+        ["absent", "merge"],     # no match anywhere
+    ):
+        want = _phrase_model(rows, phrase)
+        got = {
+            r.doc_id: r.bm25 for r in idx.phrase_topk(phrase, k=10).collect()
+        }
+        assert got == want, phrase
+    # single-word phrase degrades to that word with phrase-df scoring
+    assert {
+        r.doc_id for r in idx.phrase_topk(["vector"], k=10).collect()
+    } == {2}
+    with pytest.raises(ValueError, match="empty phrase"):
+        idx.phrase_topk([])
+
+
+def test_bm25_phrase_survives_add_batch_and_skips_files(spark, docs, tmp_path):
+    """Positions written through add_batch must match create()'s, and
+    the phrase probe goes through the SAME zone-map pruned scan as
+    topk: a phrase over one term range keeps a strict file subset."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.bm25_index import BM25Index
+
+    eng = Engine(spark, str(tmp_path))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        idx = BM25Index(eng, "d")
+        idx.create(docs)
+        more = spark.createDataFrame(
+            [(100, "merge join merge join"), (101, "join merge")],
+            "doc_id bigint, text string",
+        )
+        assert idx.add_batch(more) == 2
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+    rows = [(r.doc_id, r.text) for r in docs.collect()] + [
+        (100, "merge join merge join"),
+        (101, "join merge"),
+    ]
+    got = {
+        r.doc_id: r.bm25
+        for r in idx.phrase_topk(["merge", "join"], k=10).collect()
+    }
+    assert got == _phrase_model(rows, ["merge", "join"])
+    rep = dict(eng.last_scan_report)
+    assert 0 < rep["files_kept"] < rep["files_total"]
