@@ -1471,6 +1471,174 @@ def bm25_index_probe_check(spark, sf_dir):
 
 
 @register(
+    "stream_apply_changes_check",
+    oracle="""
+    WITH seed AS (SELECT doc_id, text, -1 AS seq, 'upsert' AS op
+                  FROM documents),
+    ch AS (
+      SELECT doc_id, 'upd-200' AS text, 200 AS seq, 'update' AS op
+      FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 1
+      UNION ALL
+      SELECT doc_id, NULL, 200, 'delete' FROM documents WHERE doc_id % 7 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, 'ins-200', 200, 'insert'
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id, 'stale-100', 100, 'update'
+      FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 1
+      UNION ALL
+      SELECT doc_id, 'res-100', 100, 'upsert'
+      FROM documents WHERE doc_id % 7 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, NULL, 100, 'delete'
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id, 'upd-100', 100, 'update'
+      FROM documents
+      WHERE doc_id % 3 = 2 AND doc_id % 5 <> 0 AND doc_id % 7 <> 1),
+    final AS (
+      SELECT doc_id, text, op,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY seq DESC) AS rn
+      FROM (SELECT * FROM seed UNION ALL SELECT * FROM ch))
+    SELECT doc_id, text, CAST(0 AS BIGINT) AS violations
+    FROM final WHERE rn = 1 AND op <> 'delete'
+    ORDER BY doc_id
+    """,
+    doc="APPLY CHANGES INTO gate (streaming/ingest.py:"
+    "stream_apply_changes): two REAL foreachBatch streams apply a CDC "
+    "feed OUT OF ORDER — the newer-sequenced batch lands first, then a "
+    "late batch whose stale updates/deletes/resurrections must all drop "
+    "against the per-key applied-sequence watermark (__seq on the "
+    "target + delete tombstones), while its unwatermarked keys still "
+    "apply. DuckDB replays the global latest-sequence-per-key resolution "
+    "over seed ∪ all changes; violations pins the tombstone store "
+    "contents. Op sets are key-disjoint per sequence — two ops on one "
+    "key at the SAME sequence resolve engine-arbitrarily (DLT documents "
+    "the same), so the gate never generates that shape.",
+)
+def stream_apply_changes_check(spark, sf_dir):
+    """Cross-batch CDC ordering (VERDICT r10 #4): the applied-sequence
+    watermark lives IN the target data (O(keys) scales; driver meta
+    does not), stale-filter lookups are map-side semi-joins against the
+    broadcast batch key set, and a late batch can neither clobber,
+    resurrect, nor delete newer state."""
+    import os
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.streaming.ingest import stream_apply_changes
+
+    root = tempfile.mkdtemp(prefix="plsq_sac_")
+    try:
+        eng = Engine(spark, os.path.join(root, "wh"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        eng.create_table(
+            "tgt", docs, keys=["doc_id"], versioned=True,
+            deletion_vectors=True,
+        )
+        # derive the change batches from the immutable SOURCE, not the
+        # mutating target (eng.table re-resolution must not shrink them)
+        d = docs.select("doc_id")
+        newer = (
+            docs.filter(
+                (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 1)
+            )
+            .select(
+                "doc_id",
+                F.lit("upd-200").alias("text"),
+                F.lit("update").alias("_op"),
+                F.lit(200).cast("bigint").alias("seq"),
+            )
+            .unionByName(
+                d.filter(F.col("doc_id") % 7 == 1).select(
+                    "doc_id",
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit("delete").alias("_op"),
+                    F.lit(200).cast("bigint").alias("seq"),
+                )
+            )
+            .unionByName(
+                d.filter(F.col("doc_id") % 11 == 0).select(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.lit("ins-200").alias("text"),
+                    F.lit("insert").alias("_op"),
+                    F.lit(200).cast("bigint").alias("seq"),
+                )
+            )
+        )
+        late = (
+            d.filter(
+                (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 1)
+            )
+            .select(
+                "doc_id",
+                F.lit("stale-100").alias("text"),
+                F.lit("update").alias("_op"),
+                F.lit(100).cast("bigint").alias("seq"),
+            )
+            .unionByName(
+                d.filter(F.col("doc_id") % 7 == 1).select(
+                    "doc_id",
+                    F.lit("res-100").alias("text"),
+                    F.lit("upsert").alias("_op"),
+                    F.lit(100).cast("bigint").alias("seq"),
+                )
+            )
+            .unionByName(
+                d.filter(F.col("doc_id") % 11 == 0).select(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit("delete").alias("_op"),
+                    F.lit(100).cast("bigint").alias("seq"),
+                )
+            )
+            .unionByName(
+                d.filter(
+                    (F.col("doc_id") % 3 == 2)
+                    & (F.col("doc_id") % 5 != 0)
+                    & (F.col("doc_id") % 7 != 1)
+                ).select(
+                    "doc_id",
+                    F.lit("upd-100").alias("text"),
+                    F.lit("update").alias("_op"),
+                    F.lit(100).cast("bigint").alias("seq"),
+                )
+            )
+        )
+        for tag, batch in (("newer", newer), ("late", late)):
+            staging = os.path.join(root, f"st_{tag}")
+            batch.write.parquet(staging)
+            stream = spark.readStream.schema(batch.schema).parquet(staging)
+            q = stream_apply_changes(
+                eng, "tgt", stream, sequence_by="seq",
+                checkpoint_dir=os.path.join(root, f"ck_{tag}"),
+            )
+            q.awaitTermination(300)
+        # tombstones: exactly the APPLIED deletes (the %7 keys at seq
+        # 200); the late stale deletes were watermark-dropped
+        n_tomb = eng.table("tgt_cdc_tombstones").count()
+        n_del = d.filter(F.col("doc_id") % 7 == 1).count()
+        viol = 0 if n_tomb == n_del else 1
+        out = (
+            eng.table("tgt")
+            .select(
+                "doc_id",
+                "text",
+                F.lit(viol).cast("bigint").alias("violations"),
+            )
+            .orderBy("doc_id")
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "bm25_phrase_check",
     oracle="""
     WITH d AS (SELECT doc_id, string_split({norm}, ' ') AS ws

@@ -312,18 +312,46 @@ def stream_apply_changes(
     op column ('delete' vs anything else = upsert) applies per
     micro-batch against the keyed target table.
 
-    Within a batch, ``sequence_by`` names the ordering column (commit
-    LSN, event time): only each key's LATEST row applies, so a
-    delete-then-reinsert of the same key inside one batch lands as the
-    reinsert, never order-dependent.  Without it, a key carrying both a
-    delete and an upsert in the same batch is ambiguous and raises.
+    ``sequence_by`` names the ordering column (commit LSN, event time)
+    and makes application ORDER-INDEPENDENT both within and ACROSS
+    batches:
+
+    * Within a batch only each key's LATEST row applies (ties between a
+      delete and an upsert at the same sequence resolve to the upsert).
+    * Across batches every applied row persists its sequence in a
+      ``__seq`` column on the target (added via schema evolution on the
+      first sequenced batch), and every applied delete records a
+      (key, __seq) TOMBSTONE in a companion ``{table}_cdc_tombstones``
+      table — so a LATE batch's stale change (sequence strictly below
+      the key's applied watermark, ``greatest(target.__seq,
+      tombstone.__seq)``) is dropped instead of clobbering or
+      resurrecting a newer state.  Equal sequences re-apply, which is
+      what makes foreachBatch's at-least-once REPLAYS idempotent.  A
+      NULL sequence value orders earliest (applies only to keys with no
+      watermark yet).
+
+    The watermark deliberately lives IN THE DATA, not in snapshot meta:
+    per-key state is O(keys) and at 10⁹ keys a driver-side meta map dies
+    — exactly how Delta's APPLY CHANGES stores ``__sequence_by`` in the
+    target.  Per batch the lookups stay O(batch): the target and
+    tombstone scans are semi-filtered MAP-SIDE against the broadcast
+    batch key set before the broadcast stale-filter join, so only
+    batch-sized data ever moves.  Tombstones accrue per deleted key and
+    compact/vacuum through the normal table lifecycle.
+
+    Without ``sequence_by``, a key carrying both a delete and an upsert
+    in one batch is ambiguous and raises, and cross-batch ordering is
+    the arrival order.
 
     Upserts merge on the table's keys (replays re-merge, idempotent);
     deletes remove EVERY row with a doomed key — an O(matched) deletion-
     vector sidecar on ``deletion_vectors`` tables
     (:meth:`Engine.delete_keys_dv`), a keyed anti-join rewrite
-    otherwise.  Deletes of absent keys no-op, so foreachBatch's
-    at-least-once redelivery is safe end to end."""
+    otherwise.  Deletes of absent keys no-op (but still tombstone, so an
+    earlier-sequenced upsert arriving later stays dead).  The table and
+    tombstone writes are not one atomic commit; a crash between them is
+    repaired by replaying the batch (every step is idempotent)."""
+    tomb_table = f"{table}_cdc_tombstones"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -333,36 +361,72 @@ def stream_apply_changes(
         if not keys:
             raise ValueError(f"stream_apply_changes: {table} has no keys")
         b = batch_df
+        is_del = F.lower(F.col(op_col)) == "delete"
         if sequence_by is not None:
-            w = Window.partitionBy(*keys).orderBy(F.desc(sequence_by))
+            w = Window.partitionBy(*keys).orderBy(
+                F.desc(sequence_by), F.asc(is_del.cast("int"))
+            )
             b = (
                 b.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
+                .withColumnRenamed(sequence_by, "__seq")
+            )
+            seq_t = b.schema["__seq"].dataType.simpleString()
+            bkeys = b.select(*keys).distinct()
+            tgt = engine.table(table)
+            if "__seq" in tgt.columns:
+                applied = (
+                    tgt.join(F.broadcast(bkeys), keys, "left_semi")
+                    .groupBy(*keys)
+                    .agg(F.max("__seq").alias("__applied"))
+                )
+                b = b.join(F.broadcast(applied), keys, "left")
+            else:
+                b = b.withColumn("__applied", F.lit(None).cast(seq_t))
+            if tomb_table in engine.specs:
+                tomb = (
+                    engine.table(tomb_table)
+                    .join(F.broadcast(bkeys), keys, "left_semi")
+                    .select(*keys, F.col("__seq").alias("__tomb"))
+                )
+                b = b.join(F.broadcast(tomb), keys, "left")
+            else:
+                b = b.withColumn("__tomb", F.lit(None).cast(seq_t))
+            wm = F.greatest("__applied", "__tomb")
+            b = b.filter(wm.isNull() | (F.col("__seq") >= wm)).drop(
+                "__applied", "__tomb"
             )
         b = b.localCheckpoint(eager=True)  # split below reads it twice
-        is_del = F.lower(F.col(op_col)) == "delete"
         ups = b.filter(~is_del).drop(op_col)
-        dels = b.filter(is_del).select(*keys)
         if sequence_by is None:
-            both = dels.join(
-                ups.select(*keys), keys, "inner"
-            ).limit(1)
+            dels = b.filter(is_del).select(*keys)
+            both = dels.join(ups.select(*keys), keys, "inner").limit(1)
             if both.head(1):
                 raise ValueError(
                     "stream_apply_changes: a key carries both a delete "
                     "and an upsert in one batch; pass sequence_by to "
                     "resolve ordering"
                 )
-        if sequence_by is not None:
-            ups = ups.drop(sequence_by)
+        else:
+            dels = b.filter(is_del).select(*keys, "__seq")
         if ups.head(1):
-            engine.upsert(table, ups)
+            engine.upsert(table, ups, evolve=sequence_by is not None)
         if dels.head(1):
             if spec.deletion_vectors:
-                engine.delete_keys_dv(table, dels, keys)
+                engine.delete_keys_dv(table, dels.select(*keys), keys)
             else:
-                engine.delete(table, dels, keys)
+                engine.delete(table, dels.select(*keys), keys)
+            if sequence_by is not None:
+                if tomb_table not in engine.specs:
+                    engine.create_table(
+                        tomb_table,
+                        dels,
+                        keys=keys,
+                        save=engine.root is not None,
+                    )
+                else:
+                    engine.upsert(tomb_table, dels)
 
     writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
     if checkpoint_dir:
