@@ -1201,10 +1201,32 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         if name is None:
             return None  # let spark.sql handle catalog tables
         prop, val = m.group(2).lower(), m.group(3).lower()
+        if prop in ("auto_optimize.dv_sidecars", "auto_optimize.write_dirs"):
+            spec = engine.specs[name]
+            cur = dict(spec.auto_optimize or {})
+            key = prop.split(".", 1)[1]
+            if val in ("none", "null", "off"):
+                cur.pop(key, None)
+            elif val.isdigit():
+                cur[key] = int(val)
+            else:
+                raise ValueError(
+                    f"ALTER TABLE {name}: {prop} must be an integer "
+                    "threshold or 'none'"
+                )
+            engine.set_auto_optimize(
+                name,
+                dv_sidecars=cur.get("dv_sidecars"),
+                write_dirs=cur.get("write_dirs"),
+            )
+            return _status(
+                engine, "set_tblproperties", name, cur.get(key, 0)
+            )
         if prop not in ("deletion_vectors", "delta.enabledeletionvectors"):
             raise ValueError(
                 f"ALTER TABLE {name}: unsupported table property {prop!r} "
-                "(supported: 'deletion_vectors')"
+                "(supported: 'deletion_vectors', "
+                "'auto_optimize.dv_sidecars', 'auto_optimize.write_dirs')"
             )
         if val not in ("true", "false"):
             raise ValueError(f"ALTER TABLE {name}: {prop} must be true/false")
