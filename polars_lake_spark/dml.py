@@ -872,8 +872,13 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             raise ValueError(f"SHOW PARTITIONS {name}: not a partitioned table")
         # METADATA-only at 100 TB: versioned tables read the snapshot
         # mapping keys, on-disk tables walk directory names — never a
-        # data scan. In-memory tables have no dirs; one distinct job.
-        if spec.versioned:
+        # data scan. In-memory tables have no dirs; one count job.
+        # Row counts ride along from the same metadata (footer sums
+        # minus per-partition DV refs — engine.partition_counts).
+        counts = engine.partition_counts(name)
+        if counts is not None:
+            rels = sorted(counts)
+        elif spec.versioned:
             rels = sorted(
                 p for p in engine._snapstore(name).load().mapping if p
             )
@@ -885,12 +890,20 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         else:
             from polars_lake_spark.layout import hive_relpath as _hr
 
-            rels = sorted(
-                _hr(parts, [r[c] for c in parts])
-                for r in engine.table(name).select(*parts).distinct().collect()
-            )
+            by_rel = {
+                _hr(parts, [r[c] for c in parts]): r["__n"]
+                for r in engine.table(name)
+                .groupBy(*parts)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .collect()
+            }
+            counts, rels = by_rel, sorted(by_rel)
         return engine.spark.createDataFrame(
-            [(p,) for p in rels], "partition string"
+            [
+                (p, int(counts[p]) if counts is not None else None)
+                for p in rels
+            ],
+            "partition string, rows bigint",
         )
 
     m = _DROP.match(query)

@@ -108,6 +108,28 @@ def _escape_hive(s: str) -> str:
     )
 
 
+def parse_hive_relpath(relpath: str) -> dict[str, str | None]:
+    """Inverse of :func:`hive_relpath` for metadata rollups:
+    ``'a=1/b=x%20y'`` → ``{'a': '1', 'b': 'x y'}``;
+    ``__HIVE_DEFAULT_PARTITION__`` → ``None``.  Values come back as the
+    STRINGS Spark embedded in the directory name — callers cast to the
+    table's partition dtypes, exactly what a hive read-back does, so
+    typed values round-trip identically to a real scan's partition
+    columns."""
+    from urllib.parse import unquote
+
+    out: dict[str, str | None] = {}
+    for seg in relpath.split("/"):
+        if not seg:
+            continue
+        c, _, v = seg.partition("=")
+        v = unquote(v)
+        out[unquote(c)] = (
+            None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        )
+    return out
+
+
 def _java_float_str(v: float, single: bool = False) -> str:
     """Java ``Double.toString`` / ``Float.toString`` rendering — the
     string Spark embeds in hive partition dir names for float-typed

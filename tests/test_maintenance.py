@@ -689,3 +689,93 @@ def test_auto_optimize_via_tblproperties(spark, tmp_path):
     n_dv, _ = _dv_state(eng, "t")
     assert n_dv == 1 and eng.last_auto_optimize["action"] == "compact_dvs"
     assert eng.table("t").count() == 18
+
+
+def test_meta_counts_uri_escaped_partition_dirs(spark, tmp_path):
+    """Regression (r11): DV sidecar refs store _metadata.file_path as a
+    URI (%20 for spaces), so matching them against raw os paths MISSES
+    every ref under an escaped partition dir — metadata counts then
+    silently over-count the DV-deleted rows there. The decode-side fix
+    must make meta_row_count, the COUNT(*) fast path, and
+    partition_counts agree with real scans on space-carrying partition
+    values."""
+    eng = Engine(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, "NOT SPECIFIED" if i % 2 else "A B C", i * 2) for i in range(40)],
+        "k bigint, p string, v bigint",
+    )
+    eng.create_table(
+        "t", df, keys=["k"], partition_by=["p"],
+        versioned=True, deletion_vectors=True,
+    )
+    eng.delete_where_dv("t", "k < 10")
+    real = eng.table("t").count()
+    assert real == 30
+    assert eng.meta_row_count("t") == real
+    assert eng.sql("SELECT COUNT(*) FROM t").head()[0] == real
+    pc = eng.partition_counts("t")
+    assert sum(pc.values()) == real
+    want = {
+        r.p: r.n
+        for r in eng.table("t")
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    from polars_lake_spark.layout import parse_hive_relpath
+
+    got = {}
+    for rel, n in pc.items():
+        got[parse_hive_relpath(rel)["p"]] = got.get(
+            parse_hive_relpath(rel)["p"], 0
+        ) + n
+    assert got == want
+
+
+def test_partition_grouped_count_fast_path(spark, tmp_path, sf_dir):
+    """VERDICT r10 #6: SELECT <partition cols>, COUNT(*) GROUP BY them
+    answers from partition_counts — no FileScan, values and dtypes
+    identical to the vanilla plan, DV-aware; non-partition groupings
+    and WHERE shapes fall through."""
+    eng = Engine(spark, str(tmp_path))
+    orders = load_table(spark, sf_dir, "orders")
+    eng.create_table(
+        "o", orders, keys=["o_orderkey"], partition_by=["o_orderpriority"],
+        versioned=True, deletion_vectors=True,
+    )
+    eng.sql("DELETE FROM o WHERE o_orderkey % 10 = 3")
+    fast = eng.sql(
+        "SELECT o_orderpriority, COUNT(*) AS cnt FROM o "
+        "GROUP BY o_orderpriority"
+    )
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Exchange" not in plan
+    want = (
+        eng.table("o")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # names + types match the vanilla plan (nullability flags differ on
+    # driver-local frames, as with the other metadata fast paths)
+    assert [(f.name, f.dataType) for f in fast.schema] == [
+        (f.name, f.dataType) for f in want.schema
+    ]
+    # default output column matches Spark's own naming
+    f2 = eng.sql(
+        "select O_ORDERPRIORITY, count(1) from o group by o_orderpriority"
+    )
+    assert f2.columns == ["o_orderpriority", "count(1)"]
+    # fall-throughs: non-partition column, WHERE, extra select item
+    for q in (
+        "SELECT o_orderstatus, COUNT(*) AS c FROM o GROUP BY o_orderstatus",
+        "SELECT o_orderpriority, COUNT(*) AS c FROM o WHERE o_orderkey > 5 "
+        "GROUP BY o_orderpriority",
+    ):
+        p = eng.sql(q)._jdf.queryExecution().executedPlan().toString()
+        assert "FileScan" in p, q
+    # SHOW PARTITIONS carries the same metadata rows
+    sp = {r.partition: r.rows for r in eng.sql("SHOW PARTITIONS o").collect()}
+    assert sum(sp.values()) == eng.table("o").count()
