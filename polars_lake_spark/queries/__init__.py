@@ -38,73 +38,35 @@ REGISTRY: dict[str, Query] = {}
 #   still verified every session by tests/test_oracle_parity.py (the
 #   local mirror of the gate — green at sf0.001 AND sf0.1 as of r9).
 CHECK_PRIORITY: list[str] = [
-    # ================= r10 window (first 50) ==========================
-    # -- NEW r10: BM25 index CDC maintenance; zone-map skipping under
-    # time-travel SQL; retrieval eval metrics; metadata COUNT ------------
-    "bm25_index_cdc_sync_check",
-    "sql_timetravel_skipping_check",
+    # ================= r11 window (first 50) ==========================
+    # -- NEW r11: BM25 phrase queries; APPLY CHANGES cross-batch
+    # ordering; partition metadata rollups --------------------------------
+    "bm25_phrase_check",
+    "stream_apply_changes_check",
+    "partition_meta_rollup_check",
+    # -- CHANGED r11: _enforce determinism probe + drop-scope rewrite;
+    # zone-map float-NaN soundness; DV ref URI-decode fix (metadata
+    # counts); retrieval_metrics broadcast pin + unjudged qids;
+    # positional postings under the BM25 index ----------------------------
+    "expectations_lifecycle_check",
     "retrieval_eval_metrics",
     "count_where_skipping_check",
     "minmax_meta_check",
-    "expectations_lifecycle_check",
-    # -- CHANGED r10: add_batch O(batch) rewrite + DV index tables; the
-    # scan_where/fast-path refactor; the shared bm25_score helper -------
-    "bm25_index_probe_check",
-    "scan_file_skipping_check",
-    "bm25_retrieval",
-    "bm25_batch_retrieval",
-    "hybrid_retrieval_rrf",
-    "retrieval_snippets",
-    "hard_negative_mining",
-    # -- oldest driver evidence first (not in the r9 window; the seven
-    # r5-greens lead, then r6/r7-era rows; rows-only entries excluded
-    # so every window slot stays oracled) -------------------------------
-    "histogram_equidepth",
-    "dedup_clusters_twostar",
-    "token_heavy_hitters",
-    "heavy_hitters_check",
-    "approx_percentile_check",
-    "hll_union_check",
-    "heavy_hitters_incremental_check",
-    "skew_hot_keys",
-    "events_ewma",
-    "events_anomaly_zscore",
-    "sketch_rollup_lifecycle",
-    "dedup_incremental_winnow",
-    "pack_sequences_ffd_check",
-    "embedding_truncate",
-    "events_top_paths",
-    "text_readability",
-    "dedup_incremental_minhash",
-    "dedup_substring_winnow",
-    "decontaminate_substring",
-    "length_bucket_batches",
-    "semdedup_embeddings",
-    "quality_weighted_sample",
-    "decontaminate_exact",
-    "approx_distinct_check",
-    "q1_pricing_summary",
-    "text_unigram_logprob",
-    "multimodal_pixel_decode",
-    "multimodal_audio_decode",
-    "multimodal_video_frames",
-    "join_cobucketed",
-    "split_train_val_test",
-    "shard_manifest",
-    "pack_sequences_bpe_check",
-    "minmax_by",
-    "select_exclude",
-    "array_agg_sorted",
+    "sparse_delete_dv_check",
+    "merge_dv_check",
     "upsert_merge",
-    # ------ 50-slot window boundary ------------------------------------
+    "bm25_index_probe_check",
+    "bm25_index_cdc_sync_check",
+    "scan_file_skipping_check",
+    "sql_timetravel_skipping_check",
+    # -- oldest driver evidence next (below the r10 window since r9 or
+    # earlier; every slot stays oracled) -----------------------------------
     "insert_append",
     "delete_anti",
     "dedup_keyed",
-    # -- remaining stale-evidence rows (rows-only entries among them),
-    # then everything re-verified by the r9 gate (freshest last) --------
-    "similarity_ivf",
-    "similarity_pq",
-    "similarity_ivfpq",
+    "similarity_ivf_recall",
+    "similarity_pq_recall",
+    "similarity_ivfpq_recall",
     "schema_evolution_union",
     "audit_columns",
     "time_travel_upsert",
@@ -135,6 +97,9 @@ CHECK_PRIORITY: list[str] = [
     "q19_discounted_revenue",
     "q20_promotion_suppliers",
     "q21_latest_shipper",
+    # ------ 50-slot window boundary ------------------------------------
+    # -- remaining rows in staleness order, then everything the r10 gate
+    # re-verified (freshest evidence last) ---------------------------------
     "q22_idle_customers",
     "json_extraction",
     "distinct_orderby_offset",
@@ -190,8 +155,6 @@ CHECK_PRIORITY: list[str] = [
     "dedup_embedding_cosine",
     "similarity_topk",
     "similarity_ann_lsh",
-    "sparse_delete_dv_check",
-    "merge_dv_check",
     "copy_into_idempotence_check",
     "text_stats",
     "text_quality_filter",
@@ -216,9 +179,9 @@ CHECK_PRIORITY: list[str] = [
     "math_functions",
     "string_functions2",
     "temporal_arithmetic",
-    "similarity_pq_recall",
-    "similarity_ivfpq_recall",
-    "similarity_ivf_recall",
+    "similarity_pq",
+    "similarity_ivfpq",
+    "similarity_ivf",
     "similarity_ivf_pruned_recall",
     "dedup_prefix_join",
     "scrub_repeated_spans",
@@ -233,6 +196,47 @@ CHECK_PRIORITY: list[str] = [
     "dedup_snm",
     "domain_resample_temperature",
     "join_cardinality_probe",
+    "bm25_retrieval",
+    "bm25_batch_retrieval",
+    "hybrid_retrieval_rrf",
+    "retrieval_snippets",
+    "hard_negative_mining",
+    "histogram_equidepth",
+    "dedup_clusters_twostar",
+    "token_heavy_hitters",
+    "heavy_hitters_check",
+    "approx_percentile_check",
+    "hll_union_check",
+    "heavy_hitters_incremental_check",
+    "skew_hot_keys",
+    "events_ewma",
+    "events_anomaly_zscore",
+    "sketch_rollup_lifecycle",
+    "dedup_incremental_winnow",
+    "pack_sequences_ffd_check",
+    "embedding_truncate",
+    "events_top_paths",
+    "text_readability",
+    "dedup_incremental_minhash",
+    "dedup_substring_winnow",
+    "decontaminate_substring",
+    "length_bucket_batches",
+    "semdedup_embeddings",
+    "quality_weighted_sample",
+    "decontaminate_exact",
+    "approx_distinct_check",
+    "q1_pricing_summary",
+    "text_unigram_logprob",
+    "multimodal_pixel_decode",
+    "multimodal_audio_decode",
+    "multimodal_video_frames",
+    "join_cobucketed",
+    "split_train_val_test",
+    "shard_manifest",
+    "pack_sequences_bpe_check",
+    "minmax_by",
+    "select_exclude",
+    "array_agg_sorted",
 ]
 
 
