@@ -137,6 +137,15 @@ HEADLINE = [
     # r10: quality expectations (drop/track) applied across the write
     # paths — the quarantine-on-ingest lifecycle.
     "expectations_lifecycle_check",
+    # r11: positional phrase query through the SAME pruned postings
+    # probe (the serving shape for exact-phrase search; gate overhead is
+    # the index build, the probe is the fast part). partition metadata
+    # rollup (grouped COUNT answered driver-locally, no FileScan).
+    # (stream_apply_changes_check stays correctness-gate-only: its cost
+    # is two real availableNow streams of commit overhead — an ordering
+    # proof, not a serving shape.)
+    "bm25_phrase_check",
+    "partition_meta_rollup_check",
 ]
 
 

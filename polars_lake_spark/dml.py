@@ -173,7 +173,7 @@ _TBLPROP_PAIR = re.compile(r"'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'")
 # SHOW CREATE TABLE a true round-trip
 _CREATE_PROPS = frozenset(
     "keys bucket_by n_buckets deletion_vectors zone_maps compression "
-    "format".split()
+    "format auto_optimize.dv_sidecars auto_optimize.write_dirs".split()
 )
 _SHOW_CREATE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][\w.]*)\s*;?\s*$", re.I
@@ -850,6 +850,18 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     kwargs[lk] = v.lower() == "true"
                 elif lk in ("compression", "format"):
                     kwargs[lk] = v
+                elif lk in (
+                    "auto_optimize.dv_sidecars",
+                    "auto_optimize.write_dirs",
+                ):
+                    if not v.isdigit():
+                        raise ValueError(
+                            f"CREATE TABLE {raw}: {k!r} must be an "
+                            "integer threshold"
+                        )
+                    kwargs.setdefault("_auto_optimize", {})[
+                        lk.split(".", 1)[1]
+                    ] = int(v)
                 else:
                     raise ValueError(
                         f"CREATE TABLE {raw}: unsupported table property "
@@ -858,7 +870,14 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     )
             if constraints:
                 kwargs["constraints"] = constraints
+        auto_opt = kwargs.pop("_auto_optimize", None)
         engine.create_table(raw, empty, **kwargs)
+        if auto_opt:
+            engine.set_auto_optimize(
+                raw,
+                dv_sidecars=auto_opt.get("dv_sidecars"),
+                write_dirs=auto_opt.get("write_dirs"),
+            )
         return _status(engine, "create_table", raw, 0)
 
     m = _SHOW_PARTITIONS.match(query)
@@ -1544,6 +1563,8 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             props[f"constraint.{cname}"] = expr
         for ename, e in (spec.expectations or {}).items():
             props[f"expectation.{ename}.{e['action']}"] = e["expr"]
+        for k, v in sorted((spec.auto_optimize or {}).items()):
+            props[f"auto_optimize.{k}"] = str(v)
         if props:
             pairs = ", ".join(
                 f"'{k}'='{v.replace(chr(39), chr(39) * 2)}'"

@@ -299,6 +299,44 @@ def stream_bm25_ingest(
     return writer.start()
 
 
+def _drop_stale_changes(
+    engine, table: str, tomb_table: str, b: DataFrame, keys: list[str]
+) -> DataFrame:
+    """The cross-batch stale filter for :func:`stream_apply_changes`:
+    drop batch rows whose ``__seq`` is strictly below the key's applied
+    watermark — ``greatest`` of the target's stored ``__seq`` and the
+    delete-tombstone's.  100 TB shape (plan-gated in
+    ``test_streaming``): both the target and tombstone scans are
+    semi-joined MAP-SIDE against the broadcast batch key set before the
+    broadcast left joins, so per batch only batch-sized data moves —
+    the target itself never shuffles."""
+    seq_t = b.schema["__seq"].dataType.simpleString()
+    bkeys = b.select(*keys).distinct()
+    tgt = engine.table(table)
+    if "__seq" in tgt.columns:
+        applied = (
+            tgt.join(F.broadcast(bkeys), keys, "left_semi")
+            .groupBy(*keys)
+            .agg(F.max("__seq").alias("__applied"))
+        )
+        b = b.join(F.broadcast(applied), keys, "left")
+    else:
+        b = b.withColumn("__applied", F.lit(None).cast(seq_t))
+    if tomb_table in engine.specs:
+        tomb = (
+            engine.table(tomb_table)
+            .join(F.broadcast(bkeys), keys, "left_semi")
+            .select(*keys, F.col("__seq").alias("__tomb"))
+        )
+        b = b.join(F.broadcast(tomb), keys, "left")
+    else:
+        b = b.withColumn("__tomb", F.lit(None).cast(seq_t))
+    wm = F.greatest("__applied", "__tomb")
+    return b.filter(wm.isNull() | (F.col("__seq") >= wm)).drop(
+        "__applied", "__tomb"
+    )
+
+
 def stream_apply_changes(
     engine,
     table: str,
@@ -372,31 +410,7 @@ def stream_apply_changes(
                 .drop("__rn")
                 .withColumnRenamed(sequence_by, "__seq")
             )
-            seq_t = b.schema["__seq"].dataType.simpleString()
-            bkeys = b.select(*keys).distinct()
-            tgt = engine.table(table)
-            if "__seq" in tgt.columns:
-                applied = (
-                    tgt.join(F.broadcast(bkeys), keys, "left_semi")
-                    .groupBy(*keys)
-                    .agg(F.max("__seq").alias("__applied"))
-                )
-                b = b.join(F.broadcast(applied), keys, "left")
-            else:
-                b = b.withColumn("__applied", F.lit(None).cast(seq_t))
-            if tomb_table in engine.specs:
-                tomb = (
-                    engine.table(tomb_table)
-                    .join(F.broadcast(bkeys), keys, "left_semi")
-                    .select(*keys, F.col("__seq").alias("__tomb"))
-                )
-                b = b.join(F.broadcast(tomb), keys, "left")
-            else:
-                b = b.withColumn("__tomb", F.lit(None).cast(seq_t))
-            wm = F.greatest("__applied", "__tomb")
-            b = b.filter(wm.isNull() | (F.col("__seq") >= wm)).drop(
-                "__applied", "__tomb"
-            )
+            b = _drop_stale_changes(engine, table, tomb_table, b, keys)
         b = b.localCheckpoint(eager=True)  # split below reads it twice
         ups = b.filter(~is_del).drop(op_col)
         if sequence_by is None:

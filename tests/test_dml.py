@@ -1161,7 +1161,10 @@ def test_show_create_table_roundtrip(spark, tmp_path):
         constraints={"price_pos": "price >= 0"},
         expectations={"s_known": {"expr": "s IS NOT NULL", "action": "drop"}},
     )
+    eng.set_auto_optimize("t1", dv_sidecars=6, write_dirs=20)
     stmt = eng.sql("SHOW CREATE TABLE t1").head().createtab_stmt
+    assert "'auto_optimize.dv_sidecars'='6'" in stmt
+    assert "'auto_optimize.write_dirs'='20'" in stmt
     assert stmt.startswith("CREATE VERSIONED TABLE t1")
     assert "PARTITIONED BY (p)" in stmt and "CLUSTER BY (price)" in stmt
     assert "'deletion_vectors'='true'" in stmt
@@ -1176,7 +1179,7 @@ def test_show_create_table_roundtrip(spark, tmp_path):
     for attr in (
         "partition_by", "cluster_by", "keys", "versioned",
         "deletion_vectors", "constraints", "declared_columns",
-        "expectations",
+        "expectations", "auto_optimize",
     ):
         assert getattr(s1, attr) == getattr(s2, attr), attr
     # the reconstructed table accepts data and enforces the constraint

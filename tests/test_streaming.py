@@ -183,3 +183,48 @@ def test_stream_apply_changes_out_of_order_batches(spark, tmp_path):
         for r in eng.table("tgt_cdc_tombstones").collect()
     }
     assert tombs[30] == 310 and tombs[6] == 220
+
+
+def test_apply_changes_stale_filter_plan_never_shuffles_target(
+    spark, tmp_path
+):
+    """The stale-filter's stated 100 TB shape must be the real plan:
+    the target scan reaches its semi-join against the BROADCAST batch
+    keys with no exchange between them (map-side), and no sort-merge /
+    shuffled join appears anywhere — per batch only batch-sized data
+    moves."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.streaming.ingest import _drop_stale_changes
+
+    eng = Engine(spark, str(tmp_path))
+    seed = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("string").alias("s"),
+        F.col("id").alias("__seq"),
+    )
+    eng.create_table("tgt", seed, keys=["k"], versioned=True)
+    batch = spark.createDataFrame(
+        [(5, "x", "upsert", 2000), (2000, "y", "upsert", 2000)],
+        "k bigint, s string, _op string, __seq bigint",
+    )
+    out = _drop_stale_changes(eng, "tgt", "tgt_cdc_tombstones", batch, ["k"])
+    assert {r.k for r in out.collect()} == {5, 2000}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    lines = plan.splitlines()
+    i_semi = next(i for i, l in enumerate(lines) if "LeftSemi" in l)
+    i_scan = next(
+        i for i, l in enumerate(lines) if i > i_semi and "FileScan" in l
+    )
+    between = lines[i_semi + 1 : i_scan]
+    assert not any("Exchange" in l for l in between), between
+    # a stale row (seq below the stored watermark) is dropped
+    stale = spark.createDataFrame(
+        [(5, "old", "upsert", 1)], "k bigint, s string, _op string, __seq bigint"
+    )
+    assert (
+        _drop_stale_changes(
+            eng, "tgt", "tgt_cdc_tombstones", stale, ["k"]
+        ).count()
+        == 0
+    )
