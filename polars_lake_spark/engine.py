@@ -1160,6 +1160,25 @@ class Engine:
                 "this environment cannot run — the pointer/manifest "
                 "mechanics are root-agnostic"
             )
+        # The DV sidecar prefix rewrite (_rewrite_dv_prefixes) swaps
+        # "file:<root>/..." prefixes as RAW strings, but stored refs are
+        # URI-encoded — a root carrying a char Spark percent-encodes
+        # (space, '%', '#', '?') would never match, leave refs pointing
+        # at the OLD location, and silently resurrect deleted rows after
+        # the move. Refuse loudly instead (same class as the
+        # compact_dvs fix, r11); partition VALUES with such chars are
+        # fine — they sit after the prefix.
+        for label, root in (
+            ("dest_root", dest_root),
+            ("engine root", self.root),
+        ):
+            if root is not None and any(c in root for c in " %#?"):
+                raise ValueError(
+                    f"offload_table: {label} {root!r} contains a "
+                    "character the URI form percent-encodes; the DV "
+                    "prefix rewrite cannot match encoded refs against "
+                    "raw paths — use a root without ' ', '%', '#', '?'"
+                )
         if name not in self.specs:
             self.load_table(name)
         if name in self._mem:
@@ -2677,19 +2696,12 @@ class Engine:
             # check must be pair-granular. Foreign refs (shallow clones,
             # NULL extraction) are kept verbatim.
             prefix = "file:" + os.path.abspath(store.data_path) + "/"
-            live_pairs = [
+            live_pairs = {
                 (w, p)
                 for p, ws in base.mapping.items()
                 for w in ws
                 if ".." not in w
-            ]
-            live_df = (
-                self.spark.createDataFrame(
-                    live_pairs, "__lw string, __lp string"
-                )
-                if live_pairs
-                else self.spark.createDataFrame([], "__lw string, __lp string")
-            )
+            }
             rel = F.expr(f"substr(file_path, {len(prefix) + 1})")
             inner = F.regexp_replace(rel, r"^[^/]+/", "")
             refs = refs.withColumns(
@@ -2707,16 +2719,40 @@ class Engine:
                     ),
                 }
             )
-            refs = (
-                refs.join(
-                    F.broadcast(live_df),
-                    (F.col("__w") == F.col("__lw"))
-                    & (F.col("__p") == F.col("__lp")),
-                    "left_outer",
+            # The staleness decision happens in PYTHON over the refs'
+            # DISTINCT (write dir, partition relpath) pairs — bounded by
+            # the file fan-out, like every other driver-side metadata
+            # walk here — because the ref paths are URI-ENCODED
+            # (_metadata.file_path renders a space as %20) while the
+            # live mapping holds the raw on-disk names: comparing them
+            # in Spark pruned LIVE refs under any escaped partition dir
+            # and resurrected their deleted rows (r11, found with the
+            # meta_row_count URI fix; 'p=NOT SPECIFIED' repro).
+            from urllib.parse import unquote
+
+            pairs = [
+                (r["__w"], r["__p"])
+                for r in refs.select("__w", "__p")
+                .filter(F.col("__w").isNotNull())
+                .distinct()
+                .collect()
+            ]
+            stale = [
+                (w, p)
+                for w, p in pairs
+                if (w, unquote(p)) not in live_pairs
+            ]
+            if stale:
+                stale_df = self.spark.createDataFrame(
+                    stale, "__sw string, __sp string"
                 )
-                .filter(F.col("__w").isNull() | F.col("__lw").isNotNull())
-                .select("file_path", "row_index")
-            )
+                refs = refs.join(
+                    F.broadcast(stale_df),
+                    (F.col("__w").eqNullSafe(F.col("__sw")))
+                    & (F.col("__p").eqNullSafe(F.col("__sp"))),
+                    "left_anti",
+                )
+            refs = refs.select("file_path", "row_index")
             wname, n = self._write_dv_sidecar(store, refs)
             if len(dv) <= 1 and n == n_before:
                 # nothing to consolidate or prune; drop the staging dir

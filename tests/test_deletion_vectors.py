@@ -609,3 +609,64 @@ def test_meta_row_count_dv_with_stale_refs(spark, eng):
     assert (st.operation, st.n_affected) == ("delete", real)
     assert eng.table("mrc").count() == 0
     assert eng.meta_row_count("mrc") == 0
+
+
+def test_compact_dvs_uri_escaped_partition_dirs(spark, tmp_path):
+    """Regression (r11): stale-ref pruning compared the refs' URI-encoded
+    partition relpath (%20) against the raw mapping names, so compact_dvs
+    pruned LIVE refs under any escaped partition dir and resurrected
+    their deleted rows. Live refs must survive; genuinely stale refs
+    (partition rewritten) must still leave."""
+    from polars_lake_spark import Engine
+
+    eng = Engine(spark, str(tmp_path / "a"))
+    df = spark.createDataFrame(
+        [(i, "NOT SPECIFIED" if i % 2 else "clean", i) for i in range(40)],
+        "k bigint, p string, v bigint",
+    )
+    eng.create_table(
+        "t", df, keys=["k"], partition_by=["p"],
+        versioned=True, deletion_vectors=True,
+    )
+    eng.delete_where_dv("t", "k < 10")
+    eng.delete_where_dv("t", "k >= 30")
+    assert eng.table("t").count() == 20
+    assert eng.compact_dvs("t") == 20  # all 20 refs live, none pruned
+    assert eng.table("t").count() == 20
+    # stale pruning still fires: rewriting the 'clean' partition leaves
+    # its 5 refs stale; the 5 under the escaped dir stay
+    eng2 = Engine(spark, str(tmp_path / "b"))
+    eng2.create_table(
+        "t", df, keys=["k"], partition_by=["p"],
+        versioned=True, deletion_vectors=True,
+    )
+    eng2.delete_where_dv("t", "k < 10")
+    eng2.upsert(
+        "t",
+        spark.createDataFrame(
+            [(0, "clean", 99), (40, "clean", 40)],
+            "k bigint, p string, v bigint",
+        ),
+    )
+    before = eng2.table("t").count()
+    assert eng2.compact_dvs("t") == 5
+    assert eng2.table("t").count() == before
+
+
+def test_offload_refuses_percent_encodable_roots(spark, tmp_path):
+    """The offload DV prefix rewrite swaps raw-string prefixes against
+    URI-encoded refs — a root with a space would silently leave refs at
+    the old location (deleted rows resurrect after the move), so it must
+    refuse loudly instead."""
+    import pytest as _pt
+
+    from polars_lake_spark import Engine
+
+    eng = Engine(spark, str(tmp_path / "a"))
+    df = spark.range(0, 10).selectExpr("id AS k", "id AS v")
+    eng.create_table(
+        "t", df, keys=["k"], versioned=True, deletion_vectors=True
+    )
+    bad = str(tmp_path / "cold tier")
+    with _pt.raises(ValueError, match="percent-encodes"):
+        eng.offload_table("t", bad)
