@@ -609,6 +609,9 @@ def main() -> None:
         "retrieval_eval_metrics",
         "count_where_skipping_check",
         "expectations_lifecycle_check",
+        # appended r11
+        "bm25_phrase_check",
+        "partition_meta_rollup_check",
     ]
     print(
         json.dumps(

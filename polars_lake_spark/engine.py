@@ -4120,6 +4120,14 @@ class Engine:
             # zone-map sidecar collection failures since this Engine
             # opened (0 = every write dir has skippable stats)
             "zonemap_errors": self.zonemap_errors.get(name, 0),
+            # auto-compaction policy (None = manual maintenance) and the
+            # last action it took this session, if it was for this table
+            "auto_optimize": spec.auto_optimize,
+            "last_auto_optimize": (
+                self.last_auto_optimize
+                if (self.last_auto_optimize or {}).get("table") == name
+                else None
+            ),
         }
 
     # ------------------------------------------------------ statistics

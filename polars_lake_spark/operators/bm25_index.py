@@ -54,29 +54,53 @@ from polars_lake_spark.functions import text as TX
 from polars_lake_spark.operators.retrieval import _ranked_topk, bm25_score
 
 
-def _postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _postings(
+    docs: DataFrame, id_col: str, text_col: str, positions: bool = True
+) -> DataFrame:
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         TX.words(F.col(text_col)).alias("__ws"),
     ).withColumn("dl", F.size("__ws"))
+    if not positions:
+        return (
+            base.select("doc_id", "dl", F.explode("__ws").alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w", "doc_id", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .select("w", "doc_id", "tf", "dl")
+        )
     return (
         base.select(
             "doc_id", "dl", F.posexplode("__ws").alias("__p", "w")
         )
         .filter(F.col("w") != "")
         .groupBy("w", "doc_id", "dl")
-        .agg(
-            F.count(F.lit(1)).alias("tf"),
-            F.sort_array(F.collect_list(F.col("__p") + 1)).alias("pos"),
+        # ONE grouped aggregate; tf derives from the list length rather
+        # than paying a second aggregation buffer
+        .agg(F.sort_array(F.collect_list(F.col("__p") + 1)).alias("pos"))
+        .select(
+            "w",
+            "doc_id",
+            F.size("pos").cast("bigint").alias("tf"),
+            "dl",
+            "pos",
         )
-        .select("w", "doc_id", "tf", "dl", "pos")
     )
 
 
 class BM25Index:
-    def __init__(self, engine, name: str):
+    """``positions=False`` builds a positions-free index (Lucene's
+    ``IndexOptions.DOCS_AND_FREQS``): ~the r10 build cost and payload,
+    bag-of-words ``topk`` unchanged, ``phrase_topk`` refuses with a
+    clear error.  Default keeps positions (Lucene's default too) —
+    phrase queries work out of the box and the probe plans are
+    untouched either way (``pos`` is column-pruned unless a phrase
+    asks for it)."""
+
+    def __init__(self, engine, name: str, positions: bool = True):
         self.engine = engine
         self.name = name
+        self.positions = positions
 
     @property
     def _t_postings(self) -> str:
@@ -106,7 +130,7 @@ class BM25Index:
         )
         eng.create_table(
             self._t_postings,
-            _postings(docs, id_col, text_col),
+            _postings(docs, id_col, text_col, self.positions),
             versioned=True,
             cluster_by=["w"],
             deletion_vectors=True,
@@ -114,8 +138,8 @@ class BM25Index:
 
     @classmethod
     def open(cls, engine, name: str) -> "BM25Index":
-        engine.table(f"{name}_bm25_postings")  # raises if absent
-        return cls(engine, name)
+        t = engine.table(f"{name}_bm25_postings")  # raises if absent
+        return cls(engine, name, positions="pos" in t.columns)
 
     def _fresh_batch(self, batch: DataFrame) -> DataFrame:
         """Batch rows whose ids have no POSTINGS yet — the corpus side
@@ -171,7 +195,11 @@ class BM25Index:
             ),
             txn=txn,
         )
-        eng.insert(self._t_postings, _postings(fresh, "doc_id", "text"), txn=txn)
+        eng.insert(
+            self._t_postings,
+            _postings(fresh, "doc_id", "text", self.positions),
+            txn=txn,
+        )
         return n
 
     def sync_cdc(
@@ -317,6 +345,12 @@ class BM25Index:
         :func:`~polars_lake_spark.operators.retrieval.bm25_score`."""
         if not phrase:
             raise ValueError("BM25Index.phrase_topk: empty phrase")
+        if not self.positions:
+            raise ValueError(
+                "BM25Index.phrase_topk: this index was built with "
+                "positions=False; rebuild with positions to run phrase "
+                "queries"
+            )
         eng = self.engine
         m = len(phrase)
         quoted = ", ".join(

@@ -612,6 +612,9 @@ def test_auto_optimize_dv_threshold(spark, tmp_path):
     assert (n_dv, n_refs) == (1, 4)
     assert eng.last_auto_optimize["action"] == "compact_dvs"
     assert eng.last_auto_optimize["trigger"] == "dv_sidecars"
+    info = eng.table_info("t")
+    assert info["auto_optimize"] == {"dv_sidecars": 4}
+    assert info["last_auto_optimize"]["action"] == "compact_dvs"
     assert eng.table("t").count() == 196
     assert eng.table("t").filter("k < 4").count() == 0
     # policy survives a fresh engine (manifest round-trip)

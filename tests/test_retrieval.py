@@ -597,3 +597,35 @@ def test_bm25_phrase_survives_add_batch_and_skips_files(spark, docs, tmp_path):
     assert got == _phrase_model(rows, ["merge", "join"])
     rep = dict(eng.last_scan_report)
     assert 0 < rep["files_kept"] < rep["files_total"]
+
+
+def test_bm25_index_positions_opt_out(spark, docs, tmp_path):
+    """positions=False builds a positions-free index (Lucene
+    DOCS_AND_FREQS): identical bag-of-words scores, no pos column,
+    phrase_topk refuses with a clear error; open() re-detects the mode
+    from the stored schema."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.bm25_index import BM25Index
+
+    eng = Engine(spark, str(tmp_path))
+    idx = BM25Index(eng, "d", positions=False)
+    idx.create(docs)
+    assert "pos" not in eng.table("d_bm25_postings").columns
+    got = [tuple(r) for r in idx.topk(["merge", "stream"], k=10).collect()]
+    want = [
+        tuple(r)
+        for r in R.bm25_topk(
+            docs, "doc_id", "text", ["merge", "stream"], k=10
+        ).collect()
+    ]
+    assert got == want
+    with pytest.raises(ValueError, match="positions=False"):
+        idx.phrase_topk(["merge", "stream"])
+    # add_batch writes the same positions-free schema
+    more = spark.createDataFrame(
+        [(100, "merge stream")], "doc_id bigint, text string"
+    )
+    assert idx.add_batch(more) == 1
+    assert "pos" not in eng.table("d_bm25_postings").columns
+    # open() detects the mode
+    assert BM25Index.open(eng, "d").positions is False
