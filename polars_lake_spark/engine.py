@@ -1357,6 +1357,9 @@ class Engine:
         fast = self._try_meta_group_count(query)
         if fast is not None:
             return fast
+        fast = self._try_meta_partition_count(query)
+        if fast is not None:
+            return fast
         fast = self._try_meta_minmax(query)
         if fast is not None:
             return fast
@@ -1419,6 +1422,28 @@ class Engine:
     # atomic) — concurrent fast-path SELECTs must never share a view
     _zm_view_seq = itertools.count(1)
 
+    @staticmethod
+    def _quote_mask(query: str) -> str:
+        """A copy of ``query`` with string-literal CONTENTS blanked
+        (length preserved), so keyword regexes can neither bail on nor
+        mis-slice text inside literals; match spans index the original
+        text.  Shared by every SQL fast-path matcher."""
+        masked, q, i = list(query), None, 0
+        while i < len(query):
+            ch = query[i]
+            if q:
+                if ch == "\\":
+                    masked[i] = masked[min(i + 1, len(query) - 1)] = " "
+                    i += 2
+                    continue
+                if ch == q:
+                    q = None
+                masked[i] = " "
+            elif ch in "'\"":
+                q, masked[i] = ch, " "
+            i += 1
+        return "".join(masked)
+
     def _try_zonemap_select(
         self, query: str, asof: dict[str, tuple[str, int]] | None = None
     ) -> DataFrame | None:
@@ -1442,21 +1467,7 @@ class Engine:
         # length preserved) so a keyword inside a literal can neither
         # trigger the bail nor mis-slice the clauses; spans index the
         # original text.
-        masked, q, i = list(query), None, 0
-        while i < len(query):
-            ch = query[i]
-            if q:
-                if ch == "\\":
-                    masked[i] = masked[min(i + 1, len(query) - 1)] = " "
-                    i += 2
-                    continue
-                if ch == q:
-                    q = None
-                masked[i] = " "
-            elif ch in "'\"":
-                q, masked[i] = ch, " "
-            i += 1
-        masked = "".join(masked)
+        masked = self._quote_mask(query)
         m = self._ZM_SELECT.match(masked)
         if m is None or self._ZM_BAIL.search(masked):
             return None
@@ -3096,26 +3107,125 @@ class Engine:
         except Exception:
             return None
 
+    # Both matchers run against the quote-MASKED text with GREEDY
+    # predicate captures and a pre-stripped trailing semicolon: a lazy
+    # capture stops INSIDE a blanked string literal (the masked blanks
+    # satisfy the \s+ before the next delimiter), truncating the
+    # original-text slice mid-literal — the exact r10 fast-path slicing
+    # lesson, re-learned here on `WHERE p <> \'2-HIGH\' GROUP BY p`.
     _META_GROUP_COUNT = re.compile(
         r"^\s*SELECT\s+([\w\s,]+?)\s*,\s*COUNT\s*\(\s*(?:\*|1)\s*\)\s*"
-        r"(?:AS\s+(\w+))?\s+FROM\s+([A-Za-z_][\w.]*)\s+"
-        r"GROUP\s+BY\s+([\w\s,]+?)\s*;?\s*$",
-        re.I,
+        r"(?:AS\s+(\w+))?\s+FROM\s+([A-Za-z_][\w.]*)"
+        r"(?:\s+WHERE\s+(.+))?\s+"
+        r"GROUP\s+BY\s+([\w\s,]+?)\s*$",
+        re.I | re.S,
     )
+    _META_COUNT_WHERE = re.compile(
+        r"^\s*SELECT\s+COUNT\s*\(\s*(?:\*|1)\s*\)\s*(?:AS\s+(\w+))?"
+        r"\s+FROM\s+([A-Za-z_][\w.]*)\s+WHERE\s+(.+)\s*$",
+        re.I | re.S,
+    )
+
+    @staticmethod
+    def _strip_stmt(query: str) -> str:
+        """Trailing whitespace + one trailing semicolon removed — match
+        spans still index the original text (only the tail shrinks)."""
+        q = query.rstrip()
+        if q.endswith(";"):
+            q = q[:-1].rstrip()
+        return q
+
+    def _partition_counts_frame(self, name: str):
+        """Typed driver-LOCAL frame (partition cols..., __plsq_cnt) from
+        :meth:`partition_counts` — the shared base of the metadata
+        grouped-count and partition-predicate COUNT fast paths. Values
+        are the directory-name strings CAST to the partition dtypes
+        (byte-identical to a hive read-back), rolled up over any
+        bucket_id segment below the partition prefix. None when the
+        table cannot roll up from metadata."""
+        spec = self.specs[name]
+        parts = list(spec.partition_by)
+        if not parts:
+            return None
+        counts = self.partition_counts(name)
+        if counts is None:
+            return None
+        from polars_lake_spark.layout import parse_hive_relpath
+
+        agg: dict[tuple, int] = {}
+        for rel, n in counts.items():
+            vals = parse_hive_relpath(rel)
+            if any(c not in vals for c in parts):
+                return None
+            key = tuple(vals[c] for c in parts)
+            agg[key] = agg.get(key, 0) + n
+        dtypes = self._partition_dtypes(name, parts)
+        if dtypes is None:
+            return None
+        rows = [
+            k + (int(n),)
+            for k, n in sorted(
+                agg.items(),
+                key=lambda kv: tuple(
+                    (v is None, v or "") for v in kv[0]
+                ),
+            )
+        ]
+        schema = ", ".join(f"`{c}` string" for c in parts)
+        local = self.spark.createDataFrame(
+            rows, f"{schema}, __plsq_cnt bigint"
+        )
+        return local.select(
+            *[
+                F.col(c).cast(t).alias(c)
+                for c, t in zip(parts, dtypes)
+            ],
+            "__plsq_cnt",
+        )
+
+    def _filter_partition_frame(self, frame, parts, pred: str):
+        """Apply a WHERE predicate to the local partition frame — sound
+        because a predicate over PARTITION COLUMNS ONLY is constant per
+        partition, so filtering groups is identical to filtering rows.
+        The filter runs against the key columns alone (the count column
+        dropped), so a predicate referencing ANY other column — a data
+        column, or a real column that happens to shadow our internal
+        count — fails analysis and the caller falls through to the
+        vanilla plan; non-deterministic predicates (rand()) fall
+        through too, since group-level evaluation would diverge from
+        row-level."""
+        try:
+            keys = frame.select(*parts).filter(pred)
+            if not bool(
+                keys._jdf.queryExecution().analyzed().deterministic()
+            ):
+                return None
+            return frame.join(keys, list(parts), "left_semi")
+        except Exception:
+            return None
 
     def _try_meta_group_count(self, query: str) -> DataFrame | None:
         """Metadata-only partition-grouped count: ``SELECT <partition
-        cols>, COUNT(*) FROM t GROUP BY <same cols>`` answers from
-        :meth:`partition_counts` — a LocalTableScan, no files read.
-        Strictly conservative: the select list must be exactly the
-        table's partition columns (any order, no WHERE, no extras), the
-        group list the same set, and the table must roll up from
-        metadata; anything else falls through to the vanilla plan.
-        Typed partition values come back by CASTing the directory-name
-        strings to the partition dtypes — byte-identical to what a hive
-        read-back produces for the same directories."""
-        m = self._META_GROUP_COUNT.match(query)
+        cols>, COUNT(*) FROM t [WHERE <partition-only pred>] GROUP BY
+        <same cols>`` answers from :meth:`partition_counts` — a
+        driver-local plan, no files read.  Strictly conservative: the
+        select list must be exactly the table's partition columns (any
+        order, no extras), the group list the same set, any WHERE must
+        reference only partition columns deterministically (see
+        :meth:`_filter_partition_frame`), and the table must roll up
+        from metadata; anything else falls through to the vanilla
+        plan."""
+        query = self._strip_stmt(query)
+        masked = self._quote_mask(query)
+        m = self._META_GROUP_COUNT.match(masked)
         if m is None:
+            return None
+        # the column lists and table name are regex-restricted; the only
+        # free-form slice is the WHERE text — bail there (joins, windows,
+        # subqueries, nested GROUP BY) without tripping on our own shape
+        if m.group(4) and self._ZM_BAIL.search(
+            masked[m.start(4) : m.end(4)]
+        ):
             return None
         from polars_lake_spark import dml
 
@@ -3124,7 +3234,7 @@ class Engine:
             return None
         spec = self.specs[name]
         sel = [c.strip() for c in m.group(1).split(",") if c.strip()]
-        grp = [c.strip() for c in m.group(4).split(",") if c.strip()]
+        grp = [c.strip() for c in m.group(5).split(",") if c.strip()]
         parts = list(spec.partition_by)
         low = {c.lower(): c for c in parts}
         if (
@@ -3134,46 +3244,83 @@ class Engine:
             or {c.lower() for c in grp} != set(low)
         ):
             return None
-        counts = self.partition_counts(name)
-        if counts is None:
+        frame = self._partition_counts_frame(name)
+        if frame is None:
             return None
-        from polars_lake_spark.layout import parse_hive_relpath
-
-        # roll rel-paths up to the partition_by prefix (bucketed tables
-        # carry a bucket_id segment below it)
-        agg: dict[tuple, int] = {}
-        for rel, n in counts.items():
-            vals = parse_hive_relpath(rel)
-            if any(c not in vals for c in parts):
+        if m.group(4):
+            pred = query[m.start(4) : m.end(4)]
+            frame = self._filter_partition_frame(frame, parts, pred)
+            if frame is None:
                 return None
-            key = tuple(vals[c] for c in parts)
-            agg[key] = agg.get(key, 0) + n
         out_cols = [low[c.lower()] for c in sel]
-        order = [parts.index(c) for c in out_cols]
-        rows = [
-            tuple(k[i] for i in order) + (int(n),)
-            for k, n in sorted(
-                agg.items(),
-                key=lambda kv: tuple(
-                    (v is None, v or "") for v in kv[0]
-                ),
-            )
-        ]
-        dtypes = self._partition_dtypes(name, out_cols)
+        alias = m.group(2) or "count(1)"
+        out = frame.select(*out_cols, F.col("__plsq_cnt").alias(alias))
+        if m.group(4):
+            # re-materialize the filtered join of two local frames as one
+            # literal frame (≤ partition-count rows) so the returned plan
+            # stays a pure local scan — no join, no exchange
+            rows, schema = out.collect(), out.schema
+            out = self.spark.createDataFrame(rows, schema)
+        return out
+
+    def _try_meta_partition_count(self, query: str) -> DataFrame | None:
+        """Metadata-only ``SELECT COUNT(*) FROM t WHERE <partition-only
+        pred>``: partition columns never appear in parquet footers (they
+        are directory names), so the zone-map COUNT path cannot certify
+        them — but :meth:`partition_counts` already knows every
+        partition's live row count, and a partition-column predicate is
+        constant per partition.  Spark evaluates the predicate over the
+        TYPED local partition frame (exactly the values its own
+        partition pruning would compare), the surviving counts sum
+        driver-locally — no FileScan.  Falls through on any predicate
+        referencing other columns, non-deterministic expressions,
+        subqueries, or join/group/order shapes."""
+        query = self._strip_stmt(query)
+        masked = self._quote_mask(query)
+        m = self._META_COUNT_WHERE.match(masked)
+        if m is None:
+            return None
+        if self._ZM_BAIL.search(masked[m.start(3) : m.end(3)]):
+            return None
+        pred = query[m.start(3) : m.end(3)]
+        from polars_lake_spark import dml
+
+        name = dml._resolve(self, m.group(2))
+        if name is None or name in self._mem:
+            return None
+        # cheap pre-check BEFORE the footer walk: analyze the predicate
+        # against an empty typed frame of just the partition columns, so
+        # a data-column COUNT WHERE (the zone-map path's job) never pays
+        # the O(files) stat walk on its way to falling through
+        parts = list(self.specs[name].partition_by)
+        if not parts:
+            return None
+        dtypes = self._partition_dtypes(name, parts)
         if dtypes is None:
             return None
-        alias = m.group(2) or "count(1)"
-        schema = ", ".join(f"`{c}` string" for c in out_cols)
-        local = self.spark.createDataFrame(
-            rows, f"{schema}, __cnt bigint"
+        empty = self.spark.createDataFrame(
+            [],
+            ", ".join(
+                f"`{c}` {t}" for c, t in zip(parts, dtypes)
+            ),
         )
-        return local.select(
-            *[
-                F.col(c).cast(t).alias(c)
-                for c, t in zip(out_cols, dtypes)
-            ],
-            F.col("__cnt").alias(alias),
+        if self._filter_partition_frame(empty, parts, pred) is None:
+            return None
+        frame = self._partition_counts_frame(name)
+        if frame is None:
+            return None
+        flt = self._filter_partition_frame(frame, parts, pred)
+        if flt is None:
+            return None
+        alias = m.group(1) or "count(1)"
+        # sum the ≤ partition-count surviving rows DRIVER-side: the
+        # returned plan is one literal row, same shape as _try_meta_count
+        total = sum(
+            r["__plsq_cnt"] for r in flt.select("__plsq_cnt").collect()
         )
+        return self.spark.createDataFrame(
+            [(int(total),)], "cnt bigint"
+        ).select(F.col("cnt").alias(alias))
 
     def convert_to_versioned(self, name: str) -> None:
         """CONVERT TO DELTA analog: adopt a plain on-disk parquet table

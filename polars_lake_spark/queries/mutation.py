@@ -1561,6 +1561,23 @@ def partition_meta_rollup_check(spark, sf_dir):
         sp = eng.sql("SHOW PARTITIONS po").collect()
         if sum(r.rows for r in sp) != eng.table("po").count():
             viol += 1
+        # partition-PREDICATE counts (r11): zone maps cannot certify
+        # partition columns (they never appear in footers) — these must
+        # answer from the partition rollup, still no FileScan, and agree
+        # with a real scan
+        fast2 = eng.sql(
+            "SELECT COUNT(*) AS cnt FROM po "
+            "WHERE o_orderpriority IN ('1-URGENT', '5-LOW')"
+        )
+        if "FileScan" in fast2._jdf.queryExecution().executedPlan().toString():
+            viol += 1
+        real2 = (
+            eng.table("po")
+            .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+            .count()
+        )
+        if fast2.head().cnt != real2:
+            viol += 1
         out = fast.withColumn(
             "violations", F.lit(viol).cast("bigint")
         ).orderBy("o_orderpriority")

@@ -782,3 +782,63 @@ def test_partition_grouped_count_fast_path(spark, tmp_path, sf_dir):
     # SHOW PARTITIONS carries the same metadata rows
     sp = {r.partition: r.rows for r in eng.sql("SHOW PARTITIONS o").collect()}
     assert sum(sp.values()) == eng.table("o").count()
+
+
+def test_partition_predicate_count_fast_path(spark, tmp_path, sf_dir):
+    """r11: COUNT(*) WHERE <partition-only pred> and partition-grouped
+    counts WITH a partition-only WHERE answer from the metadata rollup —
+    no FileScan, no Exchange, no Join in the returned plan; predicates
+    touching data columns, subqueries, or nondeterministic expressions
+    fall through; string literals containing keywords don't break the
+    slicing (the r10 masked-span lesson, pinned here for these
+    matchers)."""
+    eng = Engine(spark, str(tmp_path))
+    orders = load_table(spark, sf_dir, "orders")
+    eng.create_table(
+        "o", orders, keys=["o_orderkey"], partition_by=["o_orderpriority"],
+        versioned=True, deletion_vectors=True,
+    )
+    eng.sql("DELETE FROM o WHERE o_orderkey % 10 = 3")
+    eng.table("o").createOrReplaceTempView("vo_pred")
+
+    def run(q):
+        df = eng.sql(q)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        local = (
+            "FileScan" not in p and "Exchange" not in p and "Join" not in p
+        )
+        got = sorted(tuple(r) for r in df.collect())
+        want = sorted(
+            tuple(r)
+            for r in spark.sql(q.replace("FROM o", "FROM vo_pred")).collect()
+        )
+        assert got == want, q
+        return local
+
+    assert run("SELECT COUNT(*) FROM o WHERE o_orderpriority = '1-URGENT'")
+    assert run(
+        "SELECT COUNT(*) AS n FROM o "
+        "WHERE o_orderpriority IN ('2-HIGH', '5-LOW')"
+    )
+    # trailing literal + keyword inside a literal (masked-span slicing)
+    assert run(
+        "SELECT COUNT(*) AS n FROM o WHERE o_orderpriority LIKE 'GROUP BY%'"
+    )
+    # zero matches -> 0, not NULL
+    assert eng.sql(
+        "SELECT COUNT(*) AS n FROM o WHERE o_orderpriority = 'absent'"
+    ).head().n == 0
+    # grouped + WHERE
+    assert run(
+        "SELECT o_orderpriority, COUNT(*) AS c FROM o "
+        "WHERE o_orderpriority <> '2-HIGH' GROUP BY o_orderpriority"
+    )
+    # fall-throughs stay correct on the vanilla/zone-map paths
+    assert not run(
+        "SELECT o_orderpriority, COUNT(*) AS c FROM o "
+        "WHERE o_orderkey > 5 GROUP BY o_orderpriority"
+    )
+    assert not run(
+        "SELECT COUNT(*) AS n FROM o WHERE o_orderpriority IN "
+        "(SELECT o_orderpriority FROM vo_pred)"
+    )
