@@ -323,10 +323,25 @@ class BM25Index:
         k1: float = 1.2,
         b: float = 0.75,
         round_dp: int = 4,
+        slop: int = 0,
     ) -> DataFrame:
-        """Top-``k`` docs containing the EXACT consecutive phrase —
-        the positional-postings query bag-of-words BM25 cannot express
+        """Top-``k`` docs containing the consecutive phrase — the
+        positional-postings query bag-of-words BM25 cannot express
         (``[merge, stream]`` must not match a doc with the words apart).
+
+        ``slop > 0`` relaxes to an ORDERED proximity match (the spirit
+        of Lucene's sloppy PhraseQuery, semantics pinned exactly here):
+        the phrase matches at ``start`` iff positions
+        ``start = p_0 < p_1 < ... < p_{m-1}`` exist, ``p_i`` a position
+        of ``phrase[i]``, with total stretch
+        ``(p_last − p_0) − (m − 1) <= slop`` — i.e. up to ``slop``
+        extra tokens may sit inside the window, order preserved.
+        ``tf`` = distinct ``start`` positions admitting a valid
+        sequence (deterministic under overlaps).  ``slop=0`` is the
+        exact-adjacency special case and runs on a cheaper one-groupBy
+        intersection; ``slop>0`` chains ``m−1`` per-doc joins over the
+        SAME probe-bounded position sets — still O(query-term postings),
+        never O(corpus).
 
         Probe shape is IDENTICAL to :meth:`topk`: ``scan_where`` keeps
         only the files whose term zone-map range covers a phrase term,
@@ -345,6 +360,8 @@ class BM25Index:
         :func:`~polars_lake_spark.operators.retrieval.bm25_score`."""
         if not phrase:
             raise ValueError("BM25Index.phrase_topk: empty phrase")
+        if slop < 0:
+            raise ValueError("BM25Index.phrase_topk: slop must be >= 0")
         if not self.positions:
             raise ValueError(
                 "BM25Index.phrase_topk: this index was built with "
@@ -360,31 +377,74 @@ class BM25Index:
         slots = probe.sparkSession.createDataFrame(
             list(enumerate(phrase)), "slot int, w string"
         )
-        # distinct (doc, slot, start) rows, then an all-slots-present
-        # count: a start every slot produced is one phrase occurrence
-        starts = (
-            probe.join(F.broadcast(slots), "w")
-            .select(
+        if slop == 0:
+            # distinct (doc, slot, start) rows, then an all-slots-present
+            # count: a start every slot produced is one phrase occurrence
+            starts = (
+                probe.join(F.broadcast(slots), "w")
+                .select(
+                    "doc_id",
+                    "dl",
+                    "slot",
+                    F.explode("pos").alias("__p"),
+                )
+                .select(
+                    "doc_id",
+                    "dl",
+                    "slot",
+                    (F.col("__p") - F.col("slot")).alias("start"),
+                )
+                .distinct()
+            )
+            tfq = (
+                starts.groupBy("doc_id", "dl", "start")
+                .agg(F.count(F.lit(1)).alias("__ns"))
+                .filter(F.col("__ns") == m)
+                .groupBy("doc_id", "dl")
+                .agg(F.count(F.lit(1)).alias("tf"))
+            )
+        else:
+            # ordered proximity: chain the per-slot position sets with
+            # strictly-increasing positions under the stretch bound.
+            # Each e_i is probe-bounded; intermediates carry only
+            # (doc, start, last) and dedup per link, so the worst case
+            # is positions-within-window, never a cross product.
+            def slot_positions(i: int) -> DataFrame:
+                return probe.filter(F.col("w") == phrase[i]).select(
+                    "doc_id",
+                    "dl",
+                    F.explode("pos").alias(f"__p{i}"),
+                )
+
+            bound = m - 1 + slop
+            seq = slot_positions(0).select(
                 "doc_id",
                 "dl",
-                "slot",
-                F.explode("pos").alias("__p"),
+                F.col("__p0").alias("start"),
+                F.col("__p0").alias("__last"),
             )
-            .select(
-                "doc_id",
-                "dl",
-                "slot",
-                (F.col("__p") - F.col("slot")).alias("start"),
+            for i in range(1, m):
+                nxt = slot_positions(i)
+                seq = (
+                    seq.join(nxt, ["doc_id", "dl"])
+                    .filter(
+                        (F.col(f"__p{i}") > F.col("__last"))
+                        & (F.col(f"__p{i}") - F.col("start") <= bound)
+                    )
+                    .select(
+                        "doc_id",
+                        "dl",
+                        "start",
+                        F.col(f"__p{i}").alias("__last"),
+                    )
+                    .distinct()
+                )
+            tfq = (
+                seq.select("doc_id", "dl", "start")
+                .distinct()
+                .groupBy("doc_id", "dl")
+                .agg(F.count(F.lit(1)).alias("tf"))
             )
-            .distinct()
-        )
-        tfq = (
-            starts.groupBy("doc_id", "dl", "start")
-            .agg(F.count(F.lit(1)).alias("__ns"))
-            .filter(F.col("__ns") == m)
-            .groupBy("doc_id", "dl")
-            .agg(F.count(F.lit(1)).alias("tf"))
-        )
         dfq = tfq.agg(F.count(F.lit(1)).alias("dfreq"))
         stats = eng.table(self._t_doclens).agg(
             F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")

@@ -42,6 +42,7 @@ CHECK_PRIORITY: list[str] = [
     # -- NEW r11: BM25 phrase queries; APPLY CHANGES cross-batch
     # ordering; partition metadata rollups --------------------------------
     "bm25_phrase_check",
+    "bm25_phrase_slop_check",
     "stream_apply_changes_check",
     "partition_meta_rollup_check",
     # -- CHANGED r11: _enforce determinism probe + drop-scope rewrite;
@@ -96,8 +97,8 @@ CHECK_PRIORITY: list[str] = [
     "q18_large_orders",
     "q19_discounted_revenue",
     "q20_promotion_suppliers",
-    "q21_latest_shipper",
     # ------ 50-slot window boundary ------------------------------------
+    "q21_latest_shipper",
     # -- remaining rows in staleness order, then everything the r10 gate
     # re-verified (freshest evidence last) ---------------------------------
     "q22_idle_customers",

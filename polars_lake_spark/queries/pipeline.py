@@ -1717,6 +1717,83 @@ def bm25_phrase_check(spark, sf_dir):
 
 
 @register(
+    "bm25_phrase_slop_check",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split({norm}, ' ') AS ws
+               FROM documents),
+    dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dd),
+    toks AS (SELECT doc_id, dl, unnest(ws) AS w,
+                    generate_subscripts(ws, 1) AS p
+             FROM dd),
+    t0 AS (SELECT doc_id, dl, p FROM toks WHERE w = 'merge'),
+    t1 AS (SELECT doc_id, p FROM toks WHERE w = 'stream'),
+    occ AS (SELECT DISTINCT a.doc_id, a.dl, a.p AS start
+            FROM t0 a JOIN t1 b ON a.doc_id = b.doc_id
+            WHERE b.p > a.p AND b.p - a.p <= 3),
+    tfq AS (SELECT doc_id, dl, COUNT(*) AS tf FROM occ
+            GROUP BY doc_id, dl),
+    dfq AS (SELECT COUNT(*) AS dfreq FROM tfq),
+    sc AS (SELECT doc_id,
+             ROUND(LN(1 + (n_docs - dfreq + 0.5) / (dfreq + 0.5))
+                   * tf * 2.2
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 4)
+               AS bm25
+           FROM tfq CROSS JOIN dfq CROSS JOIN stats)
+    SELECT doc_id, bm25,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS rank,
+           CAST(0 AS BIGINT) AS violations
+    FROM sc
+    QUALIFY ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) <= 10
+    """.replace("{norm}", _NORM_SQL),
+    doc="Sloppy ordered phrase query (bm25_index.py:phrase_topk "
+    "slop=2): 'merge ... stream' with up to two tokens between, order "
+    "enforced, tf = DISTINCT valid start positions (a start reachable "
+    "through two end positions counts once). Same zone-map pruned "
+    "probe; the sloppy path chains per-slot position sets with "
+    "per-doc joins bounded by the probed postings. DuckDB replays the "
+    "proximity join relationally; violations pins file skipping.",
+)
+def bm25_phrase_slop_check(spark, sf_dir):
+    """Ordered proximity retrieval (Lucene sloppy-PhraseQuery spirit,
+    semantics pinned in the operator docstring): all matching stays
+    O(phrase-term postings) after the same pruned probe exact phrases
+    use."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.bm25_index import BM25Index
+
+    root = tempfile.mkdtemp(prefix="plsq_bms_")
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old_coalesce = spark.conf.get(coalesce_key, "true")
+    try:
+        eng = Engine(spark, root)
+        docs = load_table(spark, sf_dir, "documents").localCheckpoint(
+            eager=True
+        )
+        spark.conf.set(coalesce_key, "false")
+        idx = BM25Index(eng, "d")
+        idx.create(docs)
+        top = idx.phrase_topk(["merge", "stream"], k=10, slop=2)
+        rows = top.collect()
+        rep = dict(eng.last_scan_report)
+        viol = 0
+        if not (0 < rep.get("files_kept", 0) < rep.get("files_total", 0)):
+            viol += 1
+        out = spark.createDataFrame(rows, top.schema).withColumn(
+            "violations", F.lit(viol).cast("bigint")
+        )
+        rows2, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows2, schema)
+    finally:
+        spark.conf.set(coalesce_key, old_coalesce)
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "bm25_index_cdc_sync_check",
     oracle="""
     WITH kept AS (

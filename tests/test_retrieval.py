@@ -629,3 +629,77 @@ def test_bm25_index_positions_opt_out(spark, docs, tmp_path):
     assert "pos" not in eng.table("d_bm25_postings").columns
     # open() detects the mode
     assert BM25Index.open(eng, "d").positions is False
+
+
+def _sloppy_model(rows, phrase, slop, k1=1.2, b=0.75):
+    """Ordered proximity model: tf = distinct starts p_0 admitting
+    p_0 < p_1 < ... < p_{m-1} (p_i a position of phrase[i]) with
+    (p_last - p_0) - (m-1) <= slop; scored as one pseudo-term."""
+    import itertools
+
+    toks = {i: t.split() for i, t in rows}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    m = len(phrase)
+    tfq = {}
+    for d, w in toks.items():
+        pos = {
+            i: [j + 1 for j, t in enumerate(w) if t == phrase[i]]
+            for i in range(m)
+        }
+        starts = set()
+        for combo in itertools.product(*[pos[i] for i in range(m)]):
+            if all(combo[i] < combo[i + 1] for i in range(m - 1)) and (
+                combo[-1] - combo[0]
+            ) - (m - 1) <= slop:
+                starts.add(combo[0])
+        if starts:
+            tfq[d] = len(starts)
+    dfq = len(tfq)
+    out = {}
+    for d, tf in tfq.items():
+        idf = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+        dl = len(toks[d])
+        out[d] = round(
+            idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 4
+        )
+    return out
+
+
+def test_bm25_phrase_slop_matches_python_model(spark, docs, tmp_path):
+    """Sloppy ordered phrase: gaps up to slop allowed, order enforced,
+    tf = distinct valid starts (a start reachable through two different
+    end positions counts ONCE); slop=0 via the join path's semantics
+    must equal the exact intersection path."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.bm25_index import BM25Index
+
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    eng = Engine(spark, str(tmp_path))
+    idx = BM25Index(eng, "d")
+    idx.create(docs)
+    cases = [
+        (["merge", "join"], 1),   # doc 1: only start 3 fits
+        (["merge", "join"], 2),   # doc 1: starts 1 and 3 -> tf=2
+        (["sort", "merge"], 2),   # two ends, ONE start -> tf=1
+        (["join", "sort"], 3),    # reversed: order enforced, no match
+        (["vector", "vector"], 1),  # duplicate word with a gap
+        (["filter", "stream", "merge"], 2),  # 3-term with gaps (doc 3)
+    ]
+    for phrase, slop in cases:
+        want = _sloppy_model(rows, phrase, slop)
+        got = {
+            r.doc_id: r.bm25
+            for r in idx.phrase_topk(phrase, k=10, slop=slop).collect()
+        }
+        assert got == want, (phrase, slop)
+    # slop=0 ordered-join semantics == the exact intersection fast path
+    for phrase in (["merge", "join"], ["stream", "stream"]):
+        want = _sloppy_model(rows, phrase, 0)
+        got = {
+            r.doc_id: r.bm25
+            for r in idx.phrase_topk(phrase, k=10, slop=0).collect()
+        }
+        assert got == want, phrase
+    with pytest.raises(ValueError, match="slop"):
+        idx.phrase_topk(["merge"], slop=-1)
