@@ -299,8 +299,64 @@ def stream_bm25_ingest(
     return writer.start()
 
 
+def _apply_truncates(
+    engine, table: str, meta_table: str, b: DataFrame, is_tr, sequence_by: str
+) -> DataFrame:
+    """Apply a batch's 'truncate' ops (DLT ``apply_as_truncates``): rows
+    on the target applied strictly BEFORE the newest truncate's sequence
+    leave (seed rows with no ``__seq`` order earliest and always leave),
+    and the truncate sequence persists as a one-row ``{table}_cdc_meta``
+    watermark so later batches' pre-truncate stragglers drop in the
+    stale filter.  Replay-idempotent: an already-applied truncate
+    (sequence <= the stored watermark) is a no-op, and strict-<
+    deletion never removes rows the first pass kept.  Returns the batch
+    minus its truncate rows."""
+    tr_seq = b.filter(is_tr).agg(F.max(sequence_by)).head()[0]
+    rest = b.filter(~is_tr)
+    if tr_seq is None:  # truncate rows with NULL sequence: inert
+        return rest
+    spec = engine.specs[table]
+    keys = list(spec.keys)
+    prev = None
+    if meta_table in engine.specs:
+        row = engine.table(meta_table).head()
+        prev = None if row is None else row["__seq"]
+    if prev is not None and tr_seq <= prev:
+        return rest  # replay / late truncate: already covered
+    tgt = engine.table(table)
+    if "__seq" in tgt.columns:
+        doomed = tgt.filter(
+            F.col("__seq").isNull() | (F.col("__seq") < F.lit(tr_seq))
+        ).select(*keys)
+        if doomed.head(1):
+            if spec.deletion_vectors:
+                engine.delete_keys_dv(table, doomed, keys)
+            else:
+                engine.delete(table, doomed, keys)
+    else:
+        # no sequenced row ever applied: everything predates the
+        # truncate — schema-preserving empty rewrite, no scan
+        engine.sql(f"TRUNCATE TABLE {table}")
+    seq_t = b.schema[sequence_by].dataType.simpleString()
+    wm_df = b.sparkSession.createDataFrame(
+        [("truncate_wm", tr_seq)], f"k string, __seq {seq_t}"
+    )
+    if meta_table not in engine.specs:
+        engine.create_table(
+            meta_table, wm_df, keys=["k"], save=engine.root is not None
+        )
+    else:
+        engine.upsert(meta_table, wm_df)
+    return rest
+
+
 def _drop_stale_changes(
-    engine, table: str, tomb_table: str, b: DataFrame, keys: list[str]
+    engine,
+    table: str,
+    tomb_table: str,
+    b: DataFrame,
+    keys: list[str],
+    floor=None,
 ) -> DataFrame:
     """The cross-batch stale filter for :func:`stream_apply_changes`:
     drop batch rows whose ``__seq`` is strictly below the key's applied
@@ -331,7 +387,13 @@ def _drop_stale_changes(
         b = b.join(F.broadcast(tomb), keys, "left")
     else:
         b = b.withColumn("__tomb", F.lit(None).cast(seq_t))
-    wm = F.greatest("__applied", "__tomb")
+    wms = [F.col("__applied"), F.col("__tomb")]
+    if floor is not None:
+        # the table-level truncate watermark (_apply_truncates) joins
+        # the per-key ones — a pre-truncate straggler drops for EVERY
+        # key, present or not
+        wms.append(F.lit(floor))
+    wm = F.greatest(*wms)
     return b.filter(wm.isNull() | (F.col("__seq") >= wm)).drop(
         "__applied", "__tomb"
     )
@@ -377,6 +439,18 @@ def stream_apply_changes(
     batch-sized data ever moves.  Tombstones accrue per deleted key and
     compact/vacuum through the normal table lifecycle.
 
+    ``op = 'truncate'`` rows (DLT ``apply_as_truncates`` analog —
+    full-refresh feeds) clear the WHOLE target in sequence order: rows
+    whose applied sequence is strictly below the truncate's go (seed
+    rows with no ``__seq`` order earliest and always go), same-or-later
+    changes survive or apply after it, and the truncate's sequence
+    persists as a one-row ``{table}_cdc_meta`` watermark so a LATE
+    batch's pre-truncate changes are dropped forever.  Truncate rows
+    need no key columns; replays re-truncate idempotently (strict-<
+    deletion removes nothing the first pass kept).  Requires
+    ``sequence_by`` — an unsequenced truncate in a stream is ambiguous
+    against same-batch changes and raises.
+
     Without ``sequence_by``, a key carrying both a delete and an upsert
     in one batch is ambiguous and raises, and cross-batch ordering is
     the arrival order.
@@ -390,6 +464,13 @@ def stream_apply_changes(
     tombstone writes are not one atomic commit; a crash between them is
     repaired by replaying the batch (every step is idempotent)."""
     tomb_table = f"{table}_cdc_tombstones"
+    meta_table = f"{table}_cdc_meta"
+
+    def truncate_wm(seq_t: str):
+        if meta_table not in engine.specs:
+            return None
+        row = engine.table(meta_table).head()
+        return None if row is None else row["__seq"]
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -400,6 +481,19 @@ def stream_apply_changes(
             raise ValueError(f"stream_apply_changes: {table} has no keys")
         b = batch_df
         is_del = F.lower(F.col(op_col)) == "delete"
+        is_tr = F.lower(F.col(op_col)) == "truncate"
+        if b.filter(is_tr).head(1):
+            if sequence_by is None:
+                raise ValueError(
+                    "stream_apply_changes: 'truncate' ops require "
+                    "sequence_by (an unsequenced truncate is ambiguous "
+                    "against same-batch changes)"
+                )
+            b = _apply_truncates(
+                engine, table, meta_table, b, is_tr, sequence_by
+            )
+            if not b.head(1):
+                return
         if sequence_by is not None:
             w = Window.partitionBy(*keys).orderBy(
                 F.desc(sequence_by), F.asc(is_del.cast("int"))
@@ -410,7 +504,10 @@ def stream_apply_changes(
                 .drop("__rn")
                 .withColumnRenamed(sequence_by, "__seq")
             )
-            b = _drop_stale_changes(engine, table, tomb_table, b, keys)
+            b = _drop_stale_changes(
+                engine, table, tomb_table, b, keys,
+                floor=truncate_wm(b.schema["__seq"].dataType.simpleString()),
+            )
         b = b.localCheckpoint(eager=True)  # split below reads it twice
         ups = b.filter(~is_del).drop(op_col)
         if sequence_by is None:

@@ -228,3 +228,72 @@ def test_apply_changes_stale_filter_plan_never_shuffles_target(
         ).count()
         == 0
     )
+
+
+def test_stream_apply_changes_truncate_ops(spark, tmp_path):
+    """DLT apply_as_truncates analog: a sequenced 'truncate' row clears
+    everything applied strictly before it (seed rows included),
+    same-batch later changes apply after it, a LATE batch's pre-truncate
+    changes drop against the persisted watermark, and replays are
+    idempotent. Unsequenced truncates raise."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.streaming.ingest import stream_apply_changes
+
+    eng = Engine(spark, str(tmp_path / "a"))
+    seed = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id bigint, s string"
+    )
+    eng.create_table(
+        "tgt", seed, keys=["id"], versioned=True, deletion_vectors=True
+    )
+    schema = "id bigint, s string, _op string, seq bigint"
+
+    def apply(rows, tag):
+        staging = str(tmp_path / f"b_{tag}")
+        spark.createDataFrame(rows, schema).write.parquet(staging)
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).parquet(staging)
+        q = stream_apply_changes(
+            eng, "tgt", stream, sequence_by="seq",
+            checkpoint_dir=str(tmp_path / f"ck_{tag}"),
+        )
+        q.awaitTermination(120)
+
+    # pre-truncate applied state + the full-refresh batch: a change at
+    # seq 90 (before the truncate), the truncate at 100, new rows after
+    apply([(1, "v1-early", "update", 90)], "pre")
+    batch = [
+        (2, "v2-pre", "update", 95),      # before the truncate: wiped
+        (None, None, "truncate", 100),
+        (50, "v50", "insert", 150),
+        (51, "v51", "insert", 160),
+    ]
+    apply(batch, "refresh")
+    got = {r.id: r.s for r in eng.table("tgt").collect()}
+    assert got == {50: "v50", 51: "v51"}, got
+    # LATE pre-truncate straggler: dropped for ANY key, even unseen ones
+    apply([(7, "v7-stale", "upsert", 80), (52, "v52", "insert", 170)], "late")
+    got2 = {r.id: r.s for r in eng.table("tgt").collect()}
+    assert got2 == {50: "v50", 51: "v51", 52: "v52"}, got2
+    # replaying the refresh batch verbatim changes nothing
+    apply(batch, "replay")
+    got3 = {r.id: r.s for r in eng.table("tgt").collect()}
+    assert got3 == got2
+    # a NEWER truncate wipes the post-truncate rows too
+    apply([(None, None, "truncate", 500), (60, "v60", "insert", 510)], "t2")
+    assert {r.id: r.s for r in eng.table("tgt").collect()} == {60: "v60"}
+    # unsequenced truncate raises
+    amb = spark.createDataFrame(
+        [(None, None, "truncate")], "id bigint, s string, _op string"
+    )
+    st = str(tmp_path / "amb_tr")
+    amb.write.parquet(st)
+    stream = spark.readStream.schema(amb.schema).parquet(st)
+    import pytest as _pt
+
+    q = stream_apply_changes(
+        eng, "tgt", stream, checkpoint_dir=str(tmp_path / "ck_amb")
+    )
+    with _pt.raises(Exception, match="sequence_by"):
+        q.awaitTermination(120)
