@@ -3200,7 +3200,16 @@ class Engine:
                 keys._jdf.queryExecution().analyzed().deterministic()
             ):
                 return None
-            return frame.join(keys, list(parts), "left_semi")
+            # NULL-SAFE semi-join: a NULL partition value
+            # (__HIVE_DEFAULT_PARTITION__) is a real group key here — a
+            # plain equi-join would silently drop every such row from
+            # the count (caught by the typed/null edge-case test)
+            f, k = frame.alias("__f"), keys.alias("__k")
+            cond = None
+            for c in parts:
+                piece = F.col(f"__f.{c}").eqNullSafe(F.col(f"__k.{c}"))
+                cond = piece if cond is None else (cond & piece)
+            return f.join(k, cond, "left_semi")
         except Exception:
             return None
 
@@ -3254,7 +3263,11 @@ class Engine:
                 return None
         out_cols = [low[c.lower()] for c in sel]
         alias = m.group(2) or "count(1)"
-        out = frame.select(*out_cols, F.col("__plsq_cnt").alias(alias))
+        # a fully-emptied partition (all rows DV-deleted) still has a
+        # rollup row at 0 — but GROUP BY emits NO group for no rows
+        out = frame.filter(F.col("__plsq_cnt") > 0).select(
+            *out_cols, F.col("__plsq_cnt").alias(alias)
+        )
         if m.group(4):
             # re-materialize the filtered join of two local frames as one
             # literal frame (≤ partition-count rows) so the returned plan
