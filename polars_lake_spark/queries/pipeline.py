@@ -1639,6 +1639,176 @@ def stream_apply_changes_check(spark, sf_dir):
 
 
 @register(
+    "stream_apply_changes_scd2_check",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, 'upd-200' AS text, 200 AS seq, 'update' AS op
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, 'upd-300', 300, 'update'
+      FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, NULL, 250, 'delete' FROM documents WHERE doc_id % 7 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, 'ins-220', 220, 'insert'
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      -- the late batch's only SURVIVORS: keys with no prior history
+      -- (late 'stale-100' rows on %5 keys drop against watermark 200+)
+      SELECT doc_id, 'upd-150', 150, 'update'
+      FROM documents
+      WHERE doc_id % 2 = 1 AND doc_id % 5 <> 0 AND doc_id % 7 <> 1),
+    led AS (
+      SELECT doc_id, text, seq, op,
+             LEAD(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS nxt
+      FROM ch),
+    firsts AS (
+      SELECT doc_id, MIN(seq) AS fst FROM ch GROUP BY doc_id),
+    hist AS (
+      SELECT doc_id, text,
+             CAST(seq AS BIGINT) AS __start_seq,
+             CAST(nxt AS BIGINT) AS __end_seq
+      FROM led WHERE op <> 'delete'
+      UNION ALL
+      SELECT d.doc_id, d.text,
+             CAST(NULL AS BIGINT), CAST(f.fst AS BIGINT)
+      FROM documents d LEFT JOIN firsts f USING (doc_id))
+    SELECT doc_id, text, __start_seq, __end_seq,
+           CAST(0 AS BIGINT) AS violations
+    FROM hist
+    ORDER BY doc_id, __start_seq NULLS FIRST
+    """,
+    doc="SCD TYPE 2 apply gate (streaming/ingest.py:"
+    "stream_apply_changes_scd2): two REAL foreachBatch streams, the "
+    "newer first — every surviving change is a version row chained by "
+    "(__start_seq, __end_seq), in-batch chains included (%15 keys take "
+    "two versions in one batch, %35 keys interleave update→delete), "
+    "seeds close at their key's first change, deletes close without "
+    "reopening, and the late batch's stale rows drop against each key's "
+    "history-derived watermark while its unwatermarked keys apply. "
+    "DuckDB replays the full history with one LEAD window. violations "
+    "pins the at-most-one-current-row-per-key invariant and the "
+    "scd2_current ≡ latest-resolution equivalence.",
+)
+def stream_apply_changes_scd2_check(spark, sf_dir):
+    """History-preserving CDC apply (DLT stored_as_scd_type=2 analog):
+    the dimension-table pattern every warehouse needs — point-in-time
+    joins come free from (__start_seq, __end_seq] containment."""
+    import os
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.streaming.ingest import (
+        scd2_current,
+        scd2_init,
+        stream_apply_changes_scd2,
+    )
+
+    root = tempfile.mkdtemp(prefix="plsq_scd2_")
+    try:
+        eng = Engine(spark, os.path.join(root, "wh"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        scd2_init(eng, "tgt", docs, keys=["doc_id"], versioned=True)
+        d = docs.select("doc_id")
+        newer = (
+            d.filter(F.col("doc_id") % 5 == 0)
+            .select(
+                "doc_id",
+                F.lit("upd-200").alias("text"),
+                F.lit("update").alias("_op"),
+                F.lit(200).cast("bigint").alias("seq"),
+            )
+            .unionByName(
+                d.filter(
+                    (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 3 == 0)
+                ).select(
+                    "doc_id",
+                    F.lit("upd-300").alias("text"),
+                    F.lit("update").alias("_op"),
+                    F.lit(300).cast("bigint").alias("seq"),
+                )
+            )
+            .unionByName(
+                d.filter(F.col("doc_id") % 7 == 1).select(
+                    "doc_id",
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit("delete").alias("_op"),
+                    F.lit(250).cast("bigint").alias("seq"),
+                )
+            )
+            .unionByName(
+                d.filter(F.col("doc_id") % 11 == 0).select(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.lit("ins-220").alias("text"),
+                    F.lit("insert").alias("_op"),
+                    F.lit(220).cast("bigint").alias("seq"),
+                )
+            )
+        )
+        late = (
+            d.filter(F.col("doc_id") % 5 == 0)
+            .select(
+                "doc_id",
+                F.lit("stale-100").alias("text"),
+                F.lit("update").alias("_op"),
+                F.lit(100).cast("bigint").alias("seq"),
+            )
+            .unionByName(
+                d.filter(
+                    (F.col("doc_id") % 2 == 1)
+                    & (F.col("doc_id") % 5 != 0)
+                    & (F.col("doc_id") % 7 != 1)
+                ).select(
+                    "doc_id",
+                    F.lit("upd-150").alias("text"),
+                    F.lit("update").alias("_op"),
+                    F.lit(150).cast("bigint").alias("seq"),
+                )
+            )
+        )
+        for tag, batch in (("newer", newer), ("late", late)):
+            staging = os.path.join(root, f"st_{tag}")
+            batch.write.parquet(staging)
+            stream = spark.readStream.schema(batch.schema).parquet(staging)
+            q = stream_apply_changes_scd2(
+                eng, "tgt", stream, sequence_by="seq",
+                checkpoint_dir=os.path.join(root, f"ck_{tag}"),
+            )
+            q.awaitTermination(300)
+        hist = eng.table("tgt")
+        viol = 0
+        # invariant: at most one OPEN version per key
+        if (
+            hist.filter(F.col("__end_seq").isNull())
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .head(1)
+        ):
+            viol += 1
+        # the TYPE 1 view must expose exactly the open versions
+        cur = {
+            r.doc_id: r.text
+            for r in scd2_current(eng, "tgt").collect()
+        }
+        n_open = hist.filter(F.col("__end_seq").isNull()).count()
+        if len(cur) != n_open:
+            viol += 1
+        out = (
+            hist.select("doc_id", "text", "__start_seq", "__end_seq")
+            .withColumn("violations", F.lit(viol).cast("bigint"))
+            .orderBy("doc_id", F.asc_nulls_first("__start_seq"))
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "bm25_phrase_check",
     oracle="""
     WITH d AS (SELECT doc_id, string_split({norm}, ' ') AS ws

@@ -545,3 +545,170 @@ def stream_apply_changes(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def scd2_init(
+    engine,
+    table: str,
+    df: DataFrame,
+    keys: list[str],
+    seq_type: str = "bigint",
+    **create_kwargs,
+):
+    """Create an SCD TYPE 2 target (DLT ``stored_as_scd_type=2``
+    analog) from an initial snapshot: every seed row becomes the key's
+    CURRENT version with ``__start_seq = NULL`` (before every sequence —
+    the first change closes it) and ``__end_seq = NULL`` (open).  The
+    merge identity of a version row is (business keys, ``__start_seq``),
+    so replays re-merge instead of duplicating history."""
+    seeded = df.withColumn(
+        "__start_seq", F.lit(None).cast(seq_type)
+    ).withColumn("__end_seq", F.lit(None).cast(seq_type))
+    engine.create_table(
+        table,
+        seeded,
+        keys=[*keys, "__start_seq"],
+        **create_kwargs,
+    )
+
+
+def scd2_current(engine, table: str) -> DataFrame:
+    """The live (TYPE 1 equivalent) view of an SCD2 target: open
+    version rows only, history columns dropped."""
+    return (
+        engine.table(table)
+        .filter(F.col("__end_seq").isNull())
+        .drop("__start_seq", "__end_seq")
+    )
+
+
+def stream_apply_changes_scd2(
+    engine,
+    table: str,
+    stream_df: DataFrame,
+    sequence_by: str,
+    op_col: str = "_op",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """APPLY CHANGES INTO ... STORED AS SCD TYPE 2 analog: every change
+    becomes a VERSION ROW on the target instead of overwriting —
+    ``__start_seq`` = the change's sequence, ``__end_seq`` = the next
+    change's (NULL while current), deletes close the current version
+    without opening a new one.  ``scd2_current`` recovers the TYPE 1
+    view; time-range queries (``WHERE s BETWEEN __start_seq AND
+    __end_seq``) recover any key's state as-of any sequence.
+
+    Ordering and idempotence (the same in-data watermark argument as
+    :func:`stream_apply_changes`, adapted to history):
+
+    * Within a batch, each key's changes CHAIN in sequence order — a
+      key updated three times lands three version rows, the first two
+      closed by their successors.  At most one change per (key,
+      sequence): duplicates collapse, an upsert beating a delete on the
+      tie.
+    * Across batches, a key's applied watermark is derivable from its
+      OWN history — ``max(coalesce(__end_seq, __start_seq))`` over its
+      version rows (closed rows carry it even after a delete, so no
+      tombstone table is needed).  Changes STRICTLY below the watermark
+      drop (documented divergence from DLT, which rewrites history for
+      late events; here late means dropped, exactly like the TYPE 1
+      path).  Changes AT the watermark re-apply: version rows merge on
+      (keys, ``__start_seq``) and closes re-close, so foreachBatch
+      replays — including the crash window between the close write and
+      the insert write — repair to the identical table.
+    * Watermark lookups stay O(batch): the target scan is semi-joined
+      MAP-SIDE against the broadcast batch key set before grouping.
+
+    The close write and the insert write are two commits; a reader
+    between them sees the key with no current row for an instant
+    (close-first keeps the 'at most one current row per key' invariant
+    that insert-first would break).  A delete of a key the target never
+    saw is a no-op and leaves no watermark (DLT's behavior too) — only
+    applied history blocks late changes."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spec = engine.specs[table]
+        all_keys = list(spec.keys)
+        if not all_keys or all_keys[-1] != "__start_seq":
+            raise ValueError(
+                "stream_apply_changes_scd2: target must be created via "
+                "scd2_init (merge keys = business keys + __start_seq)"
+            )
+        keys = all_keys[:-1]
+        is_del = F.lower(F.col(op_col)) == "delete"
+        b = batch_df.withColumnRenamed(sequence_by, "__seq")
+        # one change per (key, seq): upsert wins the tie
+        w_tie = Window.partitionBy(*keys, "__seq").orderBy(
+            F.asc(is_del.cast("int"))
+        )
+        b = (
+            b.withColumn("__rn", F.row_number().over(w_tie))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # per-key applied watermark from the target's OWN history,
+        # map-side semi vs the broadcast batch keys
+        bkeys = b.select(*keys).distinct()
+        wm = (
+            engine.table(table)
+            .join(F.broadcast(bkeys), keys, "left_semi")
+            .groupBy(*keys)
+            .agg(
+                F.max(
+                    F.coalesce(F.col("__end_seq"), F.col("__start_seq"))
+                ).alias("__wm")
+            )
+        )
+        b = (
+            b.join(F.broadcast(wm), keys, "left")
+            .filter(F.col("__wm").isNull() | (F.col("__seq") >= F.col("__wm")))
+            .drop("__wm")
+            .localCheckpoint(eager=True)
+        )
+        if not b.head(1):
+            return
+        # chain within the batch: each change closes at its successor
+        w_seq = Window.partitionBy(*keys).orderBy("__seq")
+        b = b.withColumn("__nxt", F.lead("__seq").over(w_seq))
+        payload = [
+            c
+            for c in b.columns
+            if c not in (op_col, "__seq", "__nxt")
+        ]
+        inserts = (
+            b.filter(~is_del)
+            .select(
+                *payload,
+                F.col("__seq").alias("__start_seq"),
+                F.col("__nxt").alias("__end_seq"),
+            )
+        )
+        # close the target's current row per key at the batch's FIRST
+        # surviving sequence — only when it genuinely precedes it
+        first = b.groupBy(*keys).agg(F.min("__seq").alias("__close"))
+        closers = (
+            engine.table(table)
+            .filter(F.col("__end_seq").isNull())
+            .join(F.broadcast(bkeys), keys, "left_semi")
+            .select(*keys, "__start_seq")
+            .join(F.broadcast(first), keys)
+            .filter(
+                F.col("__start_seq").isNull()
+                | (F.col("__start_seq") < F.col("__close"))
+            )
+            .select(*keys, "__start_seq", F.col("__close").alias("__end_seq"))
+        )
+        if closers.head(1):
+            engine.upsert(table, closers, keys=all_keys)
+        if inserts.head(1):
+            engine.upsert(table, inserts, keys=all_keys)
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

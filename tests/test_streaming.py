@@ -297,3 +297,105 @@ def test_stream_apply_changes_truncate_ops(spark, tmp_path):
     )
     with _pt.raises(Exception, match="sequence_by"):
         q.awaitTermination(120)
+
+
+def test_stream_apply_changes_scd2(spark, tmp_path):
+    """SCD TYPE 2 apply: every change is a version row — __start_seq /
+    __end_seq chain per key (in-batch chains included), deletes close
+    without reopening, scd2_current recovers the TYPE 1 view, as-of
+    queries recover any historical state, late changes drop against the
+    history-derived watermark, and verbatim replays are idempotent."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.streaming.ingest import (
+        scd2_current,
+        scd2_init,
+        stream_apply_changes_scd2,
+    )
+
+    eng = Engine(spark, str(tmp_path / "a"))
+    seed = spark.createDataFrame(
+        [(1, "v1"), (2, "v2"), (3, "v3")], "id bigint, s string"
+    )
+    scd2_init(eng, "tgt", seed, keys=["id"], versioned=True)
+    schema = "id bigint, s string, _op string, seq bigint"
+
+    def apply(rows, tag):
+        staging = str(tmp_path / f"b_{tag}")
+        spark.createDataFrame(rows, schema).write.parquet(staging)
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).parquet(staging)
+        q = stream_apply_changes_scd2(
+            eng, "tgt", stream, sequence_by="seq",
+            checkpoint_dir=str(tmp_path / f"ck_{tag}"),
+        )
+        q.awaitTermination(120)
+
+    batch1 = [
+        (1, "v1-a", "update", 100),   # chain on key 1...
+        (1, "v1-b", "update", 200),   # ...two versions in ONE batch
+        (2, None, "delete", 150),     # close key 2, no new version
+        (4, "v4", "insert", 120),     # brand-new key
+    ]
+    apply(batch1, "one")
+
+    def hist():
+        return {
+            (r.id, r["__start_seq"], r["__end_seq"]): r.s
+            for r in eng.table("tgt").collect()
+        }
+
+    h = hist()
+    assert h[(1, None, 100)] == "v1"       # seed closed by first change
+    assert h[(1, 100, 200)] == "v1-a"      # mid-chain version closed
+    assert h[(1, 200, None)] == "v1-b"     # current
+    assert h[(2, None, 150)] == "v2"       # deleted: closed, not reopened
+    assert h[(3, None, None)] == "v3"      # untouched seed stays current
+    assert h[(4, 120, None)] == "v4"
+    assert len(h) == 6
+    cur = {r.id: r.s for r in scd2_current(eng, "tgt").collect()}
+    assert cur == {1: "v1-b", 3: "v3", 4: "v4"}
+    # as-of sequence 160: key 1 at v1-a, key 2 deleted, key 4 present
+    asof = {
+        r.id: r.s
+        for r in eng.table("tgt")
+        .filter(
+            (F.col("__start_seq").isNull() | (F.col("__start_seq") <= 160))
+            & (F.col("__end_seq").isNull() | (F.col("__end_seq") > 160))
+        )
+        .collect()
+    }
+    assert asof == {1: "v1-a", 3: "v3", 4: "v4"}
+    # late batch: stale update (below key 1's watermark) drops; a
+    # post-delete change at a newer seq reopens key 2
+    apply(
+        [(1, "v1-stale", "update", 50), (2, "v2-back", "upsert", 300)],
+        "late",
+    )
+    h2 = hist()
+    assert (1, 50, 100) not in h2 and len(
+        [k for k in h2 if k[0] == 1]
+    ) == 3
+    assert h2[(2, 300, None)] == "v2-back"
+    # replaying batch 1 verbatim is a no-op
+    apply(batch1, "replay")
+    assert hist() == h2
+    # an uninitialized target (plain keys) refuses
+    eng.create_table(
+        "plain", seed, keys=["id"], versioned=True
+    )
+    st = str(tmp_path / "b_refuse")
+    spark.createDataFrame(
+        [(1, "x", "update", 1)], schema
+    ).write.parquet(st)
+    stream = spark.readStream.schema(
+        spark.createDataFrame([], schema).schema
+    ).parquet(st)
+    import pytest as _pt
+
+    q = stream_apply_changes_scd2(
+        eng, "plain", stream, sequence_by="seq",
+        checkpoint_dir=str(tmp_path / "ck_refuse"),
+    )
+    with _pt.raises(Exception, match="scd2_init"):
+        q.awaitTermination(120)
