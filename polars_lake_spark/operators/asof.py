@@ -115,3 +115,79 @@ def asof_join(
             *[F.col(f"__carry.{c}").alias(f"{c}{suffix}") for c in right_cols],
         )
     )
+
+
+def scd2_asof_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    seq_col: str,
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Point-in-time join against an SCD TYPE 2 dimension
+    (``streaming.ingest.scd2_init`` shape: version rows with
+    ``__start_seq`` / ``__end_seq``): each fact row picks up the
+    dimension version VALID AT its sequence — ``start <= s < end``,
+    NULL start = -inf (the seed version), NULL end = +inf (current).
+    Facts in a delete gap (key had no valid version at ``s``) keep NULL
+    dimension columns, as do facts for unknown keys; a NULL fact
+    sequence reads as -inf and matches the seed version when one
+    exists.  Dimension value columns land suffixed.
+
+    100 TB shape: the union+window formulation — both sides tagged and
+    unioned on (keys, sequence), each version carried forward as ONE
+    struct (``last(ignorenulls)`` over the ordered window; a struct, so
+    a version whose value column is legitimately NULL can never mix
+    with an earlier version's), then fact rows keep the carried version
+    iff its end bound allows.  One shuffle + sort on (keys, seq) — no
+    range-explosion join, arbitrarily dense version histories survive.
+    Ties sort the dimension row first, so a fact AT a version's start
+    sees that version (validity is [start, end))."""
+    keys = list(keys)
+    val_cols = [
+        c
+        for c in dim.columns
+        if c not in keys and c not in ("__start_seq", "__end_seq")
+    ]
+    clash = [c + suffix for c in val_cols if c + suffix in facts.columns]
+    if clash:
+        raise ValueError(
+            f"scd2_asof_join: suffixed dimension columns collide with "
+            f"fact columns: {clash}"
+        )
+    d = dim.select(
+        *keys,
+        F.col("__start_seq").alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col("__end_seq").alias("__vend"),
+            *[F.col(c) for c in val_cols],
+        ).alias("__v"),
+    )
+    f = facts.withColumn("__ts", F.col(seq_col)).withColumn(
+        "__side", F.lit(1)
+    )
+    u = f.unionByName(d, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc_nulls_first("__ts"), F.asc("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last("__v", ignorenulls=True).over(w)
+    valid = carried.isNotNull() & (
+        carried["__vend"].isNull()
+        | F.col("__ts").isNull()
+        | (carried["__vend"] > F.col("__ts"))
+    )
+    out = (
+        u.withColumn("__vc", carried)
+        .withColumn("__ok", valid)
+        .filter(F.col("__side") == 1)
+    )
+    return out.select(
+        *facts.columns,
+        *[
+            F.when(F.col("__ok"), F.col("__vc")[c]).alias(c + suffix)
+            for c in val_cols
+        ],
+    )

@@ -45,6 +45,7 @@ CHECK_PRIORITY: list[str] = [
     "bm25_phrase_slop_check",
     "stream_apply_changes_check",
     "stream_apply_changes_scd2_check",
+    "scd2_asof_join_check",
     "partition_meta_rollup_check",
     # -- CHANGED r11: _enforce determinism probe + drop-scope rewrite;
     # zone-map float-NaN soundness; DV ref URI-decode fix (metadata
@@ -96,8 +97,8 @@ CHECK_PRIORITY: list[str] = [
     "q16_supplier_counts",
     "q17_small_qty_revenue",
     "q18_large_orders",
-    "q19_discounted_revenue",
     # ------ 50-slot window boundary ------------------------------------
+    "q19_discounted_revenue",
     "q20_promotion_suppliers",
     "q21_latest_shipper",
     # -- remaining rows in staleness order, then everything the r10 gate

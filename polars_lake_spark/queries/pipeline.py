@@ -1809,6 +1809,139 @@ def stream_apply_changes_scd2_check(spark, sf_dir):
 
 
 @register(
+    "scd2_asof_join_check",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, 'upd-200' AS text, 200 AS seq, 'update' AS op
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id, 'upd-300', 300, 'update'
+      FROM documents WHERE doc_id % 5 = 0 AND doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, NULL, 250, 'delete' FROM documents WHERE doc_id % 7 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, 'ins-220', 220, 'insert'
+      FROM documents WHERE doc_id % 11 = 0),
+    led AS (
+      SELECT doc_id, text, seq, op,
+             LEAD(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS nxt
+      FROM ch),
+    firsts AS (SELECT doc_id, MIN(seq) AS fst FROM ch GROUP BY doc_id),
+    hist AS (
+      SELECT doc_id, text, seq AS s0, nxt AS s1
+      FROM led WHERE op <> 'delete'
+      UNION ALL
+      SELECT d.doc_id, d.text, NULL, f.fst
+      FROM documents d LEFT JOIN firsts f USING (doc_id)),
+    probes AS (
+      SELECT doc_id, v.s FROM documents
+      CROSS JOIN (VALUES (150), (225), (275), (350)) v(s))
+    SELECT p.doc_id, CAST(p.s AS BIGINT) AS seq, h.text AS text_dim,
+           CAST(0 AS BIGINT) AS violations
+    FROM probes p LEFT JOIN hist h
+      ON p.doc_id = h.doc_id
+      AND (h.s0 IS NULL OR h.s0 <= p.s)
+      AND (h.s1 IS NULL OR h.s1 > p.s)
+    ORDER BY p.doc_id, seq
+    """,
+    doc="Point-in-time dimension join gate (operators/asof.py:"
+    "scd2_asof_join over a REAL stream_apply_changes_scd2 target): "
+    "every (doc, probe-sequence) fact picks up the version valid at its "
+    "sequence — seed versions, mid-chain versions, delete gaps (NULL), "
+    "validity [start, end). The union+window formulation shuffles ONCE "
+    "on (key, seq) — no range join. DuckDB replays history + a range "
+    "LEFT join. violations pins fact-row conservation (left semantics).",
+)
+def scd2_asof_join_check(spark, sf_dir):
+    """The warehouse point-in-time pattern: facts against an SCD2
+    dimension without a range-explosion join — one shuffle+sort on
+    (keys, seq), versions carried as structs."""
+    import os
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.operators.asof import scd2_asof_join
+    from polars_lake_spark.streaming.ingest import (
+        scd2_init,
+        stream_apply_changes_scd2,
+    )
+
+    root = tempfile.mkdtemp(prefix="plsq_s2aj_")
+    try:
+        eng = Engine(spark, os.path.join(root, "wh"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        scd2_init(eng, "tgt", docs, keys=["doc_id"], versioned=True)
+        d = docs.select("doc_id")
+        batch = (
+            d.filter(F.col("doc_id") % 5 == 0)
+            .select(
+                "doc_id",
+                F.lit("upd-200").alias("text"),
+                F.lit("update").alias("_op"),
+                F.lit(200).cast("bigint").alias("seq"),
+            )
+            .unionByName(
+                d.filter(
+                    (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 3 == 0)
+                ).select(
+                    "doc_id",
+                    F.lit("upd-300").alias("text"),
+                    F.lit("update").alias("_op"),
+                    F.lit(300).cast("bigint").alias("seq"),
+                )
+            )
+            .unionByName(
+                d.filter(F.col("doc_id") % 7 == 1).select(
+                    "doc_id",
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit("delete").alias("_op"),
+                    F.lit(250).cast("bigint").alias("seq"),
+                )
+            )
+            .unionByName(
+                d.filter(F.col("doc_id") % 11 == 0).select(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.lit("ins-220").alias("text"),
+                    F.lit("insert").alias("_op"),
+                    F.lit(220).cast("bigint").alias("seq"),
+                )
+            )
+        )
+        staging = os.path.join(root, "st")
+        batch.write.parquet(staging)
+        stream = spark.readStream.schema(batch.schema).parquet(staging)
+        q = stream_apply_changes_scd2(
+            eng, "tgt", stream, sequence_by="seq",
+            checkpoint_dir=os.path.join(root, "ck"),
+        )
+        q.awaitTermination(300)
+        probes = d.crossJoin(
+            spark.createDataFrame(
+                [(150,), (225,), (275,), (350,)], "seq bigint"
+            )
+        )
+        n_facts = probes.count()
+        joined = scd2_asof_join(
+            probes, eng.table("tgt"), ["doc_id"], "seq"
+        )
+        viol = 0 if joined.count() == n_facts else 1
+        out = (
+            joined.select(
+                "doc_id", "seq", F.col("text_dim"),
+                F.lit(viol).cast("bigint").alias("violations"),
+            )
+            .orderBy("doc_id", "seq")
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "bm25_phrase_check",
     oracle="""
     WITH d AS (SELECT doc_id, string_split({norm}, ' ') AS ws
