@@ -899,7 +899,11 @@ class Engine:
         return n
 
     def minmax_meta(
-        self, name: str, col: str, version: int | None = None
+        self,
+        name: str,
+        col: str,
+        version: int | None = None,
+        relpath_prefixes: set[str] | None = None,
     ) -> tuple | None:
         """Exact global ``(min, max)`` of a column from zone-map
         METADATA alone — None whenever metadata cannot PROVE the
@@ -920,8 +924,13 @@ class Engine:
           NaN-free file (zonemaps._file_stats).
 
         MIN/MAX ignore NULLs, so recorded endpoints are exactly the
-        non-null extremes.  At 100 TB this answers the second-most
-        common dashboard query as a driver-side sidecar walk."""
+        non-null extremes.  ``relpath_prefixes`` restricts the walk to
+        files under those partition_by-prefix relpaths (the
+        partition-predicate fast path); files outside never contribute,
+        and an empty surviving file set returns None (the caller's scan
+        answers NULL exactly like the vanilla plan).  At 100 TB this
+        answers the second-most common dashboard query as a driver-side
+        sidecar walk."""
         spec = self.specs.get(name)
         if (
             spec is None
@@ -947,9 +956,15 @@ class Engine:
             if zm is None:
                 return None
             nanproof = bool(zm.get("fnanproof"))
+            n_parts = len(spec.partition_by)
             for rel, fs in zm["files"].items():
-                if os.path.dirname(rel) not in pset:
+                d = os.path.dirname(rel)
+                if d not in pset:
                     continue
+                if relpath_prefixes is not None:
+                    segs = [x for x in d.split("/") if x]
+                    if "/".join(segs[:n_parts]) not in relpath_prefixes:
+                        continue
                 if fs.get("rows") == 0:
                     continue
                 ent = {
@@ -973,17 +988,66 @@ class Engine:
         r"^\s*SELECT\s+(MIN|MAX)\s*\(\s*([A-Za-z_]\w*)\s*\)\s*"
         r"(?:AS\s+(\w+)\s*)?"
         r"(?:,\s*(MIN|MAX)\s*\(\s*([A-Za-z_]\w*)\s*\)\s*(?:AS\s+(\w+)\s*)?)?"
-        r"FROM\s+([A-Za-z_][\w.]*)\s*;?\s*$",
-        re.I,
+        r"FROM\s+([A-Za-z_][\w.]*)(?:\s+WHERE\s+(.+))?\s*$",
+        re.I | re.S,
     )
 
+    def _partition_prefixes(self, name: str, pred: str) -> set[str] | None:
+        """Partition_by-prefix relpaths whose TYPED values satisfy a
+        partition-only predicate — from the snapshot MAPPING keys alone,
+        no file IO.  None when the predicate cannot be evaluated on
+        partition columns (data columns, non-determinism) or the layout
+        cannot be parsed; empty set when no partition survives."""
+        spec = self.specs.get(name)
+        parts = list(spec.partition_by) if spec else []
+        if not parts or not spec.versioned:
+            return None
+        dtypes = self._partition_dtypes(name, parts)
+        if dtypes is None:
+            return None
+        from polars_lake_spark.layout import parse_hive_relpath
+
+        store = self._snapstore(name)
+        if not store.versions():
+            return None
+        prefixes = set()
+        for rel in store.load().mapping:
+            segs = [x for x in rel.split("/") if x]
+            if len(segs) < len(parts):
+                return None
+            prefixes.add("/".join(segs[: len(parts)]))
+        rows = []
+        for pre in sorted(prefixes):
+            vals = parse_hive_relpath(pre)
+            if any(c not in vals for c in parts):
+                return None
+            rows.append(tuple(vals[c] for c in parts) + (pre,))
+        if not rows:
+            return set()
+        schema = ", ".join(f"`{c}` string" for c in parts)
+        typed = self.spark.createDataFrame(
+            rows, f"{schema}, __rel string"
+        ).select(
+            *[F.col(c).cast(t).alias(c) for c, t in zip(parts, dtypes)],
+            "__rel",
+        )
+        flt = self._filter_partition_frame(typed, parts, pred)
+        if flt is None:
+            return None
+        return {r["__rel"] for r in flt.select("__rel").collect()}
+
     def _try_meta_minmax(self, query: str) -> DataFrame | None:
-        """``SELECT MIN(c)[, MAX(d)] FROM t`` from sidecar metadata
-        (see :meth:`minmax_meta`); falls through whenever exactness
-        isn't provable.  Output columns named like Spark's own plan
-        (``min(c)``/``max(c)``) or the AS aliases, cast to the table's
-        column types."""
-        m = self._META_MINMAX.match(query)
+        """``SELECT MIN(c)[, MAX(d)] FROM t [WHERE <partition-only
+        pred>]`` from sidecar metadata (see :meth:`minmax_meta`); falls
+        through whenever exactness isn't provable.  A partition-column
+        WHERE restricts the sidecar walk to the satisfying partitions'
+        files (the predicate is constant per partition, so file-set
+        restriction is exact); any other WHERE falls through.  Output
+        columns named like Spark's own plan (``min(c)``/``max(c)``) or
+        the AS aliases, cast to the table's column types."""
+        query = self._strip_stmt(query)
+        masked = self._quote_mask(query)
+        m = self._META_MINMAX.match(masked)
         if m is None:
             return None
         from polars_lake_spark import dml
@@ -994,6 +1058,14 @@ class Engine:
         spec = self.specs.get(name)
         if spec is None or not (spec.versioned and spec.zone_maps):
             return None
+        prefixes = None
+        if m.group(8):
+            if self._ZM_BAIL.search(masked[m.start(8) : m.end(8)]):
+                return None
+            pred = query[m.start(8) : m.end(8)]
+            prefixes = self._partition_prefixes(name, pred)
+            if prefixes is None:
+                return None
         aggs = [(m.group(1), m.group(2), m.group(3))]
         if m.group(4):
             aggs.append((m.group(4), m.group(5), m.group(6)))
@@ -1008,7 +1080,9 @@ class Engine:
                 if key is None:
                     return None
                 if key not in cache:
-                    cache[key] = self.minmax_meta(name, key)
+                    cache[key] = self.minmax_meta(
+                        name, key, relpath_prefixes=prefixes
+                    )
                 mm = cache[key]
                 if mm is None:
                     return None

@@ -1549,13 +1549,32 @@ def partition_meta_rollup_check(spark, sf_dir):
             versioned=True,
             deletion_vectors=True,
         )
+        viol = 0
+        # partition-filtered MIN/MAX (r11), BEFORE the DV delete (live
+        # DVs disqualify the exact-extreme path — a deleted row could BE
+        # the extreme, so it must fall back to the scan afterwards):
+        # the sidecar walk restricted to the satisfying partitions'
+        # files — no FileScan, exact
+        fast3 = eng.sql(
+            "SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM po "
+            "WHERE o_orderpriority = '1-URGENT'"
+        )
+        if "FileScan" in fast3._jdf.queryExecution().executedPlan().toString():
+            viol += 1
+        real3 = (
+            eng.table("po")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .agg(F.min("o_orderkey"), F.max("o_orderkey"))
+            .head()
+        )
+        if tuple(fast3.head()) != tuple(real3):
+            viol += 1
         eng.sql("DELETE FROM po WHERE o_orderkey % 10 = 3")
         fast = eng.sql(
             "SELECT o_orderpriority, COUNT(*) AS cnt FROM po "
             "GROUP BY o_orderpriority"
         )
         plan = fast._jdf.queryExecution().executedPlan().toString()
-        viol = 0
         if "FileScan" in plan:
             viol += 1  # must be answered from metadata alone
         sp = eng.sql("SHOW PARTITIONS po").collect()

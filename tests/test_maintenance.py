@@ -899,3 +899,60 @@ def test_partition_rollup_typed_and_null_partitions(spark, tmp_path):
     run("SELECT p, q, d, COUNT(*) AS c FROM t GROUP BY p, q, d")
     sp = eng.sql("SHOW PARTITIONS t").collect()
     assert sum(r.rows for r in sp) == eng.table("t").count()
+
+
+def test_minmax_meta_partition_predicate(spark, tmp_path, sf_dir):
+    """r11: MIN/MAX WHERE <partition-only pred> answers from the sidecar
+    walk restricted to the satisfying partitions' files — no FileScan,
+    values identical to the vanilla plan; empty partition sets, data
+    columns, and DV-carrying tables fall through."""
+    eng = Engine(spark, str(tmp_path))
+    orders = load_table(spark, sf_dir, "orders")
+    eng.create_table(
+        "o", orders, keys=["o_orderkey"], partition_by=["o_orderpriority"],
+        versioned=True, deletion_vectors=True,
+    )
+    eng.table("o").createOrReplaceTempView("vo_mmp")
+
+    def run(q, expect_local):
+        df = eng.sql(q)
+        local = (
+            "FileScan"
+            not in df._jdf.queryExecution().executedPlan().toString()
+        )
+        a = [tuple(r) for r in df.collect()]
+        b = [
+            tuple(r)
+            for r in spark.sql(q.replace("FROM o", "FROM vo_mmp")).collect()
+        ]
+        assert a == b, q
+        assert local == expect_local, q
+
+    run(
+        "SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM o "
+        "WHERE o_orderpriority = '1-URGENT'",
+        True,
+    )
+    run(
+        "SELECT MAX(o_totalprice) AS hi FROM o "
+        "WHERE o_orderpriority IN ('2-HIGH', '5-LOW')",
+        True,
+    )
+    # empty partition set and data-column predicates fall through
+    run(
+        "SELECT MIN(o_orderkey) AS lo FROM o "
+        "WHERE o_orderpriority = 'absent'",
+        False,
+    )
+    run(
+        "SELECT MIN(o_orderkey) AS lo FROM o WHERE o_totalprice > 0",
+        False,
+    )
+    # live DVs disqualify the exact-extreme path entirely
+    eng.sql("DELETE FROM o WHERE o_orderkey % 10 = 3")
+    eng.table("o").createOrReplaceTempView("vo_mmp")
+    run(
+        "SELECT MIN(o_orderkey) AS lo FROM o "
+        "WHERE o_orderpriority = '1-URGENT'",
+        False,
+    )
