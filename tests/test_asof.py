@@ -97,3 +97,26 @@ def test_scd2_asof_join_model(spark):
 
     with _pt.raises(ValueError, match="collide"):
         scd2_asof_join(bad, dim, ["k"], "seq")
+
+
+def test_scd2_asof_join_plan_one_shuffle_no_join(spark):
+    """The stated 100 TB shape must be the real plan: NO join operator
+    anywhere (the union+window formulation), exactly one hash exchange
+    on the key for the window, and the version struct carried by a
+    window frame — dense histories can never explode a range join."""
+    from polars_lake_spark.operators.asof import scd2_asof_join
+
+    dim = spark.createDataFrame(
+        [(i % 50, f"v{i}", i * 10, i * 10 + 10) for i in range(500)],
+        "k bigint, s string, __start_seq bigint, __end_seq bigint",
+    )
+    facts = spark.createDataFrame(
+        [(i, i % 50, i * 7 % 5000) for i in range(1000)],
+        "fid bigint, k bigint, seq bigint",
+    )
+    out = scd2_asof_join(facts, dim, ["k"], "seq")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges == 1, plan

@@ -399,3 +399,47 @@ def test_stream_apply_changes_scd2(spark, tmp_path):
     )
     with _pt.raises(Exception, match="scd2_init"):
         q.awaitTermination(120)
+
+
+def test_apply_changes_composes_with_expectations(spark, tmp_path):
+    """Quality expectations quarantine INCOMING change rows on the
+    apply paths too: a 'drop' rule on the target filters violating
+    upserts out of a sequenced batch (the key's old state survives),
+    while clean rows in the same batch land — the DLT composition of
+    APPLY CHANGES + expect_or_drop."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.streaming.ingest import stream_apply_changes
+
+    eng = Engine(spark, str(tmp_path / "a"))
+    seed = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(5)],
+        "id bigint, s string, score int",
+    )
+    eng.create_table(
+        "tgt", seed, keys=["id"], versioned=True, deletion_vectors=True,
+        expectations={
+            "score_ok": {"expr": "score >= 0", "action": "drop"}
+        },
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "v1-new", 50, "update", 100),    # clean: lands
+            (2, "v2-bad", -5, "update", 110),    # violates: quarantined
+            (9, "v9-bad", -1, "insert", 120),    # violating insert: out
+            (10, "v10", 7, "insert", 130),       # clean insert: lands
+        ],
+        "id bigint, s string, score int, _op string, seq bigint",
+    )
+    staging = str(tmp_path / "st")
+    changes.write.parquet(staging)
+    stream = spark.readStream.schema(changes.schema).parquet(staging)
+    q = stream_apply_changes(
+        eng, "tgt", stream, sequence_by="seq",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    got = {r.id: (r.s, r.score) for r in eng.table("tgt").collect()}
+    assert got[1] == ("v1-new", 50)
+    assert got[2] == ("v2", 10)      # violating update quarantined whole
+    assert 9 not in got              # violating insert never landed
+    assert got[10] == ("v10", 7)

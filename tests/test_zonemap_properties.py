@@ -101,3 +101,97 @@ def test_count_where_equals_filter_count(zeng, pred):
         zeng.count_where("pz", pred)
         == zeng.table("pz").filter(pred).count()
     )
+
+
+# Partition-predicate grammar over (p string nullable, q int): shapes
+# the partition fast paths claim to answer, plus shapes that must fall
+# back (data column v, nondeterminism, subquery-free only).
+_ps = st.sampled_from(["'x'", "'has space'", "'quo''te'", "'absent'"])
+_qs = st.integers(min_value=6, max_value=10)
+part_pred_st = st.one_of(
+    _ps.map(lambda x: f"p = {x}"),
+    _ps.map(lambda x: f"p <> {x}"),
+    st.lists(_ps, min_size=1, max_size=3).map(
+        lambda xs: f"p IN ({', '.join(xs)})"
+    ),
+    st.just("p IS NULL"),
+    st.just("p IS NOT NULL"),
+    _qs.map(lambda k: f"q = {k}"),
+    _qs.map(lambda k: f"q >= {k}"),
+    st.tuples(_ps, _qs).map(lambda t: f"p = {t[0]} AND q < {t[1]}"),
+    st.tuples(_ps, _qs).map(lambda t: f"p = {t[0]} OR q = {t[1]}"),
+    _ps.map(lambda x: f"upper(p) = upper({x})"),
+    st.just("p LIKE 'has%'"),
+    _qs.map(lambda k: f"v > {k}"),  # data column → must fall back
+    st.just("length(p) > 4"),
+)
+
+
+@pytest.fixture(scope="module")
+def peng(spark, tmp_path_factory):
+    eng = Engine(spark, str(tmp_path_factory.mktemp("pprop")))
+    rows = [
+        (1, "x", 7, 1.0),
+        (2, "x", 8, 2.0),
+        (3, "has space", 7, 3.0),
+        (4, "has space", 9, 4.0),
+        (5, None, 8, 5.0),
+        (6, "quo'te", 10, 6.0),
+        (7, "x", 7, 7.0),
+        (8, None, 6, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, p string, q int, v double")
+    eng.create_table(
+        "pp", df, keys=["k"], partition_by=["p", "q"],
+        versioned=True, deletion_vectors=True,
+    )
+    # live DVs so the rollup's per-partition subtraction is exercised
+    # by every generated predicate
+    eng.delete_where_dv("pp", "k IN (2, 4)")
+    eng.table("pp").createOrReplaceTempView("pp_v")
+    return eng
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=part_pred_st)
+def test_partition_count_where_equals_filter(peng, pred):
+    """The partition-predicate COUNT fast path must be EXACT for every
+    generated predicate — whichever path answers (partition rollup,
+    zone-map count, vanilla scan), the value equals filter().count();
+    NULL partitions, escaped values, and DV-deleted rows included."""
+    got = peng.sql(f"SELECT COUNT(*) AS n FROM pp WHERE {pred}").head().n
+    want = peng.table("pp").filter(pred).count()
+    assert got == want, pred
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=part_pred_st)
+def test_partition_group_count_where_equals_vanilla(peng, pred):
+    """Same exactness property for the grouped variant — and zero-count
+    groups must never appear (GROUP BY emits no group for no rows)."""
+    q = (
+        f"SELECT p, q, COUNT(*) AS c FROM pp WHERE {pred} GROUP BY p, q"
+    )
+    key = lambda t: tuple((x is None, str(x)) for x in t)  # noqa: E731
+    got = sorted(
+        (tuple(r) for r in peng.sql(q).collect()), key=key
+    )
+    want = sorted(
+        (
+            tuple(r)
+            for r in peng.spark.sql(
+                q.replace("FROM pp", "FROM pp_v")
+            ).collect()
+        ),
+        key=key,
+    )
+    assert got == want, pred
+    assert all(r[-1] > 0 for r in got), pred
