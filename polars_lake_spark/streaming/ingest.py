@@ -466,7 +466,7 @@ def stream_apply_changes(
     tomb_table = f"{table}_cdc_tombstones"
     meta_table = f"{table}_cdc_meta"
 
-    def truncate_wm(seq_t: str):
+    def truncate_wm():
         if meta_table not in engine.specs:
             return None
         row = engine.table(meta_table).head()
@@ -505,8 +505,7 @@ def stream_apply_changes(
                 .withColumnRenamed(sequence_by, "__seq")
             )
             b = _drop_stale_changes(
-                engine, table, tomb_table, b, keys,
-                floor=truncate_wm(b.schema["__seq"].dataType.simpleString()),
+                engine, table, tomb_table, b, keys, floor=truncate_wm()
             )
         b = b.localCheckpoint(eager=True)  # split below reads it twice
         ups = b.filter(~is_del).drop(op_col)

@@ -336,6 +336,8 @@ def test_stream_apply_changes_scd2(spark, tmp_path):
         (1, "v1-b", "update", 200),   # ...two versions in ONE batch
         (2, None, "delete", 150),     # close key 2, no new version
         (4, "v4", "insert", 120),     # brand-new key
+        (3, None, "delete", 110),     # delete-THEN-reinsert in one
+        (3, "v3-back", "insert", 130),  # batch: gap [110, 130)
     ]
     apply(batch1, "one")
 
@@ -350,11 +352,12 @@ def test_stream_apply_changes_scd2(spark, tmp_path):
     assert h[(1, 100, 200)] == "v1-a"      # mid-chain version closed
     assert h[(1, 200, None)] == "v1-b"     # current
     assert h[(2, None, 150)] == "v2"       # deleted: closed, not reopened
-    assert h[(3, None, None)] == "v3"      # untouched seed stays current
+    assert h[(3, None, 110)] == "v3"       # seed closed by the delete
+    assert h[(3, 130, None)] == "v3-back"  # reinsert after the gap
     assert h[(4, 120, None)] == "v4"
-    assert len(h) == 6
+    assert len(h) == 7
     cur = {r.id: r.s for r in scd2_current(eng, "tgt").collect()}
-    assert cur == {1: "v1-b", 3: "v3", 4: "v4"}
+    assert cur == {1: "v1-b", 3: "v3-back", 4: "v4"}
     # as-of sequence 160: key 1 at v1-a, key 2 deleted, key 4 present
     asof = {
         r.id: r.s
@@ -365,7 +368,7 @@ def test_stream_apply_changes_scd2(spark, tmp_path):
         )
         .collect()
     }
-    assert asof == {1: "v1-a", 3: "v3", 4: "v4"}
+    assert asof == {1: "v1-a", 3: "v3-back", 4: "v4"}
     # late batch: stale update (below key 1's watermark) drops; a
     # post-delete change at a newer seq reopens key 2
     apply(
