@@ -627,83 +627,9 @@ def stream_apply_changes_scd2(
     applied history blocks late changes."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.head(1):
-            return
-        spec = engine.specs[table]
-        all_keys = list(spec.keys)
-        if not all_keys or all_keys[-1] != "__start_seq":
-            raise ValueError(
-                "stream_apply_changes_scd2: target must be created via "
-                "scd2_init (merge keys = business keys + __start_seq)"
-            )
-        keys = all_keys[:-1]
-        is_del = F.lower(F.col(op_col)) == "delete"
-        b = batch_df.withColumnRenamed(sequence_by, "__seq")
-        # one change per (key, seq): upsert wins the tie
-        w_tie = Window.partitionBy(*keys, "__seq").orderBy(
-            F.asc(is_del.cast("int"))
+        apply_changes_scd2_batch(
+            engine, table, batch_df, sequence_by, op_col=op_col
         )
-        b = (
-            b.withColumn("__rn", F.row_number().over(w_tie))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-        # per-key applied watermark from the target's OWN history,
-        # map-side semi vs the broadcast batch keys
-        bkeys = b.select(*keys).distinct()
-        wm = (
-            engine.table(table)
-            .join(F.broadcast(bkeys), keys, "left_semi")
-            .groupBy(*keys)
-            .agg(
-                F.max(
-                    F.coalesce(F.col("__end_seq"), F.col("__start_seq"))
-                ).alias("__wm")
-            )
-        )
-        b = (
-            b.join(F.broadcast(wm), keys, "left")
-            .filter(F.col("__wm").isNull() | (F.col("__seq") >= F.col("__wm")))
-            .drop("__wm")
-            .localCheckpoint(eager=True)
-        )
-        if not b.head(1):
-            return
-        # chain within the batch: each change closes at its successor
-        w_seq = Window.partitionBy(*keys).orderBy("__seq")
-        b = b.withColumn("__nxt", F.lead("__seq").over(w_seq))
-        payload = [
-            c
-            for c in b.columns
-            if c not in (op_col, "__seq", "__nxt")
-        ]
-        inserts = (
-            b.filter(~is_del)
-            .select(
-                *payload,
-                F.col("__seq").alias("__start_seq"),
-                F.col("__nxt").alias("__end_seq"),
-            )
-        )
-        # close the target's current row per key at the batch's FIRST
-        # surviving sequence — only when it genuinely precedes it
-        first = b.groupBy(*keys).agg(F.min("__seq").alias("__close"))
-        closers = (
-            engine.table(table)
-            .filter(F.col("__end_seq").isNull())
-            .join(F.broadcast(bkeys), keys, "left_semi")
-            .select(*keys, "__start_seq")
-            .join(F.broadcast(first), keys)
-            .filter(
-                F.col("__start_seq").isNull()
-                | (F.col("__start_seq") < F.col("__close"))
-            )
-            .select(*keys, "__start_seq", F.col("__close").alias("__end_seq"))
-        )
-        if closers.head(1):
-            engine.upsert(table, closers, keys=all_keys)
-        if inserts.head(1):
-            engine.upsert(table, inserts, keys=all_keys)
 
     writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
     if checkpoint_dir:
@@ -711,3 +637,94 @@ def stream_apply_changes_scd2(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def apply_changes_scd2_batch(
+    engine,
+    table: str,
+    batch_df: DataFrame,
+    sequence_by: str,
+    op_col: str = "_op",
+) -> None:
+    """One SCD2 batch application — the foreachBatch body of
+    :func:`stream_apply_changes_scd2`, exposed directly so batch CDC
+    feeds (a daily extract, a backfill) apply without a streaming
+    query.  Semantics identical; see the streaming wrapper's
+    docstring."""
+    if not batch_df.head(1):
+        return
+    spec = engine.specs[table]
+    all_keys = list(spec.keys)
+    if not all_keys or all_keys[-1] != "__start_seq":
+        raise ValueError(
+            "stream_apply_changes_scd2: target must be created via "
+            "scd2_init (merge keys = business keys + __start_seq)"
+        )
+    keys = all_keys[:-1]
+    is_del = F.lower(F.col(op_col)) == "delete"
+    b = batch_df.withColumnRenamed(sequence_by, "__seq")
+    # one change per (key, seq): upsert wins the tie
+    w_tie = Window.partitionBy(*keys, "__seq").orderBy(
+        F.asc(is_del.cast("int"))
+    )
+    b = (
+        b.withColumn("__rn", F.row_number().over(w_tie))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # per-key applied watermark from the target's OWN history,
+    # map-side semi vs the broadcast batch keys
+    bkeys = b.select(*keys).distinct()
+    wm = (
+        engine.table(table)
+        .join(F.broadcast(bkeys), keys, "left_semi")
+        .groupBy(*keys)
+        .agg(
+            F.max(
+                F.coalesce(F.col("__end_seq"), F.col("__start_seq"))
+            ).alias("__wm")
+        )
+    )
+    b = (
+        b.join(F.broadcast(wm), keys, "left")
+        .filter(F.col("__wm").isNull() | (F.col("__seq") >= F.col("__wm")))
+        .drop("__wm")
+        .localCheckpoint(eager=True)
+    )
+    if not b.head(1):
+        return
+    # chain within the batch: each change closes at its successor
+    w_seq = Window.partitionBy(*keys).orderBy("__seq")
+    b = b.withColumn("__nxt", F.lead("__seq").over(w_seq))
+    payload = [
+        c
+        for c in b.columns
+        if c not in (op_col, "__seq", "__nxt")
+    ]
+    inserts = (
+        b.filter(~is_del)
+        .select(
+            *payload,
+            F.col("__seq").alias("__start_seq"),
+            F.col("__nxt").alias("__end_seq"),
+        )
+    )
+    # close the target's current row per key at the batch's FIRST
+    # surviving sequence — only when it genuinely precedes it
+    first = b.groupBy(*keys).agg(F.min("__seq").alias("__close"))
+    closers = (
+        engine.table(table)
+        .filter(F.col("__end_seq").isNull())
+        .join(F.broadcast(bkeys), keys, "left_semi")
+        .select(*keys, "__start_seq")
+        .join(F.broadcast(first), keys)
+        .filter(
+            F.col("__start_seq").isNull()
+            | (F.col("__start_seq") < F.col("__close"))
+        )
+        .select(*keys, "__start_seq", F.col("__close").alias("__end_seq"))
+    )
+    if closers.head(1):
+        engine.upsert(table, closers, keys=all_keys)
+    if inserts.head(1):
+        engine.upsert(table, inserts, keys=all_keys)

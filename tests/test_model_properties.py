@@ -183,3 +183,105 @@ def test_pagerank_layout_independent(spark):
     a = {(r.node, r.r) for r in pagerank(df, iterations=6).collect()}
     b = {(r.node, r.r) for r in pagerank(df.repartition(5), iterations=6).collect()}
     assert a == b
+
+
+def _scd2_model(seed_rows, batches):
+    """Python SCD2 model mirroring apply_changes_scd2_batch: per batch,
+    drop changes strictly below the key's watermark (max coalesce(end,
+    start) over its version rows; NULL start = -inf), then chain the
+    survivors in sequence order — non-deletes open versions closed by
+    the next change, deletes close only. Returns
+    {(key, start, end): value}."""
+    hist = {}
+    for k, v in seed_rows:
+        hist[(k, None, None)] = v
+
+    def wm(k):
+        best = None
+        for (kk, st, en), _ in hist.items():
+            if kk != k:
+                continue
+            m = en if en is not None else st
+            if m is not None and (best is None or m > best):
+                best = m
+        return best
+
+    for batch in batches:
+        # one change per (key, seq): upsert wins the tie
+        dedup = {}
+        for k, val, op, seq in batch:
+            cur = dedup.get((k, seq))
+            if cur is None or (cur[1] == "delete" and op != "delete"):
+                dedup[(k, seq)] = (val, op)
+        by_key = {}
+        for (k, seq), (val, op) in dedup.items():
+            w = wm(k)
+            if w is not None and seq < w:
+                continue
+            by_key.setdefault(k, []).append((seq, val, op))
+        for k, chs in by_key.items():
+            chs.sort()
+            first = chs[0][0]
+            # close the key's current row if it starts before `first`
+            for key in list(hist):
+                kk, st, en = key
+                if kk == k and en is None and (st is None or st < first):
+                    hist[(kk, st, first)] = hist.pop(key)
+            for i, (seq, val, op) in enumerate(chs):
+                if op == "delete":
+                    continue
+                nxt = chs[i + 1][0] if i + 1 < len(chs) else None
+                hist[(k, seq, nxt)] = val
+    return hist
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_scd2_apply_matches_model(spark, tmp_path_factory, data):
+    """apply_changes_scd2_batch over arbitrary two-batch change streams
+    (random keys/ops/sequences, arbitrary batch split and order) must
+    produce exactly the Python model's version history."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.streaming.ingest import apply_changes_scd2_batch
+
+    keys = [1, 2, 3]
+    n1 = data.draw(st.integers(min_value=0, max_value=5))
+    n2 = data.draw(st.integers(min_value=0, max_value=5))
+    used = set()
+
+    def draw_change():
+        k = data.draw(st.sampled_from(keys))
+        op = data.draw(st.sampled_from(["update", "delete"]))
+        seq = data.draw(
+            st.integers(min_value=1, max_value=12).filter(
+                lambda s: (k, s) not in used
+            )
+        )
+        used.add((k, seq))
+        return (k, f"v{k}s{seq}" if op != "delete" else None, op, seq * 10)
+
+    b1 = [draw_change() for _ in range(n1)]
+    b2 = [draw_change() for _ in range(n2)]
+    seed_rows = [(1, "seed1"), (2, "seed2")]
+
+    eng = Engine(spark, str(tmp_path_factory.mktemp("scd2p")))
+    from polars_lake_spark.streaming.ingest import scd2_init
+
+    seed = spark.createDataFrame(seed_rows, "k bigint, s string")
+    scd2_init(eng, "t", seed, keys=["k"], versioned=True)
+    schema = "k bigint, s string, _op string, seq bigint"
+    for batch in (b1, b2):
+        if batch:
+            apply_changes_scd2_batch(
+                eng, "t", spark.createDataFrame(batch, schema), "seq"
+            )
+    got = {
+        (r["k"], r["__start_seq"], r["__end_seq"]): r["s"]
+        for r in eng.table("t").collect()
+    }
+    want = _scd2_model(seed_rows, [b1, b2])
+    assert got == want, (b1, b2)
