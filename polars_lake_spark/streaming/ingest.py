@@ -463,6 +463,30 @@ def stream_apply_changes(
     earlier-sequenced upsert arriving later stays dead).  The table and
     tombstone writes are not one atomic commit; a crash between them is
     repaired by replaying the batch (every step is idempotent)."""
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        apply_changes_batch(
+            engine, table, batch_df, op_col=op_col, sequence_by=sequence_by
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def apply_changes_batch(
+    engine,
+    table: str,
+    batch_df: DataFrame,
+    op_col: str = "_op",
+    sequence_by: str | None = None,
+) -> None:
+    """One TYPE 1 batch application — the foreachBatch body of
+    :func:`stream_apply_changes`, exposed directly so batch CDC feeds
+    apply without a streaming query.  Semantics identical; see the
+    streaming wrapper's docstring."""
     tomb_table = f"{table}_cdc_tombstones"
     meta_table = f"{table}_cdc_meta"
 
@@ -472,78 +496,70 @@ def stream_apply_changes(
         row = engine.table(meta_table).head()
         return None if row is None else row["__seq"]
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.head(1):
-            return
-        spec = engine.specs[table]
-        keys = list(spec.keys)
-        if not keys:
-            raise ValueError(f"stream_apply_changes: {table} has no keys")
-        b = batch_df
-        is_del = F.lower(F.col(op_col)) == "delete"
-        is_tr = F.lower(F.col(op_col)) == "truncate"
-        if b.filter(is_tr).head(1):
-            if sequence_by is None:
-                raise ValueError(
-                    "stream_apply_changes: 'truncate' ops require "
-                    "sequence_by (an unsequenced truncate is ambiguous "
-                    "against same-batch changes)"
-                )
-            b = _apply_truncates(
-                engine, table, meta_table, b, is_tr, sequence_by
-            )
-            if not b.head(1):
-                return
-        if sequence_by is not None:
-            w = Window.partitionBy(*keys).orderBy(
-                F.desc(sequence_by), F.asc(is_del.cast("int"))
-            )
-            b = (
-                b.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-                .withColumnRenamed(sequence_by, "__seq")
-            )
-            b = _drop_stale_changes(
-                engine, table, tomb_table, b, keys, floor=truncate_wm()
-            )
-        b = b.localCheckpoint(eager=True)  # split below reads it twice
-        ups = b.filter(~is_del).drop(op_col)
+    if not batch_df.head(1):
+        return
+    spec = engine.specs[table]
+    keys = list(spec.keys)
+    if not keys:
+        raise ValueError(f"stream_apply_changes: {table} has no keys")
+    b = batch_df
+    is_del = F.lower(F.col(op_col)) == "delete"
+    is_tr = F.lower(F.col(op_col)) == "truncate"
+    if b.filter(is_tr).head(1):
         if sequence_by is None:
-            dels = b.filter(is_del).select(*keys)
-            both = dels.join(ups.select(*keys), keys, "inner").limit(1)
-            if both.head(1):
-                raise ValueError(
-                    "stream_apply_changes: a key carries both a delete "
-                    "and an upsert in one batch; pass sequence_by to "
-                    "resolve ordering"
-                )
+            raise ValueError(
+                "stream_apply_changes: 'truncate' ops require "
+                "sequence_by (an unsequenced truncate is ambiguous "
+                "against same-batch changes)"
+            )
+        b = _apply_truncates(
+            engine, table, meta_table, b, is_tr, sequence_by
+        )
+        if not b.head(1):
+            return
+    if sequence_by is not None:
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc(sequence_by), F.asc(is_del.cast("int"))
+        )
+        b = (
+            b.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .withColumnRenamed(sequence_by, "__seq")
+        )
+        b = _drop_stale_changes(
+            engine, table, tomb_table, b, keys, floor=truncate_wm()
+        )
+    b = b.localCheckpoint(eager=True)  # split below reads it twice
+    ups = b.filter(~is_del).drop(op_col)
+    if sequence_by is None:
+        dels = b.filter(is_del).select(*keys)
+        both = dels.join(ups.select(*keys), keys, "inner").limit(1)
+        if both.head(1):
+            raise ValueError(
+                "stream_apply_changes: a key carries both a delete "
+                "and an upsert in one batch; pass sequence_by to "
+                "resolve ordering"
+            )
+    else:
+        dels = b.filter(is_del).select(*keys, "__seq")
+    if ups.head(1):
+        engine.upsert(table, ups, evolve=sequence_by is not None)
+    if dels.head(1):
+        if spec.deletion_vectors:
+            engine.delete_keys_dv(table, dels.select(*keys), keys)
         else:
-            dels = b.filter(is_del).select(*keys, "__seq")
-        if ups.head(1):
-            engine.upsert(table, ups, evolve=sequence_by is not None)
-        if dels.head(1):
-            if spec.deletion_vectors:
-                engine.delete_keys_dv(table, dels.select(*keys), keys)
+            engine.delete(table, dels.select(*keys), keys)
+        if sequence_by is not None:
+            if tomb_table not in engine.specs:
+                engine.create_table(
+                    tomb_table,
+                    dels,
+                    keys=keys,
+                    save=engine.root is not None,
+                )
             else:
-                engine.delete(table, dels.select(*keys), keys)
-            if sequence_by is not None:
-                if tomb_table not in engine.specs:
-                    engine.create_table(
-                        tomb_table,
-                        dels,
-                        keys=keys,
-                        save=engine.root is not None,
-                    )
-                else:
-                    engine.upsert(tomb_table, dels)
-
-    writer = stream_df.writeStream.foreachBatch(process).outputMode("update")
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+                engine.upsert(tomb_table, dels)
 
 
 def scd2_init(

@@ -285,3 +285,83 @@ def test_scd2_apply_matches_model(spark, tmp_path_factory, data):
     }
     want = _scd2_model(seed_rows, [b1, b2])
     assert got == want, (b1, b2)
+
+
+def _type1_model(seed_rows, batches):
+    """Python model of apply_changes_batch (sequenced): per batch, drop
+    changes strictly below the key's watermark (applied __seq on live
+    rows, tombstone seq for deleted keys), keep each key's latest
+    surviving change (upsert wins a same-seq tie with a delete), apply.
+    Returns {key: value} of live rows."""
+    live = dict(seed_rows)   # key -> value (seed rows have no seq)
+    wm = {}                  # key -> applied/tombstone watermark
+    for batch in batches:
+        dedup = {}
+        for k, val, op, seq in batch:
+            cur = dedup.get(k)
+            # latest per key; on equal seq an upsert beats a delete
+            if (
+                cur is None
+                or seq > cur[2]
+                or (seq == cur[2] and cur[1] == "delete" and op != "delete")
+            ):
+                dedup[k] = (val, op, seq)
+        for k, (val, op, seq) in dedup.items():
+            w = wm.get(k)
+            if w is not None and seq < w:
+                continue
+            if op == "delete":
+                live.pop(k, None)
+                wm[k] = seq
+            else:
+                live[k] = val
+                wm[k] = seq
+    return live
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_type1_apply_matches_model(spark, tmp_path_factory, data):
+    """apply_changes_batch over arbitrary two-batch change streams must
+    produce exactly the Python model's live state — watermark drops,
+    tombstones after deletes, latest-per-key, and the upsert-beats-
+    delete tie all at once."""
+    from polars_lake_spark import Engine
+    from polars_lake_spark.streaming.ingest import apply_changes_batch
+
+    keys = [1, 2, 3]
+    n1 = data.draw(st.integers(min_value=0, max_value=5))
+    n2 = data.draw(st.integers(min_value=0, max_value=5))
+
+    def draw_change():
+        k = data.draw(st.sampled_from(keys))
+        op = data.draw(st.sampled_from(["update", "delete"]))
+        seq = data.draw(st.integers(min_value=1, max_value=8)) * 10
+        return (k, f"v{k}s{seq}" if op != "delete" else None, op, seq)
+
+    b1 = [draw_change() for _ in range(n1)]
+    b2 = [draw_change() for _ in range(n2)]
+    # a key may carry BOTH a delete and an upsert at one seq within a
+    # batch (the tie rule); drop only exact duplicate rows
+    b1, b2 = list(dict.fromkeys(b1)), list(dict.fromkeys(b2))
+    seed_rows = [(1, "seed1"), (2, "seed2")]
+
+    eng = Engine(spark, str(tmp_path_factory.mktemp("t1p")))
+    seed = spark.createDataFrame(seed_rows, "k bigint, s string")
+    eng.create_table(
+        "t", seed, keys=["k"], versioned=True, deletion_vectors=True
+    )
+    schema = "k bigint, s string, _op string, seq bigint"
+    for batch in (b1, b2):
+        if batch:
+            apply_changes_batch(
+                eng, "t", spark.createDataFrame(batch, schema),
+                sequence_by="seq",
+            )
+    got = {r["k"]: r["s"] for r in eng.table("t").collect()}
+    want = _type1_model(seed_rows, [b1, b2])
+    assert got == want, (b1, b2)
