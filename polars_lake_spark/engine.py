@@ -839,7 +839,34 @@ class Engine:
             return self.table(name, version)
         from polars_lake_spark.zonemaps import parse_conjuncts
 
-        conj = parse_conjuncts(predicate)
+        return self._scan_conjuncts(
+            name, parse_conjuncts(predicate), version, report=report
+        )
+
+    def _scan_conjuncts(
+        self,
+        name: str,
+        conj: list,
+        version: int | None = None,
+        report: dict | None = None,
+    ) -> DataFrame:
+        """Zone-map-pruned UNfiltered read from PRE-PARSED conjuncts
+        (zonemaps.parse_conjuncts tuples) — the layer below
+        ``_scan_pruned`` for callers that already hold exact literal
+        values a SQL round-trip could distort (the CDC watermark probes
+        bound the scan by batch-key min/max, where e.g. a Decimal key
+        printed as a float literal could prune a file that still holds
+        the key).  Same contract: the caller re-applies its own exact
+        filter/join; pruning only drops files whose recorded ranges
+        PROVE no row can match every conjunct."""
+        if name not in self.specs and name not in self._mem:
+            self.load_table(name)
+        spec = self.specs.get(name)
+        if report is None:
+            report = {"files_total": 0, "files_kept": 0}
+            self.last_scan_report = report
+        if name in self._mem or spec is None or not spec.versioned:
+            return self.table(name, version)
         report["conjuncts"] = len(conj)
         return self._snapstore(name).read(
             self.spark,
