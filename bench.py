@@ -8,6 +8,16 @@ aggregate, point filter, star join, top-k, windows, sessionization, merge
 (upsert), dedup (exact + minhash scale path), similarity top-k, text
 analysis.  Results are materialized with the noop sink so timings measure
 the full distributed compute without driver-collect overhead.
+
+Variance protocol (VERDICT r11 #2 — round-over-round totals on this host
+are tail-spike-dominated): every steady-state entry runs
+$SPARK_GRAFT_BENCH_REPEATS times (default 2) warm in one session and
+reports the MIN; the full JSON line carries every raw run under "runs"
+and both lines carry a "protocol" summary including the median
+same-code run2/run1 ratio (the A/B delta — a genuine code regression
+moves the min, a host spike only widens the ratio).  One-time entries
+(index builds, tokenizer training) stay single-run — they are amortized
+setup, not steady state.
 """
 
 from __future__ import annotations
@@ -471,7 +481,37 @@ def main() -> None:
         spark, sf_dir
     )
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+
+    def hygiene():
+        # Storage hygiene between measurements: operators that persist
+        # intermediates (shingle sets, IVF centroids) must not bleed
+        # executor memory into later queries' timings.  clearCache drops
+        # SQL-cached relations; the GC pair lets ContextCleaner reap
+        # localCheckpoint blocks from iterative operators (k-means,
+        # connected components), which clearCache cannot see — measured
+        # 3-6× tail-query slowdown when they accumulate.
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+
+    def measure(name, thunk):
+        # min-of-N warm runs (variance protocol): every run's raw value
+        # is kept for the A/B attribution in the protocol summary
+        rs = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            thunk()
+            rs.append(round(time.perf_counter() - t0, 3))
+            hygiene()
+        runs[name] = rs
+        timings[name] = min(rs)
+
     for name in HEADLINE:
         if name == "similarity_ivf":
             fn = ivf_probe
@@ -497,21 +537,13 @@ def main() -> None:
             fn = lambda s, d: registry[name].fn(s, d, merges=_cm)  # noqa: E731
         else:
             fn = registry[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Storage hygiene between measurements: operators that persist
-        # intermediates (shingle sets, IVF centroids) must not bleed
-        # executor memory into later queries' timings.  clearCache drops
-        # SQL-cached relations; the GC pair lets ContextCleaner reap
-        # localCheckpoint blocks from iterative operators (k-means,
-        # connected components), which clearCache cannot see — measured
-        # 3-6× tail-query slowdown when they accumulate.
-        spark.catalog.clearCache()
-        import gc
-
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        measure(
+            name,
+            lambda fn=fn: fn(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
 
     timings["similarity_ivf_train_index"] = ivf_train_sec
     timings["dedup_index_build"] = dedup_build_sec
@@ -527,15 +559,23 @@ def main() -> None:
     _t0 = time.perf_counter()
     _merges, _ = _bpe.train_bpe(_bpe.word_counts(_docs, "text"), 24)
     bpe_train_sec = round(time.perf_counter() - _t0, 3)
-    _t0 = time.perf_counter()
-    _bpe.bpe_encode(_docs, "text", _merges).select("doc_id", "tokens").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    timings["bpe_encode_docs"] = round(time.perf_counter() - _t0, 3)
+    measure(
+        "bpe_encode_docs",
+        lambda: _bpe.bpe_encode(_docs, "text", _merges)
+        .select("doc_id", "tokens")
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
     timings["bpe_train_only"] = bpe_train_sec
     ivf_cleanup()
     dedup_cleanup()
-    timings.update(lifecycle_bench(spark, sf_dir))
+    # lifecycle entries: the whole self-contained lifecycle repeats
+    # (each pass owns a fresh tmpdir engine); per-entry min reported
+    lc_runs = [lifecycle_bench(spark, sf_dir) for _ in range(repeats)]
+    for k in lc_runs[0]:
+        runs[k] = [r[k] for r in lc_runs]
+        timings[k] = min(runs[k])
 
     total = round(sum(timings.values()), 3)
     # One-time train/index entries (the measured thing IS training, or an
@@ -553,6 +593,20 @@ def main() -> None:
     one_time = {k: timings[k] for k in one_time_keys if k in timings}
     steady = round(total - sum(one_time.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Variance-protocol summary: median same-code run2/run1 ratio across
+    # repeated entries — the A/B delta the verdict asked to be recorded
+    # with the totals (host spikes widen the ratio, code regressions
+    # move the reported min).
+    ratios = sorted(
+        r[1] / r[0] for r in runs.values() if len(r) >= 2 and r[0] > 0
+    )
+    protocol = {
+        "repeats": repeats,
+        "per_entry": "min",
+        "ab_ratio_median": (
+            round(ratios[len(ratios) // 2], 3) if ratios else None
+        ),
+    }
     # Full per-query line first (68+ entries — for local analysis and
     # BENCH_r{N} diffing when the whole stdout is kept)...
     print(
@@ -562,6 +616,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "protocol": protocol,
                 "one_time": one_time,
                 "steady_state_value": steady,
                 "sf": sf_val,
@@ -623,6 +679,7 @@ def main() -> None:
                     k: timings[k] for k in headline_keys if k in timings
                 },
                 "n_queries": len(timings),
+                "protocol": protocol,
                 "one_time_total": round(sum(one_time.values()), 3),
                 "steady_state_value": steady,
                 "sf": sf_val,

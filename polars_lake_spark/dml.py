@@ -31,6 +31,14 @@ through the engine's real mutation paths:
   (cols)] AS SELECT ...`` → ``engine.create_table_as`` (CLUSTER BY =
   clustered writes: every versioned write range-partitions + sorts on
   the key so zone maps stay tight from ingest)
+* ``APPLY CHANGES INTO t FROM src|(<select>) [KEYS (k, ...)] [APPLY AS
+  DELETE WHEN c] [APPLY AS TRUNCATE WHEN c] [SEQUENCE BY col] [STORED
+  AS SCD TYPE 1|2]`` → one CDC batch application through
+  ``streaming.ingest.apply_changes_batch`` (TYPE 1: latest-per-key with
+  cross-batch watermarks + tombstones) or ``apply_changes_scd2_batch``
+  (TYPE 2: version-row history; target must be ``scd2_init``-shaped) —
+  the DLT statement; ops come from the source's ``_op`` column unless
+  APPLY AS clauses derive them (no ops at all = pure upsert feed)
 * ``SHOW PARTITIONS t`` → partition rel-paths, METADATA-only
   (snapshot mapping keys / directory names — never a data scan)
 * ``DROP TABLE [IF EXISTS] t``           → ``engine.drop_table``
@@ -125,6 +133,17 @@ _MERGE = re.compile(
 _WHEN = re.compile(
     r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+"
     r"(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)",
+    re.I | re.S,
+)
+_APPLY_CHANGES = re.compile(
+    r"^\s*APPLY\s+CHANGES\s+INTO\s+([A-Za-z_][\w.]*)"
+    r"\s+FROM\s+(\(.*?\)|[A-Za-z_][\w.]*)"
+    r"(?:\s+KEYS\s*\(([^)]*)\))?"
+    r"(?:\s+APPLY\s+AS\s+DELETE\s+WHEN\s+(.+?))?"
+    r"(?:\s+APPLY\s+AS\s+TRUNCATE\s+WHEN\s+(.+?))?"
+    r"(?:\s+SEQUENCE\s+BY\s+([A-Za-z_]\w*))?"
+    r"(?:\s+STORED\s+AS\s+SCD\s+TYPE\s+([12]))?"
+    r"\s*;?\s*$",
     re.I | re.S,
 )
 _ANALYZE = re.compile(
@@ -1042,6 +1061,83 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             null_clobbers=True,
         )
         return _status(engine, "merge", name, n)
+
+    m = _APPLY_CHANGES.match(query)
+    if m:
+        # APPLY CHANGES INTO t FROM src|(<select>) [KEYS (k, ...)]
+        #   [APPLY AS DELETE WHEN c] [APPLY AS TRUNCATE WHEN c]
+        #   [SEQUENCE BY col] [STORED AS SCD TYPE 1|2]
+        # — the DLT statement for the engine's CDC apply tier
+        # (streaming/ingest.py apply_changes_batch /
+        # apply_changes_scd2_batch; the streaming form wraps the same
+        # bodies in foreachBatch).  Ops come from the source's `_op`
+        # column unless APPLY AS clauses derive them (DELETE wins when
+        # both conditions hit); a source with neither is a pure upsert
+        # feed.  KEYS is validated against the target's declared keys —
+        # the batch functions merge on those, a mismatched list would
+        # silently apply on different keys than the user wrote.
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        from polars_lake_spark.streaming.ingest import (
+            apply_changes_batch,
+            apply_changes_scd2_batch,
+        )
+
+        src_sql = m.group(2)
+        if src_sql.startswith("("):
+            src = engine.spark.sql(src_sql[1:-1])
+        else:
+            rsrc = _resolve(engine, src_sql)
+            src = engine.table(rsrc) if rsrc else engine.spark.table(src_sql)
+        spec = engine.specs[name]
+        scd2 = m.group(7) == "2"
+        biz_keys = list(spec.keys)
+        if scd2 and biz_keys and biz_keys[-1] == "__start_seq":
+            biz_keys = biz_keys[:-1]
+        if m.group(3):
+            listed = [c.strip() for c in m.group(3).split(",") if c.strip()]
+            if sorted(c.lower() for c in listed) != sorted(
+                c.lower() for c in biz_keys
+            ):
+                raise ValueError(
+                    f"APPLY CHANGES INTO {name}: KEYS {listed} do not "
+                    f"match the target's declared keys {biz_keys}"
+                )
+        seq = m.group(6)
+        del_when, tr_when = m.group(4), m.group(5)
+        op_col = "_op"
+        if del_when or tr_when:
+            op = F.lit("upsert")
+            if tr_when:
+                op = F.when(
+                    F.coalesce(F.expr(tr_when), F.lit(False)), "truncate"
+                ).otherwise(op)
+            if del_when:
+                op = F.when(
+                    F.coalesce(F.expr(del_when), F.lit(False)), "delete"
+                ).otherwise(op)
+            op_col = "__apply_op"
+            src = src.withColumn(op_col, op)
+        elif "_op" not in src.columns:
+            op_col = "__apply_op"
+            src = src.withColumn(op_col, F.lit("upsert"))
+        # one materialization: n_affected and the apply must see the
+        # same rows even for a non-deterministic source (MERGE's rule)
+        src = src.localCheckpoint(eager=True)
+        n = src.count()
+        if scd2:
+            if seq is None:
+                raise ValueError(
+                    "APPLY CHANGES ... STORED AS SCD TYPE 2 requires "
+                    "SEQUENCE BY"
+                )
+            apply_changes_scd2_batch(engine, name, src, seq, op_col=op_col)
+        else:
+            apply_changes_batch(
+                engine, name, src, op_col=op_col, sequence_by=seq
+            )
+        return _status(engine, "apply_changes", name, n)
 
     m = _ANALYZE.match(query)
     if m:

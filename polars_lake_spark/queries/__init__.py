@@ -28,86 +28,40 @@ REGISTRY: dict[str, Query] = {}
 # which get a fresh correctness row each round.  This list is a VERIFICATION
 # ROTATION, strictly oldest-evidence-first — queries added or changed
 # this round always lead, so nothing ships unverified:
-#   the r9 window (50) = 7 NEW r9 entries (zone maps + the retrieval
-#   tier) + the 3 r8 gates (their DV/COPY INTO behavior was extended by
-#   the r9 ADVICE fixes) + the r8-refreshed r4-green block + the recall
-#   companions of the rows-only PQ entries + the oldest r5-greens up to
-#   the boundary; the seven r5-greens the r9 additions displaced lead
-#   r10.  The list covers EVERY registered query, evidence-ordered, so
-#   future rotations are a pure reshuffle.  Every deferred query is
-#   still verified every session by tests/test_oracle_parity.py (the
-#   local mirror of the gate — green at sf0.001 AND sf0.1 as of r9).
+#   the r12 window (50) = 1 NEW r12 entry (the APPLY CHANGES INTO SQL
+#   statement) + 5 CHANGED r12 gates (key-range-pruned CDC probes,
+#   duplicate-(key,seq) tiebreaks, the scd2_asof_join guard, and the
+#   _scan_pruned → _scan_conjuncts refactor both skipping gates pin) +
+#   the oldest-evidence block (rows below the r11 window since r10 or
+#   earlier); the r11 window's entries — freshest driver evidence —
+#   close the list.  The list covers EVERY registered query,
+#   evidence-ordered, so future rotations are a pure reshuffle.  Every
+#   deferred query is still verified every session by
+#   tests/test_oracle_parity.py (the local mirror of the gate — green
+#   at sf0.001 AND sf0.1 as of r11).
 CHECK_PRIORITY: list[str] = [
-    # ================= r11 window (first 50) ==========================
-    # -- NEW r11: BM25 phrase queries; APPLY CHANGES cross-batch
-    # ordering; partition metadata rollups --------------------------------
-    "bm25_phrase_check",
-    "bm25_phrase_slop_check",
+    # ================= r12 window (first 50) ==========================
+    # -- NEW r12: the APPLY CHANGES INTO SQL statement ------------------
+    "apply_changes_sql_check",
+    # -- CHANGED r12: CDC watermark probes now key-range-pruned via the
+    # zone-map sidecars; deterministic duplicate-(key,seq) tiebreaks;
+    # scd2_asof_join reserved-name guard; _scan_pruned refactored onto
+    # _scan_conjuncts (both skipping gates pin that path) ----------------
     "stream_apply_changes_check",
     "stream_apply_changes_scd2_check",
     "scd2_asof_join_check",
-    "partition_meta_rollup_check",
-    # -- CHANGED r11: _enforce determinism probe + drop-scope rewrite;
-    # zone-map float-NaN soundness; DV ref URI-decode fix (metadata
-    # counts); retrieval_metrics broadcast pin + unjudged qids;
-    # positional postings under the BM25 index ----------------------------
-    "expectations_lifecycle_check",
-    "retrieval_eval_metrics",
-    "count_where_skipping_check",
-    "minmax_meta_check",
-    "sparse_delete_dv_check",
-    "merge_dv_check",
-    "upsert_merge",
-    "bm25_index_probe_check",
-    "bm25_index_cdc_sync_check",
     "scan_file_skipping_check",
     "sql_timetravel_skipping_check",
-    # -- oldest driver evidence next (below the r10 window since r9 or
-    # earlier; every slot stays oracled) -----------------------------------
-    "insert_append",
-    "delete_anti",
-    "dedup_keyed",
-    "similarity_ivf_recall",
-    "similarity_pq_recall",
-    "similarity_ivfpq_recall",
-    "schema_evolution_union",
-    "audit_columns",
-    "time_travel_upsert",
-    "cdc_changes",
-    "merge_into_conditional",
-    "point_filter",
-    "star_join_revenue",
-    "top_customers",
-    "semi_join_suppliers",
-    "anti_join_parts",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_class",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    # ------ 50-slot window boundary ------------------------------------
+    # -- oldest driver evidence next (below the window since r10 or
+    # earlier; every slot stays oracled — unoracled approx_distinct
+    # defers past the boundary) ------------------------------------------
     "q19_discounted_revenue",
     "q20_promotion_suppliers",
     "q21_latest_shipper",
-    # -- remaining rows in staleness order, then everything the r10 gate
-    # re-verified (freshest evidence last) ---------------------------------
     "q22_idle_customers",
     "json_extraction",
     "distinct_orderby_offset",
     "predicates_having",
-    "approx_distinct",
     "unnest_explode",
     "pivot_status",
     "curation_lifecycle_check",
@@ -145,8 +99,12 @@ CHECK_PRIORITY: list[str] = [
     "case_coalesce",
     "array_functions",
     "array_numeric",
+    # ------ 50-slot window boundary ------------------------------------
+    "approx_distinct",
     "temporal_functions",
     "window_functions",
+    # -- remaining rows in staleness order; the r11 window's entries
+    # (freshest driver evidence) close the list --------------------------
     "rollup_revenue",
     "cube_flags",
     "cte_subquery",
@@ -240,6 +198,51 @@ CHECK_PRIORITY: list[str] = [
     "minmax_by",
     "select_exclude",
     "array_agg_sorted",
+    "bm25_phrase_check",
+    "bm25_phrase_slop_check",
+    "partition_meta_rollup_check",
+    "expectations_lifecycle_check",
+    "retrieval_eval_metrics",
+    "count_where_skipping_check",
+    "minmax_meta_check",
+    "sparse_delete_dv_check",
+    "merge_dv_check",
+    "upsert_merge",
+    "bm25_index_probe_check",
+    "bm25_index_cdc_sync_check",
+    "insert_append",
+    "delete_anti",
+    "dedup_keyed",
+    "similarity_ivf_recall",
+    "similarity_pq_recall",
+    "similarity_ivfpq_recall",
+    "schema_evolution_union",
+    "audit_columns",
+    "time_travel_upsert",
+    "cdc_changes",
+    "merge_into_conditional",
+    "point_filter",
+    "star_join_revenue",
+    "top_customers",
+    "semi_join_suppliers",
+    "anti_join_parts",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_class",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
 ]
 
 

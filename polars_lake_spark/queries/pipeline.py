@@ -2312,3 +2312,130 @@ def retrieval_eval_metrics(spark, sf_dir):
         .filter(F.col("rel") > 0)
     )
     return R.retrieval_metrics(run, qrels, k=10).orderBy("qid")
+
+
+@register(
+    "apply_changes_sql_check",
+    oracle="""
+    WITH seed AS (SELECT doc_id, text, -1 AS seq, 0 AS dead
+                  FROM documents),
+    ch AS (
+      SELECT doc_id, 'upd-200' AS text, 200 AS seq, 0 AS dead
+      FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 1
+      UNION ALL
+      SELECT doc_id, NULL, 200, 1 FROM documents WHERE doc_id % 7 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, 'ins-200', 200, 0
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id, 'stale-100', 100, 0
+      FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 1
+      UNION ALL
+      SELECT doc_id, 'res-100', 100, 0
+      FROM documents WHERE doc_id % 7 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, NULL, 100, 1
+      FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id, 'upd-100', 100, 0
+      FROM documents
+      WHERE doc_id % 3 = 2 AND doc_id % 5 <> 0 AND doc_id % 7 <> 1),
+    final AS (
+      SELECT doc_id, text, dead,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY seq DESC) AS rn
+      FROM (SELECT * FROM seed UNION ALL SELECT * FROM ch))
+    SELECT doc_id, text, CAST(0 AS BIGINT) AS violations
+    FROM final WHERE rn = 1 AND dead = 0
+    ORDER BY doc_id
+    """,
+    doc="APPLY CHANGES INTO as a SQL STATEMENT (dml.py _APPLY_CHANGES "
+    "-> streaming/ingest.py apply_changes_batch): ops derived by APPLY "
+    "AS DELETE WHEN (no _op column in the feed), SEQUENCE BY ordering, "
+    "and the cross-batch watermark — a second statement carrying only "
+    "strictly-older sequences must drop its stale updates, stale "
+    "deletes, and tombstoned resurrections while its unwatermarked keys "
+    "apply. DuckDB replays latest-sequence-per-key over seed + both "
+    "feeds; violations pins both status frames and the tombstone count.",
+)
+def apply_changes_sql_check(spark, sf_dir):
+    """The DLT APPLY CHANGES statement end-to-end through Engine.sql:
+    same semantics as the foreachBatch form (each statement is one
+    batch application), so out-of-order statements resolve by the
+    in-data watermark, not arrival order."""
+    import os
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_acs_")
+    try:
+        eng = Engine(spark, os.path.join(root, "wh"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        eng.create_table(
+            "tgt", docs, keys=["doc_id"], versioned=True,
+            deletion_vectors=True,
+        )
+        d = docs.select("doc_id")
+
+        def feed(rows):
+            out = None
+            for flt, shift, text, dead in rows:
+                part = d.filter(flt).select(
+                    (F.col("doc_id") + shift).alias("doc_id"),
+                    F.lit(text).cast("string").alias("text"),
+                    F.lit(dead).cast("int").alias("dead"),
+                )
+                out = part if out is None else out.unionByName(part)
+            return out
+
+        five = (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 != 1)
+        seven = F.col("doc_id") % 7 == 1
+        eleven = F.col("doc_id") % 11 == 0
+        three = (
+            (F.col("doc_id") % 3 == 2)
+            & (F.col("doc_id") % 5 != 0)
+            & (F.col("doc_id") % 7 != 1)
+        )
+        newer = feed(
+            [(five, 0, "upd-200", 0), (seven, 0, None, 1),
+             (eleven, 1000000, "ins-200", 0)]
+        ).withColumn("seq", F.lit(200).cast("bigint"))
+        late = feed(
+            [(five, 0, "stale-100", 0), (seven, 0, "res-100", 0),
+             (eleven, 1000000, None, 1), (three, 0, "upd-100", 0)]
+        ).withColumn("seq", F.lit(100).cast("bigint"))
+        newer.createOrReplaceTempView("acs_newer")
+        late.createOrReplaceTempView("acs_late")
+        viol = 0
+        for view in ("acs_newer", "acs_late"):
+            st = eng.sql(
+                f"APPLY CHANGES INTO tgt FROM {view} KEYS (doc_id) "
+                "APPLY AS DELETE WHEN dead = 1 SEQUENCE BY seq"
+            ).head()
+            if st["operation"] != "apply_changes":
+                viol += 1
+            if st["n_affected"] != spark.table(view).count():
+                viol += 1
+        # tombstones: exactly the APPLIED deletes (seq-200 %7 keys);
+        # the late stale deletes were watermark-dropped
+        if eng.table("tgt_cdc_tombstones").count() != d.filter(seven).count():
+            viol += 1
+        out = (
+            eng.table("tgt")
+            .select(
+                "doc_id",
+                "text",
+                F.lit(viol).cast("bigint").alias("violations"),
+            )
+            .orderBy("doc_id")
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        spark.catalog.dropTempView("acs_newer")
+        spark.catalog.dropTempView("acs_late")
+        shutil.rmtree(root, ignore_errors=True)

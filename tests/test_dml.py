@@ -1427,3 +1427,98 @@ def test_enforce_pins_nondeterministic_frames(spark, tmp_path):
         except ConstraintViolationError:
             pass
         assert eng.table("ndc").filter("v >= 100").count() == 0
+
+
+def test_apply_changes_statement_type1(spark, tmp_path):
+    """APPLY CHANGES INTO (DLT statement): ops from the source's _op
+    column, SEQUENCE BY ordering, cross-batch watermarks — a second
+    statement with strictly-older sequences drops against the first."""
+    e = Engine(spark, str(tmp_path / "w"))
+    seed = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(6)], "id bigint, s string"
+    )
+    e.create_table("tgt", seed, keys=["id"], versioned=True)
+    ch = spark.createDataFrame(
+        [
+            (1, "new1", "update", 200),
+            (2, None, "delete", 210),
+            (9, "ins9", "insert", 220),
+        ],
+        "id bigint, s string, _op string, seq bigint",
+    )
+    ch.createOrReplaceTempView("cdc_feed")
+    st = e.sql(
+        "APPLY CHANGES INTO tgt FROM cdc_feed KEYS (id) SEQUENCE BY seq"
+    ).head()
+    assert (st["operation"], st["n_affected"]) == ("apply_changes", 3)
+    got = {r.id: r.s for r in e.table("tgt").collect()}
+    assert got[1] == "new1" and 2 not in got and got[9] == "ins9"
+    # late feed: every sequence strictly older -> all drop
+    late = spark.createDataFrame(
+        [(1, "stale", "update", 100), (2, "res", "upsert", 100)],
+        "id bigint, s string, _op string, seq bigint",
+    )
+    late.createOrReplaceTempView("cdc_late")
+    e.sql("APPLY CHANGES INTO tgt FROM cdc_late SEQUENCE BY seq")
+    got2 = {r.id: r.s for r in e.table("tgt").collect()}
+    assert got2[1] == "new1" and 2 not in got2
+    # KEYS mismatch refused
+    with pytest.raises(ValueError, match="KEYS"):
+        e.sql("APPLY CHANGES INTO tgt FROM cdc_feed KEYS (s) SEQUENCE BY seq")
+
+
+def test_apply_changes_statement_apply_as_and_subquery(spark, tmp_path):
+    """APPLY AS DELETE WHEN derives ops from a condition (no _op column
+    needed); a parenthesized SELECT works as the source; a source with
+    neither _op nor APPLY AS clauses is a pure upsert feed."""
+    e = Engine(spark, str(tmp_path / "w"))
+    seed = spark.createDataFrame(
+        [(i, f"v{i}", 0) for i in range(4)], "id bigint, s string, dead int"
+    )
+    e.create_table("tgt", seed, keys=["id"], versioned=True)
+    feed = spark.createDataFrame(
+        [(0, "keep0", 0, 10), (1, None, 1, 10), (7, "new7", 0, 10)],
+        "id bigint, s string, dead int, seq bigint",
+    )
+    feed.createOrReplaceTempView("feed")
+    e.sql(
+        "APPLY CHANGES INTO tgt FROM (SELECT * FROM feed) "
+        "APPLY AS DELETE WHEN dead = 1 SEQUENCE BY seq"
+    )
+    got = {r.id: r.s for r in e.table("tgt").collect()}
+    assert got[0] == "keep0" and 1 not in got and got[7] == "new7"
+    # pure upsert feed: no _op, no APPLY AS
+    up = spark.createDataFrame(
+        [(2, "up2", 0, 20)], "id bigint, s string, dead int, seq bigint"
+    )
+    up.createOrReplaceTempView("upfeed")
+    e.sql("APPLY CHANGES INTO tgt FROM upfeed SEQUENCE BY seq")
+    assert e.table("tgt").filter("id = 2").head().s == "up2"
+
+
+def test_apply_changes_statement_scd2(spark, tmp_path):
+    """STORED AS SCD TYPE 2 routes to the version-row apply: changes
+    open/close version rows on a scd2_init target; SEQUENCE BY is
+    mandatory for the SCD2 form."""
+    from polars_lake_spark.streaming.ingest import scd2_current, scd2_init
+
+    e = Engine(spark, str(tmp_path / "w"))
+    seed = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, s string"
+    )
+    scd2_init(e, "dim", seed, keys=["id"], versioned=True)
+    ch = spark.createDataFrame(
+        [(1, "a2", "update", 10), (2, None, "delete", 10)],
+        "id bigint, s string, _op string, seq bigint",
+    )
+    ch.createOrReplaceTempView("dim_feed")
+    st = e.sql(
+        "APPLY CHANGES INTO dim FROM dim_feed KEYS (id) SEQUENCE BY seq "
+        "STORED AS SCD TYPE 2"
+    ).head()
+    assert (st["operation"], st["n_affected"]) == ("apply_changes", 2)
+    cur = {r.id: r.s for r in scd2_current(e, "dim").collect()}
+    assert cur == {1: "a2"}
+    assert e.table("dim").count() == 3  # two closed seeds + one open
+    with pytest.raises(ValueError, match="SEQUENCE BY"):
+        e.sql("APPLY CHANGES INTO dim FROM dim_feed STORED AS SCD TYPE 2")
