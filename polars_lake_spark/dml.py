@@ -25,8 +25,12 @@ through the engine's real mutation paths:
   cast to the table's column types; without a list the mapping is
   positional with strict arity)
 * ``MERGE INTO t USING src|(<select>) [AS a] ON <key equalities>
-  WHEN [NOT] MATCHED [AND c] THEN DELETE | UPDATE SET * | INSERT *``
-  → ``engine.merge`` (the ON conjunction supplies the merge keys)
+  WHEN [NOT] MATCHED [AND c] THEN DELETE | UPDATE SET * | UPDATE SET
+  col = expr, ... | INSERT *``, plus ``WHEN NOT MATCHED BY SOURCE
+  [AND c] THEN DELETE`` → ``engine.merge`` (the ON conjunction supplies
+  the merge keys; explicit SET assignments update ONLY the listed
+  columns — qualify references as ``src_alias.col`` / ``target.col``;
+  BY SOURCE deletes target rows absent from the source)
 * ``CREATE [VERSIONED] TABLE t [PARTITIONED BY (cols)] [CLUSTER BY
   (cols)] AS SELECT ...`` → ``engine.create_table_as`` (CLUSTER BY =
   clustered writes: every versioned write range-partitions + sorts on
@@ -131,8 +135,11 @@ _MERGE = re.compile(
     re.I | re.S,
 )
 _WHEN = re.compile(
-    r"WHEN\s+(NOT\s+)?MATCHED\s*(?:AND\s+(.+?))?\s*THEN\s+"
-    r"(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)",
+    r"WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?\s*(?:AND\s+(.+?))?\s*THEN\s+"
+    r"(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*"
+    # explicit assignments end at the next WHEN clause (the MATCHED
+    # lookahead keeps CASE WHEN expressions inside an assignment intact)
+    r"|UPDATE\s+SET\s+.+?(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*;?\s*$))",
     re.I | re.S,
 )
 _APPLY_CHANGES = re.compile(
@@ -984,11 +991,30 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         matched_delete = None
         matched_update = False
         not_matched_insert = False
+        set_exprs = None
+        by_source_delete = None
+
+        def _rewrite_aliases(expr: str) -> str:
+            # merge_into evaluates conditions/assignments over the joined
+            # row with internal aliases o (target) / n (source): rewrite
+            # the user's own alias / table names so the statement's
+            # natural spelling (s.v < 0, tgt.v > 9) resolves.
+            for user, internal in (
+                (alias, "n"),
+                (src_sql, "n"),
+                (m.group(1), "o"),
+                (name, "o"),
+            ):
+                if user and re.fullmatch(r"[A-Za-z_][\w.]*", user):
+                    expr = re.sub(
+                        rf"\b{re.escape(user)}\.", internal + ".", expr
+                    )
+            return expr
+
         # STRICT sequential clause parse: every character of the WHEN
-        # text must be consumed, or an unsupported clause (explicit
-        # UPDATE SET col = ..., INSERT (cols) VALUES ...) would be
-        # silently dropped and the merge would do less than the user
-        # wrote (review finding).
+        # text must be consumed, or an unsupported clause (INSERT (cols)
+        # VALUES ...) would be silently dropped and the merge would do
+        # less than the user wrote (review finding).
         rest = whens.strip()
         while rest:
             cm = _WHEN.match(rest)
@@ -996,33 +1022,35 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                 raise ValueError(
                     f"MERGE INTO {name}: cannot parse WHEN clause at "
                     f"{rest[:60]!r}; supported actions are DELETE, "
-                    "UPDATE SET *, INSERT *"
+                    "UPDATE SET * / UPDATE SET col = expr, INSERT *"
                 )
-            not_m, cond, action = cm.group(1), cm.group(2), cm.group(3)
+            not_m, by_src, cond, action = (
+                cm.group(1),
+                cm.group(2),
+                cm.group(3),
+                cm.group(4),
+            )
             act = re.sub(r"\s+", " ", action.upper())
-            if not_m:
+            if by_src:
+                # WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE: target
+                # rows the source lacks; the condition sees only o.<col>
+                if not not_m or act != "DELETE":
+                    raise ValueError(
+                        "MERGE: WHEN NOT MATCHED BY SOURCE supports only "
+                        "THEN DELETE"
+                    )
+                by_source_delete = (
+                    F.expr(_rewrite_aliases(cond)) if cond else F.lit(True)
+                )
+            elif not_m:
                 if act != "INSERT *" or cond:
                     raise ValueError(
                         "MERGE: WHEN NOT MATCHED supports only THEN INSERT *"
                     )
                 not_matched_insert = True
             elif act == "DELETE":
-                # merge_into evaluates the condition over the joined row
-                # with internal aliases o (target) / n (source): rewrite
-                # the user's own alias / table names so the statement's
-                # natural spelling (s.v < 0, tgt.v > 9) resolves.
                 if cond:
-                    for user, internal in (
-                        (alias, "n"),
-                        (src_sql, "n"),
-                        (m.group(1), "o"),
-                        (name, "o"),
-                    ):
-                        if user and re.fullmatch(r"[A-Za-z_][\w.]*", user):
-                            cond = re.sub(
-                                rf"\b{re.escape(user)}\.", internal + ".", cond
-                            )
-                    matched_delete = F.expr(cond)
+                    matched_delete = F.expr(_rewrite_aliases(cond))
                 else:
                     matched_delete = F.lit(True)
             elif act == "UPDATE SET *":
@@ -1032,7 +1060,29 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                         "with THEN DELETE"
                     )
                 matched_update = True
+            else:  # UPDATE SET col = expr, ...
+                if cond:
+                    raise ValueError(
+                        "MERGE: WHEN MATCHED AND <cond> is only supported "
+                        "with THEN DELETE"
+                    )
+                set_exprs = {}
+                assigns = action[len("UPDATE SET") :].strip()
+                for clause in _split_top_level(assigns):
+                    col, eq, expr = clause.partition("=")
+                    col = col.strip()
+                    if not eq or not re.fullmatch(r"[A-Za-z_]\w*", col):
+                        raise ValueError(
+                            f"MERGE INTO {name}: cannot parse SET clause "
+                            f"{clause!r}"
+                        )
+                    set_exprs[col] = F.expr(_rewrite_aliases(expr.strip()))
             rest = rest[cm.end() :].strip()
+        if matched_update and set_exprs:
+            raise ValueError(
+                "MERGE: at most one WHEN MATCHED update clause "
+                "(UPDATE SET * or explicit assignments)"
+            )
         if src_sql.startswith("("):
             # exactly ONE paren pair — strip('()') would also eat a
             # subquery's own trailing parens (… IN (1,2)) and emit
@@ -1059,6 +1109,8 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             # coalesce merge is the reference's upsert semantics, not
             # SQL's)
             null_clobbers=True,
+            set_exprs=set_exprs,
+            when_not_matched_by_source_delete=by_source_delete,
         )
         return _status(engine, "merge", name, n)
 

@@ -2314,11 +2314,25 @@ class Engine:
         when_matched_update: bool = True,
         when_not_matched_insert: bool = True,
         null_clobbers: bool = False,
+        set_exprs: dict | None = None,
+        when_not_matched_by_source_delete=None,
     ) -> None:
         """MERGE INTO <table> USING <source> with conditional actions
         (operators/merge.py:merge_into) through the same write paths as
         upsert/delete — including versioned tables, where each merge lands
         as one new snapshot (the Delta MERGE + time-travel combination).
+
+        ``set_exprs`` (column -> Column over the o/n-aliased join) is the
+        explicit ``UPDATE SET c = e`` form: matched rows take exactly the
+        assignments, unassigned columns keep old values.  Key columns and
+        the derived bucket column are refused (they are the merge/layout
+        identity); a partition-column assignment is allowed but forces
+        the full-rewrite path (the row may migrate partitions, which the
+        touched-partition pruning below cannot see).
+        ``when_not_matched_by_source_delete`` (Column over the target
+        row, or ``F.lit(True)``) removes target rows the source lacks —
+        Delta's WHEN NOT MATCHED BY SOURCE THEN DELETE; it reads every
+        partition by definition, so it too disables pruning.
 
         Scan/write bounds: a delete-capable merge can empty a partition,
         which dynamic partition overwrite would silently leave behind, so
@@ -2327,10 +2341,20 @@ class Engine:
         like upsert — and shares upsert's requirement that partition/
         bucket columns are stable under updates (an update that moves a
         row across partitions would strand the old copy)."""
+        from polars_lake_spark.layout import BUCKET_COL
+
         spec = self._guard_mutable(name)
         keys = list(keys or spec.keys)
         if not keys:
             raise ValueError(f"no merge keys for table {name}")
+        if set_exprs:
+            bad = sorted(set(set_exprs) & (set(keys) | {BUCKET_COL}))
+            if bad:
+                raise ValueError(
+                    f"MERGE INTO {name}: cannot SET {bad} — merge keys "
+                    "and the derived bucket column are the row's "
+                    "merge/layout identity"
+                )
         if spec.deletion_vectors:
             # merge-on-read MERGE: matched delete/update rows become DV
             # refs, updated+inserted rows append — ONE atomic commit,
@@ -2347,6 +2371,10 @@ class Engine:
                 when_matched_update=when_matched_update,
                 when_not_matched_insert=when_not_matched_insert,
                 null_clobbers=null_clobbers,
+                set_exprs=set_exprs,
+                when_not_matched_by_source_delete=(
+                    when_not_matched_by_source_delete
+                ),
             )
             return
         with self._lock(name):
@@ -2366,7 +2394,11 @@ class Engine:
                 name in self._mem or self.root is None
             )
             prune = (
-                when_matched_delete is None and bool(parts) and not lands_in_mem
+                when_matched_delete is None
+                and when_not_matched_by_source_delete is None
+                and not (set_exprs and set(set_exprs) & set(parts))
+                and bool(parts)
+                and not lands_in_mem
             )
             target = self._prune_to_touched(old, new, parts) if prune else old
             merged = M.merge_into(
@@ -2377,6 +2409,10 @@ class Engine:
                 when_matched_update=when_matched_update,
                 when_not_matched_insert=when_not_matched_insert,
                 null_clobbers=null_clobbers,
+                set_exprs=set_exprs,
+                when_not_matched_by_source_delete=(
+                    when_not_matched_by_source_delete
+                ),
             )
             merged = self._check_constraints(spec, merged)
             if spec.versioned:
@@ -2648,6 +2684,8 @@ class Engine:
         when_matched_update: bool,
         when_not_matched_insert: bool,
         null_clobbers: bool,
+        set_exprs: dict | None = None,
+        when_not_matched_by_source_delete=None,
     ) -> None:
         """MERGE INTO for deletion-vector tables, merge-on-read: one
         RIGHT-outer join of the DV-applied target against the source
@@ -2659,8 +2697,14 @@ class Engine:
         rows merge correctly where a key-based presence test would
         misread them.  Column semantics mirror operators/merge.merge_into
         exactly: keys coalesce, update columns are last-write-wins under
-        ``null_clobbers`` else coalesce(new, old), target-only columns
-        keep old values (NULL for inserts)."""
+        ``null_clobbers`` else coalesce(new, old) — or the explicit
+        ``set_exprs`` assignments, where unassigned columns keep old
+        values — and target-only columns keep old values (NULL for
+        inserts).  ``when_not_matched_by_source_delete`` needs a second
+        pass here (the right-outer join never surfaces target-only
+        rows): a key anti-join against the source finds them, the
+        condition filters, and their refs join the same sidecar —
+        O(target-only matches) refs, still zero rewrite."""
         from polars_lake_spark.snapshots import (
             DV_FILE_COL,
             DV_POS_COL,
@@ -2675,6 +2719,13 @@ class Engine:
             old_cols = [
                 c for c in live.columns if c not in (DV_FILE_COL, DV_POS_COL)
             ]
+            if set_exprs:
+                unknown = sorted(set(set_exprs) - set(old_cols))
+                if unknown:
+                    raise ValueError(
+                        f"MERGE INTO {name}: SET columns {unknown} are "
+                        "not target columns"
+                    )
             # expectations quarantine INCOMING change rows BEFORE the
             # join: a violating change must neither ref (delete) its
             # match nor append — enforcing on `appends` instead would
@@ -2696,7 +2747,12 @@ class Engine:
                 if when_matched_delete is not None
                 else F.lit(False)
             )
-            updc = (matched & ~delc) if when_matched_update else F.lit(False)
+            # explicit SET assignments are an update clause of their own
+            updc = (
+                (matched & ~delc)
+                if (when_matched_update or set_exprs)
+                else F.lit(False)
+            )
             insc = (~matched) if when_not_matched_insert else F.lit(False)
             try:
                 det = bool(
@@ -2711,11 +2767,52 @@ class Engine:
                 F.col(f"o.{DV_FILE_COL}").alias("file_path"),
                 F.col(f"o.{DV_POS_COL}").alias("row_index"),
             )
+            if when_not_matched_by_source_delete is not None:
+                # target-only rows: anti-join on keys (null-safe, like
+                # the merge join), condition over the bare target row,
+                # refs only — no data moves, no rewrite
+                gone = (
+                    live.alias("o")
+                    .join(
+                        new.alias("n"),
+                        [
+                            F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+                            for k in keys
+                        ],
+                        "left_anti",
+                    )
+                    .filter(
+                        F.coalesce(
+                            when_not_matched_by_source_delete, F.lit(False)
+                        )
+                    )
+                    .select(
+                        F.col(DV_FILE_COL).alias("file_path"),
+                        F.col(DV_POS_COL).alias("row_index"),
+                    )
+                )
+                refs = refs.unionByName(gone)
             select = []
             for c in old_cols:
                 if c in keys:
                     select.append(
                         F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+                    )
+                elif set_exprs is not None:
+                    # explicit assignments: updated rows take their SET
+                    # expression (unassigned columns keep old values);
+                    # insert rows take source values (o side NULL-typed)
+                    upd = (
+                        set_exprs[c] if c in set_exprs else F.col(f"o.{c}")
+                    )
+                    select.append(
+                        F.when(matched, upd)
+                        .otherwise(
+                            F.col(f"n.{c}")
+                            if c in new_cols
+                            else F.col(f"o.{c}")
+                        )
+                        .alias(c)
                     )
                 elif c in new_cols:
                     if null_clobbers:

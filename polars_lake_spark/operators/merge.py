@@ -178,23 +178,37 @@ def merge_into(
     when_matched_update: bool = True,
     when_not_matched_insert: bool = True,
     null_clobbers: bool = False,
+    set_exprs: dict | None = None,
+    when_not_matched_by_source_delete=None,
 ) -> DataFrame:
     """SQL MERGE INTO semantics as a pure transform (the Delta/Iceberg
     statement the reference never reached):
 
     * matched  + ``when_matched_delete`` condition true  → row removed
     * matched  (otherwise, if ``when_matched_update``)   → coalesce merge
-      (or last-write-wins with ``null_clobbers=True``)
+      (or last-write-wins with ``null_clobbers=True``; or the explicit
+      ``set_exprs`` assignments — Delta's ``UPDATE SET c = e`` — where
+      unassigned columns keep their OLD values)
     * source-only (if ``when_not_matched_insert``)        → inserted
-    * target-only                                         → kept
+    * target-only + ``when_not_matched_by_source_delete`` condition true
+      → row removed (Delta's WHEN NOT MATCHED BY SOURCE THEN DELETE);
+      target-only otherwise                               → kept
 
-    ``when_matched_delete`` is a Column evaluated over the joined row —
-    reference source columns as ``n.<col>`` and target as ``o.<col>``.
+    ``when_matched_delete`` and each ``set_exprs`` value are Columns
+    evaluated over the joined row — reference source columns as
+    ``n.<col>`` and target as ``o.<col>``;
+    ``when_not_matched_by_source_delete`` sees only the target side.
     One full-outer join on the keys, same shuffle shape as upsert().
     """
     keys = list(keys)
     old_cols = old.columns
     new_cols = set(new.columns)
+    if set_exprs:
+        unknown = sorted(set(set_exprs) - set(old_cols))
+        if unknown:
+            raise ValueError(
+                f"merge_into: SET columns {unknown} are not target columns"
+            )
     o = old.alias("o")
     n = new.alias("n")
     joined = o.join(
@@ -209,6 +223,12 @@ def merge_into(
     keep = F.lit(True)
     if when_matched_delete is not None:
         keep = ~(matched & F.coalesce(when_matched_delete, F.lit(False)))
+    if when_not_matched_by_source_delete is not None:
+        target_only = F.col("__o_present") & ~F.col("__n_present")
+        keep = keep & ~(
+            target_only
+            & F.coalesce(when_not_matched_by_source_delete, F.lit(False))
+        )
     if not when_not_matched_insert:
         keep = keep & (F.col("__o_present") | F.lit(False))
     joined = joined.filter(keep)
@@ -217,6 +237,21 @@ def merge_into(
     for c in old_cols:
         if c in keys:
             select.append(F.coalesce(F.col(f"o.{c}"), F.col(f"n.{c}")).alias(c))
+        elif set_exprs is not None:
+            # explicit assignments: matched rows take their SET
+            # expression (unassigned columns keep old values); inserts
+            # take source values; target-only rows keep old values (for
+            # insert rows the o side is a typed NULL, so the fallback
+            # never manufactures a wrong type)
+            upd = set_exprs[c] if c in set_exprs else F.col(f"o.{c}")
+            select.append(
+                F.when(matched, upd)
+                .when(F.col("__o_present"), F.col(f"o.{c}"))
+                .otherwise(
+                    F.col(f"n.{c}") if c in new_cols else F.col(f"o.{c}")
+                )
+                .alias(c)
+            )
         elif c in new_cols:
             if not when_matched_update:
                 # updates suppressed: matched rows keep old values; pure

@@ -28,9 +28,10 @@ REGISTRY: dict[str, Query] = {}
 # which get a fresh correctness row each round.  This list is a VERIFICATION
 # ROTATION, strictly oldest-evidence-first — queries added or changed
 # this round always lead, so nothing ships unverified:
-#   the r12 window (50) = 1 NEW r12 entry (the APPLY CHANGES INTO SQL
-#   statement) + 5 CHANGED r12 gates (key-range-pruned CDC probes,
-#   duplicate-(key,seq) tiebreaks, the scd2_asof_join guard, and the
+#   the r12 window (50) = 2 NEW r12 entries (the APPLY CHANGES INTO SQL
+#   statement; explicit MERGE SET + BY SOURCE deletes) + 6 CHANGED r12
+#   gates (key-range-pruned CDC probes, duplicate-(key,seq) tiebreaks,
+#   the scd2_asof_join guard, merge_into's extended clause set, and the
 #   _scan_pruned → _scan_conjuncts refactor both skipping gates pin) +
 #   the oldest-evidence block (rows below the r11 window since r10 or
 #   earlier); the r11 window's entries — freshest driver evidence —
@@ -43,6 +44,7 @@ CHECK_PRIORITY: list[str] = [
     # ================= r12 window (first 50) ==========================
     # -- NEW r12: the APPLY CHANGES INTO SQL statement ------------------
     "apply_changes_sql_check",
+    "merge_update_set_check",
     # -- CHANGED r12: CDC watermark probes now key-range-pruned via the
     # zone-map sidecars; deterministic duplicate-(key,seq) tiebreaks;
     # scd2_asof_join reserved-name guard; _scan_pruned refactored onto
@@ -52,6 +54,7 @@ CHECK_PRIORITY: list[str] = [
     "scd2_asof_join_check",
     "scan_file_skipping_check",
     "sql_timetravel_skipping_check",
+    "merge_into_conditional",
     # -- oldest driver evidence next (below the window since r10 or
     # earlier; every slot stays oracled — unoracled approx_distinct
     # defers past the boundary) ------------------------------------------
@@ -97,9 +100,9 @@ CHECK_PRIORITY: list[str] = [
     "agg_stats",
     "string_functions",
     "case_coalesce",
+    # ------ 50-slot window boundary ------------------------------------
     "array_functions",
     "array_numeric",
-    # ------ 50-slot window boundary ------------------------------------
     "approx_distinct",
     "temporal_functions",
     "window_functions",
@@ -220,7 +223,6 @@ CHECK_PRIORITY: list[str] = [
     "audit_columns",
     "time_travel_upsert",
     "cdc_changes",
-    "merge_into_conditional",
     "point_filter",
     "star_join_revenue",
     "top_customers",

@@ -1702,3 +1702,62 @@ def expectations_lifecycle_check(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "merge_update_set_check",
+    oracle="""
+    WITH res AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               (o_totalprice + 50) * 2 AS o_totalprice
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0 AND o_custkey % 10 <> 3
+        UNION ALL
+        SELECT o_orderkey + 70000000, o_orderstatus, o_totalprice + 50
+        FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM res GROUP BY o_orderstatus
+    """,
+    doc="Explicit MERGE assignments + BY SOURCE deletes "
+    "(operators/merge.py:merge_into set_exprs / "
+    "when_not_matched_by_source_delete — Delta's UPDATE SET c = e and "
+    "WHEN NOT MATCHED BY SOURCE THEN DELETE): matched rows take exactly "
+    "the assignments (unassigned columns keep old values), target rows "
+    "the source lacks delete under a target-side condition, source-only "
+    "keys insert. The oracle states the closed form of all four row "
+    "classes.",
+)
+def merge_update_set_check(spark, sf_dir):
+    """The two post-r11 MERGE clauses as one pure transform: same single
+    full-outer-join shuffle as upsert — the BY SOURCE delete is a filter
+    on the join's target-only rows, never a second scan."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    src = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 70_000_000
+            )
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 50.0)
+    )
+    merged = M.merge_into(
+        orders,
+        src,
+        keys=["o_orderkey"],
+        set_exprs={
+            "o_totalprice": F.col("n.o_totalprice") * 2,
+            "o_orderstatus": F.lit("U"),
+        },
+        when_not_matched_by_source_delete=(F.col("o.o_custkey") % 10 == 3),
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -277,20 +277,89 @@ def test_delete_update_nondeterministic_predicate_consistent(eng):
     assert eng.table("t").count() == 20 - st2["n_affected"]
 
 
-def test_merge_rejects_unsupported_when_clause(eng, spark):
-    """An explicit-column UPDATE must error loudly, never be silently
-    dropped from the statement."""
-    spark.createDataFrame([(1, 1.0)], "id bigint, v double").createOrReplaceTempView(
-        "mr_src"
+def test_merge_explicit_update_set(eng, spark):
+    """Explicit-column UPDATE SET (formerly rejected): matched rows take
+    exactly the assignments — unassigned columns keep OLD values — and
+    expressions resolve through the user's own aliases."""
+    spark.createDataFrame(
+        [(1, 1.0), (5, 2.0)], "id bigint, v double"
+    ).createOrReplaceTempView("mr_src")
+    df = spark.createDataFrame(
+        [(1, 10.0, "keep1"), (2, 20.0, "keep2")],
+        "id bigint, v double, tag string",
     )
-    df = spark.createDataFrame([(1, 10.0)], "id bigint, v double")
     eng.create_table("mr", df, keys=["id"])
-    with pytest.raises(ValueError, match="cannot parse WHEN clause"):
+    st = eng.sql(
+        "MERGE INTO mr USING mr_src ON mr.id = mr_src.id "
+        "WHEN MATCHED THEN UPDATE SET v = mr.v + mr_src.v * 100 "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).head()
+    assert st["operation"] == "merge"
+    got = {r.id: (r.v, r.tag) for r in eng.table("mr").collect()}
+    assert got[1] == (110.0, "keep1")   # assigned col updated, tag kept
+    assert got[2] == (20.0, "keep2")    # unmatched target untouched
+    assert got[5] == (2.0, None)        # insert takes source values
+    # assigning an unknown column errors loudly
+    with pytest.raises(ValueError, match="not target columns"):
         eng.sql(
             "MERGE INTO mr USING mr_src ON mr.id = mr_src.id "
-            "WHEN MATCHED THEN UPDATE SET v = 5 "
-            "WHEN NOT MATCHED THEN INSERT *"
+            "WHEN MATCHED THEN UPDATE SET nope = 1"
         )
+    # two matched-update clauses are ambiguous
+    with pytest.raises(ValueError, match="at most one"):
+        eng.sql(
+            "MERGE INTO mr USING mr_src ON mr.id = mr_src.id "
+            "WHEN MATCHED THEN UPDATE SET v = 1 "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+
+
+def test_merge_not_matched_by_source_delete(eng, spark):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE removes target rows the
+    source lacks (optionally condition-scoped); matched and inserted
+    rows are unaffected."""
+    spark.createDataFrame([(1, 1.0)], "id bigint, v double").createOrReplaceTempView(
+        "mbs_src"
+    )
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id bigint, v double"
+    )
+    eng.create_table("mbs", df, keys=["id"])
+    eng.sql(
+        "MERGE INTO mbs USING mbs_src ON mbs.id = mbs_src.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE AND mbs.v > 25 THEN DELETE"
+    )
+    got = {r.id: r.v for r in eng.table("mbs").collect()}
+    assert got == {1: 1.0, 2: 20.0}  # 3 deleted (>25), 2 kept (condition)
+
+
+def test_merge_by_source_delete_and_set_on_dv_table(spark, tmp_path):
+    """The deletion-vector merge path honors explicit SET and BY SOURCE
+    deletes too: refs leave merge-on-read (no rewrite), assignments land
+    in the appended copies."""
+    e = Engine(spark, str(tmp_path / "dv"))
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "id bigint, v double, tag string",
+    )
+    e.create_table(
+        "mdv", df, keys=["id"], versioned=True, deletion_vectors=True
+    )
+    spark.createDataFrame(
+        [(1, 5.0), (9, 9.0)], "id bigint, v double"
+    ).createOrReplaceTempView("mdv_src")
+    e.sql(
+        "MERGE INTO mdv USING mdv_src ON mdv.id = mdv_src.id "
+        "WHEN MATCHED THEN UPDATE SET v = mdv_src.v * 3 "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND mdv.tag = 'c' THEN DELETE"
+    )
+    got = {r.id: (r.v, r.tag) for r in e.table("mdv").collect()}
+    assert got[1] == (15.0, "a")    # SET applied, unassigned col kept
+    assert got[2] == (20.0, "b")    # by-source condition false: kept
+    assert 3 not in got             # by-source delete
+    assert got[9] == (9.0, None)    # insert
 
 
 def test_merge_update_set_star_is_last_write_wins(eng, spark):
@@ -1522,3 +1591,41 @@ def test_apply_changes_statement_scd2(spark, tmp_path):
     assert e.table("dim").count() == 3  # two closed seeds + one open
     with pytest.raises(ValueError, match="SEQUENCE BY"):
         e.sql("APPLY CHANGES INTO dim FROM dim_feed STORED AS SCD TYPE 2")
+
+
+def test_apply_changes_statement_truncate_when(spark, tmp_path):
+    """APPLY AS TRUNCATE WHEN derives full-refresh ops: pre-truncate
+    target rows leave, same-batch later-sequenced rows land, and the
+    truncate watermark persists so a later pre-truncate straggler
+    statement drops."""
+    e = Engine(spark, str(tmp_path / "w"))
+    seed = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(4)], "id bigint, s string"
+    )
+    e.create_table("tgt", seed, keys=["id"], versioned=True)
+    feed = spark.createDataFrame(
+        [
+            (None, None, 1, 50),   # full-refresh marker
+            (0, "fresh0", 0, 60),
+            (9, "fresh9", 0, 60),
+        ],
+        "id bigint, s string, refresh int, seq bigint",
+    )
+    feed.createOrReplaceTempView("refresh_feed")
+    e.sql(
+        "APPLY CHANGES INTO tgt FROM refresh_feed "
+        "APPLY AS TRUNCATE WHEN refresh = 1 SEQUENCE BY seq"
+    )
+    got = {r.id: r.s for r in e.table("tgt").collect()}
+    assert got == {0: "fresh0", 9: "fresh9"}
+    # a straggler statement sequenced below the truncate drops entirely
+    straggler = spark.createDataFrame(
+        [(1, "old1", 0, 40)], "id bigint, s string, refresh int, seq bigint"
+    )
+    straggler.createOrReplaceTempView("straggler_feed")
+    e.sql(
+        "APPLY CHANGES INTO tgt FROM straggler_feed "
+        "APPLY AS TRUNCATE WHEN refresh = 1 SEQUENCE BY seq"
+    )
+    got2 = {r.id: r.s for r in e.table("tgt").collect()}
+    assert got2 == {0: "fresh0", 9: "fresh9"}
