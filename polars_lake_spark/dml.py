@@ -28,9 +28,11 @@ through the engine's real mutation paths:
   WHEN [NOT] MATCHED [AND c] THEN DELETE | UPDATE SET * | UPDATE SET
   col = expr, ... | INSERT *``, plus ``WHEN NOT MATCHED BY SOURCE
   [AND c] THEN DELETE`` → ``engine.merge`` (the ON conjunction supplies
-  the merge keys; explicit SET assignments update ONLY the listed
-  columns — qualify references as ``src_alias.col`` / ``target.col``;
-  BY SOURCE deletes target rows absent from the source)
+  the merge keys; a WHEN MATCHED AND c on an UPDATE clause gates it —
+  matched rows failing c keep old values; explicit SET assignments
+  update ONLY the listed columns — qualify references as
+  ``src_alias.col`` / ``target.col``; BY SOURCE deletes target rows
+  absent from the source)
 * ``CREATE [VERSIONED] TABLE t [PARTITIONED BY (cols)] [CLUSTER BY
   (cols)] AS SELECT ...`` → ``engine.create_table_as`` (CLUSTER BY =
   clustered writes: every versioned write range-partitions + sorts on
@@ -990,6 +992,7 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             keys.append(em.group(1))
         matched_delete = None
         matched_update = False
+        matched_update_cond = None
         not_matched_insert = False
         set_exprs = None
         by_source_delete = None
@@ -1055,17 +1058,11 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     matched_delete = F.lit(True)
             elif act == "UPDATE SET *":
                 if cond:
-                    raise ValueError(
-                        "MERGE: WHEN MATCHED AND <cond> is only supported "
-                        "with THEN DELETE"
-                    )
+                    matched_update_cond = F.expr(_rewrite_aliases(cond))
                 matched_update = True
             else:  # UPDATE SET col = expr, ...
                 if cond:
-                    raise ValueError(
-                        "MERGE: WHEN MATCHED AND <cond> is only supported "
-                        "with THEN DELETE"
-                    )
+                    matched_update_cond = F.expr(_rewrite_aliases(cond))
                 set_exprs = {}
                 assigns = action[len("UPDATE SET") :].strip()
                 for clause in _split_top_level(assigns):
@@ -1111,6 +1108,7 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             null_clobbers=True,
             set_exprs=set_exprs,
             when_not_matched_by_source_delete=by_source_delete,
+            when_matched_update_condition=matched_update_cond,
         )
         return _status(engine, "merge", name, n)
 

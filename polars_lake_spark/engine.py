@@ -2316,6 +2316,7 @@ class Engine:
         null_clobbers: bool = False,
         set_exprs: dict | None = None,
         when_not_matched_by_source_delete=None,
+        when_matched_update_condition=None,
     ) -> None:
         """MERGE INTO <table> USING <source> with conditional actions
         (operators/merge.py:merge_into) through the same write paths as
@@ -2333,6 +2334,9 @@ class Engine:
         row, or ``F.lit(True)``) removes target rows the source lacks —
         Delta's WHEN NOT MATCHED BY SOURCE THEN DELETE; it reads every
         partition by definition, so it too disables pruning.
+        ``when_matched_update_condition`` (Column over the o/n-aliased
+        join) gates the update clause — Delta's WHEN MATCHED AND c THEN
+        UPDATE; matched rows failing it keep their old values.
 
         Scan/write bounds: a delete-capable merge can empty a partition,
         which dynamic partition overwrite would silently leave behind, so
@@ -2375,6 +2379,7 @@ class Engine:
                 when_not_matched_by_source_delete=(
                     when_not_matched_by_source_delete
                 ),
+                when_matched_update_condition=when_matched_update_condition,
             )
             return
         with self._lock(name):
@@ -2413,6 +2418,7 @@ class Engine:
                 when_not_matched_by_source_delete=(
                     when_not_matched_by_source_delete
                 ),
+                when_matched_update_condition=when_matched_update_condition,
             )
             merged = self._check_constraints(spec, merged)
             if spec.versioned:
@@ -2686,6 +2692,7 @@ class Engine:
         null_clobbers: bool,
         set_exprs: dict | None = None,
         when_not_matched_by_source_delete=None,
+        when_matched_update_condition=None,
     ) -> None:
         """MERGE INTO for deletion-vector tables, merge-on-read: one
         RIGHT-outer join of the DV-applied target against the source
@@ -2753,6 +2760,12 @@ class Engine:
                 if (when_matched_update or set_exprs)
                 else F.lit(False)
             )
+            if when_matched_update_condition is not None:
+                # WHEN MATCHED AND c THEN UPDATE: matched rows failing c
+                # neither ref out nor re-append — they stay on disk as-is
+                updc = updc & F.coalesce(
+                    when_matched_update_condition, F.lit(False)
+                )
             insc = (~matched) if when_not_matched_insert else F.lit(False)
             try:
                 det = bool(

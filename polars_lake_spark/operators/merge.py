@@ -180,23 +180,26 @@ def merge_into(
     null_clobbers: bool = False,
     set_exprs: dict | None = None,
     when_not_matched_by_source_delete=None,
+    when_matched_update_condition=None,
 ) -> DataFrame:
     """SQL MERGE INTO semantics as a pure transform (the Delta/Iceberg
     statement the reference never reached):
 
     * matched  + ``when_matched_delete`` condition true  → row removed
-    * matched  (otherwise, if ``when_matched_update``)   → coalesce merge
-      (or last-write-wins with ``null_clobbers=True``; or the explicit
-      ``set_exprs`` assignments — Delta's ``UPDATE SET c = e`` — where
-      unassigned columns keep their OLD values)
+    * matched  (otherwise, if ``when_matched_update`` — optionally gated
+      by ``when_matched_update_condition``, Delta's ``WHEN MATCHED AND c
+      THEN UPDATE``; matched rows failing the condition keep old values)
+      → coalesce merge (or last-write-wins with ``null_clobbers=True``;
+      or the explicit ``set_exprs`` assignments — Delta's ``UPDATE SET
+      c = e`` — where unassigned columns keep their OLD values)
     * source-only (if ``when_not_matched_insert``)        → inserted
     * target-only + ``when_not_matched_by_source_delete`` condition true
       → row removed (Delta's WHEN NOT MATCHED BY SOURCE THEN DELETE);
       target-only otherwise                               → kept
 
-    ``when_matched_delete`` and each ``set_exprs`` value are Columns
-    evaluated over the joined row — reference source columns as
-    ``n.<col>`` and target as ``o.<col>``;
+    ``when_matched_delete``, ``when_matched_update_condition``, and each
+    ``set_exprs`` value are Columns evaluated over the joined row —
+    reference source columns as ``n.<col>`` and target as ``o.<col>``;
     ``when_not_matched_by_source_delete`` sees only the target side.
     One full-outer join on the keys, same shuffle shape as upsert().
     """
@@ -219,6 +222,13 @@ def merge_into(
         "__n_present", F.col(f"n.{keys[0]}").isNotNull()
     )
     matched = F.col("__o_present") & F.col("__n_present")
+    # the rows the update clause actually touches: matched, and (when a
+    # clause condition was given) passing it — others keep old values
+    upd_gate = matched
+    if when_matched_update_condition is not None:
+        upd_gate = matched & F.coalesce(
+            when_matched_update_condition, F.lit(False)
+        )
 
     keep = F.lit(True)
     if when_matched_delete is not None:
@@ -245,7 +255,7 @@ def merge_into(
             # never manufactures a wrong type)
             upd = set_exprs[c] if c in set_exprs else F.col(f"o.{c}")
             select.append(
-                F.when(matched, upd)
+                F.when(upd_gate, upd)
                 .when(F.col("__o_present"), F.col(f"o.{c}"))
                 .otherwise(
                     F.col(f"n.{c}") if c in new_cols else F.col(f"o.{c}")
@@ -263,12 +273,21 @@ def merge_into(
                 )
             elif null_clobbers:
                 select.append(
-                    F.when(F.col("__n_present"), F.col(f"n.{c}"))
-                    .otherwise(F.col(f"o.{c}"))
+                    F.when(upd_gate, F.col(f"n.{c}"))
+                    .when(F.col("__o_present"), F.col(f"o.{c}"))
+                    .otherwise(F.col(f"n.{c}"))
                     .alias(c)
                 )
             else:
-                select.append(F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c))
+                select.append(
+                    F.when(
+                        upd_gate,
+                        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")),
+                    )
+                    .when(F.col("__o_present"), F.col(f"o.{c}"))
+                    .otherwise(F.col(f"n.{c}"))
+                    .alias(c)
+                )
         else:
             select.append(F.col(f"o.{c}").alias(c))
     return joined.select(*select)

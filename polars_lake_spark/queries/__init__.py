@@ -28,8 +28,9 @@ REGISTRY: dict[str, Query] = {}
 # which get a fresh correctness row each round.  This list is a VERIFICATION
 # ROTATION, strictly oldest-evidence-first — queries added or changed
 # this round always lead, so nothing ships unverified:
-#   the r12 window (50) = 2 NEW r12 entries (the APPLY CHANGES INTO SQL
-#   statement; explicit MERGE SET + BY SOURCE deletes) + 6 CHANGED r12
+#   the r12 window (50) = 3 NEW r12 entries (the APPLY CHANGES INTO SQL
+#   statement; explicit MERGE SET + BY SOURCE deletes; condition-gated
+#   MERGE updates) + 6 CHANGED r12
 #   gates (key-range-pruned CDC probes, duplicate-(key,seq) tiebreaks,
 #   the scd2_asof_join guard, merge_into's extended clause set, and the
 #   _scan_pruned → _scan_conjuncts refactor both skipping gates pin) +
@@ -42,9 +43,11 @@ REGISTRY: dict[str, Query] = {}
 #   at sf0.001 AND sf0.1 as of r11).
 CHECK_PRIORITY: list[str] = [
     # ================= r12 window (first 50) ==========================
-    # -- NEW r12: the APPLY CHANGES INTO SQL statement ------------------
+    # -- NEW r12: the APPLY CHANGES INTO SQL statement; explicit /
+    # condition-gated MERGE update clauses + BY SOURCE deletes ------------
     "apply_changes_sql_check",
     "merge_update_set_check",
+    "merge_conditional_update_check",
     # -- CHANGED r12: CDC watermark probes now key-range-pruned via the
     # zone-map sidecars; deterministic duplicate-(key,seq) tiebreaks;
     # scd2_asof_join reserved-name guard; _scan_pruned refactored onto
@@ -99,8 +102,8 @@ CHECK_PRIORITY: list[str] = [
     "set_operations",
     "agg_stats",
     "string_functions",
-    "case_coalesce",
     # ------ 50-slot window boundary ------------------------------------
+    "case_coalesce",
     "array_functions",
     "array_numeric",
     "approx_distinct",

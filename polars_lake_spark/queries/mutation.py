@@ -1761,3 +1761,45 @@ def merge_update_set_check(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "merge_conditional_update_check",
+    oracle="""
+    WITH res AS (
+        SELECT o_orderkey, o_totalprice + 10 AS o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice < 150000
+        UNION ALL
+        SELECT o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 0 OR o_totalprice >= 150000
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM res
+    """,
+    doc="Condition-gated MERGE update (operators/merge.py:merge_into "
+    "when_matched_update_condition — Delta's WHEN MATCHED AND c THEN "
+    "UPDATE): matched rows failing the target-side condition keep old "
+    "values; nothing deletes or inserts. The oracle states the closed "
+    "form over both row classes.",
+)
+def merge_conditional_update_check(spark, sf_dir):
+    """The update-clause condition as a pure transform: same single
+    full-outer join; the gate is one boolean column over the joined row,
+    never a second pass."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    src = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 10.0
+    )
+    merged = M.merge_into(
+        orders,
+        src,
+        keys=["o_orderkey"],
+        when_matched_update_condition=(F.col("o.o_totalprice") < 150000),
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

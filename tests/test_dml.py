@@ -1629,3 +1629,51 @@ def test_apply_changes_statement_truncate_when(spark, tmp_path):
     )
     got2 = {r.id: r.s for r in e.table("tgt").collect()}
     assert got2 == {0: "fresh0", 9: "fresh9"}
+
+
+def test_merge_conditional_update(eng, spark):
+    """WHEN MATCHED AND c THEN UPDATE (both SET * and explicit forms):
+    matched rows failing the condition keep old values — the clause
+    condition gates the update, it never deletes."""
+    spark.createDataFrame(
+        [(1, 100.0), (2, 200.0), (7, 7.0)], "id bigint, v double"
+    ).createOrReplaceTempView("mc_src")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id bigint, v double"
+    )
+    eng.create_table("mc", df, keys=["id"])
+    eng.sql(
+        "MERGE INTO mc USING mc_src ON mc.id = mc_src.id "
+        "WHEN MATCHED AND mc.v < 15 THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.id: r.v for r in eng.table("mc").collect()}
+    assert got == {1: 100.0, 2: 20.0, 7: 7.0}  # 2 failed the gate
+    # explicit assignments under a gate, on a DV table
+    eng.sql(
+        "MERGE INTO mc USING mc_src ON mc.id = mc_src.id "
+        "WHEN MATCHED AND mc_src.v > 150 THEN UPDATE SET v = mc.v + 1"
+    )
+    got2 = {r.id: r.v for r in eng.table("mc").collect()}
+    assert got2 == {1: 100.0, 2: 21.0, 7: 7.0}  # only src.v=200 passes
+
+
+def test_merge_conditional_update_dv_table(spark, tmp_path):
+    """The DV path honors the update-clause condition: matched rows
+    failing it neither ref out nor re-append (they stay on disk)."""
+    e = Engine(spark, str(tmp_path / "dv"))
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id bigint, v double"
+    )
+    e.create_table(
+        "mcd", df, keys=["id"], versioned=True, deletion_vectors=True
+    )
+    spark.createDataFrame(
+        [(1, 100.0), (2, 200.0)], "id bigint, v double"
+    ).createOrReplaceTempView("mcd_src")
+    e.sql(
+        "MERGE INTO mcd USING mcd_src ON mcd.id = mcd_src.id "
+        "WHEN MATCHED AND mcd.v < 15 THEN UPDATE SET *"
+    )
+    got = {r.id: r.v for r in e.table("mcd").collect()}
+    assert got == {1: 100.0, 2: 20.0}
