@@ -543,8 +543,11 @@ def stream_apply_changes(
     in one batch is ambiguous and raises, and cross-batch ordering is
     the arrival order.
 
-    Upserts merge on the table's keys (replays re-merge, idempotent);
-    deletes remove EVERY row with a doomed key — an O(matched) deletion-
+    Upserts merge on the table's keys (replays re-merge, idempotent)
+    with the engine's coalesce semantics — an incoming NULL never
+    clobbers a stored value, i.e. DLT's ``ignore_null_updates=True``
+    behavior is the default and only mode here; deletes remove EVERY
+    row with a doomed key — an O(matched) deletion-
     vector sidecar on ``deletion_vectors`` tables
     (:meth:`Engine.delete_keys_dv`), a keyed anti-join rewrite
     otherwise.  Deletes of absent keys no-op (but still tombstone, so an
@@ -782,7 +785,11 @@ def stream_apply_changes_scd2(
       path).  Changes AT the watermark re-apply: version rows merge on
       (keys, ``__start_seq``) and closes re-close, so foreachBatch
       replays — including the crash window between the close write and
-      the insert write — repair to the identical table.
+      the insert write — repair to the identical table.  One exception:
+      a DELETE at exactly the current open version's start loses the
+      tie with the upsert that opened it (the same upsert-beats-delete
+      rule as within a batch) — applying it would strand a second open
+      row and make replays land a different table.
     * Watermark lookups stay O(batch): the target scan is semi-joined
       MAP-SIDE against the broadcast batch key set before grouping.
 
@@ -856,13 +863,33 @@ def apply_changes_scd2_batch(
         .agg(
             F.max(
                 F.coalesce(F.col("__end_seq"), F.col("__start_seq"))
-            ).alias("__wm")
+            ).alias("__wm"),
+            # the current OPEN version's start, for the cross-batch
+            # delete-tie rule below (a consistent target has at most one
+            # open row per key)
+            F.max(
+                F.when(F.col("__end_seq").isNull(), F.col("__start_seq"))
+            ).alias("__cur_start"),
         )
+    )
+    # A DELETE at exactly the current open version's start ties with the
+    # already-applied upsert that opened it; upserts beat deletes on ties
+    # (the same rule as within a batch), so the delete drops.  Without
+    # this, the delete neither closes that version (closers are strict-<)
+    # nor merges anything — a later same-batch change then opens a SECOND
+    # current row, breaking the one-open-row invariant, and a replay
+    # (where the delete lands below the advanced watermark) would repair
+    # to a DIFFERENT table than the first pass left.
+    tied_del = F.coalesce(
+        ~(is_del & (F.col("__seq") == F.col("__cur_start"))), F.lit(True)
     )
     b = (
         b.join(F.broadcast(wm), keys, "left")
-        .filter(F.col("__wm").isNull() | (F.col("__seq") >= F.col("__wm")))
-        .drop("__wm")
+        .filter(
+            (F.col("__wm").isNull() | (F.col("__seq") >= F.col("__wm")))
+            & tied_del
+        )
+        .drop("__wm", "__cur_start")
         .localCheckpoint(eager=True)
     )
     if not b.head(1):

@@ -205,21 +205,32 @@ def _scd2_model(seed_rows, batches, hashes):
     drop changes strictly below the key's watermark (max coalesce(end,
     start) over its version rows; NULL start = -inf), then chain the
     survivors in sequence order — non-deletes open versions closed by
-    the next change, deletes close only. Returns
+    the next change, deletes close only.  History is keyed (key, start)
+    — the ENGINE's merge identity — so a change at an already-applied
+    sequence REPLACES that version row (re-closing it, re-writing its
+    payload) instead of coexisting with it.  Returns
     {(key, start, end): value}."""
-    hist = {}
+    hist = {}  # (k, start) -> (end, value)
     for k, v in seed_rows:
-        hist[(k, None, None)] = v
+        hist[(k, None)] = (None, v)
 
     def wm(k):
         best = None
-        for (kk, st, en), _ in hist.items():
+        for (kk, st), (en, _v) in hist.items():
             if kk != k:
                 continue
             m = en if en is not None else st
             if m is not None and (best is None or m > best):
                 best = m
         return best
+
+    def cur_start(k):
+        # the current open version's start, or the sentinel "no open
+        # row" (an open SEED row returns None-as-start, a real value)
+        for (kk, st), (en, _v) in hist.items():
+            if kk == k and en is None:
+                return ("open", st)
+        return None
 
     for batch in batches:
         # one change per (key, seq): upsert wins the tie, then the
@@ -244,21 +255,35 @@ def _scd2_model(seed_rows, batches, hashes):
             w = wm(k)
             if w is not None and seq < w:
                 continue
+            # cross-batch delete-tie rule: a delete at exactly the
+            # current open version's start loses to the upsert that
+            # opened it (the engine's upsert-beats-delete tie)
+            cs = cur_start(k)
+            if (
+                op == "delete"
+                and cs is not None
+                and cs[1] is not None
+                and seq == cs[1]
+            ):
+                continue
             by_key.setdefault(k, []).append((seq, val, op))
         for k, chs in by_key.items():
             chs.sort()
             first = chs[0][0]
             # close the key's current row if it starts before `first`
-            for key in list(hist):
-                kk, st, en = key
+            for key, (en, val) in list(hist.items()):
+                kk, st = key
                 if kk == k and en is None and (st is None or st < first):
-                    hist[(kk, st, first)] = hist.pop(key)
+                    hist[key] = (first, val)
             for i, (seq, val, op) in enumerate(chs):
                 if op == "delete":
                     continue
                 nxt = chs[i + 1][0] if i + 1 < len(chs) else None
-                hist[(k, seq, nxt)] = val
-    return hist
+                # engine end-bound coalesce: an insert whose __end_seq is
+                # NULL never reopens a stored closed version (the stale
+                # filter makes that unreachable anyway — see wm())
+                hist[(k, seq)] = (nxt, val)
+    return {(k, st, en): val for (k, st), (en, val) in hist.items()}
 
 
 @settings(

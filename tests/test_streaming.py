@@ -605,3 +605,45 @@ def test_vacuum_cdc_tombstones_retention(spark, tmp_path):
     apply_changes_batch(eng, "t", b4, sequence_by="seq")
     got = {r.k: r.s for r in eng.table("t").collect()}
     assert got[2] == "new2"
+
+
+def test_scd2_cross_batch_tied_delete_loses(spark, tmp_path):
+    """Pinned regression (found by the replay property test): a LATER
+    batch's delete at exactly the current open version's start must lose
+    the tie with the upsert that opened it — applying it would neither
+    close nor merge anything, a same-batch later change would then open
+    a SECOND current row, and a replay would land a different table."""
+    from polars_lake_spark.streaming.ingest import (
+        apply_changes_scd2_batch,
+        scd2_init,
+    )
+
+    eng = Engine(spark, str(tmp_path / "r"))
+    seed = spark.createDataFrame([(1, "seed1")], "k bigint, s string")
+    scd2_init(eng, "t", seed, keys=["k"], versioned=True)
+    schema = "k bigint, s string, _op string, seq bigint"
+    apply_changes_scd2_batch(
+        eng, "t",
+        spark.createDataFrame([(1, "v10", "update", 10)], schema), "seq",
+    )
+    b2 = spark.createDataFrame(
+        [(1, None, "delete", 10), (1, "v20", "update", 20)], schema
+    )
+    apply_changes_scd2_batch(eng, "t", b2, "seq")
+
+    def state():
+        return {
+            (r["k"], r["__start_seq"], r["__end_seq"]): r["s"]
+            for r in eng.table("t").collect()
+        }
+
+    st = state()
+    assert st == {
+        (1, None, 10): "seed1",
+        (1, 10, 20): "v10",      # tied delete lost; the update closed it
+        (1, 20, None): "v20",
+    }
+    # exactly one open row, and the replay repairs to the identical table
+    assert sum(1 for k in st if k[2] is None) == 1
+    apply_changes_scd2_batch(eng, "t", b2, "seq")
+    assert state() == st
