@@ -435,11 +435,19 @@ def _drop_stale_changes(
     b: DataFrame,
     keys: list[str],
     floor=None,
+    is_del=None,
 ) -> DataFrame:
     """The cross-batch stale filter for :func:`stream_apply_changes`:
     drop batch rows whose ``__seq`` is strictly below the key's applied
     watermark — ``greatest`` of the target's stored ``__seq`` and the
-    delete-tombstone's.  100 TB shape (plan-gated in
+    delete-tombstone's.  ``is_del`` (the op predicate) additionally
+    drops DELETES tied at exactly the LIVE row's applied sequence: the
+    upsert that wrote that row wins the tie, the same rule as within a
+    batch — without it "upsert@s then delete@s" and "delete@s then
+    upsert@s" across batches land different tables (delete-by-arrival),
+    with it both orders converge on the upsert.  Deletes tied with a
+    TOMBSTONE sequence still re-apply (that is what makes delete
+    replays idempotent — after a real delete there is no live row).  100 TB shape (plan-gated in
     ``test_streaming``): both the target and tombstone scans are
     semi-joined MAP-SIDE against the broadcast batch key set before the
     broadcast left joins, so per batch only batch-sized data moves —
@@ -478,9 +486,12 @@ def _drop_stale_changes(
         # key, present or not
         wms.append(F.lit(floor))
     wm = F.greatest(*wms)
-    return b.filter(wm.isNull() | (F.col("__seq") >= wm)).drop(
-        "__applied", "__tomb"
-    )
+    keep = wm.isNull() | (F.col("__seq") >= wm)
+    if is_del is not None:
+        keep = keep & F.coalesce(
+            ~(is_del & (F.col("__seq") == F.col("__applied"))), F.lit(True)
+        )
+    return b.filter(keep).drop("__applied", "__tomb")
 
 
 def stream_apply_changes(
@@ -510,9 +521,13 @@ def stream_apply_changes(
       the key's applied watermark, ``greatest(target.__seq,
       tombstone.__seq)``) is dropped instead of clobbering or
       resurrecting a newer state.  Equal sequences re-apply, which is
-      what makes foreachBatch's at-least-once REPLAYS idempotent.  A
-      NULL sequence value orders earliest (applies only to keys with no
-      watermark yet).
+      what makes foreachBatch's at-least-once REPLAYS idempotent — with
+      one exception: a DELETE at exactly the LIVE row's applied
+      sequence loses the tie with the upsert that wrote it (the same
+      upsert-beats-delete rule as within a batch), so "upsert@s, then
+      delete@s" and "delete@s, then upsert@s" converge on the upsert
+      regardless of batch arrival order.  A NULL sequence value orders
+      earliest (applies only to keys with no watermark yet).
 
     The watermark deliberately lives IN THE DATA, not in snapshot meta:
     per-key state is O(keys) and at 10⁹ keys a driver-side meta map dies
@@ -628,7 +643,8 @@ def apply_changes_batch(
             .withColumnRenamed(sequence_by, "__seq")
         )
         b = _drop_stale_changes(
-            engine, table, tomb_table, b, keys, floor=truncate_wm()
+            engine, table, tomb_table, b, keys, floor=truncate_wm(),
+            is_del=is_del,
         )
     b = b.localCheckpoint(eager=True)  # split below reads it twice
     ups = b.filter(~is_del).drop(op_col)

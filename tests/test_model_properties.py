@@ -355,7 +355,8 @@ def _type1_model(seed_rows, batches, hashes):
     surviving change (upsert wins a same-seq tie with a delete; the
     engine's row-hash tiebreak resolves different-payload duplicates),
     apply. Returns {key: value} of live rows."""
-    live = dict(seed_rows)   # key -> value (seed rows have no seq)
+    # key -> (value, applied seq); seed rows have no seq
+    live = {k: (v, None) for k, v in seed_rows}
     wm = {}                  # key -> applied/tombstone watermark
     for batch in batches:
         dedup = {}
@@ -380,12 +381,17 @@ def _type1_model(seed_rows, batches, hashes):
             if w is not None and seq < w:
                 continue
             if op == "delete":
+                # delete tied at the LIVE row's applied seq loses (the
+                # cross-batch upsert-beats-delete rule); dropped rows
+                # leave no tombstone and move no watermark
+                if k in live and live[k][1] == seq:
+                    continue
                 live.pop(k, None)
                 wm[k] = seq
             else:
-                live[k] = val
+                live[k] = (val, seq)
                 wm[k] = seq
-    return live
+    return {k: v for k, (v, _s) in live.items()}
 
 
 @settings(

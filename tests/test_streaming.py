@@ -647,3 +647,32 @@ def test_scd2_cross_batch_tied_delete_loses(spark, tmp_path):
     assert sum(1 for k in st if k[2] is None) == 1
     apply_changes_scd2_batch(eng, "t", b2, "seq")
     assert state() == st
+
+
+def test_type1_cross_batch_tied_delete_converges(spark, tmp_path):
+    """A delete and an upsert at the SAME sequence arriving in separate
+    batches must land the same table in either order (the tied delete
+    loses to the upsert that wrote the live row; a delete tied with a
+    TOMBSTONE still re-applies, which keeps delete replays idempotent)."""
+    from polars_lake_spark.streaming.ingest import apply_changes_batch
+
+    schema = "k bigint, s string, _op string, seq bigint"
+    upsert_b = [(1, "v10", "update", 10)]
+    delete_b = [(1, None, "delete", 10)]
+    results = []
+    for tag, order in (("ud", (upsert_b, delete_b)), ("du", (delete_b, upsert_b))):
+        eng = Engine(spark, str(tmp_path / tag))
+        seed = spark.createDataFrame([(1, "seed1"), (2, "seed2")], "k bigint, s string")
+        eng.create_table("t", seed, keys=["k"], versioned=True)
+        for b in order:
+            apply_changes_batch(
+                eng, "t", spark.createDataFrame(b, schema), sequence_by="seq"
+            )
+        results.append({r.k: r.s for r in eng.table("t").collect()})
+        # a delete replay against its own tombstone stays a no-op
+        apply_changes_batch(
+            eng, "t", spark.createDataFrame(delete_b, schema), sequence_by="seq"
+        )
+        after = {r.k: r.s for r in eng.table("t").collect()}
+        assert after == results[-1], tag
+    assert results[0] == results[1] == {1: "v10", 2: "seed2"}
