@@ -377,6 +377,24 @@ def _probe_scan(engine, table: str, conj: list[tuple]) -> DataFrame:
     return df
 
 
+def _tie_hash(df: DataFrame):
+    """The deterministic duplicate-(key, seq) tiebreak: a stable
+    xxhash64 over the row.  Map-typed columns (at any nesting) are
+    excluded — Spark's hash functions reject MapType (map iteration
+    order is undefined), and a crash on an otherwise-legal CDC schema
+    would be worse than the residual edge (two duplicates differing
+    ONLY in a map column still tie arbitrarily, but deterministically
+    per batch content for everything else)."""
+    cols = [
+        f.name
+        for f in df.schema.fields
+        if "map<" not in f.dataType.simpleString()
+    ]
+    if not cols:
+        return F.lit(0)
+    return F.xxhash64(*[F.col(c) for c in cols])
+
+
 def _apply_truncates(
     engine, table: str, meta_table: str, b: DataFrame, is_tr, sequence_by: str
 ) -> DataFrame:
@@ -634,7 +652,7 @@ def apply_changes_batch(
         w = Window.partitionBy(*keys).orderBy(
             F.desc(sequence_by),
             F.asc(is_del.cast("int")),
-            F.asc(F.xxhash64(*[F.col(c) for c in b.columns])),
+            F.asc(_tie_hash(b)),
         )
         b = (
             b.withColumn("__rn", F.row_number().over(w))
@@ -859,7 +877,7 @@ def apply_changes_scd2_batch(
     # (VERDICT r11 — row_number alone picked an arbitrary winner)
     w_tie = Window.partitionBy(*keys, "__seq").orderBy(
         F.asc(is_del.cast("int")),
-        F.asc(F.xxhash64(*[F.col(c) for c in b.columns])),
+        F.asc(_tie_hash(b)),
     )
     b = (
         b.withColumn("__rn", F.row_number().over(w_tie))

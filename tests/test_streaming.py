@@ -676,3 +676,31 @@ def test_type1_cross_batch_tied_delete_converges(spark, tmp_path):
         after = {r.k: r.s for r in eng.table("t").collect()}
         assert after == results[-1], tag
     assert results[0] == results[1] == {1: "v10", 2: "seed2"}
+
+
+def test_apply_changes_map_payload_column(spark, tmp_path):
+    """Map-typed payload columns must not crash the duplicate tiebreak
+    (Spark's hash functions reject MapType): the tie hash simply
+    excludes them, everything else stays deterministic."""
+    from polars_lake_spark.streaming.ingest import apply_changes_batch
+
+    eng = Engine(spark, str(tmp_path / "r"))
+    seed = spark.createDataFrame(
+        [(1, "a", {"x": 1})], "k bigint, s string, m map<string,int>"
+    )
+    eng.create_table("t", seed, keys=["k"], versioned=True)
+    b = spark.createDataFrame(
+        [
+            (1, "b1", {"y": 2}, "update", 10),
+            (1, "b2", {"y": 3}, "update", 10),  # dup (k, seq), diff payload
+            (2, "c", {"z": 4}, "insert", 10),
+        ],
+        "k bigint, s string, m map<string,int>, _op string, seq bigint",
+    )
+    apply_changes_batch(eng, "t", b, sequence_by="seq")
+    got = {r.k: r.s for r in eng.table("t").collect()}
+    assert got[2] == "c" and got[1] in ("b1", "b2")
+    # deterministic: re-applying lands the identical winner
+    win = got[1]
+    apply_changes_batch(eng, "t", b, sequence_by="seq")
+    assert {r.k: r.s for r in eng.table("t").collect()}[1] == win
