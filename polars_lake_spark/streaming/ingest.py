@@ -870,6 +870,16 @@ def apply_changes_scd2_batch(
         )
     keys = all_keys[:-1]
     is_del = F.lower(F.col(op_col)) == "delete"
+    # 'truncate' is the one reserved op the delete/upsert split would
+    # silently misread (a keyless full-refresh row would chain into the
+    # history as a NULL-keyed version) — refuse it loudly until SCD2
+    # full refresh is a real operation
+    if batch_df.filter(F.lower(F.col(op_col)) == "truncate").head(1):
+        raise ValueError(
+            "stream_apply_changes_scd2: 'truncate' ops are not supported "
+            "on SCD2 targets — close the history explicitly or apply the "
+            "full refresh through the TYPE 1 path"
+        )
     b = batch_df.withColumnRenamed(sequence_by, "__seq")
     # one change per (key, seq): upsert wins the tie; a stable hash of
     # the whole row breaks DIFFERENT-payload duplicates the same way on

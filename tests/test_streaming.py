@@ -704,3 +704,28 @@ def test_apply_changes_map_payload_column(spark, tmp_path):
     win = got[1]
     apply_changes_batch(eng, "t", b, sequence_by="seq")
     assert {r.k: r.s for r in eng.table("t").collect()}[1] == win
+
+
+def test_scd2_truncate_ops_refused(spark, tmp_path):
+    """'truncate' ops on an SCD2 target must raise, never chain into the
+    history as a NULL-keyed version row (the delete/upsert split would
+    otherwise silently treat the keyless full-refresh marker as an
+    upsert)."""
+    import pytest
+
+    from polars_lake_spark.streaming.ingest import (
+        apply_changes_scd2_batch,
+        scd2_init,
+    )
+
+    eng = Engine(spark, str(tmp_path / "r"))
+    seed = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    scd2_init(eng, "dim", seed, keys=["k"], versioned=True)
+    b = spark.createDataFrame(
+        [(None, None, "truncate", 50)],
+        "k bigint, s string, _op string, seq bigint",
+    )
+    with pytest.raises(ValueError, match="truncate"):
+        apply_changes_scd2_batch(eng, "dim", b, "seq")
+    # nothing landed
+    assert eng.table("dim").count() == 1
