@@ -1064,7 +1064,9 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                 if cond:
                     matched_update_cond = F.expr(_rewrite_aliases(cond))
                 set_exprs = {}
-                assigns = action[len("UPDATE SET") :].strip()
+                assigns = re.sub(
+                    r"^UPDATE\s+SET\s+", "", action, flags=re.I
+                ).strip()
                 for clause in _split_top_level(assigns):
                     col, eq, expr = clause.partition("=")
                     col = col.strip()
