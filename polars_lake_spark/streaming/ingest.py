@@ -377,6 +377,27 @@ def _probe_scan(engine, table: str, conj: list[tuple]) -> DataFrame:
     return df
 
 
+def _guard_batch_columns(fn: str, b: DataFrame, sequence_by: str | None):
+    """Refuse batch columns that collide with the apply machinery's
+    internal scratch names — ``withColumn`` would silently overwrite
+    them (or the stale-filter joins would turn ambiguous) and the
+    corrupted values could land on the target.  A batch already
+    carrying ``__seq`` is fine only when ``__seq`` IS the sequencing
+    column (re-feeding one apply-changes target into another)."""
+    reserved = {"__rn", "__applied", "__tomb", "__wm", "__cur_start", "__nxt"}
+    bad = sorted(reserved.intersection(b.columns))
+    if bad:
+        raise ValueError(
+            f"{fn}: batch columns {bad} collide with reserved internal "
+            "names; rename them before applying"
+        )
+    if "__seq" in b.columns and sequence_by != "__seq":
+        raise ValueError(
+            f"{fn}: the batch already carries '__seq' but sequences by "
+            f"{sequence_by!r}; rename one of them"
+        )
+
+
 def _tie_hash(df: DataFrame):
     """The deterministic duplicate-(key, seq) tiebreak: a stable
     xxhash64 over the row.  Map-typed columns (at any nesting) are
@@ -626,6 +647,7 @@ def apply_changes_batch(
     keys = list(spec.keys)
     if not keys:
         raise ValueError(f"stream_apply_changes: {table} has no keys")
+    _guard_batch_columns("stream_apply_changes", batch_df, sequence_by)
     b = batch_df
     is_del = F.lower(F.col(op_col)) == "delete"
     is_tr = F.lower(F.col(op_col)) == "truncate"
@@ -869,6 +891,7 @@ def apply_changes_scd2_batch(
             "scd2_init (merge keys = business keys + __start_seq)"
         )
     keys = all_keys[:-1]
+    _guard_batch_columns("stream_apply_changes_scd2", batch_df, sequence_by)
     is_del = F.lower(F.col(op_col)) == "delete"
     # 'truncate' is the one reserved op the delete/upsert split would
     # silently misread (a keyless full-refresh row would chain into the

@@ -729,3 +729,43 @@ def test_scd2_truncate_ops_refused(spark, tmp_path):
         apply_changes_scd2_batch(eng, "dim", b, "seq")
     # nothing landed
     assert eng.table("dim").count() == 1
+
+
+def test_apply_changes_reserved_batch_columns_refused(spark, tmp_path):
+    """Batch columns colliding with the apply machinery's scratch names
+    (__rn/__applied/__tomb/...) are refused, not silently overwritten;
+    a batch carrying __seq is fine only when __seq IS the sequencing
+    column."""
+    import pytest
+
+    from polars_lake_spark.streaming.ingest import (
+        apply_changes_batch,
+        apply_changes_scd2_batch,
+        scd2_init,
+    )
+
+    eng = Engine(spark, str(tmp_path / "r"))
+    seed = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    eng.create_table("t", seed, keys=["k"], versioned=True)
+    scd2_init(eng, "dim", seed, keys=["k"], versioned=True)
+    bad = spark.createDataFrame(
+        [(1, "b", 0, "update", 10)],
+        "k bigint, s string, __rn int, _op string, seq bigint",
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        apply_changes_batch(eng, "t", bad, sequence_by="seq")
+    with pytest.raises(ValueError, match="reserved"):
+        apply_changes_scd2_batch(eng, "dim", bad, "seq")
+    stray = spark.createDataFrame(
+        [(1, "b", 5, "update", 10)],
+        "k bigint, s string, __seq bigint, _op string, seq bigint",
+    )
+    with pytest.raises(ValueError, match="__seq"):
+        apply_changes_batch(eng, "t", stray, sequence_by="seq")
+    # __seq AS the sequencing column is the legal re-feed shape
+    ok = spark.createDataFrame(
+        [(1, "b", "update", 10)],
+        "k bigint, s string, _op string, __seq bigint",
+    )
+    apply_changes_batch(eng, "t", ok, sequence_by="__seq")
+    assert eng.table("t").filter("k = 1").head().s == "b"
