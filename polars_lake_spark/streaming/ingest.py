@@ -326,18 +326,40 @@ def _zm_probe_literal(v):
     return None
 
 
-def _batch_key_conjuncts(bkeys: DataFrame, keys: list[str]) -> list[tuple]:
-    """Per-key-column BETWEEN conjuncts bounding the batch's key set —
-    one tiny aggregate over the (distinct, checkpointed) batch keys.
-    Used to key-range-prune the CDC watermark probes: any target file
-    that can hold a batch key has every key column's range intersecting
-    the batch's [min, max], so it survives the conjuncts; a pruned file
-    provably holds NO batch key and contributes nothing to the
-    key-equality semi/inner joins downstream."""
+def _batch_key_conjuncts(
+    bkeys: DataFrame, keys: list[str], in_cap: int = 64
+) -> list[tuple]:
+    """Per-key-column conjuncts bounding the batch's key set, used to
+    key-range-prune the CDC watermark probes: any target file that can
+    hold a batch key satisfies every conjunct, so a pruned file provably
+    holds NO batch key and contributes nothing to the key-equality
+    semi/inner joins downstream.
+
+    Small batches (<= ``in_cap`` distinct key tuples — the common CDC
+    trigger shape) emit exact per-column IN lists: a batch touching
+    keys {5, 9_000_000} would prune NOTHING under a min/max bounding
+    box on a clustered target, but under IN only the files whose range
+    covers 5 or 9M survive.  Larger batches fall back to one min/max
+    aggregate per key column (BETWEEN conjuncts — one tiny job, no
+    driver-side key list)."""
+    head = bkeys.limit(in_cap + 1).collect()
+    conj = []
+    if len(head) <= in_cap:
+        for k in keys:
+            lits = sorted(
+                {
+                    v
+                    for r in head
+                    if (v := _zm_probe_literal(r[k])) is not None
+                },
+                key=str,
+            )
+            if lits:
+                conj.append((k.lower(), "in", lits))
+        return conj
     row = bkeys.agg(
         *[a for k in keys for a in (F.min(F.col(k)), F.max(F.col(k)))]
     ).head()
-    conj = []
     for i, k in enumerate(keys):
         lo = _zm_probe_literal(row[2 * i])
         hi = _zm_probe_literal(row[2 * i + 1])

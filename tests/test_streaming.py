@@ -502,10 +502,24 @@ def test_apply_changes_probe_prunes_target_files_by_key_range(
     for r in eng.cdc_probe_reports:
         if r["table"] == "t":
             assert r["files_kept"] < r["files_total"], r
+    # a SCATTERED small batch (keys at opposite ends) must prune just as
+    # tightly: the small-batch IN-list conjuncts keep only the files
+    # covering each key, where a min/max bounding box would keep ALL
+    eng.cdc_probe_reports = []
+    b4 = spark.createDataFrame(
+        [(10, "b4-10", "update", 40), (1900, "b4-1900", "update", 40)],
+        schema,
+    )
+    apply_changes_batch(eng, "t", b4, sequence_by="seq")
+    for r in eng.cdc_probe_reports:
+        if r["table"] == "t":
+            assert r["files_total"] > 4
+            assert r["files_kept"] <= 4, r
     # exactness: pruning never changed what applied
     got = {r.k: r.s for r in eng.table("t").collect()}
     assert got[100] == "b2-100" and got[105] == "b2-105"
     assert got[300] == "b3-300"
+    assert got[10] == "b4-10" and got[1900] == "b4-1900"
     assert 200 not in got
     assert got[0] == "b1-0" and got[1] == "v1"
     assert len(got) == 1999
