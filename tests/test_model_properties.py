@@ -453,3 +453,127 @@ def test_type1_apply_matches_model(spark, tmp_path_factory, data):
         )
         got2 = {r["k"]: r["s"] for r in eng.table("t").collect()}
         assert got2 == want, (b1, b2)
+
+
+def _merge_model(
+    old_rows,
+    new_rows,
+    *,
+    delete_thresh,
+    update_gate_thresh,
+    explicit_set,
+    by_source_thresh,
+    insert,
+):
+    """Python model of merge_into's full clause set over (k, v) rows:
+    matched + delete condition wins first; surviving matches update only
+    when the update gate passes (explicit SET v = o.v + n.v, else SET *
+    last-write-wins); source-only rows insert when enabled; target-only
+    rows delete under the BY SOURCE condition."""
+    old = dict(old_rows)
+    new = dict(new_rows)
+    out = {}
+    for k, ov in old.items():
+        if k in new:
+            nv = new[k]
+            if delete_thresh is not None and nv < delete_thresh:
+                continue
+            gate = (
+                update_gate_thresh is None or ov < update_gate_thresh
+            )
+            if gate:
+                out[k] = (ov + nv) if explicit_set else nv
+            else:
+                out[k] = ov
+        else:
+            if by_source_thresh is not None and ov < by_source_thresh:
+                continue
+            out[k] = ov
+    if insert:
+        for k, nv in new.items():
+            if k not in old:
+                out[k] = nv
+    return out
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_merge_into_clauses_match_model(spark, data):
+    """merge_into over random keyed rows with every clause drawn
+    independently — conditional delete, gated update (explicit SET or
+    SET *), BY SOURCE delete, insert on/off — must equal the Python
+    model exactly (clause precedence: delete > update > keep)."""
+    from pyspark.sql import functions as F
+
+    from polars_lake_spark.operators.merge import merge_into
+
+    n_old = data.draw(st.integers(min_value=0, max_value=6))
+    n_new = data.draw(st.integers(min_value=0, max_value=6))
+    old_rows = {
+        data.draw(st.integers(min_value=1, max_value=8)): data.draw(
+            st.integers(min_value=0, max_value=100)
+        )
+        for _ in range(n_old)
+    }
+    new_rows = {
+        data.draw(st.integers(min_value=1, max_value=8)): data.draw(
+            st.integers(min_value=0, max_value=100)
+        )
+        for _ in range(n_new)
+    }
+    delete_thresh = data.draw(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=100))
+    )
+    update_gate_thresh = data.draw(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=100))
+    )
+    explicit_set = data.draw(st.booleans())
+    by_source_thresh = data.draw(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=100))
+    )
+    insert = data.draw(st.booleans())
+
+    old = spark.createDataFrame(
+        list(old_rows.items()) or [(None, None)], "k bigint, v bigint"
+    )
+    if not old_rows:
+        old = old.filter("k IS NOT NULL")
+    new = spark.createDataFrame(
+        list(new_rows.items()) or [(None, None)], "k bigint, v bigint"
+    )
+    if not new_rows:
+        new = new.filter("k IS NOT NULL")
+    kwargs = dict(
+        when_not_matched_insert=insert,
+        null_clobbers=True,
+    )
+    if delete_thresh is not None:
+        kwargs["when_matched_delete"] = F.col("n.v") < delete_thresh
+    if update_gate_thresh is not None:
+        kwargs["when_matched_update_condition"] = (
+            F.col("o.v") < update_gate_thresh
+        )
+    if explicit_set:
+        kwargs["set_exprs"] = {"v": F.col("o.v") + F.col("n.v")}
+    if by_source_thresh is not None:
+        kwargs["when_not_matched_by_source_delete"] = (
+            F.col("o.v") < by_source_thresh
+        )
+    got = {
+        r.k: r.v
+        for r in merge_into(old, new, keys=["k"], **kwargs).collect()
+    }
+    want = _merge_model(
+        old_rows,
+        new_rows,
+        delete_thresh=delete_thresh,
+        update_gate_thresh=update_gate_thresh,
+        explicit_set=explicit_set,
+        by_source_thresh=by_source_thresh,
+        insert=insert,
+    )
+    assert got == want, (old_rows, new_rows, sorted(kwargs))
