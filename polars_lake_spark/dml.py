@@ -855,14 +855,16 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                 k, v = k.replace("''", "'"), v.replace("''", "'")
                 lk = k.lower()
                 if lk.startswith("expectation."):
-                    # 'expectation.<name>.<drop|track>' = '<expr>'
+                    # 'expectation.<name>.<drop|track|quarantine>' = '<expr>'
                     body = k[len("expectation."):]
                     ename, _, action = body.rpartition(".")
-                    if not ename or action.lower() not in ("drop", "track"):
+                    if not ename or action.lower() not in (
+                        "drop", "track", "quarantine",
+                    ):
                         raise ValueError(
                             f"CREATE TABLE {raw}: expectation property "
                             f"{k!r} must be "
-                            "'expectation.<name>.<drop|track>'"
+                            "'expectation.<name>.<drop|track|quarantine>'"
                         )
                     kwargs.setdefault("expectations", {})[ename] = {
                         "expr": v,

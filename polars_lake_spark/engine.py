@@ -58,17 +58,20 @@ MANIFEST = "_manifest.json"
 
 
 def _validate_expectations(expectations: dict | None) -> dict:
-    """Normalize/validate {name: {"expr": sql, "action": "drop"|"track"}}
-    (a plain {name: sql} shorthand means action="track")."""
+    """Normalize/validate {name: {"expr": sql, "action":
+    "drop"|"track"|"quarantine"}} (a plain {name: sql} shorthand means
+    action="track").  'quarantine' = drop from the write AND append the
+    violating rows — tagged with the violated rule names — to the
+    ``{table}_quarantine`` side table (the DLT quarantine pattern)."""
     out: dict[str, dict] = {}
     for name, e in (expectations or {}).items():
         if isinstance(e, str):
             e = {"expr": e, "action": "track"}
         action = e.get("action", "track")
-        if action not in ("drop", "track") or not e.get("expr"):
+        if action not in ("drop", "track", "quarantine") or not e.get("expr"):
             raise ValueError(
                 f"expectation {name!r}: need an 'expr' and action "
-                f"'drop'|'track', got {e!r}"
+                f"'drop'|'track'|'quarantine', got {e!r}"
             )
         out[name] = {"expr": e["expr"], "action": action}
     return out
@@ -1745,6 +1748,63 @@ class Engine:
                 )
         return df
 
+    def _quarantine_rows(self, spec, df, enames, counts, cols=None) -> DataFrame:
+        """The 'quarantine' expectation action (DLT quarantine pattern):
+        rows violating a quarantine rule leave the write — exactly like
+        'drop' — and ADDITIONALLY append to the ``{table}_quarantine``
+        side table tagged with ``__rules`` (array of violated rule
+        names), so bad records stay inspectable/replayable instead of
+        vanishing.  The side table is a plain append log created on
+        first use from the first batch's shape; later batches align to
+        it by name (new columns are not evolved in — quarantine is
+        observability, not a second system of record).  Called with the
+        frame already pinned (``_pin_if_nondeterministic``), so the kept
+        split and the quarantined copy describe the same rows.  Returns
+        the frame minus the quarantined rows."""
+        q_rules = [
+            (e, spec.expectations[e]["expr"])
+            for i, e in enumerate(enames)
+            if spec.expectations[e].get("action") == "quarantine"
+            and counts[f"e{i}"]
+        ]
+        if not q_rules:
+            return df
+        flags = [
+            (e, ~F.coalesce(F.expr(x), F.lit(True))) for e, x in q_rules
+        ]
+        any_viol = reduce(lambda a, b: a | b, [f for _, f in flags])
+        bad = df.filter(any_viol).withColumn(
+            "__rules",
+            F.array_compact(
+                F.array(*[F.when(f, F.lit(e)) for e, f in flags])
+            ),
+        )
+        if cols is not None:
+            # merge-style callers augment the batch with NULL-filled
+            # target columns so expressions evaluate; the quarantined
+            # copy keeps only the batch's OWN columns
+            bad = bad.select(*cols, "__rules")
+        qt = f"{spec.name}_quarantine"
+        if qt not in self.specs and qt not in self._mem:
+            self.create_table(qt, bad, save=self.root is not None)
+        else:
+            tgt = self.table(qt)
+            bcols = set(bad.columns)
+            self.insert(
+                qt,
+                bad.select(
+                    *[
+                        (
+                            F.col(f.name)
+                            if f.name in bcols
+                            else F.lit(None).cast(f.dataType)
+                        ).alias(f.name)
+                        for f in tgt.schema.fields
+                    ]
+                ),
+            )
+        return df.filter(~any_viol)
+
     def _apply_expectations(
         self,
         spec: TableSpec,
@@ -1813,6 +1873,14 @@ class Engine:
                 for i, e in enumerate(enames)
                 if spec.expectations[e].get("action") == "drop"
             )
+        q_total = sum(
+            int(counts[f"e{i}"])
+            for i, e in enumerate(enames)
+            if spec.expectations[e].get("action") == "quarantine"
+        )
+        if q_total:
+            df = self._quarantine_rows(spec, df, enames, counts, cols=out_cols)
+            report["quarantined"] = q_total
         self._exp_tls.report = report
         return df.select(*out_cols)
 
@@ -1890,6 +1958,18 @@ class Engine:
                     for i, e in enumerate(enames)
                     if spec.expectations[e].get("action") == "drop"
                 )
+            q_total = (
+                sum(
+                    int(counts[f"e{i}"])
+                    for i, e in enumerate(enames)
+                    if spec.expectations[e].get("action") == "quarantine"
+                )
+                if allow_drop
+                else 0
+            )
+            if q_total:
+                df = self._quarantine_rows(spec, df, enames, counts)
+                report["quarantined"] = q_total
             self._exp_tls.report = report
         return df
 

@@ -28,9 +28,9 @@ REGISTRY: dict[str, Query] = {}
 # which get a fresh correctness row each round.  This list is a VERIFICATION
 # ROTATION, strictly oldest-evidence-first — queries added or changed
 # this round always lead, so nothing ships unverified:
-#   the r12 window (50) = 3 NEW r12 entries (the APPLY CHANGES INTO SQL
+#   the r12 window (50) = 4 NEW r12 entries (the APPLY CHANGES INTO SQL
 #   statement; explicit MERGE SET + BY SOURCE deletes; condition-gated
-#   MERGE updates) + 6 CHANGED r12
+#   MERGE updates; quarantine expectations) + 6 CHANGED r12
 #   gates (key-range-pruned CDC probes, duplicate-(key,seq) tiebreaks,
 #   the scd2_asof_join guard, merge_into's extended clause set, and the
 #   _scan_pruned → _scan_conjuncts refactor both skipping gates pin) +
@@ -48,6 +48,7 @@ CHECK_PRIORITY: list[str] = [
     "apply_changes_sql_check",
     "merge_update_set_check",
     "merge_conditional_update_check",
+    "expectations_quarantine_check",
     # -- CHANGED r12: CDC watermark probes now key-range-pruned via the
     # zone-map sidecars; deterministic duplicate-(key,seq) tiebreaks;
     # scd2_asof_join reserved-name guard; _scan_pruned refactored onto
@@ -58,6 +59,7 @@ CHECK_PRIORITY: list[str] = [
     "scan_file_skipping_check",
     "sql_timetravel_skipping_check",
     "merge_into_conditional",
+    "expectations_lifecycle_check",
     # -- oldest driver evidence next (below the window since r10 or
     # earlier; every slot stays oracled — unoracled approx_distinct
     # defers past the boundary) ------------------------------------------
@@ -100,9 +102,9 @@ CHECK_PRIORITY: list[str] = [
     "domain_resample",
     "events_funnel",
     "set_operations",
+    # ------ 50-slot window boundary ------------------------------------
     "agg_stats",
     "string_functions",
-    # ------ 50-slot window boundary ------------------------------------
     "case_coalesce",
     "array_functions",
     "array_numeric",
@@ -207,7 +209,6 @@ CHECK_PRIORITY: list[str] = [
     "bm25_phrase_check",
     "bm25_phrase_slop_check",
     "partition_meta_rollup_check",
-    "expectations_lifecycle_check",
     "retrieval_eval_metrics",
     "count_where_skipping_check",
     "minmax_meta_check",

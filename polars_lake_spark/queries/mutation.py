@@ -1803,3 +1803,92 @@ def merge_conditional_update_check(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "expectations_quarantine_check",
+    oracle="""
+    WITH base AS (
+        SELECT l_orderkey, l_returnflag, l_quantity
+        FROM lineitem),
+    batch AS (
+        SELECT l_orderkey + 500000000 AS l_orderkey, l_returnflag,
+               l_quantity
+        FROM base WHERE l_orderkey % 3 = 0),
+    quarantined AS (
+        SELECT * FROM base WHERE l_quantity > 45
+        UNION ALL
+        SELECT * FROM batch WHERE l_quantity > 45)
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_quar,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty,
+           CAST(0 AS BIGINT) AS violations
+    FROM quarantined GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Quarantine-expectation gate (r12, the DLT quarantine pattern): "
+    "a 'quarantine' rule removes violating rows from every write — like "
+    "'drop' — AND lands them in {table}_quarantine tagged with the "
+    "violated rule names. DuckDB replays the quarantine table's "
+    "expected contents across CREATE + INSERT (wrong if a dirty row "
+    "slipped into the target, a clean row was over-quarantined, or the "
+    "side table missed/duplicated a row); violations pins the target's "
+    "landed count and the rule tags.",
+)
+def expectations_quarantine_check(spark, sf_dir):
+    """Bad records stay inspectable instead of vanishing: the
+    quarantined copy appends in the SAME write that filtered it (one
+    extra append of O(violations) rows, no second scan of the batch)."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_quar_")
+    try:
+        eng = Engine(spark, root)
+        base = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_returnflag", "l_quantity")
+            .localCheckpoint(eager=True)
+        )
+        eng.create_table(
+            "qz", base, keys=["l_orderkey"], versioned=True,
+            expectations={
+                "qty_cap": {"expr": "l_quantity <= 45", "action": "quarantine"}
+            },
+        )
+        batch = base.filter(F.col("l_orderkey") % 3 == 0).select(
+            (F.col("l_orderkey") + 500000000).alias("l_orderkey"),
+            "l_returnflag",
+            "l_quantity",
+        ).localCheckpoint(eager=True)
+        eng.insert("qz", batch)
+        viol = 0
+        # target landed exactly the clean rows
+        n_clean = base.filter("l_quantity <= 45").count() + batch.filter(
+            "l_quantity <= 45"
+        ).count()
+        if eng.table("qz").count() != n_clean:
+            viol += 1
+        # every quarantined row carries the violated rule's tag
+        quar = eng.table("qz_quarantine")
+        if quar.filter(
+            ~F.array_contains(F.col("__rules"), "qty_cap")
+        ).count():
+            viol += 1
+        out = (
+            quar.groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_quar"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .withColumn("violations", F.lit(viol).cast("bigint"))
+            .orderBy("l_returnflag")
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

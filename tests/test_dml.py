@@ -1338,7 +1338,8 @@ def test_expectations_drop_and_track(spark, tmp_path):
     eng.add_expectation("ex", "id_small", "id < 1000", action="drop")
     assert eng.specs["ex"].expectations["id_small"]["action"] == "drop"
     with pytest.raises(ValueError, match="drop"):
-        eng.add_expectation("ex", "bad", "id > 0", action="quarantine")
+        # 'quarantine' became a real action in r12 — probe a bogus one
+        eng.add_expectation("ex", "bad", "id > 0", action="explode")
     eng.drop_expectation("ex", "id_small")
     assert "id_small" not in eng.specs["ex"].expectations
 
@@ -1677,3 +1678,53 @@ def test_merge_conditional_update_dv_table(spark, tmp_path):
     )
     got = {r.id: r.v for r in e.table("mcd").collect()}
     assert got == {1: 100.0, 2: 20.0}
+
+
+def test_expectations_quarantine_action(spark, tmp_path):
+    """'quarantine' expectations: violating rows leave the write like
+    'drop' but ADDITIONALLY land in {table}_quarantine tagged with the
+    violated rule names — across the append path, the merge-style
+    upsert path, and SQL DML."""
+    e = Engine(spark, str(tmp_path / "w"))
+    seed = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "id bigint, score int, s string"
+    )
+    e.create_table(
+        "q", seed, keys=["id"], versioned=True,
+        expectations={
+            "score_pos": {"expr": "score >= 0", "action": "quarantine"},
+            "s_known": {"expr": "s IS NOT NULL", "action": "quarantine"},
+        },
+    )
+    # append path: one row violates both rules, one violates one, one clean
+    batch = spark.createDataFrame(
+        [(3, -1, None), (4, -5, "d"), (5, 50, "e")],
+        "id bigint, score int, s string",
+    )
+    e.insert("q", batch)
+    got = {r.id for r in e.table("q").collect()}
+    assert got == {1, 2, 5}
+    rep = e.last_expectation_report
+    assert rep["violations"] == {"score_pos": 2, "s_known": 1}
+    assert rep["quarantined"] == 3  # per-rule sum, like 'dropped'
+    quar = {r.id: sorted(r["__rules"]) for r in e.table("q_quarantine").collect()}
+    assert quar == {3: ["s_known", "score_pos"], 4: ["score_pos"]}
+    # merge-style path (upsert): violating update quarantined whole,
+    # the key's old state survives
+    up = spark.createDataFrame(
+        [(1, -9, "a2"), (2, 25, "b2")], "id bigint, score int, s string"
+    )
+    e.upsert("q", up)
+    got2 = {r.id: (r.score, r.s) for r in e.table("q").collect()}
+    assert got2[1] == (10, "a")      # quarantined update never landed
+    assert got2[2] == (25, "b2")
+    quar2 = e.table("q_quarantine").collect()
+    assert len(quar2) == 3
+    assert {r.id for r in quar2} == {1, 3, 4}
+    # SQL DML rides the same paths
+    e.sql("INSERT INTO q SELECT 9, -2, 'z'")
+    assert e.table("q").filter("id = 9").count() == 0
+    assert e.table("q_quarantine").filter("id = 9").count() == 1
+    # round-trips through SHOW CREATE TABLE
+    ddl = e.sql("SHOW CREATE TABLE q").head()[0]
+    assert "expectation.score_pos.quarantine" in ddl
