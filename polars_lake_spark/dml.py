@@ -33,10 +33,16 @@ through the engine's real mutation paths:
   update ONLY the listed columns — qualify references as
   ``src_alias.col`` / ``target.col``; BY SOURCE deletes target rows
   absent from the source)
-* ``CREATE [VERSIONED] TABLE t [PARTITIONED BY (cols)] [CLUSTER BY
-  (cols)] AS SELECT ...`` → ``engine.create_table_as`` (CLUSTER BY =
-  clustered writes: every versioned write range-partitions + sorts on
-  the key so zone maps stay tight from ingest)
+* ``CREATE [OR REPLACE] [VERSIONED] TABLE t [PARTITIONED BY (cols)]
+  [CLUSTER BY (cols)] AS SELECT ...`` → ``engine.create_table_as``
+  (CLUSTER BY = clustered writes: every versioned write
+  range-partitions + sorts on the key so zone maps stay tight from
+  ingest).  OR REPLACE on an existing same-layout VERSIONED table is
+  ONE 'rewrite' snapshot — the pre-replace state stays
+  time-travelable, and constraints/expectations reset to the (empty)
+  new definition, Delta's property-reset semantics; a layout or
+  versioning change drops and recreates instead (the SELECT may
+  reference the replaced table — it is pinned before the drop)
 * ``APPLY CHANGES INTO t FROM src|(<select>) [KEYS (k, ...)] [APPLY AS
   DELETE WHEN c] [APPLY AS TRUNCATE WHEN c] [SEQUENCE BY col] [STORED
   AS SCD TYPE 1|2]`` → one CDC batch application through
@@ -77,7 +83,9 @@ through the engine's real mutation paths:
   partition/bucket/key columns flagged; non-engine names fall through
 * ``DESCRIBE HISTORY t`` → one row per snapshot (version, operation,
   timestamp, n_partitions) — Delta's DESCRIBE HISTORY analog
-* ``RESTORE [TABLE] t TO VERSION AS OF n`` → ``engine.restore``
+* ``RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'``
+  → ``engine.restore`` (timestamps resolve like time travel: the latest
+  snapshot at or before the instant)
 * time travel: any ``t [FOR] VERSION AS OF n`` / ``t [FOR] TIMESTAMP AS
   OF 'ts'`` reference to a VERSIONED engine table — in a bare SELECT or
   inside any DML's source subquery — is rewritten to a version-pinned
@@ -118,7 +126,7 @@ _UPDATE = re.compile(
     re.I | re.S,
 )
 _CTAS = re.compile(
-    r"^\s*CREATE\s+(VERSIONED\s+)?TABLE\s+([A-Za-z_][\w.]*)"
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(VERSIONED\s+)?TABLE\s+([A-Za-z_][\w.]*)"
     r"(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?"
     r"(?:\s+CLUSTER\s+BY\s*\(([^)]*)\))?"
     r"\s+AS\s+(SELECT\b.+?)\s*;?\s*$",
@@ -264,8 +272,9 @@ _DESCRIBE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*;?\s*$", re.I
 )
 _RESTORE = re.compile(
-    r"^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s+TO\s+VERSION\s+"
-    r"AS\s+OF\s+(\d+)\s*;?\s*$",
+    r"^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'([^']*)')\s*;?\s*$",
     re.I,
 )
 _TIMETRAVEL = re.compile(
@@ -805,23 +814,55 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
 
     m = _CTAS.match(query)
     if m:
-        raw = m.group(2)
-        if _resolve(engine, raw) is not None:
+        raw = m.group(3)
+        replace = bool(m.group(1))
+        existing = _resolve(engine, raw)
+        if existing is not None and not replace:
             raise ValueError(f"CREATE TABLE {raw}: table already exists")
         kwargs = {}
-        if m.group(1):
+        if m.group(2):
             kwargs["versioned"] = True
-        if m.group(3):
-            kwargs["partition_by"] = [
-                c.strip() for c in m.group(3).split(",") if c.strip()
-            ]
         if m.group(4):
+            kwargs["partition_by"] = [
+                c.strip() for c in m.group(4).split(",") if c.strip()
+            ]
+        if m.group(5):
             # CLUSTER BY (cols): clustered writes (zone-map tightness
             # from ingest) — requires VERSIONED
             kwargs["cluster_by"] = [
-                c.strip() for c in m.group(4).split(",") if c.strip()
+                c.strip() for c in m.group(5).split(",") if c.strip()
             ]
-        engine.create_table_as(raw, m.group(5), **kwargs)
+        if existing is not None:
+            spec = engine.specs[existing]
+            same_layout = (
+                sorted(kwargs.get("partition_by", []))
+                == sorted(spec.partition_by)
+                and sorted(kwargs.get("cluster_by", []))
+                == sorted(spec.cluster_by)
+                and bool(kwargs.get("versioned")) == bool(spec.versioned)
+            )
+            if spec.versioned and same_layout:
+                # Delta's CREATE OR REPLACE on a same-layout versioned
+                # table: ONE 'rewrite' snapshot — the pre-replace state
+                # stays time-travelable. The new definition carries no
+                # constraints/expectations, so existing ones reset
+                # (Delta resets unspecified properties the same way).
+                spec.constraints.clear()
+                spec.expectations = {}
+                engine._write_manifest(spec)
+                engine.overwrite(existing, engine.spark.sql(m.group(6)))
+                n = engine.table(existing).count()
+                return _status(engine, "replace_table_as", existing, n)
+            # layout/versioning changed: a fresh table under the name.
+            # Pin the SELECT result BEFORE dropping — the statement may
+            # read the table it replaces (CREATE OR REPLACE t AS SELECT
+            # ... FROM t), and the drop removes its files
+            df = engine.sql(m.group(6)).localCheckpoint(eager=True)
+            engine.drop_table(existing, delete_files=True)
+            engine.create_table(raw, df, **kwargs)
+            n = engine.table(raw).count()
+            return _status(engine, "create_table_as", raw, n)
+        engine.create_table_as(raw, m.group(6), **kwargs)
         n = engine.table(raw).count()
         return _status(engine, "create_table_as", raw, n)
 
@@ -1668,7 +1709,13 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         name = _resolve(engine, m.group(1))
         if name is None:
             return None
-        engine.restore(name, int(m.group(2)))
+        if m.group(2) is not None:
+            version = int(m.group(2))
+        else:
+            # TIMESTAMP AS OF: latest snapshot at or before the instant
+            # (the same resolution time travel uses)
+            version = _version_at_timestamp(engine, name, m.group(3))
+        engine.restore(name, version)
         return _status(engine, "restore", name, 0)
 
     m = _SHOW_CREATE.match(query)

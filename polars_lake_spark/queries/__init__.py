@@ -28,9 +28,10 @@ REGISTRY: dict[str, Query] = {}
 # which get a fresh correctness row each round.  This list is a VERIFICATION
 # ROTATION, strictly oldest-evidence-first — queries added or changed
 # this round always lead, so nothing ships unverified:
-#   the r12 window (50) = 4 NEW r12 entries (the APPLY CHANGES INTO SQL
+#   the r12 window (50) = 5 NEW r12 entries (the APPLY CHANGES INTO SQL
 #   statement; explicit MERGE SET + BY SOURCE deletes; condition-gated
-#   MERGE updates; quarantine expectations) + 6 CHANGED r12
+#   MERGE updates; quarantine expectations; CREATE OR REPLACE) + 7
+#   CHANGED r12
 #   gates (key-range-pruned CDC probes, duplicate-(key,seq) tiebreaks,
 #   the scd2_asof_join guard, merge_into's extended clause set, and the
 #   _scan_pruned → _scan_conjuncts refactor both skipping gates pin) +
@@ -49,6 +50,7 @@ CHECK_PRIORITY: list[str] = [
     "merge_update_set_check",
     "merge_conditional_update_check",
     "expectations_quarantine_check",
+    "create_or_replace_check",
     # -- CHANGED r12: CDC watermark probes now key-range-pruned via the
     # zone-map sidecars; deterministic duplicate-(key,seq) tiebreaks;
     # scd2_asof_join reserved-name guard; _scan_pruned refactored onto
@@ -101,8 +103,8 @@ CHECK_PRIORITY: list[str] = [
     "skew_collect_set",
     "domain_resample",
     "events_funnel",
-    "set_operations",
     # ------ 50-slot window boundary ------------------------------------
+    "set_operations",
     "agg_stats",
     "string_functions",
     "case_coalesce",

@@ -1892,3 +1892,63 @@ def expectations_quarantine_check(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "create_or_replace_check",
+    oracle="""
+    SELECT o_orderkey, o_totalprice * 2 AS price2,
+           CAST(0 AS BIGINT) AS violations
+    FROM orders WHERE o_orderkey % 13 = 0
+    ORDER BY o_orderkey
+    """,
+    doc="CREATE OR REPLACE TABLE gate (r12): a same-layout VERSIONED "
+    "replace lands as ONE rewrite snapshot — the pre-replace contents "
+    "stay time-travelable — and a self-referencing REPLACE (SELECT FROM "
+    "the table being replaced) reads the old state. DuckDB states the "
+    "final contents; violations pins the time-travel read of the "
+    "pre-replace state and the single-snapshot history arithmetic.",
+)
+def create_or_replace_check(spark, sf_dir):
+    """Delta's CREATE OR REPLACE semantics on the snapshot layer: the
+    replace is a rewrite commit like any other, so history, RESTORE,
+    and CDC all compose with it."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_corr_")
+    try:
+        eng = Engine(spark, root)
+        base = (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_totalprice")
+            .filter(F.col("o_orderkey") % 13 == 0)
+            .localCheckpoint(eager=True)
+        )
+        eng.create_table("corr", base, versioned=True)
+        base.createOrReplaceTempView("corr_base")
+        v_before = eng._snapstore("corr").latest_version()
+        # self-referencing replace: reads the OLD state, lands doubled
+        eng.sql(
+            "CREATE OR REPLACE VERSIONED TABLE corr AS "
+            "SELECT o_orderkey, o_totalprice * 2 AS price2 FROM corr"
+        )
+        viol = 0
+        # one rewrite snapshot, pre-replace state time-travelable
+        if eng._snapstore("corr").latest_version() != v_before + 1:
+            viol += 1
+        old = eng.table("corr", version=v_before)
+        if old.count() != base.count() or "o_totalprice" not in old.columns:
+            viol += 1
+        out = (
+            eng.table("corr")
+            .withColumn("violations", F.lit(viol).cast("bigint"))
+            .orderBy("o_orderkey")
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        spark.catalog.dropTempView("corr_base")
+        shutil.rmtree(root, ignore_errors=True)

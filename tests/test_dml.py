@@ -1728,3 +1728,67 @@ def test_expectations_quarantine_action(spark, tmp_path):
     # round-trips through SHOW CREATE TABLE
     ddl = e.sql("SHOW CREATE TABLE q").head()[0]
     assert "expectation.score_pos.quarantine" in ddl
+
+
+def test_create_or_replace_table(spark, tmp_path):
+    """CREATE OR REPLACE TABLE: same-layout versioned targets replace in
+    ONE snapshot (pre-replace state stays time-travelable; constraints
+    reset with the new definition); a layout change drops and recreates;
+    the SELECT may read the table it replaces; plain CREATE on an
+    existing name still refuses."""
+    e = Engine(spark, str(tmp_path / "w"))
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, s string"
+    ).createOrReplaceTempView("corr_src")
+    e.sql("CREATE VERSIONED TABLE t AS SELECT * FROM corr_src")
+    e.add_constraint("t", "id_pos", "id > 0")
+    with pytest.raises(ValueError, match="already exists"):
+        e.sql("CREATE VERSIONED TABLE t AS SELECT * FROM corr_src")
+    # same layout: one rewrite snapshot, history preserved
+    st = e.sql(
+        "CREATE OR REPLACE VERSIONED TABLE t AS "
+        "SELECT id * 10 AS id, s FROM corr_src"
+    ).head()
+    assert st["operation"] == "replace_table_as"
+    assert {r.id for r in e.table("t").collect()} == {10, 20}
+    assert {r.id for r in e.table("t", version=1).collect()} == {1, 2}
+    # constraints reset with the new definition: negative ids now land
+    assert e.specs["t"].constraints == {}
+    e.sql("INSERT INTO t SELECT -5, 'neg'")
+    assert e.table("t").filter("id = -5").count() == 1
+    # self-referencing replace
+    e.sql("CREATE OR REPLACE VERSIONED TABLE t AS SELECT * FROM t WHERE id > 0")
+    assert {r.id for r in e.table("t").collect()} == {10, 20}
+    # layout change: drop + recreate (fresh history, partitioned layout)
+    e.sql(
+        "CREATE OR REPLACE VERSIONED TABLE t PARTITIONED BY (s) AS "
+        "SELECT * FROM corr_src"
+    )
+    assert {r.id for r in e.table("t").collect()} == {1, 2}
+    assert e.specs["t"].partition_by == ["s"]
+    # fresh table: old history gone (exactly the one 'create' snapshot)
+    assert len(e._snapstore("t").versions()) == 1
+
+
+def test_restore_to_timestamp(spark, tmp_path):
+    """RESTORE ... TO TIMESTAMP AS OF resolves like time travel (latest
+    snapshot at or before the instant) and rolls the table back."""
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame([(1, "a")], "id bigint, s string")
+    e.create_table("t", df, keys=["id"], versioned=True)
+    hist1 = [
+        h for h in e._snapstore("t").history()
+    ]
+    ts1 = max(h["ts_ns"] for h in hist1)
+    e.insert("t", spark.createDataFrame([(2, "b")], "id bigint, s string"))
+    assert e.table("t").count() == 2
+    import datetime as dt
+
+    iso = (
+        dt.datetime.fromtimestamp(ts1 / 1e9, dt.timezone.utc)
+        .replace(tzinfo=None)
+        .isoformat()
+    )
+    st = e.sql(f"RESTORE TABLE t TO TIMESTAMP AS OF '{iso}'").head()
+    assert st["operation"] == "restore"
+    assert {r.id for r in e.table("t").collect()} == {1}
