@@ -783,3 +783,40 @@ def test_apply_changes_reserved_batch_columns_refused(spark, tmp_path):
     )
     apply_changes_batch(eng, "t", ok, sequence_by="__seq")
     assert eng.table("t").filter("k = 1").head().s == "b"
+
+
+def test_apply_changes_composes_with_quarantine(spark, tmp_path):
+    """DLT composition: APPLY CHANGES + a 'quarantine' expectation — a
+    violating sequenced upsert is quarantined WHOLE (the key's old state
+    survives, the bad row lands in {table}_quarantine with its rule
+    tag), clean changes in the same batch apply, and deletes are
+    unaffected."""
+    from polars_lake_spark.streaming.ingest import apply_changes_batch
+
+    eng = Engine(spark, str(tmp_path / "r"))
+    seed = spark.createDataFrame(
+        [(i, f"v{i}", 10) for i in range(4)],
+        "id bigint, s string, score int",
+    )
+    eng.create_table(
+        "tgt", seed, keys=["id"], versioned=True,
+        expectations={
+            "score_ok": {"expr": "score >= 0", "action": "quarantine"}
+        },
+    )
+    b = spark.createDataFrame(
+        [
+            (1, "new1", 50, "update", 100),   # clean: lands
+            (2, "bad2", -5, "update", 110),   # violates: quarantined
+            (3, None, None, "delete", 120),   # delete: unaffected
+        ],
+        "id bigint, s string, score int, _op string, seq bigint",
+    )
+    apply_changes_batch(eng, "tgt", b, sequence_by="seq")
+    got = {r.id: (r.s, r.score) for r in eng.table("tgt").collect()}
+    assert got[1] == ("new1", 50)
+    assert got[2] == ("v2", 10)          # old state survived
+    assert 3 not in got
+    quar = eng.table("tgt_quarantine").collect()
+    assert len(quar) == 1 and quar[0].id == 2
+    assert list(quar[0]["__rules"]) == ["score_ok"]
