@@ -346,16 +346,27 @@ def _batch_key_conjuncts(
     conj = []
     if len(head) <= in_cap:
         for k in keys:
-            lits = sorted(
-                {
-                    v
-                    for r in head
-                    if (v := _zm_probe_literal(r[k])) is not None
-                },
-                key=str,
-            )
-            if lits:
-                conj.append((k.lower(), "in", lits))
+            # Poison rule (mirrors the BETWEEN path): a NON-NULL batch
+            # key that _zm_probe_literal cannot map (NaN float, exotic
+            # type) disqualifies the whole column's conjunct — Spark's
+            # join equality DOES match NaN=NaN, but spec-compliant
+            # foreign-written stats ignore NaN, so an `IN (rest)` list
+            # could prune the very file holding the NaN row and the
+            # stale filter would miss its watermark.  NULL keys are
+            # safely skipped instead: equality joins never match NULL,
+            # so no pruned file can hide a NULL-keyed match.
+            lits, poisoned = set(), False
+            for r in head:
+                raw = r[k]
+                if raw is None:
+                    continue
+                v = _zm_probe_literal(raw)
+                if v is None:
+                    poisoned = True
+                    break
+                lits.add(v)
+            if lits and not poisoned:
+                conj.append((k.lower(), "in", sorted(lits, key=str)))
         return conj
     row = bkeys.agg(
         *[a for k in keys for a in (F.min(F.col(k)), F.max(F.col(k)))]
@@ -420,22 +431,49 @@ def _guard_batch_columns(fn: str, b: DataFrame, sequence_by: str | None):
         )
 
 
+def _hashable(col, dt):
+    """Rewrite a column into a form Spark's hash functions accept AND
+    that is stable on logical value: MapType (at any nesting) becomes a
+    key-sorted ``array<struct<key,value>>`` (map iteration order is
+    undefined, so hashing raw entries — even if Spark allowed it —
+    could differ between two logically-equal maps).  Struct/array
+    wrappers recurse; map-free columns pass through untouched."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        entries = F.transform(
+            F.map_entries(col),
+            lambda e: F.struct(
+                _hashable(e["key"], dt.keyType).alias("key"),
+                _hashable(e["value"], dt.valueType).alias("value"),
+            ),
+        )
+        return F.array_sort(entries)
+    if "map<" not in dt.simpleString():
+        return col
+    if isinstance(dt, T.ArrayType):
+        return F.transform(col, lambda e: _hashable(e, dt.elementType))
+    if isinstance(dt, T.StructType):
+        return F.struct(
+            *[
+                _hashable(col[f.name], f.dataType).alias(f.name)
+                for f in dt.fields
+            ]
+        )
+    return col
+
+
 def _tie_hash(df: DataFrame):
     """The deterministic duplicate-(key, seq) tiebreak: a stable
-    xxhash64 over the row.  Map-typed columns (at any nesting) are
-    excluded — Spark's hash functions reject MapType (map iteration
-    order is undefined), and a crash on an otherwise-legal CDC schema
-    would be worse than the residual edge (two duplicates differing
-    ONLY in a map column still tie arbitrarily, but deterministically
-    per batch content for everything else)."""
-    cols = [
-        f.name
-        for f in df.schema.fields
-        if "map<" not in f.dataType.simpleString()
-    ]
+    xxhash64 over the full row.  Map-typed columns (at any nesting) —
+    which Spark's hash functions reject — are folded in as key-sorted
+    entry arrays via ``_hashable``, so duplicates differing ONLY in a
+    map column resolve deterministically too (closes the r12 verdict
+    residual)."""
+    cols = [_hashable(F.col(f.name), f.dataType) for f in df.schema.fields]
     if not cols:
         return F.lit(0)
-    return F.xxhash64(*[F.col(c) for c in cols])
+    return F.xxhash64(*cols)
 
 
 def _apply_truncates(
