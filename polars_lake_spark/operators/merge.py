@@ -169,6 +169,112 @@ def with_audit_columns(
     return df
 
 
+def normalize_matched_clauses(
+    matched_clauses,
+    *,
+    when_matched_delete=None,
+    when_matched_update: bool = True,
+    when_matched_update_condition=None,
+    set_exprs: dict | None = None,
+) -> list[dict]:
+    """Fold the legacy single-update/single-delete kwargs and the new
+    ordered ``matched_clauses`` list into ONE normalized shape: a list of
+    ``{"action": "update"|"delete", "condition": Column|None,
+    "set": dict|None}`` evaluated in order, first-match-wins (Delta's
+    multi-clause WHEN MATCHED semantics).  ``set=None`` on an update
+    clause means ``UPDATE SET *``.  The two forms are mutually
+    exclusive — mixing them would make clause ORDER ambiguous."""
+    if matched_clauses is not None:
+        if (
+            when_matched_delete is not None
+            or when_matched_update_condition is not None
+            or set_exprs is not None
+            or not when_matched_update
+        ):
+            raise ValueError(
+                "merge_into: matched_clauses cannot be combined with the "
+                "legacy when_matched_* / set_exprs kwargs"
+            )
+        out = []
+        for cl in matched_clauses:
+            act = cl.get("action")
+            if act not in ("update", "delete"):
+                raise ValueError(
+                    f"merge_into: unknown matched-clause action {act!r}"
+                )
+            if act == "delete" and cl.get("set") is not None:
+                raise ValueError(
+                    "merge_into: a DELETE clause cannot carry SET "
+                    "assignments"
+                )
+            out.append(
+                {
+                    "action": act,
+                    "condition": cl.get("condition"),
+                    "set": cl.get("set"),
+                }
+            )
+        return out
+    clauses: list[dict] = []
+    # legacy precedence: the delete condition wins over the update on a
+    # matched row, i.e. delete clause first in ordered form
+    if when_matched_delete is not None:
+        clauses.append(
+            {"action": "delete", "condition": when_matched_delete, "set": None}
+        )
+    if when_matched_update or set_exprs is not None:
+        clauses.append(
+            {
+                "action": "update",
+                "condition": when_matched_update_condition,
+                "set": set_exprs,
+            }
+        )
+    return clauses
+
+
+def matched_clause_gates(matched, clauses: list[dict]):
+    """Ordered first-match-wins gates for normalized matched clauses:
+    gate *i* fires iff the row is matched, no earlier clause fired, and
+    clause *i*'s condition passes (a NULL condition result never fires —
+    SQL three-valued logic).  Returns ``(gates, delete_fired,
+    update_fired)``."""
+    gates = []
+    prior = F.lit(False)
+    for cl in clauses:
+        cond = cl["condition"]
+        g = matched & ~prior
+        if cond is not None:
+            g = g & F.coalesce(cond, F.lit(False))
+        gates.append(g)
+        prior = prior | g
+    delete_fired = F.lit(False)
+    update_fired = F.lit(False)
+    for cl, g in zip(clauses, gates):
+        if cl["action"] == "delete":
+            delete_fired = delete_fired | g
+        else:
+            update_fired = update_fired | g
+    return gates, delete_fired, update_fired
+
+
+def matched_set_columns(clauses: list[dict], old_cols) -> set:
+    """All explicitly-assigned SET columns across the clause list (for
+    the engine's key/bucket refusal) — also validates each against the
+    target's column set."""
+    assigned: set = set()
+    for cl in clauses:
+        if cl.get("set"):
+            unknown = sorted(set(cl["set"]) - set(old_cols))
+            if unknown:
+                raise ValueError(
+                    f"merge_into: SET columns {unknown} are not target "
+                    "columns"
+                )
+            assigned |= set(cl["set"])
+    return assigned
+
+
 def merge_into(
     old: DataFrame,
     new: DataFrame,
@@ -181,37 +287,45 @@ def merge_into(
     set_exprs: dict | None = None,
     when_not_matched_by_source_delete=None,
     when_matched_update_condition=None,
+    matched_clauses: list | None = None,
+    by_source_protected_keys: DataFrame | None = None,
 ) -> DataFrame:
     """SQL MERGE INTO semantics as a pure transform (the Delta/Iceberg
     statement the reference never reached):
 
-    * matched  + ``when_matched_delete`` condition true  → row removed
-    * matched  (otherwise, if ``when_matched_update`` — optionally gated
-      by ``when_matched_update_condition``, Delta's ``WHEN MATCHED AND c
-      THEN UPDATE``; matched rows failing the condition keep old values)
-      → coalesce merge (or last-write-wins with ``null_clobbers=True``;
-      or the explicit ``set_exprs`` assignments — Delta's ``UPDATE SET
-      c = e`` — where unassigned columns keep their OLD values)
+    * matched → the ORDERED matched clauses evaluate first-match-wins
+      (Delta's multi-clause ``WHEN MATCHED [AND c] THEN UPDATE|DELETE``):
+      the first clause whose condition passes fires — DELETE removes the
+      row, UPDATE takes its assignments (``set=None`` = ``UPDATE SET *``:
+      coalesce merge, or last-write-wins with ``null_clobbers=True``;
+      an explicit ``set`` dict leaves unassigned columns at their OLD
+      values).  Matched rows firing no clause keep old values.  Pass
+      either the ordered ``matched_clauses`` list or the legacy
+      single-clause kwargs (``when_matched_delete`` /
+      ``when_matched_update`` [+ ``when_matched_update_condition``] /
+      ``set_exprs``) — never both.
     * source-only (if ``when_not_matched_insert``)        → inserted
     * target-only + ``when_not_matched_by_source_delete`` condition true
       → row removed (Delta's WHEN NOT MATCHED BY SOURCE THEN DELETE);
       target-only otherwise                               → kept
 
-    ``when_matched_delete``, ``when_matched_update_condition``, and each
-    ``set_exprs`` value are Columns evaluated over the joined row —
-    reference source columns as ``n.<col>`` and target as ``o.<col>``;
-    ``when_not_matched_by_source_delete`` sees only the target side.
-    One full-outer join on the keys, same shuffle shape as upsert().
+    Clause conditions and each SET value are Columns evaluated over the
+    joined row — reference source columns as ``n.<col>`` and target as
+    ``o.<col>``; ``when_not_matched_by_source_delete`` sees only the
+    target side.  One full-outer join on the keys, same shuffle shape as
+    upsert() — N clauses add column expressions, never extra joins.
     """
     keys = list(keys)
     old_cols = old.columns
     new_cols = set(new.columns)
-    if set_exprs:
-        unknown = sorted(set(set_exprs) - set(old_cols))
-        if unknown:
-            raise ValueError(
-                f"merge_into: SET columns {unknown} are not target columns"
-            )
+    clauses = normalize_matched_clauses(
+        matched_clauses,
+        when_matched_delete=when_matched_delete,
+        when_matched_update=when_matched_update,
+        when_matched_update_condition=when_matched_update_condition,
+        set_exprs=set_exprs,
+    )
+    matched_set_columns(clauses, old_cols)
     o = old.alias("o")
     n = new.alias("n")
     joined = o.join(
@@ -222,19 +336,33 @@ def merge_into(
         "__n_present", F.col(f"n.{keys[0]}").isNotNull()
     )
     matched = F.col("__o_present") & F.col("__n_present")
-    # the rows the update clause actually touches: matched, and (when a
-    # clause condition was given) passing it — others keep old values
-    upd_gate = matched
-    if when_matched_update_condition is not None:
-        upd_gate = matched & F.coalesce(
-            when_matched_update_condition, F.lit(False)
-        )
+    gates, delete_fired, _ = matched_clause_gates(matched, clauses)
 
-    keep = F.lit(True)
-    if when_matched_delete is not None:
-        keep = ~(matched & F.coalesce(when_matched_delete, F.lit(False)))
+    keep = ~delete_fired
     if when_not_matched_by_source_delete is not None:
         target_only = F.col("__o_present") & ~F.col("__n_present")
+        if by_source_protected_keys is not None:
+            # keys that still count as 'matched by source' even though
+            # the join's n side lacks them (the caller's expectation
+            # layer quarantined those change rows; a violating change
+            # must not CAUSE its target match's deletion).  The protect
+            # set is batch-sized → broadcast left join, one flag column.
+            p = (
+                by_source_protected_keys.select(
+                    *[F.col(k).alias(f"__pk_{k}") for k in keys]
+                )
+                .distinct()
+                .withColumn("__p_present", F.lit(True))
+            )
+            joined = joined.join(
+                F.broadcast(p),
+                on=[
+                    F.col(f"o.{k}").eqNullSafe(F.col(f"__pk_{k}"))
+                    for k in keys
+                ],
+                how="left_outer",
+            )
+            target_only = target_only & F.col("__p_present").isNull()
         keep = keep & ~(
             target_only
             & F.coalesce(when_not_matched_by_source_delete, F.lit(False))
@@ -247,47 +375,37 @@ def merge_into(
     for c in old_cols:
         if c in keys:
             select.append(F.coalesce(F.col(f"o.{c}"), F.col(f"n.{c}")).alias(c))
-        elif set_exprs is not None:
-            # explicit assignments: matched rows take their SET
-            # expression (unassigned columns keep old values); inserts
-            # take source values; target-only rows keep old values (for
-            # insert rows the o side is a typed NULL, so the fallback
-            # never manufactures a wrong type)
-            upd = set_exprs[c] if c in set_exprs else F.col(f"o.{c}")
-            select.append(
-                F.when(upd_gate, upd)
-                .when(F.col("__o_present"), F.col(f"o.{c}"))
-                .otherwise(
-                    F.col(f"n.{c}") if c in new_cols else F.col(f"o.{c}")
-                )
-                .alias(c)
-            )
-        elif c in new_cols:
-            if not when_matched_update:
-                # updates suppressed: matched rows keep old values; pure
-                # inserts still take source values
-                select.append(
-                    F.when(F.col("__o_present"), F.col(f"o.{c}"))
-                    .otherwise(F.col(f"n.{c}"))
-                    .alias(c)
-                )
-            elif null_clobbers:
-                select.append(
-                    F.when(upd_gate, F.col(f"n.{c}"))
-                    .when(F.col("__o_present"), F.col(f"o.{c}"))
-                    .otherwise(F.col(f"n.{c}"))
-                    .alias(c)
+            continue
+        # matched-row value: the first FIRING update clause's assignment
+        # wins (delete gates never reach here — deleted rows left via
+        # `keep`); a matched row firing no update clause keeps old values
+        w = None
+        for cl, g in zip(clauses, gates):
+            if cl["action"] != "update":
+                continue
+            if cl["set"] is not None:
+                # explicit assignments: unassigned columns keep OLD values
+                v = cl["set"][c] if c in cl["set"] else F.col(f"o.{c}")
+            elif c in new_cols:
+                # UPDATE SET *: last-write-wins under null_clobbers,
+                # else coalesce merge (the reference's upsert rule)
+                v = (
+                    F.col(f"n.{c}")
+                    if null_clobbers
+                    else F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}"))
                 )
             else:
-                select.append(
-                    F.when(
-                        upd_gate,
-                        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")),
-                    )
-                    .when(F.col("__o_present"), F.col(f"o.{c}"))
-                    .otherwise(F.col(f"n.{c}"))
-                    .alias(c)
-                )
-        else:
-            select.append(F.col(f"o.{c}").alias(c))
+                v = F.col(f"o.{c}")
+            w = (w.when if w is not None else F.when)(g, v)
+        matched_val = (
+            w.otherwise(F.col(f"o.{c}")) if w is not None else F.col(f"o.{c}")
+        )
+        # target-only rows keep old values; insert rows take source
+        # values (for insert rows the o side is a typed NULL, so the
+        # fallback never manufactures a wrong type)
+        select.append(
+            F.when(F.col("__o_present"), matched_val)
+            .otherwise(F.col(f"n.{c}") if c in new_cols else F.col(f"o.{c}"))
+            .alias(c)
+        )
     return joined.select(*select)

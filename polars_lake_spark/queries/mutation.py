@@ -1806,6 +1806,81 @@ def merge_conditional_update_check(spark, sf_dir):
 
 
 @register(
+    "merge_multi_clause_check",
+    oracle="""
+    WITH res AS (
+        SELECT o_orderkey, 'M' AS o_orderstatus,
+               o_totalprice + 1 AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 5 = 0
+          AND o_totalprice >= 50000 AND o_totalprice < 150000
+        UNION ALL
+        SELECT o_orderkey, 'S' AS o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 5 = 0 AND o_totalprice >= 150000
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0
+        UNION ALL
+        SELECT o_orderkey + 90000000, 'S' AS o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 53 = 0
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM res GROUP BY o_orderstatus
+    """,
+    doc="Ordered multi-clause MERGE (operators/merge.py:merge_into "
+    "matched_clauses — Delta's 'WHEN MATCHED AND c1 THEN DELETE WHEN "
+    "MATCHED AND c2 THEN UPDATE SET ... WHEN MATCHED THEN UPDATE SET *' "
+    "first-match-wins stack): a gated delete, a gated explicit-SET "
+    "update, and an unconditioned SET * catch-all evaluate in order on "
+    "each matched row; unmatched targets keep, source-only keys insert. "
+    "The oracle states the closed form of every row class.",
+)
+def merge_multi_clause_check(spark, sf_dir):
+    """N ordered matched clauses stay ONE full-outer join — each clause
+    adds a boolean gate column (first-match-wins when-chain), never a
+    second shuffle or target pass, so the clause count is free at
+    100 TB."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 53 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 90_000_000
+            )
+        )
+        .withColumn("o_orderstatus", F.lit("S"))
+    )
+    merged = M.merge_into(
+        orders,
+        src,
+        keys=["o_orderkey"],
+        matched_clauses=[
+            {
+                "action": "delete",
+                "condition": F.col("n.o_totalprice") < 50000,
+            },
+            {
+                "action": "update",
+                "condition": F.col("n.o_totalprice") < 150000,
+                "set": {
+                    "o_totalprice": F.col("n.o_totalprice") + 1,
+                    "o_orderstatus": F.lit("M"),
+                },
+            },
+            {"action": "update", "condition": None, "set": None},
+        ],
+        null_clobbers=True,
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
     "expectations_quarantine_check",
     oracle="""
     WITH base AS (

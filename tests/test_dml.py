@@ -305,8 +305,9 @@ def test_merge_explicit_update_set(eng, spark):
             "MERGE INTO mr USING mr_src ON mr.id = mr_src.id "
             "WHEN MATCHED THEN UPDATE SET nope = 1"
         )
-    # two matched-update clauses are ambiguous
-    with pytest.raises(ValueError, match="at most one"):
+    # multiple WHEN MATCHED clauses are ordered first-match-wins, so an
+    # UNconditioned clause anywhere but last makes the rest dead — refuse
+    with pytest.raises(ValueError, match="only the last may omit"):
         eng.sql(
             "MERGE INTO mr USING mr_src ON mr.id = mr_src.id "
             "WHEN MATCHED THEN UPDATE SET v = 1 "
@@ -1792,3 +1793,250 @@ def test_restore_to_timestamp(spark, tmp_path):
     st = e.sql(f"RESTORE TABLE t TO TIMESTAMP AS OF '{iso}'").head()
     assert st["operation"] == "restore"
     assert {r.id for r in e.table("t").collect()} == {1}
+
+
+def test_merge_multiple_ordered_when_matched_clauses(eng, spark):
+    """Delta's multi-clause MERGE: WHEN MATCHED clauses evaluate in
+    order, FIRST match wins — gated updates, a gated delete, and a
+    final catch-all compose in one statement (VERDICT r12 item #2)."""
+    spark.createDataFrame(
+        [(1, -5.0), (2, 500.0), (3, 42.0), (9, 1.0)], "id bigint, v double"
+    ).createOrReplaceTempView("mc_src")
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"), (4, 40.0, "d")],
+        "id bigint, val double, tag string",
+    )
+    eng.create_table("mc", df, keys=["id"])
+    st = eng.sql(
+        "MERGE INTO mc USING mc_src AS s ON mc.id = s.id "
+        "WHEN MATCHED AND s.v < 0 THEN DELETE "
+        "WHEN MATCHED AND s.v > 100 THEN UPDATE SET val = s.v, tag = 'big' "
+        "WHEN MATCHED THEN UPDATE SET val = mc.val + s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    ).head()
+    assert st["operation"] == "merge"
+    got = {r.id: (r.val, r.tag) for r in eng.table("mc").collect()}
+    assert 1 not in got                      # first clause: delete
+    assert got[2] == (500.0, "big")          # second clause wins
+    assert got[3] == (72.0, "c")             # catch-all: 30 + 42
+    assert got[4] == (40.0, "d")             # unmatched target untouched
+    assert got[9] == (None, None)            # INSERT * (no val col match)
+    # first-match-wins: a row passing BOTH gated clauses takes the FIRST
+    spark.createDataFrame(
+        [(2, -1.0)], "id bigint, v double"
+    ).createOrReplaceTempView("mc_src2")
+    eng.sql(
+        "MERGE INTO mc USING mc_src2 AS s ON mc.id = s.id "
+        "WHEN MATCHED AND s.v < 0 THEN UPDATE SET tag = 'neg' "
+        "WHEN MATCHED AND s.v < 100 THEN DELETE"
+    )
+    got2 = {r.id: r.tag for r in eng.table("mc").collect()}
+    assert got2[2] == "neg"                  # updated, NOT deleted
+
+
+def test_merge_multi_clause_deletion_vectors(eng, spark):
+    """The ordered-clause executor must behave identically on the DV
+    merge-on-read path (refs + appends, zero rewrite)."""
+    spark.createDataFrame(
+        [(1, -5.0), (2, 500.0), (3, 42.0)], "id bigint, v double"
+    ).createOrReplaceTempView("mcdv_src")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)],
+        "id bigint, val double",
+    )
+    eng.create_table("mcdv", df, keys=["id"], versioned=True,
+                     deletion_vectors=True)
+    eng.sql(
+        "MERGE INTO mcdv USING mcdv_src AS s ON mcdv.id = s.id "
+        "WHEN MATCHED AND s.v < 0 THEN DELETE "
+        "WHEN MATCHED AND s.v > 100 THEN UPDATE SET val = s.v "
+        "WHEN MATCHED THEN UPDATE SET val = mcdv.val + s.v"
+    )
+    got = {r.id: r.val for r in eng.table("mcdv").collect()}
+    assert got == {2: 500.0, 3: 72.0, 4: 40.0}
+
+
+def test_merge_alias_inside_string_literal_untouched(eng, spark):
+    """ADVICE r12: the o/n alias rewrite must skip string literals — an
+    assignment whose VALUE is the text 's.x' lands verbatim."""
+    spark.createDataFrame([(1,)], "id bigint").createOrReplaceTempView(
+        "lit_src"
+    )
+    df = spark.createDataFrame([(1, "old")], "id bigint, note string")
+    eng.create_table("lt", df, keys=["id"])
+    eng.sql(
+        "MERGE INTO lt USING lit_src AS s ON lt.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET note = 's.x'"
+    )
+    assert eng.table("lt").head()["note"] == "s.x"
+
+
+def test_merge_by_source_delete_spares_quarantined_matches(eng, spark):
+    """ADVICE r12: a change row dropped by a quality expectation must
+    still count as 'matched by source' — WHEN NOT MATCHED BY SOURCE
+    DELETE may not remove its target match."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id bigint, val double"
+    )
+    eng.create_table("qb", df, keys=["id"])
+    eng.add_expectation("qb", "pos_val", "val >= 0", action="drop")
+    spark.createDataFrame(
+        [(1, 11.0), (2, -1.0)], "id bigint, val double"
+    ).createOrReplaceTempView("qb_src")
+    eng.sql(
+        "MERGE INTO qb USING qb_src AS s ON qb.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    got = {r.id: r.val for r in eng.table("qb").collect()}
+    assert got[1] == 11.0      # clean change applied
+    assert got[2] == 20.0      # quarantined change: target row SURVIVES
+    assert 3 not in got        # genuinely unmatched by source: deleted
+
+
+def test_merge_by_source_delete_spares_quarantined_matches_dv(eng, spark):
+    """Same guarantee on the deletion-vector merge path."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id bigint, val double"
+    )
+    eng.create_table(
+        "qbdv", df, keys=["id"], versioned=True, deletion_vectors=True
+    )
+    eng.add_expectation("qbdv", "pos_val", "val >= 0", action="drop")
+    spark.createDataFrame(
+        [(1, 11.0), (2, -1.0)], "id bigint, val double"
+    ).createOrReplaceTempView("qbdv_src")
+    eng.sql(
+        "MERGE INTO qbdv USING qbdv_src AS s ON qbdv.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    got = {r.id: r.val for r in eng.table("qbdv").collect()}
+    assert got[1] == 11.0 and got[2] == 20.0 and 3 not in got
+
+
+def test_create_or_replace_failure_atomicity(spark, tmp_path):
+    """ADVICE r12 (high): a failing CREATE OR REPLACE must leave the old
+    table byte-identical — data, constraints, expectations, history.
+    The layout-change path stages under a temp name and swaps only on
+    success; the same-layout path persists its property reset only
+    after the overwrite commits."""
+    e = Engine(spark, str(tmp_path / "w"))
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id bigint, s string"
+    ).createOrReplaceTempView("atom_src")
+    e.sql("CREATE VERSIONED TABLE t AS SELECT * FROM atom_src")
+    e.add_constraint("t", "id_pos", "id > 0")
+    e.add_expectation("t", "s_nonempty", "length(s) > 0", action="drop")
+
+    # (1) layout change whose create_table validation fails: CLUSTER BY
+    # requires VERSIONED — fires AFTER the old drop in the r12 code
+    with pytest.raises(ValueError):
+        e.sql(
+            "CREATE OR REPLACE TABLE t CLUSTER BY (id) AS "
+            "SELECT * FROM atom_src"
+        )
+    assert {r.id for r in e.table("t").collect()} == {1, 2}
+    assert "id_pos" in e.specs["t"].constraints
+    assert "s_nonempty" in e.specs["t"].expectations
+
+    # (2) PARTITIONED BY column missing from the SELECT
+    with pytest.raises(Exception):
+        e.sql(
+            "CREATE OR REPLACE VERSIONED TABLE t PARTITIONED BY (nope) "
+            "AS SELECT * FROM atom_src"
+        )
+    assert {r.id for r in e.table("t").collect()} == {1, 2}
+    assert "id_pos" in e.specs["t"].constraints
+
+    # (3) same-layout replace whose SELECT fails at RUNTIME: the
+    # property reset must not persist (r12 cleared + wrote the manifest
+    # before spark.sql even ran)
+    with pytest.raises(Exception):
+        e.sql(
+            "CREATE OR REPLACE VERSIONED TABLE t AS "
+            "SELECT id, s, assert_true(id < 0) AS x FROM atom_src"
+        )
+    assert {r.id for r in e.table("t").collect()} == {1, 2}
+    assert "id_pos" in e.specs["t"].constraints
+    assert "s_nonempty" in e.specs["t"].expectations
+    # manifest on disk agrees (a fresh engine sees the constraints)
+    e2 = Engine(spark, str(tmp_path / "w"))
+    assert "id_pos" in e2.load_table("t").constraints
+
+    # (4) same-layout analysis error: nothing ran, nothing reset
+    with pytest.raises(Exception):
+        e.sql("CREATE OR REPLACE VERSIONED TABLE t AS SELECT nope FROM t")
+    assert "id_pos" in e.specs["t"].constraints
+
+    # no staging residue survived any of the failures
+    assert _resolve_names(e) == {"t"}
+
+
+def _resolve_names(e):
+    return {n for n in e.specs if not n.startswith("_")}
+
+
+def test_create_or_replace_key_validation(spark, tmp_path):
+    """ADVICE r12 (low): a same-layout replace whose SELECT drops a key
+    column clears spec.keys instead of advertising a key that no longer
+    exists; keys survive when the new definition still carries them."""
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame([(1, "a", 1.0)], "id bigint, s string, v double")
+    e.create_table("t", df, keys=["id"], versioned=True)
+    # keys survive a replace that keeps the key column
+    e.sql("CREATE OR REPLACE VERSIONED TABLE t AS SELECT id, s FROM t")
+    assert e.specs["t"].keys == ["id"]
+    # keys clear when the key column is dropped
+    e.sql("CREATE OR REPLACE VERSIONED TABLE t AS SELECT s FROM t")
+    assert e.specs["t"].keys == []
+
+
+def test_create_or_replace_layout_change_not_pinned(spark, tmp_path):
+    """VERDICT r12 perf weak: the layout-change path must not
+    localCheckpoint the full SELECT — the staging write is the only
+    materialization.  Pin by absence: no RDD checkpoint blocks appear
+    during the replace."""
+    e = Engine(spark, str(tmp_path / "w"))
+    spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(100)], "id bigint, g string"
+    ).createOrReplaceTempView("np_src")
+    e.sql("CREATE VERSIONED TABLE t AS SELECT * FROM np_src")
+    sc = spark.sparkContext
+    before = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+    e.sql(
+        "CREATE OR REPLACE VERSIONED TABLE t PARTITIONED BY (g) AS "
+        "SELECT * FROM t"
+    )
+    after = {r.id() for r in sc._jsc.sc().getRDDStorageInfo()}
+    # no NEW storage appeared (stale entries from other tests may age
+    # OUT between the samples — only additions indicate a pin)
+    assert after <= before, "replace pinned RDD storage"
+    assert e.table("t").count() == 100
+    assert e.specs["t"].partition_by == ["g"]
+
+
+def test_rename_table(spark, tmp_path):
+    """rename_table: one metadata move — data, snapshots, constraints
+    and views all travel; old name gone; collisions and unsupported
+    layouts refuse."""
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame([(1, "a")], "id bigint, s string")
+    e.create_table("src_t", df, keys=["id"], versioned=True)
+    e.add_constraint("src_t", "id_pos", "id > 0")
+    e.upsert("src_t", spark.createDataFrame([(2, "b")], "id bigint, s string"))
+    e.rename_table("src_t", "dst_t")
+    assert {r.id for r in e.table("dst_t").collect()} == {1, 2}
+    assert "id_pos" in e.specs["dst_t"].constraints
+    assert len(e._snapstore("dst_t").versions()) == 2  # history travels
+    assert e.sql("SELECT count(*) AS n FROM dst_t").head()["n"] == 2
+    assert "src_t" not in e.specs
+    with pytest.raises(Exception):
+        e.table("src_t").count()
+    # fresh engine loads the renamed manifest
+    e2 = Engine(spark, str(tmp_path / "w"))
+    assert e2.load_table("dst_t").name == "dst_t"
+    # collision refusal
+    e.create_table("other", df)
+    with pytest.raises(ValueError, match="already exists"):
+        e.rename_table("dst_t", "other")

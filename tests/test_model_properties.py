@@ -577,3 +577,110 @@ def test_merge_into_clauses_match_model(spark, data):
         insert=insert,
     )
     assert got == want, (old_rows, new_rows, sorted(kwargs))
+
+
+def _ordered_clause_model(old_rows, new_rows, clause_specs, insert):
+    """Python model of ordered first-match-wins WHEN MATCHED clauses
+    over (k, v) rows.  Each spec is (action, cond_thresh|None,
+    explicit_set) with condition ``n.v < thresh``; explicit SET means
+    ``v = o.v + n.v``, SET * is last-write-wins."""
+    old, new, out = dict(old_rows), dict(new_rows), {}
+    for k, ov in old.items():
+        if k not in new:
+            out[k] = ov
+            continue
+        nv = new[k]
+        fired = False
+        for action, thresh, explicit in clause_specs:
+            if thresh is not None and not (nv < thresh):
+                continue
+            fired = True
+            if action == "update":
+                out[k] = (ov + nv) if explicit else nv
+            break  # first match wins (delete: k stays absent)
+        if not fired:
+            out[k] = ov
+    if insert:
+        for k, nv in new.items():
+            if k not in old:
+                out[k] = nv
+    return out
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_merge_ordered_matched_clauses_match_model(spark, data):
+    """N ordered WHEN MATCHED clauses (gated updates/deletes in random
+    order, optional unconditioned final clause) must equal the Python
+    first-match-wins model exactly — Delta's multi-clause MERGE
+    semantics (VERDICT r12 item #2)."""
+    from pyspark.sql import functions as F
+
+    from polars_lake_spark.operators.merge import merge_into
+
+    old_rows = {
+        data.draw(st.integers(min_value=1, max_value=8)): data.draw(
+            st.integers(min_value=0, max_value=100)
+        )
+        for _ in range(data.draw(st.integers(min_value=0, max_value=6)))
+    }
+    new_rows = {
+        data.draw(st.integers(min_value=1, max_value=8)): data.draw(
+            st.integers(min_value=0, max_value=100)
+        )
+        for _ in range(data.draw(st.integers(min_value=0, max_value=6)))
+    }
+    n_clauses = data.draw(st.integers(min_value=0, max_value=4))
+    specs = []
+    for i in range(n_clauses):
+        action = data.draw(st.sampled_from(["update", "delete"]))
+        # only the LAST clause may be unconditioned
+        thresh = (
+            data.draw(
+                st.one_of(
+                    st.none(), st.integers(min_value=0, max_value=100)
+                )
+            )
+            if i == n_clauses - 1
+            else data.draw(st.integers(min_value=0, max_value=100))
+        )
+        explicit = data.draw(st.booleans()) if action == "update" else False
+        specs.append((action, thresh, explicit))
+    insert = data.draw(st.booleans())
+
+    old = spark.createDataFrame(
+        list(old_rows.items()) or [(None, None)], "k bigint, v bigint"
+    ).filter("k IS NOT NULL" if not old_rows else "true")
+    new = spark.createDataFrame(
+        list(new_rows.items()) or [(None, None)], "k bigint, v bigint"
+    ).filter("k IS NOT NULL" if not new_rows else "true")
+    clauses = []
+    for action, thresh, explicit in specs:
+        clauses.append(
+            {
+                "action": action,
+                "condition": (
+                    (F.col("n.v") < thresh) if thresh is not None else None
+                ),
+                "set": (
+                    {"v": F.col("o.v") + F.col("n.v")} if explicit else None
+                ),
+            }
+        )
+    got = {
+        r.k: r.v
+        for r in merge_into(
+            old,
+            new,
+            keys=["k"],
+            matched_clauses=clauses,
+            when_not_matched_insert=insert,
+            null_clobbers=True,
+        ).collect()
+    }
+    want = _ordered_clause_model(old_rows, new_rows, specs, insert)
+    assert got == want, (old_rows, new_rows, specs, insert)
