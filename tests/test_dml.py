@@ -2040,3 +2040,73 @@ def test_rename_table(spark, tmp_path):
     e.create_table("other", df)
     with pytest.raises(ValueError, match="already exists"):
         e.rename_table("dst_t", "other")
+
+
+def test_reserved_side_table_names_refused(spark, tmp_path):
+    """VERDICT r12 hygiene: `{t}_quarantine` / `{t}_cdc_tombstones` /
+    `{t}_cdc_meta` are reserved companion names while `t` exists — user
+    creation refuses, and the implicit writers refuse to append into an
+    independently-created table under the name."""
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame([(1, 1.0)], "id bigint, val double")
+    e.create_table("t", df, keys=["id"])
+    for suf in ("_quarantine", "_cdc_tombstones", "_cdc_meta"):
+        with pytest.raises(ValueError, match="reserved"):
+            e.create_table(f"t{suf}", df)
+        with pytest.raises(ValueError, match="reserved"):
+            e.sql(f"CREATE TABLE t{suf} AS SELECT * FROM t")
+    # no base table -> the name is free
+    e.create_table("free_quarantine", df)
+    # a user table created BEFORE the base existed must never silently
+    # become the quarantine log
+    e.create_table("u_quarantine", df)
+    e.create_table("u", df, keys=["id"])
+    e.add_expectation("u", "pos", "val >= 0", action="quarantine")
+    with pytest.raises(ValueError, match="not created as"):
+        e.insert("u", spark.createDataFrame([(2, -1.0)], "id bigint, val double"))
+    # ...and the engine's own side tables keep working
+    e.drop_table("u_quarantine", delete_files=True)
+    e.insert("u", spark.createDataFrame([(2, -1.0)], "id bigint, val double"))
+    assert e.table("u_quarantine").count() == 1
+    assert e.specs["u_quarantine"].side_table_of == "u"
+
+
+def test_cdc_side_table_collision_refused(spark, tmp_path):
+    """A pre-existing user `{t}_cdc_tombstones` refuses the CDC apply
+    instead of silently becoming the tombstone log."""
+    from polars_lake_spark.streaming.ingest import apply_changes_batch
+
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    e.create_table("t_cdc_tombstones", df, keys=["k"])  # user table first
+    e.create_table("t", df, keys=["k"])
+    b = spark.createDataFrame(
+        [(1, None, "delete", 10)], "k bigint, s string, _op string, seq bigint"
+    )
+    with pytest.raises(ValueError, match="not created as"):
+        apply_changes_batch(e, "t", b, sequence_by="seq")
+
+
+def test_vacuum_quarantine_retention(spark, tmp_path):
+    """vacuum_quarantine drops quarantined rows stamped before the
+    horizon (and unstamped legacy rows); newer rows survive."""
+    import datetime as dt
+
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame([(1, 1.0)], "id bigint, val double")
+    e.create_table("t", df, keys=["id"])
+    e.add_expectation("t", "pos", "val >= 0", action="quarantine")
+    e.insert("t", spark.createDataFrame([(2, -1.0), (3, -2.0)],
+                                        "id bigint, val double"))
+    assert e.table("t_quarantine").count() == 2
+    assert "__quarantined_at" in e.table("t_quarantine").columns
+    # nothing is older than a horizon in the past
+    past = dt.datetime.now() - dt.timedelta(days=1)
+    assert e.vacuum_quarantine("t", past) == 0
+    assert e.table("t_quarantine").count() == 2
+    # everything is older than a horizon in the future
+    future = dt.datetime.now() + dt.timedelta(days=1)
+    assert e.vacuum_quarantine("t", future.isoformat()) == 2
+    assert e.table("t_quarantine").count() == 0
+    # no quarantine table at all -> 0
+    assert e.vacuum_quarantine("nope", past) == 0
