@@ -145,12 +145,19 @@ _MERGE = re.compile(
     re.I | re.S,
 )
 _WHEN = re.compile(
-    r"WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+SOURCE)?\s*(?:AND\s+(.+?))?\s*THEN\s+"
+    r"WHEN\s+(NOT\s+)?MATCHED(\s+BY\s+SOURCE|\s+BY\s+TARGET)?"
+    r"\s*(?:AND\s+(.+?))?\s*THEN\s+"
     r"(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*"
-    # explicit assignments end at the next WHEN clause (the MATCHED
-    # lookahead keeps CASE WHEN expressions inside an assignment intact)
+    # explicit assignments / VALUES lists end at the next WHEN clause
+    # (the MATCHED lookahead keeps CASE WHEN expressions inside an
+    # assignment intact)
+    r"|INSERT\s*\(.+?\)\s*VALUES\s*\(.+?\)"
+    r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*;?\s*$)"
     r"|UPDATE\s+SET\s+.+?(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*;?\s*$))",
     re.I | re.S,
+)
+_MERGE_INSERT_VALUES = re.compile(
+    r"^INSERT\s*\((.+?)\)\s*VALUES\s*\((.+)\)\s*$", re.I | re.S
 )
 _APPLY_CHANGES = re.compile(
     r"^\s*APPLY\s+CHANGES\s+INTO\s+([A-Za-z_][\w.]*)"
@@ -1076,9 +1083,10 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     f"same-name column equalities (got {part.strip()!r})"
                 )
             keys.append(em.group(1))
-        matched_clauses = []  # ordered; first-match-wins (Delta)
-        not_matched_insert = False
-        by_source_delete = None
+        # three ORDERED clause families, each first-match-wins (Delta)
+        matched_clauses = []
+        not_matched_clauses = []
+        by_source_clauses = []
 
         def _fix_aliases(seg: str) -> str:
             for user, internal in (
@@ -1133,61 +1141,24 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     f"{rest[:60]!r}; supported actions are DELETE, "
                     "UPDATE SET * / UPDATE SET col = expr, INSERT *"
                 )
-            not_m, by_src, cond, action = (
+            not_m, by_qual, cond, action = (
                 cm.group(1),
                 cm.group(2),
                 cm.group(3),
                 cm.group(4),
             )
+            by_src = bool(by_qual) and "source" in by_qual.lower()
+            if by_qual and not not_m:
+                raise ValueError(
+                    f"MERGE: WHEN MATCHED takes no BY qualifier "
+                    f"(got{by_qual})"
+                )
             act = re.sub(r"\s+", " ", action.upper())
-            if by_src:
-                # WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE: target
-                # rows the source lacks; the condition sees only o.<col>
-                if not not_m or act != "DELETE":
-                    raise ValueError(
-                        "MERGE: WHEN NOT MATCHED BY SOURCE supports only "
-                        "THEN DELETE"
-                    )
-                if by_source_delete is not None:
-                    raise ValueError(
-                        "MERGE: at most one WHEN NOT MATCHED BY SOURCE "
-                        "clause"
-                    )
-                by_source_delete = (
-                    F.expr(_rewrite_aliases(cond)) if cond else F.lit(True)
-                )
-            elif not_m:
-                if act != "INSERT *" or cond:
-                    raise ValueError(
-                        "MERGE: WHEN NOT MATCHED supports only THEN INSERT *"
-                    )
-                not_matched_insert = True
-            elif act == "DELETE":
-                matched_clauses.append(
-                    {
-                        "action": "delete",
-                        "condition": (
-                            F.expr(_rewrite_aliases(cond)) if cond else None
-                        ),
-                        "set": None,
-                    }
-                )
-            elif act == "UPDATE SET *":
-                matched_clauses.append(
-                    {
-                        "action": "update",
-                        "condition": (
-                            F.expr(_rewrite_aliases(cond)) if cond else None
-                        ),
-                        "set": None,
-                    }
-                )
-            else:  # UPDATE SET col = expr, ...
-                set_exprs = {}
-                assigns = re.sub(
-                    r"^UPDATE\s+SET\s+", "", action, flags=re.I
-                ).strip()
-                for clause in _split_top_level(assigns):
+            cond_col = F.expr(_rewrite_aliases(cond)) if cond else None
+
+            def _parse_assignments(text: str) -> dict:
+                out = {}
+                for clause in _split_top_level(text):
                     col, eq, expr = clause.partition("=")
                     col = col.strip()
                     if not eq or not re.fullmatch(r"[A-Za-z_]\w*", col):
@@ -1195,28 +1166,113 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                             f"MERGE INTO {name}: cannot parse SET clause "
                             f"{clause!r}"
                         )
-                    set_exprs[col] = F.expr(_rewrite_aliases(expr.strip()))
+                    out[col] = F.expr(_rewrite_aliases(expr.strip()))
+                return out
+
+            if by_src:
+                # WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE |
+                # UPDATE SET c = e: target rows the source lacks; the
+                # condition/assignments see only o.<col>
+                if act == "DELETE":
+                    by_source_clauses.append(
+                        {"action": "delete", "condition": cond_col,
+                         "set": None}
+                    )
+                elif act.startswith("UPDATE SET") and act != "UPDATE SET *":
+                    assigns = re.sub(
+                        r"^UPDATE\s+SET\s+", "", action, flags=re.I
+                    ).strip()
+                    by_source_clauses.append(
+                        {
+                            "action": "update",
+                            "condition": cond_col,
+                            "set": _parse_assignments(assigns),
+                        }
+                    )
+                else:
+                    raise ValueError(
+                        "MERGE: WHEN NOT MATCHED BY SOURCE supports THEN "
+                        "DELETE or THEN UPDATE SET col = expr (no SET * — "
+                        "there is no source row)"
+                    )
+            elif not_m:
+                # WHEN NOT MATCHED [BY TARGET] [AND c] THEN INSERT * |
+                # INSERT (cols) VALUES (exprs)
+                if act == "INSERT *":
+                    not_matched_clauses.append(
+                        {"condition": cond_col, "values": None}
+                    )
+                else:
+                    im = _MERGE_INSERT_VALUES.match(action)
+                    if not im:
+                        raise ValueError(
+                            "MERGE: WHEN NOT MATCHED supports THEN "
+                            "INSERT * or INSERT (cols) VALUES (exprs)"
+                        )
+                    cols = [
+                        c.strip() for c in _split_top_level(im.group(1))
+                    ]
+                    vals = _split_top_level(im.group(2))
+                    if len(cols) != len(vals) or not cols:
+                        raise ValueError(
+                            f"MERGE INTO {name}: INSERT column list "
+                            f"({len(cols)}) and VALUES list ({len(vals)}) "
+                            "differ in length"
+                        )
+                    bad = [
+                        c for c in cols
+                        if not re.fullmatch(r"[A-Za-z_]\w*", c)
+                    ]
+                    if bad:
+                        raise ValueError(
+                            f"MERGE INTO {name}: cannot parse INSERT "
+                            f"columns {bad}"
+                        )
+                    not_matched_clauses.append(
+                        {
+                            "condition": cond_col,
+                            "values": {
+                                c: F.expr(_rewrite_aliases(v.strip()))
+                                for c, v in zip(cols, vals)
+                            },
+                        }
+                    )
+            elif act == "DELETE":
+                matched_clauses.append(
+                    {"action": "delete", "condition": cond_col, "set": None}
+                )
+            elif act == "UPDATE SET *":
+                matched_clauses.append(
+                    {"action": "update", "condition": cond_col, "set": None}
+                )
+            else:  # UPDATE SET col = expr, ...
+                assigns = re.sub(
+                    r"^UPDATE\s+SET\s+", "", action, flags=re.I
+                ).strip()
                 matched_clauses.append(
                     {
                         "action": "update",
-                        "condition": (
-                            F.expr(_rewrite_aliases(cond)) if cond else None
-                        ),
-                        "set": set_exprs,
+                        "condition": cond_col,
+                        "set": _parse_assignments(assigns),
                     }
                 )
             rest = rest[cm.end() :].strip()
-        # Delta's multi-clause rule: clauses evaluate in order, first
-        # match wins, and every WHEN MATCHED clause except the LAST must
-        # carry a condition — an unconditioned clause earlier in the list
-        # makes everything after it provably dead (the r12 parser
+        # Delta's multi-clause rule, applied PER FAMILY: clauses evaluate
+        # in order, first match wins, and every clause except the LAST
+        # must carry a condition — an unconditioned clause earlier in a
+        # family makes everything after it provably dead (the r12 parser
         # silently kept only the last update clause; ADVICE r12).
-        for cl in matched_clauses[:-1]:
-            if cl["condition"] is None:
-                raise ValueError(
-                    "MERGE: when multiple WHEN MATCHED clauses are given, "
-                    "only the last may omit its AND condition"
-                )
+        for fam, lst in (
+            ("WHEN MATCHED", matched_clauses),
+            ("WHEN NOT MATCHED", not_matched_clauses),
+            ("WHEN NOT MATCHED BY SOURCE", by_source_clauses),
+        ):
+            for cl in lst[:-1]:
+                if cl["condition"] is None:
+                    raise ValueError(
+                        f"MERGE: when multiple {fam} clauses are given, "
+                        "only the last may omit its AND condition"
+                    )
         if src_sql.startswith("("):
             # exactly ONE paren pair — strip('()') would also eat a
             # subquery's own trailing parens (… IN (1,2)) and emit
@@ -1236,13 +1292,13 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             src,
             keys,
             matched_clauses=matched_clauses,
-            when_not_matched_insert=not_matched_insert,
+            not_matched_clauses=not_matched_clauses,
+            by_source_clauses=by_source_clauses,
             # SQL / Delta UPDATE SET * is last-write-wins: a NULL in the
             # source DOES overwrite the target (the engine API's default
             # coalesce merge is the reference's upsert semantics, not
             # SQL's)
             null_clobbers=True,
-            when_not_matched_by_source_delete=by_source_delete,
         )
         return _status(engine, "merge", name, n)
 

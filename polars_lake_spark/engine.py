@@ -2471,6 +2471,8 @@ class Engine:
         when_not_matched_by_source_delete=None,
         when_matched_update_condition=None,
         matched_clauses: list | None = None,
+        not_matched_clauses: list | None = None,
+        by_source_clauses: list | None = None,
     ) -> None:
         """MERGE INTO <table> USING <source> with conditional actions
         (operators/merge.py:merge_into) through the same write paths as
@@ -2506,7 +2508,7 @@ class Engine:
         if not keys:
             raise ValueError(f"no merge keys for table {name}")
         # normalize up front: legacy single-clause kwargs and the ordered
-        # multi-clause list share one executor shape from here on
+        # multi-clause lists share one executor shape from here on
         clauses = M.normalize_matched_clauses(
             matched_clauses,
             when_matched_delete=when_matched_delete,
@@ -2514,8 +2516,14 @@ class Engine:
             when_matched_update_condition=when_matched_update_condition,
             set_exprs=set_exprs,
         )
+        nm_clauses = M.normalize_not_matched_clauses(
+            not_matched_clauses, when_not_matched_insert
+        )
+        bs_clauses = M.normalize_by_source_clauses(
+            by_source_clauses, when_not_matched_by_source_delete
+        )
         all_sets = set()
-        for cl in clauses:
+        for cl in [*clauses, *bs_clauses]:
             if cl.get("set"):
                 all_sets |= set(cl["set"])
         if all_sets:
@@ -2525,6 +2533,12 @@ class Engine:
                     f"MERGE INTO {name}: cannot SET {bad} — merge keys "
                     "and the derived bucket column are the row's "
                     "merge/layout identity"
+                )
+        for cl in nm_clauses:
+            if cl.get("values") and BUCKET_COL in cl["values"]:
+                raise ValueError(
+                    f"MERGE INTO {name}: cannot assign {BUCKET_COL} — "
+                    "the derived bucket column is recomputed on write"
                 )
         any_delete = any(cl["action"] == "delete" for cl in clauses)
         if spec.deletion_vectors:
@@ -2540,11 +2554,9 @@ class Engine:
                 source,
                 keys,
                 clauses=clauses,
-                when_not_matched_insert=when_not_matched_insert,
+                nm_clauses=nm_clauses,
+                bs_clauses=bs_clauses,
                 null_clobbers=null_clobbers,
-                when_not_matched_by_source_delete=(
-                    when_not_matched_by_source_delete
-                ),
             )
             return
         with self._lock(name):
@@ -2557,10 +2569,7 @@ class Engine:
             # 'matched by source' for WHEN NOT MATCHED BY SOURCE
             # (ADVICE r12)
             by_source_protect = None
-            if (
-                when_not_matched_by_source_delete is not None
-                and spec.expectations
-            ):
+            if bs_clauses and spec.expectations:
                 by_source_protect = new.select(*keys)
             new = self._apply_expectations(spec, new, full_schema=old.schema)
             parts = spec.physical_partitioning
@@ -2568,13 +2577,20 @@ class Engine:
             # touched partitions (versioned replace / dynamic partition
             # overwrite). The in-memory branch below assigns the merge
             # result as the ENTIRE table, so merging a pruned slice there
-            # would silently drop every untouched partition.
+            # would silently drop every untouched partition.  Explicit
+            # INSERT VALUES may land rows in ANY partition, so it too
+            # disables pruning (the inserted partition value need not be
+            # the source row's).
             lands_in_mem = not spec.versioned and (
                 name in self._mem or self.root is None
             )
+            explicit_inserts = any(
+                cl.get("values") is not None for cl in nm_clauses
+            )
             prune = (
                 not any_delete
-                and when_not_matched_by_source_delete is None
+                and not bs_clauses
+                and not explicit_inserts
                 and not (all_sets & set(parts))
                 and bool(parts)
                 and not lands_in_mem
@@ -2585,13 +2601,20 @@ class Engine:
                 new,
                 keys,
                 matched_clauses=clauses,
-                when_not_matched_insert=when_not_matched_insert,
+                not_matched_clauses=nm_clauses,
+                by_source_clauses=bs_clauses,
                 null_clobbers=null_clobbers,
-                when_not_matched_by_source_delete=(
-                    when_not_matched_by_source_delete
-                ),
                 by_source_protected_keys=by_source_protect,
             )
+            if spec.bucket_by:
+                # recompute the derived bucket from the MERGED values —
+                # a SET on a bucket-source column or an explicit INSERT
+                # VALUES key would otherwise leave a stale/NULL
+                # bucket_id (same rule as the DV path)
+                cols = merged.columns
+                merged = self._with_layout(
+                    merged.drop(BUCKET_COL), spec
+                ).select(*cols)
             merged = self._check_constraints(spec, merged)
             if spec.versioned:
                 self._write_versioned(
@@ -2859,9 +2882,9 @@ class Engine:
         keys: list[str],
         *,
         clauses: list[dict],
-        when_not_matched_insert: bool,
+        nm_clauses: list[dict],
+        bs_clauses: list[dict],
         null_clobbers: bool,
-        when_not_matched_by_source_delete=None,
     ) -> None:
         """MERGE INTO for deletion-vector tables, merge-on-read: one
         RIGHT-outer join of the DV-applied target against the source
@@ -2878,11 +2901,14 @@ class Engine:
         ``null_clobbers`` else coalesce(new, old), explicit SET
         assignments leave unassigned columns at old values, and
         target-only columns keep old values (NULL for inserts).
-        ``when_not_matched_by_source_delete`` needs a second
-        pass here (the right-outer join never surfaces target-only
-        rows): a key anti-join against the source finds them, the
-        condition filters, and their refs join the same sidecar —
-        O(target-only matches) refs, still zero rewrite."""
+        ``nm_clauses`` gate the inserts the same ordered way (explicit
+        INSERT VALUES leaves unassigned columns NULL).  ``bs_clauses``
+        (WHEN NOT MATCHED BY SOURCE) need a second pass here (the
+        right-outer join never surfaces target-only rows): a key
+        anti-join against the source finds them, the first firing
+        clause refs the old copy out — and, for UPDATE, re-appends the
+        assigned values — O(target-only matches) refs, still zero
+        rewrite."""
         from polars_lake_spark.snapshots import (
             DV_FILE_COL,
             DV_POS_COL,
@@ -2898,6 +2924,19 @@ class Engine:
                 c for c in live.columns if c not in (DV_FILE_COL, DV_POS_COL)
             ]
             M.matched_set_columns(clauses, old_cols)
+            M.matched_set_columns(bs_clauses, old_cols)
+            for cl in nm_clauses:
+                if cl["values"]:
+                    unknown = sorted(set(cl["values"]) - set(old_cols))
+                    if unknown:
+                        raise ValueError(
+                            f"MERGE INTO {name}: INSERT columns "
+                            f"{unknown} are not target columns"
+                        )
+            old_types = {
+                f.name: f.dataType
+                for f in live.select(*old_cols).schema.fields
+            }
             # expectations quarantine INCOMING change rows BEFORE the
             # join: a violating change must neither ref (delete) its
             # match nor append — enforcing on `appends` instead would
@@ -2906,10 +2945,7 @@ class Engine:
             # key set first: for WHEN NOT MATCHED BY SOURCE a quarantined
             # change still counts as 'matched by source' (ADVICE r12).
             pre_keys = None
-            if (
-                when_not_matched_by_source_delete is not None
-                and spec.expectations
-            ):
+            if bs_clauses and spec.expectations:
                 pre_keys = new.select(*keys)
             new = self._apply_expectations(
                 spec, new, full_schema=live.select(*old_cols).schema
@@ -2928,7 +2964,19 @@ class Engine:
             # refs the old copy out AND re-appends the assigned values;
             # no clause firing → the row stays on disk untouched
             gates, delc, updc = M.matched_clause_gates(matched, clauses)
-            insc = (~matched) if when_not_matched_insert else F.lit(False)
+            # ordered NOT MATCHED inserts: gate builder reused with every
+            # clause as an update, so the OR'd flag = "some insert fired"
+            nm_gates, _, insc = M.matched_clause_gates(
+                ~matched,
+                [
+                    {
+                        "action": "update",
+                        "condition": cl["condition"],
+                        "set": None,
+                    }
+                    for cl in nm_clauses
+                ],
+            )
             try:
                 det = bool(
                     joined._jdf.queryExecution().analyzed().deterministic()
@@ -2942,49 +2990,107 @@ class Engine:
                 F.col(f"o.{DV_FILE_COL}").alias("file_path"),
                 F.col(f"o.{DV_POS_COL}").alias("row_index"),
             )
-            if when_not_matched_by_source_delete is not None:
+            bs_appends = None
+            if bs_clauses:
                 # target-only rows: anti-join on keys (null-safe, like
-                # the merge join), condition over the bare target row,
-                # refs only — no data moves, no rewrite.  The anti-join
-                # runs against the PRE-expectation key set when the
-                # table carries expectations, so a quarantined change
-                # row still shields its target match (ADVICE r12).
-                gone = (
-                    live.alias("o")
-                    .join(
-                        (pre_keys if pre_keys is not None else new).alias(
-                            "n"
-                        ),
-                        [
-                            F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
-                            for k in keys
-                        ],
-                        "left_anti",
+                # the merge join), ordered clause conditions over the
+                # bare target row.  A firing DELETE refs the row out; a
+                # firing UPDATE refs the old copy out AND re-appends the
+                # assigned values — O(target-only matches) refs either
+                # way, no rewrite.  The anti-join runs against the
+                # PRE-expectation key set when the table carries
+                # expectations, so a quarantined change row still
+                # shields its target match (ADVICE r12).
+                cand = live.alias("o").join(
+                    (pre_keys if pre_keys is not None else new).alias("n"),
+                    [
+                        F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+                        for k in keys
+                    ],
+                    "left_anti",
+                )
+                bs_gates, bs_del, bs_upd = M.matched_clause_gates(
+                    F.lit(True), bs_clauses
+                )
+                try:
+                    cdet = bool(
+                        cand._jdf.queryExecution().analyzed().deterministic()
                     )
-                    .filter(
-                        F.coalesce(
-                            when_not_matched_by_source_delete, F.lit(False)
-                        )
-                    )
-                    .select(
-                        F.col(DV_FILE_COL).alias("file_path"),
-                        F.col(DV_POS_COL).alias("row_index"),
-                    )
+                except Exception:
+                    cdet = False
+                if not cdet:
+                    # re-alias: the checkpoint returns plain column
+                    # names, and the clause conditions reference o.<col>
+                    cand = cand.localCheckpoint(eager=True).alias("o")
+                gone = cand.filter(bs_del | bs_upd).select(
+                    F.col(DV_FILE_COL).alias("file_path"),
+                    F.col(DV_POS_COL).alias("row_index"),
                 )
                 refs = refs.unionByName(gone)
+                has_bs_update = any(
+                    cl["action"] == "update" for cl in bs_clauses
+                )
+                if has_bs_update:
+                    bs_select = []
+                    for c in old_cols:
+                        w = None
+                        for cl, g in zip(bs_clauses, bs_gates):
+                            if cl["action"] != "update":
+                                continue
+                            v = (
+                                cl["set"][c]
+                                if c in cl["set"]
+                                else F.col(f"o.{c}")
+                            )
+                            w = (w.when if w is not None else F.when)(g, v)
+                        bs_select.append(
+                            (
+                                w.otherwise(F.col(f"o.{c}"))
+                                if w is not None
+                                else F.col(f"o.{c}")
+                            ).alias(c)
+                        )
+                    bs_appends = cand.filter(bs_upd).select(*bs_select)
+            def _dv_insert_value(c: str):
+                # insert rows: the first FIRING insert clause's value —
+                # INSERT * takes source values (typed NULL for
+                # target-only columns), explicit VALUES leaves
+                # unassigned columns NULL
+                w = None
+                for cl, g in zip(nm_clauses, nm_gates):
+                    if cl["values"] is None:
+                        v = (
+                            F.col(f"n.{c}")
+                            if c in new_cols
+                            else F.lit(None).cast(old_types[c])
+                        )
+                    else:
+                        v = cl["values"].get(
+                            c, F.lit(None).cast(old_types[c])
+                        )
+                    w = (w.when if w is not None else F.when)(g, v)
+                if w is None:
+                    return F.lit(None).cast(old_types[c])
+                return w.otherwise(F.lit(None).cast(old_types[c]))
+
             select = []
             for c in old_cols:
                 if c in keys:
+                    # matched rows keep their key (o and n agree under
+                    # the join); inserts take the first firing clause's
+                    # key value (source key under INSERT *)
                     select.append(
-                        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+                        F.when(matched, F.col(f"o.{c}"))
+                        .otherwise(_dv_insert_value(c))
+                        .alias(c)
                     )
                     continue
                 # the first FIRING update clause's assignment wins
                 # (column semantics mirror operators/merge.merge_into:
                 # explicit SET leaves unassigned columns at OLD values;
                 # SET * is last-write-wins under null_clobbers else
-                # coalesce(new, old)); insert rows take source values
-                # (the o side is a typed NULL under right_outer)
+                # coalesce(new, old)); insert rows take their clause's
+                # values (the o side is a typed NULL under right_outer)
                 w = None
                 for cl, g in zip(clauses, gates):
                     if cl["action"] != "update":
@@ -3004,13 +3110,15 @@ class Engine:
                     else:
                         v = F.col(f"o.{c}")
                     w = (w.when if w is not None else F.when)(g, v)
-                ins_val = F.col(f"n.{c}") if c in new_cols else F.col(f"o.{c}")
+                ins_val = _dv_insert_value(c)
                 select.append(
                     (w.otherwise(ins_val) if w is not None else ins_val).alias(
                         c
                     )
                 )
             appends = joined.filter(updc | insc).select(*select)
+            if bs_appends is not None:
+                appends = appends.unionByName(bs_appends)
             if spec.bucket_by:
                 # recompute the derived bucket from the MERGED values —
                 # under coalesce semantics a NULL source cell keeps the

@@ -275,6 +275,82 @@ def matched_set_columns(clauses: list[dict], old_cols) -> set:
     return assigned
 
 
+def normalize_not_matched_clauses(
+    not_matched_clauses, when_not_matched_insert: bool = True
+) -> list[dict]:
+    """Normalize the NOT MATCHED (by target) side into ordered
+    ``{"condition": Column|None, "values": dict|None}`` clauses,
+    first-match-wins: ``values=None`` is ``INSERT *``; an explicit dict
+    is Delta's ``INSERT (cols) VALUES (exprs)`` — unassigned columns
+    land NULL.  The legacy ``when_not_matched_insert`` bool maps to one
+    unconditioned INSERT * (True) or no clause (False)."""
+    if not_matched_clauses is not None:
+        if not when_not_matched_insert:
+            raise ValueError(
+                "merge_into: not_matched_clauses cannot be combined with "
+                "when_not_matched_insert=False"
+            )
+        return [
+            {"condition": cl.get("condition"), "values": cl.get("values")}
+            for cl in not_matched_clauses
+        ]
+    if when_not_matched_insert:
+        return [{"condition": None, "values": None}]
+    return []
+
+
+def normalize_by_source_clauses(
+    by_source_clauses, when_not_matched_by_source_delete=None
+) -> list[dict]:
+    """Normalize the NOT MATCHED BY SOURCE side into ordered
+    ``{"action": "update"|"delete", "condition": Column|None,
+    "set": dict|None}`` clauses, first-match-wins (Delta's BY SOURCE
+    UPDATE/DELETE stack).  UPDATE requires explicit SET assignments —
+    there is no source row to ``SET *`` from.  The legacy
+    ``when_not_matched_by_source_delete`` condition maps to one DELETE
+    clause."""
+    if by_source_clauses is not None:
+        if when_not_matched_by_source_delete is not None:
+            raise ValueError(
+                "merge_into: by_source_clauses cannot be combined with "
+                "when_not_matched_by_source_delete"
+            )
+        out = []
+        for cl in by_source_clauses:
+            act = cl.get("action")
+            if act not in ("update", "delete"):
+                raise ValueError(
+                    f"merge_into: unknown by-source action {act!r}"
+                )
+            if act == "delete" and cl.get("set") is not None:
+                raise ValueError(
+                    "merge_into: a BY SOURCE DELETE clause cannot carry "
+                    "SET assignments"
+                )
+            if act == "update" and not cl.get("set"):
+                raise ValueError(
+                    "merge_into: BY SOURCE UPDATE requires explicit SET "
+                    "assignments (no source row exists to SET * from)"
+                )
+            out.append(
+                {
+                    "action": act,
+                    "condition": cl.get("condition"),
+                    "set": cl.get("set"),
+                }
+            )
+        return out
+    if when_not_matched_by_source_delete is not None:
+        return [
+            {
+                "action": "delete",
+                "condition": when_not_matched_by_source_delete,
+                "set": None,
+            }
+        ]
+    return []
+
+
 def merge_into(
     old: DataFrame,
     new: DataFrame,
@@ -288,33 +364,43 @@ def merge_into(
     when_not_matched_by_source_delete=None,
     when_matched_update_condition=None,
     matched_clauses: list | None = None,
+    not_matched_clauses: list | None = None,
+    by_source_clauses: list | None = None,
     by_source_protected_keys: DataFrame | None = None,
 ) -> DataFrame:
-    """SQL MERGE INTO semantics as a pure transform (the Delta/Iceberg
-    statement the reference never reached):
+    """Full Delta-parity SQL MERGE INTO as a pure transform (the
+    statement the reference never reached).  All three clause families
+    are ORDERED, first-match-wins:
 
-    * matched → the ORDERED matched clauses evaluate first-match-wins
-      (Delta's multi-clause ``WHEN MATCHED [AND c] THEN UPDATE|DELETE``):
-      the first clause whose condition passes fires — DELETE removes the
-      row, UPDATE takes its assignments (``set=None`` = ``UPDATE SET *``:
-      coalesce merge, or last-write-wins with ``null_clobbers=True``;
-      an explicit ``set`` dict leaves unassigned columns at their OLD
-      values).  Matched rows firing no clause keep old values.  Pass
-      either the ordered ``matched_clauses`` list or the legacy
-      single-clause kwargs (``when_matched_delete`` /
-      ``when_matched_update`` [+ ``when_matched_update_condition``] /
-      ``set_exprs``) — never both.
-    * source-only (if ``when_not_matched_insert``)        → inserted
-    * target-only + ``when_not_matched_by_source_delete`` condition true
-      → row removed (Delta's WHEN NOT MATCHED BY SOURCE THEN DELETE);
-      target-only otherwise                               → kept
+    * matched → ``matched_clauses``: the first clause whose condition
+      passes fires — DELETE removes the row, UPDATE takes its
+      assignments (``set=None`` = ``UPDATE SET *``: coalesce merge, or
+      last-write-wins with ``null_clobbers=True``; an explicit ``set``
+      dict leaves unassigned columns at their OLD values).  No clause
+      firing → keep old values.  Legacy single-clause kwargs
+      (``when_matched_delete`` / ``when_matched_update`` [+ condition] /
+      ``set_exprs``) normalize to the same shape — never pass both.
+    * source-only → ``not_matched_clauses``: first firing clause
+      inserts — ``values=None`` = ``INSERT *`` (source values), an
+      explicit dict is ``INSERT (cols) VALUES`` (unassigned columns
+      NULL, key columns assignable).  No clause firing → the change row
+      is dropped.  Legacy ``when_not_matched_insert`` bool = one
+      unconditioned INSERT * / nothing.
+    * target-only → ``by_source_clauses`` (Delta's WHEN NOT MATCHED BY
+      SOURCE): first firing clause DELETEs the row or UPDATEs it with
+      explicit SET assignments (conditions/SETs see only ``o.<col>``).
+      No clause firing → kept.  Legacy
+      ``when_not_matched_by_source_delete`` = one DELETE clause.
 
-    Clause conditions and each SET value are Columns evaluated over the
-    joined row — reference source columns as ``n.<col>`` and target as
-    ``o.<col>``; ``when_not_matched_by_source_delete`` sees only the
-    target side.  One full-outer join on the keys, same shuffle shape as
-    upsert() — N clauses add column expressions, never extra joins.
-    """
+    Clause conditions and SET/VALUES expressions are Columns over the
+    joined row — source columns as ``n.<col>``, target as ``o.<col>``.
+    One full-outer join on the keys, same shuffle shape as upsert() —
+    N clauses add column expressions, never extra joins.
+
+    ``by_source_protected_keys``: keys that still count as 'matched by
+    source' even though the join's n side lacks them (the caller's
+    expectation layer quarantined those change rows; a violating change
+    must not trigger its target match's BY SOURCE clause)."""
     keys = list(keys)
     old_cols = old.columns
     new_cols = set(new.columns)
@@ -325,7 +411,23 @@ def merge_into(
         when_matched_update_condition=when_matched_update_condition,
         set_exprs=set_exprs,
     )
+    nm_clauses = normalize_not_matched_clauses(
+        not_matched_clauses, when_not_matched_insert
+    )
+    bs_clauses = normalize_by_source_clauses(
+        by_source_clauses, when_not_matched_by_source_delete
+    )
     matched_set_columns(clauses, old_cols)
+    matched_set_columns(bs_clauses, old_cols)
+    for cl in nm_clauses:
+        if cl["values"]:
+            unknown = sorted(set(cl["values"]) - set(old_cols))
+            if unknown:
+                raise ValueError(
+                    f"merge_into: INSERT columns {unknown} are not "
+                    "target columns"
+                )
+    old_types = {f.name: f.dataType for f in old.schema.fields}
     o = old.alias("o")
     n = new.alias("n")
     joined = o.join(
@@ -338,49 +440,84 @@ def merge_into(
     matched = F.col("__o_present") & F.col("__n_present")
     gates, delete_fired, _ = matched_clause_gates(matched, clauses)
 
-    keep = ~delete_fired
-    if when_not_matched_by_source_delete is not None:
-        target_only = F.col("__o_present") & ~F.col("__n_present")
-        if by_source_protected_keys is not None:
-            # keys that still count as 'matched by source' even though
-            # the join's n side lacks them (the caller's expectation
-            # layer quarantined those change rows; a violating change
-            # must not CAUSE its target match's deletion).  The protect
-            # set is batch-sized → broadcast left join, one flag column.
-            p = (
-                by_source_protected_keys.select(
-                    *[F.col(k).alias(f"__pk_{k}") for k in keys]
-                )
-                .distinct()
-                .withColumn("__p_present", F.lit(True))
+    target_only = F.col("__o_present") & ~F.col("__n_present")
+    if bs_clauses and by_source_protected_keys is not None:
+        # the protect set is batch-sized → broadcast left join, one flag
+        p = (
+            by_source_protected_keys.select(
+                *[F.col(k).alias(f"__pk_{k}") for k in keys]
             )
-            joined = joined.join(
-                F.broadcast(p),
-                on=[
-                    F.col(f"o.{k}").eqNullSafe(F.col(f"__pk_{k}"))
-                    for k in keys
-                ],
-                how="left_outer",
-            )
-            target_only = target_only & F.col("__p_present").isNull()
-        keep = keep & ~(
-            target_only
-            & F.coalesce(when_not_matched_by_source_delete, F.lit(False))
+            .distinct()
+            .withColumn("__p_present", F.lit(True))
         )
-    if not when_not_matched_insert:
-        keep = keep & (F.col("__o_present") | F.lit(False))
+        joined = joined.join(
+            F.broadcast(p),
+            on=[
+                F.col(f"o.{k}").eqNullSafe(F.col(f"__pk_{k}"))
+                for k in keys
+            ],
+            how="left_outer",
+        )
+        target_only = target_only & F.col("__p_present").isNull()
+    bs_gates, bs_delete_fired, _ = matched_clause_gates(
+        target_only, bs_clauses
+    )
+    # the NOT MATCHED family is all-inserts: reuse the gate builder with
+    # every clause treated as an update so `fired` = "some insert fired"
+    source_only = ~F.col("__o_present")
+    nm_gates, _, nm_fired = matched_clause_gates(
+        source_only,
+        [
+            {"action": "update", "condition": cl["condition"], "set": None}
+            for cl in nm_clauses
+        ],
+    )
+
+    keep = (
+        ~delete_fired
+        & ~bs_delete_fired
+        & (F.col("__o_present") | nm_fired)
+    )
     joined = joined.filter(keep)
+
+    def _insert_value(c: str):
+        # source-only rows: the first FIRING insert clause's value —
+        # INSERT * takes source values (typed NULL for target-only
+        # columns); explicit VALUES leaves unassigned columns NULL
+        w = None
+        for cl, g in zip(nm_clauses, nm_gates):
+            if cl["values"] is None:
+                v = (
+                    F.col(f"n.{c}")
+                    if c in new_cols
+                    else F.lit(None).cast(old_types[c])
+                )
+            else:
+                v = cl["values"].get(c, F.lit(None).cast(old_types[c]))
+            w = (w.when if w is not None else F.when)(g, v)
+        if w is None:  # unreachable rows (keep filtered them) — typed
+            return F.lit(None).cast(old_types[c])
+        return w.otherwise(F.lit(None).cast(old_types[c]))
 
     select = []
     for c in old_cols:
         if c in keys:
-            select.append(F.coalesce(F.col(f"o.{c}"), F.col(f"n.{c}")).alias(c))
+            # existing rows keep their key; inserts take the source key
+            # unless an explicit VALUES assigns it
+            select.append(
+                F.when(F.col("__o_present"), F.col(f"o.{c}"))
+                .otherwise(_insert_value(c))
+                .alias(c)
+            )
             continue
-        # matched-row value: the first FIRING update clause's assignment
-        # wins (delete gates never reach here — deleted rows left via
-        # `keep`); a matched row firing no update clause keeps old values
+        # rows with a target side: the first FIRING update clause wins —
+        # matched gates and by-source gates are mutually exclusive, so
+        # one chain serves both; no clause firing keeps old values
+        # (delete gates never reach here — deleted rows left via `keep`)
         w = None
-        for cl, g in zip(clauses, gates):
+        for cl, g in list(zip(clauses, gates)) + list(
+            zip(bs_clauses, bs_gates)
+        ):
             if cl["action"] != "update":
                 continue
             if cl["set"] is not None:
@@ -397,15 +534,12 @@ def merge_into(
             else:
                 v = F.col(f"o.{c}")
             w = (w.when if w is not None else F.when)(g, v)
-        matched_val = (
+        own_val = (
             w.otherwise(F.col(f"o.{c}")) if w is not None else F.col(f"o.{c}")
         )
-        # target-only rows keep old values; insert rows take source
-        # values (for insert rows the o side is a typed NULL, so the
-        # fallback never manufactures a wrong type)
         select.append(
-            F.when(F.col("__o_present"), matched_val)
-            .otherwise(F.col(f"n.{c}") if c in new_cols else F.col(f"o.{c}"))
+            F.when(F.col("__o_present"), own_val)
+            .otherwise(_insert_value(c))
             .alias(c)
         )
     return joined.select(*select)

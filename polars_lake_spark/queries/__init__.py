@@ -28,8 +28,9 @@ REGISTRY: dict[str, Query] = {}
 # which get a fresh correctness row each round.  This list is a VERIFICATION
 # ROTATION, strictly oldest-evidence-first — queries added or changed
 # this round always lead, so nothing ships unverified:
-#   the r13 window (50) = 1 NEW r13 entry (merge_multi_clause_check — the
-#   ordered first-match-wins WHEN MATCHED stack) + 9 CHANGED r13 gates
+#   the r13 window (50) = 3 NEW r13 entries (merge_multi_clause_check,
+#   merge_insert_values_check, merge_by_source_update_check — the full
+#   ordered Delta clause-family surface) + 9 CHANGED r13 gates
 #   (the merge executor was rewritten onto normalized ordered clauses on
 #   BOTH write paths — merge_dv_check pins the rewritten DV path, the
 #   four merge gates the rewrite path; the CDC tier gained NaN-poisoned
@@ -43,9 +44,9 @@ REGISTRY: dict[str, Query] = {}
 #   tests/test_oracle_parity.py (the local mirror of the gate — green
 #   at sf0.001 AND sf0.1 as of r12).
 CHECK_PRIORITY: list[str] = [
-    # ================= r13 window (first 50) ==========================
-    # -- NEW r13 + the 9 gates whose code paths changed this round ------
     "merge_multi_clause_check",
+    "merge_insert_values_check",
+    "merge_by_source_update_check",
     "merge_dv_check",
     "merge_update_set_check",
     "merge_conditional_update_check",
@@ -55,9 +56,6 @@ CHECK_PRIORITY: list[str] = [
     "stream_apply_changes_scd2_check",
     "expectations_quarantine_check",
     "create_or_replace_check",
-    # -- oldest driver evidence next (below the r12 window since r11 or
-    # earlier; every slot stays oracled — unoracled entries defer past
-    # the boundary) ------------------------------------------------------
     "set_operations",
     "agg_stats",
     "string_functions",
@@ -96,11 +94,9 @@ CHECK_PRIORITY: list[str] = [
     "pack_sequences",
     "text_tfidf_top_terms",
     "text_pmi_bigrams",
+    # ------ 50-slot window boundary ------------------------------------
     "decontaminate_overlap",
     "text_repetition",
-    # ------ 50-slot window boundary ------------------------------------
-    # -- remaining rows in staleness order; the r12 window's entries
-    # (freshest driver evidence) close the list --------------------------
     "approx_distinct",
     "math_functions",
     "string_functions2",

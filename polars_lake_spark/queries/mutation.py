@@ -1881,6 +1881,129 @@ def merge_multi_clause_check(spark, sf_dir):
 
 
 @register(
+    "merge_insert_values_check",
+    oracle="""
+    WITH res AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderkey + 90000000, NULL AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 31 = 0 AND o_totalprice < 100000
+        UNION ALL
+        SELECT o_orderkey + 90000000, 'I' AS o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 31 = 0
+          AND o_totalprice >= 100000 AND o_totalprice < 200000
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM res GROUP BY o_orderstatus
+    """,
+    doc="Ordered conditioned NOT MATCHED inserts (operators/merge.py:"
+    "merge_into not_matched_clauses — Delta's 'WHEN NOT MATCHED AND c "
+    "THEN INSERT (cols) VALUES (exprs)'): the first firing clause "
+    "inserts its VALUES (unassigned columns land NULL), the second "
+    "takes INSERT *, and source rows firing no clause are dropped. "
+    "The oracle states the closed form of all three insert classes "
+    "over the untouched target.",
+)
+def merge_insert_values_check(spark, sf_dir):
+    """Conditioned/explicit inserts stay inside the single full-outer
+    join: each clause is a gate column plus a when-chain value — no
+    second scan, no union of insert batches."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = (
+        orders.filter(F.col("o_orderkey") % 31 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 90_000_000)
+        .withColumn("o_orderstatus", F.lit("I"))
+    )
+    merged = M.merge_into(
+        orders,
+        src,
+        keys=["o_orderkey"],
+        matched_clauses=[],
+        not_matched_clauses=[
+            {
+                "condition": F.col("n.o_totalprice") < 100_000,
+                "values": {
+                    "o_orderkey": F.col("n.o_orderkey"),
+                    "o_totalprice": F.col("n.o_totalprice") * 2,
+                },
+            },
+            {
+                "condition": F.col("n.o_totalprice") < 200_000,
+                "values": None,  # INSERT *
+            },
+        ],
+        null_clobbers=True,
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "merge_by_source_update_check",
+    oracle="""
+    WITH res AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 5 AS o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, 'Z' AS o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 <> 0 AND o_totalprice <= 200000
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM res GROUP BY o_orderstatus
+    """,
+    doc="Ordered WHEN NOT MATCHED BY SOURCE clauses (operators/merge.py:"
+    "merge_into by_source_clauses — Delta's BY SOURCE DELETE/UPDATE "
+    "stack): target rows the source lacks hit the first firing clause — "
+    "an expensive-order DELETE, else an UPDATE stamping them stale; "
+    "matched rows update from the source. The oracle states the closed "
+    "form of every row class.",
+)
+def merge_by_source_update_check(spark, sf_dir):
+    """BY SOURCE UPDATE rides the same full-outer join as the rest of
+    the merge (a gate over the target-only rows) — no extra target
+    pass, no rewrite beyond the merge's own."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 5.0
+    )
+    merged = M.merge_into(
+        orders,
+        src,
+        keys=["o_orderkey"],
+        matched_clauses=[{"action": "update", "condition": None, "set": None}],
+        not_matched_clauses=[],
+        by_source_clauses=[
+            {
+                "action": "delete",
+                "condition": F.col("o.o_totalprice") > 200_000,
+                "set": None,
+            },
+            {
+                "action": "update",
+                "condition": None,
+                "set": {"o_orderstatus": F.lit("Z")},
+            },
+        ],
+        null_clobbers=True,
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
     "expectations_quarantine_check",
     oracle="""
     WITH base AS (

@@ -2110,3 +2110,140 @@ def test_vacuum_quarantine_retention(spark, tmp_path):
     assert e.table("t_quarantine").count() == 0
     # no quarantine table at all -> 0
     assert e.vacuum_quarantine("nope", past) == 0
+
+
+def test_merge_not_matched_insert_values_and_conditions(eng, spark):
+    """Delta's full NOT MATCHED family: ordered conditioned inserts,
+    INSERT (cols) VALUES (exprs) with unassigned columns NULL, and
+    source rows firing no insert clause dropped."""
+    spark.createDataFrame(
+        [(100, 5.0), (101, -3.0), (102, 900.0)], "id bigint, v double"
+    ).createOrReplaceTempView("ni_src")
+    df = spark.createDataFrame(
+        [(1, 10.0, "a")], "id bigint, val double, tag string"
+    )
+    eng.create_table("ni", df, keys=["id"])
+    eng.sql(
+        "MERGE INTO ni USING ni_src AS s ON ni.id = s.id "
+        "WHEN NOT MATCHED AND s.v < 0 THEN INSERT (id, val, tag) "
+        "VALUES (s.id, -s.v, 'neg') "
+        "WHEN NOT MATCHED AND s.v < 100 THEN INSERT (id, val) "
+        "VALUES (s.id, s.v * 2)"
+    )
+    got = {r.id: (r.val, r.tag) for r in eng.table("ni").collect()}
+    assert got[1] == (10.0, "a")          # target untouched
+    assert got[100] == (10.0, None)       # 2nd clause: 5*2, tag NULL
+    assert got[101] == (3.0, "neg")       # 1st clause wins (v<0)
+    assert 102 not in got                  # no insert clause fired
+    # BY TARGET is a synonym for plain NOT MATCHED (INSERT * maps only
+    # same-named columns; the source's 'v' has no target counterpart)
+    eng.sql(
+        "MERGE INTO ni USING ni_src AS s ON ni.id = s.id "
+        "WHEN NOT MATCHED BY TARGET AND s.id = 102 THEN INSERT *"
+    )
+    row = eng.table("ni").filter("id = 102").head()
+    assert row is not None and row.val is None
+    # length-mismatched VALUES raises
+    with pytest.raises(ValueError, match="differ in length"):
+        eng.sql(
+            "MERGE INTO ni USING ni_src AS s ON ni.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id)"
+        )
+    # only the last NOT MATCHED clause may omit its condition
+    with pytest.raises(ValueError, match="only the last may omit"):
+        eng.sql(
+            "MERGE INTO ni USING ni_src AS s ON ni.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT * "
+            "WHEN NOT MATCHED AND s.v < 0 THEN INSERT *"
+        )
+
+
+def test_merge_by_source_update(eng, spark):
+    """WHEN NOT MATCHED BY SOURCE THEN UPDATE SET (Delta): target rows
+    the source lacks take the assignments; ordered with a BY SOURCE
+    DELETE, first match wins."""
+    spark.createDataFrame([(1, 1.0)], "id bigint, v double").createOrReplaceTempView(
+        "bsu_src"
+    )
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 200.0, "c")],
+        "id bigint, val double, tag string",
+    )
+    eng.create_table("bsu", df, keys=["id"])
+    eng.sql(
+        "MERGE INTO bsu USING bsu_src AS s ON bsu.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET val = s.v "
+        "WHEN NOT MATCHED BY SOURCE AND bsu.val > 100 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'"
+    )
+    got = {r.id: (r.val, r.tag) for r in eng.table("bsu").collect()}
+    assert got[1] == (1.0, "a")           # matched: updated
+    assert got[2] == (20.0, "stale")      # target-only: 2nd clause
+    assert 3 not in got                   # target-only: 1st clause (del)
+    # SET * on a BY SOURCE clause is refused (no source row)
+    with pytest.raises(ValueError, match="no source row|no SET"):
+        eng.sql(
+            "MERGE INTO bsu USING bsu_src AS s ON bsu.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
+        )
+
+
+def test_merge_full_clause_set_deletion_vectors(eng, spark):
+    """The complete three-family clause set on the DV merge-on-read
+    path: conditioned inserts append, BY SOURCE UPDATE refs the old
+    copy out and appends the assigned values, BY SOURCE DELETE refs
+    only."""
+    spark.createDataFrame(
+        [(1, 1.0), (100, 5.0), (101, -3.0)], "id bigint, v double"
+    ).createOrReplaceTempView("fdv_src")
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 200.0, "c")],
+        "id bigint, val double, tag string",
+    )
+    eng.create_table(
+        "fdv", df, keys=["id"], versioned=True, deletion_vectors=True
+    )
+    eng.sql(
+        "MERGE INTO fdv USING fdv_src AS s ON fdv.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET val = s.v "
+        "WHEN NOT MATCHED AND s.v < 0 THEN INSERT (id, val, tag) "
+        "VALUES (s.id, -s.v, 'neg') "
+        "WHEN NOT MATCHED AND s.v < 100 THEN INSERT (id, val) "
+        "VALUES (s.id, s.v * 2) "
+        "WHEN NOT MATCHED BY SOURCE AND fdv.val > 100 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'"
+    )
+    got = {r.id: (r.val, r.tag) for r in eng.table("fdv").collect()}
+    assert got[1] == (1.0, "a")
+    assert got[2] == (20.0, "stale")
+    assert 3 not in got
+    assert got[100] == (10.0, None)
+    assert got[101] == (3.0, "neg")
+    assert len(got) == 4
+
+
+def test_merge_insert_values_recomputes_bucket(eng, spark):
+    """An explicit INSERT VALUES key on a bucketed table must land with
+    a RECOMPUTED bucket_id (not the source row's, not NULL) — point
+    lookups by bucket must keep finding it."""
+    from polars_lake_spark.layout import bucket_expr
+
+    spark.createDataFrame([(7, 70.0)], "id bigint, v double").createOrReplaceTempView(
+        "bkt_src"
+    )
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id bigint, val double"
+    )
+    eng.create_table("bkt", df, keys=["id"], bucket_by=["id"], n_buckets=4)
+    eng.sql(
+        "MERGE INTO bkt USING bkt_src AS s ON bkt.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id + 1000, s.v)"
+    )
+    rows = {r.id: r for r in eng.table("bkt").collect()}
+    assert rows[1007].val == 70.0
+    want = (
+        spark.createDataFrame([(1007,)], "id bigint")
+        .select(bucket_expr(["id"], 4).alias("b"))
+        .head()["b"]
+    )
+    assert rows[1007].bucket_id == want

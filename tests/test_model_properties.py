@@ -684,3 +684,148 @@ def test_merge_ordered_matched_clauses_match_model(spark, data):
     }
     want = _ordered_clause_model(old_rows, new_rows, specs, insert)
     assert got == want, (old_rows, new_rows, specs, insert)
+
+
+def _full_merge_model(old_rows, new_rows, m_specs, nm_specs, bs_specs):
+    """Python model of the FULL three-family ordered clause set over
+    (k, v) rows.  matched spec: (action, thresh|None, explicit) with
+    condition ``n.v < thresh`` and explicit SET ``v = o.v + n.v``.
+    not-matched spec: (thresh|None, explicit) — condition ``n.v <
+    thresh``, explicit INSERT ``v = n.v + 1000``, else INSERT *.
+    by-source spec: (action, thresh|None) — condition ``o.v < thresh``,
+    update = SET ``v = o.v - 1000``."""
+    old, new, out = dict(old_rows), dict(new_rows), {}
+    for k, ov in old.items():
+        if k in new:
+            nv = new[k]
+            for action, thresh, explicit in m_specs:
+                if thresh is not None and not (nv < thresh):
+                    continue
+                if action == "update":
+                    out[k] = (ov + nv) if explicit else nv
+                break
+            else:
+                out[k] = ov
+        else:
+            for action, thresh in bs_specs:
+                if thresh is not None and not (ov < thresh):
+                    continue
+                if action == "update":
+                    out[k] = ov - 1000
+                break
+            else:
+                out[k] = ov
+    for k, nv in new.items():
+        if k in old:
+            continue
+        for thresh, explicit in nm_specs:
+            if thresh is not None and not (nv < thresh):
+                continue
+            out[k] = (nv + 1000) if explicit else nv
+            break
+    return out
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_merge_full_clause_families_match_model(spark, data):
+    """All three ordered clause families drawn together — gated matched
+    updates/deletes, conditioned INSERT * / INSERT VALUES, BY SOURCE
+    UPDATE/DELETE — must equal the Python first-match-wins model
+    exactly (full Delta MERGE parity)."""
+    from pyspark.sql import functions as F
+
+    from polars_lake_spark.operators.merge import merge_into
+
+    def rows():
+        return {
+            data.draw(st.integers(min_value=1, max_value=8)): data.draw(
+                st.integers(min_value=0, max_value=100)
+            )
+            for _ in range(data.draw(st.integers(min_value=0, max_value=6)))
+        }
+
+    def draw_specs(n_max, mk):
+        n = data.draw(st.integers(min_value=0, max_value=n_max))
+        out = []
+        for i in range(n):
+            thresh = (
+                data.draw(
+                    st.one_of(
+                        st.none(), st.integers(min_value=0, max_value=100)
+                    )
+                )
+                if i == n - 1
+                else data.draw(st.integers(min_value=0, max_value=100))
+            )
+            out.append(mk(thresh))
+        return out
+
+    old_rows, new_rows = rows(), rows()
+    m_specs = draw_specs(
+        3,
+        lambda t: (
+            data.draw(st.sampled_from(["update", "delete"])),
+            t,
+            data.draw(st.booleans()),
+        ),
+    )
+    nm_specs = draw_specs(3, lambda t: (t, data.draw(st.booleans())))
+    bs_specs = draw_specs(
+        3, lambda t: (data.draw(st.sampled_from(["update", "delete"])), t)
+    )
+
+    old = spark.createDataFrame(
+        list(old_rows.items()) or [(None, None)], "k bigint, v bigint"
+    ).filter("true" if old_rows else "k IS NOT NULL")
+    new = spark.createDataFrame(
+        list(new_rows.items()) or [(None, None)], "k bigint, v bigint"
+    ).filter("true" if new_rows else "k IS NOT NULL")
+
+    matched_clauses = [
+        {
+            "action": a,
+            "condition": (F.col("n.v") < t) if t is not None else None,
+            "set": (
+                {"v": F.col("o.v") + F.col("n.v")}
+                if (e and a == "update")
+                else None
+            ),
+        }
+        for a, t, e in m_specs
+    ]
+    not_matched_clauses = [
+        {
+            "condition": (F.col("n.v") < t) if t is not None else None,
+            "values": (
+                {"k": F.col("n.k"), "v": F.col("n.v") + 1000} if e else None
+            ),
+        }
+        for t, e in nm_specs
+    ]
+    by_source_clauses = [
+        {
+            "action": a,
+            "condition": (F.col("o.v") < t) if t is not None else None,
+            "set": {"v": F.col("o.v") - 1000} if a == "update" else None,
+        }
+        for a, t in bs_specs
+    ]
+    got = {
+        r.k: r.v
+        for r in merge_into(
+            old,
+            new,
+            keys=["k"],
+            matched_clauses=matched_clauses,
+            not_matched_clauses=not_matched_clauses,
+            by_source_clauses=by_source_clauses,
+            null_clobbers=True,
+        ).collect()
+    }
+    want = _full_merge_model(old_rows, new_rows, m_specs, nm_specs, bs_specs)
+    assert got == want, (old_rows, new_rows, m_specs, nm_specs, bs_specs)
