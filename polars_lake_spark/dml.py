@@ -263,6 +263,11 @@ _ALTER_RENAME_COLUMN = re.compile(
     r"([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*;?\s*$",
     re.I,
 )
+_ALTER_RENAME_TABLE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+RENAME\s+TO\s+"
+    r"([A-Za-z_][\w.]*)\s*;?\s*$",
+    re.I,
+)
 _INSERT_OVERWRITE = re.compile(
     r"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?([A-Za-z_][\w.]*)\s*"
     r"(\([^)]*\))?\s*(SELECT\b.+?)\s*;?\s*$",
@@ -1752,6 +1757,17 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                 spec.stats = old_stats
                 raise
         return _status(engine, "alter_drop_column", name, n)
+
+    m = _ALTER_RENAME_TABLE.match(query)
+    if m:
+        # ALTER TABLE t RENAME TO u — one metadata move (engine.
+        # rename_table): snapshots/zone maps/DVs travel with the dir,
+        # O(1) at any size
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        engine.rename_table(name, m.group(2))
+        return _status(engine, "rename_table", m.group(2), 0)
 
     m = _ALTER_RENAME_COLUMN.match(query)
     if m:

@@ -2247,3 +2247,20 @@ def test_merge_insert_values_recomputes_bucket(eng, spark):
         .head()["b"]
     )
     assert rows[1007].bucket_id == want
+
+
+def test_alter_table_rename_to(spark, tmp_path):
+    """ALTER TABLE t RENAME TO u routes through rename_table: data,
+    history, constraints and SQL view all travel."""
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame([(1, "a")], "id bigint, s string")
+    e.create_table("t", df, keys=["id"], versioned=True)
+    e.add_constraint("t", "id_pos", "id > 0")
+    st = e.sql("ALTER TABLE t RENAME TO u").head()
+    assert st["operation"] == "rename_table"
+    assert e.sql("SELECT count(*) AS n FROM u").head()["n"] == 1
+    assert "id_pos" in e.specs["u"].constraints
+    assert "t" not in e.specs
+    # the renamed table stays fully mutable
+    e.sql("INSERT INTO u SELECT 2, 'b'")
+    assert e.table("u").count() == 2
