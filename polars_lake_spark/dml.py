@@ -140,8 +140,11 @@ _DROP = re.compile(
     re.I,
 )
 _MERGE = re.compile(
-    r"^\s*MERGE\s+INTO\s+([A-Za-z_][\w.]*)\s+USING\s+(\(.*?\)|[A-Za-z_][\w.]*)"
-    r"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*;?\s*$",
+    r"^\s*MERGE\s+(?P<evolve>WITH\s+SCHEMA\s+EVOLUTION\s+)?"
+    r"INTO\s+(?P<tgt>[A-Za-z_][\w.]*)"
+    r"\s+USING\s+(?P<src>\(.*?\)|[A-Za-z_][\w.]*)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>[A-Za-z_]\w*))?"
+    r"\s+ON\s+(?P<on>.+?)\s+(?P<whens>WHEN\s+.+?)\s*;?\s*$",
     re.I | re.S,
 )
 _WHEN = re.compile(
@@ -1068,10 +1071,16 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
 
     m = _MERGE.match(query)
     if m:
-        name = _resolve(engine, m.group(1))
+        name = _resolve(engine, m.group("tgt"))
         if name is None:
             return None
-        src_sql, alias, on_sql, whens = m.group(2), m.group(3), m.group(4), m.group(5)
+        src_sql, alias, on_sql, whens = (
+            m.group("src"),
+            m.group("alias"),
+            m.group("on"),
+            m.group("whens"),
+        )
+        evolve = bool(m.group("evolve"))
         # the supported subset maps 1:1 onto engine.merge's semantics:
         # ON must be a conjunction of bare column equalities (they become
         # the merge keys), actions are DELETE / UPDATE SET * / INSERT *.
@@ -1097,7 +1106,7 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             for user, internal in (
                 (alias, "n"),
                 (src_sql, "n"),
-                (m.group(1), "o"),
+                (m.group("tgt"), "o"),
                 (name, "o"),
             ):
                 if user and re.fullmatch(r"[A-Za-z_][\w.]*", user):
@@ -1299,6 +1308,7 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             matched_clauses=matched_clauses,
             not_matched_clauses=not_matched_clauses,
             by_source_clauses=by_source_clauses,
+            evolve_schema=evolve,
             # SQL / Delta UPDATE SET * is last-write-wins: a NULL in the
             # source DOES overwrite the target (the engine API's default
             # coalesce merge is the reference's upsert semantics, not

@@ -2473,6 +2473,7 @@ class Engine:
         matched_clauses: list | None = None,
         not_matched_clauses: list | None = None,
         by_source_clauses: list | None = None,
+        evolve_schema: bool = False,
     ) -> None:
         """MERGE INTO <table> USING <source> with conditional actions
         (operators/merge.py:merge_into) through the same write paths as
@@ -2493,6 +2494,15 @@ class Engine:
         ``when_matched_update_condition`` (Column over the o/n-aliased
         join) gates the update clause — Delta's WHEN MATCHED AND c THEN
         UPDATE; matched rows failing it keep their old values.
+
+        ``evolve_schema=True`` (Delta's MERGE WITH SCHEMA EVOLUTION /
+        autoMerge): source-only columns widen the target as NULLs and
+        numeric types up-cast before the merge (operators/merge.
+        evolve_schema), so INSERT * / UPDATE SET * carry the new
+        columns.  Forces the full-rewrite path (untouched partitions
+        must backfill the new columns) and is refused on
+        deletion-vector tables (appended rows would carry a wider
+        schema than the files still referenced by mapping).
 
         Scan/write bounds: a delete-capable merge can empty a partition,
         which dynamic partition overwrite would silently leave behind, so
@@ -2541,6 +2551,13 @@ class Engine:
                     "the derived bucket column is recomputed on write"
                 )
         any_delete = any(cl["action"] == "delete" for cl in clauses)
+        if evolve_schema and spec.deletion_vectors:
+            raise ValueError(
+                f"MERGE INTO {name}: evolve_schema is not supported on "
+                "deletion-vector tables (appended rows would carry a "
+                "wider schema than the files still referenced by "
+                "mapping); run schema evolution as its own rewrite first"
+            )
         if spec.deletion_vectors:
             # merge-on-read MERGE: matched delete/update rows become DV
             # refs, updated+inserted rows append — ONE atomic commit,
@@ -2562,6 +2579,11 @@ class Engine:
         with self._lock(name):
             new = self._with_layout(source, spec)
             old = self.table(name)
+            evolved = False
+            if evolve_schema:
+                widened = M.evolve_schema(old, source)
+                evolved = widened.schema != old.schema
+                old = widened
             # expectations quarantine INCOMING change rows only — a
             # violating source row neither updates, inserts, nor DELETES
             # its match: pin the PRE-expectation key set so a target row
@@ -2591,6 +2613,7 @@ class Engine:
                 not any_delete
                 and not bs_clauses
                 and not explicit_inserts
+                and not evolved
                 and not (all_sets & set(parts))
                 and bool(parts)
                 and not lands_in_mem

@@ -2004,6 +2004,75 @@ def merge_by_source_update_check(spark, sf_dir):
 
 
 @register(
+    "merge_schema_evolution_check",
+    oracle="""
+    WITH res AS (
+        SELECT o_orderkey, o_totalprice + 1 AS o_totalprice,
+               'from_src' AS note
+        FROM orders WHERE o_orderkey % 11 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, NULL AS note
+        FROM orders WHERE o_orderkey % 11 <> 0
+        UNION ALL
+        SELECT o_orderkey + 80000000, o_totalprice + 1, 'from_src'
+        FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(note) AS BIGINT) AS with_note,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM res
+    """,
+    doc="MERGE WITH SCHEMA EVOLUTION (engine.merge evolve_schema=True — "
+    "Delta autoMerge): a source-only column widens the versioned target "
+    "as NULLs before the merge, so UPDATE SET * and INSERT * carry it; "
+    "untouched rows read back NULL. The oracle states the closed form "
+    "of all three row classes over the evolved schema.",
+)
+def merge_schema_evolution_check(spark, sf_dir):
+    """Schema evolution composes with the single-join merge: the widen
+    is a metadata-side withColumn over the target scan, then the same
+    full-outer join — no extra pass, one rewrite commit."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_msev_")
+    try:
+        eng = Engine(spark, root)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        eng.create_table("msev", orders, keys=["o_orderkey"], versioned=True)
+        src = (
+            orders.filter(F.col("o_orderkey") % 11 == 0)
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+                    "o_orderkey", F.col("o_orderkey") + 80_000_000
+                )
+            )
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+            .withColumn("note", F.lit("from_src"))
+        )
+        eng.merge(
+            "msev",
+            src,
+            ["o_orderkey"],
+            null_clobbers=True,
+            evolve_schema=True,
+        )
+        out = eng.table("msev").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("note").alias("with_note"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "expectations_quarantine_check",
     oracle="""
     WITH base AS (

@@ -2264,3 +2264,58 @@ def test_alter_table_rename_to(spark, tmp_path):
     # the renamed table stays fully mutable
     e.sql("INSERT INTO u SELECT 2, 'b'")
     assert e.table("u").count() == 2
+
+
+def test_merge_with_schema_evolution(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION (Delta autoMerge): source-only
+    columns widen the target as NULLs before the merge, so INSERT * and
+    UPDATE SET * carry them; without the flag extra source columns are
+    silently dropped (the merge's schema contract is the target's)."""
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id bigint, val double")
+    e.create_table("ev", df, keys=["id"], versioned=True)
+    spark.createDataFrame(
+        [(1, 11.0, "x"), (3, 30.0, "y")], "id bigint, val double, note string"
+    ).createOrReplaceTempView("ev_src")
+    # without evolution: note dropped
+    e.sql(
+        "MERGE INTO ev USING ev_src AS s ON ev.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert "note" not in e.table("ev").columns
+    # with evolution: note lands (NULL for untouched rows)
+    e.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO ev USING ev_src AS s "
+        "ON ev.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.id: (r.val, r.note) for r in e.table("ev").collect()}
+    assert got[1] == (11.0, "x")
+    assert got[2] == (20.0, None)
+    assert got[3] == (30.0, "y")
+    # numeric widening: int source into bigint target stays bigint;
+    # a LONG source col widens an INT target col
+    e.create_table(
+        "evw",
+        spark.createDataFrame([(1, 5)], "id bigint, n int"),
+        keys=["id"],
+        versioned=True,
+    )
+    spark.createDataFrame(
+        [(1, 6_000_000_000)], "id bigint, n bigint"
+    ).createOrReplaceTempView("evw_src")
+    e.sql(
+        "MERGE WITH SCHEMA EVOLUTION INTO evw USING evw_src AS s "
+        "ON evw.id = s.id WHEN MATCHED THEN UPDATE SET *"
+    )
+    assert dict(e.table("evw").dtypes)["n"] == "bigint"
+    assert e.table("evw").head().n == 6_000_000_000
+    # refused on DV tables (honest gate)
+    e.create_table(
+        "evdv", df, keys=["id"], versioned=True, deletion_vectors=True
+    )
+    with pytest.raises(ValueError, match="not supported on"):
+        e.sql(
+            "MERGE WITH SCHEMA EVOLUTION INTO evdv USING ev_src AS s "
+            "ON evdv.id = s.id WHEN MATCHED THEN UPDATE SET *"
+        )
