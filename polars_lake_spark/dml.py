@@ -889,6 +889,11 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     k.lower() in newcols for k in spec.keys
                 ):
                     spec.keys = []
+                # the replace IS a new declaration: positional INSERTs
+                # must map against the SELECT's column order, not the
+                # original CREATE's (r13 review — the staged-rename path
+                # gets this via create_table)
+                spec.declared_columns = list(df.columns)
                 engine._write_manifest(spec)
                 n = engine.table(existing).count()
                 return _status(engine, "replace_table_as", existing, n)

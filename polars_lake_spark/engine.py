@@ -1822,14 +1822,23 @@ class Engine:
         else:
             qspec = self.specs.get(qt)
             if qspec is not None and qspec.side_table_of != spec.name:
-                # an independently-created table under the reserved name
-                # must never silently become the quarantine log
-                raise ValueError(
-                    f"table {qt!r} exists but was not created as "
-                    f"{spec.name!r}'s quarantine log; rename or drop it "
-                    "before using quarantine expectations on "
-                    f"{spec.name!r}"
-                )
+                # pre-marker engine-created logs (side_table_of=None)
+                # carry the machinery's own __rules column — adopt them;
+                # anything else under the reserved name must never
+                # silently become the quarantine log (r13 review)
+                if qspec.side_table_of is None and "__rules" in {
+                    c for c in self.table(qt).columns
+                }:
+                    qspec.side_table_of = spec.name
+                    if self.root is not None and qt not in self._mem:
+                        self._write_manifest(qspec)
+                else:
+                    raise ValueError(
+                        f"table {qt!r} exists but was not created as "
+                        f"{spec.name!r}'s quarantine log; rename or drop "
+                        "it before using quarantine expectations on "
+                        f"{spec.name!r}"
+                    )
             tgt = self.table(qt)
             bcols = set(bad.columns)
             self.insert(
@@ -2590,10 +2599,26 @@ class Engine:
             # whose only source match was quarantined still counts as
             # 'matched by source' for WHEN NOT MATCHED BY SOURCE
             # (ADVICE r12)
-            by_source_protect = None
+            pre_keys = None
             if bs_clauses and spec.expectations:
-                by_source_protect = new.select(*keys)
+                pre_keys = new.select(*keys)
             new = self._apply_expectations(spec, new, full_schema=old.schema)
+            by_source_protect = None
+            if pre_keys is not None:
+                # only keys whose EVERY source row was quarantined need
+                # protection (a surviving row already matches by
+                # source), so the set is bounded by the violation count
+                # — the downstream broadcast stays safe at any source
+                # size (r13 review: broadcasting the full source key set
+                # would OOM a large MERGE source)
+                by_source_protect = pre_keys.alias("pk").join(
+                    new.select(*keys).alias("sv"),
+                    [
+                        F.col(f"pk.{k}").eqNullSafe(F.col(f"sv.{k}"))
+                        for k in keys
+                    ],
+                    "left_anti",
+                )
             parts = spec.physical_partitioning
             # Pruning is only sound when the write path replaces JUST the
             # touched partitions (versioned replace / dynamic partition
@@ -4774,9 +4799,17 @@ class Engine:
         internal reference is dir-relative), manifest re-stamped, views
         re-registered.  O(1) at any table size; this is what makes
         CREATE OR REPLACE's stage-then-swap failure-atomic without a
-        second data pass.  Refuses offloaded (root_override) and
-        native-bucketed tables — their physical location is entangled
-        with the name in ways a dir move can't carry."""
+        second data pass.  Companion side tables (quarantine log, CDC
+        tombstones/meta) rename along with their base — orphaning them
+        under the old name would silently reset CDC stale-filter state
+        (a late pre-delete change could resurrect a deleted row).
+        Refuses offloaded (root_override) and native-bucketed tables —
+        their physical location is entangled with the name in ways a
+        dir move can't carry."""
+        # validate the NEW name before ANY mutation: a rename that moves
+        # the dir and only then fails view_key would strand the table
+        # under an unregistrable name (r13 review)
+        view_key(new)
         if old not in self.specs and old not in self._mem:
             self.load_table(old)
         spec = self.specs.get(old)
@@ -4798,21 +4831,48 @@ class Engine:
             raise ValueError(
                 f"rename_table: directory for {new} already exists"
             )
+        # companion side tables travel with the base — resolve them (and
+        # refuse destination collisions) BEFORE the first move so a
+        # half-renamed family can't happen on a validation error
+        companions = []
+        if spec is not None:
+            for suf in RESERVED_SIDE_SUFFIXES:
+                cspec = self.specs.get(f"{old}{suf}")
+                if cspec is not None and cspec.side_table_of == old:
+                    companions.append((f"{old}{suf}", f"{new}{suf}", cspec))
+            for _, cnew, _c in companions:
+                if cnew in self.specs or cnew in self._mem:
+                    raise ValueError(
+                        f"rename_table: companion target {cnew} already "
+                        "exists"
+                    )
+                if self.root is not None and os.path.exists(
+                    os.path.join(self.root, cnew)
+                ):
+                    raise ValueError(
+                        f"rename_table: directory for companion {cnew} "
+                        "already exists"
+                    )
         with self._lock(old):
-            if old in self._mem:
-                self._mem[new] = self._mem.pop(old)
-            elif self.root is not None:
-                os.rename(
-                    os.path.join(self.root, old), os.path.join(self.root, new)
-                )
-            if spec is not None:
-                self.specs[new] = self.specs.pop(old)
-                spec.name = new
-                if new not in self._mem and self.root is not None:
-                    self._write_manifest(spec)
-            self._pending_merges.pop(old, None)
-            self.spark.catalog.dropTempView(view_key(old))
-            self._register(new)
+            moves = [(old, new, spec)] + companions
+            for mold, mnew, mspec in moves:
+                if mold in self._mem:
+                    self._mem[mnew] = self._mem.pop(mold)
+                elif self.root is not None:
+                    os.rename(
+                        os.path.join(self.root, mold),
+                        os.path.join(self.root, mnew),
+                    )
+                if mspec is not None:
+                    self.specs[mnew] = self.specs.pop(mold)
+                    mspec.name = mnew
+                    if mspec.side_table_of == old:
+                        mspec.side_table_of = new
+                    if mnew not in self._mem and self.root is not None:
+                        self._write_manifest(mspec)
+                self._pending_merges.pop(mold, None)
+                self.spark.catalog.dropTempView(view_key(mold))
+                self._register(mnew)
 
     def table_info(self, name: str) -> dict:
         """GetTableInfo (``/root/reference/src/server.rs:210-232``): rows,

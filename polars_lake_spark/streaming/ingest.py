@@ -415,14 +415,33 @@ def _guard_side_table(engine, side: str, base: str, kind: str) -> None:
     NOT created by the CDC machinery as ``base``'s companion — a user
     table under the reserved name must never silently become the
     tombstone/meta log (VERDICT r12 hygiene; mirrors the quarantine
-    guard in engine._quarantine_rows)."""
+    guard in engine._quarantine_rows).
+
+    Companions created before the ``side_table_of`` marker existed load
+    with ``None`` — those are ADOPTED (marker stamped, manifest
+    re-written) when their schema matches the companion shape the
+    machinery itself writes (``__seq`` + the base's keys); a hard
+    reject would brick every pre-marker CDC deployment on upgrade
+    (r13 review)."""
     spec = engine.specs.get(side)
-    if spec is not None and spec.side_table_of != base:
-        raise ValueError(
-            f"table {side!r} exists but was not created as {base!r}'s "
-            f"{kind} companion; rename or drop it before applying "
-            f"changes to {base!r}"
+    if spec is None or spec.side_table_of == base:
+        return
+    if spec.side_table_of is None:
+        cols = {c.lower() for c in engine.table(side).columns}
+        keys = {k.lower() for k in engine.specs[base].keys}
+        want = (
+            {"k", "__seq"} if side.endswith("_cdc_meta") else keys | {"__seq"}
         )
+        if want and want <= cols:
+            spec.side_table_of = base
+            if engine.root is not None and side not in engine._mem:
+                engine._write_manifest(spec)
+            return
+    raise ValueError(
+        f"table {side!r} exists but was not created as {base!r}'s "
+        f"{kind} companion; rename or drop it before applying "
+        f"changes to {base!r}"
+    )
 
 
 def _guard_batch_columns(fn: str, b: DataFrame, sequence_by: str | None):

@@ -2319,3 +2319,136 @@ def test_merge_with_schema_evolution(spark, tmp_path):
             "MERGE WITH SCHEMA EVOLUTION INTO evdv USING ev_src AS s "
             "ON evdv.id = s.id WHEN MATCHED THEN UPDATE SET *"
         )
+
+
+def test_rename_table_moves_companions(spark, tmp_path):
+    """r13 review: companion side tables (quarantine, CDC tombstones/
+    meta) rename WITH their base — orphaning them would silently reset
+    CDC stale-filter state and quarantine history."""
+    from polars_lake_spark.streaming.ingest import apply_changes_batch
+
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame([(1, "a", 1.0)], "k bigint, s string, v double")
+    e.create_table("t", df, keys=["k"], versioned=True)
+    e.add_expectation("t", "pos", "v >= 0", action="quarantine")
+    e.insert("t", spark.createDataFrame([(2, "b", -1.0)],
+                                        "k bigint, s string, v double"))
+    b = spark.createDataFrame(
+        [(1, None, 5.0, "delete", 10)],
+        "k bigint, s string, v double, _op string, seq bigint",
+    )
+    apply_changes_batch(e, "t", b, sequence_by="seq")
+    assert "t_quarantine" in e.specs and "t_cdc_tombstones" in e.specs
+    e.rename_table("t", "u")
+    for suf in ("_quarantine", "_cdc_tombstones"):
+        assert f"u{suf}" in e.specs, suf
+        assert f"t{suf}" not in e.specs, suf
+        assert e.specs[f"u{suf}"].side_table_of == "u"
+    # the renamed family keeps working: a STALE change must still drop
+    stale = spark.createDataFrame(
+        [(1, "resurrect", 5.0, "upsert", 5)],
+        "k bigint, s string, v double, _op string, seq bigint",
+    )
+    apply_changes_batch(e, "u", stale, sequence_by="seq")
+    assert e.table("u").filter("k = 1").count() == 0  # tombstone held
+    # quarantine log continues under the new name
+    e.insert("u", spark.createDataFrame([(3, "c", -2.0)],
+                                        "k bigint, s string, v double"))
+    assert e.table("u_quarantine").count() == 2
+
+
+def test_rename_table_validates_new_name_first(spark, tmp_path):
+    """r13 review: an invalid new name must fail BEFORE the dir moves —
+    otherwise the table is stranded under an unregistrable name."""
+    e = Engine(spark, str(tmp_path / "w"))
+    e.create_table("t", spark.createDataFrame([(1,)], "id bigint"))
+    for bad in ("my__table", "a.b.c"):
+        with pytest.raises(ValueError):
+            e.rename_table("t", bad)
+    assert e.table("t").count() == 1  # untouched and still addressable
+
+
+def test_create_or_replace_refreshes_declared_order(spark, tmp_path):
+    """r13 review: a same-layout replace re-declares the column order —
+    positional INSERT INTO ... VALUES must map against the SELECT's
+    order, not the original CREATE's."""
+    e = Engine(spark, str(tmp_path / "w"))
+    spark.createDataFrame(
+        [(1.0, 2.0)], "a double, b double"
+    ).createOrReplaceTempView("dc_src")
+    e.sql("CREATE VERSIONED TABLE t AS SELECT a, b FROM dc_src")
+    e.sql("CREATE OR REPLACE VERSIONED TABLE t AS SELECT b, a FROM dc_src")
+    e.sql("INSERT INTO t VALUES (100.0, 200.0)")
+    row = e.table("t").filter("b = 100.0").head()
+    assert row is not None and row.a == 200.0
+
+
+def test_side_table_legacy_manifest_adopted(spark, tmp_path):
+    """r13 review: companions created before the side_table_of marker
+    existed (manifest loads None) are ADOPTED when their schema matches
+    the machinery's own shape — an upgrade must not brick working CDC/
+    quarantine pipelines."""
+    import json
+    import os
+
+    from polars_lake_spark.streaming.ingest import apply_changes_batch
+
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame([(1, "a", 1.0)], "k bigint, s string, v double")
+    e.create_table("t", df, keys=["k"], versioned=True)
+    e.add_expectation("t", "pos", "v >= 0", action="quarantine")
+    e.insert("t", spark.createDataFrame([(2, "b", -1.0)],
+                                        "k bigint, s string, v double"))
+    b = spark.createDataFrame(
+        [(1, None, 5.0, "delete", 10)],
+        "k bigint, s string, v double, _op string, seq bigint",
+    )
+    apply_changes_batch(e, "t", b, sequence_by="seq")
+    # simulate pre-marker manifests: strip side_table_of on disk
+    for side in ("t_quarantine", "t_cdc_tombstones", "t_cdc_meta"):
+        if side not in e.specs:
+            continue
+        mp = os.path.join(str(tmp_path / "w"), side, "_manifest.json")
+        if os.path.isfile(mp):
+            man = json.load(open(mp))
+            man.pop("side_table_of", None)
+            json.dump(man, open(mp, "w"))
+        e.specs[side].side_table_of = None
+    # a fresh engine loads None markers; both machineries must adopt
+    e2 = Engine(spark, str(tmp_path / "w"))
+    e2.load_all()
+    assert e2.specs["t_quarantine"].side_table_of is None
+    e2.insert("t", spark.createDataFrame([(3, "c", -2.0)],
+                                         "k bigint, s string, v double"))
+    assert e2.table("t_quarantine").count() == 2       # adopted + appended
+    assert e2.specs["t_quarantine"].side_table_of == "t"
+    stale = spark.createDataFrame(
+        [(1, "resurrect", 5.0, "upsert", 5)],
+        "k bigint, s string, v double, _op string, seq bigint",
+    )
+    apply_changes_batch(e2, "t", stale, sequence_by="seq")
+    assert e2.table("t").filter("k = 1").count() == 0  # tombstones adopted
+    assert e2.specs["t_cdc_tombstones"].side_table_of == "t"
+
+
+def test_merge_by_source_protect_only_fully_quarantined_keys(eng, spark):
+    """r13 review: the BY SOURCE protection set is the QUARANTINED-only
+    key set (bounded by violations), and a key with both a surviving
+    and a violating source row still updates from the surviving row."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "id bigint, val double"
+    )
+    eng.create_table("pq2", df, keys=["id"])
+    eng.add_expectation("pq2", "pos_val", "val >= 0", action="drop")
+    spark.createDataFrame(
+        [(1, -5.0), (1, 11.0), (2, -1.0)], "id bigint, val double"
+    ).createOrReplaceTempView("pq2_src")
+    eng.sql(
+        "MERGE INTO pq2 USING pq2_src AS s ON pq2.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    got = {r.id: r.val for r in eng.table("pq2").collect()}
+    assert got[1] == 11.0   # surviving row updated its match
+    assert got[2] == 20.0   # fully-quarantined key: target survives
+    assert 3 not in got     # genuinely unmatched: deleted
