@@ -585,9 +585,18 @@ def _insert_frame(
             )
         listed = [canon[c.lower()] for c in cols]
         df = df.toDF(*listed)
+        gen = engine.specs[name].generated
         for f in tschema.fields:
             if f.name not in listed:
-                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                # an OMITTED generated column computes from its formula
+                # (Delta's rule) rather than NULL-filling — a NULL would
+                # fail the auto `col <=> (expr)` CHECK
+                if f.name in gen:
+                    df = df.withColumn(
+                        f.name, F.expr(gen[f.name]).cast(f.dataType)
+                    )
+                else:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
     else:
         if len(df.columns) != len(tschema.fields):
             raise ValueError(
@@ -976,6 +985,10 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     }
                 elif lk.startswith("constraint."):
                     constraints[k[len("constraint."):]] = v
+                elif lk.startswith("generated."):
+                    kwargs.setdefault("generated", {})[
+                        k[len("generated."):]
+                    ] = v
                 elif lk in ("keys", "bucket_by"):
                     kwargs[lk] = [c.strip() for c in v.split(",")]
                 elif lk == "n_buckets":
@@ -1000,7 +1013,8 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     raise ValueError(
                         f"CREATE TABLE {raw}: unsupported table property "
                         f"{k!r} (supported: {sorted(_CREATE_PROPS)} and "
-                        "'constraint.<name>')"
+                        "'constraint.<name>' / 'generated.<col>' / "
+                        "'expectation.<name>.<action>')"
                     )
             if constraints:
                 kwargs["constraints"] = constraints
@@ -1932,7 +1946,13 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             props["compression"] = spec.compression
         if spec.format != "parquet":
             props["format"] = spec.format
+        for gcol, gexpr in (spec.generated or {}).items():
+            props[f"generated.{gcol}"] = gexpr
         for cname, expr in (spec.constraints or {}).items():
+            if cname.startswith("_gen_") and cname[5:] in (
+                spec.generated or {}
+            ):
+                continue  # derived from generated.* — re-created on parse
             props[f"constraint.{cname}"] = expr
         for ename, e in (spec.expectations or {}).items():
             props[f"expectation.{ename}.{e['action']}"] = e["expr"]

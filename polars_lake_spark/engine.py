@@ -222,6 +222,17 @@ class TableSpec:
     # pays the (broadcast, map-side) anti-join; compaction folds DVs in.
     # Versioned parquet tables only.
     deletion_vectors: bool = False
+    # GENERATED columns (Delta GENERATED ALWAYS AS analog): column ->
+    # SQL expression over the table's OTHER (non-generated) columns.
+    # Every write computes a missing generated column from its
+    # expression (one map-side withColumn inside _with_layout — the
+    # universal write chokepoint), and a write that PROVIDES the column
+    # is validated by an auto-registered CHECK constraint
+    # (`col <=> (expr)`), so a wrong provided value fails loudly instead
+    # of silently diverging from the formula.  The canonical use is a
+    # derived partition column (month from a timestamp) kept consistent
+    # without trusting every writer.
+    generated: dict[str, str] = field(default_factory=dict)
     # Set when the ENGINE created this table as a companion side table
     # (quarantine log, CDC tombstones/meta) of another table.  The
     # implicit side-table writers check it before appending, and public
@@ -361,6 +372,7 @@ class Engine:
         zone_maps: bool = True,
         cluster_by: list[str] | None = None,
         side_table_of: str | None = None,
+        generated: dict[str, str] | None = None,
     ) -> TableSpec:
         """CreateTable (``/root/reference/src/server.rs:92-135`` analog).
 
@@ -393,6 +405,24 @@ class Engine:
         as ``schema__table`` (see ``view_key``).
         """
         view_key(name)  # validate (raises on bad identifiers / >2 levels)
+        if generated:
+            # generated expressions may reference only NON-generated
+            # columns (no chains/cycles — Delta's rule) and must resolve
+            # against the initial frame; compute any missing generated
+            # column now so declared_columns and the initial write carry
+            # it (appends get the same treatment in _with_layout)
+            for col, expr in generated.items():
+                if any(
+                    re.search(rf"\b{re.escape(g)}\b", expr)
+                    for g in generated
+                ):
+                    raise ValueError(
+                        f"create_table {name}: generated column {col!r} "
+                        "expression may not reference generated columns"
+                    )
+            for col, expr in generated.items():
+                if col not in df.columns:
+                    df = df.withColumn(col, F.expr(expr))
         if side_table_of is None:
             # reserved companion-table namespace: `{base}_quarantine` /
             # `{base}_cdc_tombstones` / `{base}_cdc_meta` belong to the
@@ -427,10 +457,17 @@ class Engine:
             zone_maps=zone_maps,
             cluster_by=list(cluster_by or []),
             side_table_of=side_table_of,
+            generated=dict(generated or {}),
             # Captured BEFORE _with_layout (the derived bucket_id is not
             # a user column): the order positional INSERTs map against.
             declared_columns=list(df.columns),
         )
+        for col, expr in spec.generated.items():
+            # a write that PROVIDES a generated column must match the
+            # formula — ride the existing constraint enforcement (the
+            # `_gen_` prefix marks these as derived so SHOW CREATE emits
+            # the generated.* property instead of a constraint.* one)
+            spec.constraints.setdefault(f"_gen_{col}", f"{col} <=> ({expr})")
         # Cheap parameter validation FIRST — _enforce below runs a full
         # aggregation job over df, which must not precede (or mask) an
         # immediate configuration error.
@@ -710,6 +747,14 @@ class Engine:
         return writer
 
     def _with_layout(self, df: DataFrame, spec: TableSpec) -> DataFrame:
+        # generated columns first: the bucket/partition layout may be
+        # DEFINED on a generated column (the canonical month-from-
+        # timestamp case), so it must exist before the bucket derives.
+        # A frame that already carries the column keeps its values (the
+        # auto CHECK validates them on write).
+        for col, expr in spec.generated.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
         if spec.bucket_by:
             df = with_bucket_column(df, spec.bucket_by, spec.n_buckets)
         return df

@@ -2073,6 +2073,55 @@ def merge_schema_evolution_check(spark, sf_dir):
 
 
 @register(
+    "generated_columns_check",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY month
+    """,
+    doc="GENERATED columns (Delta GENERATED ALWAYS AS analog, "
+    "engine.py TableSpec.generated): a month column derived from "
+    "o_orderdate defines the PARTITION layout; the seed write computes "
+    "it, a later insert omits it and the write path computes it from "
+    "the formula (one map-side expression inside _with_layout). The "
+    "oracle recomputes the formula over the raw table.",
+)
+def generated_columns_check(spark, sf_dir):
+    """Generated columns cost one withColumn per write — no shuffle, no
+    extra pass; the derived partition column keeps partition pruning
+    available without trusting any writer to compute it."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_genc_")
+    try:
+        eng = Engine(spark, root)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        eng.create_table(
+            "genc",
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            keys=["o_orderkey"],
+            partition_by=["month"],
+            versioned=True,
+            generated={"month": "date_format(o_orderdate, 'yyyy-MM')"},
+        )
+        eng.insert("genc", orders.filter(F.col("o_orderkey") % 2 == 1))
+        out = eng.table("genc").groupBy("month").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "expectations_quarantine_check",
     oracle="""
     WITH base AS (

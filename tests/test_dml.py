@@ -2452,3 +2452,73 @@ def test_merge_by_source_protect_only_fully_quarantined_keys(eng, spark):
     assert got[1] == 11.0   # surviving row updated its match
     assert got[2] == 20.0   # fully-quarantined key: target survives
     assert 3 not in got     # genuinely unmatched: deleted
+
+
+def test_generated_columns(spark, tmp_path):
+    """GENERATED ALWAYS AS analog: a missing generated column computes
+    from its formula on EVERY write path; a provided value is validated
+    by the auto CHECK (never silently diverges); the formula may define
+    the partition layout."""
+    from polars_lake_spark.engine import ConstraintViolationError
+
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame(
+        [(1, "2024-03-15"), (2, "2024-04-02")], "id bigint, d string"
+    ).withColumn("d", F.to_date("d"))
+    e.create_table(
+        "g",
+        df,
+        keys=["id"],
+        partition_by=["month"],
+        generated={"month": "date_format(d, 'yyyy-MM')"},
+    )
+    got = {r.id: r.month for r in e.table("g").collect()}
+    assert got == {1: "2024-03", 2: "2024-04"}
+    # engine insert without the column computes it
+    e.insert(
+        "g",
+        spark.createDataFrame([(3, "2024-05-09")], "id bigint, d string")
+        .withColumn("d", F.to_date("d")),
+    )
+    assert e.table("g").filter("id = 3").head().month == "2024-05"
+    # SQL INSERT omitting the generated column computes it too
+    e.sql("INSERT INTO g (id, d) VALUES (4, DATE'2024-06-01')")
+    assert e.table("g").filter("id = 4").head().month == "2024-06"
+    # a WRONG provided value fails the auto CHECK loudly
+    bad = spark.createDataFrame(
+        [(5, "2024-07-01", "1999-01")], "id bigint, d string, month string"
+    ).withColumn("d", F.to_date("d"))
+    with pytest.raises(ConstraintViolationError):
+        e.insert("g", bad)
+    # a CORRECT provided value is accepted
+    ok = bad.withColumn("month", F.date_format("d", "yyyy-MM"))
+    e.insert("g", ok)
+    assert e.table("g").filter("id = 5").head().month == "2024-07"
+    # upsert recomputes for the incoming rows
+    e.upsert(
+        "g",
+        spark.createDataFrame([(3, "2024-08-20")], "id bigint, d string")
+        .withColumn("d", F.to_date("d")),
+    )
+    assert e.table("g").filter("id = 3").head().month == "2024-08"
+    # generated expressions may not reference other generated columns
+    with pytest.raises(ValueError, match="may not reference"):
+        e.create_table(
+            "g2", df, generated={"a": "id + 1", "b": "a + 1"}
+        )
+
+
+def test_generated_columns_show_create_roundtrip(spark, tmp_path):
+    """SHOW CREATE TABLE emits generated.<col> (not the derived _gen_
+    constraint) and the literal CREATE parser re-creates the formula."""
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame([(1, 4.0)], "id bigint, v double")
+    e.create_table("gr", df, generated={"v2": "v * 2"})
+    ddl = e.sql("SHOW CREATE TABLE gr").head()[0]
+    assert "generated.v2" in ddl and "constraint._gen_" not in ddl
+    e.drop_table("gr", delete_files=True)
+    st = e.sql(ddl).head()
+    assert st["operation"] == "create_table"
+    assert e.specs["gr"].generated == {"v2": "v * 2"}
+    e.sql("INSERT INTO gr (id, v) VALUES (2, 10.0)")
+    assert e.table("gr").filter("id = 2").head().v2 == 20.0
