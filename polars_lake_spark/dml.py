@@ -719,6 +719,32 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     raise ValueError(f"UPDATE {name}: no column {col!r}")
                 pairs.append((col, expr.strip()))
             spec = engine.specs[name]
+            # Delta's generated-column rule for UPDATE: when a SET
+            # touches a source column of a generated column (and the
+            # generated column itself is not explicitly SET), the
+            # generated column recomputes from its formula — otherwise
+            # the auto `col <=> (expr)` CHECK would fail a legitimate
+            # statement the user cannot express better
+            set_pairs0 = list(pairs)
+            set_cols0 = {c for c, _ in set_pairs0}
+            for gcol, gexpr in (spec.generated or {}).items():
+                if gcol in set_cols0:
+                    continue
+                if any(
+                    re.search(rf"\b{re.escape(sc)}\b", gexpr)
+                    for sc in set_cols0
+                ):
+                    # every SET expression sees PRE-update values (SQL
+                    # semantics), so the formula must be evaluated over
+                    # the NEW source values: substitute each SET column
+                    # reference in the (trusted, table-declared) formula
+                    # with its parenthesized SET expression
+                    gnew = gexpr
+                    for sc, se in set_pairs0:
+                        gnew = re.sub(
+                            rf"\b{re.escape(sc)}\b", f"({se})", gnew
+                        )
+                    pairs.append((gcol, gnew))
             parts = spec.physical_partitioning
             set_cols = {c for c, _ in pairs}
             if spec.bucket_by and _BUCKET_COL in set_cols:

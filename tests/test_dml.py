@@ -2494,13 +2494,21 @@ def test_generated_columns(spark, tmp_path):
     ok = bad.withColumn("month", F.date_format("d", "yyyy-MM"))
     e.insert("g", ok)
     assert e.table("g").filter("id = 5").head().month == "2024-07"
-    # upsert recomputes for the incoming rows
+    # upsert recomputes for the incoming rows (NON-layout generated
+    # column — like every upsert, a PARTITION column must stay stable
+    # under updates, generated or not)
+    e.create_table(
+        "g_flat",
+        df,
+        keys=["id"],
+        generated={"month": "date_format(d, 'yyyy-MM')"},
+    )
     e.upsert(
-        "g",
-        spark.createDataFrame([(3, "2024-08-20")], "id bigint, d string")
+        "g_flat",
+        spark.createDataFrame([(1, "2024-08-20")], "id bigint, d string")
         .withColumn("d", F.to_date("d")),
     )
-    assert e.table("g").filter("id = 3").head().month == "2024-08"
+    assert e.table("g_flat").filter("id = 1").head().month == "2024-08"
     # generated expressions may not reference other generated columns
     with pytest.raises(ValueError, match="may not reference"):
         e.create_table(
@@ -2522,3 +2530,30 @@ def test_generated_columns_show_create_roundtrip(spark, tmp_path):
     assert e.specs["gr"].generated == {"v2": "v * 2"}
     e.sql("INSERT INTO gr (id, v) VALUES (2, 10.0)")
     assert e.table("gr").filter("id = 2").head().v2 == 20.0
+
+
+def test_update_recomputes_generated_columns(spark, tmp_path):
+    """SQL UPDATE touching a generated column's source recomputes the
+    formula over the NEW value (Delta's rule) — and the derived
+    partition moves with it."""
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame(
+        [(1, "2024-03-15"), (2, "2024-04-02")], "id bigint, d string"
+    ).withColumn("d", F.to_date("d"))
+    e.create_table(
+        "gu",
+        df,
+        keys=["id"],
+        partition_by=["month"],
+        generated={"month": "date_format(d, 'yyyy-MM')"},
+    )
+    st = e.sql("UPDATE gu SET d = DATE'2024-09-09' WHERE id = 1").head()
+    assert st["n_affected"] == 1
+    got = {r.id: (str(r.d), r.month) for r in e.table("gu").collect()}
+    assert got[1] == ("2024-09-09", "2024-09")  # recomputed
+    assert got[2] == ("2024-04-02", "2024-04")  # untouched
+    # explicit SET of the generated column wins (validated by the CHECK)
+    from polars_lake_spark.engine import ConstraintViolationError
+
+    with pytest.raises(ConstraintViolationError):
+        e.sql("UPDATE gu SET month = 'nope' WHERE id = 2")
