@@ -2534,20 +2534,27 @@ class Engine:
         upsert/delete — including versioned tables, where each merge lands
         as one new snapshot (the Delta MERGE + time-travel combination).
 
-        ``set_exprs`` (column -> Column over the o/n-aliased join) is the
-        explicit ``UPDATE SET c = e`` form: matched rows take exactly the
-        assignments, unassigned columns keep old values.  Key columns and
-        the derived bucket column are refused (they are the merge/layout
-        identity); a partition-column assignment is allowed but forces
-        the full-rewrite path (the row may migrate partitions, which the
-        touched-partition pruning below cannot see).
-        ``when_not_matched_by_source_delete`` (Column over the target
-        row, or ``F.lit(True)``) removes target rows the source lacks —
-        Delta's WHEN NOT MATCHED BY SOURCE THEN DELETE; it reads every
-        partition by definition, so it too disables pruning.
-        ``when_matched_update_condition`` (Column over the o/n-aliased
-        join) gates the update clause — Delta's WHEN MATCHED AND c THEN
-        UPDATE; matched rows failing it keep their old values.
+        Three ORDERED clause families (each first-match-wins, the full
+        Delta surface — see merge_into's docstring for exact column
+        semantics): ``matched_clauses`` (UPDATE SET */cols | DELETE,
+        optionally condition-gated), ``not_matched_clauses`` (INSERT * |
+        explicit INSERT VALUES), ``by_source_clauses`` (DELETE | UPDATE
+        SET over target-only rows).  The legacy single-clause kwargs
+        (``when_matched_delete`` / ``when_matched_update`` [+
+        ``when_matched_update_condition``] / ``set_exprs`` /
+        ``when_not_matched_insert`` /
+        ``when_not_matched_by_source_delete``) normalize into the same
+        shape — never mix the two forms for one family.
+
+        SET / INSERT-VALUES columns: merge keys and the derived bucket
+        column are refused in SETs (they are the merge/layout identity);
+        the bucket column is refused in INSERT VALUES (recomputed on
+        write); a partition-column assignment is allowed but forces the
+        full-rewrite path (the row may migrate partitions, which the
+        touched-partition pruning below cannot see) — as do BY SOURCE
+        clauses (they read every partition by definition) and explicit
+        INSERT VALUES (the inserted partition value need not be the
+        source row's).
 
         ``evolve_schema=True`` (Delta's MERGE WITH SCHEMA EVOLUTION /
         autoMerge): source-only columns widen the target as NULLs and
