@@ -2612,6 +2612,11 @@ class Engine:
                     "the derived bucket column is recomputed on write"
                 )
         any_delete = any(cl["action"] == "delete" for cl in clauses)
+        # pin a nondeterministic source ONCE: the pre-expectation key
+        # set, the expectation split, and the merge join must all see
+        # the SAME rows (the SQL path checkpoints already; this covers
+        # direct API callers)
+        source = self._pin_if_nondeterministic(source)
         if evolve_schema and spec.deletion_vectors:
             raise ValueError(
                 f"MERGE INTO {name}: evolve_schema is not supported on "
