@@ -586,17 +586,22 @@ def _insert_frame(
         listed = [canon[c.lower()] for c in cols]
         df = df.toDF(*listed)
         gen = engine.specs[name].generated
+        # two passes: NULL-fill every omitted NON-generated column
+        # FIRST, then compute omitted generated columns — a formula may
+        # reference a source column that is itself omitted (evaluating
+        # it before the fill would fail to resolve; after, it
+        # NULL-propagates like any SQL expression)
         for f in tschema.fields:
-            if f.name not in listed:
+            if f.name not in listed and f.name not in gen:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        for f in tschema.fields:
+            if f.name not in listed and f.name in gen:
                 # an OMITTED generated column computes from its formula
                 # (Delta's rule) rather than NULL-filling — a NULL would
                 # fail the auto `col <=> (expr)` CHECK
-                if f.name in gen:
-                    df = df.withColumn(
-                        f.name, F.expr(gen[f.name]).cast(f.dataType)
-                    )
-                else:
-                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+                df = df.withColumn(
+                    f.name, F.expr(gen[f.name]).cast(f.dataType)
+                )
     else:
         if len(df.columns) != len(tschema.fields):
             raise ValueError(
@@ -726,24 +731,32 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             # the auto `col <=> (expr)` CHECK would fail a legitimate
             # statement the user cannot express better
             set_pairs0 = list(pairs)
+            # SQL identifiers are case-insensitive: match and substitute
+            # ignoring case, and substitute ALL SET columns in ONE pass
+            # (sequential passes would rewrite column references inside
+            # an earlier SET's already-substituted expression) with a
+            # lambda replacement (a raw replacement string would
+            # interpret backslashes in the SET expression as regex
+            # escapes) — r13 review.
+            subs = {c.lower(): e for c, e in set_pairs0}
             set_cols0 = {c for c, _ in set_pairs0}
+            if subs:
+                sub_pat = re.compile(
+                    r"\b(" + "|".join(re.escape(c) for c in subs) + r")\b",
+                    re.I,
+                )
             for gcol, gexpr in (spec.generated or {}).items():
-                if gcol in set_cols0:
+                if gcol.lower() in {c.lower() for c in set_cols0}:
                     continue
-                if any(
-                    re.search(rf"\b{re.escape(sc)}\b", gexpr)
-                    for sc in set_cols0
-                ):
+                if subs and sub_pat.search(gexpr):
                     # every SET expression sees PRE-update values (SQL
                     # semantics), so the formula must be evaluated over
                     # the NEW source values: substitute each SET column
                     # reference in the (trusted, table-declared) formula
                     # with its parenthesized SET expression
-                    gnew = gexpr
-                    for sc, se in set_pairs0:
-                        gnew = re.sub(
-                            rf"\b{re.escape(sc)}\b", f"({se})", gnew
-                        )
+                    gnew = sub_pat.sub(
+                        lambda m: f"({subs[m.group(1).lower()]})", gexpr
+                    )
                     pairs.append((gcol, gnew))
             parts = spec.physical_partitioning
             set_cols = {c for c, _ in pairs}
@@ -906,13 +919,21 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                 # must not strip a surviving table of its rules.
                 old_cons = dict(spec.constraints)
                 old_exp = dict(spec.expectations)
+                old_gen = dict(spec.generated)
                 spec.constraints.clear()
                 spec.expectations = {}
+                # generated formulas reset with the rest of the
+                # definition: keeping them (while their auto _gen_ CHECK
+                # was just cleared) would re-derive columns of the OLD
+                # definition — or crash when the new SELECT drops a
+                # formula source column (r13 review)
+                spec.generated = {}
                 try:
                     engine.overwrite(existing, df)
                 except BaseException:
                     spec.constraints.update(old_cons)
                     spec.expectations = old_exp
+                    spec.generated = old_gen
                     raise
                 # keys survive the replace only while they still exist
                 # in the new definition — a spec advertising a dropped

@@ -413,7 +413,7 @@ class Engine:
             # it (appends get the same treatment in _with_layout)
             for col, expr in generated.items():
                 if any(
-                    re.search(rf"\b{re.escape(g)}\b", expr)
+                    re.search(rf"\b{re.escape(g)}\b", expr, re.I)
                     for g in generated
                 ):
                     raise ValueError(
@@ -1871,9 +1871,10 @@ class Engine:
                 # carry the machinery's own __rules column — adopt them;
                 # anything else under the reserved name must never
                 # silently become the quarantine log (r13 review)
-                if qspec.side_table_of is None and "__rules" in {
-                    c for c in self.table(qt).columns
-                }:
+                if (
+                    qspec.side_table_of is None
+                    and "__rules" in self.table(qt).columns
+                ):
                     qspec.side_table_of = spec.name
                     if self.root is not None and qt not in self._mem:
                         self._write_manifest(qspec)
@@ -2465,14 +2466,27 @@ class Engine:
             # constraints run on the merged slice below (a coalesce
             # merge can violate where both halves individually pass)
             new = self._apply_expectations(spec, new, full_schema=old.schema)
+
+            def _upserted(old_side):
+                m = M.upsert(old_side, new, keys, evolve=evolve)
+                # generated columns recompute from the MERGED values: a
+                # partial batch (NULL = keep old) would otherwise carry a
+                # formula evaluated over MIXED batch values and fail the
+                # auto CHECK on a legitimate upsert (r13 review; same
+                # rule as merge)
+                for gcol, gexpr in spec.generated.items():
+                    if gcol in m.columns:
+                        m = m.withColumn(gcol, F.expr(gexpr))
+                return m
+
             if spec.versioned:
                 parts = spec.physical_partitioning
                 if parts:
                     old_slice = self._prune_to_touched(old, new, parts)
-                    merged = M.upsert(old_slice, new, keys, evolve=evolve)
+                    merged = _upserted(old_slice)
                     op = "replace"  # touched partitions move to the new dir
                 else:
-                    merged = M.upsert(old, new, keys, evolve=evolve)
+                    merged = _upserted(old)
                     op = "rewrite"
                 if audit:
                     merged = M.with_audit_columns(merged, created=False)
@@ -2485,7 +2499,7 @@ class Engine:
                 parts = spec.physical_partitioning
                 if parts:
                     old_slice = self._prune_to_touched(old, new, parts)
-                    merged = M.upsert(old_slice, new, keys, evolve=evolve)
+                    merged = _upserted(old_slice)
                     if audit:
                         merged = M.with_audit_columns(merged, created=False)
                     merged = self._check_constraints(spec, merged)
@@ -2496,14 +2510,14 @@ class Engine:
                     # Dynamic partition overwrite rewrites only touched dirs.
                     self._write(merged, spec, mode="overwrite")
                 else:
-                    merged = M.upsert(old, new, keys, evolve=evolve)
+                    merged = _upserted(old)
                     if audit:
                         merged = M.with_audit_columns(merged, created=False)
                     merged = self._check_constraints(spec, merged)
                     # Unpartitioned: stage then swap (can't overwrite input in place).
                     self._write(merged.localCheckpoint(eager=True), spec, "overwrite")
             else:
-                merged = M.upsert(old, new, keys, evolve=evolve)
+                merged = _upserted(old)
                 if audit:
                     merged = M.with_audit_columns(merged, created=False)
                 merged = self._check_constraints(spec, merged)
@@ -2611,6 +2625,24 @@ class Engine:
                     f"MERGE INTO {name}: cannot assign {BUCKET_COL} — "
                     "the derived bucket column is recomputed on write"
                 )
+        if spec.generated:
+            # generated columns are DERIVED: merge recomputes them from
+            # their formulas over the merged values (Delta's rule), so
+            # explicit assignments are refused — they would be silently
+            # overridden
+            genl = {g.lower() for g in spec.generated}
+            assigned = {c for c in all_sets if c.lower() in genl}
+            for cl in nm_clauses:
+                if cl.get("values"):
+                    assigned |= {
+                        c for c in cl["values"] if c.lower() in genl
+                    }
+            if assigned:
+                raise ValueError(
+                    f"MERGE INTO {name}: cannot assign generated columns "
+                    f"{sorted(assigned)} — they recompute from their "
+                    "formulas; assign their source columns instead"
+                )
         any_delete = any(cl["action"] == "delete" for cl in clauses)
         # pin a nondeterministic source ONCE: the pre-expectation key
         # set, the expectation split, and the merge join must all see
@@ -2711,11 +2743,20 @@ class Engine:
                 null_clobbers=null_clobbers,
                 by_source_protected_keys=by_source_protect,
             )
+            for gcol, gexpr in spec.generated.items():
+                # generated columns recompute from the MERGED values
+                # (Delta's MERGE rule) — a SET on a formula source column
+                # would otherwise leave a stale value the auto CHECK
+                # rejects (r13 review)
+                if gcol in merged.columns:
+                    merged = merged.withColumn(gcol, F.expr(gexpr))
             if spec.bucket_by:
                 # recompute the derived bucket from the MERGED values —
                 # a SET on a bucket-source column or an explicit INSERT
                 # VALUES key would otherwise leave a stale/NULL
-                # bucket_id (same rule as the DV path)
+                # bucket_id (same rule as the DV path; ordered AFTER the
+                # generated recompute — the bucket may derive from a
+                # generated column)
                 cols = merged.columns
                 merged = self._with_layout(
                     merged.drop(BUCKET_COL), spec
@@ -3224,6 +3265,11 @@ class Engine:
             appends = joined.filter(updc | insc).select(*select)
             if bs_appends is not None:
                 appends = appends.unionByName(bs_appends)
+            for gcol, gexpr in spec.generated.items():
+                # same recompute rule as the rewrite path (before the
+                # bucket recompute — the bucket may derive from it)
+                if gcol in appends.columns:
+                    appends = appends.withColumn(gcol, F.expr(gexpr))
             if spec.bucket_by:
                 # recompute the derived bucket from the MERGED values —
                 # under coalesce semantics a NULL source cell keeps the
@@ -4890,9 +4936,22 @@ class Engine:
             )
         # companion side tables travel with the base — resolve them (and
         # refuse destination collisions) BEFORE the first move so a
-        # half-renamed family can't happen on a validation error
+        # half-renamed family can't happen on a validation error.  Probe
+        # the DISK too: a fresh engine process hasn't loaded companion
+        # manifests into specs, and an unloaded companion left behind
+        # would silently reset CDC stale-filter state (r13 review #2)
         companions = []
         if spec is not None:
+            for suf in RESERVED_SIDE_SUFFIXES:
+                cname = f"{old}{suf}"
+                if (
+                    cname not in self.specs
+                    and self.root is not None
+                    and os.path.isfile(
+                        os.path.join(self.root, cname, MANIFEST)
+                    )
+                ):
+                    self.load_table(cname)
             for suf in RESERVED_SIDE_SUFFIXES:
                 cspec = self.specs.get(f"{old}{suf}")
                 if cspec is not None and cspec.side_table_of == old:

@@ -2557,3 +2557,171 @@ def test_update_recomputes_generated_columns(spark, tmp_path):
 
     with pytest.raises(ConstraintViolationError):
         e.sql("UPDATE gu SET month = 'nope' WHERE id = 2")
+
+
+def test_rename_companions_from_fresh_engine(spark, tmp_path):
+    """r13 review #2: companions whose manifests were never loaded in
+    THIS session must still rename with the base (disk probe, not just
+    the in-memory specs dict)."""
+    from polars_lake_spark.streaming.ingest import apply_changes_batch
+
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    e.create_table("t", df, keys=["k"], versioned=True)
+    b = spark.createDataFrame(
+        [(1, None, "delete", 10)], "k bigint, s string, _op string, seq bigint"
+    )
+    apply_changes_batch(e, "t", b, sequence_by="seq")
+    assert "t_cdc_tombstones" in e.specs
+    # FRESH engine: only the base manifest loads on demand
+    e2 = Engine(spark, str(tmp_path / "w"))
+    e2.rename_table("t", "u")
+    assert "u_cdc_tombstones" in e2.specs
+    import os
+
+    assert not os.path.exists(str(tmp_path / "w" / "t_cdc_tombstones"))
+    # stale change still drops under the travelled tombstone
+    stale = spark.createDataFrame(
+        [(1, "back", "upsert", 5)], "k bigint, s string, _op string, seq bigint"
+    )
+    apply_changes_batch(e2, "u", stale, sequence_by="seq")
+    assert e2.table("u").filter("k = 1").count() == 0
+
+
+def test_update_generated_simultaneous_substitution(spark, tmp_path):
+    """r13 review #3/#4: cross-referencing SETs substitute
+    SIMULTANEOUSLY (each sees pre-update values) and backslashes in SET
+    expressions survive the substitution."""
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame(
+        [(1, 10, 3, "ab12cd")], "id bigint, a bigint, b bigint, s string"
+    )
+    e.create_table(
+        "gx", df, keys=["id"], generated={"g": "a + b"}
+    )
+    # SET a = b + 1, b = 0: correct g = (b_old + 1) + 0 = 4; a sequential
+    # substitution would compute ((0)+1)+(0) = 1 and fail the CHECK
+    e.sql("UPDATE gx SET a = b + 1, b = 0 WHERE id = 1")
+    row = e.table("gx").head()
+    assert (row.a, row.b, row.g) == (4, 0, 4)
+    # a regex SET expression with backslashes must not crash re.sub
+    e.create_table(
+        "gs",
+        spark.createDataFrame([(1, "ab12cd")], "id bigint, s string"),
+        keys=["id"],
+        generated={"slen": "length(s)"},
+    )
+    e.sql("UPDATE gs SET s = regexp_replace(s, '\\\\d+', '') WHERE id = 1")
+    row = e.table("gs").head()
+    assert row.s == "abcd" and row.slen == 4
+
+
+def test_generated_case_insensitive_sources(spark, tmp_path):
+    """r13 review #6: SQL identifiers are case-insensitive — a formula
+    spelling a source column in different case still recomputes."""
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame([(1, 5)], "id bigint, val bigint")
+    e.create_table("gc", df, keys=["id"], generated={"dbl": "VAL * 2"})
+    assert e.table("gc").head().dbl == 10
+    e.sql("UPDATE gc SET val = 7 WHERE id = 1")
+    assert e.table("gc").head().dbl == 14
+
+
+def test_create_or_replace_resets_generated(spark, tmp_path):
+    """r13 review #5: the same-layout replace resets generated formulas
+    with the other properties — the old formula must not keep firing
+    (or crash when its source column vanished)."""
+    e = Engine(spark, str(tmp_path / "w"))
+    spark.createDataFrame(
+        [(1, 5.0)], "id bigint, v double"
+    ).createOrReplaceTempView("rg_src")
+    e.create_table(
+        "t",
+        spark.sql("SELECT * FROM rg_src"),
+        versioned=True,
+        generated={"v2": "v * 2"},
+    )
+    # the replacing SELECT drops the formula's source column entirely
+    e.sql("CREATE OR REPLACE VERSIONED TABLE t AS SELECT id FROM rg_src")
+    assert e.specs["t"].generated == {}
+    assert e.specs["t"].constraints == {}
+    e.sql("INSERT INTO t VALUES (2)")
+    assert e.table("t").count() == 2
+
+
+def test_merge_recomputes_generated_columns(spark, tmp_path):
+    """r13 review #7: MERGE recomputes generated columns over the
+    merged values (Delta's rule) on BOTH write paths; explicitly
+    assigning one is refused."""
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame(
+        [(1, "2024-03-15"), (2, "2024-04-02")], "id bigint, d string"
+    ).withColumn("d", F.to_date("d"))
+    e.create_table(
+        "gm", df, keys=["id"],
+        generated={"month": "date_format(d, 'yyyy-MM')"},
+    )
+    spark.createDataFrame(
+        [(1, "2024-09-09"), (3, "2024-10-01")], "id bigint, d string"
+    ).createOrReplaceTempView("gm_src_raw")
+    spark.sql(
+        "SELECT id, to_date(d) AS d FROM gm_src_raw"
+    ).createOrReplaceTempView("gm_src")
+    e.sql(
+        "MERGE INTO gm USING gm_src AS s ON gm.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET d = s.d "
+        "WHEN NOT MATCHED THEN INSERT (id, d) VALUES (s.id, s.d)"
+    )
+    got = {r.id: r.month for r in e.table("gm").collect()}
+    assert got == {1: "2024-09", 2: "2024-04", 3: "2024-10"}
+    with pytest.raises(ValueError, match="generated columns"):
+        e.sql(
+            "MERGE INTO gm USING gm_src AS s ON gm.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET month = 'x'"
+        )
+    # DV path
+    e.create_table(
+        "gmdv", df, keys=["id"], versioned=True, deletion_vectors=True,
+        generated={"month": "date_format(d, 'yyyy-MM')"},
+    )
+    e.sql(
+        "MERGE INTO gmdv USING gm_src AS s ON gmdv.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET d = s.d "
+        "WHEN NOT MATCHED THEN INSERT (id, d) VALUES (s.id, s.d)"
+    )
+    got = {r.id: r.month for r in e.table("gmdv").collect()}
+    assert got == {1: "2024-09", 2: "2024-04", 3: "2024-10"}
+
+
+def test_insert_omits_generated_and_its_source(spark, tmp_path):
+    """r13 review #8: an INSERT column list omitting BOTH a generated
+    column and one of its source columns NULL-propagates instead of
+    failing to resolve (fill order: non-generated first)."""
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame(
+        [("a b", "a", "b")], "full_name string, first string, last string"
+    )
+    e.create_table(
+        "gi", df, generated={"full_name": "concat(first, ' ', last)"}
+    )
+    e.sql("INSERT INTO gi (first) VALUES ('solo')")
+    row = e.table("gi").filter("first = 'solo'").head()
+    assert row is not None and row.full_name is None and row.last is None
+
+
+def test_upsert_partial_batch_recomputes_generated(spark, tmp_path):
+    """Upsert with a partial batch (NULL = keep old) recomputes the
+    formula over the MERGED values — previously the auto CHECK failed a
+    legitimate partial update."""
+    e = Engine(spark, str(tmp_path / "w"))
+    df = spark.createDataFrame(
+        [(1, 10, 3)], "id bigint, a bigint, b bigint"
+    )
+    e.create_table("gu2", df, keys=["id"], generated={"g": "a + b"})
+    # batch updates a, leaves b NULL (keep old)
+    e.upsert(
+        "gu2",
+        spark.createDataFrame([(1, 100, None)], "id bigint, a bigint, b bigint"),
+    )
+    row = e.table("gu2").head()
+    assert (row.a, row.b, row.g) == (100, 3, 103)
