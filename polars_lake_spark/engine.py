@@ -42,6 +42,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from polars_lake_spark.exprs import referenced_columns
 from polars_lake_spark.layout import (
     BUCKET_COL,
     DEFAULT_BUCKETS,
@@ -412,10 +413,9 @@ class Engine:
             # column now so declared_columns and the initial write carry
             # it (appends get the same treatment in _with_layout)
             for col, expr in generated.items():
-                if any(
-                    re.search(rf"\b{re.escape(g)}\b", expr, re.I)
-                    for g in generated
-                ):
+                # quote-aware: a generated column's NAME inside another
+                # formula's string literal is not a reference
+                if referenced_columns(expr, candidates=list(generated)):
                     raise ValueError(
                         f"create_table {name}: generated column {col!r} "
                         "expression may not reference generated columns"
@@ -747,17 +747,63 @@ class Engine:
         return writer
 
     def _with_layout(self, df: DataFrame, spec: TableSpec) -> DataFrame:
-        # generated columns first: the bucket/partition layout may be
-        # DEFINED on a generated column (the canonical month-from-
-        # timestamp case), so it must exist before the bucket derives.
-        # A frame that already carries the column keeps its values (the
-        # auto CHECK validates them on write).
+        return self._layout_lax(df, spec, strict=True)[0]
+
+    def _layout_lax(
+        self, df: DataFrame, spec: TableSpec, *, strict: bool
+    ) -> tuple[DataFrame, bool]:
+        """Attach the table's derived layout columns to a frame:
+        generated columns first — the bucket/partition layout may be
+        DEFINED on a generated column (the canonical month-from-
+        timestamp case), so it must exist before the bucket derives —
+        then the derived bucket. A frame that already carries a
+        generated column keeps its values (the auto CHECK validates
+        them on write).
+
+        strict=True (every write path): a formula whose source columns
+        are missing from the frame raises a targeted ValueError naming
+        them, not an opaque AnalysisException (ADVICE r13 #3).
+        strict=False (MERGE sources, which are legitimately partial):
+        uncomputable generated columns and an underivable bucket are
+        SKIPPED and flagged — returns (frame, layout_complete); the
+        caller must disable touched-partition pruning when the layout
+        is incomplete (the source's landing partitions are unknown).
+        Post-merge recompute over the merged values fills the skipped
+        columns either way."""
+        complete = True
         for col, expr in spec.generated.items():
-            if col not in df.columns:
+            if col in df.columns:
+                continue
+            try:
                 df = df.withColumn(col, F.expr(expr))
+            except Exception as e:
+                have = {c.lower() for c in df.columns}
+                missing = sorted(
+                    r
+                    for r in referenced_columns(expr)
+                    if r.lower() not in have
+                )
+                if strict:
+                    raise ValueError(
+                        f"{spec.name}: cannot compute generated column "
+                        f"{col!r} = {expr!r} — the frame is missing its "
+                        f"source column(s) {missing or '(see cause)'} "
+                        f"(frame columns: {df.columns})"
+                    ) from e
+                complete = False
         if spec.bucket_by:
-            df = with_bucket_column(df, spec.bucket_by, spec.n_buckets)
-        return df
+            if all(c in df.columns for c in spec.bucket_by):
+                df = with_bucket_column(df, spec.bucket_by, spec.n_buckets)
+            elif strict:
+                raise ValueError(
+                    f"{spec.name}: cannot derive the bucket column — "
+                    f"bucket_by columns "
+                    f"{[c for c in spec.bucket_by if c not in df.columns]} "
+                    f"are missing from the frame"
+                )
+            else:
+                complete = False
+        return df, complete
 
     def _write(
         self, df: DataFrame, spec: TableSpec, mode: str, *, static_overwrite: bool = False
@@ -2675,7 +2721,14 @@ class Engine:
             )
             return
         with self._lock(name):
-            new = self._with_layout(source, spec)
+            # lax layout: a MERGE source is legitimately partial (an
+            # explicit-SET merge may carry only the keys), so a formula
+            # whose source columns the batch lacks is skipped here —
+            # the post-merge recompute fills it — and pruning below is
+            # disabled (the batch's landing partitions are unknown)
+            new, layout_complete = self._layout_lax(
+                source, spec, strict=False
+            )
             old = self.table(name)
             evolved = False
             if evolve_schema:
@@ -2723,12 +2776,28 @@ class Engine:
             explicit_inserts = any(
                 cl.get("values") is not None for cl in nm_clauses
             )
+            # Any SET that can MOVE a row across physical write dirs
+            # makes pruning unsound — the 'replace' commit would remap
+            # the migrated-into partition to the new write dir and
+            # silently drop its pre-existing rows (ADVICE r14 high).
+            # That covers direct partition-column SETs, bucket-source
+            # SETs, and — transitively — SETs on the SOURCE columns of
+            # a generated column the layout derives from (the post-merge
+            # recompute migrates the row).
+            migration_inputs = set(parts) | set(spec.bucket_by)
+            for gcol, gexpr in spec.generated.items():
+                if gcol in parts or gcol in spec.bucket_by:
+                    migration_inputs |= referenced_columns(
+                        gexpr, candidates=old.columns
+                    )
             prune = (
                 not any_delete
                 and not bs_clauses
                 and not explicit_inserts
                 and not evolved
-                and not (all_sets & set(parts))
+                and layout_complete
+                and all(c in new.columns for c in parts)
+                and not (all_sets & migration_inputs)
                 and bool(parts)
                 and not lands_in_mem
             )
@@ -4913,6 +4982,19 @@ class Engine:
         # the dir and only then fails view_key would strand the table
         # under an unregistrable name (r13 review)
         view_key(new)
+        # same reserved-companion-namespace refusal as create_table: a
+        # rename INTO {base}_quarantine / {base}_cdc_* of an existing
+        # base would later be silently adopted as base's companion
+        # (ADVICE r14 #4)
+        for suf in RESERVED_SIDE_SUFFIXES:
+            if new.endswith(suf):
+                base = new[: -len(suf)]
+                if base and (base in self.specs or base in self._mem):
+                    raise ValueError(
+                        f"rename_table: {new!r} is the reserved "
+                        f"{suf.lstrip('_')} companion name of existing "
+                        f"table {base!r}; pick another name"
+                    )
         if old not in self.specs and old not in self._mem:
             self.load_table(old)
         spec = self.specs.get(old)
@@ -4971,24 +5053,59 @@ class Engine:
                     )
         with self._lock(old):
             moves = [(old, new, spec)] + companions
-            for mold, mnew, mspec in moves:
-                if mold in self._mem:
-                    self._mem[mnew] = self._mem.pop(mold)
-                elif self.root is not None:
-                    os.rename(
-                        os.path.join(self.root, mold),
-                        os.path.join(self.root, mnew),
-                    )
-                if mspec is not None:
-                    self.specs[mnew] = self.specs.pop(mold)
-                    mspec.name = mnew
-                    if mspec.side_table_of == old:
-                        mspec.side_table_of = new
-                    if mnew not in self._mem and self.root is not None:
-                        self._write_manifest(mspec)
-                self._pending_merges.pop(mold, None)
-                self.spark.catalog.dropTempView(view_key(mold))
-                self._register(mnew)
+            done: list[tuple[str, str, object, bool]] = []
+            try:
+                for mold, mnew, mspec in moves:
+                    was_mem = mold in self._mem
+                    if was_mem:
+                        self._mem[mnew] = self._mem.pop(mold)
+                    elif self.root is not None:
+                        os.rename(
+                            os.path.join(self.root, mold),
+                            os.path.join(self.root, mnew),
+                        )
+                    done.append((mold, mnew, mspec, was_mem))
+                    if mspec is not None:
+                        self.specs[mnew] = self.specs.pop(mold)
+                        mspec.name = mnew
+                        if mspec.side_table_of == old:
+                            mspec.side_table_of = new
+                        if mnew not in self._mem and self.root is not None:
+                            self._write_manifest(mspec)
+                    self._pending_merges.pop(mold, None)
+                    self.spark.catalog.dropTempView(view_key(mold))
+                    self._register(mnew)
+            except Exception:
+                # an os.rename failure mid-family (permissions, EXDEV)
+                # must not leave the base renamed with a companion
+                # orphaned under the old name — that is exactly the CDC
+                # stale-filter reset the companion rename prevents
+                # (ADVICE r14 #5). Best-effort reverse of every
+                # completed move, then re-raise.
+                for mold, mnew, mspec, was_mem in reversed(done):
+                    try:
+                        if was_mem:
+                            self._mem[mold] = self._mem.pop(mnew)
+                        elif self.root is not None:
+                            os.rename(
+                                os.path.join(self.root, mnew),
+                                os.path.join(self.root, mold),
+                            )
+                        if mspec is not None and mnew in self.specs:
+                            self.specs[mold] = self.specs.pop(mnew)
+                            mspec.name = mold
+                            if mspec.side_table_of == new:
+                                mspec.side_table_of = old
+                            if (
+                                mold not in self._mem
+                                and self.root is not None
+                            ):
+                                self._write_manifest(mspec)
+                        self.spark.catalog.dropTempView(view_key(mnew))
+                        self._register(mold)
+                    except Exception:
+                        pass  # best-effort: surface the ORIGINAL error
+                raise
 
     def table_info(self, name: str) -> dict:
         """GetTableInfo (``/root/reference/src/server.rs:210-232``): rows,

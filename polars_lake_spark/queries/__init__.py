@@ -28,75 +28,41 @@ REGISTRY: dict[str, Query] = {}
 # which get a fresh correctness row each round.  This list is a VERIFICATION
 # ROTATION, strictly oldest-evidence-first — queries added or changed
 # this round always lead, so nothing ships unverified:
-#   the r13 window (50) = 5 NEW r13 entries (merge_multi_clause_check,
-#   merge_insert_values_check, merge_by_source_update_check,
-#   merge_schema_evolution_check, generated_columns_check — the full
-#   ordered Delta clause-family surface, autoMerge, and GENERATED
-#   columns) + 9 CHANGED r13 gates
-#   (the merge executor was rewritten onto normalized ordered clauses on
-#   BOTH write paths — merge_dv_check pins the rewritten DV path, the
-#   four merge gates the rewrite path; the CDC tier gained NaN-poisoned
-#   probe conjuncts + map-aware tiebreaks; quarantine rows now carry
-#   __quarantined_at; CREATE OR REPLACE is staged-swap atomic) + the
-#   oldest-evidence block (rows below the r12 window since r11 or
-#   earlier).  The r12 window's entries — freshest driver evidence —
-#   close the list.  The list covers EVERY registered query,
-#   evidence-ordered, so future rotations are a pure reshuffle.  Every
-#   deferred query is still verified every session by
-#   tests/test_oracle_parity.py (the local mirror of the gate — green
-#   at sf0.001 AND sf0.1 as of r12).
+#   the r14 window (50) = 2 NEW r14 entries (merge_null_keys_check —
+#   the VERDICT r13 NULL-key presence-marker fix, NULL-safe join
+#   semantics pinned against a DuckDB IS NOT DISTINCT FROM replay;
+#   merge_generated_partition_check — ADVICE r14 high: SETs on a
+#   generated partition column's SOURCE columns disable touched-
+#   partition pruning) + 16 CHANGED r14 gates (every gate through
+#   operators/merge.py's rewritten presence markers — upsert_merge and
+#   the eight merge gates; generated_columns_check + expectations/
+#   insert gates through the new strict/lax _layout_lax; the dml pin
+#   rule change — apply_changes_sql_check, the stream CDC pair,
+#   copy_into_idempotence_check) + the oldest-evidence block (rows
+#   last driver-verified r11 or earlier).  The r13 window's leftover
+#   entries — freshest driver evidence — close the list.  The list
+#   covers EVERY registered query, evidence-ordered, so future
+#   rotations are a pure reshuffle.  Every deferred query is still
+#   verified every session by tests/test_oracle_parity.py (the local
+#   mirror of the gate — green at sf0.001 AND sf0.1 as of r13).
 CHECK_PRIORITY: list[str] = [
+    "merge_null_keys_check",
+    "merge_generated_partition_check",
+    "upsert_merge",
+    "merge_update_set_check",
+    "merge_conditional_update_check",
+    "merge_into_conditional",
     "merge_multi_clause_check",
     "merge_insert_values_check",
     "merge_by_source_update_check",
     "merge_schema_evolution_check",
-    "generated_columns_check",
     "merge_dv_check",
-    "merge_update_set_check",
-    "merge_conditional_update_check",
-    "merge_into_conditional",
+    "generated_columns_check",
     "apply_changes_sql_check",
     "stream_apply_changes_check",
     "stream_apply_changes_scd2_check",
     "expectations_quarantine_check",
-    "create_or_replace_check",
-    "set_operations",
-    "agg_stats",
-    "string_functions",
-    "case_coalesce",
-    "array_functions",
-    "array_numeric",
-    "temporal_functions",
-    "window_functions",
-    "rollup_revenue",
-    "cube_flags",
-    "cte_subquery",
-    "cast_try_cast",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "similarity_topk",
-    "similarity_ann_lsh",
     "copy_into_idempotence_check",
-    "text_stats",
-    "text_quality_filter",
-    "text_lang_id",
-    "token_count",
-    "doc_fingerprint",
-    "multimodal_binary_meta",
-    "multimodal_image_features",
-    "correlated_subquery",
-    "grouping_sets",
-    "asof_join_events",
-    "range_join_events",
-    "corpus_pipeline",
-    "dedup_clusters",
-    "sample_hash",
-    "sample_stratified",
-    "pack_sequences",
-    # ------ 50-slot window boundary ------------------------------------
     "text_tfidf_top_terms",
     "text_pmi_bigrams",
     "decontaminate_overlap",
@@ -170,7 +136,6 @@ CHECK_PRIORITY: list[str] = [
     "count_where_skipping_check",
     "minmax_meta_check",
     "sparse_delete_dv_check",
-    "upsert_merge",
     "bm25_index_probe_check",
     "bm25_index_cdc_sync_check",
     "insert_append",
@@ -247,6 +212,42 @@ CHECK_PRIORITY: list[str] = [
     "skew_collect_set",
     "domain_resample",
     "events_funnel",
+    "create_or_replace_check",
+    "set_operations",
+    "agg_stats",
+    "string_functions",
+    "case_coalesce",
+    "array_functions",
+    "array_numeric",
+    "temporal_functions",
+    "window_functions",
+    "rollup_revenue",
+    "cube_flags",
+    "cte_subquery",
+    "cast_try_cast",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "text_stats",
+    "text_quality_filter",
+    "text_lang_id",
+    "token_count",
+    "doc_fingerprint",
+    "multimodal_binary_meta",
+    "multimodal_image_features",
+    "correlated_subquery",
+    "grouping_sets",
+    "asof_join_events",
+    "range_join_events",
+    "corpus_pipeline",
+    "dedup_clusters",
+    "sample_hash",
+    "sample_stratified",
+    "pack_sequences",
 ]
 
 

@@ -2268,3 +2268,182 @@ def create_or_replace_check(spark, sf_dir):
     finally:
         spark.catalog.dropTempView("corr_base")
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "merge_null_keys_check",
+    oracle="""
+    WITH tgt AS (
+        SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                    ELSE o_orderkey END AS k1,
+               o_orderkey % 3 AS k2,
+               o_orderkey, o_orderstatus, o_totalprice, 1 AS t_mark
+        FROM orders),
+    src AS (
+        SELECT o_orderkey AS k1, o_orderkey % 3 AS k2,
+               o_totalprice + 100 AS o_totalprice, 1 AS s_mark
+        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 <> 0
+        UNION ALL
+        SELECT NULL, 0, 123.45, 1
+        UNION ALL
+        SELECT o_orderkey + 50000000, o_orderkey % 3, 77.0, 1
+        FROM orders WHERE o_orderkey % 97 = 0),
+    res AS (
+        SELECT CASE WHEN t.t_mark IS NOT NULL THEN t.k1 ELSE s.k1 END AS k1,
+               CASE WHEN t.t_mark IS NOT NULL AND s.s_mark IS NOT NULL
+                    THEN 'M'
+                    WHEN t.t_mark IS NOT NULL THEN t.o_orderstatus
+                    ELSE NULL END AS o_orderstatus,
+               CASE WHEN t.t_mark IS NOT NULL AND s.s_mark IS NOT NULL
+                    THEN s.o_totalprice
+                    WHEN t.t_mark IS NOT NULL THEN t.o_totalprice
+                    ELSE s.o_totalprice END AS o_totalprice,
+               CASE WHEN t.t_mark IS NOT NULL THEN t.o_orderkey
+                    ELSE NULL END AS o_orderkey
+        FROM tgt t FULL OUTER JOIN src s
+          ON t.k1 IS NOT DISTINCT FROM s.k1
+         AND t.k2 IS NOT DISTINCT FROM s.k2)
+    SELECT CAST(k1 IS NULL AS INT) AS null_key,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM res GROUP BY 1, 2
+    """,
+    doc="NULL merge-key semantics gate (VERDICT r13 wrong-answer #1/#2): "
+    "merge keys may legitimately be NULL; the join is NULL-SAFE "
+    "(eqNullSafe — NULL matches NULL, the documented divergence from "
+    "ANSI MERGE), and row presence comes from literal markers, never "
+    "key null-ness. The target NULLs k1 on every 13th key; the source "
+    "matches one NULL class null-safely ((NULL,0)), leaves the others "
+    "((NULL,1),(NULL,2)) untouched — the r13 bug destroyed exactly "
+    "those — updates matched non-null keys, and inserts fresh ones. "
+    "The oracle replays the merge as a full-outer join with IS NOT "
+    "DISTINCT FROM and explicit presence markers.",
+)
+def merge_null_keys_check(spark, sf_dir):
+    """One full-outer join on (k1, k2) — NULL-keyed rows shuffle like
+    any other key value (eqNullSafe hashes NULL deterministically), so
+    the plan shape is identical to every other merge: no skew beyond
+    whatever the NULL population itself is."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tgt = orders.select(
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("o_orderkey"))
+        .alias("k1"),
+        (F.col("o_orderkey") % 3).alias("k2"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    src = (
+        orders.filter(
+            (F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") % 13 != 0)
+        )
+        .select(
+            F.col("o_orderkey").alias("k1"),
+            (F.col("o_orderkey") % 3).alias("k2"),
+            (F.col("o_totalprice") + 100).alias("o_totalprice"),
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(None).cast("bigint").alias("k1"),
+                F.lit(0).cast("bigint").alias("k2"),
+                F.lit(123.45).alias("o_totalprice"),
+            )
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 50_000_000).alias("k1"),
+                (F.col("o_orderkey") % 3).alias("k2"),
+                F.lit(77.0).alias("o_totalprice"),
+            )
+        )
+    )
+    merged = M.merge_into(
+        tgt,
+        src,
+        keys=["k1", "k2"],
+        set_exprs={
+            "o_totalprice": F.col("n.o_totalprice"),
+            "o_orderstatus": F.lit("M"),
+        },
+    )
+    return merged.groupBy(
+        F.col("k1").isNull().cast("int").alias("null_key"),
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+@register(
+    "merge_generated_partition_check",
+    oracle="""
+    WITH res AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 11 = 0
+                    THEN o_orderdate + INTERVAL 40 DAY
+                    ELSE o_orderdate END AS o_orderdate,
+               o_totalprice
+        FROM orders)
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM res GROUP BY 1
+    """,
+    doc="Partition-migration soundness gate (ADVICE r14 high): a MERGE "
+    "whose SET touches the SOURCE column of a generated PARTITION "
+    "column moves rows across partitions at the post-merge recompute; "
+    "touched-partition pruning must disable (full rewrite), or the "
+    "'replace' commit remaps the migrated-into partition and silently "
+    "drops its pre-existing rows. The oracle replays the closed form: "
+    "every 11th key shifts 40 days; every other row — including rows "
+    "already living in the migrated-into months — survives untouched.",
+)
+def merge_generated_partition_check(spark, sf_dir):
+    """Engine round-trip: versioned table partitioned by a GENERATED
+    month column, MERGE SETs the formula's source column. The merge
+    takes the full-rewrite path by design here — that is the point of
+    the gate (a pruned replace would be silently wrong)."""
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_genp_")
+    try:
+        eng = Engine(spark, root)
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        eng.create_table(
+            "genp",
+            orders,
+            keys=["o_orderkey"],
+            partition_by=["month"],
+            versioned=True,
+            generated={"month": "date_format(o_orderdate, 'yyyy-MM')"},
+        )
+        src = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+            "o_orderkey", "o_orderdate"
+        )
+        eng.merge(
+            "genp",
+            src,
+            keys=["o_orderkey"],
+            set_exprs={"o_orderdate": F.date_add(F.col("n.o_orderdate"), 40)},
+            when_not_matched_insert=False,
+        )
+        out = eng.table("genp").groupBy("month").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -455,6 +455,14 @@ def test_type1_apply_matches_model(spark, tmp_path_factory, data):
         assert got2 == want, (b1, b2)
 
 
+# Merge-model key strategy: small int domain (forces key collisions)
+# PLUS None — merge keys may legitimately be NULL, the join is null-safe
+# (eqNullSafe: NULL matches NULL), and a Python dict keyed by None models
+# that exactly. Drawing NULLs here is what catches presence-inference
+# bugs like VERDICT r13 #1 (NULL-keyed target row destroyed).
+_KEY = st.one_of(st.none(), st.integers(min_value=1, max_value=8))
+
+
 def _merge_model(
     old_rows,
     new_rows,
@@ -513,14 +521,18 @@ def test_merge_into_clauses_match_model(spark, data):
 
     n_old = data.draw(st.integers(min_value=0, max_value=6))
     n_new = data.draw(st.integers(min_value=0, max_value=6))
+    # NULL keys are drawn deliberately: the engine's merge join is
+    # null-safe (NULL matches NULL — documented divergence from ANSI),
+    # and a Python dict with a None key models exactly that (r13 fix:
+    # presence markers, not key null-ness, decide row presence)
     old_rows = {
-        data.draw(st.integers(min_value=1, max_value=8)): data.draw(
+        data.draw(_KEY): data.draw(
             st.integers(min_value=0, max_value=100)
         )
         for _ in range(n_old)
     }
     new_rows = {
-        data.draw(st.integers(min_value=1, max_value=8)): data.draw(
+        data.draw(_KEY): data.draw(
             st.integers(min_value=0, max_value=100)
         )
         for _ in range(n_new)
@@ -623,13 +635,13 @@ def test_merge_ordered_matched_clauses_match_model(spark, data):
     from polars_lake_spark.operators.merge import merge_into
 
     old_rows = {
-        data.draw(st.integers(min_value=1, max_value=8)): data.draw(
+        data.draw(_KEY): data.draw(
             st.integers(min_value=0, max_value=100)
         )
         for _ in range(data.draw(st.integers(min_value=0, max_value=6)))
     }
     new_rows = {
-        data.draw(st.integers(min_value=1, max_value=8)): data.draw(
+        data.draw(_KEY): data.draw(
             st.integers(min_value=0, max_value=100)
         )
         for _ in range(data.draw(st.integers(min_value=0, max_value=6)))
@@ -743,7 +755,7 @@ def test_merge_full_clause_families_match_model(spark, data):
 
     def rows():
         return {
-            data.draw(st.integers(min_value=1, max_value=8)): data.draw(
+            data.draw(_KEY): data.draw(
                 st.integers(min_value=0, max_value=100)
             )
             for _ in range(data.draw(st.integers(min_value=0, max_value=6)))

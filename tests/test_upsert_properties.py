@@ -12,7 +12,10 @@ from hypothesis import strategies as st
 
 from polars_lake_spark.operators import merge as M
 
-keys_st = st.integers(min_value=0, max_value=15)
+# NULL keys drawn deliberately: the merge join is null-safe (NULL
+# matches NULL — documented divergence from ANSI MERGE), and the dict
+# model's None key captures exactly that (r13 presence-marker fix).
+keys_st = st.one_of(st.none(), st.integers(min_value=0, max_value=15))
 val_st = st.one_of(st.none(), st.integers(min_value=-100, max_value=100))
 row_st = st.tuples(keys_st, val_st, val_st)
 
