@@ -759,15 +759,23 @@ def main() -> None:
         "bm25_phrase_check",
         "partition_meta_rollup_check",
     ]
+    final_queries = {k: timings[k] for k in headline_keys if k in timings}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": {
-                    k: timings[k] for k in headline_keys if k in timings
-                },
+                "queries": final_queries,
+                # raw per-repeat runs for every entry above, ALIGNED to
+                # the "queries" key order (an array keeps this line
+                # inside the driver's ~2 KB stdout window — VERDICT r13
+                # perf item: regressions must be attributable from the
+                # recorded line alone, min-of-N hides host spikes)
+                "runs": [
+                    [round(v, 2) for v in runs[k]] if k in runs else None
+                    for k in final_queries
+                ],
                 "n_queries": len(timings),
                 "protocol": protocol,
                 "one_time_total": round(sum(one_time.values()), 3),

@@ -2963,10 +2963,12 @@ class Engine:
                 store = self._snapstore(name)
                 base = store.load()
                 live = store.read(self.spark, with_row_refs=True)
-                refs = live.join(
-                    F.broadcast(deletes.select(*keys).distinct()),
+                refs = M.ns_join(
+                    live,
+                    deletes.select(*keys).distinct(),
                     keys,
                     "left_semi",
+                    broadcast_right=True,
                 ).select(
                     F.col(DV_FILE_COL).alias("file_path"),
                     F.col(DV_POS_COL).alias("row_index"),
@@ -2977,10 +2979,12 @@ class Engine:
             t = self.table(name)
             remaining = M.delete_keys(t, deletes, keys)
             if spec.physical_partitioning:
-                doomed = t.join(
-                    F.broadcast(deletes.select(*keys).distinct()),
+                doomed = M.ns_join(
+                    t,
+                    deletes.select(*keys).distinct(),
                     keys,
                     "left_semi",
+                    broadcast_right=True,
                 )
                 self.replace_where(name, remaining, doomed)
             elif spec.versioned:
@@ -3083,7 +3087,9 @@ class Engine:
             store = self._snapstore(name)
             base = store.load()
             live = store.read(self.spark, with_row_refs=True)
-            refs = live.join(F.broadcast(keys), key_cols, "left_semi").select(
+            refs = M.ns_join(
+                live, keys, key_cols, "left_semi", broadcast_right=True
+            ).select(
                 F.col(DV_FILE_COL).alias("file_path"),
                 F.col(DV_POS_COL).alias("row_index"),
             )

@@ -111,10 +111,44 @@ def upsert(
     return joined.select(*select)
 
 
+def ns_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    how: str,
+    *,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Keyed join under the engine's NULL-SAFE key identity (NULL
+    matches NULL — the same eqNullSafe rule as :func:`upsert` /
+    :func:`merge_into`). Spark's ``on=[names]`` shorthand is ANSI
+    (NULL never matches), so every key-identity join in the engine
+    routes through here instead. Right-side key columns are renamed
+    away before the condition and dropped from inner/left outputs;
+    semi/anti joins keep only left columns by definition. The rename
+    keeps the condition unambiguous when both sides share key names —
+    the plan is still a plain equi-join on the null-safe predicate
+    (shuffle or broadcast hash, Catalyst's choice; ``broadcast_right``
+    pins the hint the call sites used before)."""
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__nsj_{k}")
+    if broadcast_right:
+        r = F.broadcast(r)
+    cond = [F.col(k).eqNullSafe(F.col(f"__nsj_{k}")) for k in keys]
+    out = left.join(r, cond, how)
+    if how in ("inner", "left", "left_outer", "leftouter", "cross"):
+        out = out.drop(*[f"__nsj_{k}" for k in keys])
+    return out
+
+
 def delete_keys(old: DataFrame, deletes: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Delete-by-key = left anti join — the reference's planned
-    "delete operation (anti right)" (/root/reference/src/main.rs:31)."""
-    return old.join(deletes.select(*keys).distinct(), on=list(keys), how="left_anti")
+    "delete operation (anti right)" (/root/reference/src/main.rs:31).
+    NULL-safe like every key-identity operation here: a NULL-keyed
+    delete removes the NULL-keyed rows (ANSI anti-join would silently
+    keep them forever)."""
+    return ns_join(old, deletes.select(*keys).distinct(), keys, "left_anti")
 
 
 def drop_duplicates_keyed(

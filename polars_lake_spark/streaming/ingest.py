@@ -26,6 +26,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_lake_spark.operators.merge import ns_join
+
 # The reference's buffer threshold (/root/reference/src/server.rs:55).
 DEFAULT_FLUSH_ROWS = 10_000_000
 
@@ -346,20 +348,23 @@ def _batch_key_conjuncts(
     conj = []
     if len(head) <= in_cap:
         for k in keys:
-            # Poison rule (mirrors the BETWEEN path): a NON-NULL batch
-            # key that _zm_probe_literal cannot map (NaN float, exotic
-            # type) disqualifies the whole column's conjunct — Spark's
-            # join equality DOES match NaN=NaN, but spec-compliant
-            # foreign-written stats ignore NaN, so an `IN (rest)` list
-            # could prune the very file holding the NaN row and the
-            # stale filter would miss its watermark.  NULL keys are
-            # safely skipped instead: equality joins never match NULL,
-            # so no pruned file can hide a NULL-keyed match.
+            # Poison rule (mirrors the BETWEEN path): a batch key that
+            # the stats layer cannot bound disqualifies the whole
+            # column's conjunct.  That covers a NON-NULL key
+            # _zm_probe_literal cannot map (NaN float, exotic type —
+            # Spark's join equality DOES match NaN=NaN, but
+            # spec-compliant foreign-written stats ignore NaN) AND a
+            # NULL key: the downstream probe joins are NULL-SAFE (the
+            # engine's key identity — NULL matches NULL), while min/max
+            # and IN-list stats ignore NULLs, so an `IN (rest)` list
+            # could prune the very file holding the NULL-keyed rows and
+            # the stale filter would miss their watermark (r14).
             lits, poisoned = set(), False
             for r in head:
                 raw = r[k]
                 if raw is None:
-                    continue
+                    poisoned = True
+                    break
                 v = _zm_probe_literal(raw)
                 if v is None:
                     poisoned = True
@@ -369,12 +374,23 @@ def _batch_key_conjuncts(
                 conj.append((k.lower(), "in", sorted(lits, key=str)))
         return conj
     row = bkeys.agg(
-        *[a for k in keys for a in (F.min(F.col(k)), F.max(F.col(k)))]
+        *[
+            a
+            for k in keys
+            for a in (
+                F.min(F.col(k)),
+                F.max(F.col(k)),
+                # NULL keys are invisible to min/max but DO match in the
+                # null-safe probe joins — any NULL poisons the conjunct
+                F.max(F.col(k).isNull()),
+            )
+        ]
     ).head()
     for i, k in enumerate(keys):
-        lo = _zm_probe_literal(row[2 * i])
-        hi = _zm_probe_literal(row[2 * i + 1])
-        if lo is not None and hi is not None:
+        lo = _zm_probe_literal(row[3 * i])
+        hi = _zm_probe_literal(row[3 * i + 1])
+        has_null = bool(row[3 * i + 2])
+        if lo is not None and hi is not None and not has_null:
             conj.append((k.lower(), "between", lo, hi))
     return conj
 
@@ -600,21 +616,27 @@ def _drop_stale_changes(
     conj = _batch_key_conjuncts(bkeys, keys)
     tgt = _probe_scan(engine, table, conj)
     if "__seq" in tgt.columns:
+        # every keyed join here is NULL-SAFE (ns_join): the engine's
+        # key identity treats NULL as a value (merge/upsert eqNullSafe),
+        # so a NULL-keyed change row must find its NULL-keyed watermark
+        # — an ANSI join would silently re-apply stale NULL-keyed rows
         applied = (
-            tgt.join(F.broadcast(bkeys), keys, "left_semi")
+            ns_join(tgt, bkeys, keys, "left_semi", broadcast_right=True)
             .groupBy(*keys)
             .agg(F.max("__seq").alias("__applied"))
         )
-        b = b.join(F.broadcast(applied), keys, "left")
+        b = ns_join(b, applied, keys, "left", broadcast_right=True)
     else:
         b = b.withColumn("__applied", F.lit(None).cast(seq_t))
     if tomb_table in engine.specs:
-        tomb = (
-            _probe_scan(engine, tomb_table, conj)
-            .join(F.broadcast(bkeys), keys, "left_semi")
-            .select(*keys, F.col("__seq").alias("__tomb"))
-        )
-        b = b.join(F.broadcast(tomb), keys, "left")
+        tomb = ns_join(
+            _probe_scan(engine, tomb_table, conj),
+            bkeys,
+            keys,
+            "left_semi",
+            broadcast_right=True,
+        ).select(*keys, F.col("__seq").alias("__tomb"))
+        b = ns_join(b, tomb, keys, "left", broadcast_right=True)
     else:
         b = b.withColumn("__tomb", F.lit(None).cast(seq_t))
     wms = [F.col("__applied"), F.col("__tomb")]
@@ -794,7 +816,7 @@ def apply_changes_batch(
     ups = b.filter(~is_del).drop(op_col)
     if sequence_by is None:
         dels = b.filter(is_del).select(*keys)
-        both = dels.join(ups.select(*keys), keys, "inner").limit(1)
+        both = ns_join(dels, ups.select(*keys), keys, "inner").limit(1)
         if both.head(1):
             raise ValueError(
                 "stream_apply_changes: a key carries both a delete "
@@ -1032,8 +1054,13 @@ def apply_changes_scd2_batch(
     bkeys = b.select(*keys).distinct().localCheckpoint(eager=True)
     conj = _batch_key_conjuncts(bkeys, keys)
     wm = (
-        _probe_scan(engine, table, conj)
-        .join(F.broadcast(bkeys), keys, "left_semi")
+        ns_join(
+            _probe_scan(engine, table, conj),
+            bkeys,
+            keys,
+            "left_semi",
+            broadcast_right=True,
+        )
         .groupBy(*keys)
         .agg(
             F.max(
@@ -1059,7 +1086,7 @@ def apply_changes_scd2_batch(
         ~(is_del & (F.col("__seq") == F.col("__cur_start"))), F.lit(True)
     )
     b = (
-        b.join(F.broadcast(wm), keys, "left")
+        ns_join(b, wm, keys, "left", broadcast_right=True)
         .filter(
             (F.col("__wm").isNull() | (F.col("__seq") >= F.col("__wm")))
             & tied_del
@@ -1089,11 +1116,19 @@ def apply_changes_scd2_batch(
     # surviving sequence — only when it genuinely precedes it
     first = b.groupBy(*keys).agg(F.min("__seq").alias("__close"))
     closers = (
-        _probe_scan(engine, table, conj)
-        .filter(F.col("__end_seq").isNull())
-        .join(F.broadcast(bkeys), keys, "left_semi")
+        ns_join(
+            _probe_scan(engine, table, conj).filter(
+                F.col("__end_seq").isNull()
+            ),
+            bkeys,
+            keys,
+            "left_semi",
+            broadcast_right=True,
+        )
         .select(*keys, "__start_seq")
-        .join(F.broadcast(first), keys)
+        .transform(
+            lambda d: ns_join(d, first, keys, "inner", broadcast_right=True)
+        )
         .filter(
             F.col("__start_seq").isNull()
             | (F.col("__start_seq") < F.col("__close"))

@@ -299,7 +299,9 @@ def test_scd2_apply_matches_model(spark, tmp_path_factory, data):
     from polars_lake_spark import Engine
     from polars_lake_spark.streaming.ingest import apply_changes_scd2_batch
 
-    keys = [1, 2, 3]
+    # None is a legitimate key value: the engine's key identity is
+    # null-safe end-to-end (merge eqNullSafe, CDC stale filter, r14)
+    keys = [1, 2, 3, None]
     n1 = data.draw(st.integers(min_value=0, max_value=5))
     n2 = data.draw(st.integers(min_value=0, max_value=5))
 
@@ -316,7 +318,7 @@ def test_scd2_apply_matches_model(spark, tmp_path_factory, data):
 
     b1 = [draw_change() for _ in range(n1)]
     b2 = [draw_change() for _ in range(n2)]
-    seed_rows = [(1, "seed1"), (2, "seed2")]
+    seed_rows = [(1, "seed1"), (2, "seed2"), (None, "seednull")]
 
     eng = Engine(spark, str(tmp_path_factory.mktemp("scd2p")))
     from polars_lake_spark.streaming.ingest import scd2_init
@@ -408,7 +410,9 @@ def test_type1_apply_matches_model(spark, tmp_path_factory, data):
     from polars_lake_spark import Engine
     from polars_lake_spark.streaming.ingest import apply_changes_batch
 
-    keys = [1, 2, 3]
+    # None is a legitimate key value: the engine's key identity is
+    # null-safe end-to-end (merge eqNullSafe, CDC stale filter, r14)
+    keys = [1, 2, 3, None]
     n1 = data.draw(st.integers(min_value=0, max_value=5))
     n2 = data.draw(st.integers(min_value=0, max_value=5))
 
@@ -428,7 +432,7 @@ def test_type1_apply_matches_model(spark, tmp_path_factory, data):
     # a key may carry BOTH a delete and an upsert at one seq within a
     # batch (the tie rule); drop only exact duplicate rows
     b1, b2 = list(dict.fromkeys(b1)), list(dict.fromkeys(b2))
-    seed_rows = [(1, "seed1"), (2, "seed2")]
+    seed_rows = [(1, "seed1"), (2, "seed2"), (None, "seednull")]
 
     eng = Engine(spark, str(tmp_path_factory.mktemp("t1p")))
     seed = spark.createDataFrame(seed_rows, "k bigint, s string")

@@ -827,7 +827,9 @@ def test_batch_key_conjuncts_nan_poisons_in_list(spark):
     (NaN float) must disqualify the whole column's IN conjunct — Spark's
     join equality matches NaN=NaN, so an IN list silently missing the
     NaN could prune the very file holding the NaN watermark.  NULL keys
-    merely skip (equality never matches NULL)."""
+    poison too (r14): the probe joins are NULL-SAFE — the engine's key
+    identity matches NULL=NULL — while min/max and IN-list stats ignore
+    NULLs, so pruning on them could hide the NULL-keyed watermark."""
     from polars_lake_spark.streaming.ingest import _batch_key_conjuncts
 
     nan = float("nan")
@@ -838,12 +840,22 @@ def test_batch_key_conjuncts_nan_poisons_in_list(spark):
     assert ("k", "in", [5.0]) not in conj
     assert all(c[0] != "k" for c in conj), conj
     assert ("j", "in", [7, 9]) in conj
-    # NULL keys do NOT poison: they just contribute no literal
+    # NULL keys poison the column's conjunct the same way (null-safe
+    # probe joins match them; stats can't see them)
     b2 = spark.createDataFrame(
         [(None, 7), (5.0, 9)], "k double, j bigint"
     )
     conj2 = _batch_key_conjuncts(b2, ["k", "j"])
-    assert ("k", "in", [5.0]) in conj2
+    assert all(c[0] != "k" for c in conj2), conj2
+    assert ("j", "in", [7, 9]) in conj2
+    # and in the BETWEEN (large-batch) path
+    big = spark.range(100).selectExpr(
+        "CASE WHEN id = 50 THEN NULL ELSE CAST(id AS DOUBLE) END AS k",
+        "id AS j",
+    )
+    conj3 = _batch_key_conjuncts(big, ["k", "j"])
+    assert all(c[0] != "k" for c in conj3), conj3
+    assert ("j", "between", 0, 99) in conj3
 
 
 def test_apply_changes_nan_key_foreign_stats_stays_exact(spark, tmp_path):
