@@ -562,14 +562,35 @@ def main() -> None:
         lambda batches: batches, schema="id long"
     ).count()
 
+    # Attribution filter (VERDICT r13 perf item 3): a comma-separated
+    # $SPARK_GRAFT_BENCH_ONLY restricts the run to the named entries so
+    # regressed entries can be re-timed with high repeats without paying
+    # for the full suite. Unset (the driver's case) == everything.
+    only = frozenset(
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if s.strip()
+    )
+
+    def wanted(name: str) -> bool:
+        return not only or name in only
+
     # One-time IVF train+index outside the probe timing (see
     # ivf_amortized_setup); its cost still counts once in the total.
-    ivf_probe, ivf_train_sec, ivf_cleanup = ivf_amortized_setup(spark, sf_dir)
+    ivf_probe = ivf_train_sec = ivf_cleanup = None
+    if wanted("similarity_ivf"):
+        ivf_probe, ivf_train_sec, ivf_cleanup = ivf_amortized_setup(
+            spark, sf_dir
+        )
     # One-time dedup index builds (MinHash + winnow) — headline probes
     # run against the persisted tables (see dedup_amortized_setup).
-    dedup_probes, dedup_build_sec, dedup_cleanup = dedup_amortized_setup(
-        spark, sf_dir
-    )
+    dedup_probes, dedup_build_sec, dedup_cleanup = {}, None, None
+    if wanted("dedup_incremental_minhash") or wanted(
+        "dedup_incremental_winnow"
+    ):
+        dedup_probes, dedup_build_sec, dedup_cleanup = dedup_amortized_setup(
+            spark, sf_dir
+        )
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
 
@@ -603,6 +624,8 @@ def main() -> None:
         timings[name] = min(rs)
 
     for name in HEADLINE:
+        if not wanted(name):
+            continue
         if name == "similarity_ivf":
             fn = ivf_probe
         elif name in dedup_probes:
@@ -635,37 +658,45 @@ def main() -> None:
             .save(),
         )
 
-    timings["similarity_ivf_train_index"] = ivf_train_sec
-    timings["dedup_index_build"] = dedup_build_sec
+    if ivf_train_sec is not None:
+        timings["similarity_ivf_train_index"] = ivf_train_sec
+    if dedup_build_sec is not None:
+        timings["dedup_index_build"] = dedup_build_sec
 
     # BPE encode throughput with TRAINING amortized outside the timed
     # region (same argument as the IVF probe: in production you train
     # once and encode forever; bpe_train_encode_check above times the
     # training itself).
-    from polars_lake_spark.operators import bpe as _bpe
-    from polars_lake_spark.sources import load_table as _lt
+    if wanted("bpe_encode_docs"):
+        from polars_lake_spark.operators import bpe as _bpe
+        from polars_lake_spark.sources import load_table as _lt
 
-    _docs = _lt(spark, sf_dir, "documents")
-    _t0 = time.perf_counter()
-    _merges, _ = _bpe.train_bpe(_bpe.word_counts(_docs, "text"), 24)
-    bpe_train_sec = round(time.perf_counter() - _t0, 3)
-    measure(
-        "bpe_encode_docs",
-        lambda: _bpe.bpe_encode(_docs, "text", _merges)
-        .select("doc_id", "tokens")
-        .write.format("noop")
-        .mode("overwrite")
-        .save(),
-    )
-    timings["bpe_train_only"] = bpe_train_sec
-    ivf_cleanup()
-    dedup_cleanup()
+        _docs = _lt(spark, sf_dir, "documents")
+        _t0 = time.perf_counter()
+        _merges, _ = _bpe.train_bpe(_bpe.word_counts(_docs, "text"), 24)
+        bpe_train_sec = round(time.perf_counter() - _t0, 3)
+        measure(
+            "bpe_encode_docs",
+            lambda: _bpe.bpe_encode(_docs, "text", _merges)
+            .select("doc_id", "tokens")
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+        timings["bpe_train_only"] = bpe_train_sec
+    if ivf_cleanup is not None:
+        ivf_cleanup()
+    if dedup_cleanup is not None:
+        dedup_cleanup()
     # lifecycle entries: the whole self-contained lifecycle repeats
-    # (each pass owns a fresh tmpdir engine); per-entry min reported
-    lc_runs = [lifecycle_bench(spark, sf_dir) for _ in range(repeats)]
-    for k in lc_runs[0]:
-        runs[k] = [r[k] for r in lc_runs]
-        timings[k] = min(runs[k])
+    # (each pass owns a fresh tmpdir engine); per-entry min reported.
+    # Under ONLY, run it iff a lifecycle-produced key is requested (their
+    # names all start with "lifecycle_").
+    if not only or any(k.startswith("lifecycle_") for k in only):
+        lc_runs = [lifecycle_bench(spark, sf_dir) for _ in range(repeats)]
+        for k in lc_runs[0]:
+            runs[k] = [r[k] for r in lc_runs]
+            timings[k] = min(runs[k])
 
     total = round(sum(timings.values()), 3)
     # One-time train/index entries (the measured thing IS training, or an

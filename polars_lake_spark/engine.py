@@ -2494,6 +2494,11 @@ class Engine:
         /root/reference/src/dataset.rs:306-317): partition/bucket columns
         must be stable under updates (i.e. functions of the key), else a
         row could migrate partitions and leave its old copy behind.
+        That includes TRANSITIVE stability: a generated layout column's
+        FORMULA SOURCE columns must not change value under upserts
+        (month(d) is stable because d is; a quality-tier column derived
+        from a mutable score is not — use merge(), whose pruning
+        detects layout-moving SETs and falls back to a full rewrite).
 
         ``txn=(app, version)`` (versioned tables): skip the merge when
         the app's watermark already covers ``version`` — see ``insert``.

@@ -2439,3 +2439,121 @@ def apply_changes_sql_check(spark, sf_dir):
         spark.catalog.dropTempView("acs_newer")
         spark.catalog.dropTempView("acs_late")
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "scd2_truncate_check",
+    oracle="""
+    WITH hist AS (
+      -- seeds: closed at their key's first change (100 for %3 keys),
+      -- else at the truncate (200)
+      SELECT doc_id, text, CAST(NULL AS BIGINT) AS __start_seq,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 100 ELSE 200 END
+                  AS BIGINT) AS __end_seq
+      FROM documents
+      UNION ALL
+      -- batch-1 updates: open until the truncate closes them at 200
+      SELECT doc_id, 'pre-100', CAST(100 AS BIGINT), CAST(200 AS BIGINT)
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      -- post-truncate updates: open, unless the late 300 change chains
+      SELECT doc_id, 'post-250', CAST(250 AS BIGINT),
+             CAST(CASE WHEN doc_id % 6 = 0 THEN 300 ELSE NULL END
+                  AS BIGINT)
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id, 'late-300', CAST(300 AS BIGINT),
+             CAST(NULL AS BIGINT)
+      FROM documents WHERE doc_id % 6 = 0)
+    SELECT doc_id, text, __start_seq, __end_seq,
+           CAST(0 AS BIGINT) AS violations
+    FROM hist
+    ORDER BY doc_id, __start_seq NULLS FIRST
+    """,
+    doc="SCD2 full-refresh gate (r14 — streaming/ingest.py:"
+    "_apply_truncates_scd2): a keyless 'truncate' op at seq 200 CLOSES "
+    "every open version below it (seeds and the batch-1 'pre-100' "
+    "rows), history preserved; the same batch's pre-truncate straggler "
+    "(150 on %5 keys) and a LATE batch's 180 change drop against the "
+    "persisted cdc_meta floor; changes at/after the floor (250, 300) "
+    "open fresh versions chained normally. DuckDB replays the closed "
+    "form. violations pins the ≤1-open-row-per-key invariant and the "
+    "stored floor value.",
+)
+def scd2_truncate_check(spark, sf_dir):
+    """Full-refresh feeds on a TYPE 2 dimension: the close is one
+    filter on __end_seq IS NULL + an O(open rows) keyed upsert — the
+    inherent cost of a refresh; no per-key probe applies because a
+    truncate touches every key by definition."""
+    import os
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+    from polars_lake_spark.streaming.ingest import (
+        apply_changes_scd2_batch,
+        scd2_init,
+    )
+
+    root = tempfile.mkdtemp(prefix="plsq_scd2tr_")
+    try:
+        eng = Engine(spark, os.path.join(root, "wh"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        scd2_init(eng, "tr", docs, keys=["doc_id"], versioned=True)
+        d = docs.select("doc_id")
+
+        def ch(pred, text, op, seq):
+            return d.filter(pred).select(
+                "doc_id",
+                F.lit(text).cast("string").alias("text"),
+                F.lit(op).alias("_op"),
+                F.lit(seq).cast("bigint").alias("seq"),
+            )
+
+        b1 = ch(F.col("doc_id") % 3 == 0, "pre-100", "update", 100)
+        b2 = (
+            spark.range(1)
+            .select(
+                F.lit(None).cast("bigint").alias("doc_id"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit("truncate").alias("_op"),
+                F.lit(200).cast("bigint").alias("seq"),
+            )
+            .unionByName(
+                ch(F.col("doc_id") % 5 == 0, "straggler", "update", 150)
+            )
+            .unionByName(
+                ch(F.col("doc_id") % 4 == 0, "post-250", "update", 250)
+            )
+        )
+        b3 = ch(F.col("doc_id") % 7 == 0, "late-180", "update", 180).unionByName(
+            ch(F.col("doc_id") % 6 == 0, "late-300", "update", 300)
+        )
+        for b in (b1, b2, b3):
+            apply_changes_scd2_batch(eng, "tr", b, "seq")
+        hist = eng.table("tr")
+        viol = 0
+        if (
+            hist.filter(F.col("__end_seq").isNull())
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .head(1)
+        ):
+            viol += 1
+        floor = eng.table("tr_cdc_meta").head()
+        if floor is None or floor["__seq"] != 200:
+            viol += 1
+        out = hist.select(
+            "doc_id",
+            "text",
+            "__start_seq",
+            "__end_seq",
+            F.lit(viol).cast("bigint").alias("violations"),
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -544,10 +544,7 @@ def _apply_truncates(
         return rest
     spec = engine.specs[table]
     keys = list(spec.keys)
-    prev = None
-    if meta_table in engine.specs:
-        row = engine.table(meta_table).head()
-        prev = None if row is None else row["__seq"]
+    prev = _meta_truncate_wm(engine, meta_table)
     if prev is not None and tr_seq <= prev:
         return rest  # replay / late truncate: already covered
     tgt = engine.table(table)
@@ -565,20 +562,7 @@ def _apply_truncates(
         # truncate — schema-preserving empty rewrite, no scan
         engine.sql(f"TRUNCATE TABLE {table}")
     seq_t = b.schema[sequence_by].dataType.simpleString()
-    wm_df = b.sparkSession.createDataFrame(
-        [("truncate_wm", tr_seq)], f"k string, __seq {seq_t}"
-    )
-    if meta_table not in engine.specs:
-        engine.create_table(
-            meta_table,
-            wm_df,
-            keys=["k"],
-            save=engine.root is not None,
-            side_table_of=table,
-        )
-    else:
-        _guard_side_table(engine, meta_table, table, "CDC meta")
-        engine.upsert(meta_table, wm_df)
+    _persist_truncate_wm(engine, table, meta_table, tr_seq, seq_t)
     return rest
 
 
@@ -652,6 +636,74 @@ def _drop_stale_changes(
             ~(is_del & (F.col("__seq") == F.col("__applied"))), F.lit(True)
         )
     return b.filter(keep).drop("__applied", "__tomb")
+
+
+def _meta_truncate_wm(engine, meta_table: str):
+    """The table-level truncate watermark persisted by a prior
+    full-refresh (``{table}_cdc_meta``), or None."""
+    if meta_table not in engine.specs and meta_table not in engine._mem:
+        return None
+    row = engine.table(meta_table).head()
+    return None if row is None else row["__seq"]
+
+
+def _persist_truncate_wm(engine, table: str, meta_table: str, tr_seq, seq_t):
+    wm_df = engine.spark.createDataFrame(
+        [("truncate_wm", tr_seq)], f"k string, __seq {seq_t}"
+    )
+    if meta_table not in engine.specs:
+        engine.create_table(
+            meta_table,
+            wm_df,
+            keys=["k"],
+            save=engine.root is not None,
+            side_table_of=table,
+        )
+    else:
+        _guard_side_table(engine, meta_table, table, "CDC meta")
+        engine.upsert(meta_table, wm_df)
+
+
+def _apply_truncates_scd2(
+    engine, table: str, meta_table: str, b: DataFrame, is_tr, keys: list[str]
+):
+    """SCD2 full refresh (DLT ``apply_as_truncates`` on a TYPE 2
+    target): instead of deleting, a truncate at sequence S CLOSES every
+    open version whose start is strictly below S (seed rows with NULL
+    start order earliest and always close) — history is preserved, the
+    live view empties, and S persists as the ``{table}_cdc_meta`` floor
+    so late pre-truncate stragglers drop in the stale filter.  Same-or-
+    later changes (including same-batch ones at exactly S) open fresh
+    versions on top.  Replay-idempotent: a truncate at or below the
+    stored floor no-ops, and re-closing writes the identical version
+    rows (merge identity (keys, __start_seq)).
+
+    Scale note: the close is one filter on ``__end_seq IS NULL`` + an
+    O(open rows) keyed upsert — the inherent cost of a full refresh; no
+    per-key probe applies because a truncate touches every key by
+    definition.  Returns (batch minus truncate rows, new floor)."""
+    tr_seq = b.filter(is_tr).agg(F.max("__seq")).head()[0]
+    rest = b.filter(~is_tr)
+    prev = _meta_truncate_wm(engine, meta_table)
+    if tr_seq is None:  # truncate rows with NULL sequence: inert
+        return rest, prev
+    if prev is not None and tr_seq <= prev:
+        return rest, prev  # replay / late truncate: already covered
+    open_below = (
+        engine.table(table)
+        .filter(F.col("__end_seq").isNull())
+        .filter(
+            F.col("__start_seq").isNull()
+            | (F.col("__start_seq") < F.lit(tr_seq))
+        )
+        .select(*keys, "__start_seq")
+        .withColumn("__end_seq", F.lit(tr_seq))
+    )
+    if open_below.head(1):
+        engine.upsert(table, open_below, keys=[*keys, "__start_seq"])
+    seq_t = b.schema["__seq"].dataType.simpleString()
+    _persist_truncate_wm(engine, table, meta_table, tr_seq, seq_t)
+    return rest, tr_seq
 
 
 def stream_apply_changes(
@@ -977,6 +1029,14 @@ def stream_apply_changes_scd2(
     * Watermark lookups stay O(batch): the target scan is semi-joined
       MAP-SIDE against the broadcast batch key set before grouping.
 
+    ``op = 'truncate'`` rows (full-refresh feeds, r14): a truncate at
+    sequence S CLOSES every open version whose start is strictly below
+    S (seed rows with NULL start always close) — history is preserved,
+    the live view empties — and S persists as the ``{table}_cdc_meta``
+    floor so pre-truncate stragglers drop forever, same-batch or later.
+    Changes at/after S open fresh versions on top; replays no-op (see
+    :func:`_apply_truncates_scd2`).
+
     The close write and the insert write are two commits; a reader
     between them sees the key with no current row for an instant
     (close-first keeps the 'at most one current row per key' invariant
@@ -1023,17 +1083,20 @@ def apply_changes_scd2_batch(
     _guard_side_table(engine, f"{table}_cdc_tombstones", table, "tombstone")
     _guard_side_table(engine, f"{table}_cdc_meta", table, "CDC meta")
     is_del = F.lower(F.col(op_col)) == "delete"
-    # 'truncate' is the one reserved op the delete/upsert split would
-    # silently misread (a keyless full-refresh row would chain into the
-    # history as a NULL-keyed version) — refuse it loudly until SCD2
-    # full refresh is a real operation
-    if batch_df.filter(F.lower(F.col(op_col)) == "truncate").head(1):
-        raise ValueError(
-            "stream_apply_changes_scd2: 'truncate' ops are not supported "
-            "on SCD2 targets — close the history explicitly or apply the "
-            "full refresh through the TYPE 1 path"
-        )
+    is_tr = F.lower(F.col(op_col)) == "truncate"
     b = batch_df.withColumnRenamed(sequence_by, "__seq")
+    meta_table = f"{table}_cdc_meta"
+    # full refresh: 'truncate' ops CLOSE every open version below their
+    # sequence (history preserved, live view empties) and persist the
+    # table-level floor; the surviving changes below chain on top
+    if b.filter(is_tr).head(1):
+        b, floor = _apply_truncates_scd2(
+            engine, table, meta_table, b, is_tr, keys
+        )
+        if not b.head(1):
+            return
+    else:
+        floor = _meta_truncate_wm(engine, meta_table)
     # one change per (key, seq): upsert wins the tie; a stable hash of
     # the whole row breaks DIFFERENT-payload duplicates the same way on
     # every pass, so replays repair to the identical version history
@@ -1085,12 +1148,17 @@ def apply_changes_scd2_batch(
     tied_del = F.coalesce(
         ~(is_del & (F.col("__seq") == F.col("__cur_start"))), F.lit(True)
     )
+    keep = (
+        F.col("__wm").isNull() | (F.col("__seq") >= F.col("__wm"))
+    ) & tied_del
+    if floor is not None:
+        # table-level truncate floor: a pre-truncate straggler drops for
+        # EVERY key, present in the history or not (NULL sequences order
+        # earliest, so they drop too once a floor exists)
+        keep = keep & (F.col("__seq") >= F.lit(floor))
     b = (
         ns_join(b, wm, keys, "left", broadcast_right=True)
-        .filter(
-            (F.col("__wm").isNull() | (F.col("__seq") >= F.col("__wm")))
-            & tied_del
-        )
+        .filter(keep)
         .drop("__wm", "__cur_start")
         .localCheckpoint(eager=True)
     )

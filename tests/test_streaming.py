@@ -720,29 +720,68 @@ def test_apply_changes_map_payload_column(spark, tmp_path):
     assert {r.k: r.s for r in eng.table("t").collect()}[1] == win
 
 
-def test_scd2_truncate_ops_refused(spark, tmp_path):
-    """'truncate' ops on an SCD2 target must raise, never chain into the
-    history as a NULL-keyed version row (the delete/upsert split would
-    otherwise silently treat the keyless full-refresh marker as an
-    upsert)."""
-    import pytest
-
+def test_scd2_truncate_full_refresh(spark, tmp_path):
+    """SCD2 full refresh (r14 — previously refused): a 'truncate' op at
+    sequence S CLOSES every open version below S (history preserved,
+    live view empties), persists S as the cdc_meta floor, same-batch
+    changes at/after S open fresh versions, pre-truncate stragglers
+    drop — in the same batch AND in later batches — and replays
+    no-op."""
     from polars_lake_spark.streaming.ingest import (
         apply_changes_scd2_batch,
+        scd2_current,
         scd2_init,
     )
 
     eng = Engine(spark, str(tmp_path / "r"))
-    seed = spark.createDataFrame([(1, "a")], "k bigint, s string")
-    scd2_init(eng, "dim", seed, keys=["k"], versioned=True)
-    b = spark.createDataFrame(
-        [(None, None, "truncate", 50)],
-        "k bigint, s string, _op string, seq bigint",
+    seed = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k bigint, s string"
     )
-    with pytest.raises(ValueError, match="truncate"):
-        apply_changes_scd2_batch(eng, "dim", b, "seq")
-    # nothing landed
-    assert eng.table("dim").count() == 1
+    scd2_init(eng, "dim", seed, keys=["k"], versioned=True)
+    schema = "k bigint, s string, _op string, seq bigint"
+    b = spark.createDataFrame(
+        [
+            (None, None, "truncate", 50),
+            (1, "straggler", "upsert", 40),  # pre-truncate: drops
+            (2, "fresh", "upsert", 60),  # post-truncate: opens anew
+        ],
+        schema,
+    )
+    apply_changes_scd2_batch(eng, "dim", b, "seq")
+    cur = {r.k: r.s for r in scd2_current(eng, "dim").collect()}
+    assert cur == {2: "fresh"}, cur
+    hist = {
+        (r["k"], r["s"], r["__start_seq"], r["__end_seq"])
+        for r in eng.table("dim").collect()
+    }
+    # both seeds closed AT the truncate seq; history preserved
+    assert (1, "a", None, 50) in hist and (2, "b", None, 50) in hist
+    assert (2, "fresh", 60, None) in hist
+    assert len(hist) == 3, hist
+    # the floor persists: a LATE batch below 50 drops for every key,
+    # even one the history never saw
+    late = spark.createDataFrame(
+        [(1, "zombie", "upsert", 45), (9, "new-old", "upsert", 30)], schema
+    )
+    apply_changes_scd2_batch(eng, "dim", late, "seq")
+    assert {r.k: r.s for r in scd2_current(eng, "dim").collect()} == {
+        2: "fresh"
+    }
+    # at/after the floor applies normally
+    ok = spark.createDataFrame([(1, "back", "upsert", 55)], schema)
+    apply_changes_scd2_batch(eng, "dim", ok, "seq")
+    assert {r.k: r.s for r in scd2_current(eng, "dim").collect()} == {
+        1: "back",
+        2: "fresh",
+    }
+    # replaying the original truncate batch repairs to the same table
+    n_before = eng.table("dim").count()
+    apply_changes_scd2_batch(eng, "dim", b, "seq")
+    assert eng.table("dim").count() == n_before
+    assert {r.k: r.s for r in scd2_current(eng, "dim").collect()} == {
+        1: "back",
+        2: "fresh",
+    }
 
 
 def test_apply_changes_reserved_batch_columns_refused(spark, tmp_path):
