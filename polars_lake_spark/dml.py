@@ -66,14 +66,16 @@ through the engine's real mutation paths:
   by-name load with NULL-fill + implicit cast → ``engine.insert``
 * ``ALTER TABLE t ADD CONSTRAINT c CHECK (expr)`` → ``engine.add_constraint``
 * ``ALTER TABLE t DROP CONSTRAINT [IF EXISTS] c`` → ``engine.drop_constraint``
-* ``ALTER TABLE t ADD COLUMN c <type>``  → NULL-filled rewrite through
-  ``engine.overwrite`` (a plain-parquet layout cannot do the metadata-only
-  add Delta/Iceberg would; versioned tables commit it as one snapshot)
-* ``ALTER TABLE t DROP COLUMN c`` / ``DROP COLUMNS (a, b)`` → rewrite
-  without the columns; layout (partition/bucket) columns, upsert keys,
-  and constraint-referenced columns are refused
-* ``ALTER TABLE t RENAME COLUMN a TO b`` → rewrite; upsert keys rename
-  along, layout columns are refused
+* ``ALTER TABLE t ADD|DROP|RENAME COLUMN`` → on VERSIONED parquet
+  tables these are METADATA-ONLY (Delta column-mapping analog): one
+  snapshot commit records the new schema + a rename/drop/add event, no
+  data file moves at any size, and reads translate each write dir's era
+  names forward (``engine.rename_column``/``drop_columns``/
+  ``add_column``).  Unversioned tables rewrite through
+  ``engine.overwrite`` (no snapshot to hang the event log on).  Both
+  paths: layout (partition/bucket) columns refuse, upsert keys refuse
+  except consistent renames, constraint/expectation/generated-referenced
+  columns refuse
 * ``INSERT OVERWRITE [TABLE] t [(cols)] SELECT ...`` →
   ``engine.overwrite`` (atomic full replacement; same column-list /
   NULL-fill / cast rules as INSERT INTO)
@@ -515,6 +517,20 @@ def _copy_file_digest(path: str) -> str:
 def _status(engine, op: str, table: str, n: int) -> DataFrame:
     return engine.spark.createDataFrame(
         [(op, table, n)], "operation string, table string, n_affected bigint"
+    )
+
+
+def _metadata_ddl_ok(engine, name: str) -> bool:
+    """True when column DDL on ``name`` can be metadata-only (versioned
+    parquet, not native-bucketed, not in-memory) — the Delta
+    column-mapping tier; everything else keeps the rewrite path."""
+    spec = engine.specs.get(name)
+    return (
+        spec is not None
+        and name not in engine._mem
+        and spec.versioned
+        and spec.format == "parquet"
+        and not spec.native_bucketing
     )
 
 
@@ -1769,6 +1785,12 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     f"ALTER TABLE {name}: one ADD COLUMN per statement "
                     f"(got {coltype!r})"
                 )
+        # Versioned parquet tables: METADATA-ONLY add (Delta
+        # column-mapping analog, engine.add_column) — one snapshot
+        # commit, no NULL-filled rewrite, n_affected 0 rows touched.
+        if _metadata_ddl_ok(engine, name):
+            engine.add_column(name, col, coltype)
+            return _status(engine, "alter_add_column", name, 0)
         # Same read-count-overwrite TOCTOU discipline as DELETE/UPDATE:
         # the whole sequence holds the (reentrant) table lock, or a
         # concurrent insert between the read and the rewrite would be
@@ -1777,10 +1799,10 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             t = engine.table(name)
             if col.lower() in {c.lower() for c in t.columns}:
                 raise ValueError(f"ALTER TABLE {name}: column {col!r} exists")
-            # NULL-filled rewrite: plain parquet cannot do Delta's
-            # metadata-only add (old files would lack the column and the
-            # mixed-directory scan drifts); versioned tables commit one
-            # snapshot, so the add time-travels like any other write.
+            # NULL-filled rewrite: plain UNVERSIONED parquet cannot do
+            # Delta's metadata-only add (old files would lack the column
+            # and the mixed-directory scan drifts — no snapshot to hang
+            # the event log on).
             n = t.count()
             engine.overwrite(
                 name,
@@ -1797,6 +1819,12 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         cols = [
             c.strip() for c in (m.group(2) or m.group(3)).split(",") if c.strip()
         ]
+        # Versioned parquet tables: METADATA-ONLY drop (engine.
+        # drop_columns) — data files keep the bytes, reads prune per
+        # write dir, a later same-name re-add reads NULL from old files.
+        if _metadata_ddl_ok(engine, name):
+            engine.drop_columns(name, cols)
+            return _status(engine, "alter_drop_column", name, 0)
         spec = engine.specs[name]
         with engine._lock(name):
             t = engine.table(name)
@@ -1856,6 +1884,12 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
         if name is None:
             return None
         old_c, new_c = m.group(2), m.group(3)
+        # Versioned parquet tables: METADATA-ONLY rename (engine.
+        # rename_column) — one snapshot commit; old files keep era names,
+        # reads and zone-map probes translate per write dir.
+        if _metadata_ddl_ok(engine, name):
+            engine.rename_column(name, old_c, new_c)
+            return _status(engine, "alter_rename_column", name, 0)
         spec = engine.specs[name]
         with engine._lock(name):
             t = engine.table(name)

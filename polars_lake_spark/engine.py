@@ -2925,6 +2925,14 @@ class Engine:
                 n_dv = (snap.meta or {}).get("dv_rows")
                 if n_dv:
                     meta["dv_rows"] = n_dv
+            # schema events travel with the referenced dirs (a clone of a
+            # renamed table must keep translating the source's era names);
+            # max_write_counter folds the referenced basenames in, so
+            # post-clone writes allocate counters ABOVE every inherited
+            # dir and a later schema event still splits eras correctly.
+            ev = (snap.meta or {}).get("schema_events")
+            if ev:
+                meta = {**(meta or {}), "schema_events": list(ev)}
             dst_store.commit(mapping, "clone", snap.schema_json, meta=meta)
             dspec = _dc_replace(
                 sspec,
@@ -4585,6 +4593,29 @@ class Engine:
             raise ValueError(f"no keys for table {name}")
         old = self.table(name, from_version)
         new = self.table(name, to_version)
+        # Metadata-only column DDL between the two versions (r14 column
+        # mapping): a rename is the SAME logical column under a new name
+        # — without translation every row would diff as an update (old.v
+        # vs new.val) and poison incremental consumers.  The newer
+        # snapshot's event log extends the older's whenever only
+        # appends/replaces happened in between, so replaying the suffix
+        # onto the OLD read aligns the names; a rewrite in between
+        # clears the log (prefix test fails) and the plain
+        # drop+add-style diff below stands — the rewrite re-landed
+        # every row anyway.
+        store = self._snapstore(name)
+        ev_old = (store.load(from_version).meta or {}).get(
+            "schema_events"
+        ) or []
+        ev_new = (store.load(to_version).meta or {}).get(
+            "schema_events"
+        ) or []
+        if ev_new[: len(ev_old)] == ev_old:
+            for e in ev_new[len(ev_old):]:
+                if e["op"] == "rename":
+                    old = old.withColumnRenamed(e["from"], e["to"])
+                elif e["op"] == "drop":
+                    old = old.drop(e["name"])
         # diff over the union of columns; version-specific columns (schema
         # evolution) compare as NULL on the missing side
         cols = list(dict.fromkeys(old.columns + new.columns))
@@ -4974,6 +5005,286 @@ class Engine:
     def create_table_as(self, name: str, query: str, **kwargs) -> TableSpec:
         """CREATE TABLE AS SELECT (SURVEY §2.c DDL-ish row)."""
         return self.create_table(name, self.sql(query), **kwargs)
+
+    # ------------------------------------------------- column DDL (mapping)
+
+    def _column_ddl_spec(self, name: str) -> TableSpec:
+        """The spec, when metadata-only column DDL applies: versioned
+        parquet without native bucketing (the catalog entry pins column
+        names Spark-side).  Unversioned tables have no snapshot to hang
+        an event log on — their ALTER path rewrites (dml.py)."""
+        if name not in self.specs and name not in self._mem:
+            self.load_table(name)
+        if name in self._mem:
+            raise ValueError(
+                f"metadata-only column DDL needs a persisted versioned "
+                f"table; {name!r} is in-memory"
+            )
+        spec = self.specs[name]
+        if not (
+            spec.versioned
+            and spec.format == "parquet"
+            and not spec.native_bucketing
+        ):
+            raise ValueError(
+                f"metadata-only column DDL needs a versioned parquet "
+                f"table (got {name!r}: versioned={spec.versioned}, "
+                f"format={spec.format}, native_bucketing="
+                f"{spec.native_bucketing}); unversioned tables rewrite "
+                "through the SQL ALTER path"
+            )
+        return spec
+
+    def _column_ddl_guard(
+        self, spec: TableSpec, cols: set[str], verb: str, keys_ok: bool = False
+    ) -> None:
+        """Refuse column DDL that would break physical layout or recorded
+        semantics (same contract as the unversioned rewrite path):
+        partition/bucket columns name directories, keys define row
+        identity (renames may carry them, `keys_ok`), and CHECK
+        constraints / expectations / generated-column formulas hold SQL
+        text that would dangle."""
+        layout = set(spec.partition_by) | set(spec.bucket_by)
+        if spec.bucket_by:
+            layout.add(BUCKET_COL)
+        bad = sorted(c for c in cols if c in layout)
+        if bad:
+            raise ValueError(
+                f"ALTER TABLE {spec.name}: cannot {verb} layout "
+                f"(partition/bucket) columns {bad}"
+            )
+        if not keys_ok:
+            badk = sorted(c for c in cols if c in spec.keys)
+            if badk:
+                raise ValueError(
+                    f"ALTER TABLE {spec.name}: cannot {verb} upsert key "
+                    f"columns {badk}"
+                )
+        low = {c.lower() for c in cols}
+        # generated first: a generated column always carries an auto
+        # CHECK constraint too, and "this is a GENERATED column" is the
+        # actionable message
+        for gcol, formula in spec.generated.items():
+            if gcol.lower() in low:
+                raise ValueError(
+                    f"ALTER TABLE {spec.name}: {gcol!r} is a GENERATED "
+                    f"column; cannot {verb} it (redefine the table)"
+                )
+            hit = sorted(
+                c for c in cols
+                if c.lower() in {r.lower() for r in referenced_columns(formula)}
+            )
+            if hit:
+                raise ValueError(
+                    f"ALTER TABLE {spec.name}: columns {hit} are formula "
+                    f"sources of GENERATED column {gcol!r} ({formula}); "
+                    f"cannot {verb} them"
+                )
+        for kind, entries in (
+            ("constraint", spec.constraints),
+            ("expectation", {k: v["expr"] for k, v in spec.expectations.items()}),
+        ):
+            for ename, expr in entries.items():
+                hit = sorted(
+                    c for c in cols
+                    if c.lower() in {r.lower() for r in referenced_columns(expr)}
+                )
+                if hit:
+                    raise ValueError(
+                        f"ALTER TABLE {spec.name}: columns {hit} are "
+                        f"referenced by {kind} {ename!r} ({expr}); drop "
+                        "it first"
+                    )
+
+    def _schema_fields(self, spec: TableSpec, base=None) -> dict:
+        """The CURRENT logical schema for column DDL — the latest
+        snapshot's, not the spec's: a RESTORE rolls the snapshot schema
+        back (with its era names) without rewriting the manifest, and
+        DDL must validate against what a read actually returns."""
+        sj = (base or self._snapstore(spec.name).load()).schema_json
+        if sj:
+            return json.loads(sj)
+        if not spec.schema_json:
+            spec.schema_json = self.table(spec.name).schema.json()
+        return json.loads(spec.schema_json)
+
+    def rename_column(self, name: str, old: str, new: str) -> None:
+        """ALTER TABLE RENAME COLUMN as PURE METADATA (Delta
+        column-mapping analog): one snapshot commit records the new
+        logical schema plus a rename event — zero data files move, so a
+        100 TB table renames in milliseconds.  Old write dirs keep their
+        era-named files; ``SnapshotStore.read`` replays the events newer
+        than each dir onto its scan, and zone-map probes reverse-
+        translate, so file skipping on the renamed column keeps working
+        for pre-rename files.  Time travel shows each version under its
+        own names; RESTORE carries the event log with the mapping.
+
+        Upsert keys rename with the column (row identity unchanged),
+        EXCEPT when CDC companion state exists (`{t}_cdc_tombstones` /
+        `{t}_cdc_meta` store rows under the key's current name — a
+        metadata rename would silently orphan their stale-filter state).
+        Partition/bucket columns refuse (directory names are physical);
+        constraint/expectation/generated-referenced columns refuse (SQL
+        text would dangle).  Versioned parquet tables only — the
+        unversioned ALTER path rewrites instead (dml.py)."""
+        spec = self._column_ddl_spec(name)
+        with self._lock(name):
+            store = self._snapstore(name)
+            base = store.load()
+            fields = self._schema_fields(spec, base)
+            have = {f["name"].lower(): f["name"] for f in fields["fields"]}
+            if old.lower() not in have:
+                raise ValueError(f"ALTER TABLE {name}: no column {old!r}")
+            old = have[old.lower()]
+            if new.lower() in have:
+                raise ValueError(
+                    f"ALTER TABLE {name}: column {new!r} exists"
+                )
+            if not re.fullmatch(r"[A-Za-z_]\w*", new) or new.startswith("__"):
+                raise ValueError(
+                    f"ALTER TABLE {name}: invalid column name {new!r} "
+                    "(identifiers only; __ prefix is reserved)"
+                )
+            self._column_ddl_guard(spec, {old}, "RENAME COLUMN", keys_ok=True)
+            if old in spec.keys and any(
+                f"{name}{suf}" in self.specs
+                for suf in ("_cdc_tombstones", "_cdc_meta")
+            ):
+                raise ValueError(
+                    f"ALTER TABLE {name}: key column {old!r} has CDC "
+                    "companion state recorded under its current name; "
+                    "key renames with live CDC state are refused"
+                )
+            schema_json = json.dumps(
+                {
+                    **fields,
+                    "fields": [
+                        {**f, "name": new} if f["name"] == old else f
+                        for f in fields["fields"]
+                    ],
+                }
+            )
+            store.commit_schema_change(
+                schema_json,
+                base=base,
+                events=[{"op": "rename", "from": old, "to": new}],
+            )
+            # spec mutations only after the commit landed — a failed
+            # commit leaves the manifest untouched
+            spec.schema_json = schema_json
+            spec.keys = [new if k == old else k for k in spec.keys]
+            spec.cluster_by = [new if c == old else c for c in spec.cluster_by]
+            spec.declared_columns = [
+                new if c.lower() == old.lower() else c
+                for c in spec.declared_columns
+            ]
+            if old in spec.bloom_filter_cols:
+                spec.bloom_filter_cols[new] = spec.bloom_filter_cols.pop(old)
+            if spec.stats and old in (spec.stats.get("columns") or {}):
+                cs = dict(spec.stats["columns"])
+                cs[new] = cs.pop(old)
+                spec.stats = {**spec.stats, "columns": cs}
+            self._guard_mutable(name)
+            self._write_manifest(spec)
+            self._register(name)
+
+    def drop_columns(self, name: str, cols: list[str]) -> None:
+        """ALTER TABLE DROP COLUMN(S) as PURE METADATA (see
+        ``rename_column``): the snapshot commit removes the columns from
+        the logical schema and records drop events — data files keep the
+        bytes (they age out as writes/compaction rewrite dirs), reads
+        prune the columns per write dir, and a LATER re-ADD under the
+        same name reads NULL from pre-drop files (the era translation
+        refuses to let the dropped column's values or stats answer for
+        the new one).  Layout/key/constraint-referenced columns refuse."""
+        spec = self._column_ddl_spec(name)
+        with self._lock(name):
+            store = self._snapstore(name)
+            base = store.load()
+            fields = self._schema_fields(spec, base)
+            have = {f["name"].lower(): f["name"] for f in fields["fields"]}
+            missing = [c for c in cols if c.lower() not in have]
+            if missing:
+                raise ValueError(f"ALTER TABLE {name}: no columns {missing}")
+            doomed = {have[c.lower()] for c in cols}
+            if len(doomed) == len(fields["fields"]):
+                raise ValueError(
+                    f"ALTER TABLE {name}: cannot drop every column"
+                )
+            self._column_ddl_guard(spec, doomed, "DROP COLUMN")
+            schema_json = json.dumps(
+                {
+                    **fields,
+                    "fields": [
+                        f for f in fields["fields"] if f["name"] not in doomed
+                    ],
+                }
+            )
+            store.commit_schema_change(
+                schema_json,
+                base=base,
+                events=[{"op": "drop", "name": c} for c in sorted(doomed)],
+            )
+            spec.schema_json = schema_json
+            spec.cluster_by = [c for c in spec.cluster_by if c not in doomed]
+            spec.declared_columns = [
+                c for c in spec.declared_columns if c not in doomed
+            ]
+            for c in doomed:
+                spec.bloom_filter_cols.pop(c, None)
+            if spec.stats and spec.stats.get("columns"):
+                spec.stats = {
+                    **spec.stats,
+                    "columns": {
+                        k: v
+                        for k, v in spec.stats["columns"].items()
+                        if k not in doomed
+                    },
+                }
+            self._guard_mutable(name)
+            self._write_manifest(spec)
+            self._register(name)
+
+    def add_column(self, name: str, col: str, coltype: str) -> None:
+        """ALTER TABLE ADD COLUMN as PURE METADATA (see
+        ``rename_column``): the snapshot commit appends the typed column
+        to the logical schema — no NULL-filled rewrite; reads of dirs
+        from before the add NULL-fill it, and the add event fences the
+        column's era so a probe on it can never consult a same-named
+        DROPPED column's old stats."""
+        spec = self._column_ddl_spec(name)
+        with self._lock(name):
+            store = self._snapstore(name)
+            base = store.load()
+            fields = self._schema_fields(spec, base)
+            have = {f["name"].lower() for f in fields["fields"]}
+            if col.lower() in have:
+                raise ValueError(f"ALTER TABLE {name}: column {col!r} exists")
+            if not re.fullmatch(r"[A-Za-z_]\w*", col) or col.startswith("__"):
+                raise ValueError(
+                    f"ALTER TABLE {name}: invalid column name {col!r} "
+                    "(identifiers only; __ prefix is reserved)"
+                )
+            # driver-side DDL-string parse via an empty frame — the same
+            # types the SQL surface accepts, including nested/decimal
+            new_field = json.loads(
+                self.spark.createDataFrame([], f"`{col}` {coltype}")
+                .schema.json()
+            )["fields"][0]
+            schema_json = json.dumps(
+                {**fields, "fields": [*fields["fields"], new_field]}
+            )
+            store.commit_schema_change(
+                schema_json,
+                base=base,
+                events=[{"op": "add", "name": col}],
+            )
+            spec.schema_json = schema_json
+            if spec.declared_columns:
+                spec.declared_columns = [*spec.declared_columns, col]
+            self._guard_mutable(name)
+            self._write_manifest(spec)
+            self._register(name)
 
     def rename_table(self, old: str, new: str) -> None:
         """ALTER TABLE RENAME analog: a pure METADATA move — one

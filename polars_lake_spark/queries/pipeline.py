@@ -2557,3 +2557,89 @@ def scd2_truncate_check(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "column_mapping_check",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'redacted' ELSE text END AS body,
+           CASE WHEN doc_id % 7 = 0 THEN 'xx' END AS lang,
+           n_chars,
+           CAST(0 AS BIGINT) AS violations
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, upper(text), NULL, n_chars, CAST(0 AS BIGINT)
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Metadata-only column DDL gate (r14 — engine.rename_column/"
+    "drop_columns/add_column, snapshots.commit_schema_change): RENAME "
+    "text->body, append a post-rename era, DROP lang, re-ADD lang "
+    "(pre-drop values must NOT resurrect — every old row reads NULL), "
+    "then upsert through the renamed schema. violations pins that the "
+    "three DDLs moved ZERO data files (write-dir set unchanged across "
+    "them) and committed as 'alter' snapshots. DuckDB replays the "
+    "closed form.",
+)
+def column_mapping_check(spark, sf_dir):
+    """At 100 TB a RENAME/DROP/ADD COLUMN is one JSON snapshot commit —
+    no rewrite; reads translate each immutable write dir's era names
+    forward and zone-map probes reverse-translate (era-fenced so a
+    re-added name never consults the dropped column's stats)."""
+    import os
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_colmap_")
+    try:
+        eng = Engine(spark, os.path.join(root, "wh"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+        eng.create_table("cm", docs, keys=["doc_id"], versioned=True)
+
+        def wdirs():
+            p = os.path.join(eng.root, "cm", "data")
+            return {d for d in os.listdir(p) if d.startswith("w")}
+
+        before = wdirs()
+        eng.sql("ALTER TABLE cm RENAME COLUMN text TO body")
+        viol = 0 if wdirs() == before else 1
+        eng.insert(
+            "cm",
+            docs.select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.upper("text").alias("body"),
+                F.lit("aa").alias("lang"),
+                "n_chars",
+            ),
+        )
+        before = wdirs()
+        eng.sql("ALTER TABLE cm DROP COLUMN lang")
+        eng.sql("ALTER TABLE cm ADD COLUMN lang string")
+        if wdirs() != before:
+            viol += 1
+        if [h["op"] for h in eng.history("cm")].count("alter") != 3:
+            viol += 1
+        eng.upsert(
+            "cm",
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                "doc_id",
+                F.lit("redacted").alias("body"),
+                F.lit("xx").alias("lang"),
+            ),
+        )
+        out = eng.table("cm").select(
+            "doc_id",
+            "body",
+            "lang",
+            "n_chars",
+            F.lit(viol).cast("bigint").alias("violations"),
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 from dataclasses import dataclass
@@ -68,6 +69,79 @@ DV_POS_COL = "__dv_pos"
 # AQE pick the join strategy instead. The commit side counts refs into
 # meta["dv_rows"] so this decision is metadata-only at read time.
 DV_BROADCAST_MAX_ROWS = 5_000_000
+
+# Immutable write-dir name (clone mappings prefix a relative path; the
+# basename still carries the counter that orders the dir against schema
+# events).
+_WDIR_RE = re.compile(r"w(\d+)")
+# Era-translated conjunct name for a column that did not exist (under
+# any name) when a write dir landed: guaranteed absent from every stats
+# sidecar, so pruning conservatively keeps the file and COUNT mode
+# treats it as a boundary scan (never a proven full match).
+_NO_ERA_COLUMN = "__pl_no_era_column__"
+
+
+def _wdir_counter(wdir: str) -> int:
+    """The ``wNNNNNN`` counter of a (possibly relative-path) write dir
+    reference; 0 — "older than every schema event" — when the name does
+    not parse (conservative: events apply, and they no-op on columns the
+    dir doesn't carry)."""
+    m = _WDIR_RE.fullmatch(os.path.basename(wdir))
+    return int(m.group(1)) if m else 0
+
+
+def era_events(events: list[dict], wnum: int) -> list[dict]:
+    """The schema events that happened AFTER write dir ``wnum`` landed —
+    the ones a read of that dir must replay (chronological order)."""
+    return [e for e in events if int(e.get("w", 0)) >= wnum]
+
+
+def apply_schema_events(scan: DataFrame, events: list[dict], wnum: int):
+    """Replay the schema events newer than a write dir onto its scan, so
+    every union branch speaks the CURRENT logical schema: renames map the
+    dir's era name forward (no-op when the dir predates the column),
+    drops remove the era column (a later re-ADD under the same name reads
+    NULL from this dir — the old values must never resurface), adds are
+    read-side no-ops (the union NULL-fills)."""
+    for e in era_events(events, wnum):
+        if e["op"] == "rename":
+            scan = scan.withColumnRenamed(e["from"], e["to"])
+        elif e["op"] == "drop":
+            scan = scan.drop(e["name"])
+    return scan
+
+
+def era_column_name(current: str, events: list[dict], wnum: int) -> str:
+    """Reverse-translate a CURRENT column name to what that column was
+    called when write dir ``wnum`` landed, for stats lookups against the
+    dir's zone-map sidecar.  Walking the dir's events newest-first: a
+    rename whose target matches maps back to the source name; hitting a
+    drop or an add of the (partially-translated) name means the current
+    column was born AFTER this dir — any same-named era column is a
+    different (since-dropped) column whose stats must not answer for it,
+    so the sentinel ``_NO_ERA_COLUMN`` (absent from every sidecar) makes
+    pruning keep the file and COUNT mode scan it."""
+    name = current
+    for e in reversed(era_events(events, wnum)):
+        if e["op"] == "rename" and name.lower() == e["to"].lower():
+            name = e["from"]
+        elif e["op"] in ("drop", "add") and name.lower() == e["name"].lower():
+            return _NO_ERA_COLUMN
+    return name
+
+
+def era_conjuncts(
+    conjuncts: list[tuple], events: list[dict], wnum: int
+) -> list[tuple]:
+    """Zone-map conjuncts with their column names translated to a write
+    dir's era (see ``era_column_name``). Names are lowercased to match
+    ``file_survives``'s stats lookup."""
+    if not era_events(events, wnum):
+        return conjuncts
+    return [
+        (era_column_name(c[0], events, wnum).lower(),) + tuple(c[1:])
+        for c in conjuncts
+    ]
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -110,7 +184,7 @@ def carried_meta(base_meta: dict | None, meta: dict | None = None) -> dict | Non
     any of them would replay ingest batches, reload files, or resurrect
     deleted rows.  Keys the caller already set in ``meta`` win (the
     caller merged/extended)."""
-    for key in ("txn", "copy_files", "dv", "dv_rows"):
+    for key in ("txn", "copy_files", "dv", "dv_rows", "schema_events"):
         carried = (base_meta or {}).get(key)
         if carried and key not in (meta or {}):
             if isinstance(carried, dict):
@@ -219,14 +293,38 @@ class SnapshotStore:
         return out
 
     # --------------------------------------------------------------- writing
+    def max_write_counter(self) -> int:
+        """The highest write-dir counter this table has ever observed:
+        local ``wNNNNNN`` dirs, dirs REFERENCED by the latest snapshot
+        (a clone's mapping points at the source's dirs by relative path
+        — their counters must participate or a post-clone schema event
+        would misclassify them as newer than itself), and the watermarks
+        of recorded schema events (so a vacuumed top dir can never hand
+        its counter — and with it the events' era boundary — to a NEW
+        write).  Drives both dir allocation and event stamping: a write
+        dir's counter orders it against every schema event."""
+        counters = [0]
+        if os.path.isdir(self.data_path):
+            counters += [
+                int(d[1:])
+                for d in os.listdir(self.data_path)
+                if _WDIR_RE.fullmatch(d)
+            ]
+        if self.versions():
+            snap = self.load()
+            for ws in snap.mapping.values():
+                for w in ws:
+                    m = _WDIR_RE.fullmatch(os.path.basename(w))
+                    if m:
+                        counters.append(int(m.group(1)))
+            for e in (snap.meta or {}).get("schema_events") or []:
+                counters.append(int(e.get("w", 0)))
+        return max(counters)
+
     def new_write_dir(self) -> tuple[str, str]:
         """(dir name, absolute path) for the next immutable write dir."""
         os.makedirs(self.data_path, exist_ok=True)
-        existing = [
-            int(d[1:]) for d in os.listdir(self.data_path) if d.startswith("w")
-        ]
-        n = (max(existing) + 1) if existing else 1
-        name = f"w{n:06d}"
+        name = f"w{self.max_write_counter() + 1:06d}"
         return name, os.path.join(self.data_path, name)
 
     def commit(
@@ -294,10 +392,26 @@ class SnapshotStore:
         tombstones) — a METADATA-only delete, the dual of carrying
         untouched partitions by reference: no data file moves, the
         dropped dirs age out via vacuum like any unreferenced write dir.
+
+        Schema events (metadata-only column rename/drop/add — see
+        ``commit_schema_change``) carry through append/replace commits
+        (old write dirs stay referenced, so their read-time translation
+        must survive unrelated writes) AND through rewrites: a rewrite's
+        fresh dir postdates every event (counters are monotone), so the
+        carried log is a read-side no-op — but it preserves the rename
+        LINEAGE that ``Engine.changes`` needs to align column names
+        across versions (an upsert of an unpartitioned table commits as
+        a rewrite; dropping the log there would make the very next
+        change feed diff old-name against new-name and report every row
+        as an update).  Only 'create' starts with an empty log.
         """
         new_parts = _partition_relpaths(os.path.join(self.data_path, write_name))
         if op in ("create", "rewrite"):
             mapping = {p: [write_name] for p in new_parts}
+            if op == "rewrite" and base is not None:
+                ev = (base.meta or {}).get("schema_events")
+                if ev and "schema_events" not in (meta or {}):
+                    meta = {**(meta or {}), "schema_events": list(ev)}
         else:
             assert base is not None, f"op={op} needs a base snapshot"
             mapping = {p: list(ws) for p, ws in base.mapping.items()}
@@ -309,6 +423,7 @@ class SnapshotStore:
                     mapping[p] = [write_name]
             else:
                 raise ValueError(f"unknown snapshot op: {op}")
+            meta = carried_meta(base.meta, meta)
         if drop_parts:
             conflict = set(drop_parts) & set(new_parts)
             if conflict:
@@ -351,6 +466,44 @@ class SnapshotStore:
         return self.commit(
             mapping,
             "replace",
+            schema_json,
+            expected_base=base.version,
+            meta=meta,
+        )
+
+    def commit_schema_change(
+        self,
+        schema_json: str | None,
+        *,
+        base: Snapshot,
+        events: list[dict] | None = None,
+        meta: dict | None = None,
+    ) -> Snapshot:
+        """Metadata-only column DDL (Delta column-mapping analog): commit
+        the new logical schema WITHOUT touching a single data file — the
+        mapping carries over unchanged, and each ``event`` (``{"op":
+        "rename", "from": a, "to": b}`` / ``{"op": "drop", "name": c}`` /
+        ``{"op": "add", "name": c}``) is stamped with the current write
+        counter and appended to the snapshot's cumulative event log.
+        ``read`` replays the events newer than each write dir onto its
+        scan (and reverse-translates zone-map probes), so old dirs keep
+        their era-named files forever — at 100 TB a RENAME/DROP COLUMN is
+        one JSON write, not a table rewrite.  Time travel needs no extra
+        bookkeeping: every snapshot carries the event log as of its own
+        commit, so a past version reads (and restores) under its own
+        names.  Optimistic concurrency via ``expected_base`` like every
+        commit — a writer racing this DDL loses and must re-apply against
+        the post-event schema."""
+        log = list((base.meta or {}).get("schema_events") or [])
+        if events:
+            w = self.max_write_counter()
+            log = log + [{**e, "w": w} for e in events]
+        if log:
+            meta = {**(meta or {}), "schema_events": log}
+        meta = carried_meta(base.meta, meta)  # txn/copy_files/dv[_rows]
+        return self.commit(
+            base.mapping,
+            "alter",
             schema_json,
             expected_base=base.version,
             meta=meta,
@@ -406,6 +559,10 @@ class SnapshotStore:
         """
         snap = self.load(version)
         dv_dirs = list((snap.meta or {}).get("dv", []))
+        # Metadata-only column DDL: replay the events newer than each
+        # write dir onto its scan (see commit_schema_change) — zero cost
+        # for tables that never altered a column.
+        events = list((snap.meta or {}).get("schema_events") or [])
         want_refs = with_row_refs or bool(dv_dirs)
         by_wdir: dict[str, list[str]] = {}
         for ppath, wdirs in snap.mapping.items():
@@ -445,6 +602,7 @@ class SnapshotStore:
         for wdir in sorted(by_wdir):
             base = os.path.join(self.data_path, wdir)
             ppaths = by_wdir[wdir]
+            wnum = _wdir_counter(wdir)
             kept_files: list[str] | None = None
             if prune:
                 from polars_lake_spark.zonemaps import (
@@ -453,6 +611,12 @@ class SnapshotStore:
                     load_zonemap,
                 )
 
+                # This dir's sidecar records stats under the dir's ERA
+                # column names — reverse-translate the probe so renamed
+                # columns keep pruning old files (and a since-(re)added
+                # column's probe can never consult a dropped column's
+                # stats).
+                dir_prune = era_conjuncts(prune, events, wnum)
                 zm = load_zonemap(base)
                 if zm is not None:
                     pset = set(ppaths)
@@ -464,7 +628,7 @@ class SnapshotStore:
                     kept_files = [
                         rel
                         for rel in cand
-                        if file_survives(zm["files"][rel], prune)
+                        if file_survives(zm["files"][rel], dir_prune)
                     ]
                     if report is not None:
                         report["files_total"] = (
@@ -480,7 +644,7 @@ class SnapshotStore:
                         nanproof = bool(zm.get("fnanproof"))
                         for rel in kept_files:
                             n = file_all_match(
-                                zm["files"][rel], prune, fnanproof=nanproof
+                                zm["files"][rel], dir_prune, fnanproof=nanproof
                             )
                             if n is None:
                                 boundary.append(rel)
@@ -506,6 +670,8 @@ class SnapshotStore:
                 scan = spark.read.option("basePath", base).parquet(
                     *[os.path.join(base, p) for p in ppaths]
                 )
+            if events:
+                scan = apply_schema_events(scan, events, wnum)
             if want_refs:
                 scan = scan.withColumns(
                     {
@@ -520,6 +686,22 @@ class SnapshotStore:
             lambda a, b: a.unionByName(b, allowMissingColumns=True), scans
         )
         out = pin_partition_types(out, self.partition_cols, snap.schema_json)
+        if events and snap.schema_json:
+            # A column ADDED by metadata-only DDL with no write since
+            # exists in no scan branch — fill it as a typed NULL so the
+            # read always speaks the committed schema.
+            from pyspark.sql.types import StructType
+
+            have = {c.lower() for c in out.columns}
+            fill = {
+                f.name: F.lit(None).cast(f.dataType)
+                for f in StructType.fromJson(
+                    json.loads(snap.schema_json)
+                ).fields
+                if f.name.lower() not in have
+            }
+            if fill:
+                out = out.withColumns(fill)
         if dv_dirs:
             dv = self.dv_scan(spark, dv_dirs).alias("__dv")
             # broadcast while the ref set is driver-safe (the common

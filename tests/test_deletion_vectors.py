@@ -291,16 +291,18 @@ def test_dv_concurrent_deletes_serialize(spark, eng):
 
 
 def test_dv_with_schema_evolution(spark, eng):
-    """Order matters both ways: a column add AFTER a DV delete is a
-    full NULL-filled rewrite, which folds the DVs in (list cleared);
-    a DV delete AFTER the evolution spans old- and new-schema rows."""
+    """A column add AFTER a DV delete is METADATA-ONLY (r14 column
+    mapping): no data file moves, so the (file, row_index) DV refs stay
+    valid and carry through the alter commit — rows stay deleted, the
+    new column reads NULL.  A DV delete AFTER the evolution spans old-
+    and new-schema rows."""
     _seed(spark, eng, "t")
     eng.sql("DELETE FROM t WHERE user = 2")
     store = eng._snapstore("t")
     assert (store.load().meta or {}).get("dv")
     eng.sql("ALTER TABLE t ADD COLUMN note STRING")
-    # the rewrite folded the deletes — no DV left, rows still gone
-    assert not (store.load().meta or {}).get("dv")
+    # metadata-only: the DV refs survive, the deleted rows stay gone
+    assert (store.load().meta or {}).get("dv")
     assert eng.table("t").count() == 24
     assert eng.table("t").filter("user = 2").count() == 0
     # new-schema DML keeps working merge-on-read
