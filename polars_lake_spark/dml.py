@@ -264,6 +264,11 @@ _ALTER_DROP_COLUMN = re.compile(
     r"(?:\(\s*(.+?)\s*\)|([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*))\s*;?\s*$",
     re.I,
 )
+_ALTER_COLUMN_TYPE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+ALTER\s+COLUMN\s+"
+    r"([A-Za-z_]\w*)\s+TYPE\s+(.+?)\s*;?\s*$",
+    re.I | re.S,
+)
 _ALTER_RENAME_COLUMN = re.compile(
     r"^\s*ALTER\s+TABLE\s+([A-Za-z_][\w.]*)\s+RENAME\s+COLUMN\s+"
     r"([A-Za-z_]\w*)\s+TO\s+([A-Za-z_]\w*)\s*;?\s*$",
@@ -1866,6 +1871,58 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                 spec.stats = old_stats
                 raise
         return _status(engine, "alter_drop_column", name, n)
+
+    m = _ALTER_COLUMN_TYPE.match(query)
+    if m:
+        # ALTER TABLE t ALTER COLUMN c TYPE <type> — order-preserving
+        # WIDENINGS only (Delta type-widening analog).  Versioned
+        # parquet: metadata-only (engine.alter_column_type — era files
+        # and zone-map stats stay valid; reads conform the type up).
+        # Unversioned: cast rewrite, same widening rule so semantics
+        # don't depend on the storage tier.
+        name = _resolve(engine, m.group(1))
+        if name is None:
+            return None
+        col, newtype = m.group(2), m.group(3).strip()
+        if _metadata_ddl_ok(engine, name):
+            engine.alter_column_type(name, col, newtype)
+            return _status(engine, "alter_column_type", name, 0)
+        from polars_lake_spark.engine import Engine as _E
+
+        with engine._lock(name):
+            t = engine.table(name)
+            have = {c.lower(): c for c in t.columns}
+            if col.lower() not in have:
+                raise ValueError(f"ALTER TABLE {name}: no column {col!r}")
+            col = have[col.lower()]
+            frm = t.schema[col].dataType.jsonValue()
+            to = (
+                engine.spark.createDataFrame([], f"`{col}` {newtype}")
+                .schema.fields[0].dataType.jsonValue()
+            )
+            frm_s = frm if isinstance(frm, str) else None
+            to_s = to if isinstance(to, str) else None
+            if frm == to:
+                return _status(engine, "alter_column_type", name, 0)
+            if not (frm_s and to_s and _E._is_widening(frm_s, to_s)):
+                raise ValueError(
+                    f"ALTER TABLE {name}: {col!r} {frm} → {to} is not an "
+                    "order-preserving widening; rewrite the table to "
+                    "change types"
+                )
+            spec = engine.specs[name]
+            if col in set(spec.partition_by) | set(spec.bucket_by):
+                raise ValueError(
+                    f"ALTER TABLE {name}: cannot widen layout "
+                    f"(partition/bucket) column {col!r}"
+                )
+            n = t.count()
+            engine.overwrite(
+                name,
+                t.withColumn(col, F.col(col).cast(newtype)),
+                allow_drop=False,
+            )
+        return _status(engine, "alter_column_type", name, n)
 
     m = _ALTER_RENAME_TABLE.match(query)
     if m:

@@ -5286,6 +5286,101 @@ class Engine:
             self._write_manifest(spec)
             self._register(name)
 
+    # Order-preserving widenings whose parquet-encoded values and
+    # zone-map stats stay valid unchanged (Delta type-widening set,
+    # integer chain + float→double + decimal precision growth).
+    # Schema-JSON type names (integer/long), not DDL names (int/bigint).
+    _WIDENINGS = {
+        ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+        ("short", "integer"), ("short", "long"),
+        ("integer", "long"),
+        ("float", "double"),
+    }
+
+    @classmethod
+    def _is_widening(cls, frm: str, to: str) -> bool:
+        if (frm, to) in cls._WIDENINGS:
+            return True
+        m1 = re.fullmatch(r"decimal\((\d+),(\d+)\)", frm)
+        m2 = re.fullmatch(r"decimal\((\d+),(\d+)\)", to)
+        if m1 and m2:
+            # precision may grow; scale may grow by at most the
+            # precision growth (integer digits never shrink)
+            p1, s1, p2, s2 = map(int, m1.groups() + m2.groups())
+            return p2 >= p1 and s2 >= s1 and (p2 - s2) >= (p1 - s1)
+        return False
+
+    def alter_column_type(self, name: str, col: str, newtype: str) -> None:
+        """ALTER TABLE ALTER COLUMN TYPE as PURE METADATA (Delta type
+        widening analog): only ORDER- and VALUE-preserving widenings
+        (tinyint→…→bigint, float→double, decimal precision growth), so
+        the bytes in every era's files and the min/max in every zone-map
+        sidecar remain correct as-is — the read conforms each branch up
+        to the committed type (union coercion + one cast), and probes
+        need no translation (the era stats bound the same values).
+        Narrowing or cross-family changes refuse — rewrite explicitly.
+        Partition/bucket columns refuse: bucket routing hashes the TYPED
+        value (Murmur3 of int 1 ≠ bigint 1) and partition dirs parse per
+        declared type."""
+        spec = self._column_ddl_spec(name)
+        with self._lock(name):
+            store = self._snapstore(name)
+            base = store.load()
+            fields = self._schema_fields(spec, base)
+            have = {f["name"].lower(): f for f in fields["fields"]}
+            if col.lower() not in have:
+                raise ValueError(f"ALTER TABLE {name}: no column {col!r}")
+            fld = have[col.lower()]
+            col = fld["name"]
+            new_field = json.loads(
+                self.spark.createDataFrame([], f"`{col}` {newtype}")
+                .schema.json()
+            )["fields"][0]
+            frm_s = (
+                json.dumps(fld["type"])
+                if not isinstance(fld["type"], str)
+                else fld["type"]
+            )
+            to_s = (
+                json.dumps(new_field["type"])
+                if not isinstance(new_field["type"], str)
+                else new_field["type"]
+            )
+            if frm_s == to_s:
+                return  # already that type
+            if not self._is_widening(frm_s, to_s):
+                raise ValueError(
+                    f"ALTER TABLE {name}: {col!r} {frm_s} → {to_s} is "
+                    "not an order-preserving widening; rewrite the "
+                    "table to change types"
+                )
+            layout = set(spec.partition_by) | set(spec.bucket_by)
+            if col in layout:
+                raise ValueError(
+                    f"ALTER TABLE {name}: cannot widen layout "
+                    f"(partition/bucket) column {col!r}"
+                )
+            schema_json = json.dumps(
+                {
+                    **fields,
+                    "fields": [
+                        {**f, "type": new_field["type"]}
+                        if f["name"] == col
+                        else f
+                        for f in fields["fields"]
+                    ],
+                }
+            )
+            store.commit_schema_change(
+                schema_json,
+                base=base,
+                events=[{"op": "retype", "name": col, "to": to_s}],
+            )
+            spec.schema_json = schema_json
+            self._guard_mutable(name)
+            self._write_manifest(spec)
+            self._register(name)
+
     def rename_table(self, old: str, new: str) -> None:
         """ALTER TABLE RENAME analog: a pure METADATA move — one
         ``os.rename`` of the table directory (snapshots, zone maps, DV

@@ -2574,8 +2574,10 @@ def scd2_truncate_check(spark, sf_dir):
     ORDER BY doc_id
     """,
     doc="Metadata-only column DDL gate (r14 — engine.rename_column/"
-    "drop_columns/add_column, snapshots.commit_schema_change): RENAME "
-    "text->body, append a post-rename era, DROP lang, re-ADD lang "
+    "drop_columns/add_column/alter_column_type, snapshots."
+    "commit_schema_change): RENAME text->body, WIDEN n_chars "
+    "int->bigint (oracle schema match pins the conformed type), "
+    "append a post-rename era, DROP lang, re-ADD lang "
     "(pre-drop values must NOT resurrect — every old row reads NULL), "
     "then upsert through the renamed schema. violations pins that the "
     "three DDLs moved ZERO data files (write-dir set unchanged across "
@@ -2599,7 +2601,12 @@ def column_mapping_check(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang", "n_chars"
         )
-        eng.create_table("cm", docs, keys=["doc_id"], versioned=True)
+        eng.create_table(
+            "cm",
+            docs.withColumn("n_chars", F.col("n_chars").cast("int")),
+            keys=["doc_id"],
+            versioned=True,
+        )
 
         def wdirs():
             p = os.path.join(eng.root, "cm", "data")
@@ -2607,6 +2614,9 @@ def column_mapping_check(spark, sf_dir):
 
         before = wdirs()
         eng.sql("ALTER TABLE cm RENAME COLUMN text TO body")
+        # type widening (int -> bigint) is metadata too; the oracle's
+        # BIGINT n_chars pins the conformed read type via schema match
+        eng.sql("ALTER TABLE cm ALTER COLUMN n_chars TYPE bigint")
         viol = 0 if wdirs() == before else 1
         eng.insert(
             "cm",
@@ -2622,7 +2632,7 @@ def column_mapping_check(spark, sf_dir):
         eng.sql("ALTER TABLE cm ADD COLUMN lang string")
         if wdirs() != before:
             viol += 1
-        if [h["op"] for h in eng.history("cm")].count("alter") != 3:
+        if [h["op"] for h in eng.history("cm")].count("alter") != 4:
             viol += 1
         eng.upsert(
             "cm",

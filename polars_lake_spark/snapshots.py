@@ -687,21 +687,25 @@ class SnapshotStore:
         )
         out = pin_partition_types(out, self.partition_cols, snap.schema_json)
         if events and snap.schema_json:
-            # A column ADDED by metadata-only DDL with no write since
-            # exists in no scan branch — fill it as a typed NULL so the
+            # Metadata-only DDL conform: a column ADDED with no write
+            # since exists in no scan branch — fill it as a typed NULL;
+            # a column WIDENED with no write since still reads its
+            # era type from every branch — cast it up.  Either way the
             # read always speaks the committed schema.
             from pyspark.sql.types import StructType
 
-            have = {c.lower() for c in out.columns}
-            fill = {
-                f.name: F.lit(None).cast(f.dataType)
-                for f in StructType.fromJson(
-                    json.loads(snap.schema_json)
-                ).fields
-                if f.name.lower() not in have
-            }
-            if fill:
-                out = out.withColumns(fill)
+            declared = StructType.fromJson(json.loads(snap.schema_json))
+            have = {c.lower(): f for c, f in
+                    ((c, out.schema[c]) for c in out.columns)}
+            fix = {}
+            for f in declared.fields:
+                got = have.get(f.name.lower())
+                if got is None:
+                    fix[f.name] = F.lit(None).cast(f.dataType)
+                elif got.dataType != f.dataType:
+                    fix[f.name] = F.col(f.name).cast(f.dataType)
+            if fix:
+                out = out.withColumns(fix)
         if dv_dirs:
             dv = self.dv_scan(spark, dv_dirs).alias("__dv")
             # broadcast while the ref set is driver-safe (the common

@@ -336,3 +336,63 @@ def test_changes_across_rename_reports_only_real_changes(spark, tmp_path):
     # not as a change on every row
     eng.drop_columns("t", ["s"])
     assert eng.changes("t", 3).count() == 0
+
+
+def test_type_widening_metadata_only(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.create_table(
+        "w",
+        spark.createDataFrame([(1, 5), (2, 7)], "id bigint, v int"),
+        keys=["id"],
+        versioned=True,
+    )
+    before = _wdirs(eng.root, "w")
+    st = eng.sql("ALTER TABLE w ALTER COLUMN v TYPE bigint").collect()[0]
+    assert (st.operation, st.n_affected) == ("alter_column_type", 0)
+    assert _wdirs(eng.root, "w") == before
+    got = eng.table("w")
+    assert got.schema["v"].dataType.simpleString() == "bigint"
+    assert {(r.id, r.v) for r in got.collect()} == {(1, 5), (2, 7)}
+    # post-widen values beyond int range, mixed-era read + zone-map probe
+    eng.insert("w", spark.createDataFrame([(3, 2**40)], "id bigint, v bigint"))
+    assert {r.v for r in eng.table("w").collect()} == {5, 7, 2**40}
+    assert eng.count_where("w", "v > 6") == 2
+    # time travel shows the era type
+    assert eng.table("w", version=1).schema["v"].dataType.simpleString() == "int"
+
+
+def test_type_widening_guards(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.create_table(
+        "w",
+        spark.createDataFrame([(1, 5, 1.5, 7)], "id bigint, v bigint, f float, p int"),
+        keys=["id"],
+        versioned=True,
+        partition_by=["p"],
+    )
+    with pytest.raises(ValueError, match="widening"):
+        eng.alter_column_type("w", "v", "int")  # narrowing
+    with pytest.raises(ValueError, match="widening"):
+        eng.alter_column_type("w", "v", "string")  # cross-family
+    with pytest.raises(ValueError, match="layout"):
+        eng.alter_column_type("w", "p", "bigint")  # partition col
+    eng.alter_column_type("w", "f", "double")
+    assert eng.table("w").schema["f"].dataType.simpleString() == "double"
+    # decimal: precision growth ok, integer-digit shrink refused
+    eng.add_column("w", "m", "decimal(5,2)")
+    eng.alter_column_type("w", "m", "decimal(12,4)")
+    assert eng.table("w").schema["m"].dataType.simpleString() == "decimal(12,4)"
+    with pytest.raises(ValueError, match="widening"):
+        eng.alter_column_type("w", "m", "decimal(12,11)")
+
+
+def test_unversioned_widening_rewrites(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.create_table(
+        "u", spark.createDataFrame([(1, 5)], "id bigint, v int"), keys=["id"]
+    )
+    st = eng.sql("ALTER TABLE u ALTER COLUMN v TYPE bigint").collect()[0]
+    assert st.n_affected == 1  # rewrite path
+    assert eng.table("u").schema["v"].dataType.simpleString() == "bigint"
+    with pytest.raises(ValueError, match="widening"):
+        eng.sql("ALTER TABLE u ALTER COLUMN v TYPE int")
