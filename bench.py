@@ -728,6 +728,10 @@ def main() -> None:
             round(ratios[len(ratios) // 2], 3) if ratios else None
         ),
     }
+    if only:
+        # filtered attribution run: the partial total must never be
+        # mistaken for a full-suite number when comparing recorded lines
+        protocol["only"] = sorted(only)
     # Full per-query line first (68+ entries — for local analysis and
     # BENCH_r{N} diffing when the whole stdout is kept)...
     print(

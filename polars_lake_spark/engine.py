@@ -640,7 +640,7 @@ class Engine:
                 n_dv = (base.meta or {}).get("dv_rows")
                 if n_dv:
                     meta["dv_rows"] = n_dv
-        wname, wpath = store.new_write_dir()
+        wname, wpath = store.new_write_dir(base)
         if spec.cluster_by and all(c in df.columns for c in spec.cluster_by):
             # Clustered write: one range exchange + in-partition sort so
             # every landed file carries a narrow min/max on the cluster
@@ -1087,12 +1087,18 @@ class Engine:
             or not (spec.versioned and spec.zone_maps)
         ):
             return None
+        from polars_lake_spark.snapshots import (
+            _NO_ERA_COLUMN,
+            _wdir_counter,
+            era_column_name,
+        )
         from polars_lake_spark.zonemaps import _decode, load_zonemap
 
         store = self._snapstore(name)
         snap = store.load(version)
         if (snap.meta or {}).get("dv"):
             return None
+        events = list((snap.meta or {}).get("schema_events") or [])
         cl = col.lower()
         by_wdir: dict[str, set] = {}
         for p, ws in snap.mapping.items():
@@ -1101,6 +1107,14 @@ class Engine:
         lo = hi = None
         seen = False
         for w, pset in by_wdir.items():
+            # metadata-only column DDL: this dir's sidecar records stats
+            # under its ERA name — translate, and when the column was
+            # born after the dir (add, or drop+re-add of the name) the
+            # dir contributes only NULLs, which MIN/MAX ignore: skip it
+            # rather than let the DROPPED column's stale stats answer
+            ecol = era_column_name(cl, events, _wdir_counter(w)).lower()
+            if ecol == _NO_ERA_COLUMN:
+                continue
             zm = load_zonemap(os.path.join(store.data_path, w))
             if zm is None:
                 return None
@@ -1118,7 +1132,7 @@ class Engine:
                     continue
                 ent = {
                     k.lower(): v for k, v in (fs.get("cols") or {}).items()
-                }.get(cl)
+                }.get(ecol)
                 if ent is None:
                     return None
                 (tlo, flo), (thi, fhi) = _decode(ent[0]), _decode(ent[1])
@@ -5146,8 +5160,18 @@ class Engine:
                     "(identifiers only; __ prefix is reserved)"
                 )
             self._column_ddl_guard(spec, {old}, "RENAME COLUMN", keys_ok=True)
+            # probe DISK, not just loaded specs: a fresh engine process
+            # hasn't lazily loaded the companions yet, and an unguarded
+            # key rename would orphan their stale-filter state
             if old in spec.keys and any(
                 f"{name}{suf}" in self.specs
+                or f"{name}{suf}" in self._mem
+                or (
+                    self.root is not None
+                    and os.path.isfile(
+                        os.path.join(self.root, f"{name}{suf}", MANIFEST)
+                    )
+                )
                 for suf in ("_cdc_tombstones", "_cdc_meta")
             ):
                 raise ValueError(
@@ -5406,7 +5430,18 @@ class Engine:
         for suf in RESERVED_SIDE_SUFFIXES:
             if new.endswith(suf):
                 base = new[: -len(suf)]
-                if base and (base in self.specs or base in self._mem):
+                # probe DISK too: a fresh process may not have lazily
+                # loaded the base yet (r14 review)
+                if base and (
+                    base in self.specs
+                    or base in self._mem
+                    or (
+                        self.root is not None
+                        and os.path.isfile(
+                            os.path.join(self.root, base, MANIFEST)
+                        )
+                    )
+                ):
                     raise ValueError(
                         f"rename_table: {new!r} is the reserved "
                         f"{suf.lstrip('_')} companion name of existing "

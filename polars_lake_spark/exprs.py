@@ -100,7 +100,13 @@ def substitute_columns(expr: str, mapping: dict[str, str]) -> str:
     generated-column recompute, where formulas must be re-evaluated
     over the NEW values of SET columns. One pass: an earlier
     substitution's output is never re-scanned (``SET a = b, b = a``
-    style crossings stay correct)."""
+    style crossings stay correct).
+
+    A mapping key that is itself a SQL KEYWORD (a column named ``end``
+    vs CASE…END) is lexically AMBIGUOUS — substituting would corrupt
+    the expression and skipping would silently recompute over stale
+    values — so any match on a keyword-named key raises instead
+    (r14 review)."""
     if not mapping:
         return expr
     spans = quoted_spans(expr)
@@ -114,14 +120,16 @@ def substitute_columns(expr: str, mapping: dict[str, str]) -> str:
         tail = expr[m.end():].lstrip()
         if tail.startswith("("):
             continue  # function call, not a column reference
+        low = m.group(1).lower()
+        if low in _KEYWORDS:
+            raise ValueError(
+                f"cannot substitute column {low!r} into {expr!r}: the "
+                "name is a SQL keyword, so the reference is lexically "
+                "ambiguous — rename the column or avoid the keyword in "
+                "the formula"
+            )
         out.append(expr[last : m.start()])
-        out.append(f"({mapping[m.group(1).lower()]})")
+        out.append(f"({mapping[low]})")
         last = m.end()
     out.append(expr[last:])
     return "".join(out)
-
-
-def references_any(expr: str, names) -> bool:
-    """True iff ``expr`` references (per :func:`referenced_columns`) any
-    of ``names``."""
-    return bool(referenced_columns(expr, candidates=names))

@@ -293,7 +293,7 @@ class SnapshotStore:
         return out
 
     # --------------------------------------------------------------- writing
-    def max_write_counter(self) -> int:
+    def max_write_counter(self, base: "Snapshot | None" = None) -> int:
         """The highest write-dir counter this table has ever observed:
         local ``wNNNNNN`` dirs, dirs REFERENCED by the latest snapshot
         (a clone's mapping points at the source's dirs by relative path
@@ -302,7 +302,10 @@ class SnapshotStore:
         of recorded schema events (so a vacuumed top dir can never hand
         its counter — and with it the events' era boundary — to a NEW
         write).  Drives both dir allocation and event stamping: a write
-        dir's counter orders it against every schema event."""
+        dir's counter orders it against every schema event.
+
+        Pass the already-loaded latest snapshot as ``base`` to skip the
+        manifest re-read (the hot write path holds one anyway)."""
         counters = [0]
         if os.path.isdir(self.data_path):
             counters += [
@@ -310,8 +313,10 @@ class SnapshotStore:
                 for d in os.listdir(self.data_path)
                 if _WDIR_RE.fullmatch(d)
             ]
-        if self.versions():
-            snap = self.load()
+        snap = base if base is not None else (
+            self.load() if self.versions() else None
+        )
+        if snap is not None:
             for ws in snap.mapping.values():
                 for w in ws:
                     m = _WDIR_RE.fullmatch(os.path.basename(w))
@@ -321,10 +326,14 @@ class SnapshotStore:
                 counters.append(int(e.get("w", 0)))
         return max(counters)
 
-    def new_write_dir(self) -> tuple[str, str]:
-        """(dir name, absolute path) for the next immutable write dir."""
+    def new_write_dir(
+        self, base: "Snapshot | None" = None
+    ) -> tuple[str, str]:
+        """(dir name, absolute path) for the next immutable write dir.
+        ``base``: pass the caller's already-loaded latest snapshot to
+        avoid a second manifest read on the hot write path."""
         os.makedirs(self.data_path, exist_ok=True)
-        name = f"w{self.max_write_counter() + 1:06d}"
+        name = f"w{self.max_write_counter(base) + 1:06d}"
         return name, os.path.join(self.data_path, name)
 
     def commit(

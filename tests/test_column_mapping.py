@@ -396,3 +396,65 @@ def test_unversioned_widening_rewrites(spark, tmp_path):
     assert eng.table("u").schema["v"].dataType.simpleString() == "bigint"
     with pytest.raises(ValueError, match="widening"):
         eng.sql("ALTER TABLE u ALTER COLUMN v TYPE int")
+
+
+def test_minmax_fast_path_era_translation(spark, tmp_path):
+    """r14 review #1: the SQL MIN/MAX sidecar fast path must not answer
+    a re-added column's query from the DROPPED column's stale stats."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.create_table(
+        "mm",
+        spark.createDataFrame([(i, i) for i in range(1, 101)], "id bigint, x bigint"),
+        keys=["id"],
+        versioned=True,
+    )
+    eng.drop_columns("mm", ["x"])
+    eng.add_column("mm", "x", "bigint")
+    eng.insert(
+        "mm",
+        spark.createDataFrame([(1000, 1000)], "id bigint, x bigint"),
+    )
+    # old-era dir has x stats [1,100] but every old row reads NULL now
+    row = eng.sql("SELECT MIN(x) AS lo, MAX(x) AS hi FROM mm").collect()[0]
+    assert (row.lo, row.hi) == (1000, 1000), (row.lo, row.hi)
+    # renamed column still answers via the sidecars
+    eng2 = Engine(spark, str(tmp_path / "wh2"))
+    eng2.create_table(
+        "mr",
+        spark.createDataFrame([(i, i) for i in range(1, 101)], "id bigint, x bigint"),
+        keys=["id"],
+        versioned=True,
+    )
+    eng2.rename_column("mr", "x", "y")
+    row = eng2.sql("SELECT MIN(y) AS lo, MAX(y) AS hi FROM mr").collect()[0]
+    assert (row.lo, row.hi) == (1, 100)
+
+
+def test_fresh_engine_disk_probes(spark, tmp_path):
+    """r14 review #2/#4: guards that depend on companion/base tables
+    must probe DISK, not just the lazily-loaded spec cache."""
+    from polars_lake_spark.streaming.ingest import apply_changes_batch
+
+    root = str(tmp_path / "wh")
+    eng = Engine(spark, root)
+    eng.create_table(
+        "c",
+        spark.createDataFrame([(1, "a")], "k bigint, s string"),
+        keys=["k"],
+        versioned=True,
+    )
+    b = spark.createDataFrame(
+        [(1, None, "delete", 10)], "k bigint, s string, _op string, seq bigint"
+    )
+    apply_changes_batch(eng, "c", b, sequence_by="seq")
+    eng.create_table(
+        "other", spark.createDataFrame([(1,)], "z bigint"), keys=["z"],
+        versioned=True,
+    )
+    # FRESH process: only the target table gets loaded
+    eng2 = Engine(spark, root)
+    with pytest.raises(ValueError, match="CDC companion"):
+        eng2.rename_column("c", "k", "kk")
+    eng3 = Engine(spark, root)
+    with pytest.raises(ValueError, match="reserved"):
+        eng3.rename_table("other", "c_quarantine")

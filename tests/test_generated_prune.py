@@ -217,3 +217,21 @@ def test_exprs_lexer():
     assert (
         substitute_columns("A + b", {"a": "b", "b": "a"}) == "(b) + (a)"
     )
+
+
+def test_keyword_named_set_column_refuses_ambiguous_substitution(spark, tmp_path):
+    """r14 review #3: a SET column named like a SQL keyword ('end')
+    appearing inside a formula's CASE...END is lexically ambiguous —
+    substitution must raise, never corrupt the formula or silently
+    recompute over stale values."""
+    import pytest
+
+    from polars_lake_spark.exprs import substitute_columns
+
+    with pytest.raises(ValueError, match="keyword"):
+        substitute_columns(
+            "CASE WHEN a > 1 THEN 2 ELSE 3 END", {"end": "(5)"}
+        )
+    # a non-keyword mapping over the same expression is untouched
+    out = substitute_columns("CASE WHEN a > 1 THEN 2 ELSE 3 END", {"a": "9"})
+    assert out == "CASE WHEN (9) > 1 THEN 2 ELSE 3 END"
