@@ -595,11 +595,21 @@ def _insert_frame(
     df = engine.spark.sql(select_sql)
     tschema = engine.table(name).schema
     canon = {f.name.lower(): f.name for f in tschema.fields}
+    # IDENTITY columns are GENERATED ALWAYS: listing one is refused,
+    # omitting one leaves it ABSENT (not NULL-filled) so engine.insert
+    # assigns the next range
+    ident = set(engine.specs[name].identity or {})
     if col_list:
         cols = [c.strip() for c in col_list.strip("()").split(",")]
         unknown = [c for c in cols if c.lower() not in canon]
         if unknown:
             raise ValueError(f"{stmt} {name}: no columns {unknown}")
+        listed_ident = [c for c in cols if canon[c.lower()] in ident]
+        if listed_ident:
+            raise ValueError(
+                f"{stmt} {name}: identity columns {listed_ident} are "
+                "GENERATED ALWAYS — omit them"
+            )
         if len(cols) != len(df.columns):
             raise ValueError(
                 f"{stmt} {name}: {len(cols)} listed columns but "
@@ -614,7 +624,7 @@ def _insert_frame(
         # it before the fill would fail to resolve; after, it
         # NULL-propagates like any SQL expression)
         for f in tschema.fields:
-            if f.name not in listed and f.name not in gen:
+            if f.name not in listed and f.name not in gen and f.name not in ident:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         for f in tschema.fields:
             if f.name not in listed and f.name in gen:
@@ -625,10 +635,12 @@ def _insert_frame(
                     f.name, F.expr(gen[f.name]).cast(f.dataType)
                 )
     else:
-        if len(df.columns) != len(tschema.fields):
+        n_expected = len(tschema.fields) - len(ident)
+        if len(df.columns) != n_expected:
             raise ValueError(
-                f"{stmt} {name}: table has {len(tschema.fields)} "
-                f"columns but the SELECT produces {len(df.columns)}"
+                f"{stmt} {name}: table has {n_expected} "
+                f"assignable columns but the SELECT produces "
+                f"{len(df.columns)}"
             )
         # Positional mapping follows the USER-DECLARED column order, not
         # read-back schema order: a hive scan returns partition columns
@@ -637,10 +649,18 @@ def _insert_frame(
         # declared last (ADVICE r8 high — CREATE TABLE pm2 (id, p, v)
         # PARTITIONED BY (p); INSERT VALUES (1,7,100) stored v=7,p=100).
         df = df.toDF(
-            *[f.name for f in engine.specs[name].declared_order(tschema)]
+            *[
+                f.name
+                for f in engine.specs[name].declared_order(tschema)
+                if f.name not in ident
+            ]
         )
     df = df.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tschema.fields]
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in tschema.fields
+            if f.name not in ident
+        ]
     )
     return df.localCheckpoint(eager=True)
 

@@ -234,6 +234,20 @@ class TableSpec:
     # derived partition column (month from a timestamp) kept consistent
     # without trusting every writer.
     generated: dict[str, str] = field(default_factory=dict)
+    # IDENTITY columns (Delta GENERATED ALWAYS AS IDENTITY analog):
+    # column -> {"start": int, "step": int}.  The engine assigns values
+    # on insert/create — writers must NOT provide the column (ALWAYS
+    # semantics); upsert/merge sources must provide it (the engine
+    # trusts caller ids there — BY DEFAULT semantics — because a merge
+    # source legitimately carries existing ids as match keys).  The
+    # high-water mark ("next") is NOT here: it rides in every snapshot
+    # commit's meta["identity"] — atomic with the rows that consumed
+    # the range, rolled back by RESTORE with the data, carried like txn
+    # watermarks.  Versioned tables only.  Allocation is contiguous:
+    # one O(partitions) count job computes per-partition offsets, then
+    # ids are start + step * (offset + row_number_in_partition) — no
+    # global shuffle, no driver-side row data.
+    identity: dict[str, dict] = field(default_factory=dict)
     # Set when the ENGINE created this table as a companion side table
     # (quarantine log, CDC tombstones/meta) of another table.  The
     # implicit side-table writers check it before appending, and public
@@ -374,6 +388,7 @@ class Engine:
         cluster_by: list[str] | None = None,
         side_table_of: str | None = None,
         generated: dict[str, str] | None = None,
+        identity: dict[str, dict] | None = None,
     ) -> TableSpec:
         """CreateTable (``/root/reference/src/server.rs:92-135`` analog).
 
@@ -458,9 +473,16 @@ class Engine:
             cluster_by=list(cluster_by or []),
             side_table_of=side_table_of,
             generated=dict(generated or {}),
+            identity={
+                c: {"start": int(d.get("start", 1)), "step": int(d.get("step", 1))}
+                for c, d in (identity or {}).items()
+            },
             # Captured BEFORE _with_layout (the derived bucket_id is not
             # a user column): the order positional INSERTs map against.
-            declared_columns=list(df.columns),
+            # Identity columns append (engine-assigned, like evolution).
+            declared_columns=list(df.columns) + [
+                c for c in (identity or {}) if c not in df.columns
+            ],
         )
         for col, expr in spec.generated.items():
             # a write that PROVIDES a generated column must match the
@@ -476,6 +498,28 @@ class Engine:
                 "versioned tables require save=True, format='parquet', "
                 "and no native_bucketing"
             )
+        if spec.identity:
+            if not versioned:
+                raise ValueError(
+                    "identity columns require a versioned table (the "
+                    "high-water mark rides atomically in each snapshot "
+                    "commit)"
+                )
+            for c, d in spec.identity.items():
+                if d["step"] == 0:
+                    raise ValueError(f"identity column {c!r}: step must be nonzero")
+                if c.lower() in {x.lower() for x in df.columns}:
+                    raise ValueError(
+                        f"identity column {c!r} is GENERATED ALWAYS — "
+                        "the engine assigns it; remove it from the data"
+                    )
+                if c in spec.generated or c in set(spec.partition_by) | set(
+                    spec.bucket_by
+                ):
+                    raise ValueError(
+                        f"identity column {c!r} cannot also be generated "
+                        "or a layout column"
+                    )
         if deletion_vectors and not versioned:
             raise ValueError(
                 "deletion_vectors requires a versioned table (the DV "
@@ -507,7 +551,15 @@ class Engine:
             df = self._enforce(spec, df)
         if versioned:
             self.specs[name] = spec
-            self._write_versioned(self._with_layout(df, spec), spec, op="create")
+            id_meta = None
+            if spec.identity:
+                df, nexts = self._assign_identity(
+                    df, {c: (d["start"], d["step"]) for c, d in spec.identity.items()}
+                )
+                id_meta = {"identity": nexts}
+            self._write_versioned(
+                self._with_layout(df, spec), spec, op="create", meta=id_meta
+            )
             self._register(name)
             return spec
         if native_bucketing:
@@ -2196,6 +2248,99 @@ class Engine:
         seen = self.txn_version(name, app)
         return seen is not None and int(ver) <= seen
 
+    def _assign_identity(
+        self, df: DataFrame, cols: dict[str, tuple[int, int]]
+    ) -> tuple[DataFrame, dict[str, int]]:
+        """Assign contiguous identity values distributedly: ONE
+        O(partitions) count job computes per-partition offsets (a
+        bounded driver collect — partition counts, never rows), then
+        each row's id is ``next + step * (offset[pid] + rank_in_pid)``
+        via a per-partition window — no global shuffle at any size.
+        ``cols`` maps column -> (next, step); returns (df with the
+        columns, {col: new_next}).  The source is pinned when
+        nondeterministic so the count job and the write job see the
+        same partitioning."""
+        df = self._pin_if_nondeterministic(df)
+        pid = "__pl_idpid"
+        df = df.withColumn(pid, F.spark_partition_id())
+        counts = (
+            df.groupBy(pid).agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        offsets: dict[int, int] = {}
+        total = 0
+        for r in sorted(counts, key=lambda r: r[pid]):
+            offsets[r[pid]] = total
+            total += r["n"]
+        from pyspark.sql import Window
+
+        if offsets:
+            off = F.element_at(
+                F.create_map(
+                    *[
+                        F.lit(x)
+                        for p, o in offsets.items()
+                        for x in (p, o)
+                    ]
+                ),
+                F.col(pid),
+            )
+        else:
+            off = F.lit(0)
+        rank = (
+            F.row_number().over(
+                Window.partitionBy(pid).orderBy(F.monotonically_increasing_id())
+            )
+            - 1
+        )
+        nexts = {}
+        for c, (nxt, step) in cols.items():
+            df = df.withColumn(
+                c,
+                (F.lit(nxt) + (off + rank) * F.lit(step)).cast("bigint"),
+            )
+            nexts[c] = nxt + step * total
+        return df.drop(pid), nexts
+
+    def _identity_nexts(self, spec: TableSpec) -> dict[str, tuple[int, int]]:
+        """{col: (next, step)} from the LATEST snapshot's identity
+        high-water marks (falling back to each column's declared
+        start)."""
+        store = self._snapstore(spec.name)
+        hwm = {}
+        if store.versions():
+            hwm = (store.load().meta or {}).get("identity") or {}
+        return {
+            c: (int(hwm.get(c, d["start"])), d["step"])
+            for c, d in spec.identity.items()
+        }
+
+    def _guard_identity_absent(self, spec: TableSpec, df: DataFrame, op: str):
+        have = {c.lower() for c in df.columns}
+        clash = sorted(c for c in spec.identity if c.lower() in have)
+        if clash:
+            raise ValueError(
+                f"{op} into {spec.name}: identity columns {clash} are "
+                "GENERATED ALWAYS — the engine assigns them; remove "
+                "them from the batch (upsert/merge accept provided ids)"
+            )
+
+    def _guard_identity_present(self, spec: TableSpec, df: DataFrame, op: str):
+        """Keyed merges must CARRY identity columns: a source row
+        matching an existing row legitimately names its id, and a
+        coalesce merge of a source lacking the column would NULL the
+        inserted rows' ids (silently breaking uniqueness).  The engine
+        trusts provided ids on these paths (BY DEFAULT semantics) —
+        route genuinely-new rows through insert() for assignment."""
+        have = {c.lower() for c in df.columns}
+        missing = sorted(c for c in spec.identity if c.lower() not in have)
+        if missing:
+            raise ValueError(
+                f"{op} into {spec.name}: identity columns {missing} "
+                "must be present in the source (provided ids are "
+                "trusted on keyed merges); use insert() to have the "
+                "engine assign new ids"
+            )
+
     def insert(
         self,
         name: str,
@@ -2224,6 +2369,12 @@ class Engine:
         with self._lock(name):
             if self._txn_skip(name, spec, txn):
                 return
+            if spec.identity:
+                self._guard_identity_absent(spec, df, "insert")
+                df, nexts = self._assign_identity(
+                    df, self._identity_nexts(spec)
+                )
+                meta = {**(meta or {}), "identity": nexts}
             df = self._with_layout(df.select(*[c for c in df.columns]), spec)
             df = self._enforce(spec, df)
             if spec.versioned:
@@ -2521,6 +2672,7 @@ class Engine:
         keys = list(keys or spec.keys)
         if not keys:
             raise ValueError(f"no upsert keys for table {name}")
+        self._guard_identity_present(spec, df, "upsert")
         with self._lock(name):
             if self._txn_skip(name, spec, txn):
                 return
@@ -2657,6 +2809,7 @@ class Engine:
         keys = list(keys or spec.keys)
         if not keys:
             raise ValueError(f"no merge keys for table {name}")
+        self._guard_identity_present(spec, source, "merge")
         # normalize up front: legacy single-clause kwargs and the ordered
         # multi-clause lists share one executor shape from here on
         clauses = M.normalize_matched_clauses(
@@ -2947,6 +3100,11 @@ class Engine:
             ev = (snap.meta or {}).get("schema_events")
             if ev:
                 meta = {**(meta or {}), "schema_events": list(ev)}
+            # identity high-water marks travel too — a clone that reset
+            # them would re-issue the source's already-used ids
+            hwm = (snap.meta or {}).get("identity")
+            if hwm:
+                meta = {**(meta or {}), "identity": dict(hwm)}
             dst_store.commit(mapping, "clone", snap.schema_json, meta=meta)
             dspec = _dc_replace(
                 sspec,
@@ -5067,6 +5225,15 @@ class Engine:
                 f"ALTER TABLE {spec.name}: cannot {verb} layout "
                 f"(partition/bucket) columns {bad}"
             )
+        low = {c.lower() for c in cols}
+        if not keys_ok:  # renames carry identity like they carry keys
+            badi = sorted(c for c in cols if c.lower() in
+                          {i.lower() for i in spec.identity})
+            if badi:
+                raise ValueError(
+                    f"ALTER TABLE {spec.name}: cannot {verb} IDENTITY "
+                    f"columns {badi}"
+                )
         if not keys_ok:
             badk = sorted(c for c in cols if c in spec.keys)
             if badk:
@@ -5074,7 +5241,6 @@ class Engine:
                     f"ALTER TABLE {spec.name}: cannot {verb} upsert key "
                     f"columns {badk}"
                 )
-        low = {c.lower() for c in cols}
         # generated first: a generated column always carries an auto
         # CHECK constraint too, and "this is a GENERATED column" is the
         # actionable message
@@ -5188,15 +5354,31 @@ class Engine:
                     ],
                 }
             )
+            # an identity column's high-water mark is keyed by name in
+            # the snapshot meta — remap it WITH the rename or the next
+            # insert would fall back to the declared start and re-issue
+            # already-used ids
+            id_meta = None
+            hwm = (base.meta or {}).get("identity") or {}
+            if old in hwm:
+                id_meta = {
+                    "identity": {
+                        (new if k == old else k): v for k, v in hwm.items()
+                    }
+                }
             store.commit_schema_change(
                 schema_json,
                 base=base,
                 events=[{"op": "rename", "from": old, "to": new}],
+                meta=id_meta,
             )
             # spec mutations only after the commit landed — a failed
             # commit leaves the manifest untouched
             spec.schema_json = schema_json
             spec.keys = [new if k == old else k for k in spec.keys]
+            spec.identity = {
+                (new if c == old else c): d for c, d in spec.identity.items()
+            }
             spec.cluster_by = [new if c == old else c for c in spec.cluster_by]
             spec.declared_columns = [
                 new if c.lower() == old.lower() else c

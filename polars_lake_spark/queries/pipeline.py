@@ -2653,3 +2653,89 @@ def column_mapping_check(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "identity_check",
+    oracle="""
+    WITH twice AS (
+      SELECT 1 AS one FROM documents UNION ALL SELECT 1 FROM documents)
+    SELECT CAST(row_number() OVER () AS BIGINT) AS row_id,
+           CAST(0 AS BIGINT) AS violations
+    FROM twice
+    ORDER BY row_id
+    """,
+    doc="IDENTITY column gate (r14 — engine._assign_identity, hwm in "
+    "snapshot meta['identity']): two inserts into a GENERATED ALWAYS "
+    "AS IDENTITY table must yield EXACTLY the contiguous id range "
+    "1..2n with the second batch's ids strictly above the first's "
+    "(ranges never interleave or re-issue), surviving an interleaved "
+    "upsert-rewrite that would have dropped the high-water mark. "
+    "violations additionally pins batch ordering, the persisted hwm "
+    "value, and ALWAYS-refusal of provided ids.",
+)
+def identity_check(spark, sf_dir):
+    """Contiguous distributed assignment: ONE O(partitions) count job
+    computes per-partition offsets (driver collect of partition COUNTS,
+    never rows), ids are start + step * (offset + rank-in-partition)
+    via a per-partition window — no global shuffle at any scale; the
+    high-water mark commits atomically with the rows that consumed it."""
+    import os
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_ident_")
+    try:
+        eng = Engine(spark, os.path.join(root, "wh"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            F.col("text").alias("t1")
+        )
+        n = docs.count()
+        eng.create_table(
+            "idt",
+            docs.select(F.col("t1").alias("text"), F.lit("b1").alias("b")),
+            keys=["row_id"],
+            versioned=True,
+            identity={"row_id": {"start": 1, "step": 1}},
+        )
+        # an upsert commits a rewrite — the hwm must survive it
+        eng.upsert(
+            "idt",
+            spark.createDataFrame(
+                [(1, "updated", "b1")], "row_id bigint, text string, b string"
+            ),
+        )
+        eng.insert(
+            "idt",
+            docs.select(F.col("t1").alias("text"), F.lit("b2").alias("b")),
+        )
+        t = eng.table("idt")
+        viol = 0
+        agg = t.groupBy("b").agg(
+            F.min("row_id").alias("lo"), F.max("row_id").alias("hi")
+        )
+        rng = {r["b"]: (r["lo"], r["hi"]) for r in agg.collect()}
+        if not (rng["b1"][1] < rng["b2"][0]):  # batch ranges never overlap
+            viol += 1
+        hwm = (eng._snapstore("idt").load().meta or {}).get("identity", {})
+        if hwm.get("row_id") != 2 * n + 1:
+            viol += 1
+        try:  # ALWAYS: providing the column refuses
+            eng.insert(
+                "idt",
+                spark.createDataFrame(
+                    [(999, "x", "b3")], "row_id bigint, text string, b string"
+                ),
+            )
+            viol += 1
+        except ValueError:
+            pass
+        out = t.select(
+            "row_id", F.lit(viol).cast("bigint").alias("violations")
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

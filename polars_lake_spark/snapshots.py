@@ -178,13 +178,16 @@ def _partition_relpaths(write_dir: str) -> list[str]:
 
 def carried_meta(base_meta: dict | None, meta: dict | None = None) -> dict | None:
     """Commit meta with the ALWAYS-CARRIED keys filled from the base:
-    per-app txn watermarks, the COPY INTO loaded-file log, and the
-    deletion-vector dir list (and its ref count) all describe table
-    state that must survive unrelated commits — a commit that dropped
-    any of them would replay ingest batches, reload files, or resurrect
-    deleted rows.  Keys the caller already set in ``meta`` win (the
-    caller merged/extended)."""
-    for key in ("txn", "copy_files", "dv", "dv_rows", "schema_events"):
+    per-app txn watermarks, the COPY INTO loaded-file log, the
+    deletion-vector dir list (and its ref count), the schema-event log,
+    and identity high-water marks all describe table state that must
+    survive unrelated commits — a commit that dropped any of them would
+    replay ingest batches, reload files, resurrect deleted rows,
+    misread era names, or re-issue identity ranges.  Keys the caller
+    already set in ``meta`` win (the caller merged/extended)."""
+    for key in (
+        "txn", "copy_files", "dv", "dv_rows", "schema_events", "identity",
+    ):
         carried = (base_meta or {}).get(key)
         if carried and key not in (meta or {}):
             if isinstance(carried, dict):
@@ -418,9 +421,15 @@ class SnapshotStore:
         if op in ("create", "rewrite"):
             mapping = {p: [write_name] for p in new_parts}
             if op == "rewrite" and base is not None:
-                ev = (base.meta or {}).get("schema_events")
-                if ev and "schema_events" not in (meta or {}):
-                    meta = {**(meta or {}), "schema_events": list(ev)}
+                for key in ("schema_events", "identity"):
+                    # lineage state survives rewrites: the event log for
+                    # change-feed name alignment (read-side no-op), the
+                    # identity high-water marks because the rewritten
+                    # rows KEEP their ids — dropping the marks would
+                    # re-issue them on the next insert (dupe ids)
+                    carried = (base.meta or {}).get(key)
+                    if carried and key not in (meta or {}):
+                        meta = {**(meta or {}), key: carried}
         else:
             assert base is not None, f"op={op} needs a base snapshot"
             mapping = {p: list(ws) for p, ws in base.mapping.items()}
