@@ -1072,6 +1072,15 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     kwargs.setdefault("generated", {})[
                         k[len("generated."):]
                     ] = v
+                elif lk.startswith("identity."):
+                    # 'identity.<col>' = '<start>,<step>' (both optional)
+                    ps = [x.strip() for x in v.split(",")]
+                    kwargs.setdefault("identity", {})[
+                        k[len("identity."):]
+                    ] = {
+                        "start": int(ps[0]) if ps and ps[0] else 1,
+                        "step": int(ps[1]) if len(ps) > 1 and ps[1] else 1,
+                    }
                 elif lk in ("keys", "bucket_by"):
                     kwargs[lk] = [c.strip() for c in v.split(",")]
                 elif lk == "n_buckets":
@@ -1097,11 +1106,24 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                         f"CREATE TABLE {raw}: unsupported table property "
                         f"{k!r} (supported: {sorted(_CREATE_PROPS)} and "
                         "'constraint.<name>' / 'generated.<col>' / "
+                        "'identity.<col>' / "
                         "'expectation.<name>.<action>')"
                     )
             if constraints:
                 kwargs["constraints"] = constraints
         auto_opt = kwargs.pop("_auto_optimize", None)
+        for c in kwargs.get("identity", {}):
+            # the column is DECLARED in the defs (with its type) but
+            # GENERATED ALWAYS: the engine assigns it as BIGINT
+            have = {x.lower(): x for x in empty.columns}
+            if c.lower() in have:
+                f = empty.schema[have[c.lower()]]
+                if f.dataType.simpleString() != "bigint":
+                    raise ValueError(
+                        f"CREATE TABLE {raw}: identity column {c!r} "
+                        f"must be BIGINT (got {f.dataType.simpleString()})"
+                    )
+                empty = empty.drop(have[c.lower()])
         engine.create_table(raw, empty, **kwargs)
         if auto_opt:
             engine.set_auto_optimize(
@@ -2111,6 +2133,8 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
             props["format"] = spec.format
         for gcol, gexpr in (spec.generated or {}).items():
             props[f"generated.{gcol}"] = gexpr
+        for icol, d in (spec.identity or {}).items():
+            props[f"identity.{icol}"] = f"{d['start']},{d['step']}"
         for cname, expr in (spec.constraints or {}).items():
             if cname.startswith("_gen_") and cname[5:] in (
                 spec.generated or {}

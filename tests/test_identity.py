@@ -180,3 +180,25 @@ def test_empty_batch_and_txn_replay(spark, tmp_path):
     eng.insert("t", _texts(spark, 2, "a"), txn=("app", 1))  # replay: skipped
     ids = sorted(r.row_id for r in eng.table("t").collect())
     assert ids == list(range(1, 6)), ids
+
+
+def test_sql_create_table_identity_roundtrip(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql(
+        "CREATE VERSIONED TABLE t (text STRING, row_id BIGINT) "
+        "TBLPROPERTIES ('keys'='row_id', 'identity.row_id'='10,5')"
+    )
+    assert eng.specs["t"].identity == {"row_id": {"start": 10, "step": 5}}
+    eng.sql("INSERT INTO t (text) VALUES ('a'), ('b'), ('c')")
+    assert sorted(r.row_id for r in eng.table("t").collect()) == [10, 15, 20]
+    stmt = eng.sql("SHOW CREATE TABLE t").collect()[0].createtab_stmt
+    assert "'identity.row_id'='10,5'" in stmt
+    # the emitted statement re-creates an equivalent table
+    eng.sql(stmt.replace(" t ", " t2 ", 1))
+    assert eng.specs["t2"].identity == {"row_id": {"start": 10, "step": 5}}
+    # non-bigint identity declaration refuses
+    with pytest.raises(ValueError, match="BIGINT"):
+        eng.sql(
+            "CREATE VERSIONED TABLE t3 (x STRING, i INT) "
+            "TBLPROPERTIES ('keys'='i', 'identity.i'='1,1')"
+        )
