@@ -28,7 +28,7 @@ REGISTRY: dict[str, Query] = {}
 # which get a fresh correctness row each round.  This list is a VERIFICATION
 # ROTATION, strictly oldest-evidence-first — queries added or changed
 # this round always lead, so nothing ships unverified:
-#   the r14 window (50) = 5 NEW r14 entries (merge_null_keys_check —
+#   the r14 window (50) = 6 NEW r14 entries (merge_null_keys_check —
 #   the VERDICT r13 NULL-key presence-marker fix, NULL-safe join
 #   semantics pinned against a DuckDB IS NOT DISTINCT FROM replay;
 #   merge_generated_partition_check — ADVICE r14 high: SETs on a
@@ -39,7 +39,9 @@ REGISTRY: dict[str, Query] = {}
 #   + type widening on versioned tables, the Delta column-mapping
 #   analog: zero files move, reads translate write-dir eras;
 #   identity_check — GENERATED ALWAYS AS IDENTITY with snapshot-
-#   carried high-water marks) + 16 CHANGED
+#   carried high-water marks; cdc_feed_check — the per-version change
+#   feed, Delta CDF readChangeFeed analog with append fast paths) +
+#   16 CHANGED
 #   r14 gates (every gate through
 #   operators/merge.py's rewritten presence markers — upsert_merge and
 #   the eight merge gates; generated_columns_check + expectations/
@@ -58,6 +60,7 @@ CHECK_PRIORITY: list[str] = [
     "scd2_truncate_check",
     "column_mapping_check",
     "identity_check",
+    "cdc_feed_check",
     "upsert_merge",
     "merge_update_set_check",
     "merge_conditional_update_check",

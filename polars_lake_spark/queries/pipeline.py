@@ -2739,3 +2739,74 @@ def identity_check(spark, sf_dir):
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "cdc_feed_check",
+    oracle="""
+    SELECT doc_id, text AS body, 'insert' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, upper(text), 'insert', CAST(2 AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT doc_id, '<<redacted>>', 'update', CAST(3 AS BIGINT)
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN '<<redacted>>' ELSE text END,
+           'delete', CAST(4 AS BIGINT)
+    FROM documents WHERE doc_id % 11 = 0
+    ORDER BY _commit_version, doc_id
+    """,
+    doc="Per-version change feed gate (r14 — engine.table_changes, the "
+    "Delta CDF readChangeFeed analog): from_version=0 surfaces the "
+    "initial snapshot as version-1 inserts, an append commit emits its "
+    "new rows (scanning ONLY its new write dir — the fast path), an "
+    "upsert emits updates, a delete emits the deleted rows' last "
+    "values, each tagged _commit_version. DuckDB replays the closed "
+    "form commit by commit.",
+)
+def cdc_feed_check(spark, sf_dir):
+    """Feed cost is proportional to what each commit changed, not to
+    the table: append versions never open pre-existing files, replace
+    versions diff only the partitions whose write-dir lists moved."""
+    import os
+    import shutil
+    import tempfile
+
+    from polars_lake_spark import Engine
+
+    root = tempfile.mkdtemp(prefix="plsq_cdf_")
+    try:
+        eng = Engine(spark, os.path.join(root, "wh"))
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").alias("body")
+        )
+        eng.create_table("f", docs, keys=["doc_id"], versioned=True)
+        eng.insert(
+            "f",
+            docs.select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.upper("body").alias("body"),
+            ),
+        )
+        eng.upsert(
+            "f",
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                "doc_id", F.lit("<<redacted>>").alias("body")
+            ),
+        )
+        eng.delete(
+            "f",
+            docs.filter(F.col("doc_id") % 11 == 0).select("doc_id"),
+            ["doc_id"],
+        )
+        out = eng.table_changes("f", 0).select(
+            "doc_id", "body", "_change_type", "_commit_version"
+        )
+        rows, schema = out.collect(), out.schema
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

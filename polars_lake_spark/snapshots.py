@@ -537,6 +537,7 @@ class SnapshotStore:
         prune: list | None = None,
         report: dict | None = None,
         count_full: dict | None = None,
+        snap: "Snapshot | None" = None,
     ) -> DataFrame:
         """The table at a version, as one DataFrame.
 
@@ -575,7 +576,11 @@ class SnapshotStore:
         only the BOUNDARY files.  Callers own the exactness argument
         (whole predicate captured, no live DVs — Engine.count_where).
         """
-        snap = self.load(version)
+        # ``snap`` override (table_changes): read a SYNTHETIC snapshot —
+        # e.g. one version's mapping restricted to its changed partitions
+        # — with that snapshot's own events/DV/schema semantics
+        if snap is None:
+            snap = self.load(version)
         dv_dirs = list((snap.meta or {}).get("dv", []))
         # Metadata-only column DDL: replay the events newer than each
         # write dir onto its scan (see commit_schema_change) — zero cost

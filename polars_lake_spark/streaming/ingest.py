@@ -1207,3 +1207,35 @@ def apply_changes_scd2_batch(
         engine.upsert(table, closers, keys=all_keys)
     if inserts.head(1):
         engine.upsert(table, inserts, keys=all_keys)
+
+
+def stream_table_changes(
+    engine,
+    table: str,
+    callback,
+    *,
+    from_version: int = 1,
+    polls: int = 1,
+    preimages: bool = False,
+) -> int:
+    """Poll-based incremental CDF consumer (Delta's
+    ``readStream.option("readChangeFeed", true)`` analog): each poll
+    reads the commits since the cursor as ONE per-version change batch
+    (``engine.table_changes`` — append commits scan only their new
+    files) and hands it to ``callback(batch_df, from_v, to_v)``;
+    returns the final cursor.  Exactly-once downstream delivery
+    composes with the engine's txn watermarks: a callback that writes
+    into another engine table should pass ``txn=(app, to_v)`` so a
+    replayed poll (crash between callback and cursor persistence —
+    the CALLER owns cursor durability) skips instead of re-applying."""
+    store = engine._snapstore(table)
+    cursor = from_version
+    for _ in range(max(1, polls)):
+        latest = store.latest_version()
+        if latest > cursor:
+            batch = engine.table_changes(
+                table, cursor, latest, preimages=preimages
+            )
+            callback(batch, cursor, latest)
+            cursor = latest
+    return cursor
