@@ -1638,15 +1638,28 @@ def try_execute_dml(engine, query: str) -> DataFrame | None:
                     f"COPY INTO {name}: source columns {extra} not in the table"
                 )
             # by-NAME mapping (files carry their own column order), missing
-            # table columns NULL-fill, everything casts to the table's types
+            # table columns NULL-fill, everything casts to the table's
+            # types.  IDENTITY columns stay ABSENT (engine.insert assigns
+            # them) — and a source FILE carrying one refuses (ALWAYS).
+            ident = set(engine.specs[name].identity or {})
+            src_ident = [c for c in src.columns if canon.get(c.lower()) in ident]
+            if src_ident:
+                raise ValueError(
+                    f"COPY INTO {name}: identity columns {src_ident} are "
+                    "GENERATED ALWAYS — remove them from the source files"
+                )
             df = src
             for c in list(src.columns):
                 df = df.withColumnRenamed(c, canon[c.lower()])
             for f in tschema.fields:
-                if f.name in missing:
+                if f.name in missing and f.name not in ident:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
             df = df.select(
-                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in tschema.fields]
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in tschema.fields
+                    if f.name not in ident
+                ]
             )
             # file scans are deterministic, so the count and the insert
             # see the same rows without an eager pin of the whole batch

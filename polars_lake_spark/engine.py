@@ -531,7 +531,10 @@ class Engine:
                     "cluster_by requires a versioned table (clustered "
                     "writes exist to keep the zone-map sidecars tight)"
                 )
-            missing = [c for c in spec.cluster_by if c not in df.columns]
+            missing = [
+                c for c in spec.cluster_by
+                if c not in df.columns and c not in spec.identity
+            ]  # identity columns are engine-assigned below
             if missing:
                 raise ValueError(f"cluster_by columns {missing} not in data")
             overlap = set(spec.cluster_by) & set(spec.physical_partitioning)
@@ -547,16 +550,20 @@ class Engine:
                 "native_bucketing requires bucket_by, save=True, and no "
                 "partition_by (use the derived bucket_id layout instead)"
             )
+        # identity assignment BEFORE constraint enforcement: a declared
+        # CHECK (or cluster_by) may legitimately reference the identity
+        # column, exactly as it can on every later insert
+        id_meta = None
+        if spec.identity:
+            df, nexts = self._assign_identity(
+                df,
+                {c: (d["start"], d["step"]) for c, d in spec.identity.items()},
+            )
+            id_meta = {"identity": nexts}
         if spec.constraints or spec.expectations:
             df = self._enforce(spec, df)
         if versioned:
             self.specs[name] = spec
-            id_meta = None
-            if spec.identity:
-                df, nexts = self._assign_identity(
-                    df, {c: (d["start"], d["step"]) for c, d in spec.identity.items()}
-                )
-                id_meta = {"identity": nexts}
             self._write_versioned(
                 self._with_layout(df, spec), spec, op="create", meta=id_meta
             )
@@ -2324,6 +2331,31 @@ class Engine:
                 "them from the batch (upsert/merge accept provided ids)"
             )
 
+    def _identity_bump_meta(self, spec: TableSpec, src: DataFrame):
+        """Snapshot identity meta advancing each high-water mark past any
+        EXPLICIT id the keyed-merge source carried (Delta's rule: a
+        trusted provided value must never be re-issued by a later
+        insert).  One small aggregate over the batch — O(batch), no
+        table scan."""
+        if not spec.identity:
+            return None
+        nexts = self._identity_nexts(spec)
+        aggs = [
+            (F.max(c) if step > 0 else F.min(c)).alias(c)
+            for c, (_n, step) in nexts.items()
+            if c in src.columns
+        ]
+        row = src.agg(*aggs).head() if aggs else None
+        out = {}
+        for c, (nxt, step) in nexts.items():
+            v = row[c] if row is not None and c in row.__fields__ else None
+            if v is not None and (
+                (step > 0 and v >= nxt) or (step < 0 and v <= nxt)
+            ):
+                nxt = int(v) + step
+            out[c] = nxt
+        return {"identity": out}
+
     def _guard_identity_present(self, spec: TableSpec, df: DataFrame, op: str):
         """Keyed merges must CARRY identity columns: a source row
         matching an existing row legitimately names its id, and a
@@ -2420,10 +2452,28 @@ class Engine:
         with self._lock(name):
             if self._txn_skip(name, spec, txn):
                 return
+            id_meta = None
+            if spec.identity:
+                if allow_drop:
+                    # user-facing full replacement (INSERT OVERWRITE):
+                    # GENERATED ALWAYS — the engine assigns fresh ids,
+                    # continuing the range (never resetting — uniqueness
+                    # holds across the table's whole history)
+                    self._guard_identity_absent(spec, df, "overwrite")
+                    df, nexts = self._assign_identity(
+                        df, self._identity_nexts(spec)
+                    )
+                    id_meta = {"identity": nexts}
+                else:
+                    # internal rewrite of the table's own surviving rows
+                    # (DELETE/UPDATE/DDL paths): ids ride along unchanged
+                    self._guard_identity_present(spec, df, "overwrite")
             new = self._with_layout(df, spec)
             new = self._enforce(spec, new, allow_drop=allow_drop)
             if spec.versioned:
-                self._write_versioned(new, spec, op="rewrite", txn=txn)
+                self._write_versioned(
+                    new, spec, op="rewrite", txn=txn, meta=id_meta
+                )
             elif name in self._mem or self.root is None:
                 self._mem[name] = new.localCheckpoint(eager=True)
             else:
@@ -2471,6 +2521,9 @@ class Engine:
         (replace_where, scoped compaction) pass carried-over rows, which
         'drop' expectations must never re-quarantine."""
         spec = self._guard_mutable(name)
+        # slice replacement carries the rows' EXISTING ids — the
+        # identity column must be present (see upsert)
+        self._guard_identity_present(spec, df, "replace_partitions")
         parts = spec.physical_partitioning
         if not parts:
             raise ValueError(
@@ -2509,7 +2562,8 @@ class Engine:
                 # are a mapping edit in the SAME atomic commit.
                 if touched:
                     self._write_versioned(
-                        new, spec, op="replace", drop_relpaths=drop_relpaths
+                        new, spec, op="replace", drop_relpaths=drop_relpaths,
+                        meta=self._identity_bump_meta(spec, df),
                     )
                 elif drop_relpaths:
                     store = self._snapstore(name)
@@ -2595,6 +2649,9 @@ class Engine:
         columns in ``new_rows`` (rows would migrate partitions — that
         case needs the full overwrite)."""
         spec = self._guard_mutable(name)
+        # slice replacement carries the rows' EXISTING ids — the
+        # identity column must be present (see upsert)
+        self._guard_identity_present(spec, new_rows, "replace_where")
         parts = spec.physical_partitioning
         if not parts:
             self.overwrite(name, new_rows, allow_drop=False)
@@ -2711,7 +2768,10 @@ class Engine:
                 # No localCheckpoint staging: the write lands in a FRESH
                 # immutable dir, so the plan's input scans are never
                 # overwritten mid-query (the snapshot-isolation win).
-                self._write_versioned(merged, spec, op=op, txn=txn)
+                self._write_versioned(
+                    merged, spec, op=op, txn=txn,
+                    meta=self._identity_bump_meta(spec, df),
+                )
             elif save and name not in self._mem:
                 parts = spec.physical_partitioning
                 if parts:
@@ -3005,7 +3065,8 @@ class Engine:
             merged = self._check_constraints(spec, merged)
             if spec.versioned:
                 self._write_versioned(
-                    merged, spec, op="replace" if prune else "rewrite"
+                    merged, spec, op="replace" if prune else "rewrite",
+                    meta=self._identity_bump_meta(spec, source),
                 )
             elif name in self._mem or self.root is None:
                 self._mem[name] = merged
@@ -4712,11 +4773,82 @@ class Engine:
 
     def restore(self, name: str, version: int) -> None:
         """Roll a versioned table back to a past snapshot (as a NEW
-        version — history is preserved)."""
-        if not self.specs[name].versioned:
+        version — history is preserved).
+
+        Restoring PAST metadata-only column DDL (r14 column mapping)
+        rolls the logical schema back too, so the manifest's
+        name-carrying fields (keys, identity, cluster_by, bloom sizing,
+        stats, declared order) translate BACK through the rewound event
+        suffix — otherwise a later upsert would join on a key name the
+        restored table no longer has, and an identity insert would miss
+        the restored high-water mark and re-issue ids (r14 review)."""
+        spec = self.specs[name]
+        if not spec.versioned:
             raise ValueError(f"table {name} is not versioned")
         with self._lock(name):
-            self._snapstore(name).restore(version)
+            from polars_lake_spark.snapshots import (
+                event_suffix,
+                reverse_names,
+            )
+
+            store = self._snapstore(name)
+            past = store.load(version)
+            cur = store.load()
+            ev_past = (past.meta or {}).get("schema_events") or []
+            ev_cur = (cur.meta or {}).get("schema_events") or []
+            suffix = event_suffix(ev_past, ev_cur)
+            if suffix is None:
+                raise ValueError(
+                    f"restore({name}, {version}): the target's schema-"
+                    "event log is not an ancestor of the current one "
+                    "(nested restores around column DDL) — restore to "
+                    "an intermediate version first"
+                )
+            store.restore(version)
+            if suffix:
+
+                def back(n):
+                    return reverse_names([n], suffix)[0]
+
+                spec.schema_json = past.schema_json
+                spec.keys = [back(k) for k in spec.keys]
+                spec.identity = {
+                    back(c): d for c, d in spec.identity.items()
+                }
+                spec.cluster_by = [back(c) for c in spec.cluster_by]
+                spec.bloom_filter_cols = {
+                    back(c): v for c, v in spec.bloom_filter_cols.items()
+                }
+                if spec.stats and spec.stats.get("columns"):
+                    spec.stats = {
+                        **spec.stats,
+                        "columns": {
+                            back(c): v
+                            for c, v in spec.stats["columns"].items()
+                        },
+                    }
+                if past.schema_json:
+                    restored = {
+                        f["name"].lower(): f["name"]
+                        for f in json.loads(past.schema_json)["fields"]
+                    }
+                    # declared order: translate renames back, drop names
+                    # the target version doesn't have (added later), and
+                    # append target columns missing from the list
+                    # (dropped later) in schema order
+                    decl = [
+                        back(c)
+                        for c in spec.declared_columns
+                        if back(c).lower() in restored
+                    ]
+                    have = {c.lower() for c in decl}
+                    decl += [
+                        n
+                        for low, n in restored.items()
+                        if low not in have
+                    ]
+                    spec.declared_columns = decl if spec.declared_columns else []
+                self._write_manifest(spec)
             self._register(name)
 
     def vacuum(
@@ -4768,13 +4900,17 @@ class Engine:
         # Metadata-only column DDL between the two versions (r14 column
         # mapping): a rename is the SAME logical column under a new name
         # — without translation every row would diff as an update (old.v
-        # vs new.val) and poison incremental consumers.  The newer
-        # snapshot's event log extends the older's whenever only
-        # appends/replaces happened in between, so replaying the suffix
-        # onto the OLD read aligns the names; a rewrite in between
-        # clears the log (prefix test fails) and the plain
-        # drop+add-style diff below stands — the rewrite re-landed
-        # every row anyway.
+        # vs new.val) and poison incremental consumers.  The event log
+        # only appends (rewrites carry it), so the newer log extends the
+        # older's and replaying the suffix onto the OLD read aligns the
+        # names.  The one rewind — a RESTORE past a column DDL — makes
+        # the diff a schema change: raise rather than emit a silent
+        # mixed-schema feed (split the range at the restore).
+        from polars_lake_spark.snapshots import (
+            apply_event_suffix,
+            event_suffix,
+        )
+
         store = self._snapstore(name)
         ev_old = (store.load(from_version).meta or {}).get(
             "schema_events"
@@ -4782,13 +4918,39 @@ class Engine:
         ev_new = (store.load(to_version).meta or {}).get(
             "schema_events"
         ) or []
-        if ev_new[: len(ev_old)] == ev_old:
-            for e in ev_new[len(ev_old):]:
-                if e["op"] == "rename":
-                    old = old.withColumnRenamed(e["from"], e["to"])
-                elif e["op"] == "drop":
-                    old = old.drop(e["name"])
+        suffix = event_suffix(ev_old, ev_new)
+        if suffix is None:
+            raise ValueError(
+                f"changes({name}, {from_version}, {to_version}): the "
+                "range crosses a RESTORE that rewound metadata-only "
+                "column DDL — the versions speak different schemas; "
+                "split the range at the restore commit"
+            )
+        old = apply_event_suffix(old, suffix)
+        # keys are spec-current names; translate to the to-version's
+        # era when later DDL renamed one (see table_changes)
+        keys = self._keys_at(name, keys, ev_new)
         return self._keyed_diff(old, new, keys, preimages=preimages)
+
+    def _keys_at(
+        self, name: str, keys: list[str], ev_at: list[dict]
+    ) -> list[str]:
+        """``spec.keys`` (current names) translated back to the names an
+        EARLIER version used, when metadata-only renames happened after
+        it — the latest event log extends ``ev_at``'s, so the reverse
+        walk over the suffix recovers the era names; on the (restore)
+        rewind case the names are returned unchanged and the caller's
+        join fails loudly rather than silently mis-keying."""
+        from polars_lake_spark.snapshots import event_suffix, reverse_names
+
+        ev_cur = (
+            (self._snapstore(name).load().meta or {}).get("schema_events")
+            or []
+        )
+        suffix = event_suffix(ev_at, ev_cur)
+        if not suffix:
+            return keys
+        return reverse_names(keys, suffix)
 
     @staticmethod
     def _keyed_diff(
@@ -4906,6 +5068,11 @@ class Engine:
         to_version))`` and replays skip."""
         from functools import reduce as _reduce
 
+        from polars_lake_spark.snapshots import (
+            apply_event_suffix as _apply_event_suffix,
+        )
+        from polars_lake_spark.snapshots import event_suffix as _event_suffix
+
         spec = self.specs[name]
         if not spec.versioned:
             raise ValueError(f"table {name} is not versioned")
@@ -4928,21 +5095,34 @@ class Engine:
         else:
             prev = store.load(from_version)
         ev_to = (store.load(to).meta or {}).get("schema_events") or []
+        # spec.keys are CURRENT names; later metadata renames mean the
+        # to-version frames use earlier era names — join on those
+        keys = self._keys_at(name, keys, ev_to)
+        from polars_lake_spark.snapshots import reverse_names as _rev_names
+
         for v in range(from_version + 1, to + 1):
             snap = store.load(v)
-            step = self._version_delta(store, prev, snap, keys, preimages)
+            # the whole feed speaks the END version's logical schema: a
+            # commit from before a metadata-only rename/drop aligns
+            # forward through the event-log suffix (Delta CDF's
+            # column-mapping rule); a RESTORE that rewound the log
+            # inside the range is a schema change — raise, never emit a
+            # silent mixed-schema feed.  The join keys likewise
+            # translate back to THIS version's era names.
+            ev_v = (snap.meta or {}).get("schema_events") or []
+            suffix = _event_suffix(ev_v, ev_to)
+            if suffix is None:
+                raise ValueError(
+                    f"table_changes({name}): version {v} speaks a "
+                    "different schema than the range end — the range "
+                    "crosses a RESTORE that rewound column DDL; "
+                    "split it at the restore commit"
+                )
+            step = self._version_delta(
+                store, prev, snap, _rev_names(keys, suffix), preimages
+            )
             if step is not None:
-                # the whole feed speaks the END version's logical schema:
-                # a commit from before a metadata-only rename/drop aligns
-                # forward through the event-log suffix (Delta CDF's
-                # column-mapping rule)
-                ev_v = (snap.meta or {}).get("schema_events") or []
-                if ev_to[: len(ev_v)] == ev_v:
-                    for e in ev_to[len(ev_v):]:
-                        if e["op"] == "rename":
-                            step = step.withColumnRenamed(e["from"], e["to"])
-                        elif e["op"] == "drop":
-                            step = step.drop(e["name"])
+                step = _apply_event_suffix(step, suffix)
                 frames.append(
                     step.withColumn(
                         "_commit_version", F.lit(v).cast("bigint")
@@ -5020,12 +5200,20 @@ class Engine:
         # event-log suffix onto the OLD side (same rule as changes())
         ev_old = (prev.meta or {}).get("schema_events") or []
         ev_new = (snap.meta or {}).get("schema_events") or []
-        if ev_new[: len(ev_old)] == ev_old:
-            for e in ev_new[len(ev_old):]:
-                if e["op"] == "rename":
-                    old = old.withColumnRenamed(e["from"], e["to"])
-                elif e["op"] == "drop":
-                    old = old.drop(e["name"])
+        from polars_lake_spark.snapshots import (
+            apply_event_suffix,
+            event_suffix,
+        )
+
+        suffix = event_suffix(ev_old, ev_new)
+        if suffix is None:
+            raise ValueError(
+                f"table_changes: the step to version {snap.version} "
+                "rewinds metadata-only column DDL (RESTORE) — the two "
+                "versions speak different schemas; split the feed range "
+                "at the restore commit"
+            )
+        old = apply_event_suffix(old, suffix)
         return self._keyed_diff(old, new, keys, preimages=preimages)
 
     # ------------------------------------------- incremental aggregates

@@ -130,6 +130,46 @@ def era_column_name(current: str, events: list[dict], wnum: int) -> str:
     return name
 
 
+def event_suffix(
+    ev_from: list[dict], ev_to: list[dict]
+) -> list[dict] | None:
+    """The schema events that happened between two versions' event logs,
+    when the newer log EXTENDS the older (the invariant every commit
+    preserves — the log only appends, and rewrites carry it).  None
+    when the logs diverge: only a RESTORE past a metadata-only column
+    DDL rewinds the log, and a diff across that boundary is a schema
+    change the caller must handle explicitly (split the range at the
+    restore), never paper over."""
+    if ev_to[: len(ev_from)] == ev_from:
+        return ev_to[len(ev_from):]
+    return None
+
+
+def apply_event_suffix(df: DataFrame, suffix: list[dict]) -> DataFrame:
+    """Replay a schema-event suffix onto a frame that speaks the OLDER
+    version's logical names (renames map forward, drops remove, adds
+    are read-side no-ops)."""
+    for e in suffix:
+        if e["op"] == "rename":
+            df = df.withColumnRenamed(e["from"], e["to"])
+        elif e["op"] == "drop":
+            df = df.drop(e["name"])
+    return df
+
+
+def reverse_names(names: list[str], suffix: list[dict]) -> list[str]:
+    """Column names translated BACKWARD through an event suffix (the
+    names a restore target version used): renames map target→source;
+    drops/adds don't rename anything."""
+    out = []
+    for n in names:
+        for e in reversed(suffix):
+            if e["op"] == "rename" and n.lower() == e["to"].lower():
+                n = e["from"]
+        out.append(n)
+    return out
+
+
 def era_conjuncts(
     conjuncts: list[tuple], events: list[dict], wnum: int
 ) -> list[tuple]:

@@ -202,3 +202,102 @@ def test_sql_create_table_identity_roundtrip(spark, tmp_path):
             "CREATE VERSIONED TABLE t3 (x STRING, i INT) "
             "TBLPROPERTIES ('keys'='i', 'identity.i'='1,1')"
         )
+
+
+def test_insert_overwrite_assigns_and_refuses_provided(spark, tmp_path):
+    """r14 review #1: INSERT OVERWRITE on an identity table assigns
+    fresh ids (continuing the range) and refuses provided ones; direct
+    overwrite with the column present only passes on the internal
+    rewrite path (allow_drop=False)."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.create_table(
+        "t", _texts(spark, 5), keys=["row_id"], versioned=True,
+        identity={"row_id": {"start": 1, "step": 1}},
+    )
+    eng.sql("CREATE TABLE src AS SELECT 'ov' AS text")
+    eng.sql("INSERT OVERWRITE t (text) SELECT text FROM src")
+    rows = [(r.row_id, r.text) for r in eng.table("t").collect()]
+    assert rows == [(6, "ov")], rows  # range continues, never resets
+    eng.insert("t", _texts(spark, 1, "x"))
+    assert sorted(r.row_id for r in eng.table("t").collect()) == [6, 7]
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        eng.overwrite(
+            "t",
+            spark.createDataFrame([(99, "bad")], "row_id bigint, text string"),
+        )
+
+
+def test_explicit_merge_ids_bump_hwm(spark, tmp_path):
+    """r14 review #2: an upsert that inserts a NEW explicit id above the
+    high-water mark must advance it, or the next insert re-issues the
+    same id (Delta's rule)."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.create_table(
+        "t", _texts(spark, 3), keys=["row_id"], versioned=True,
+        identity={"row_id": {"start": 1, "step": 1}},
+    )
+    eng.upsert(
+        "t",
+        spark.createDataFrame([(15, "explicit")], "row_id bigint, text string"),
+    )
+    eng.insert("t", _texts(spark, 3, "x"))
+    ids = sorted(r.row_id for r in eng.table("t").collect())
+    assert ids == [1, 2, 3, 15, 16, 17, 18], ids
+    assert len(ids) == len(set(ids))
+
+
+def test_copy_into_identity_table(spark, tmp_path):
+    """r14 review #5: COPY INTO omits the identity column (the engine
+    assigns) and refuses source files that carry it."""
+    src_dir = tmp_path / "files"
+    spark.createDataFrame([("f1",), ("f2",)], "text string").coalesce(
+        1
+    ).write.parquet(str(src_dir / "a"))
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.create_table(
+        "t", _texts(spark, 2), keys=["row_id"], versioned=True,
+        identity={"row_id": {"start": 1, "step": 1}},
+    )
+    eng.sql(f"COPY INTO t FROM '{src_dir}/a' FILEFORMAT = parquet")
+    ids = sorted(r.row_id for r in eng.table("t").collect())
+    assert ids == [1, 2, 3, 4], ids
+    bad_dir = tmp_path / "bad"
+    spark.createDataFrame(
+        [(9, "z")], "row_id bigint, text string"
+    ).coalesce(1).write.parquet(str(bad_dir / "b"))
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        eng.sql(f"COPY INTO t FROM '{bad_dir}/b' FILEFORMAT = parquet")
+
+
+def test_restore_past_identity_rename_resyncs_spec(spark, tmp_path):
+    """r14 review #6: RESTORE past a rename of an identity/key column
+    rolls the manifest's name-carrying fields back too, so later
+    inserts find the restored high-water mark instead of re-issuing
+    used ids under a phantom column."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.create_table(
+        "t", _texts(spark, 5), keys=["row_id"], versioned=True,
+        identity={"row_id": {"start": 1, "step": 1}},
+    )
+    eng.rename_column("t", "row_id", "rid")
+    eng.restore("t", 1)
+    assert eng.specs["t"].keys == ["row_id"]
+    assert "row_id" in eng.specs["t"].identity
+    eng.insert("t", _texts(spark, 2, "x"))
+    ids = sorted(r.row_id for r in eng.table("t").collect())
+    assert ids == [1, 2, 3, 4, 5, 6, 7], ids
+
+
+def test_create_with_constraint_on_identity_column(spark, tmp_path):
+    """r14 review #7: a declared CHECK (or cluster_by) may reference the
+    identity column — assignment happens before enforcement."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.create_table(
+        "t", _texts(spark, 5), keys=["row_id"], versioned=True,
+        identity={"row_id": {"start": 1, "step": 1}},
+        constraints={"pos": "row_id > 0"},
+        cluster_by=["row_id"],
+    )
+    assert sorted(r.row_id for r in eng.table("t").collect()) == [1, 2, 3, 4, 5]
+    eng.insert("t", _texts(spark, 1, "x"))
+    assert eng.table("t").count() == 6

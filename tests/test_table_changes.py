@@ -172,3 +172,39 @@ def test_stream_table_changes_cursor(spark, tmp_path):
     stream_table_changes(eng, "t", apply, from_version=0)
     stream_table_changes(eng, "t", apply, from_version=0)  # replay: txn skips
     assert eng.table("sink").count() == 3  # v1 create inserts + v2 insert
+
+
+def test_feed_after_post_range_key_rename(spark, tmp_path):
+    """r14 review #3: spec.keys speak CURRENT names; a feed over a range
+    from BEFORE a key rename must join on the era's key name."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.create_table(
+        "t",
+        spark.createDataFrame([(1, "a")], "k bigint, s string"),
+        keys=["k"],
+        versioned=True,
+    )
+    eng.upsert("t", spark.createDataFrame([(1, "a2")], "k bigint, s string"))
+    eng.rename_column("t", "k", "kk")  # v3
+    rows = [(r.k, r._change_type) for r in eng.table_changes("t", 1, 2).collect()]
+    assert rows == [(1, "update")], rows
+    # changes() over the same old range works too
+    assert eng.changes("t", 1, 2).count() == 1
+
+
+def test_feed_across_restore_rewind_raises(spark, tmp_path):
+    """r14 review #4: a range crossing a RESTORE that rewound column DDL
+    is a schema change — raise, never emit a mixed-schema feed."""
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.create_table(
+        "t",
+        spark.createDataFrame([(1, "a")], "k bigint, s string"),
+        keys=["k"],
+        versioned=True,
+    )
+    eng.rename_column("t", "s", "txt")  # v2
+    eng.restore("t", 1)  # v3: event log rewinds
+    with pytest.raises(ValueError, match="RESTORE"):
+        eng.table_changes("t", 0).count()
+    # splitting the range at the restore works
+    assert eng.table_changes("t", 3).count() == 0
