@@ -458,3 +458,38 @@ def test_fresh_engine_disk_probes(spark, tmp_path):
     eng3 = Engine(spark, root)
     with pytest.raises(ValueError, match="reserved"):
         eng3.rename_table("other", "c_quarantine")
+
+
+def test_optimize_purges_dropped_column_bytes(spark, tmp_path):
+    """REORG TABLE ... APPLY (PURGE) analog: a metadata-only DROP leaves
+    the bytes in old files; OPTIMIZE rewrites through the conformed read
+    (current schema), so the new files physically omit the dropped
+    column and the event log self-cleans for the rewritten dirs."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.create_table(
+        "t",
+        spark.createDataFrame(
+            [(i, "x" * 100, float(i)) for i in range(100)],
+            "id bigint, payload string, v double",
+        ),
+        keys=["id"],
+        versioned=True,
+    )
+    eng.drop_columns("t", ["payload"])
+
+    def physical_cols():
+        out = set()
+        for f in glob.glob(str(tmp_path / "wh/t/data/**/*.parquet"), recursive=True):
+            out |= set(pq.read_schema(f).names)
+        return out
+
+    assert "payload" in physical_cols()  # metadata drop keeps the bytes
+    eng.compact("t")
+    eng.vacuum("t", keep_last=1)
+    assert "payload" not in physical_cols()  # OPTIMIZE + VACUUM purged
+    assert eng.table("t").columns == ["id", "v"]
+    assert eng.table("t").count() == 100
