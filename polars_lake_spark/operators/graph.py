@@ -250,7 +250,12 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in edges.toLocalIterator():
+        # One collect job, not toLocalIterator: the iterator form runs one
+        # Spark job PER PARTITION (32 jobs for a 512-edge graph — pure
+        # scheduling overhead), while the memory bound is identical — the
+        # local path is only taken at <= local_threshold edges, which is
+        # sized to fit the driver comfortably either way.
+        for row in edges.collect():
             ra, rb = find(row[0]), find(row[1])
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
@@ -359,20 +364,42 @@ def pagerank(
     total system mass ``n_nodes·scale`` — at ~1e9 nodes drop ``scale``
     to 1e6 so ``damping·contrib`` cannot overflow.
     """
+    spark = edges.sparkSession
     w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
-    e = edges.groupBy(src, dst).agg(F.sum(w).alias("w"))
-    outw = e.groupBy(src).agg(F.sum("w").alias("wout"))
-    e = (
-        e.join(outw, src)
-        .select(F.col(src).alias("u"), F.col(dst).alias("v"), "w", "wout")
-        .localCheckpoint(eager=True)
-    )
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # Build the fixed-iteration chain WITHOUT per-round adaptive
+    # re-planning: under AQE every localCheckpoint (even a lazy one)
+    # materializes each exchange as its own job — 8+ driver round-trips
+    # per iteration of pure scheduling overhead (measured 67 jobs for 8
+    # iterations; guide §1.2/§2.4).  The iteration's join/agg keys and
+    # widths are FIXED by construction (ranks and contributions are both
+    # keyed on the node id, width = spark.sql.shuffle.partitions — the
+    # cluster-sized conf, not a local constant), so runtime re-planning
+    # has nothing to decide per round; AQE is restored for the caller's
+    # consuming query immediately after the chain is built.
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        e = edges.groupBy(src, dst).agg(F.sum(w).alias("w"))
+        outw = e.groupBy(src).agg(F.sum("w").alias("wout"))
+        e = (
+            e.join(outw, src)
+            .select(F.col(src).alias("u"), F.col(dst).alias("v"), "w", "wout")
+            .localCheckpoint(eager=True)
+        )
+        nodes = (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        return _pagerank_loop(e, nodes, iterations, scale, damping)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+
+def _pagerank_loop(
+    e: DataFrame, nodes: DataFrame, iterations: int, scale: int, damping: int
+) -> DataFrame:
     ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("r"))
     base = (100 - damping) * scale // 100
     for _ in range(iterations):
@@ -391,6 +418,13 @@ def pagerank(
                     + F.expr(f"({damping} * coalesce(c, 0)) DIV 100")
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the Catalyst plan is truncated identically
+            # (O(1) depth per round) but no per-iteration result job is
+            # scheduled — with a FIXED iteration count there is no
+            # convergence check to force a round boundary, so the whole
+            # propagation materializes under the caller's single action
+            # (guide §1.2: remove driver round-trips / passes).  Blocks
+            # still cache on first compute, so nothing is recomputed.
+            .localCheckpoint(eager=False)
         )
     return ranks

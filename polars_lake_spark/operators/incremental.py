@@ -193,7 +193,19 @@ class MinHashIndex:
             docs, id_col, text_col, self.n, self.num_perm, self.bands
         )
         eng = self.engine
-        eng.create_table(self._t_entries, entries, partition_by=["band"])
+        # REBALANCE on the partition column before the partitioned write
+        # (guide §6): without it every write task emits a file into every
+        # band dir — bands × tasks small files (1024 at 32 cores) whose
+        # open/commit/footer overhead dominates the build.  AQE rebalance
+        # is the scale-adaptive form: it coalesces to one file per band
+        # here and SPLITS oversized band partitions by the advisory size
+        # on a real corpus (a plain repartition(band) would bottleneck a
+        # 100 TB band on one reducer).
+        eng.create_table(
+            self._t_entries,
+            entries.hint("rebalance", "band"),
+            partition_by=["band"],
+        )
         eng.create_table(self._t_shingles, shingled)
         meta = eng.spark.createDataFrame(
             [(self.n, self.num_perm, self.bands, float(self.threshold),
@@ -495,7 +507,14 @@ class WinnowIndex:
     ) -> None:
         eng = self.engine
         fps, entries = self._entries(docs, id_col, text_col)
-        eng.create_table(self._t_fps, entries, partition_by=["fpb"])
+        # Same REBALANCE-before-partitioned-write as MinHashIndex.create:
+        # one file per fpb dir instead of dirs × tasks small files, with
+        # AQE splitting oversized fpb partitions at real corpus sizes.
+        eng.create_table(
+            self._t_fps,
+            entries.hint("rebalance", "fpb"),
+            partition_by=["fpb"],
+        )
         fps.unpersist()
         meta = eng.spark.createDataFrame(
             [(self.k, self.w, self.min_shared, self.max_bucket, self.gram_hash)],

@@ -166,7 +166,13 @@ def ivf_write_index(
     The centroids persist alongside as ``{name}_centroids`` so the index
     is self-contained: reopen with ivf_open_centroids, grow with
     ivf_add_batch — no retraining on ingest."""
-    index = ivf_index(corpus, centroids, id_col, vec_col)
+    # REBALANCE on cell_id before the partitioned write (guide §6): one
+    # right-sized file per cell dir instead of cells × tasks small files;
+    # AQE splits an oversized cell by the advisory size at real corpus
+    # scale (same rationale as MinHashIndex.create).
+    index = ivf_index(corpus, centroids, id_col, vec_col).hint(
+        "rebalance", "cell_id"
+    )
     spec = engine.create_table(name, index, partition_by=["cell_id"])
     engine.create_table(f"{name}_centroids", centroids)
     return spec
