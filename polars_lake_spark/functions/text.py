@@ -120,8 +120,11 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
     """
     from pyspark.sql.window import Window
 
+    from polars_lake_spark.operators.dedup import parallelize_for_cpu
+
     toks = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("w"))
+        parallelize_for_cpu(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(words(F.col(text_col))).alias("w"))
         .filter(F.col("w") != "")
     )
     tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
@@ -158,7 +161,9 @@ def pmi_bigrams(df, id_col: str, text_col: str, min_count: int = 5, top: int = 2
     One explode for unigrams, one for bigrams; counts are map-side
     partial aggregates.
     """
-    from polars_lake_spark.operators.dedup import let_bound
+    from polars_lake_spark.operators.dedup import let_bound, parallelize_for_cpu
+
+    df = parallelize_for_cpu(df)
 
     # Guard size<2: F.sequence(1, 0) would DESCEND ([1,0]) and index 0.
     # The split is let-bound — referencing it from the per-bigram lambda

@@ -57,6 +57,13 @@ from polars_lake_spark.operators.retrieval import _ranked_topk, bm25_score
 def _postings(
     docs: DataFrame, id_col: str, text_col: str, positions: bool = True
 ) -> DataFrame:
+    # Spread the tokenize/posexplode map stage across the cluster when
+    # the corpus arrives under-partitioned (a small parquet file reads
+    # as ONE task, so the whole corpus tokenizes on a single core before
+    # the grouping shuffle — guide §2.5 input skew); no-op at scale.
+    from polars_lake_spark.operators.dedup import parallelize_for_cpu
+
+    docs = parallelize_for_cpu(docs)
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         TX.words(F.col(text_col)).alias("__ws"),
@@ -118,9 +125,11 @@ class BM25Index:
         retire a changed doc's rows in O(changed) sidecar writes — a
         corpus delete must never force an index rewrite."""
         eng = self.engine
+        from polars_lake_spark.operators.dedup import parallelize_for_cpu
+
         eng.create_table(
             self._t_doclens,
-            docs.select(
+            parallelize_for_cpu(docs).select(
                 F.col(id_col).alias("doc_id"),
                 F.size(TX.words(F.col(text_col))).alias("dl"),
             ),
@@ -188,9 +197,11 @@ class BM25Index:
         need_dl = fresh.join(F.broadcast(dl_hit), "doc_id", "left_anti")
         # doclens FIRST (see module docstring for the crash-order
         # argument); same txn guards both tables' watermarks
+        from polars_lake_spark.operators.dedup import parallelize_for_cpu
+
         eng.insert(
             self._t_doclens,
-            need_dl.select(
+            parallelize_for_cpu(need_dl).select(
                 "doc_id", F.size(TX.words(F.col("text"))).alias("dl")
             ),
             txn=txn,

@@ -36,8 +36,16 @@ def _token_arrays(df: DataFrame, text_col: str) -> DataFrame:
     """One array column of normalized non-empty tokens — tokenization
     stays JVM-side (shared with every other text operator) so the pandas
     stage only counts. NULL text yields no row (words(NULL) is NULL,
-    which the pandas fold would choke on)."""
-    return df.filter(F.col(text_col).isNotNull()).select(
+    which the pandas fold would choke on).
+
+    The input is spread across the cluster when it arrives
+    under-partitioned (guide §2.5 input skew — a small parquet file
+    reads as ONE task, serializing the tokenize AND the sketch fold on
+    a single core); the MG merge bound est ∈ [true − n/m, true] holds
+    under any partition count, and exact-top-k candidacy only widens."""
+    from polars_lake_spark.operators.dedup import parallelize_for_cpu
+
+    return parallelize_for_cpu(df.filter(F.col(text_col).isNotNull())).select(
         F.filter(words(F.col(text_col)), lambda w: w != "").alias("toks")
     )
 
@@ -160,8 +168,10 @@ def heavy_hitters_exact_topk(
     stopword-frequency, orders of magnitude above n/capacity at any
     realistic capacity >= ~50k per TB-scale shard).
     Deterministic order: (cnt DESC, token ASC)."""
+    from polars_lake_spark.operators.dedup import parallelize_for_cpu
+
     cands = heavy_hitters(df, text_col, capacity).select("token")
-    toks = df.select(
+    toks = parallelize_for_cpu(df).select(
         F.explode(F.filter(words(F.col(text_col)), lambda w: w != "")).alias(
             "token"
         )

@@ -73,8 +73,16 @@ def train_ivf(
     iters: int = 2,
 ) -> DataFrame:
     """Coarse quantizer: deterministic seeds (first k by hash of id), then
-    ``iters`` Lloyd steps. Returns centroids (cell_id, cv, cnrm)."""
-    vecs = corpus.select(
+    ``iters`` Lloyd steps. Returns centroids (cell_id, cv, cnrm).
+
+    The corpus is spread across the cluster when it arrives
+    under-partitioned (guide §2.5 input skew — a small parquet file
+    reads as ONE task, serializing every Lloyd pass's interpreted
+    distance folds on a single core); centroid sums stay
+    layout-independent through the fixed 9dp rounding below."""
+    from polars_lake_spark.operators.dedup import parallelize_for_cpu
+
+    vecs = parallelize_for_cpu(corpus).select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
 
@@ -144,7 +152,9 @@ def ivf_index(
 ) -> DataFrame:
     """Assign every corpus vector to its cell → (id, v, nrm, cell_id).
     At scale, write this partitioned by cell_id for probe-time pruning."""
-    vecs = corpus.select(
+    from polars_lake_spark.operators.dedup import parallelize_for_cpu
+
+    vecs = parallelize_for_cpu(corpus).select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
     return _assign(vecs, centroids)

@@ -73,7 +73,9 @@ def bm25_topk(
     """
     if not terms:
         raise ValueError("bm25_topk: empty query")
-    base = docs.select(
+    from polars_lake_spark.operators.dedup import parallelize_for_cpu
+
+    base = parallelize_for_cpu(docs).select(
         F.col(id_col).alias("doc_id"),
         TX.words(F.col(text_col)).alias("__ws"),
     ).withColumn("dl", F.size("__ws"))
@@ -295,7 +297,9 @@ def bm25_batch_topk(
         .distinct()
     )
     vocab = qterms.select("w").distinct()
-    base = docs.select(
+    from polars_lake_spark.operators.dedup import parallelize_for_cpu
+
+    base = parallelize_for_cpu(docs).select(
         F.col(id_col).alias("doc_id"),
         TX.words(F.col(text_col)).alias("__ws"),
     ).withColumn("dl", F.size("__ws"))

@@ -105,10 +105,15 @@ def brute_force_topk(
     """
     # Norms are precomputed per vector (map-side, once) so the pair loop
     # only folds the dot product — 3× less work than cosine() per pair.
+    from polars_lake_spark.operators.dedup import parallelize_for_cpu
+
     q = queries.select(
         F.col(id_col).alias("qid"), as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", norm(F.col("qv")))
-    c = corpus.select(
+    # corpus side spread when under-partitioned (guide §2.5): the
+    # map-side cross product otherwise folds every (query, corpus) dot
+    # product on one core when a small parquet file reads as one task
+    c = parallelize_for_cpu(corpus).select(
         F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", norm(F.col("cv")))
     scored = (

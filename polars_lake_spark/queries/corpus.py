@@ -925,7 +925,7 @@ def scrub_repeated_spans(spark, sf_dir):
     value-checked.  Shape: map-side chunking, one shuffle on
     (doc, chunk) for the first-occurrence window, order restored by
     chunk index."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = D.parallelize_for_cpu(load_table(spark, sf_dir, "documents"))
     words = F.split(TX.normalized(F.col("text")), " ")
     chunks_of = lambda w: F.transform(
         F.sequence(F.lit(0), F.ceil(F.size(w) / 8).cast("int") - 1),

@@ -453,7 +453,11 @@ def ann_cdc_sync_check(spark, sf_dir):
     """,
 )
 def text_stats(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    from polars_lake_spark.operators.dedup import parallelize_for_cpu
+
+    # spread the regex-heavy per-row stats when the corpus reads as one
+    # task (guide §2.5 input skew); no-op at scale
+    docs = parallelize_for_cpu(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -524,7 +528,9 @@ def text_lang_id(spark, sf_dir):
     """,
 )
 def token_count(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    from polars_lake_spark.operators.dedup import parallelize_for_cpu
+
+    docs = parallelize_for_cpu(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",

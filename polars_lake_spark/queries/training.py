@@ -567,7 +567,11 @@ def curation_lifecycle_check(spark, sf_dir, merges=None):
     from polars_lake_spark.operators import dedup as D
     from polars_lake_spark.operators.graph import connected_components
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Spread the per-stage map work (md5 fingerprints, tokenize) across
+    # the cluster when the corpus arrives under-partitioned — a small
+    # parquet file reads as ONE task, serializing every derived stage on
+    # a single core (guide §2.5 input skew); no-op at scale.
+    docs = D.parallelize_for_cpu(load_table(spark, sf_dir, "documents"))
     n_input = docs.count()
 
     # 1. exact dedup: canonical min-id survivor per normalized fingerprint
