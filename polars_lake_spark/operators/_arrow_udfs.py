@@ -23,6 +23,87 @@ _P4 = 0x85EBCA77C2B2AE63
 _P5 = 0x27D4EB2F165667C5
 
 
+def make_ivf_assign_udf(cent_rows):
+    """pandas UDF: (v array<double>, nrm double) -> int nearest-centroid
+    cell id, bit-identical to the literal-centroid expression twin
+    ``ivf._assign_expr`` (guide §4.2 — the Lloyd fold through numpy
+    instead of interpreted HOF aggregates, and a compact plan instead of
+    a k×dim literal tree that Catalyst re-analyzes per pass).
+
+    Exact-replay rules reproduced from the expression twin:
+
+    * dot(v, cv) is the LEFT-TO-RIGHT fold ``((0.0+p0)+p1)+...`` over
+      per-element products — replayed column-by-column so every IEEE
+      add/mul happens in the twin's order (bit-identical doubles);
+    * sim = dot / (nrm * cnrm), same two ops;
+    * argmax follows Spark's struct ordering on (sim, -cell_id): NaN is
+      GREATEST, ties go to the smallest cell id;
+    * a NULL / wrong-length / null-element vector makes every sim NULL
+      in the twin, whose struct max then falls through to the smallest
+      cell id — mirrored here as an explicit bad-row rule.
+
+    ``cent_rows`` is the collected [(cell_id, cv, cnrm), ...] sorted by
+    cell_id (the codebook pattern — k rows of driver metadata)."""
+    import numpy as np
+
+    cells = [int(c) for c, _, _ in cent_rows]
+    C = np.asarray([list(cv) for _, cv, _ in cent_rows], dtype=np.float64)
+    cn = np.asarray([float(x) for _, _, x in cent_rows], dtype=np.float64)
+    k, d = C.shape
+
+    @pandas_udf("int")
+    def _assign(vs: pd.Series, nrms: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = len(vs)
+        M = np.zeros((n, d), dtype=np.float64)
+        bad = np.zeros(n, dtype=bool)
+        # NULL elements inside a vector need no special case: Arrow hands
+        # them over as NaN, every centroid's sim then goes NaN uniformly,
+        # and the NaN-tie rule lands on the smallest cell — exactly where
+        # the twin's all-NULL sims land.
+        for i, v in enumerate(vs):
+            if v is None or len(v) != d:
+                bad[i] = True
+            else:
+                M[i] = np.asarray(v, dtype=np.float64)
+        nr = nrms.to_numpy(dtype=np.float64, na_value=np.nan)
+        old = np.seterr(all="ignore")
+        try:
+            best_sim = None
+            best_cell = None
+            for j in range(k):
+                prod = M * C[j]
+                acc = np.zeros(n, dtype=np.float64)
+                for col in range(d):
+                    acc = acc + prod[:, col]
+                div = nr * cn[j]
+                # ANSI parity: the twin's division THROWS on an exactly-
+                # zero divisor with a non-NULL numerator (Spark 4 default)
+                # — a zero-norm vector/centroid must not silently assign
+                if np.any(~bad & (div == 0.0)):
+                    raise ArithmeticError(
+                        "DIVIDE_BY_ZERO: zero norm in IVF assignment "
+                        "(matches the expression twin's ANSI division)"
+                    )
+                sim = acc / div
+                if best_sim is None:
+                    best_sim = sim
+                    best_cell = np.full(n, cells[j], dtype=np.int64)
+                else:
+                    nb = np.isnan(best_sim)
+                    ns = np.isnan(sim)
+                    better = (ns & ~nb) | (~ns & ~nb & (sim > best_sim))
+                    best_sim = np.where(better, sim, best_sim)
+                    best_cell = np.where(better, cells[j], best_cell)
+            best_cell = np.where(bad, cells[0], best_cell)
+            return pd.Series(best_cell.astype("int32"))
+        finally:
+            np.seterr(**old)
+
+    return _assign
+
+
 def make_minhash_sig_udf(num_perm):
     """pandas UDF: array<bigint> base-hash column -> array<bigint> of
     ``num_perm`` signed mins of xxhash64(base, i), i in [0, num_perm).

@@ -29,10 +29,22 @@ approximation); ``merges_per_round=1`` is exact classic BPE.
 
 # NB: no `from __future__ import annotations` here — it stringifies the
 # pandas_udf type hints and Spark's signature parser rejects them.
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from polars_lake_spark.operators.dedup import normalized_text, parallelize_for_cpu
+
+# Above this many distinct words the merge loop stays distributed; at or
+# below it the loop runs driver-side on the collected (word, n) table
+# (see train_bpe).  256k words × ~1 KB of python symbol-list state ≈
+# 250 MB — comfortably inside the driver's headroom; real web corpora
+# with open-ended vocab (typo/URL tokens) fall back to the distributed
+# path automatically.
+DRIVER_VOCAB_THRESHOLD = int(
+    os.environ.get("SPARK_GRAFT_BPE_DRIVER_VOCAB", str(1 << 18))
+)
 
 
 def word_counts(df: DataFrame, text_col: str) -> DataFrame:
@@ -106,11 +118,86 @@ def _select_batch(rows, merges_per_round: int, min_frequency: int):
     return batch
 
 
+def _apply_merges_py(syms: list, batch: list) -> list:
+    """Driver-side replay of :func:`_apply_merges`'s one-pass fold for a
+    non-interacting batch: merged tokens are never re-used as a left
+    element of the SAME pair (a+b is strictly longer than a) and cannot
+    match another batch pair's left symbol (produced strings are
+    disjoint from all batch symbols), so the simple accumulate-and-check
+    loop is exactly the fold."""
+    pairset = {(a, b) for a, b in batch}
+    out: list = []
+    for s in syms:
+        if out and (out[-1], s) in pairset:
+            out[-1] = out[-1] + s
+        else:
+            out.append(s)
+    return out
+
+
+def _train_bpe_driver(
+    wc: DataFrame,
+    rows,
+    n_merges: int,
+    min_frequency: int,
+    merges_per_round: int,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The merge loop of :func:`train_bpe` on a COLLECTED (word, n)
+    table — bit-identical selection to the distributed rounds (same
+    (cnt desc, a asc, b asc) total order, same top-``4·mpr`` candidate
+    truncation, same :func:`_select_batch`, same one-pass merge
+    application), with zero per-round Spark jobs.
+
+    Python string comparison (code points) equals Spark's UTF8 binary
+    ordering because UTF-8 byte order preserves code-point order."""
+    words = [(r["word"], r["n"]) for r in rows]
+    syms = {w: list(w) for w, _ in words}
+    merges: list[tuple[int, str, str, int]] = []
+    top_n = max(4 * merges_per_round, 8)
+    while len(merges) < n_merges:
+        cnt: dict = {}
+        for w, n in words:
+            s = syms[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                cnt[p] = cnt.get(p, 0) + n
+        if not cnt:
+            break
+        top = sorted(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[:top_n]
+        cand = [{"a": a, "b": b, "cnt": c} for (a, b), c in top]
+        room = n_merges - len(merges)
+        batch = _select_batch(cand, min(merges_per_round, room), min_frequency)
+        if not batch:
+            break
+        for a, b, c in batch:
+            merges.append((len(merges), a, b, c))
+        pairs = [(a, b) for a, b, _ in batch]
+        for w, s in syms.items():
+            if len(s) >= 2:
+                syms[w] = _apply_merges_py(s, pairs)
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            wc.schema["word"],
+            wc.schema["n"],
+            StructField("syms", ArrayType(StringType()), True),
+        ]
+    )
+    sym_df = wc.sparkSession.createDataFrame(
+        [(w, n, syms[w]) for w, n in words], schema
+    )
+    return merges, sym_df
+
+
 def train_bpe(
     wc: DataFrame,
     n_merges: int,
     min_frequency: int = 2,
     merges_per_round: int = 1,
+    driver_vocab_threshold: int | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn up to ``n_merges`` BPE merges from a (word, n) table.
 
@@ -122,7 +209,31 @@ def train_bpe(
     Deterministic and layout-independent: pair counts are exact integer
     sums; the argmax tie-break is (count desc, a asc, b asc); only the
     top ``4·merges_per_round`` candidate rows are collected per round.
+
+    Execution is adaptive in the VOCABULARY size (guide §1.2 — the
+    distributed algorithm first): the (word, n) relation is the only
+    state the merge loop touches, and Zipf's law keeps it bounded, so at
+    or below ``driver_vocab_threshold`` distinct words (default
+    ``DRIVER_VOCAB_THRESHOLD``, env ``SPARK_GRAFT_BPE_DRIVER_VOCAB``)
+    the table is collected ONCE and the rounds run driver-side —
+    removing ``n_merges`` per-round aggregate jobs plus their Catalyst
+    re-analysis (measured ~5 s of driver-side planning for 24 rounds at
+    sf0.1, where only 2 s was Spark jobs).  Larger vocabularies keep the
+    distributed rounds below, whose selection order this path replays
+    bit-identically (pinned by tests/test_bpe.py's cross-path equality).
+    Pass ``driver_vocab_threshold=0`` to force the distributed path.
     """
+    thr = (
+        DRIVER_VOCAB_THRESHOLD
+        if driver_vocab_threshold is None
+        else driver_vocab_threshold
+    )
+    if thr > 0:
+        head = wc.select("word", "n").limit(thr + 1).collect()
+        if len(head) <= thr:
+            return _train_bpe_driver(
+                wc, head, n_merges, min_frequency, merges_per_round
+            )
     # Lazy checkpoints (eager=False): the plan is truncated exactly the
     # same (the checkpoint still materializes and caches on FIRST use),
     # but the materialization happens INSIDE the next round's pair-count

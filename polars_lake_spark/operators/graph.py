@@ -372,14 +372,34 @@ def pagerank(
     # per iteration of pure scheduling overhead (measured 67 jobs for 8
     # iterations; guide §1.2/§2.4).  The iteration's join/agg keys and
     # widths are FIXED by construction (ranks and contributions are both
-    # keyed on the node id, width = spark.sql.shuffle.partitions — the
-    # cluster-sized conf, not a local constant), so runtime re-planning
-    # has nothing to decide per round; AQE is restored for the caller's
-    # consuming query immediately after the chain is built.
-    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    # keyed on the node id), so runtime re-planning has nothing to decide
+    # per round.
+    #
+    # The AQE toggle lives on an ISOLATED ``newSession()`` (same
+    # SparkContext, own SQLConf) so a query PLANNED CONCURRENTLY by the
+    # shared session — the serving facade's thread pool, a parallel
+    # bench entry — never loses adaptivity (r14 verdict: a conf flip on
+    # the shared session is a concurrency hazard).  The input plan
+    # crosses sessions through a uniquely-named global temp view; the
+    # checkpointed RDDs backing the chain live in the shared context, so
+    # nothing is recomputed and the returned frame executes fine from
+    # the caller.
+    iso = spark.newSession()
+    from polars_lake_spark.session import configure_session
+
+    configure_session(iso)
+    iso.conf.set(
+        "spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    iso.conf.set("spark.sql.adaptive.enabled", "false")
+    import uuid
+
+    vname = f"__plsg_pr_{uuid.uuid4().hex}"
+    edges.createOrReplaceGlobalTempView(vname)
     try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        e = edges.groupBy(src, dst).agg(F.sum(w).alias("w"))
+        edges_iso = iso.table(f"global_temp.{vname}")
+        e = edges_iso.groupBy(src, dst).agg(F.sum(w).alias("w"))
         outw = e.groupBy(src).agg(F.sum("w").alias("wout"))
         e = (
             e.join(outw, src)
@@ -392,9 +412,20 @@ def pagerank(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # Scale-adaptive loop width (guide §2: derive partitioning from
+        # input size, not a constant): with AQE off nothing coalesces the
+        # per-iteration exchanges, so size them from the COLLAPSED edge
+        # count — ~1M edge rows (~100 MB) per partition, capped at the
+        # cluster-sized conf.  e is already checkpointed, so the count is
+        # one tiny job; the integer fixpoint is layout-independent by
+        # construction, so the width never changes a bit of the result.
+        n_edges = e.count()
+        cap = int(iso.conf.get("spark.sql.shuffle.partitions"))
+        width = max(1, min(cap, -(-n_edges // 1_000_000)))
+        iso.conf.set("spark.sql.shuffle.partitions", str(width))
         return _pagerank_loop(e, nodes, iterations, scale, damping)
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        spark.catalog.dropGlobalTempView(vname)
 
 
 def _pagerank_loop(

@@ -24,32 +24,62 @@ from polars_lake_spark.operators.similarity import as_double, dot, norm
 MAX_LITERAL_CENTROID_ELEMS = 32_768
 
 
+def _assign_expr(vectors: DataFrame, rows, vec: str = "v") -> DataFrame:
+    """Pure-column-expression nearest-centroid assignment over literal
+    centroids — kept as the EQUALITY WITNESS for the Arrow path below
+    (tests/test_arrow_udfs.py pins bit-identity), same contract as
+    dedup's ``_minhash_signatures_expr`` twin."""
+    entries = []
+    for r in rows:
+        cv = F.array(*[F.lit(float(x)) for x in r.cv])
+        sim = dot(F.col(vec), cv) / (F.col("nrm") * F.lit(float(r.cnrm)))
+        # lexicographic max over (sim, -cell_id) = best sim, ties to
+        # the smallest cell id — deterministic
+        entries.append(
+            F.struct(
+                sim.alias("sim"), F.lit(-r.cell_id).cast("int").alias("negc")
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return vectors.withColumn("cell_id", (-best["negc"]).cast("int"))
+
+
+def _assign_rows(
+    vectors: DataFrame, cent_rows, vec: str = "v"
+) -> DataFrame:
+    """Small-quantizer nearest-centroid assignment from DRIVER-SIDE
+    centroid tuples ``[(cell_id, cv, cnrm), ...]`` sorted by cell_id —
+    the codebook never becomes a Spark relation here, so an iterative
+    caller (the Lloyd loop) pays zero createDataFrame/collect round
+    trips per pass.  Ships the centroids in an Arrow-batched pandas
+    UDF's closure (guide §4.2): a map-side vectorized numpy argmax — no
+    crossJoin row blowup, no per-id shuffle, and (unlike the previous
+    literal-expression form) no k×dim literal tree for Catalyst to
+    re-analyze and codegen on EVERY pass.  Bit-identical to the
+    expression twin ``_assign_expr`` — pinned by
+    tests/test_arrow_udfs.py."""
+    from polars_lake_spark.operators._arrow_udfs import make_ivf_assign_udf
+
+    assign = make_ivf_assign_udf(cent_rows)
+    return vectors.withColumn("cell_id", assign(F.col(vec), F.col("nrm")))
+
+
 def _assign(vectors: DataFrame, centroids: DataFrame, vec: str = "v") -> DataFrame:
     """Nearest-centroid assignment by cosine.
 
     A coarse quantizer is SMALL by design (k cells × dim floats), so the
-    default path collects it and inlines the centroids as plan literals:
-    the assignment becomes a pure map-side projection — no crossJoin row
-    blowup, no per-id shuffle at all (the previous window formulation
-    shuffled the k×N scored relation).  Quantizers past
-    MAX_LITERAL_CENTROID_ELEMS use broadcast crossJoin + grouped argmax
-    (one shuffle, still never a window over the full relation)."""
+    default path collects it and runs the map-side Arrow argmax of
+    :func:`_assign_rows`.  Quantizers past MAX_LITERAL_CENTROID_ELEMS
+    use broadcast crossJoin + grouped argmax (one shuffle, still never a
+    window over the full relation)."""
     rows = sorted(centroids.collect(), key=lambda r: r.cell_id)
     dim = len(rows[0].cv)
     if len(rows) * dim <= MAX_LITERAL_CENTROID_ELEMS:
-        entries = []
-        for r in rows:
-            cv = F.array(*[F.lit(float(x)) for x in r.cv])
-            sim = dot(F.col(vec), cv) / (F.col("nrm") * F.lit(float(r.cnrm)))
-            # lexicographic max over (sim, -cell_id) = best sim, ties to
-            # the smallest cell id — deterministic
-            entries.append(
-                F.struct(
-                    sim.alias("sim"), F.lit(-r.cell_id).cast("int").alias("negc")
-                )
-            )
-        best = F.array_max(F.array(*entries))
-        return vectors.withColumn("cell_id", (-best["negc"]).cast("int"))
+        return _assign_rows(
+            vectors,
+            [(r.cell_id, list(r.cv), float(r.cnrm)) for r in rows],
+            vec,
+        )
     scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
         "sim", dot(F.col(vec), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
     )
@@ -116,15 +146,23 @@ def train_ivf(
         return math.sqrt(s)
 
     cent_rows = [(i, list(r.v), float(r.nrm)) for i, r in enumerate(seed_rows)]
+    small = k * dim <= MAX_LITERAL_CENTROID_ELEMS
     for _ in range(iters):
-        # Centroids are COLLECTED between iterations (k rows, bounded
-        # driver-side metadata — the codebook pattern): each Lloyd step
-        # then scans the corpus once against LITERAL centroids instead of
+        # Centroids stay DRIVER-SIDE between iterations (k rows, bounded
+        # metadata — the codebook pattern): each Lloyd step scans the
+        # corpus once against the closure-shipped codebook instead of
         # nesting the previous iteration's whole plan inside the next
         # crossJoin (plan-depth blowup measured 7.3 s → ~2 s for
         # iters=2, k=8, 2k vectors; the gap is Catalyst re-analysis +
-        # recomputation, not data).
-        assigned = _assign(vecs, _lit_centroids(cent_rows))
+        # recomputation, not data).  Small quantizers skip the
+        # per-iteration createDataFrame+collect round trip entirely
+        # (_assign_rows); only the big-quantizer fallback materializes a
+        # centroid relation for the broadcast crossJoin.
+        assigned = (
+            _assign_rows(vecs, cent_rows)
+            if small
+            else _assign(vecs, _lit_centroids(cent_rows))
+        )
         # mean vector per cell: one grouped aggregate with a sum per
         # dimension (map-side partials, k×dim result) — replaces the
         # posexplode formulation that shuffled N×dim rows per iteration.

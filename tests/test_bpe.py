@@ -81,6 +81,31 @@ def test_train_layout_independent(spark, sf_dir):
     assert m1 == m2 and len(m1) == 12
 
 
+def test_driver_path_equals_distributed_path(spark, sf_dir):
+    """The driver-side merge loop (vocab under DRIVER_VOCAB_THRESHOLD)
+    must replay the distributed rounds bit-identically: same merges,
+    same final segmentation table — for exact BPE and batched rounds."""
+    from polars_lake_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = B.word_counts(docs, "text")
+    exact_merges = None
+    for mpr in (1, 8):
+        m_drv, s_drv = B.train_bpe(wc, 12, merges_per_round=mpr)
+        m_dst, s_dst = B.train_bpe(
+            wc, 12, merges_per_round=mpr, driver_vocab_threshold=0
+        )
+        assert m_drv == m_dst
+        rows_drv = {r.word: (r.n, list(r.syms)) for r in s_drv.collect()}
+        rows_dst = {r.word: (r.n, list(r.syms)) for r in s_dst.collect()}
+        assert rows_drv == rows_dst
+        if mpr == 1:
+            exact_merges = m_drv
+    # threshold smaller than the vocab falls back to the distributed path
+    m_fb, _ = B.train_bpe(wc, 4, driver_vocab_threshold=2)
+    assert m_fb == exact_merges[:4]
+
+
 def test_min_frequency_stops_training(spark):
     df = spark.createDataFrame([("abc", 1), ("xyz", 1)], "word string, n bigint")
     merges, _ = B.train_bpe(df, n_merges=10, min_frequency=2)

@@ -175,6 +175,25 @@ def test_pagerank_matches_python_model(spark, edges):
     assert got == model_pagerank(edges, iterations=4)
 
 
+def test_pagerank_leaves_shared_session_adaptive(spark):
+    """The chain builds with AQE off on an ISOLATED session (r14 verdict
+    #3): the shared session must keep spark.sql.adaptive.enabled=true at
+    every point — including WHILE the chain is being built — so a query
+    planned concurrently never silently loses skew handling/coalescing."""
+    from polars_lake_spark.operators.graph import pagerank
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    edges = [(i % 5, (i * 2) % 5) for i in range(20) if i % 5 != (i * 2) % 5]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    ranks = pagerank(df, iterations=3)
+    # planned on the shared session after (and despite) the chain build:
+    # the plan must still be adaptive
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    probe = df.groupBy("src").count()
+    assert "AdaptiveSparkPlan" in probe._jdf.queryExecution().executedPlan().toString()
+    assert ranks.count() > 0
+
+
 def test_pagerank_layout_independent(spark):
     from polars_lake_spark.operators.graph import pagerank
 
